@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bulk-dataflow-plane operators surfaced as deterministic queries.
+  *
+  * The reference's export/import are side-effecting shell-outs
+  * (/root/reference/lib/hbacker/export.rb:145-169, import.rb:128-154);
+  * here each is decomposed into its *scan semantics* (what rows move) —
+  * which the DuckDB oracle can check — while the write/record side
+  * effects live in graft.engine and are exercised by ScalaTest.
+  */
+object EngineQueries {
+
+  import graft.catalog.CatalogFixture.{T1998, T2000}
+
+  val defs: Map[String, QueryFn] = Map(
+    /** e01 — S1: the time-range-filtered export scan. HBase TimeRange
+      * semantics: [start, end) half-open (export.rb:150-151 args feed
+      * Scan.setTimeRange). Predicate lands in the parquet scan
+      * (PushedFilters), so only matching row groups are read.
+      */
+    "e01_export_scan" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= timestamp_millis(lit(T1998)) &&
+          col("l_shipdate") < timestamp_millis(lit(T2000)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ms(col("l_shipdate")).as("ship_ms"), col("l_quantity"))
+    },
+
+    /** e02 — the `versions` cap of S1 (export.rb:150, cli.rb:71-74):
+      * keep the latest N cells per key. Ranking window partitioned by
+      * the row key, ordered by (ts desc, event_id desc) for a total
+      * order. At scale: single shuffle on user_id; no global sort.
+      */
+    "e02_version_cap" -> { (s, d) =>
+      val versions = 5
+      val ev = Tables.eventsTs(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= versions)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+    },
+
+    /** e03 — S5 `table_has_rows?` (hbase.rb:64-68): limit-1 existence
+      * probes. LocalLimit(1) short-circuits the scan; the empty probe
+      * uses a parquet-stat-prunable predicate so it reads ~no rows.
+      */
+    "e03_has_rows" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val probes = Seq(
+        ("lineitem", !li.limit(1).isEmpty),
+        ("lineitem_negative_qty",
+          !li.filter(col("l_quantity") < 0).limit(1).isEmpty),
+        ("orders", !Tables.orders(s, d).limit(1).isEmpty))
+      probes.toDF("probe", "has_rows")
+    },
+
+    /** e04 — S4 `table_descriptor` (hbase.rb:46-48): the discovered
+      * schema as rows. Parquet footer read only — no data scan.
+      */
+    "e04_descriptor" -> { (s, d) =>
+      import s.implicits._
+      Seq("lineitem", "orders").flatMap { t =>
+        Tables.load(s, d, t).schema.fields.map(f => (t, f.name))
+      }.toDF("table_name", "column_name")
+    },
+
+    /** e05 — A1 + the reference's wished-for integrity metrics
+      * (README.textile:189-191): per-table row counts recorded at
+      * export time. Counts are map-side partial aggregates.
+      */
+    "e05_integrity_counts" -> { (s, d) =>
+      import s.implicits._
+      val counts = Seq("lineitem", "orders", "customer", "supplier",
+        "part", "nation", "region", "documents", "embeddings")
+        .map(t => (t, Tables.load(s, d, t).count()))
+      counts.toDF("table_name", "n_rows")
+    },
+
+    /** e06 — exact NDV integrity probe (the hash-check the reference
+      * wants; HLL variant lives in graft.ext as engine-only since
+      * sketch internals differ across engines).
+      */
+    "e06_integrity_ndv" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("ndv_orderkey"),
+        countDistinct(col("l_partkey")).as("ndv_partkey"),
+        countDistinct(col("l_suppkey")).as("ndv_suppkey"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "e01_export_scan" ->
+      s"""SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms, l_quantity
+         |FROM lineitem
+         |WHERE l_shipdate >= epoch_ms($T1998) AND l_shipdate < epoch_ms($T2000)""".stripMargin,
+
+    "e02_version_cap" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) <= 5""".stripMargin,
+
+    "e03_has_rows" ->
+      """SELECT 'lineitem' AS probe, EXISTS(SELECT 1 FROM lineitem) AS has_rows
+        |UNION ALL
+        |SELECT 'lineitem_negative_qty', EXISTS(SELECT 1 FROM lineitem WHERE l_quantity < 0)
+        |UNION ALL
+        |SELECT 'orders', EXISTS(SELECT 1 FROM orders)""".stripMargin,
+
+    "e04_descriptor" ->
+      """SELECT 'lineitem' AS table_name, column_name FROM (DESCRIBE SELECT * FROM lineitem)
+        |UNION ALL
+        |SELECT 'orders', column_name FROM (DESCRIBE SELECT * FROM orders)""".stripMargin,
+
+    "e05_integrity_counts" ->
+      """SELECT 'lineitem' AS table_name, COUNT(*) AS n_rows FROM lineitem
+        |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'part', COUNT(*) FROM part
+        |UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'region', COUNT(*) FROM region
+        |UNION ALL SELECT 'documents', COUNT(*) FROM documents
+        |UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings""".stripMargin,
+
+    "e06_integrity_ndv" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_orderkey) AS ndv_orderkey,
+        |  COUNT(DISTINCT l_partkey) AS ndv_partkey,
+        |  COUNT(DISTINCT l_suppkey) AS ndv_suppkey
+        |FROM lineitem""".stripMargin)
+}
