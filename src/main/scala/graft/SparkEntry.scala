@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, QueryFn], Map[String, String])] = Seq(
     (AnalyticsQueries.defs, AnalyticsQueries.oracles),
-    (EngineQueries.defs, EngineQueries.oracles))
+    (EngineQueries.defs, EngineQueries.oracles),
+    (CatalogQueries.defs, CatalogQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

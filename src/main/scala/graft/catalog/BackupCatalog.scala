@@ -1,0 +1,111 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+
+/** Parquet-backed backup-metadata catalog — the Spark-native stand-in
+  * for the reference's MySQL/SimpleDB store
+  * (/root/reference/lib/hbacker/mysql.rb, db.rb.old).
+  *
+  * Layout: `<root>/sessions`, `<root>/tables`, `<root>/descriptors`,
+  * one Parquet dir each. Writes append tiny files; the catalog is
+  * metadata-scale (one row per table per run), so driver-side
+  * read-modify-write for session finalization is deliberate — this is
+  * the control plane, not the data plane.
+  *
+  * Unlike the reference, which marks a session "ended" when the last
+  * job is *enqueued* (export.rb:96 — a real quirk, see SURVEY.md §3.1
+  * step 8), [[graft.orchestrate.BackupRunner]] only calls [[endInfo]]
+  * after every table job has completed.
+  */
+final class BackupCatalog(spark: SparkSession, root: String) {
+  import spark.implicits._
+
+  private val sessionsDir = s"$root/sessions"
+  private val tablesDir = s"$root/tables"
+  private val descsDir = s"$root/descriptors"
+
+  private def readOrEmpty[T <: Product : org.apache.spark.sql.Encoder](
+      dir: String): Dataset[T] =
+    if (new java.io.File(new java.net.URI(
+        if (dir.startsWith("file:")) dir else s"file://$dir")).exists())
+      spark.read.parquet(dir).as[T]
+    else spark.emptyDataset[T]
+
+  def sessions: Dataset[BackupSession] = readOrEmpty[BackupSession](sessionsDir)
+  def tables: Dataset[TableRecord] = readOrEmpty[TableRecord](tablesDir)
+  def descriptors: Dataset[ColumnDescriptor] =
+    readOrEmpty[ColumnDescriptor](descsDir)
+
+  // ---- writes (mysql.rb:143-267) ----
+
+  /** Session start row (mysql.rb:226-239). */
+  def startInfo(s: BackupSession): Unit =
+    Seq(s).toDS().write.mode(SaveMode.Append).parquet(sessionsDir)
+
+  /** Session end row: keyed update of (mode, session_name)
+    * (mysql.rb:246-267). The reference retries against a SimpleDB
+    * read-after-write race (mysql.rb:250-256); catalog writes here are
+    * driver-sequential so a plain read-modify-write suffices.
+    */
+  def endInfo(mode: String, sessionName: String, endedAt: Long,
+              error: Boolean = false, errorInfo: String = ""): Unit = {
+    val all = sessions.collect().toSeq
+    val updated = all.map { s =>
+      if (s.mode == mode && s.session_name == sessionName)
+        s.copy(ended_at = endedAt, error = s.error || error,
+          error_info = if (errorInfo.nonEmpty) errorInfo else s.error_info)
+      else s
+    }
+    updated.toDS().coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(sessionsDir)
+  }
+
+  /** Per-table record, export side (mysql.rb:154-190). */
+  def exportedTableInfo(t: TableRecord,
+                        descs: Seq[ColumnDescriptor]): Unit = {
+    require(t.mode == "export", s"mode=${t.mode}")
+    Seq(t).toDS().write.mode(SaveMode.Append).parquet(tablesDir)
+    if (descs.nonEmpty)
+      descs.toDS().write.mode(SaveMode.Append).parquet(descsDir)
+  }
+
+  /** Per-table record, import side (mysql.rb:200-215). */
+  def importedTableInfo(t: TableRecord): Unit = {
+    require(t.mode == "import", s"mode=${t.mode}")
+    Seq(t).toDS().write.mode(SaveMode.Append).parquet(tablesDir)
+  }
+
+  // ---- reads: delegate to the shared CatalogOps logic ----
+
+  def sessionInfo(mode: String, pattern: String): DataFrame =
+    CatalogOps.sessionInfo(sessions.toDF(), mode, pattern)
+
+  def sessionStarted(mode: String, cluster: String, sessionName: String,
+                     destRoot: String): Boolean =
+    !CatalogOps.sessionStarted(sessions.toDF(), mode, cluster,
+      sessionName, destRoot).limit(1).isEmpty
+
+  def listTableInfo(mode: String, sessionName: String,
+                    tablePattern: String): DataFrame =
+    CatalogOps.listTableInfo(tables.toDF(), mode, sessionName, tablePattern)
+
+  def tableNames(mode: String, sessionPattern: String,
+                 destRoot: String): Seq[String] =
+    CatalogOps.tableNames(tables.toDF(), sessions.toDF(), mode,
+      sessionPattern, destRoot).as[String].collect().toSeq.sorted
+
+  def exists(mode: String, tableName: String, sessionName: String): Boolean =
+    CatalogOps.exists(tables.toDF(), mode, tableName, sessionName)
+
+  def columnDescriptorRows(sessionName: String,
+                           tableName: String): Seq[ColumnDescriptor] =
+    descriptors.filter(d => d.session_name == sessionName &&
+      d.table_name == tableName).collect().toSeq
+
+  def lastEndTime(mode: String, tableName: String): Long = {
+    val rows = CatalogOps.lastEndTimes(tables.toDF(), mode)
+      .filter(org.apache.spark.sql.functions.col("table_name") === tableName)
+      .collect()
+    if (rows.isEmpty) 0L else rows(0).getAs[Long]("last_end")
+  }
+}
