@@ -26,8 +26,7 @@ final class BackupCatalog(spark: SparkSession, root: String) {
 
   private def readOrEmpty[T <: Product : org.apache.spark.sql.Encoder](
       dir: String): Dataset[T] =
-    if (new java.io.File(new java.net.URI(
-        if (dir.startsWith("file:")) dir else s"file://$dir")).exists())
+    if (new java.io.File(dir.stripPrefix("file://")).exists())
       spark.read.parquet(dir).as[T]
     else spark.emptyDataset[T]
 
@@ -37,10 +36,15 @@ final class BackupCatalog(spark: SparkSession, root: String) {
     readOrEmpty[ColumnDescriptor](descsDir)
 
   // ---- writes (mysql.rb:143-267) ----
+  // All writes serialize on the instance: concurrent per-table jobs
+  // (BackupRunner) would otherwise race in the shared _temporary/
+  // staging dir of the same catalog path. Metadata-scale, so the lock
+  // costs nothing next to the data-plane work.
 
   /** Session start row (mysql.rb:226-239). */
-  def startInfo(s: BackupSession): Unit =
+  def startInfo(s: BackupSession): Unit = synchronized {
     Seq(s).toDS().write.mode(SaveMode.Append).parquet(sessionsDir)
+  }
 
   /** Session end row: keyed update of (mode, session_name)
     * (mysql.rb:246-267). The reference retries against a SimpleDB
@@ -48,7 +52,7 @@ final class BackupCatalog(spark: SparkSession, root: String) {
     * driver-sequential so a plain read-modify-write suffices.
     */
   def endInfo(mode: String, sessionName: String, endedAt: Long,
-              error: Boolean = false, errorInfo: String = ""): Unit = {
+              error: Boolean = false, errorInfo: String = ""): Unit = synchronized {
     val all = sessions.collect().toSeq
     val updated = all.map { s =>
       if (s.mode == mode && s.session_name == sessionName)
@@ -62,7 +66,7 @@ final class BackupCatalog(spark: SparkSession, root: String) {
 
   /** Per-table record, export side (mysql.rb:154-190). */
   def exportedTableInfo(t: TableRecord,
-                        descs: Seq[ColumnDescriptor]): Unit = {
+                        descs: Seq[ColumnDescriptor]): Unit = synchronized {
     require(t.mode == "export", s"mode=${t.mode}")
     Seq(t).toDS().write.mode(SaveMode.Append).parquet(tablesDir)
     if (descs.nonEmpty)
@@ -70,7 +74,7 @@ final class BackupCatalog(spark: SparkSession, root: String) {
   }
 
   /** Per-table record, import side (mysql.rb:200-215). */
-  def importedTableInfo(t: TableRecord): Unit = {
+  def importedTableInfo(t: TableRecord): Unit = synchronized {
     require(t.mode == "import", s"mode=${t.mode}")
     Seq(t).toDS().write.mode(SaveMode.Append).parquet(tablesDir)
   }
@@ -100,7 +104,7 @@ final class BackupCatalog(spark: SparkSession, root: String) {
   def columnDescriptorRows(sessionName: String,
                            tableName: String): Seq[ColumnDescriptor] =
     descriptors.filter(d => d.session_name == sessionName &&
-      d.table_name == tableName).collect().toSeq
+      d.table_name == tableName).collect().toSeq.sortBy(_.ordinal)
 
   def lastEndTime(mode: String, tableName: String): Long = {
     val rows = CatalogOps.lastEndTimes(tables.toDF(), mode)

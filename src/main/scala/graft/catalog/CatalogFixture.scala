@@ -72,10 +72,15 @@ object CatalogFixture {
   }
 
   val descriptors: Seq[ColumnDescriptor] = {
-    def d(table: String, name: String, dt: String, mv: Int): ColumnDescriptor =
-      ColumnDescriptor(S1, table, name, dt, nullable = true, mv,
+    var ord = -1
+    var prevTable = ""
+    def d(table: String, name: String, dt: String, mv: Int): ColumnDescriptor = {
+      ord = if (table == prevTable) ord + 1 else 0
+      prevTable = table
+      ColumnDescriptor(S1, table, ord, name, dt, nullable = true, mv,
         "SNAPPY", in_memory = false, block_cache = true,
         ttl = 2147483647L, blocksize = 65536L, bloomfilter = "NONE")
+    }
     Seq(
       d("lineitem", "l_orderkey", "bigint", 1),
       d("lineitem", "l_partkey", "bigint", 1),
@@ -144,11 +149,11 @@ object CatalogFixture {
       t.error_info, t.row_count)))
 
   val descriptorsCte: String = valuesCte("descs_cat",
-    Seq("session_name", "table_name", "name", "data_type", "nullable",
-      "max_versions", "compression", "in_memory", "block_cache", "ttl",
-      "blocksize", "bloomfilter"),
-    descriptors.map(c => Seq(c.session_name, c.table_name, c.name,
-      c.data_type, c.nullable, c.max_versions, c.compression,
+    Seq("session_name", "table_name", "ordinal", "name", "data_type",
+      "nullable", "max_versions", "compression", "in_memory",
+      "block_cache", "ttl", "blocksize", "bloomfilter"),
+    descriptors.map(c => Seq(c.session_name, c.table_name, c.ordinal,
+      c.name, c.data_type, c.nullable, c.max_versions, c.compression,
       c.in_memory, c.block_cache, c.ttl, c.blocksize, c.bloomfilter)))
 
   /** Wrap a SELECT with the catalog CTEs (DuckDB side of each

@@ -53,6 +53,8 @@ final case class TableRecord(
 final case class ColumnDescriptor(
     session_name: String,
     table_name: String,
+    ordinal: Int,        // column position — schema order must survive
+                         // the round-trip (parquet read order is not it)
     name: String,
     data_type: String,   // Catalyst simpleString, e.g. "bigint"
     nullable: Boolean,

@@ -1,0 +1,146 @@
+package graft.engine
+
+import graft.catalog.{BackupCatalog, ColumnDescriptor, TableRecord}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S1 — bulk table export: the Spark-native equivalent of shelling out
+  * the Hadoop `Export` MapReduce job
+  * (/root/reference/lib/hbacker/export.rb:145-169).
+  *
+  * The reference's `hadoop jar hbase-<v>.jar export <table> <dest>
+  * <versions> <start> <end>` collapses to `read → time-filter →
+  * version-cap → write`: the time-range predicate is pushed into the
+  * parquet scan (row-group min/max pruning — the moral equivalent of
+  * HBase's server-side Scan.setTimeRange), the version cap is a ranking
+  * window (one shuffle on the row key), and the write preserves the
+  * reference's `<root>/<session>/<table>/` namespace
+  * (export.rb:76, s3.rb:60-78).
+  *
+  * Scale notes (100 TB): per-table export is embarrassingly parallel in
+  * the scan and write (no shuffle at all when `versions` is uncapped);
+  * with a cap, the single shuffle hash-partitions on the row key, so
+  * skew only arises if one key holds a huge version history — the
+  * `versions` default of 100000 (cli.rb:71-74) bounds that per key.
+  */
+object Exporter {
+
+  /** What/where to export. `tsCol=None` → full snapshot (no window).
+    * `keyCols` empty → no version cap (versions semantics need a key).
+    */
+  final case class ExportSpec(
+      table: String,
+      srcPath: String,
+      tsCol: Option[String] = None,
+      keyCols: Seq[String] = Nil,
+      tieBreakCols: Seq[String] = Nil,
+      versions: Int = 100000,
+      startMs: Long = 0L,
+      endMs: Long = Long.MaxValue)
+
+  sealed trait Outcome { def table: String }
+  final case class Exported(table: String, rows: Long, dest: String)
+      extends Outcome
+  final case class Empty(table: String) extends Outcome
+  final case class Skipped(table: String) extends Outcome
+  final case class Failed(table: String, e: Throwable) extends Outcome
+
+  /** HBase TimeRange semantics: [start, end) half-open
+    * (export.rb:150-151 feeds Scan.setTimeRange).
+    */
+  def scanWindow(df: DataFrame, tsCol: String, startMs: Long,
+                 endMs: Long): DataFrame = {
+    val ts = col(tsCol).cast("timestamp")
+    val lo = if (startMs > 0L) ts >= timestamp_millis(lit(startMs)) else lit(true)
+    val hi = if (endMs < Long.MaxValue) ts < timestamp_millis(lit(endMs)) else lit(true)
+    df.filter(lo && hi)
+  }
+
+  /** Keep the latest `versions` rows per key — the `<versions>` arg of
+    * the Hadoop Export job (cli.rb:71-74). Deterministic total order via
+    * explicit tiebreak columns.
+    */
+  def versionCap(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 tieBreakCols: Seq[String], versions: Int): DataFrame = {
+    if (keyCols.isEmpty || versions <= 0) df
+    else {
+      val order = col(tsCol).desc +: tieBreakCols.map(col(_).desc)
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      df.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") <= versions)
+        .drop("__graft_rn")
+    }
+  }
+
+  /** The filesystem namespace of the reference: scheme://root/session/table/
+    * (export.rb:76, import.rb:65). Hadoop's FileSystem API handles all
+    * schemes uniformly — the reference's per-scheme dispatch
+    * (s3.rb:50-78) is subsumed by the parquet writer.
+    */
+  def destPath(destRoot: String, session: String, table: String): String = {
+    val root = if (destRoot.endsWith("/")) destRoot else destRoot + "/"
+    s"$root$session/$table"
+  }
+
+  /** Export one table: probe → scan → cap → write → record.
+    * Mirrors worker.rb:85-99 (skip handled by the orchestrator,
+    * empty-table short-circuit here) and export.rb:145-169.
+    */
+  def exportTable(spark: SparkSession, cat: BackupCatalog,
+                  spec: ExportSpec, sessionName: String,
+                  destRoot: String): Outcome = {
+    try {
+      val src = spark.read.parquet(spec.srcPath)
+      // S5 empty-table short-circuit (worker.rb:89,95-99): LocalLimit(1)
+      // probe instead of launching the full job.
+      if (src.limit(1).isEmpty) {
+        cat.exportedTableInfo(
+          TableRecord("export", spec.table, sessionName, spec.startMs,
+            spec.endMs, spec.versions, empty = true, error = false, "", 0L),
+          descriptorRows(src, sessionName, spec.table))
+        Empty(spec.table)
+      } else {
+        val windowed = spec.tsCol match {
+          case Some(ts) =>
+            versionCap(scanWindow(src, ts, spec.startMs, spec.endMs),
+              spec.keyCols, ts, spec.tieBreakCols, spec.versions)
+          case None => src
+        }
+        val dest = destPath(destRoot, sessionName, spec.table)
+        windowed.write.mode(SaveMode.Overwrite).parquet(dest)
+        // integrity metric the reference wants (README.textile:189-191):
+        // count what was written, post-write, from the written files.
+        val rows = spark.read.parquet(dest).count()
+        cat.exportedTableInfo(
+          TableRecord("export", spec.table, sessionName, spec.startMs,
+            spec.endMs, spec.versions, empty = false, error = false, "",
+            rows),
+          descriptorRows(src, sessionName, spec.table))
+        Exported(spec.table, rows, dest)
+      }
+    } catch {
+      case e: Throwable =>
+        // error row + raise, as export.rb:156-164 / worker.rb:41-47
+        cat.exportedTableInfo(
+          TableRecord("export", spec.table, sessionName, spec.startMs,
+            spec.endMs, spec.versions, empty = false, error = true,
+            e.toString.take(500), -1L), Nil)
+        Failed(spec.table, e)
+    }
+  }
+
+  /** S4 — discovered schema → catalog descriptor rows
+    * (hbase.rb:46-48 persisted via mysql.rb:181-189). HBase-ish attrs
+    * take their Stargate defaults (stargate.rb:36-44).
+    */
+  def descriptorRows(df: DataFrame, sessionName: String,
+                     table: String): Seq[ColumnDescriptor] =
+    df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      ColumnDescriptor(sessionName, table, i, f.name,
+        f.dataType.simpleString, f.nullable,
+        max_versions = 3, compression = "NONE", in_memory = false,
+        block_cache = true, ttl = 2147483647L, blocksize = 65536L,
+        bloomfilter = "NONE")
+    }
+}

@@ -1,0 +1,102 @@
+package graft.engine
+
+import graft.catalog.{BackupCatalog, TableRecord}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** S2 — bulk table import: FS → table, the inverse of [[Exporter]]
+  * (/root/reference/lib/hbacker/import.rb:128-154).
+  *
+  * The reference re-creates the target HBase table from the catalog's
+  * column descriptors before running the Hadoop Import jar
+  * (import.rb:131-139, worker.rb:136, stargate.rb:34-47); here the
+  * descriptor rows rebuild a StructType that the read is validated
+  * against, then the data lands via an append write (Hadoop Import
+  * appends cells too — re-import over existing data is additive).
+  */
+object Importer {
+
+  sealed trait Outcome { def table: String }
+  final case class Imported(table: String, rows: Long, target: String)
+      extends Outcome
+  final case class Failed(table: String, e: Throwable) extends Outcome
+
+  /** S6 — `create_table` from catalog descriptors (hbase.rb:81-96):
+    * materialize an empty parquet table with the recorded schema.
+    */
+  def createTable(spark: SparkSession, schema: StructType,
+                  targetPath: String): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode(SaveMode.Overwrite).parquet(targetPath)
+
+  /** Rebuild the StructType recorded at export time
+    * (mysql.rb:324-337 → stargate.rb:34-47).
+    */
+  def schemaFromDescriptors(
+      descs: Seq[graft.catalog.ColumnDescriptor]): StructType =
+    StructType(descs.map { d =>
+      StructField(d.name, parseType(d.data_type), d.nullable)
+    })
+
+  private def parseType(simpleString: String): DataType = simpleString match {
+    case "bigint" => LongType
+    case "int" => IntegerType
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "string" => StringType
+    case "boolean" => BooleanType
+    case "binary" => BinaryType
+    case "timestamp" => TimestampType
+    case "timestamp_ntz" => TimestampNTZType
+    case "date" => DateType
+    case other => DataType.fromDDL(other)
+  }
+
+  /** Import one table from `<root>/<session>/<table>/` into
+    * `targetPath`, enforcing the catalog schema (import.rb:128-154).
+    */
+  def importTable(spark: SparkSession, exportCat: BackupCatalog,
+                  importCat: BackupCatalog, table: String,
+                  sessionName: String, destRoot: String,
+                  targetPath: String): Outcome = {
+    try {
+      val src = Exporter.destPath(destRoot, sessionName, table)
+      val descs = exportCat.columnDescriptorRows(sessionName, table)
+      val df = spark.read.parquet(src)
+      if (descs.nonEmpty) {
+        val expected = schemaFromDescriptors(descs)
+        val got = df.schema
+        require(got.length == expected.length &&
+          got.fields.map(f => (f.name, f.dataType))
+            .sameElements(expected.fields.map(f => (f.name, f.dataType))),
+          s"schema mismatch for $table: catalog=$expected actual=$got")
+      }
+      df.write.mode(SaveMode.Append).parquet(targetPath)
+      val rows = df.count()
+      importCat.importedTableInfo(
+        TableRecord("import", table, sessionName, 0L, 0L, 0L,
+          empty = rows == 0L, error = false, "", rows))
+      Imported(table, rows, targetPath)
+    } catch {
+      case e: Throwable =>
+        importCat.importedTableInfo(
+          TableRecord("import", table, sessionName, 0L, 0L, 0L,
+            empty = false, error = true, e.toString.take(500), -1L))
+        Failed(table, e)
+    }
+  }
+
+  /** J2 — requested ∩ exported with a hard failure listing the missing
+    * tables, exactly import.rb:56-63's arity check.
+    */
+  def resolveRequested(exportCat: BackupCatalog, sessionName: String,
+                       destRoot: String,
+                       requested: Seq[String]): Seq[String] = {
+    val exported = exportCat.tableNames("export", sessionName, destRoot)
+    val missing = requested.diff(exported)
+    require(missing.isEmpty,
+      s"requested tables not in backup $sessionName: ${missing.mkString(", ")}")
+    requested.intersect(exported)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.orchestrate
+
+import graft.catalog.{BackupCatalog, BackupSession}
+import graft.engine.Exporter
+import graft.engine.Exporter.{ExportSpec, Outcome}
+
+import java.util.concurrent.{Executors, Semaphore}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import org.apache.spark.sql.SparkSession
+
+/** The orchestration plane: per-table fan-out with bounded concurrency.
+  *
+  * Replaces the reference's beanstalkd queue + worker-process pool
+  * (/root/reference/lib/hbacker/export.rb:101-131, lib/worker.rb:68-148,
+  * lib/stalker.rb) with concurrent Spark job submission from the
+  * driver: each table's export is an independent Spark job; Spark's
+  * scheduler provides the intra-table parallelism (input splits) and
+  * the semaphore provides the reference's inter-table gate
+  * (`--mapred-max-jobs`, cli.rb:111-114 — default 6 there; here the
+  * cap just bounds concurrent job submission, since a single Spark app
+  * schedules its own resources and queue-depth backpressure
+  * (helpers.rb:43-67) has nothing left to guard).
+  *
+  * Deliberate fix vs the reference: `end_info` is written only after
+  * every table job COMPLETES, not after the last job is enqueued
+  * (export.rb:96 marks enqueue-completion — SURVEY.md §3.1 step 8).
+  */
+final class BackupRunner(spark: SparkSession, cat: BackupCatalog,
+                         maxConcurrent: Int = 6) {
+
+  final case class SessionSummary(sessionName: String,
+                                  outcomes: Seq[Outcome]) {
+    def failed: Seq[Outcome] = outcomes.collect {
+      case f: Exporter.Failed => f
+    }
+  }
+
+  /** Export the given tables under one session. Mirrors
+    * `Export#specified_tables` (export.rb:68-97) + worker semantics
+    * (worker.rb:85-99): already-recorded tables are skipped
+    * (idempotent re-run), empty tables short-circuit, per-table errors
+    * are recorded and don't abort the session.
+    */
+  def exportAll(specs: Seq[ExportSpec], clusterName: String,
+                sessionName: String, destRoot: String, nowMs: Long,
+                specifiedStart: Long = 0L,
+                specifiedEnd: Long = Long.MaxValue): SessionSummary = {
+    cat.startInfo(BackupSession("export", clusterName, sessionName,
+      destRoot, specifiedStart, specifiedEnd, nowMs, 0L,
+      error = false, ""))
+
+    val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrent))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val gate = new Semaphore(math.max(1, maxConcurrent))
+
+    val futures = specs.map { spec =>
+      Future {
+        gate.acquire()
+        try {
+          // worker.rb:85-87 — skip if this (session, table) is already
+          // recorded: idempotent re-run of a crashed session.
+          if (cat.exists("export", spec.table, sessionName))
+            Exporter.Skipped(spec.table): Outcome
+          else {
+            // FAIR-pool tag so concurrent table jobs share executors
+            // fairly rather than FIFO-starving each other.
+            spark.sparkContext.setLocalProperty(
+              "spark.scheduler.pool", s"export-${spec.table}")
+            Exporter.exportTable(spark, cat, spec, sessionName, destRoot)
+          }
+        } finally {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          gate.release()
+        }
+      }
+    }
+
+    val outcomes =
+      try Await.result(Future.sequence(futures), Duration.Inf)
+      finally pool.shutdown()
+
+    val failures = outcomes.collect { case f: Exporter.Failed => f }
+    cat.endInfo("export", sessionName, endedAt = nowMs + 1,
+      error = failures.nonEmpty,
+      errorInfo = failures.map(f => s"${f.table}: ${f.e.getMessage}")
+        .mkString("; ").take(500))
+    SessionSummary(sessionName, outcomes)
+  }
+}

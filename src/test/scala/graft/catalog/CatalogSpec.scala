@@ -1,0 +1,89 @@
+package graft.catalog
+
+import graft.SparkTestBase
+
+/** Catalog round-trip contracts, mirroring the reference's "exact
+  * args" spec style (/root/reference/spec/hbacker/db_spec.rb).
+  */
+class CatalogSpec extends SparkTestBase {
+
+  private def freshCat(): BackupCatalog =
+    new BackupCatalog(spark, tmpDir("graft-cat"))
+
+  private val sess = BackupSession("export", "cluster_a", "20240101_000000",
+    "file:///bk/a/", 0L, 1000L, 5000L, 0L, error = false, "")
+
+  private def rec(table: String, session: String = "20240101_000000") =
+    TableRecord("export", table, session, 0L, 1000L, 100000L,
+      empty = false, error = false, "", 42L)
+
+  test("startInfo/endInfo round-trip with keyed update") {
+    val cat = freshCat()
+    cat.startInfo(sess)
+    cat.startInfo(sess.copy(session_name = "20240201_000000"))
+    assert(cat.sessions.count() == 2)
+    cat.endInfo("export", "20240101_000000", endedAt = 9999L)
+    val rows = cat.sessions.collect()
+    assert(rows.length == 2)
+    assert(rows.find(_.session_name == "20240101_000000").get.ended_at == 9999L)
+    // the other session keeps its 0 sentinel (mysql.rb:38 semantics)
+    assert(rows.find(_.session_name == "20240201_000000").get.ended_at == 0L)
+  }
+
+  test("exists dispatch and exportedTableInfo") {
+    val cat = freshCat()
+    cat.startInfo(sess)
+    assert(!cat.exists("export", "lineitem", "20240101_000000"))
+    cat.exportedTableInfo(rec("lineitem"), Nil)
+    assert(cat.exists("export", "lineitem", "20240101_000000"))
+    assert(!cat.exists("import", "lineitem", "20240101_000000"))
+  }
+
+  test("tableNames joins through parent dest_root (J1/P9)") {
+    val cat = freshCat()
+    cat.startInfo(sess)
+    cat.startInfo(sess.copy(session_name = "20240202_000000",
+      dest_root = "file:///bk/b/"))
+    cat.exportedTableInfo(rec("lineitem"), Nil)
+    cat.exportedTableInfo(rec("orders"), Nil)
+    cat.exportedTableInfo(rec("events", "20240202_000000"), Nil)
+    assert(cat.tableNames("export", "%", "file:///bk/a/") ==
+      Seq("lineitem", "orders"))
+    assert(cat.tableNames("export", "%", "file:///bk/b/") == Seq("events"))
+  }
+
+  test("LIKE-vs-equality dispatch (mysql.rb:275)") {
+    val cat = freshCat()
+    cat.startInfo(sess)
+    cat.exportedTableInfo(rec("lineitem"), Nil)
+    cat.exportedTableInfo(rec("line_other"), Nil)
+    val like = cat.listTableInfo("export", "20240101_000000", "line%")
+    assert(like.count() == 2)
+    val eq = cat.listTableInfo("export", "20240101_000000", "lineitem")
+    assert(eq.count() == 1)
+  }
+
+  test("column descriptors whitelist projection (P7)") {
+    val cat = freshCat()
+    val desc = ColumnDescriptor("20240101_000000", "lineitem", 0,
+      "l_orderkey", "bigint", nullable = true, 3, "SNAPPY", in_memory = false,
+      block_cache = true, ttl = 100L, blocksize = 65536L, bloomfilter = "NONE")
+    cat.exportedTableInfo(rec("lineitem"), Seq(desc))
+    val rows = cat.columnDescriptorRows("20240101_000000", "lineitem")
+    assert(rows == Seq(desc))
+    val projected = CatalogOps.columnDescriptors(
+      cat.descriptors.toDF(), "20240101_000000", "lineitem")
+    assert(projected.columns.toSeq == ColumnDescriptor.AvailableOpts)
+  }
+
+  test("lastEndTime ignores error rows (A2)") {
+    val cat = freshCat()
+    cat.exportedTableInfo(rec("lineitem").copy(end_time = 500L), Nil)
+    cat.exportedTableInfo(rec("lineitem", "s2").copy(end_time = 900L), Nil)
+    cat.exportedTableInfo(
+      rec("lineitem", "s3").copy(end_time = 9999L, error = true,
+        error_info = "boom", row_count = -1L), Nil)
+    assert(cat.lastEndTime("export", "lineitem") == 900L)
+    assert(cat.lastEndTime("export", "unknown") == 0L)
+  }
+}
