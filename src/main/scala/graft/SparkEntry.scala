@@ -16,7 +16,9 @@ object SparkEntry {
   private val modules: Seq[(Map[String, QueryFn], Map[String, String])] = Seq(
     (AnalyticsQueries.defs, AnalyticsQueries.oracles),
     (EngineQueries.defs, EngineQueries.oracles),
-    (CatalogQueries.defs, CatalogQueries.oracles))
+    (CatalogQueries.defs, CatalogQueries.oracles),
+    (WindowQueries.defs, WindowQueries.oracles),
+    (EventQueries.defs, EventQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

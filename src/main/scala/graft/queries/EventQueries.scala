@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators (SURVEY.md §2.9) in their batch form; the
+  * Structured Streaming twins live in graft.streaming (spec-tested —
+  * a stream result can't be oracle-hashed).
+  *
+  * events.parquet carries TIMESTAMP(NANOS); both engines compare at
+  * microsecond resolution (DuckDB truncates ns→µs on read, Spark via
+  * `ts_ns div 1000`).
+  */
+object EventQueries {
+
+  private val HourUs = 3600000000L
+  private val SessionGapUs = 1800000000L // 30 min
+
+  val defs: Map[String, QueryFn] = Map(
+    /** ev01 — tumbling 1h window aggregate: Spark's `window()` on the
+      * µs-truncated timestamp; one shuffle on (window, event_type),
+      * partial aggregation map-side. Streaming twin:
+      * graft.streaming.StreamingOps.tumblingCounts.
+      */
+    "ev01_tumbling" -> { (s, d) =>
+      Tables.eventsTs(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_millis(col("w.start")).as("bucket_ms"),
+          col("event_type"), col("n"), col("sum_value"))
+    },
+
+    /** ev02 — sessionization: 30-min-gap sessions per user via
+      * lag + cumulative flag sum — the mapGroupsWithState-free form
+      * (streaming twin uses flatMapGroupsWithState). Single shuffle
+      * on user_id; both windows share the same partitioning.
+      */
+    "ev02_sessionize" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables.eventsTs(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy(col("user_id"))
+        .agg(max(col("sess_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    },
+
+    /** ev03 — the hot-tail guard (cli.rb:28-31) made deterministic:
+      * "now" := max(ts), watermark = now − 60 s; scalar broadcast, no
+      * second scan shuffle.
+      */
+    "ev03_hot_tail" -> { (s, d) =>
+      val ev = Tables.eventsTs(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val maxTs = ev.agg(max(col("ts_us")).as("max_us"))
+      ev.join(broadcast(maxTs),
+          col("ts_us") <= col("max_us") - 60000000L)
+        .agg(count(lit(1)).as("n_safe"),
+          min(col("ts_us")).as("min_us"),
+          max(col("ts_us")).as("max_safe_us"))
+    },
+
+    /** ev04 — F9-adjacent: JSON prop extraction from the event payload
+      * (`props` is a JSON string) + per-type value stats.
+      */
+    "ev04_json_props" -> { (s, d) =>
+      Tables.eventsTs(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("k"), 0).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "ev01_tumbling" ->
+      s"""SELECT (epoch_us(ts) // $HourUs) * 3600000 AS bucket_ms,
+         |  event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events
+         |GROUP BY 1, 2""".stripMargin,
+
+    "ev02_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |), sess AS (
+         |  SELECT user_id,
+         |    SUM(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM flagged)
+         |SELECT user_id, MAX(sess_id) AS n_sessions, COUNT(*) AS n_events
+         |FROM sess GROUP BY user_id""".stripMargin,
+
+    "ev03_hot_tail" ->
+      """SELECT COUNT(*) AS n_safe, MIN(epoch_us(ts)) AS min_us,
+        |  MAX(epoch_us(ts)) AS max_safe_us
+        |FROM events
+        |WHERE epoch_us(ts) <= (SELECT MAX(epoch_us(ts)) FROM events) - 60000000""".stripMargin,
+
+    "ev04_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(18,0))) AS DOUBLE) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events
+        |GROUP BY event_type""".stripMargin)
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event operators
+  * (SURVEY.md §2.9). The reference's incremental-backup contract *is*
+  * watermark semantics: "don't read the hot tail" (now − 60 s,
+  * /root/reference/lib/hbacker/cli.rb:28-31) plus per-table windows
+  * recorded in the catalog — the same shape as a watermarked
+  * windowed aggregation over an append-only stream.
+  *
+  * At scale: the parquet file source lists new files per trigger
+  * (`maxFilesPerTrigger` bounds a micro-batch); state for the window
+  * agg / sessionization is keyed by (window, type) / user and lives in
+  * the state store, partitioned by the same shuffle key as the batch
+  * twin.
+  */
+object StreamingOps {
+
+  /** Raw event schema as stored (ns timestamps read as Long via
+    * nanosAsLong, matching graft.Tables.eventsTs).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** A streaming reader over a directory of event parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** ev01's streaming twin: tumbling 1h counts with a 60 s watermark
+    * (the hot-tail guard as event-time semantics).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "60 seconds")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .select(unix_millis(col("w.start")).as("bucket_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class SessionState(lastUs: Long, nSessions: Long, nEvents: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long,
+                                n_events: Long)
+
+  /** ev02's streaming twin: explicit keyed state via mapGroupsWithState
+    * — 30-min-gap sessionization. (Update-mode state, one state row
+    * per user.)
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapUs: Long = 1800000000L): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, UserSessions](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { case (_, ts, _) =>
+            val isNew = st.lastUs == Long.MinValue || ts - st.lastUs > gapUs
+            st = SessionState(ts, st.nSessions + (if (isNew) 1 else 0),
+              st.nEvents + 1)
+          }
+          state.update(st)
+          UserSessions(user, st.nSessions, st.nEvents)
+      }.toDF()
+  }
+
+  /** Drive a streaming query to completion over static files (memory
+    * sink), returning the sink table name.
+    */
+  def runToCompletion(spark: SparkSession, df: DataFrame, name: String,
+                      mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Streaming twins must agree with their batch counterparts on the
+  * same data — the batch results are oracle-checked against DuckDB, so
+  * transitively the stream is too.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def eventsDir: String = {
+    // stage the single events.parquet file into a directory the file
+    // source can list (a file path also works, but a dir is the real
+    // shape: new files arriving = new micro-batches)
+    val dir = tmpDir("stream-events")
+    val src = java.nio.file.Paths.get(Tables.path(sf0001, "events"))
+    java.nio.file.Files.copy(src,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    dir
+  }
+
+  test("streaming tumbling window agrees with batch ev01") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val q = StreamingOps.runToCompletion(spark,
+      StreamingOps.tumblingCounts(stream), "stream_ev01")
+    q.stop()
+    val got = spark.table("stream_ev01")
+    val expected = graft.queries.EventQueries
+      .defs("ev01_tumbling")(spark, sf0001)
+    assert(got.count() == expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
+  test("stateful sessionization agrees with batch ev02") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val q = StreamingOps.runToCompletion(spark,
+      StreamingOps.sessionize(spark, stream), "stream_ev02",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    q.stop()
+    // Update mode emits one row per user per batch; the final row per
+    // user is the answer (single batch here, so no dedup needed beyond
+    // taking the last state emission).
+    val got = spark.table("stream_ev02")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+    val expected = graft.queries.EventQueries
+      .defs("ev02_sessionize")(spark, sf0001)
+    assert(got.count() == expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
+  test("late rows beyond the watermark are dropped in append mode") {
+    // two files: the bulk, then a far-late single event — with a 60s
+    // watermark the late row lands in a closed window and is dropped
+    // from append output. This pins the hot-tail-guard semantics
+    // (cli.rb:28-31) as event-time behavior.
+    val dir = tmpDir("stream-late")
+    val ev = Tables.eventsTs(spark, sf0001)
+    ev.filter(col("event_id") =!= 0).select("event_id", "ts_ns", "user_id",
+        "event_type", "value", "props")
+      .withColumnRenamed("ts_ns", "ts")
+      .coalesce(1).write.parquet(dir + "/batch1")
+    val late = ev.filter(col("event_id") === 0)
+      .select("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+      .withColumnRenamed("ts_ns", "ts")
+    late.coalesce(1).write.parquet(dir + "/batch2")
+
+    val all = tmpDir("stream-late-all")
+    Seq("batch1", "batch2").zipWithIndex.foreach { case (b, i) =>
+      val f = new java.io.File(dir + "/" + b).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(all, f"part-$i%02d.parquet"))
+    }
+    val stream = StreamingOps.readEvents(spark, all)
+    val agg = StreamingOps.tumblingCounts(stream)
+    val q = agg.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("stream_late")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+    val appended = spark.table("stream_late")
+    // the late event (event_id=0, earliest ts) never reaches append
+    // output: its window closed when batch1 advanced the watermark
+    val batchAll = graft.queries.EventQueries.defs("ev01_tumbling")(spark, sf0001)
+    assert(appended.agg(sum("n")).first().getLong(0) <
+      batchAll.agg(sum("n")).first().getLong(0))
+  }
+}
