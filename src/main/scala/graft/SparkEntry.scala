@@ -18,7 +18,9 @@ object SparkEntry {
     (EngineQueries.defs, EngineQueries.oracles),
     (CatalogQueries.defs, CatalogQueries.oracles),
     (WindowQueries.defs, WindowQueries.oracles),
-    (EventQueries.defs, EventQueries.oracles))
+    (EventQueries.defs, EventQueries.oracles),
+    (TextQueries.defs, TextQueries.oracles),
+    (DedupQueries.defs, DedupQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

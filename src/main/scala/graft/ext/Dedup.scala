@@ -1,0 +1,158 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline [EXT]:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-shuffle on the digest — embarrassingly scalable.
+  *  - jaccard: exact pairwise similarity but only over pairs sharing a
+  *    shingle, with a document-frequency cap so stop-shingles can't
+  *    create quadratic candidate blowup. Shuffles on shingle, then on
+  *    (a,b) pair — never a cross join.
+  *  - minhash LSH: constant-size signature per doc (k=16 longs)
+  *    regardless of doc length; candidates = bucket-equality join on
+  *    band keys. The only all-pairs work is within a bucket.
+  *  - simhash: one 60-bit fingerprint per doc; banded self-join is
+  *    EXACT for Hamming ≤ 3 (pigeonhole over 4 bands) — no verify
+  *    pass needed at that radius.
+  */
+object Dedup {
+
+  import Hashing._
+
+  def tokens: Column = TextAnalysis.tokens(col("text"))
+
+  /** Word n-gram shingles, distinct per doc. Guarded for docs shorter
+    * than n tokens (empty set, not an error).
+    */
+  def shingles(n: Int): Column = {
+    val tk = tokens
+    when(size(tk) >= n,
+      array_distinct(transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: group by content digest, keep the minimum doc_id —
+    * deterministic survivor choice (`dropDuplicates` picks an
+    * arbitrary row; a reproducible pipeline must not).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Exploded (doc_id, shingle) pairs with a doc-frequency cap:
+    * shingles appearing in more than `maxDf` docs carry no similarity
+    * signal and would dominate the join — the classic stop-shingle
+    * guard.
+    */
+  def shinglePairs(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingles(n)).as("shingle"))
+    val df = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    sh.join(df, "shingle")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
+    * |A∩B| via the shingle self-join, |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Int = 50): DataFrame = {
+    val sh = shinglePairs(docs, n, maxDf)
+    val sizes = docs.select(col("doc_id"), size(shingles(n)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    // sizes is one row per doc — same cardinality as the corpus, so no
+    // broadcast hint: let AQE pick (shuffle join at 100 TB scale).
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: k universal-hash minima over the doc's
+    * shingle set — k longs per doc, one shuffle (the per-doc min agg).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(n)).as("shingle"))
+      .withColumn("h", base60(col("shingle")))
+    val aggs = (0 until K).map(i =>
+      min(minhashTerm(i, col("h"))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs agreeing on all rows of ≥1 band.
+    * Bands explode to (band_idx, band_key) and self-join — the
+    * standard banding scheme; bucket size bounds the pair work.
+    */
+  def minhashCandidates(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, n)
+    val bandCols = (0 until NumBands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("_", rows: _*).as("key"))
+    }
+    val banded = sigs.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash fingerprint per doc: sign of the per-bit vote over all
+    * token occurrences (multiplicity counts). 60 bits from the token
+    * base hash. One shuffle (per-doc agg of 60 votes).
+    */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .withColumn("h", base60(col("tok")))
+    val votes = (0 until SimBits).map { b =>
+      sum(when((shiftright(col("h"), b) % 2) === 1, 1).otherwise(-1))
+        .as(s"v$b")
+    }
+    val voted = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until SimBits).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    voted.select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** Near-dup pairs at Hamming distance ≤ maxDist via banded self-join
+    * + exact distance filter. Exact (not probabilistic) for
+    * maxDist < SimBands by pigeonhole.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val fps = simhashFingerprints(docs)
+    val banded = fps.select(col("doc_id"), col("fp"),
+        explode(array((0 until SimBands).map(b =>
+          struct(lit(b).as("band"), simBandKey(col("fp"), b).as("key"))): _*))
+          .as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

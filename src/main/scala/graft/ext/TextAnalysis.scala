@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline [EXT]:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  * All column-expression based (whole-stage-codegen friendly, no UDFs)
+  * so they run at full scan speed over a 100 TB documents table —
+  * every operator here is a narrow map over the scan, zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Documents are single-space tokenized; a general corpus would use
+    * `\\s+` — kept to the corpus's actual separator so token counts are
+    * exact (and match `string_split(text, ' ')` in the oracle).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Language marker lists (shared with the SQL oracle via
+    * [[graft.queries.TextQueries]]). Deliberately small: language ID
+    * here is the n-gram/stopword heuristic itself, not a model.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "los", "las", "que", "y", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une"))
+
+  /** CJK detection regex for the zh score (codepoint-range test). */
+  val CjkPattern = "[\\u4e00-\\u9fff]"
+
+  /** English-ish stopword list for the quality score. */
+  val StopWords: Seq[String] = LangMarkers.toMap.apply("en")
+
+  /** Per-document token statistics: the base features every downstream
+    * filter keys on. Pure projection — no shuffle.
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    docs.select(col("doc_id"), col("n_chars"),
+      size(tk).as("n_tokens"),
+      size(array_distinct(tk)).as("n_distinct_tokens"),
+      // single-space joined ⇒ token chars = len - (n-1); one double div
+      ((length(col("text")) - (size(tk) - lit(1))).cast("double") /
+        size(tk)).as("avg_token_len"))
+  }
+
+  /** Quality scoring: stopword ratio, repetition ratio, length gates —
+    * the length/punct/stopword heuristics of C4/Gopher-style cleaning.
+    */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        size(tk).as("n_tokens"),
+        size(filter(tk, _.isInCollection(StopWords))).as("n_stop"),
+        size(array_distinct(tk)).as("n_distinct"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("repetition_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("keep",
+        col("n_tokens") >= 15 && col("n_tokens") <= 500 &&
+          col("repetition_ratio") < 0.7)
+  }
+
+  /** Language ID: score each candidate language by marker-token count
+    * (zh by CJK codepoints), pick the argmax with (score desc, lang
+    * asc) total order. Relational argmax — explode scores, rank,
+    * keep rn=1 — so the oracle can express the identical plan.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    val scoreCols: Seq[Column] = LangMarkers.flatMap { case (lang, ms) =>
+      Seq(lit(lang), size(filter(tk, _.isInCollection(ms))).cast("long"))
+    } ++ Seq(lit("zh"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), CjkPattern, ""))).cast("long"))
+    val scored = docs.select(col("doc_id"), col("lang"),
+      explode(map(scoreCols: _*)).as(Seq("pred_lang", "score")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("pred_lang"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"),
+        when(col("score") > 0, col("pred_lang")).otherwise("und")
+          .as("pred_lang"), col("score"))
+  }
+
+  /** Document fingerprints: content digest (md5) + 60-bit integer
+    * fingerprint for compact joins.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("digest"),
+      Hashing.base60(col("text")).as("fp60"))
+
+  /** Karp–Rabin rolling hash over the document's characters — the
+    * classic content-defined fingerprint. Driver/executor-side Scala
+    * (used by the chunking spec); the relational twin is md5-based
+    * (fingerprints) since SQL engines can't express the rolling state.
+    */
+  def rollingHash(s: String, base: Long = 31L,
+                  mod: Long = (1L << 61) - 1): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (mulMod(h, base, mod) + s.charAt(i)) % mod
+      i += 1
+    }
+    h
+  }
+
+  private def mulMod(a: Long, b: Long, m: Long): Long =
+    java.math.BigInteger.valueOf(a)
+      .multiply(java.math.BigInteger.valueOf(b))
+      .mod(java.math.BigInteger.valueOf(m)).longValueExact()
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup, Hashing}
+
+/** [EXT] dedup surface over `documents`. The MinHash and SimHash
+  * oracles are *generated from the same Hashing constants* as the
+  * Spark operators — any drift in the hash family breaks both sides
+  * identically, which the oracle then catches.
+  */
+object DedupQueries {
+
+  import Hashing._
+
+  val defs: Map[String, QueryFn] = Map(
+    "d01_exact_dedup" -> { (s, d) =>
+      Dedup.exact(Tables.documents(s, d))
+    },
+    "d02_jaccard_pairs" -> { (s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.5,
+        maxDf = 50)
+    },
+    "d03_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d), n = 3)
+    },
+    "d04_simhash_pairs" -> { (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), maxDist = 3)
+    })
+
+  /** Distinct word-3-gram shingles per doc, DuckDB side. */
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(len(string_split(text, ' ')) - 2),
+      |        i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+      |    FROM documents))""".stripMargin
+
+  private val d02Sql =
+    s"""WITH $shinglesCte,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+       |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s)),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""".stripMargin
+
+  private val d03Sql = {
+    val minhashCols = (0 until K).map(i =>
+      s"MIN(${minhashTermSql(i, "h")}) AS mh$i").mkString(",\n    ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val keyParts = (0 until RowsPerBand)
+        .map(r => s"mh${b * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $keyParts) AS key FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shinglesCte,
+       |hashed AS (
+       |  SELECT doc_id, ${base60Sql("s")} AS h FROM sh),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $minhashCols
+       |  FROM hashed GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM banded a
+       |JOIN banded b ON a.band = b.band AND a.key = b.key
+       |  AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  private val d04Sql = {
+    val votes = (0 until SimBits).map(b =>
+      s"SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val fpSum = (0 until SimBits).map(b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    // the oracle takes the brute-force O(n²) route: banded-join result
+    // must equal the full cross-join at Hamming ≤ 3 (pigeonhole)
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, ${base60Sql("t")} AS h FROM tok),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM hashed GROUP BY doc_id),
+       |fp AS (
+       |  SELECT doc_id, $fpSum AS fp FROM votes)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.fp, b.fp)) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d02_jaccard_pairs" -> d02Sql,
+    "d03_minhash_lsh" -> d03Sql,
+    "d04_simhash_pairs" -> d04Sql)
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Hashing, TextAnalysis}
+
+/** [EXT] text-analysis surface over `documents`
+  * (SURVEY.md §0 north-star operators). Spark side lives in
+  * graft.ext.TextAnalysis; oracles are generated from the same marker
+  * lists so the two can't drift.
+  */
+object TextQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+    "x01_token_stats" -> { (s, d) =>
+      TextAnalysis.tokenStats(Tables.documents(s, d))
+    },
+    "x02_quality" -> { (s, d) =>
+      TextAnalysis.qualityScores(Tables.documents(s, d))
+    },
+    "x03_langid" -> { (s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d))
+    },
+    "x04_fingerprint" -> { (s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d))
+    })
+
+  private val stopList =
+    TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+
+  /** zh score in DuckDB's RE2 syntax (Spark uses Java's \uXXXX form —
+    * same codepoint class).
+    */
+  private val cjkSql =
+    "length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))"
+
+  private val langScoresSql: String =
+    (TextAnalysis.LangMarkers.map { case (lang, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"""SELECT doc_id, lang, '$lang' AS pred_lang,
+         |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($set))) AS BIGINT) AS score
+         |FROM documents""".stripMargin
+    } :+
+      s"""SELECT doc_id, lang, 'zh' AS pred_lang,
+         |  CAST($cjkSql AS BIGINT) AS score
+         |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
+
+  val oracles: Map[String, String] = Map(
+    "x01_token_stats" ->
+      """SELECT doc_id, n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "x02_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    len(list_filter(string_split(text, ' '),
+         |        w -> w IN ($stopList))) AS n_stop,
+         |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+         |  FROM documents)
+         |SELECT doc_id, lang, source, n_tokens, n_stop, n_distinct,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS repetition_ratio,
+         |  (n_tokens >= 15 AND n_tokens <= 500 AND
+         |   1.0 - CAST(n_distinct AS DOUBLE) / n_tokens < 0.7) AS keep
+         |FROM t""".stripMargin,
+
+    "x03_langid" ->
+      s"""WITH scores AS (
+         |$langScoresSql
+         |)
+         |SELECT doc_id, lang,
+         |  CASE WHEN score > 0 THEN pred_lang ELSE 'und' END AS pred_lang,
+         |  score
+         |FROM scores
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY score DESC, pred_lang) = 1""".stripMargin,
+
+    "x04_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS digest,
+         |  ${Hashing.base60Sql("text")} AS fp60
+         |FROM documents""".stripMargin)
+}

@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  test("minhash LSH candidates contain every jaccard>=0.5 pair (recall)") {
+    val truth = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 50)
+      .select("doc_a", "doc_b")
+    val candidates = Dedup.minhashCandidates(docs, n = 3)
+    val missed = truth.except(candidates)
+    assert(missed.isEmpty,
+      s"LSH missed ${missed.count()} true near-dup pairs")
+    // and LSH is selective: far fewer candidates than all pairs
+    val n = docs.count()
+    assert(candidates.count() < n * (n - 1) / 20)
+  }
+
+  test("simhash banded join equals brute-force at hamming<=3 (pigeonhole)") {
+    val banded = Dedup.simhashPairs(docs, maxDist = 3)
+    val fps = Dedup.simhashFingerprints(docs)
+    val brute = fps.as("a").join(fps.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+      .filter(col("hamming") <= 3)
+    assert(banded.except(brute).isEmpty && brute.except(banded).isEmpty)
+  }
+
+  test("exact dedup groups identical texts deterministically") {
+    import spark.implicits._
+    val withDups = docs.select("doc_id", "text").unionAll(
+      docs.filter($"doc_id" < 5).select($"doc_id" + 1000 as "doc_id", $"text"))
+    val groups = Dedup.exact(withDups)
+    val dupGroups = groups.filter($"n_docs" > 1)
+    assert(dupGroups.count() == 5)
+    // survivor is always the minimum doc_id (the original)
+    assert(dupGroups.filter($"keep_id" >= 1000).isEmpty)
+  }
+
+  test("rolling hash is stable and order-sensitive") {
+    val h1 = TextAnalysis.rollingHash("the quick brown fox")
+    assert(h1 == TextAnalysis.rollingHash("the quick brown fox"))
+    assert(h1 != TextAnalysis.rollingHash("quick the brown fox"))
+  }
+}
