@@ -20,7 +20,8 @@ object SparkEntry {
     (WindowQueries.defs, WindowQueries.oracles),
     (EventQueries.defs, EventQueries.oracles),
     (TextQueries.defs, TextQueries.oracles),
-    (DedupQueries.defs, DedupQueries.oracles))
+    (DedupQueries.defs, DedupQueries.oracles),
+    (SimilarityQueries.defs, SimilarityQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing [EXT]: media payloads as opaque `binary`
+  * columns with typed metadata, processed by batched per-partition
+  * decode — the Scala analogue of a `mapInPandas` media pipeline.
+  *
+  * The decode itself is a ===== STUB ===== (this container has no
+  * image/audio codecs): `decodeStub` derives deterministic fake
+  * features from the raw bytes. Everything around it — the schema,
+  * the typed Dataset boundary, the batched partition iteration, the
+  * partitioning story — is real and tested. Swapping `decodeStub` for
+  * a JNI/ffmpeg call changes no plan shape.
+  *
+  * Scale notes: feature extraction is a narrow map (no shuffle); the
+  * batch loop amortizes per-batch setup (a real decoder's native
+  * context) across `BatchSize` rows, exactly like Arrow batches in
+  * mapInPandas. Binary payloads stay columnar in parquet; metadata
+  * predicates (mime, n_bytes) push down without touching payload
+  * bytes.
+  */
+object Multimodal {
+
+  val BatchSize = 64
+
+  final case class MediaAsset(doc_id: Long, mime: String,
+                              payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
+                                 digest: String, width: Int, height: Int,
+                                 n_frames: Int)
+
+  /** Wrap documents as binary media assets (text bytes standing in for
+    * encoded media — the corpus has no real images; the binary column
+    * and its metadata are the point).
+    */
+  def asAssets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      lit("application/octet-stream").as("mime"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** ===== STUB decode =====: deterministic fake "image" features from
+    * payload bytes. A real implementation decodes here (and only
+    * here); the fake keeps the same signature: bytes → features.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length.toLong
+    val width = (64 + n % 960).toInt
+    val height = (64 + (n * 31) % 960).toInt
+    val frames = 1
+    (width, height, frames)
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
+
+  /** Batched per-partition feature extraction over the typed Dataset —
+    * the mapInPandas shape: iterator of batches in, iterator of
+    * batches out, one "decoder context" per batch.
+    */
+  def extractFeatures(spark: SparkSession,
+                      assets: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    assets.as[MediaAsset].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // per-batch decoder setup would go here (native context, model)
+        batch.iterator.map { a =>
+          val (w, h, f) = decodeStub(a.payload)
+          MediaFeatures(a.doc_id, a.mime, a.payload.length.toLong,
+            md5Hex(a.payload), w, h, f)
+        }
+      }
+    }
+  }
+}

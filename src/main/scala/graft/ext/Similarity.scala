@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column [EXT]:
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH variant as the scale path.
+  *
+  * Everything is higher-order column expressions (`zip_with` /
+  * `aggregate`) over `array<double>` — codegen'd, no UDF, no
+  * per-row JVM closure. Dot products evaluate sequentially
+  * left-to-right, which keeps results deterministic.
+  *
+  * Scale design: brute-force is O(Q·N) with the query side broadcast —
+  * right when Q is small (a probe set). The LSH path hashes every
+  * vector into L tables of m sign-bits once (narrow map), then joins
+  * on (table, bucket): candidate generation is a hash join, and only
+  * in-bucket pairs pay the O(d) dot product. At 100 TB the bucketed
+  * join shuffles each side once on the bucket key; skewed buckets are
+  * AQE-splittable since the join is a plain equi-join.
+  */
+object Similarity {
+
+  /** Embedding cast to double with its L2 norm precomputed. */
+  def withNorm(df: DataFrame, embCol: String = "embedding"): DataFrame =
+    df.withColumn("emb", col(embCol).cast("array<double>"))
+      .withColumn("norm",
+        sqrt(aggregate(col("emb"), lit(0.0), (acc, x) => acc + x * x)))
+
+  /** Sequential-order dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Exact cosine top-k: each query vector against the full corpus.
+    * Ranking uses the 4-decimal-rounded similarity with a vec_id
+    * tiebreak — a total order that survives float-summation
+    * differences across engines.
+    */
+  def cosineTopK(embeddings: DataFrame, queries: DataFrame,
+                 k: Int): DataFrame = {
+    val e = withNorm(embeddings).select(col("vec_id"), col("emb"), col("norm"))
+    val q = withNorm(queries).select(col("vec_id").as("query_id"),
+      col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        round(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("sim"), col("rank"))
+  }
+
+  /** splitmix64 finalizer — full-avalanche integer mix, so plane
+    * components are i.i.d.-uniform-looking yet fully deterministic
+    * (no RNG state, reproducible across runs and engines).
+    */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def uniform(seed: Long): Double =
+    (mix(seed) >>> 11).toDouble / (1L << 53) - 0.5
+
+  /** Deterministic pseudo-random hyperplanes: component (t, j, k) is
+    * a sum of 4 mixed uniforms (Irwin–Hall ≈ Gaussian — sign-LSH for
+    * angular distance wants rotation-invariant-ish projections; a
+    * structured lattice here collapses recall).
+    */
+  def plane(table: Int, bit: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val base = (table.toLong << 40) | (bit.toLong << 32) | j.toLong
+      (0 until 4).map(s => uniform(base * 4 + s)).sum
+    }
+
+  /** Sign-bit LSH signature for one table: m bits from m hyperplanes.
+    * Planes are literal arrays in the plan (64·m doubles — constant
+    * folded, broadcast with the plan, never shuffled).
+    */
+  def tableSignature(emb: Column, table: Int, bits: Int,
+                     dim: Int): Column =
+    (0 until bits).map { j =>
+      val p = array(plane(table, j, dim).map(lit): _*)
+      when(dot(emb, p) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** ANN via L hash tables of `bits` sign-bits: union of per-table
+    * bucket joins, then exact cosine re-rank within candidates.
+    */
+  def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
+    def withSignatures(df: DataFrame, embName: String): DataFrame =
+      df.withColumn("sig", explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            tableSignature(col(embName), t, bits, dim).as("bucket"))): _*)))
+        .withColumn("tbl", col("sig.tbl"))
+        .withColumn("bucket", col("sig.bucket"))
+        .drop("sig")
+
+    val e = withSignatures(
+      withNorm(embeddings).select(col("vec_id"), col("emb"), col("norm")),
+      "emb")
+    val q = withSignatures(
+      withNorm(queries).select(col("vec_id").as("query_id"),
+        col("emb").as("q_emb"), col("norm").as("q_norm")), "q_emb")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      // a pair can collide in several tables — dedup on ids only
+      .select(col("query_id"), col("vec_id"), col("emb"), col("norm"),
+        col("q_emb"), col("q_norm"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("sim",
+        round(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("sim"), col("rank"))
+  }
+}

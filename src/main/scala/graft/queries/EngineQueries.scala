@@ -84,8 +84,8 @@ object EngineQueries {
     },
 
     /** e06 — exact NDV integrity probe (the hash-check the reference
-      * wants; HLL variant lives in graft.ext as engine-only since
-      * sketch internals differ across engines).
+      * wants; HLL variant in e07 is engine-only since sketch internals
+      * differ across engines).
       */
     "e06_integrity_ndv" -> { (s, d) =>
       Tables.lineitem(s, d).agg(
@@ -93,6 +93,20 @@ object EngineQueries {
         countDistinct(col("l_orderkey")).as("ndv_orderkey"),
         countDistinct(col("l_partkey")).as("ndv_partkey"),
         countDistinct(col("l_suppkey")).as("ndv_suppkey"))
+    },
+
+    /** e07 — HLL sketch NDV: the scale form of e06 (constant memory,
+      * one pass, mergeable across partitions/tables — what a 100 TB
+      * integrity pass actually runs). No oracle: sketch estimates are
+      * engine-specific; e06 pins exact semantics, the spec pins the
+      * error bound.
+      */
+    "e07_integrity_hll" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("hll_orderkey"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("hll_partkey"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("hll_suppkey"))
     })
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** [EXT] similarity-search and multimodal surface.
+  *
+  * s01 (brute-force cosine) has a DuckDB oracle — both engines rank on
+  * 4-decimal-rounded similarity with a vec_id tiebreak. s02 (LSH ANN)
+  * has no SQL-expressible oracle (the hyperplane literals would be a
+  * 4096-literal CTE); its recall against s01 is spec-tested instead.
+  */
+object SimilarityQueries {
+
+  private val NumQueries = 5
+  private val K = 3
+
+  val defs: Map[String, QueryFn] = Map(
+    "s01_cosine_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < NumQueries), K)
+    },
+
+    "s02_ann_lsh" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.annTopK(e, e.filter(col("vec_id") < NumQueries), K)
+    },
+
+    /** m01 — multimodal feature extraction through the binary-column
+      * pipeline (typed Dataset + batched mapPartitions decode stub).
+      */
+    "m01_media_features" -> { (s, d) =>
+      Multimodal.extractFeatures(s,
+        Multimodal.asAssets(Tables.documents(s, d))).toDF()
+    },
+
+    /** x05 — label-centroid similarity: mean embedding per label, then
+      * each vector's cosine to its own label centroid (the
+      * embedding-quality probe of a curation pipeline). Exact decimal
+      * mean via per-dimension explode — engine-only (no oracle:
+      * centroid float summation order is engine-specific).
+      */
+    "x05_label_centroid_sim" -> { (s, d) =>
+      val e = Similarity.withNorm(Tables.embeddings(s, d))
+      val byDim = e.select(col("vec_id"), col("label"),
+          posexplode(col("emb")).as(Seq("dim", "v")))
+      val centroids = byDim.groupBy(col("label"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+          .as("cs"))
+        .select(col("label"),
+          transform(col("cs"), s => s.getField("c")).as("centroid"))
+      val withC = e.join(broadcast(centroids), "label")
+      withC.select(col("vec_id"), col("label"),
+        round(Similarity.dot(col("emb"), col("centroid")) /
+          (col("norm") *
+            sqrt(aggregate(col("centroid"), lit(0.0),
+              (acc, x) => acc + x * x))), 4).as("centroid_sim"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "s01_cosine_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+         |      WHERE vec_id < $NumQueries)
+         |SELECT query_id, vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(emb, q_emb), 4) AS sim,
+         |  CAST(row_number() OVER w AS INT) AS rank
+         |FROM e, q
+         |WHERE vec_id != query_id
+         |WINDOW w AS (PARTITION BY query_id
+         |  ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id)
+         |QUALIFY rank <= $K""".stripMargin,
+
+    "m01_media_features" ->
+      """SELECT doc_id, 'application/octet-stream' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest,
+        |  CAST(64 + octet_length(encode(text)) % 960 AS INT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 31) % 960 AS INT) AS height,
+        |  1 AS n_frames
+        |FROM documents""".stripMargin)
+}

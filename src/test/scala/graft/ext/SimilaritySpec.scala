@@ -1,0 +1,83 @@
+package graft.ext
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  test("ANN LSH recall on planted near-neighbors") {
+    // The corpus embeddings are isotropic (top-neighbor cosine ≈ 0.35,
+    // θ≈70° — no LSH family is simultaneously selective and
+    // high-recall there). Recall is therefore measured where ground
+    // truth exists: planted perturbed copies at cosine ≈ 0.95+.
+    import spark.implicits._
+    def mixD(s: Long, j: Int): Double = {
+      var z = s * 64 + j + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53) - 0.5
+    }
+    val base = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(j => mixD(i, j).toFloat))
+    }
+    val planted = base.flatMap { case (i, v) =>
+      Seq((i, v)) ++ Seq(1, 2).map { c =>
+        (1000L * c + i,
+          v.zipWithIndex.map { case (x, j) =>
+            x + 0.08f * mixD(i * 7919 + c, j).toFloat })
+      }
+    }
+    val df = planted.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" < 10)
+    val truth = Similarity.cosineTopK(df, qs, 2)
+      .select("query_id", "neighbor_id")
+    val ann = Similarity.annTopK(df, qs, 2)
+      .select("query_id", "neighbor_id")
+    val nTruth = truth.count()
+    val recall = truth.intersect(ann).count().toDouble / nTruth
+    assert(recall >= 0.9, s"ANN recall $recall < 0.9 on planted pairs")
+  }
+
+  test("ANN candidate generation is selective (not a cross join)") {
+    // count candidate pairs before re-rank: must be far below Q*N
+    val e = Similarity.withNorm(emb).select(col("vec_id"), col("emb"))
+    val n = emb.count()
+    val q = 10L
+    val ann = Similarity.annTopK(emb, queries, Int.MaxValue)
+    assert(ann.count() < q * n / 2, "LSH bucketing isn't pruning pairs")
+  }
+
+  test("top-k ranking is deterministic across runs") {
+    val a = Similarity.cosineTopK(emb, queries, 3).collect().toSeq
+    val b = Similarity.cosineTopK(emb, queries, 3).collect().toSeq
+    assert(a.sortBy(_.getLong(0)).map(_.toString) ==
+      b.sortBy(_.getLong(0)).map(_.toString))
+  }
+
+  test("HLL NDV within configured error of exact (integrity metrics)") {
+    val li = Tables.lineitem(spark, sf0001)
+    val exact = li.agg(countDistinct(col("l_orderkey"))).first().getLong(0)
+    val est = li.agg(approx_count_distinct(col("l_orderkey"), 0.02))
+      .first().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.1,
+      s"HLL est $est vs exact $exact")
+  }
+
+  test("multimodal pipeline: binary payload survives the typed boundary") {
+    val docs = Tables.documents(spark, sf0001)
+    val feats = Multimodal.extractFeatures(spark, Multimodal.asAssets(docs))
+    // digest computed from bytes inside mapPartitions == column md5(text)
+    val viaSql = docs.select(col("doc_id"), md5(col("text")).as("digest"))
+    val mismatch = feats.toDF().select("doc_id", "digest")
+      .except(viaSql)
+    assert(mismatch.isEmpty)
+    // stub features are pure functions of byte length
+    val bad = feats.filter(f =>
+      f.width != (64 + f.n_bytes % 960).toInt ||
+        f.height != (64 + (f.n_bytes * 31) % 960).toInt)
+    assert(bad.isEmpty)
+  }
+}
