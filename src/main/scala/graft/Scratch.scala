@@ -12,19 +12,13 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.001"
-    def t0 = System.nanoTime()
-    for (i <- 1 to 3) {
-      var t = t0
-      val df = SparkEntry.queries("q05_region_revenue")(spark, d)
-      println(f"TIMER build$i ${(t0 - t) / 1e9}%.2f")
-      t = t0
-      df.queryExecution.executedPlan // force analysis+optimization+planning
-      println(f"TIMER plan$i  ${(t0 - t) / 1e9}%.2f")
-      t = t0
-      df.count()
-      println(f"TIMER exec$i  ${(t0 - t) / 1e9}%.2f")
-    }
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    df.count()
+    println("=== toString ===")
+    println(df.queryExecution.executedPlan.toString.take(1500))
+    println("=== formatted ===")
+    println(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(1500))
     spark.stop()
   }
 }

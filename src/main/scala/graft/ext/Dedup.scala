@@ -62,11 +62,18 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
     * |A∩B| via the shingle self-join, |A∪B| = |A|+|B|−|A∩B|.
+    * The exploded shingle set is built once and reused for sizes,
+    * doc-frequency cap and the join (one shingling pass, not three).
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 50): DataFrame = {
-    val sh = shinglePairs(docs, n, maxDf)
-    val sizes = docs.select(col("doc_id"), size(shingles(n)).as("n_sh"))
+    val shAll = docs.select(col("doc_id"), explode(shingles(n)).as("shingle"))
+    val sizes = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val freq = shAll.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    val sh = shAll.join(freq, "shingle")
     val a = sh.as("a")
     val b = sh.as("b")
     val inter = a.join(b, col("a.shingle") === col("b.shingle") &&

@@ -80,46 +80,64 @@ object Similarity {
       (0 until 4).map(s => uniform(base * 4 + s)).sum
     }
 
-  /** Sign-bit LSH signature for one table: m bits from m hyperplanes.
-    * Planes are literal arrays in the plan (64·m doubles — constant
-    * folded, broadcast with the plan, never shuffled).
+  /** (id, table, bucket) signature rows via a tight per-partition
+    * loop. Expressing the L·m plane dot products as column expressions
+    * plants thousands of literal nodes in the plan and chokes
+    * planning/codegen (measured 77 s at sf0.1); a typed map with the
+    * plane matrix in the task closure does the same math in
+    * microseconds per row and stays a narrow (shuffle-free) transform.
     */
-  def tableSignature(emb: Column, table: Int, bits: Int,
-                     dim: Int): Column =
-    (0 until bits).map { j =>
-      val p = array(plane(table, j, dim).map(lit): _*)
-      when(dot(emb, p) > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
+  private def signatures(df: DataFrame, idCol: String, tables: Int,
+                         bits: Int, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = Array.tabulate(tables, bits)((t, b) => plane(t, b, dim))
+    df.select(col(idCol).cast("long"),
+        col("emb").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, e) =>
+          (0 until tables).iterator.map { t =>
+            var bucket = 0L
+            var b = 0
+            while (b < bits) {
+              val p = planes(t)(b)
+              var s = 0.0
+              var j = 0
+              val d = math.min(dim, e.length)
+              while (j < d) { s += e(j) * p(j); j += 1 }
+              if (s > 0) bucket |= (1L << b)
+              b += 1
+            }
+            (id, t, bucket)
+          }
+        }
+      }.toDF(idCol, "tbl", "bucket")
+  }
 
-  /** ANN via L hash tables of `bits` sign-bits: union of per-table
-    * bucket joins, then exact cosine re-rank within candidates.
+  /** ANN via L hash tables of `bits` sign-bits: bucket-equality join
+    * for candidates, then exact cosine re-rank of candidates only.
     */
   def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
-    def withSignatures(df: DataFrame, embName: String): DataFrame =
-      df.withColumn("sig", explode(array((0 until tables).map(t =>
-          struct(lit(t).as("tbl"),
-            tableSignature(col(embName), t, bits, dim).as("bucket"))): _*)))
-        .withColumn("tbl", col("sig.tbl"))
-        .withColumn("bucket", col("sig.bucket"))
-        .drop("sig")
+    val e = withNorm(embeddings).select(col("vec_id"), col("emb"), col("norm"))
+    val q = withNorm(queries).select(col("vec_id").as("query_id"),
+      col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val eSig = signatures(e, "vec_id", tables, bits, dim)
+    val qSig = signatures(q.withColumnRenamed("q_emb", "emb")
+        .withColumnRenamed("query_id", "qid"), "qid", tables, bits, dim)
 
-    val e = withSignatures(
-      withNorm(embeddings).select(col("vec_id"), col("emb"), col("norm")),
-      "emb")
-    val q = withSignatures(
-      withNorm(queries).select(col("vec_id").as("query_id"),
-        col("emb").as("q_emb"), col("norm").as("q_norm")), "q_emb")
+    val candidates = eSig.join(broadcast(qSig), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id"))
+      .distinct() // a pair can collide in several tables
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    e.join(broadcast(q), Seq("tbl", "bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      // a pair can collide in several tables — dedup on ids only
-      .select(col("query_id"), col("vec_id"), col("emb"), col("norm"),
-        col("q_emb"), col("q_norm"))
-      .dropDuplicates("query_id", "vec_id")
+    candidates
+      .join(e, "vec_id")
+      .join(broadcast(q), "query_id")
       .withColumn("sim",
         round(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 4))
       .withColumn("rank", row_number().over(w))

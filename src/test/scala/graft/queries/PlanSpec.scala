@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Physical-plan contracts: the properties that make these queries
+  * survive a 100 TB scale-up, asserted so a regression (a filter that
+  * stops pushing down, a broadcast that becomes a shuffle) fails CI —
+  * not just a benchmark.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("e01 export scan: time-range predicate reaches the parquet reader") {
+    val p = plan("e01_export_scan")
+    assert(p.contains("PushedFilters:"), p.take(400))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate"),
+      "window predicate not pushed to parquet row-group pruning")
+  }
+
+  test("e01 export scan: column pruning reads only the projected columns") {
+    val p = plan("e01_export_scan")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax") &&
+      !readSchema.contains("l_extendedprice"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("q05 star join: every dimension side is broadcast, not shuffled") {
+    val p = plan("q05_region_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    assert(!p.contains("SortMergeJoin"),
+      "a dimension join degraded to sort-merge")
+  }
+
+  test("q01 aggregate: map-side partial aggregation before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, "no partial+final aggregation pair")
+    assert(p.contains("Exchange hashpartitioning(l_returnflag"),
+      "aggregate shuffle is not on the grouping keys")
+  }
+
+  test("t01 top-k: TakeOrderedAndProject, not a global sort") {
+    val p = plan("t01_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(300))
+  }
+
+  test("w01 window: single hash shuffle on the partition key") {
+    val p = plan("w01_running_sum")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"window should shuffle exactly once on l_suppkey, got $exchanges")
+  }
+
+  test("e03 existence probe: LocalLimit short-circuits the scan") {
+    // the probe itself runs at plan-build time; assert on the probe
+    // plan shape directly
+    val probe = graft.Tables.lineitem(spark, sf0001).limit(1)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("LocalLimit") || p.contains("CollectLimit"), p.take(300))
+  }
+
+  test("whole-stage codegen covers the hot analytic paths") {
+    Seq("q01_pricing_summary", "e01_export_scan", "x01_token_stats")
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sf0001)
+        // collect(), not count(): count() builds a separate
+        // QueryExecution, leaving this df's AQE plan unfinalized
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("*("), s"$q has no WholeStageCodegen stage")
+      }
+  }
+}
