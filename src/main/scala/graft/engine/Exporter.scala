@@ -112,6 +112,11 @@ object Exporter {
         // integrity metric the reference wants (README.textile:189-191):
         // count what was written, post-write, from the written files.
         val rows = spark.read.parquet(dest).count()
+        // job-log sidecar next to the data, as export.rb:167-168 —
+        // underscore-prefixed so parquet readers ignore it
+        TableOps.saveInfo(spark, s"$dest/_export_info.log",
+          s"table=${spec.table} session=$sessionName rows=$rows " +
+            s"window=[${spec.startMs},${spec.endMs}) versions=${spec.versions}\n")
         cat.exportedTableInfo(
           TableRecord("export", spec.table, sessionName, spec.startMs,
             spec.endMs, spec.versions, empty = false, error = false, "",

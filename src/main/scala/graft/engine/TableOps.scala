@@ -1,0 +1,77 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Source/sink utility operators (SURVEY.md §2.1 S3/S4/S5/S7/S8).
+  *
+  * The reference talks to three different storage APIs (Stargate REST
+  * for HBase, RightAws for S3, local files — lib/hbacker/hbase.rb,
+  * s3.rb); Hadoop's FileSystem API subsumes all of them behind the
+  * URI scheme, which is the genuine simplification the reference's
+  * own per-scheme dispatch (s3.rb:50-78) was reaching for.
+  */
+object TableOps {
+
+  /** S3 — `list_names_of_all_tables` (hbase.rb:53-56): the tables of
+    * an sf dir / backup session dir, as a Dataset so it can feed
+    * joins (the reference returns a Ruby array).
+    */
+  def listTables(spark: SparkSession, dir: String): Dataset[String] = {
+    import spark.implicits._
+    val names = listFs(spark, dir)
+      .map(p => new Path(p).getName)
+      .map(n => if (n.endsWith(".parquet")) n.dropRight(8) else n)
+      .sorted
+    names.toDS()
+  }
+
+  /** S4 — `table_descriptor` (hbase.rb:46-48): discovered schema as
+    * (column, type, nullable) rows. Footer-only read.
+    */
+  def tableDescriptor(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(path).schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toDF("name", "data_type", "nullable")
+  }
+
+  /** S5 — `table_has_rows?` (hbase.rb:64-68): limit-1 probe;
+    * LocalLimit(1) short-circuits the scan.
+    */
+  def tableHasRows(df: DataFrame): Boolean = !df.limit(1).isEmpty
+
+  /** S7 — `list_bucket_contents` (s3.rb:38-48): children of a storage
+    * root via the scheme-appropriate Hadoop FileSystem. The
+    * reference's pagination loop (s3.rb:39-47) is subsumed by
+    * listStatus.
+    */
+  def listFs(spark: SparkSession, root: String): Seq[String] = {
+    val path = new Path(root)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.map(_.getPath.toString).sorted
+  }
+
+  /** S8 — `save_info` (s3.rb:50-78): write a small log/info payload
+    * next to a backup. One FileSystem call handles s3/hdfs/file
+    * uniformly — the reference's regex-dispatch (s3.rb:61-76) and its
+    * "unknown scheme" failure mode disappear.
+    */
+  def saveInfo(spark: SparkSession, destUrl: String, content: String): Unit = {
+    val path = new Path(destUrl)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read back a saved info payload (round-trip of S8). */
+  def readInfo(spark: SparkSession, url: String): String = {
+    val path = new Path(url)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    try new String(in.readAllBytes(), "UTF-8")
+    finally in.close()
+  }
+}

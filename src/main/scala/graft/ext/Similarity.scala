@@ -115,6 +115,21 @@ object Similarity {
       }.toDF(idCol, "tbl", "bucket")
   }
 
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥
+    * threshold) — the dedup-flavored twin of top-k search. Brute
+    * pairwise here (exact, oracle-checkable); at corpus scale the
+    * candidate set comes from the same LSH banding as [[annTopK]] and
+    * only candidates pay the dot product.
+    */
+  def cosineDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = withNorm(embeddings).select(col("vec_id"), col("emb"), col("norm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(col("a.emb"), col("b.emb")) /
+          (col("a.norm") * col("b.norm")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** ANN via L hash tables of `bits` sign-bits: bucket-equality join
     * for candidates, then exact cosine re-rank of candidates only.
     */

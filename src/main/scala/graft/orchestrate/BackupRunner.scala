@@ -88,4 +88,46 @@ final class BackupRunner(spark: SparkSession, cat: BackupCatalog,
         .mkString("; ").take(500))
     SessionSummary(sessionName, outcomes)
   }
+
+  /** Restore fan-out — `Import#specified_tables` (import.rb:46-90):
+    * resolve requested tables against the export catalog (hard failure
+    * listing anything missing, import.rb:56-63), then import each
+    * concurrently into `targetRoot/<table>`, recording into the
+    * import-side catalog, finalizing only after completion.
+    */
+  def importAll(exportCat: graft.catalog.BackupCatalog,
+                requested: Seq[String], clusterName: String,
+                sessionName: String, destRoot: String, targetRoot: String,
+                nowMs: Long): Seq[graft.engine.Importer.Outcome] = {
+    val tables =
+      graft.engine.Importer.resolveRequested(exportCat, sessionName,
+        destRoot, requested)
+    cat.startInfo(BackupSession("import", clusterName, sessionName,
+      destRoot, 0L, 0L, nowMs, 0L, error = false, ""))
+
+    val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrent))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val gate = new Semaphore(math.max(1, maxConcurrent))
+    val futures = tables.map { t =>
+      Future {
+        gate.acquire()
+        try graft.engine.Importer.importTable(spark, exportCat, cat, t,
+          sessionName, destRoot, s"$targetRoot/$t")
+        finally gate.release()
+      }
+    }
+    val outcomes =
+      try Await.result(Future.sequence(futures), Duration.Inf)
+      finally pool.shutdown()
+
+    val failures = outcomes.collect {
+      case f: graft.engine.Importer.Failed => f
+    }
+    cat.endInfo("import", sessionName, endedAt = nowMs + 1,
+      error = failures.nonEmpty,
+      errorInfo = failures.map(f => s"${f.table}: ${f.e.getMessage}")
+        .mkString("; ").take(500))
+    outcomes
+  }
 }

@@ -27,6 +27,13 @@ object SimilarityQueries {
       Similarity.annTopK(e, e.filter(col("vec_id") < NumQueries), K)
     },
 
+    /** d05 — embedding-cosine near-dup pairs (threshold tuned to the
+      * isotropic corpus: max pairwise cosine ≈ 0.48).
+      */
+    "d05_embedding_dups" -> { (s, d) =>
+      Similarity.cosineDupPairs(Tables.embeddings(s, d), 0.4)
+    },
+
     /** m01 — multimodal feature extraction through the binary-column
       * pipeline (typed Dataset + batched mapPartitions decode stub).
       */
@@ -75,6 +82,15 @@ object SimilarityQueries {
          |WINDOW w AS (PARTITION BY query_id
          |  ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id)
          |QUALIFY rank <= $K""".stripMargin,
+
+    "d05_embedding_dups" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4""".stripMargin,
 
     "m01_media_features" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,

@@ -1,0 +1,67 @@
+package graft
+
+import graft.engine.Exporter
+import graft.ext.TextAnalysis
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** ScalaCheck properties for the pure logic (SURVEY.md §5 item 3):
+  * path composition, incremental window arithmetic, hash parameter
+  * ranges, rolling-hash determinism.
+  */
+object PropertySpec extends Properties("graft") {
+
+  private val nameGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+
+  property("destPath composes <root>/<session>/<table>, slash-normalized") =
+    forAll(nameGen, nameGen, nameGen) { (root, sess, table) =>
+      val withSlash = Exporter.destPath(root + "/", sess, table)
+      val without = Exporter.destPath(root, sess, table)
+      (withSlash == without) :| "trailing slash normalized" &&
+        (without == s"$root/$sess/$table") :| "layout" &&
+        (!without.contains("//")) :| "no double slash"
+    }
+
+  property("incremental windows tile: start_i == end_{i-1}, no gap/overlap") =
+    forAll(Gen.listOfN(6, Gen.choose(1000L, 10000000L))) { raw =>
+      val bounds = raw.distinct.sorted
+      (bounds.size >= 2) ==> {
+        val windows = bounds.sliding(2).collect {
+          case Seq(a, b) => (a, b)
+        }.toSeq
+        val tiled = windows.sliding(2).forall {
+          case Seq((_, e1), (s2, _)) => e1 == s2
+          case _ => true
+        }
+        val covered = windows.map { case (a, b) => b - a }.sum ==
+          bounds.last - bounds.head
+        tiled :| "consecutive windows share a bound" &&
+          covered :| "windows cover the range exactly once"
+      }
+    }
+
+  property("rolling hash is deterministic and order-sensitive") =
+    forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) { (a, b) =>
+      val repeat = TextAnalysis.rollingHash(a + b) ==
+        TextAnalysis.rollingHash(a + b)
+      val orderSensitive = (a + b) == (b + a) ||
+        TextAnalysis.rollingHash(a + b) != TextAnalysis.rollingHash(b + a)
+      repeat :| "deterministic" && orderSensitive :| "order-sensitive"
+    }
+
+  property("minhash parameters are overflow-free universal hashes") = Prop {
+    import graft.ext.Hashing._
+    As.zip(Bs).forall { case (a, b) =>
+      a > 0 && a < P && b >= 0 && b < P &&
+        BigInt(a) * (P - 1) + b < (BigInt(1) << 62)
+    }
+  }
+
+  property("LSH planes are deterministic across calls") =
+    forAll(Gen.choose(0, 7), Gen.choose(0, 7)) { (t, b) =>
+      val p1 = graft.ext.Similarity.plane(t, b, 64)
+      val p2 = graft.ext.Similarity.plane(t, b, 64)
+      p1.sameElements(p2)
+    }
+}
