@@ -32,6 +32,15 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
+  /** Cosine via the native codegen'd expression
+    * ([[graft.functions.CosineSimilarity]]) — one fused loop instead
+    * of zip_with allocation + three array walks. Bit-identical to
+    * `dot(a,b)/(norm_a*norm_b)` (same summation order; asserted in
+    * spec).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_similarity(a, b)
+
   /** Exact cosine top-k: each query vector against the full corpus.
     * Ranking uses the 4-decimal-rounded similarity with a vec_id
     * tiebreak — a total order that survives float-summation
@@ -47,8 +56,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim",
-        round(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 4))
+      .withColumn("sim", round(cosine(col("emb"), col("q_emb")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -125,8 +133,7 @@ object Similarity {
     val e = withNorm(embeddings).select(col("vec_id"), col("emb"), col("norm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dot(col("a.emb"), col("b.emb")) /
-          (col("a.norm") * col("b.norm")), 4).as("cosine"))
+        round(cosine(col("a.emb"), col("b.emb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -153,8 +160,7 @@ object Similarity {
     candidates
       .join(e, "vec_id")
       .join(broadcast(q), "query_id")
-      .withColumn("sim",
-        round(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 4))
+      .withColumn("sim", round(cosine(col("emb"), col("q_emb")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
