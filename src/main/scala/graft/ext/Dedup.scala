@@ -67,7 +67,12 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 50): DataFrame = {
+    // join/aggregate on the 60-bit shingle hash, not the string: the
+    // shuffle moves 8-byte keys instead of ~25-byte strings. Hash
+    // collisions (within ~2^-40 here) would merge shingles — in BOTH
+    // engines identically, since the oracle hashes the same way.
     val shAll = docs.select(col("doc_id"), explode(shingles(n)).as("shingle"))
+      .select(col("doc_id"), base60(col("shingle")).as("shingle"))
     val sizes = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val freq = shAll.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))

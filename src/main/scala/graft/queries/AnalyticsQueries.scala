@@ -80,6 +80,44 @@ object AnalyticsQueries {
         .groupBy(col("n_name"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
           .as("revenue"))
+    },
+
+    /** q04 — EXISTS as a left-semi join (never a subquery re-scan):
+      * orders having at least one returned line, counted per priority.
+      */
+    "q04_semi_exists" -> { (s, d) =>
+      val returned = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      Tables.orders(s, d)
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
+    /** q22 — NOT EXISTS as a left-anti join: customers with no orders,
+      * per market segment.
+      */
+    "q22_anti_not_exists" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("sum_acctbal"))
+    },
+
+    /** q13 — left-outer + two-level aggregation: distribution of
+      * customers by order count (the null-preserving join shape).
+      */
+    "q13_outer_distribution" -> { (s, d) =>
+      val perCust = Tables.customer(s, d).select("c_custkey")
+        .join(Tables.orders(s, d).select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
     })
 
   private val q01Sql =
@@ -125,5 +163,26 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
     "q03_revenue_topn" -> q03Sql,
-    "q05_region_revenue" -> q05Sql)
+    "q05_region_revenue" -> q05Sql,
+
+    "q04_semi_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q22_anti_not_exists" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q13_outer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin)
 }

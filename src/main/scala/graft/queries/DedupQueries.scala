@@ -36,8 +36,18 @@ object DedupQueries {
       |        i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
       |    FROM documents))""".stripMargin
 
+  /** d02 joins on the 60-bit shingle hash (same hash both engines). */
+  private val shingleHashCte =
+    s"""sh AS (
+       |  SELECT doc_id, ${base60Sql("s")} AS s FROM (
+       |    SELECT DISTINCT doc_id, s FROM (
+       |      SELECT doc_id,
+       |        unnest(list_transform(range(len(string_split(text, ' ')) - 2),
+       |          i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+       |      FROM documents)))""".stripMargin
+
   private val d02Sql =
-    s"""WITH $shinglesCte,
+    s"""WITH $shingleHashCte,
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
        |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s)),

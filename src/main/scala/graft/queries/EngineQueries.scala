@@ -79,7 +79,8 @@ object EngineQueries {
       import s.implicits._
       val counts = Seq("lineitem", "orders", "customer", "supplier",
         "part", "nation", "region", "documents", "embeddings")
-        .map(t => (t, Tables.load(s, d, t).count()))
+        .map(t => (t, Tables.load(s, d, t).count())) :+
+        ("events", Tables.eventsTs(s, d).count())
       counts.toDF("table_name", "n_rows")
     },
 
@@ -142,7 +143,8 @@ object EngineQueries {
         |UNION ALL SELECT 'nation', COUNT(*) FROM nation
         |UNION ALL SELECT 'region', COUNT(*) FROM region
         |UNION ALL SELECT 'documents', COUNT(*) FROM documents
-        |UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings""".stripMargin,
+        |UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+        |UNION ALL SELECT 'events', COUNT(*) FROM events""".stripMargin,
 
     "e06_integrity_ndv" ->
       """SELECT COUNT(*) AS n_rows,
