@@ -88,6 +88,32 @@ object TextAnalysis {
           .as("pred_lang"), col("score"))
   }
 
+  /** Subword-ish token count: a BPE-flavored regex (letter runs,
+    * digit runs, punctuation runs, each with optional leading space)
+    * — the cheap proxy for "how many tokens will the tokenizer
+    * produce", computable at scan speed without a vocab.
+    */
+  val BpeishPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Fixed-size token-window chunking with overlap — the
+    * training-data shard step (window tokens, stride = window −
+    * overlap). Narrow map + explode: no shuffle; chunk count per doc
+    * is ⌈n/stride⌉.
+    */
+  def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    val tk = tokens(col("text"))
+    val chunks = transform(
+      sequence(lit(0), size(tk) - 1, lit(stride)),
+      i => concat_ws(" ", slice(tk, i + 1, lit(window))))
+    docs.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(split(col("chunk"), " ")).as("n_chunk_tokens"),
+        md5(col("chunk")).as("chunk_digest"))
+  }
+
   /** Document fingerprints: content digest (md5) + 60-bit integer
     * fingerprint for compact joins.
     */

@@ -22,6 +22,14 @@ object TextQueries {
     },
     "x04_fingerprint" -> { (s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d))
+    },
+    "x06_chunking" -> { (s, d) =>
+      TextAnalysis.chunk(Tables.documents(s, d), window = 40, stride = 30)
+    },
+    "x07_bpe_tokens" -> { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
     })
 
   private val stopList =
@@ -82,5 +90,25 @@ object TextQueries {
     "x04_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS digest,
          |  ${Hashing.base60Sql("text")} AS fp60
+         |FROM documents""".stripMargin,
+
+    "x06_chunking" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(string_split(text, ' ')), 30),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+40], ' '))
+        |      AS chunks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(unnest(range(len(chunks))) AS INT) AS chunk_idx,
+        |  CAST(len(string_split(unnest(chunks), ' ')) AS INT)
+        |    AS n_chunk_tokens,
+        |  md5(unnest(chunks)) AS chunk_digest
+        |FROM c""".stripMargin,
+
+    "x07_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))
+         |    AS INT) AS n_bpe_tokens
          |FROM documents""".stripMargin)
 }
