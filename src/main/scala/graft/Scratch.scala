@@ -2,9 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway probe main (not part of the library surface). */
+/** Throwaway dev probe (not part of the library surface): prints the
+  * formatted plan and warm timing of the query named in args(0) at the
+  * sf dir in args(1).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val name = if (args.nonEmpty) args(0) else "q01_pricing_summary"
+    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -12,13 +17,12 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
-    df.count()
-    println("=== toString ===")
-    println(df.queryExecution.executedPlan.toString.take(1500))
-    println("=== formatted ===")
-    println(df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(1500))
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, d).count()
+      println(f"TIMER $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    SparkEntry.queries(name)(spark, d).explain("formatted")
     spark.stop()
   }
 }

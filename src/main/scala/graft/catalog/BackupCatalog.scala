@@ -1,5 +1,6 @@
 package graft.catalog
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 
 /** Parquet-backed backup-metadata catalog — the Spark-native stand-in
@@ -7,10 +8,18 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
   * (/root/reference/lib/hbacker/mysql.rb, db.rb.old).
   *
   * Layout: `<root>/sessions`, `<root>/tables`, `<root>/descriptors`,
-  * one Parquet dir each. Writes append tiny files; the catalog is
-  * metadata-scale (one row per table per run), so driver-side
-  * read-modify-write for session finalization is deliberate — this is
-  * the control plane, not the data plane.
+  * one Parquet dir each, on ANY Hadoop-supported filesystem (existence
+  * probes go through the scheme-aware FileSystem API, not java.io).
+  * The catalog is metadata-scale (one row per table per run), so
+  * driver-side read-modify-write for session finalization is
+  * deliberate — this is the control plane, not the data plane.
+  *
+  * Concurrency: reads AND writes serialize on the instance. Writers
+  * racing in the shared `_temporary/` staging dir was the obvious
+  * hazard, but an unsynchronized read can also observe a directory
+  * that exists with no committed files yet (only `_temporary/`) and
+  * fail schema inference — so `exists` during a concurrent export must
+  * take the same lock.
   *
   * Unlike the reference, which marks a session "ended" when the last
   * job is *enqueued* (export.rb:96 — a real quirk, see SURVEY.md §3.1
@@ -24,22 +33,34 @@ final class BackupCatalog(spark: SparkSession, root: String) {
   private val tablesDir = s"$root/tables"
   private val descsDir = s"$root/descriptors"
 
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hasCommittedFiles(dir: String): Boolean = {
+    val p = new Path(dir)
+    val f = fs(dir)
+    f.exists(p) && f.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   private def readOrEmpty[T <: Product : org.apache.spark.sql.Encoder](
       dir: String): Dataset[T] =
-    if (new java.io.File(dir.stripPrefix("file://")).exists())
-      spark.read.parquet(dir).as[T]
+    if (hasCommittedFiles(dir)) spark.read.parquet(dir).as[T]
     else spark.emptyDataset[T]
 
-  def sessions: Dataset[BackupSession] = readOrEmpty[BackupSession](sessionsDir)
-  def tables: Dataset[TableRecord] = readOrEmpty[TableRecord](tablesDir)
-  def descriptors: Dataset[ColumnDescriptor] =
+  def sessions: Dataset[BackupSession] = synchronized {
+    readOrEmpty[BackupSession](sessionsDir)
+  }
+  def tables: Dataset[TableRecord] = synchronized {
+    readOrEmpty[TableRecord](tablesDir)
+  }
+  def descriptors: Dataset[ColumnDescriptor] = synchronized {
     readOrEmpty[ColumnDescriptor](descsDir)
+  }
 
   // ---- writes (mysql.rb:143-267) ----
-  // All writes serialize on the instance: concurrent per-table jobs
-  // (BackupRunner) would otherwise race in the shared _temporary/
-  // staging dir of the same catalog path. Metadata-scale, so the lock
-  // costs nothing next to the data-plane work.
 
   /** Session start row (mysql.rb:226-239). */
   def startInfo(s: BackupSession): Unit = synchronized {
@@ -47,22 +68,32 @@ final class BackupCatalog(spark: SparkSession, root: String) {
   }
 
   /** Session end row: keyed update of (mode, session_name)
-    * (mysql.rb:246-267). The reference retries against a SimpleDB
-    * read-after-write race (mysql.rb:250-256); catalog writes here are
-    * driver-sequential so a plain read-modify-write suffices.
+    * (mysql.rb:246-267). The rewrite goes through a temp dir + two
+    * renames so a crash can lose at most the in-flight update, never
+    * the existing catalog (a plain Overwrite deletes-then-writes,
+    * leaving a destroyed sessions dir if killed mid-way — fatal for a
+    * catalog whose whole job is surviving crashed runs).
     */
   def endInfo(mode: String, sessionName: String, endedAt: Long,
-              error: Boolean = false, errorInfo: String = ""): Unit = synchronized {
-    val all = sessions.collect().toSeq
-    val updated = all.map { s =>
-      if (s.mode == mode && s.session_name == sessionName)
-        s.copy(ended_at = endedAt, error = s.error || error,
-          error_info = if (errorInfo.nonEmpty) errorInfo else s.error_info)
-      else s
+              error: Boolean = false, errorInfo: String = ""): Unit =
+    synchronized {
+      val all = readOrEmpty[BackupSession](sessionsDir).collect().toSeq
+      val updated = all.map { s =>
+        if (s.mode == mode && s.session_name == sessionName)
+          s.copy(ended_at = endedAt, error = s.error || error,
+            error_info = if (errorInfo.nonEmpty) errorInfo else s.error_info)
+        else s
+      }
+      val tmp = s"$root/sessions__tmp"
+      val old = s"$root/sessions__old"
+      updated.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val f = fs(root)
+      val (pSess, pTmp, pOld) = (new Path(sessionsDir), new Path(tmp), new Path(old))
+      if (f.exists(pOld)) f.delete(pOld, true)
+      if (f.exists(pSess)) f.rename(pSess, pOld)
+      f.rename(pTmp, pSess)
+      f.delete(pOld, true)
     }
-    updated.toDS().coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(sessionsDir)
-  }
 
   /** Per-table record, export side (mysql.rb:154-190). */
   def exportedTableInfo(t: TableRecord,

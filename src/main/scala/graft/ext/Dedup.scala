@@ -45,21 +45,6 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** Exploded (doc_id, shingle) pairs with a doc-frequency cap:
-    * shingles appearing in more than `maxDf` docs carry no similarity
-    * signal and would dominate the join — the classic stop-shingle
-    * guard.
-    */
-  def shinglePairs(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(shingles(n)).as("shingle"))
-    val df = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("shingle")
-    sh.join(df, "shingle")
-  }
-
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
     * |A∩B| via the shingle self-join, |A∪B| = |A|+|B|−|A∩B|.
     * The exploded shingle set is built once and reused for sizes,

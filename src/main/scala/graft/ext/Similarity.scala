@@ -48,9 +48,13 @@ object Similarity {
     */
   def cosineTopK(embeddings: DataFrame, queries: DataFrame,
                  k: Int): DataFrame = {
-    val e = withNorm(embeddings).select(col("vec_id"), col("emb"), col("norm"))
-    val q = withNorm(queries).select(col("vec_id").as("query_id"),
-      col("emb").as("q_emb"), col("norm").as("q_norm"))
+    // no precomputed norms: cosine() folds dot + both norms into one
+    // fused loop, so carrying a norm column would only inflate the
+    // broadcast and the cross-join width
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -130,7 +134,8 @@ object Similarity {
     * only candidates pay the dot product.
     */
   def cosineDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = withNorm(embeddings).select(col("vec_id"), col("emb"), col("norm"))
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cosine(col("a.emb"), col("b.emb")), 4).as("cosine"))
@@ -142,9 +147,10 @@ object Similarity {
     */
   def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
-    val e = withNorm(embeddings).select(col("vec_id"), col("emb"), col("norm"))
-    val q = withNorm(queries).select(col("vec_id").as("query_id"),
-      col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
     val eSig = signatures(e, "vec_id", tables, bits, dim)
     val qSig = signatures(q.withColumnRenamed("q_emb", "emb")
         .withColumnRenamed("query_id", "qid"), "qid", tables, bits, dim)

@@ -1,10 +1,10 @@
 package graft.orchestrate
 
 import graft.catalog.{BackupCatalog, BackupSession}
-import graft.engine.Exporter
+import graft.engine.{Exporter, Importer}
 import graft.engine.Exporter.{ExportSpec, Outcome}
 
-import java.util.concurrent.{Executors, Semaphore}
+import java.util.concurrent.Executors
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 import org.apache.spark.sql.SparkSession
@@ -14,13 +14,12 @@ import org.apache.spark.sql.SparkSession
   * Replaces the reference's beanstalkd queue + worker-process pool
   * (/root/reference/lib/hbacker/export.rb:101-131, lib/worker.rb:68-148,
   * lib/stalker.rb) with concurrent Spark job submission from the
-  * driver: each table's export is an independent Spark job; Spark's
-  * scheduler provides the intra-table parallelism (input splits) and
-  * the semaphore provides the reference's inter-table gate
-  * (`--mapred-max-jobs`, cli.rb:111-114 — default 6 there; here the
-  * cap just bounds concurrent job submission, since a single Spark app
-  * schedules its own resources and queue-depth backpressure
-  * (helpers.rb:43-67) has nothing left to guard).
+  * driver: each table's export/import is an independent Spark job;
+  * Spark's scheduler provides the intra-table parallelism (input
+  * splits) and the fixed thread pool provides the reference's
+  * inter-table gate (`--mapred-max-jobs`, cli.rb:111-114). Queue-depth
+  * backpressure (helpers.rb:43-67) has nothing left to guard when the
+  * app's scheduler owns admission.
   *
   * Deliberate fix vs the reference: `end_info` is written only after
   * every table job COMPLETES, not after the last job is enqueued
@@ -34,6 +33,37 @@ final class BackupRunner(spark: SparkSession, cat: BackupCatalog,
     def failed: Seq[Outcome] = outcomes.collect {
       case f: Exporter.Failed => f
     }
+  }
+
+  private val fairMode =
+    spark.sparkContext.getConf.get("spark.scheduler.mode", "FIFO")
+      .equalsIgnoreCase("FAIR")
+
+  /** Run one job per item on a fixed pool of `maxConcurrent` threads
+    * (the pool size IS the concurrency gate). Each job is
+    * exception-fenced by `fallback` so one failure can never abort the
+    * session-level await; under a FAIR scheduler each item gets its
+    * own pool so concurrent table jobs share executors instead of
+    * FIFO-queueing (tagging is inert — and skipped — under FIFO).
+    */
+  private def runBounded[A, B](items: Seq[A])(job: A => B)
+                              (fallback: (A, Throwable) => B): Seq[B] = {
+    val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrent))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val futures = items.map { item =>
+      Future {
+        if (fairMode)
+          spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", s"graft-job-$item".take(64))
+        try job(item)
+        catch { case e: Throwable => fallback(item, e) }
+        finally if (fairMode)
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      }
+    }
+    try Await.result(Future.sequence(futures), Duration.Inf)
+    finally pool.shutdown()
   }
 
   /** Export the given tables under one session. Mirrors
@@ -50,36 +80,13 @@ final class BackupRunner(spark: SparkSession, cat: BackupCatalog,
       destRoot, specifiedStart, specifiedEnd, nowMs, 0L,
       error = false, ""))
 
-    val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrent))
-    implicit val ec: ExecutionContext =
-      ExecutionContext.fromExecutorService(pool)
-    val gate = new Semaphore(math.max(1, maxConcurrent))
-
-    val futures = specs.map { spec =>
-      Future {
-        gate.acquire()
-        try {
-          // worker.rb:85-87 — skip if this (session, table) is already
-          // recorded: idempotent re-run of a crashed session.
-          if (cat.exists("export", spec.table, sessionName))
-            Exporter.Skipped(spec.table): Outcome
-          else {
-            // FAIR-pool tag so concurrent table jobs share executors
-            // fairly rather than FIFO-starving each other.
-            spark.sparkContext.setLocalProperty(
-              "spark.scheduler.pool", s"export-${spec.table}")
-            Exporter.exportTable(spark, cat, spec, sessionName, destRoot)
-          }
-        } finally {
-          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
-          gate.release()
-        }
-      }
-    }
-
-    val outcomes =
-      try Await.result(Future.sequence(futures), Duration.Inf)
-      finally pool.shutdown()
+    val outcomes = runBounded(specs) { spec =>
+      // worker.rb:85-87 — skip if this (session, table) is already
+      // recorded: idempotent re-run of a crashed session.
+      if (cat.exists("export", spec.table, sessionName))
+        Exporter.Skipped(spec.table): Outcome
+      else Exporter.exportTable(spark, cat, spec, sessionName, destRoot)
+    } { (spec, e) => Exporter.Failed(spec.table, e) }
 
     val failures = outcomes.collect { case f: Exporter.Failed => f }
     cat.endInfo("export", sessionName, endedAt = nowMs + 1,
@@ -95,35 +102,20 @@ final class BackupRunner(spark: SparkSession, cat: BackupCatalog,
     * concurrently into `targetRoot/<table>`, recording into the
     * import-side catalog, finalizing only after completion.
     */
-  def importAll(exportCat: graft.catalog.BackupCatalog,
-                requested: Seq[String], clusterName: String,
-                sessionName: String, destRoot: String, targetRoot: String,
-                nowMs: Long): Seq[graft.engine.Importer.Outcome] = {
-    val tables =
-      graft.engine.Importer.resolveRequested(exportCat, sessionName,
-        destRoot, requested)
+  def importAll(exportCat: BackupCatalog, requested: Seq[String],
+                clusterName: String, sessionName: String, destRoot: String,
+                targetRoot: String, nowMs: Long): Seq[Importer.Outcome] = {
+    val tables = Importer.resolveRequested(exportCat, sessionName,
+      destRoot, requested)
     cat.startInfo(BackupSession("import", clusterName, sessionName,
       destRoot, 0L, 0L, nowMs, 0L, error = false, ""))
 
-    val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrent))
-    implicit val ec: ExecutionContext =
-      ExecutionContext.fromExecutorService(pool)
-    val gate = new Semaphore(math.max(1, maxConcurrent))
-    val futures = tables.map { t =>
-      Future {
-        gate.acquire()
-        try graft.engine.Importer.importTable(spark, exportCat, cat, t,
-          sessionName, destRoot, s"$targetRoot/$t")
-        finally gate.release()
-      }
-    }
-    val outcomes =
-      try Await.result(Future.sequence(futures), Duration.Inf)
-      finally pool.shutdown()
+    val outcomes = runBounded(tables) { t =>
+      Importer.importTable(spark, exportCat, cat, t, sessionName,
+        destRoot, s"$targetRoot/$t"): Importer.Outcome
+    } { (t, e) => Importer.Failed(t, e) }
 
-    val failures = outcomes.collect {
-      case f: graft.engine.Importer.Failed => f
-    }
+    val failures = outcomes.collect { case f: Importer.Failed => f }
     cat.endInfo("import", sessionName, endedAt = nowMs + 1,
       error = failures.nonEmpty,
       errorInfo = failures.map(f => s"${f.table}: ${f.e.getMessage}")

@@ -97,7 +97,13 @@ object StreamingOps {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    val finished = q.awaitTermination(120000)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query $name did not finish within 120s — " +
+          "memory sink would be incomplete")
+    }
     q
   }
 }
