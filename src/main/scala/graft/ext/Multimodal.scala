@@ -57,6 +57,32 @@ object Multimodal {
     md.digest(bytes).map("%02x".format(_)).mkString
   }
 
+  final case class FrameSample(doc_id: Long, frame_idx: Int,
+                               n_frame_bytes: Long, frame_digest: String)
+
+  /** Frame sampling for "video" payloads: split the byte stream into
+    * fixed-size pseudo-frames (===== STUB =====: a real demuxer finds
+    * frame boundaries; the fake uses fixed strides) and keep every
+    * k-th frame. Same batched-partition shape as [[extractFeatures]] —
+    * at scale each task samples its own partition's payloads, no
+    * shuffle, and the sampled frames are a `sampleEvery`-fold
+    * reduction before anything heavy (a model, a resize) runs.
+    */
+  def sampleFrames(spark: SparkSession, assets: DataFrame,
+                   frameBytes: Int = 64,
+                   sampleEvery: Int = 4): Dataset[FrameSample] = {
+    import spark.implicits._
+    assets.as[MediaAsset].mapPartitions { it =>
+      it.flatMap { a =>
+        val frames = a.payload.grouped(frameBytes).zipWithIndex
+        frames.collect {
+          case (bytes, idx) if idx % sampleEvery == 0 =>
+            FrameSample(a.doc_id, idx, bytes.length.toLong, md5Hex(bytes))
+        }
+      }
+    }
+  }
+
   /** Batched per-partition feature extraction over the typed Dataset —
     * the mapInPandas shape: iterator of batches in, iterator of
     * batches out, one "decoder context" per batch.

@@ -42,6 +42,16 @@ object SimilarityQueries {
         Multimodal.asAssets(Tables.documents(s, d))).toDF()
     },
 
+    /** m02 — frame sampling through the same binary pipeline: payload
+      * split into 64-byte pseudo-frames, every 4th kept. The corpus
+      * text is pure ASCII, so the oracle can reproduce the byte chunks
+      * with substr().
+      */
+    "m02_frame_samples" -> { (s, d) =>
+      Multimodal.sampleFrames(s,
+        Multimodal.asAssets(Tables.documents(s, d))).toDF()
+    },
+
     /** x05 — label-centroid similarity: mean embedding per label, then
       * each vector's cosine to its own label centroid (the
       * embedding-quality probe of a curation pipeline). Exact decimal
@@ -91,6 +101,16 @@ object SimilarityQueries {
         |  round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4""".stripMargin,
+
+    "m02_frame_samples" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(length(substr(text, CAST(i*64+1 AS INT), 64)) AS BIGINT)
+        |    AS n_frame_bytes,
+        |  md5(substr(text, CAST(i*64+1 AS INT), 64)) AS frame_digest
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, (length(text)+63)//64)) AS i
+        |      FROM documents)
+        |WHERE i % 4 = 0""".stripMargin,
 
     "m01_media_features" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,

@@ -60,4 +60,30 @@ class CosineSimilaritySpec extends SparkTestBase {
       .first().getDouble(0)
     assert(z == 0.0)
   }
+
+  test("length mismatch and null elements yield NULL, like the HOF form") {
+    CosineSimilarity.register(spark)
+    // codegen path (projection over a real plan)
+    val rows = spark.sql(
+      """SELECT
+        |  cosine_similarity(array(1.0d, 2.0d), array(1.0d)) AS mismatch,
+        |  cosine_similarity(array(1.0d, cast(null as double)),
+        |                    array(1.0d, 2.0d)) AS withnull,
+        |  cosine_similarity(cast(null as array<double>),
+        |                    array(1.0d)) AS nullinput""".stripMargin)
+      .first()
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+    // and the HOF form agrees on the mismatch case
+    val hof = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0d, 2.0d), array(1.0d),
+        |  (x, y) -> x * y), 0.0d, (a, v) -> a + v)""".stripMargin).first()
+    assert(hof.isNullAt(0))
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val interp = CosineSimilarity(
+      Literal.create(Array(1.0, 2.0), ArrayType(DoubleType)),
+      Literal.create(Array(1.0), ArrayType(DoubleType))).eval(null)
+    assert(interp == null)
+  }
 }
