@@ -25,6 +25,20 @@ object DedupQueries {
     },
     "d04_simhash_pairs" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 3)
+    },
+
+    /** d06 — chunk-level (paragraph/boilerplate) dedup: chunk every
+      * doc, find chunk digests shared across >1 document. Composition
+      * of x06 chunking + d01 exact-dedup grouping — the pipeline shape
+      * that strips boilerplate from a crawl.
+      */
+    "d06_chunk_dedup" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      graft.ext.TextAnalysis.chunk(Tables.documents(s, d), 40, 30)
+        .groupBy(col("chunk_digest"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
     })
 
   /** Distinct word-3-gram shingles per doc, DuckDB side. */
@@ -116,5 +130,19 @@ object DedupQueries {
         |FROM documents GROUP BY 1""".stripMargin,
     "d02_jaccard_pairs" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
-    "d04_simhash_pairs" -> d04Sql)
+    "d04_simhash_pairs" -> d04Sql,
+
+    "d06_chunk_dedup" ->
+      """WITH chunks AS (
+        |  SELECT doc_id,
+        |    md5(unnest(list_transform(
+        |      range(0, len(string_split(text, ' ')), 30),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+40], ' '))))
+        |      AS chunk_digest
+        |  FROM documents)
+        |SELECT chunk_digest, COUNT(DISTINCT doc_id) AS n_docs,
+        |  MIN(doc_id) AS first_doc
+        |FROM chunks
+        |GROUP BY chunk_digest
+        |HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin)
 }

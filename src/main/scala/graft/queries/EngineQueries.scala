@@ -108,6 +108,22 @@ object EngineQueries {
         approx_count_distinct(col("l_orderkey"), 0.02).as("hll_orderkey"),
         approx_count_distinct(col("l_partkey"), 0.02).as("hll_partkey"),
         approx_count_distinct(col("l_suppkey"), 0.02).as("hll_suppkey"))
+    },
+
+    /** e08 — distribution integrity via quantile sketch
+      * (approx_percentile, single pass, mergeable): the "did the
+      * restored table keep its value distribution" check at 100 TB.
+      * Engine-only (sketch internals are engine-specific); exact
+      * min/max ride along as the cross-checkable anchors.
+      */
+    "e08_integrity_quantiles" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
+          .as("p99_approx"))
     })
 
   val oracles: Map[String, String] = Map(
