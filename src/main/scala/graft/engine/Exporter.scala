@@ -37,7 +37,12 @@ object Exporter {
       tieBreakCols: Seq[String] = Nil,
       versions: Int = 100000,
       startMs: Long = 0L,
-      endMs: Long = Long.MaxValue)
+      endMs: Long = Long.MaxValue,
+      // Hive-style partition columns for the written layout. Derived
+      // partition columns (e.g. the day of tsCol) make later
+      // incremental/restore scans prune whole directories instead of
+      // relying on row-group stats alone — the 100 TB layout.
+      partitionBy: Seq[String] = Nil)
 
   sealed trait Outcome { def table: String }
   final case class Exported(table: String, rows: Long, dest: String)
@@ -108,7 +113,10 @@ object Exporter {
           case None => src
         }
         val dest = destPath(destRoot, sessionName, spec.table)
-        windowed.write.mode(SaveMode.Overwrite).parquet(dest)
+        val writer = windowed.write.mode(SaveMode.Overwrite)
+        (if (spec.partitionBy.nonEmpty)
+           writer.partitionBy(spec.partitionBy: _*)
+         else writer).parquet(dest)
         // integrity metric the reference wants (README.textile:189-191):
         // count what was written, post-write, from the written files.
         val rows = spark.read.parquet(dest).count()

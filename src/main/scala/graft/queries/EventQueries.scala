@@ -67,6 +67,29 @@ object EventQueries {
           max(col("ts_us")).as("max_safe_us"))
     },
 
+    /** ev05 — as-of join composed from built-ins (preference tier (a):
+      * no custom operator needed): each purchase event joined to the
+      * user's most recent prior-or-simultaneous view event. Union the
+      * two streams, carry the last view timestamp forward with a
+      * running max over (user, time) — one shuffle on user_id, no
+      * range-join blowup, the scalable as-of pattern.
+      */
+    "ev05_asof_join" -> { (s, d) =>
+      val ev = Tables.eventsTs(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_view_us",
+          max(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("purchase_us"), col("last_view_us"))
+    },
+
     /** ev04 — F9-adjacent: JSON prop extraction from the event payload
       * (`props` is a JSON string) + per-type value stats.
       */
@@ -108,6 +131,19 @@ object EventQueries {
         |  MAX(epoch_us(ts)) AS max_safe_us
         |FROM events
         |WHERE epoch_us(ts) <= (SELECT MAX(epoch_us(ts)) FROM events) - 60000000""".stripMargin,
+
+    "ev05_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events WHERE event_type IN ('purchase', 'view'))
+        |SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us,
+        |  last_view_us
+        |FROM (
+        |  SELECT *, MAX(CASE WHEN event_type = 'view' THEN ts_us END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS last_view_us
+        |  FROM ev)
+        |WHERE event_type = 'purchase'""".stripMargin,
 
     "ev04_json_props" ->
       """SELECT event_type, COUNT(*) AS n,

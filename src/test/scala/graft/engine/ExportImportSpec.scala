@@ -58,6 +58,31 @@ class ExportImportSpec extends SparkTestBase {
     assert(joined.count() == userMax.count())
   }
 
+  test("partitioned export writes Hive dirs and prunes partition scans") {
+    val cat = new graft.catalog.BackupCatalog(spark, tmpDir("cat"))
+    val root = tmpDir("bk")
+    // derive a ship-year partition column on the way out
+    val src = tmpDir("src") + "/li"
+    Tables.lineitem(spark, sf0001)
+      .withColumn("ship_year", org.apache.spark.sql.functions.year(
+        col("l_shipdate"))).write.parquet(src)
+    val out = Exporter.exportTable(spark, cat,
+      Exporter.ExportSpec("lineitem", src, partitionBy = Seq("ship_year")),
+      "s1", root).asInstanceOf[Exporter.Exported]
+    val dirs = new java.io.File(out.dest).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.exists(_.startsWith("ship_year=1995")))
+    // partition filter prunes to one directory's worth of rows
+    val pruned = spark.read.parquet(out.dest)
+      .filter(col("ship_year") === 1996)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ship_year"),
+      plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse(""))
+    val expected = Tables.lineitem(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.year(col("l_shipdate")) === 1996)
+    assert(pruned.count() == expected.count())
+  }
+
   test("failed export records an error row and returns Failed") {
     val cat = new BackupCatalog(spark, tmpDir("cat"))
     val out = Exporter.exportTable(spark, cat,
