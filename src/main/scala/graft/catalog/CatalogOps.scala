@@ -120,4 +120,12 @@ object CatalogOps {
   def largestVersions(descs: DataFrame): DataFrame =
     descs.groupBy(col("table_name"))
       .agg(max(col("max_versions")).as("largest_versions"))
+
+  /** P10 — key canonicalization (helpers.rb:70-77): lowercase and
+    * `[-\s.]`→`_` over column names, applied at DataFrame construction
+    * (the reference recursively munges every hash key; a DataFrame has
+    * one schema, so this is a single toDF).
+    */
+  def canonicalizeColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase.replaceAll("[-\\s.]", "_")): _*)
 }

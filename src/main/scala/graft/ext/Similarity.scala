@@ -127,6 +127,59 @@ object Similarity {
       }.toDF(idCol, "tbl", "bucket")
   }
 
+  /** IVF (inverted-file) ANN — the clustered-data scale path, the
+    * counterpart to sign-bit LSH: assign every vector to its nearest
+    * coarse centroid once (narrow map over a broadcast centroid list),
+    * then each query probes only the `nprobe` nearest centroids'
+    * posting lists. Centroids here are deterministic seeds (every
+    * (N/nlist)-th vector by id) — no RNG, no k-means iterations, so
+    * results are stable across runs and topologies. At 100 TB the
+    * posting lists are a partitioned table bucketed by centroid id;
+    * candidate generation is a bucket-pruned scan, not a join of the
+    * full corpus.
+    */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    // deterministic coarse centroids: rank vectors by id, take every
+    // ceil(N/nlist)-th — reproducible and data-dependent-free
+    val n = e.count()
+    val stride = math.max(1L, n / nlist)
+    val centroids = e.filter(col("vec_id") % stride === 0)
+      .limit(nlist)
+      .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
+
+    def nearestCentroids(df: DataFrame, idCol: String, embCol: String,
+                         keep: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol))
+        .orderBy(col("c_sim").desc, col("centroid_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("c_sim", round(cosine(col(embCol), col("c_emb")), 6))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= keep)
+        .drop("c_emb", "c_sim", "c_rank")
+    }
+
+    val postings = nearestCentroids(e, "vec_id", "emb", 1)
+    val probes = nearestCentroids(
+      queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("q_emb")),
+      "query_id", "q_emb", nprobe)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    postings.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("emb"), col("q_emb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥
     * threshold) — the dedup-flavored twin of top-k search. Brute
     * pairwise here (exact, oracle-checkable); at corpus scale the

@@ -107,6 +107,34 @@ object AnalyticsQueries {
           dsum(col("c_acctbal")).as("sum_acctbal"))
     },
 
+    /** q06 — pure filter-aggregate (no join, no group): the
+      * pushdown-only scan shape; the whole query is one codegen stage
+      * over pruned row groups.
+      */
+    "q06_forecast_revenue" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 4)
+          .as("revenue"), count(lit(1)).as("n_lines"))
+    },
+
+    /** q12 — conditional aggregation (CASE inside SUM): per return
+      * flag, how many high- vs low-priority orders shipped.
+      */
+    "q12_priority_shipping" -> { (s, d) =>
+      val highPrio = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(highPrio, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!highPrio, 1L).otherwise(0L)).as("low_line_count"))
+    },
+
     /** q13 — left-outer + two-level aggregation: distribution of
       * customers by order count (the null-preserving join shape).
       */
@@ -178,6 +206,26 @@ object AnalyticsQueries {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q12_priority_shipping" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q13_outer_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (

@@ -42,6 +42,15 @@ object SimilarityQueries {
         Multimodal.asAssets(Tables.documents(s, d))).toDF()
     },
 
+    /** s03 — IVF ANN (engine-only): deterministic coarse centroids,
+      * nprobe-cell probing, exact re-rank. Recall/selectivity
+      * spec-tested; the scale story is the bucketed posting-list scan.
+      */
+    "s03_ann_ivf" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < NumQueries), K)
+    },
+
     /** m02 — frame sampling through the same binary pipeline: payload
       * split into 64-byte pseudo-frames, every 4th kept. The corpus
       * text is pure ASCII, so the oracle can reproduce the byte chunks

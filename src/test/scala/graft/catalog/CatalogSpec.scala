@@ -76,6 +76,14 @@ class CatalogSpec extends SparkTestBase {
     assert(projected.columns.toSeq == ColumnDescriptor.AvailableOpts)
   }
 
+  test("column-name canonicalization (P10, helpers.rb:70-77)") {
+    import spark.implicits._
+    val messy = Seq((1, "x")).toDF("Row-Key", "Column Family.Name")
+    val clean = CatalogOps.canonicalizeColumns(messy)
+    assert(clean.columns.toSeq == Seq("row_key", "column_family_name"))
+    assert(clean.count() == 1)
+  }
+
   test("lastEndTime ignores error rows (A2)") {
     val cat = freshCat()
     cat.exportedTableInfo(rec("lineitem").copy(end_time = 500L), Nil)

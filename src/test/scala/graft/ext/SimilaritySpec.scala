@@ -50,6 +50,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(ann.count() < q * n / 2, "LSH bucketing isn't pruning pairs")
   }
 
+  test("IVF ANN recall on planted near-neighbors") {
+    import spark.implicits._
+    def mixD(s: Long, j: Int): Double = {
+      var z = s * 64 + j + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53) - 0.5
+    }
+    val base = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(j => mixD(i, j).toFloat))
+    }
+    val planted = base.flatMap { case (i, v) =>
+      Seq((i, v)) ++ Seq(1, 2).map { c =>
+        (1000L * c + i,
+          v.zipWithIndex.map { case (x, j) =>
+            x + 0.08f * mixD(i * 7919 + c, j).toFloat })
+      }
+    }
+    val df = planted.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" < 10)
+    val truth = Similarity.cosineTopK(df, qs, 2)
+      .select("query_id", "neighbor_id")
+    val ivf = Similarity.ivfTopK(df, qs, 2, nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id")
+    val recall = truth.intersect(ivf).count().toDouble / truth.count()
+    // perturbed copies land in the same (or a probed) coarse cell
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9 on planted pairs")
+  }
+
+  test("IVF probes a fraction of the corpus (selectivity)") {
+    val ivfAll = Similarity.ivfTopK(emb, queries, Int.MaxValue,
+      nlist = 16, nprobe = 4)
+    val n = emb.count()
+    // nprobe/nlist = 1/4 of cells probed → well under half the corpus
+    assert(ivfAll.count() < 10 * n / 2, "IVF probing isn't pruning")
+  }
+
   test("top-k ranking is deterministic across runs") {
     val a = Similarity.cosineTopK(emb, queries, 3).collect().toSeq
     val b = Similarity.cosineTopK(emb, queries, 3).collect().toSeq
