@@ -27,6 +27,13 @@ object DedupQueries {
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 3)
     },
 
+    /** p01 — the composed cleaning pipeline: quality gate → near-dup
+      * removal (lower-id survivor) → fingerprint. One Catalyst plan.
+      */
+    "p01_clean_corpus" -> { (s, d) =>
+      graft.ext.Pipeline.cleanCorpus(Tables.documents(s, d))
+    },
+
     /** d06 — chunk-level (paragraph/boilerplate) dedup: chunk every
       * doc, find chunk digests shared across >1 document. Composition
       * of x06 chunking + d01 exact-dedup grouping — the pipeline shape
@@ -123,7 +130,42 @@ object DedupQueries {
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
   }
 
+  private val p01Sql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, source, text,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+       |  FROM documents),
+       |quality AS (
+       |  SELECT doc_id, lang, source, text, n_tokens FROM tk
+       |  WHERE n_tokens >= 15 AND n_tokens <= 500
+       |    AND 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens < 0.7),
+       |sh AS (
+       |  SELECT doc_id, ${base60Sql("s")} AS s FROM (
+       |    SELECT DISTINCT doc_id, s FROM (
+       |      SELECT doc_id,
+       |        unnest(list_transform(range(len(string_split(text, ' ')) - 2),
+       |          i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+       |      FROM quality))),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+       |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s)),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |drops AS (
+       |  SELECT DISTINCT doc_b AS doc_id
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5)
+       |SELECT doc_id, lang, source, n_tokens, md5(text) AS digest
+       |FROM quality
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "p01_clean_corpus" -> p01Sql,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_docs
