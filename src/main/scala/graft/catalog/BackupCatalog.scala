@@ -45,10 +45,34 @@ final class BackupCatalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** Materialized read: rows are collected INSIDE the lock and
+    * returned as a local Dataset. A lazy Dataset would snapshot a file
+    * index under the lock but scan after release — racing endInfo's
+    * rename could then read deleted part-files. Catalog data is
+    * metadata-scale, so materializing costs KBs.
+    */
   private def readOrEmpty[T <: Product : org.apache.spark.sql.Encoder](
-      dir: String): Dataset[T] =
-    if (hasCommittedFiles(dir)) spark.read.parquet(dir).as[T]
-    else spark.emptyDataset[T]
+      dir: String): Dataset[T] = {
+    recoverIfNeeded()
+    val rows: Seq[T] =
+      if (hasCommittedFiles(dir)) spark.read.parquet(dir).as[T]
+        .collect().toSeq
+      else Seq.empty
+    spark.createDataset(rows)
+  }
+
+  /** Crash recovery for the endInfo swap: if a crash left the catalog
+    * with sessions__old (the previous copy) but no sessions dir, the
+    * old copy is the truth — restore it before any read or write.
+    */
+  private def recoverIfNeeded(): Unit = {
+    val f = fs(root)
+    val (pSess, pOld) = (new Path(sessionsDir), new Path(s"$root/sessions__old"))
+    if (!f.exists(pSess) && f.exists(pOld)) {
+      require(f.rename(pOld, pSess),
+        s"catalog recovery failed: cannot restore $pOld to $pSess")
+    }
+  }
 
   def sessions: Dataset[BackupSession] = synchronized {
     readOrEmpty[BackupSession](sessionsDir)
@@ -89,10 +113,17 @@ final class BackupCatalog(spark: SparkSession, root: String) {
       updated.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
       val f = fs(root)
       val (pSess, pTmp, pOld) = (new Path(sessionsDir), new Path(tmp), new Path(old))
-      if (f.exists(pOld)) f.delete(pOld, true)
-      if (f.exists(pSess)) f.rename(pSess, pOld)
-      f.rename(pTmp, pSess)
-      f.delete(pOld, true)
+      // swap protocol, every rename checked; recovery (recoverIfNeeded)
+      // restores sessions__old if a crash lands between the renames
+      if (f.exists(pOld)) require(f.delete(pOld, true), s"cannot clear $pOld")
+      if (f.exists(pSess))
+        require(f.rename(pSess, pOld), s"cannot stage $pSess to $pOld")
+      if (!f.rename(pTmp, pSess)) {
+        // roll back so the catalog is never left without a sessions dir
+        if (f.exists(pOld)) f.rename(pOld, pSess)
+        throw new IllegalStateException(s"cannot swap $pTmp into $pSess")
+      }
+      f.delete(pOld, true) // old copy only removed after a complete swap
     }
 
   /** Per-table record, export side (mysql.rb:154-190). */

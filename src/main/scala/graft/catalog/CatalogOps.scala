@@ -126,6 +126,15 @@ object CatalogOps {
     * (the reference recursively munges every hash key; a DataFrame has
     * one schema, so this is a single toDF).
     */
-  def canonicalizeColumns(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase.replaceAll("[-\\s.]", "_")): _*)
+  def canonicalizeColumns(df: DataFrame): DataFrame = {
+    val names = df.columns.map(
+      _.toLowerCase(java.util.Locale.ROOT).replaceAll("[-\\s.]", "_"))
+    val dupes = names.groupBy(identity).collect {
+      case (n, g) if g.length > 1 => n
+    }
+    // fail here, not later with AMBIGUOUS_REFERENCE far from the cause
+    require(dupes.isEmpty,
+      s"canonicalization collides on: ${dupes.mkString(", ")}")
+    df.toDF(names: _*)
+  }
 }

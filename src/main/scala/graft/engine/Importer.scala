@@ -63,15 +63,22 @@ object Importer {
     try {
       val src = Exporter.destPath(destRoot, sessionName, table)
       val descs = exportCat.columnDescriptorRows(sessionName, table)
-      val df = spark.read.parquet(src)
-      if (descs.nonEmpty) {
+      val df = if (descs.nonEmpty) {
         val expected = schemaFromDescriptors(descs)
-        val got = df.schema
-        require(got.length == expected.length &&
-          got.fields.map(f => (f.name, f.dataType))
-            .sameElements(expected.fields.map(f => (f.name, f.dataType))),
+        val got = spark.read.parquet(src).schema
+        // column-name parity check (order-insensitive: partitioned
+        // layouts reorder on discovery); types are enforced by the
+        // schema-pinned read below, which fails loudly on mismatch
+        require(got.fieldNames.sorted.sameElements(expected.fieldNames.sorted),
           s"schema mismatch for $table: catalog=$expected actual=$got")
-      }
+        // read under the CATALOG schema, not the discovered one: this
+        // restores the original column order for partitioned layouts
+        // (partition cols move to the end on discovery) and defeats
+        // Hive partition-column type inference, which would otherwise
+        // silently retype e.g. a "0123" string partition value as
+        // integer 123 — data corruption for a restore path.
+        spark.read.schema(expected).parquet(src)
+      } else spark.read.parquet(src)
       df.write.mode(SaveMode.Append).parquet(targetPath)
       val rows = df.count()
       importCat.importedTableInfo(

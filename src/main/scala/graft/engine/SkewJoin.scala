@@ -16,14 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** The salt column as applied to the skewed side — exposed so tests
+    * pin the implementation's own derivation, not a copy of it.
+    *
+    * A per-row ordinal (monotonically_increasing_id) rather than a
+    * row-content hash: content hashing gives *identical* rows
+    * identical salts, which re-collapses exactly the duplicate-heavy
+    * hot keys the salt exists to spread — and it breaks on MapType
+    * columns. The ordinal varies across runs, but salt values never
+    * reach the output (dropped after the join), so result equality
+    * with the plain join is unconditional.
+    */
+  def withSalt(skewed: DataFrame, salts: Int): DataFrame =
+    skewed.withColumn("__graft_salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+
   def saltedEquiJoin(skewed: DataFrame, dim: DataFrame,
                      keys: Seq[String], salts: Int): DataFrame = {
     require(salts > 0)
-    val saltedLarge = skewed.withColumn("__graft_salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(salts)))
     val explodedDim = dim.withColumn("__graft_salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
-    saltedLarge.join(explodedDim, keys :+ "__graft_salt")
+    withSalt(skewed, salts).join(explodedDim, keys :+ "__graft_salt")
       .drop("__graft_salt")
   }
 }

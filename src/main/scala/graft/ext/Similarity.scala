@@ -142,11 +142,13 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
-    // deterministic coarse centroids: rank vectors by id, take every
-    // ceil(N/nlist)-th — reproducible and data-dependent-free
-    val n = e.count()
-    val stride = math.max(1L, n / nlist)
-    val centroids = e.filter(col("vec_id") % stride === 0)
+    // deterministic pseudo-random centroid sample: nlist smallest by
+    // (xxhash64(id), id) — a TakeOrdered (heap of nlist per partition,
+    // no global sort, no eager count), total-ordered so it is stable
+    // across runs, and independent of the id distribution (a modulo
+    // scheme returns zero centroids for e.g. all-odd snowflake ids)
+    val centroids = e
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nlist)
       .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
 

@@ -113,9 +113,17 @@ object CosineSimilarity {
     GraftColumnBridge.column(CosineSimilarity(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Arity-checked SQL builder (a raw `exprs(1)` would silently drop
+    * extra arguments and IndexOutOfBounds on one).
+    */
+  val fromExprs: Seq[Expression] => CosineSimilarity = { exprs =>
+    require(exprs.length == 2,
+      s"cosine_similarity expects exactly 2 arguments, got ${exprs.length}")
+    CosineSimilarity(exprs.head, exprs(1))
+  }
+
   /** SQL registration: `SELECT cosine_similarity(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity",
-      exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+      "cosine_similarity", fromExprs, "scala_udf")
 }

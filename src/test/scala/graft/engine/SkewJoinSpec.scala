@@ -19,17 +19,17 @@ class SkewJoinSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
-  test("salted join spreads the hot key across partitions") {
+  test("salted join spreads the hot key even for identical rows") {
     import spark.implicits._
-    val skewed = (1 to 2000).map(i => (0L, i)).toDF("k", "v")
+    // all rows content-identical: a content-hash salt would collapse
+    // them onto one reducer — the ordinal salt must not
+    val skewed = (1 to 2000).map(_ => (0L, "same")).toDF("k", "v")
     val dim = Seq((0L, "d")).toDF("k", "d")
-    val salted = SkewJoin.saltedEquiJoin(skewed, dim, Seq("k"), salts = 4)
-    // before the final drop, rows of the single hot key carry >1
-    // distinct salt, i.e. they hash to >1 reducer
-    val saltCount = skewed.withColumn("__graft_salt",
-        pmod(xxhash64(skewed.columns.map(col): _*), lit(4)))
+    // pin the implementation's OWN salt derivation, not a copy of it
+    val saltCount = SkewJoin.withSalt(skewed, 4)
       .select(countDistinct(col("__graft_salt"))).first().getLong(0)
     assert(saltCount > 1)
+    val salted = SkewJoin.saltedEquiJoin(skewed, dim, Seq("k"), salts = 4)
     assert(salted.count() == 2000)
   }
 }
