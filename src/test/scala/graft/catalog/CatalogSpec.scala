@@ -84,6 +84,27 @@ class CatalogSpec extends SparkTestBase {
     assert(clean.count() == 1)
   }
 
+  test("endInfo crash recovery: sessions__old left by a crash is restored") {
+    val root = tmpDir("graft-cat")
+    val cat = new BackupCatalog(spark, root)
+    cat.startInfo(sess)
+    cat.endInfo("export", "20240101_000000", endedAt = 42L)
+    assert(cat.sessions.count() == 1)
+    // simulate a crash landing between the two renames of the swap:
+    // sessions moved aside to sessions__old, replacement never arrived
+    val f = new java.io.File(root)
+    assert(new java.io.File(f, "sessions")
+      .renameTo(new java.io.File(f, "sessions__old")))
+    assert(!new java.io.File(f, "sessions").exists())
+    // any read (or the next endInfo) must restore the old copy
+    val rows = cat.sessions.collect()
+    assert(rows.length == 1 && rows.head.ended_at == 42L)
+    assert(new java.io.File(f, "sessions").exists())
+    // and a subsequent keyed update still works on the recovered data
+    cat.endInfo("export", "20240101_000000", endedAt = 99L)
+    assert(cat.sessions.collect().head.ended_at == 99L)
+  }
+
   test("lastEndTime ignores error rows (A2)") {
     val cat = freshCat()
     cat.exportedTableInfo(rec("lineitem").copy(end_time = 500L), Nil)
