@@ -12,7 +12,7 @@ parquet tables registered as views, and compares:
 
 Dev tool only — NOT part of the shipped library.
 """
-import sys, json, glob, os
+import sys, json, glob, os, decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -25,6 +25,10 @@ def canon_rows(cols, rows):
         vals = []
         for c in cols:
             v = r[c]
+            # DuckDB HUGEINT/DECIMAL surfaces as float64 in the driver's
+            # pandas path — replicate so "5" vs "5.0" mismatches are caught
+            if isinstance(v, decimal.Decimal):
+                v = float(v)
             if isinstance(v, float):
                 vals.append(repr(v))
             elif isinstance(v, bool):

@@ -123,7 +123,8 @@ object EventQueries {
          |    SUM(new_sess) OVER (PARTITION BY user_id
          |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
          |  FROM flagged)
-         |SELECT user_id, MAX(sess_id) AS n_sessions, COUNT(*) AS n_events
+         |SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+         |  COUNT(*) AS n_events
          |FROM sess GROUP BY user_id""".stripMargin,
 
     "ev03_hot_tail" ->
