@@ -52,12 +52,36 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 50): DataFrame = {
-    // join/aggregate on the 60-bit shingle hash, not the string: the
-    // shuffle moves 8-byte keys instead of ~25-byte strings. Hash
-    // collisions (within ~2^-40 here) would merge shingles — in BOTH
-    // engines identically, since the oracle hashes the same way.
-    val shAll = docs.select(col("doc_id"), explode(shingles(n)).as("shingle"))
-      .select(col("doc_id"), base60(col("shingle")).as("shingle"))
+    // join/aggregate on a 64-bit shingle hash, not the string: the
+    // shuffle moves 8-byte keys instead of ~25-byte strings. xxhash64
+    // is whole-stage-codegen'd and an order of magnitude cheaper than
+    // a cryptographic digest; the hash never appears in the output, so
+    // the oracle joins on the raw shingle string instead (a collision
+    // merging two shingles is ~2^-64 per pair — ignorable).
+    //
+    // The explicit repartition on the hash is the scale lever: the
+    // doc-frequency cap, and both sides of the intersection self-join
+    // all hang off this one exchange, which Catalyst's ReuseExchange
+    // computes ONCE — without it the shingling subtree (tokenize →
+    // n-gram transform → explode) is re-evaluated per branch (6 scans
+    // of the corpus in the naive plan).
+    // the up-front isNotNull makes every branch's subtree canonically
+    // identical — without it Catalyst infers null-filters only on the
+    // join branches and ReuseExchange no longer unifies them
+    // Materialize the exploded shingle table once: four consumers (per-
+    // doc sizes, doc-frequency cap, both self-join sides) otherwise
+    // re-evaluate the shingling subtree (tokenize → n-gram transform →
+    // explode) against the corpus scan — Catalyst can't unify the
+    // branches because column pruning shapes each copy differently.
+    // (doc_id, hash64) is 16 bytes/shingle, orders of magnitude smaller
+    // than the corpus; MEMORY_AND_DISK spills rather than OOMs at scale.
+    // CacheManager keys entries by canonical plan, so re-invocations hit
+    // the same entry instead of accumulating copies.
+    val shAll = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(shingles(n)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .repartition(col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val freq = shAll.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
@@ -98,7 +122,11 @@ object Dedup {
     * standard banding scheme; bucket size bounds the pair work.
     */
   def minhashCandidates(docs: DataFrame, n: Int = 3): DataFrame = {
+    // both self-join sides consume the signature table; materialize it
+    // once (k longs per doc — far smaller than the corpus) instead of
+    // recomputing shingle → hash → 16-way min agg per side
     val sigs = minhashSignatures(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until NumBands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("_", rows: _*).as("key"))
@@ -137,7 +165,10 @@ object Dedup {
     * maxDist < SimBands by pigeonhole.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    // one 8-byte fingerprint per doc, consumed by both self-join
+    // sides — materialize instead of recomputing the 60-vote agg twice
     val fps = simhashFingerprints(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = fps.select(col("doc_id"), col("fp"),
         explode(array((0 until SimBands).map(b =>
           struct(lit(b).as("band"), simBandKey(col("fp"), b).as("key"))): _*))

@@ -57,18 +57,11 @@ object DedupQueries {
       |        i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
       |    FROM documents))""".stripMargin
 
-  /** d02 joins on the 60-bit shingle hash (same hash both engines). */
-  private val shingleHashCte =
-    s"""sh AS (
-       |  SELECT doc_id, ${base60Sql("s")} AS s FROM (
-       |    SELECT DISTINCT doc_id, s FROM (
-       |      SELECT doc_id,
-       |        unnest(list_transform(range(len(string_split(text, ' ')) - 2),
-       |          i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
-       |      FROM documents)))""".stripMargin
-
+  // d02's Spark side joins on xxhash64(shingle) purely as a compact
+  // join key; the oracle joins on the raw shingle string — results are
+  // identical short of a 64-bit collision.
   private val d02Sql =
-    s"""WITH $shingleHashCte,
+    s"""WITH $shinglesCte,
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
        |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s)),
@@ -141,12 +134,11 @@ object DedupQueries {
        |  WHERE n_tokens >= 15 AND n_tokens <= 500
        |    AND 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens < 0.7),
        |sh AS (
-       |  SELECT doc_id, ${base60Sql("s")} AS s FROM (
-       |    SELECT DISTINCT doc_id, s FROM (
-       |      SELECT doc_id,
-       |        unnest(list_transform(range(len(string_split(text, ' ')) - 2),
-       |          i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
-       |      FROM quality))),
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(len(string_split(text, ' ')) - 2),
+       |        i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+       |    FROM quality)),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
        |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s)),
