@@ -142,6 +142,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination [EXT]: flag corpus documents sharing at
+    * least `minShared` distinct word n-gram shingles with any document
+    * of the eval/benchmark set — the contamination check every training
+    * pipeline runs before the corpus ships. The eval side is tiny
+    * relative to the corpus, so its distinct shingle set broadcasts and
+    * the check is a narrow broadcast-semi-join + per-doc count over the
+    * corpus scan: no shuffle of corpus text at all (only the matched
+    * (doc_id, shingle-hash) pairs, which contamination keeps rare).
+    * Joins on xxhash64 of the shingle as in [[jaccardPairs]].
+    */
+  def contamination(corpus: DataFrame, eval_ : DataFrame, n: Int = 5,
+                    minShared: Int = 1): DataFrame = {
+    val cSh = corpus.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(shingles(n)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    val eSh = eval_.select(explode(shingles(n)).as("sh"))
+      .select(xxhash64(col("sh")).as("sh")).distinct()
+    cSh.join(broadcast(eSh), "sh")
+      .groupBy(col("doc_id"))
+      // distinct, not raw count: a shingle repeated inside one doc must
+      // not inflate the contamination score
+      .agg(countDistinct(col("sh")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash fingerprint per doc: sign of the per-bit vote over all
     * token occurrences (multiplicity counts). 60 bits from the token
     * base hash. One shuffle (per-doc agg of 60 votes).

@@ -114,6 +114,65 @@ object TextAnalysis {
         md5(col("chunk")).as("chunk_digest"))
   }
 
+  /** Deterministic train/val/test split assignment by content hash —
+    * the reproducible corpus-split step. No RNG: the bucket is the
+    * 60-bit md5 base hash mod 100, so the assignment is stable across
+    * runs, partitionings and engines (the oracle recomputes the same
+    * bucket), and a re-crawled duplicate always lands in the same
+    * split. Narrow map over the scan — no shuffle.
+    */
+  def hashSplit(docs: DataFrame, trainPct: Int = 80,
+                valPct: Int = 10): DataFrame = {
+    val bucket = pmod(Hashing.base60(col("text")), lit(100))
+    docs.select(col("doc_id"), bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Top-k salient terms per document by tf-idf (smoothed idf
+    * ln((N+1)/(df+1))). Ranking is on the 4-decimal-rounded score with
+    * a token tiebreak — a total order robust to last-ulp `ln`
+    * differences across engines. Two shuffles (tf by (doc,token), df
+    * by token); the document count and the df table join broadcast.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + lit(1.0)) /
+          (col("df") + lit(1.0))), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("score"),
+        col("rank"))
+  }
+
+  /** Corpus vocabulary: the top-V tokens by occurrence count (token
+    * tiebreak — deterministic cutoff) with document frequency — the
+    * input to any frequency-based tokenizer/vocab build. TakeOrdered
+    * top-V, no global sort.
+    */
+  def vocab(docs: DataFrame, topV: Int = 100): DataFrame = {
+    docs.select(explode(tokens(col("text"))).as("token"),
+        col("doc_id"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topV)
+  }
+
   /** Document fingerprints: content digest (md5) + 60-bit integer
     * fingerprint for compact joins.
     */

@@ -146,6 +146,34 @@ object AnalyticsQueries {
         .agg(count(col("o_orderkey")).as("c_count"))
       perCust.groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
+    },
+
+    /** a05 — ROLLUP grouping sets with grouping_id: the subtotal /
+      * grand-total report shape. One shuffle; Spark expands the
+      * grouping sets map-side (Expand), so partial aggregation still
+      * applies.
+      */
+    "a05_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          grouping_id().as("gid"))
+    },
+
+    /** a06 — pivot (columns from values): per line status, order counts
+      * by return flag. Missing combinations surface as 0 (coalesced —
+      * pivot leaves them null, the oracle's conditional count yields 0).
+      */
+    "a06_pivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .count()
+        .select(col("l_linestatus"),
+          coalesce(col("A"), lit(0L)).as("A"),
+          coalesce(col("N"), lit(0L)).as("N"),
+          coalesce(col("R"), lit(0L)).as("R"))
     })
 
   private val q01Sql =
@@ -232,5 +260,20 @@ object AnalyticsQueries {
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
         |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey)
-        |GROUP BY c_count""".stripMargin)
+        |GROUP BY c_count""".stripMargin,
+
+    "a05_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "a06_pivot" ->
+      """SELECT l_linestatus,
+        |  COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS "A",
+        |  COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS "N",
+        |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS "R"
+        |FROM lineitem
+        |GROUP BY l_linestatus""".stripMargin)
 }

@@ -124,6 +124,20 @@ object EngineQueries {
           .as("p50_approx"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
           .as("p99_approx"))
+    },
+
+    /** e09 — exact interpolated quantiles, the oracle-checkable twin of
+      * e08: Spark `percentile` and DuckDB `quantile_cont` share the
+      * (n-1)·p linear-interpolation definition, compared at 2 decimals.
+      * The exact form buffers per-group values — fine for an integrity
+      * probe on one table, while e08's sketch is the 100 TB path.
+      */
+    "e09_quantiles_exact" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("q25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("q50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("q75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("q95"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -167,5 +181,12 @@ object EngineQueries {
         |  COUNT(DISTINCT l_orderkey) AS ndv_orderkey,
         |  COUNT(DISTINCT l_partkey) AS ndv_partkey,
         |  COUNT(DISTINCT l_suppkey) AS ndv_suppkey
+        |FROM lineitem""".stripMargin,
+
+    "e09_quantiles_exact" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 2) AS q25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS q50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 2) AS q75,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS q95
         |FROM lineitem""".stripMargin)
 }

@@ -30,6 +30,26 @@ object TextQueries {
       import org.apache.spark.sql.functions.col
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+    },
+
+    /** x08 — benchmark decontamination: docs from every other source
+      * sharing a distinct 5-gram with the 'src0' eval slice.
+      */
+    "x08_decontaminate" -> { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      graft.ext.Dedup.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), n = 5)
+    },
+    "x09_hash_split" -> { (s, d) =>
+      TextAnalysis.hashSplit(Tables.documents(s, d))
+    },
+    "x10_tfidf" -> { (s, d) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, d), k = 3)
+    },
+    "x11_vocab" -> { (s, d) =>
+      TextAnalysis.vocab(Tables.documents(s, d), topV = 100)
     })
 
   private val stopList =
@@ -110,5 +130,59 @@ object TextQueries {
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))
          |    AS INT) AS n_bpe_tokens
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+
+    // the Spark side joins on xxhash64 of the shingle (internal key
+    // only); the oracle joins the raw 5-gram strings
+    "x08_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(
+        |      range(len(string_split(text, ' ')) - 4),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' '))))
+        |      AS s
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, s FROM sh WHERE source <> 'src0')
+        |SELECT doc_id, COUNT(DISTINCT s) AS n_shared
+        |FROM tr JOIN ev USING (s)
+        |GROUP BY doc_id
+        |HAVING COUNT(DISTINCT s) >= 1""".stripMargin,
+
+    "x09_hash_split" ->
+      s"""SELECT doc_id,
+         |  ${Hashing.base60Sql("text")} % 100 AS bucket,
+         |  CASE WHEN ${Hashing.base60Sql("text")} % 100 < 80 THEN 'train'
+         |       WHEN ${Hashing.base60Sql("text")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+
+    "x10_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM tok GROUP BY doc_id, token),
+        |df AS (
+        |  SELECT token, COUNT(DISTINCT doc_id) AS df
+        |  FROM tok GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, token, tf,
+        |  round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) DESC,
+        |      token) AS INT) AS rank
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |QUALIFY rank <= 3""".stripMargin,
+
+    "x11_vocab" ->
+      """SELECT token, COUNT(*) AS n_occurrences,
+        |  COUNT(DISTINCT doc_id) AS doc_freq
+        |FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents)
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token
+        |LIMIT 100""".stripMargin)
 }

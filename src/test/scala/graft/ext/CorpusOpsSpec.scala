@@ -1,0 +1,91 @@
+package graft.ext
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Contracts of the corpus-management operators added for the
+  * training-data pipeline: decontamination, deterministic splits,
+  * tf-idf, vocabulary.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  test("contamination flags a planted copy and nothing from disjoint text") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "totally unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "nine ten eleven twelve thirteen fourteen"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, eval, n = 5, minShared = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares the 5-grams of "alpha..zeta": 2 of them
+    assert(hits == Map(1L -> 2L))
+  }
+
+  test("contamination counts distinct shared shingles, not occurrences") {
+    import spark.implicits._
+    // the shared 5-gram appears twice in the corpus doc; still counts once
+    val corpus = Seq(
+      (1L, "a b c d e x x a b c d e")).toDF("doc_id", "text")
+    val eval = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, eval, n = 5).collect()
+    assert(hits.length == 1 && hits(0).getLong(1) == 1L)
+  }
+
+  test("hash split is deterministic, content-keyed and ~80/10/10") {
+    val s1 = TextAnalysis.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s2 = TextAnalysis.hashSplit(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 == s2) // invariant under partitioning
+    val n = s1.size.toDouble
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95)
+    assert(frac.getOrElse("val", 0.0) < 0.25 && frac.getOrElse("test", 0.0) < 0.25)
+    // identical text ⇒ identical split, regardless of doc_id
+    val dup = docs.limit(1).select(lit(99999L).as("doc_id"), col("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val orig = docs.limit(1).collect()(0).getLong(0)
+    val both = TextAnalysis.hashSplit(docs.limit(1).unionAll(dup)).collect()
+    assert(both.map(_.getString(2)).distinct.length == 1)
+    assert(both.exists(_.getLong(0) == orig) && both.exists(_.getLong(0) == 99999L))
+  }
+
+  test("tfidf ranks a rare term above stop-like terms") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the the the zebra"),
+      (2L, "the quick fox"),
+      (3L, "the lazy dog")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(corpus, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'the' occurs in every doc → idf ln(4/4)=0; unique words win
+    assert(top(1L) == "zebra")
+    assert(top(2L) == "fox") // tie fox/quick broken by token asc
+    assert(top(3L) == "dog")
+    // rank is dense from 1 and capped at k per doc
+    val all = TextAnalysis.tfidfTopK(corpus, k = 3)
+    assert(all.groupBy("doc_id").agg(max("rank")).collect()
+      .forall(_.getInt(1) <= 3))
+  }
+
+  test("vocab returns topV by count with deterministic tiebreak") {
+    val v = TextAnalysis.vocab(docs, topV = 20).collect()
+    assert(v.length == 20)
+    // non-increasing counts; ties ordered by token
+    val counts = v.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    v.zip(v.tail).foreach { case (a, b) =>
+      if (a.getLong(1) == b.getLong(1))
+        assert(a.getString(0) < b.getString(0))
+    }
+    // doc_freq can never exceed occurrences
+    assert(v.forall(r => r.getLong(2) <= r.getLong(1)))
+  }
+}
