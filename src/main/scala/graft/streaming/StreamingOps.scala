@@ -86,6 +86,42 @@ object StreamingOps {
       }.toDF()
   }
 
+  /** d01's streaming twin: exact dedup keyed on event_id with state
+    * bounded by the watermark — duplicates arriving within the
+    * watermark horizon are dropped, and dedup state is GC'd once the
+    * watermark passes (unbounded-state-safe, unlike a plain
+    * `dropDuplicates` on a stream).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "60 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join (the watermarked join shape): each
+    * purchase matched to the same user's view events in the preceding
+    * hour. Both sides carry watermarks and the join condition bounds
+    * event-time distance, so join state is GC-able; inner-join matches
+    * emit eagerly. State is shuffle-partitioned by user_id on both
+    * sides — the same key the batch twin shuffles on.
+    */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "60 seconds")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "60 seconds")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        col("view_id"), unix_micros(col("v_ts")).as("view_us"))
+  }
+
   /** Drive a streaming query to completion over static files (memory
     * sink), returning the sink table name.
     */

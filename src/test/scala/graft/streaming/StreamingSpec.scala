@@ -50,6 +50,53 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("streaming dedup drops within-watermark duplicates, keeps one row each") {
+    // stage the events twice: every event_id arrives exactly twice
+    val dir = tmpDir("stream-dup")
+    val src = java.nio.file.Paths.get(Tables.path(sf0001, "events"))
+    java.nio.file.Files.copy(src,
+      java.nio.file.Paths.get(dir, "a.parquet"))
+    java.nio.file.Files.copy(src,
+      java.nio.file.Paths.get(dir, "b.parquet"))
+    val stream = StreamingOps.readEvents(spark, dir)
+    val q = StreamingOps.runToCompletion(spark,
+      StreamingOps.dedupEvents(stream).select("event_id"), "stream_dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.stop()
+    val got = spark.table("stream_dedup")
+    val distinctIds = Tables.eventsTs(spark, sf0001)
+      .select("event_id").distinct().count()
+    assert(got.count() == distinctIds)
+    assert(got.groupBy("event_id").count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
+  test("stream-stream interval join agrees with the batch join") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val q = StreamingOps.runToCompletion(spark,
+      StreamingOps.purchaseViewJoin(stream), "stream_ssj",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.stop()
+    val got = spark.table("stream_ssj")
+
+    val ev = Tables.eventsTs(spark, sf0001)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_us").as("view_us"),
+        col("event_id").as("view_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("purchase_us"),
+        col("event_id").as("purchase_id"))
+    val expected = purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_us") <= col("purchase_us") &&
+          col("view_us") >= col("purchase_us") - 3600000000L)
+      .select(col("user_id"), col("purchase_id"), col("purchase_us"),
+        col("view_id"), col("view_us"))
+    assert(got.count() == expected.count() && expected.count() > 0)
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   test("late rows beyond the watermark are dropped in append mode") {
     // two files: the bulk, then a far-late single event — with a 60s
     // watermark the late row lands in a closed window and is dropped
