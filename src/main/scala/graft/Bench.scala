@@ -13,10 +13,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed JVM/codegen warmup on the smallest sf — measured numbers
-    // then reflect the queries, not first-query JIT compilation
-    try SparkEntry.entry(spark).count()
-    catch { case _: Throwable => () }
+    // untimed JVM/codegen warmup on the smallest sf (every query once):
+    // Catalyst planning and janino codegen classes are shared across
+    // scale factors, so the timed sf0.1 numbers then reflect steady-
+    // state query cost — what a long-running cluster app pays — not
+    // first-execution JIT compilation
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     // deterministic execution order so per-query timings are
     // comparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {

@@ -83,6 +83,42 @@ object Multimodal {
     }
   }
 
+  final case class ResizedAsset(doc_id: Long, target_w: Int, target_h: Int,
+                                n_bytes_in: Long, n_bytes_out: Long,
+                                out_digest: String)
+
+  /** ===== STUB resize =====: deterministic stride-sample of the
+    * payload down to ~targetW·targetH/64 bytes (a real implementation
+    * decodes and scales pixels here). Output size is exactly
+    * min(n, targetW·targetH/64) bytes.
+    */
+  def resizeStub(payload: Array[Byte], targetW: Int,
+                 targetH: Int): Array[Byte] = {
+    val outLen = math.max(1, math.min(payload.length, targetW * targetH / 64))
+    val stride = math.max(1, payload.length / outLen)
+    payload.indices.by(stride).take(outLen).map(payload).toArray
+  }
+
+  /** Resize through the same batched binary pipeline — at scale the
+    * bandwidth-dominant step, so payload bytes never shuffle: each task
+    * resizes its own partition's assets and emits only the smaller
+    * artifact (plus provenance digest).
+    */
+  def resize(spark: SparkSession, assets: DataFrame, targetW: Int = 224,
+             targetH: Int = 224): Dataset[ResizedAsset] = {
+    import spark.implicits._
+    assets.as[MediaAsset].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // per-batch scaler/codec context would go here
+        batch.iterator.map { a =>
+          val out = resizeStub(a.payload, targetW, targetH)
+          ResizedAsset(a.doc_id, targetW, targetH, a.payload.length.toLong,
+            out.length.toLong, md5Hex(out))
+        }
+      }
+    }
+  }
+
   /** Batched per-partition feature extraction over the typed Dataset —
     * the mapInPandas shape: iterator of batches in, iterator of
     * batches out, one "decoder context" per batch.

@@ -61,6 +61,18 @@ object SimilarityQueries {
         Multimodal.asAssets(Tables.documents(s, d))).toDF()
     },
 
+    /** m03 — resize through the binary pipeline. The stub's output
+      * size is exactly min(n_bytes_in, 224·224/64), which the oracle
+      * reproduces arithmetically; the digest column is provenance-only
+      * (not oracle-expressible) and excluded here.
+      */
+    "m03_resize" -> { (s, d) =>
+      Multimodal.resize(s,
+          Multimodal.asAssets(Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("target_w"), col("target_h"),
+          col("n_bytes_in"), col("n_bytes_out"))
+    },
+
     /** x05 — label-centroid similarity: mean embedding per label, then
       * each vector's cosine to its own label centroid (the
       * embedding-quality probe of a curation pipeline). Exact decimal
@@ -120,6 +132,14 @@ object SimilarityQueries {
         |        unnest(range(0, (length(text)+63)//64)) AS i
         |      FROM documents)
         |WHERE i % 4 = 0""".stripMargin,
+
+    "m03_resize" ->
+      """SELECT doc_id, CAST(224 AS INT) AS target_w,
+        |  CAST(224 AS INT) AS target_h,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
+        |  CAST(LEAST(octet_length(encode(text)), 784) AS BIGINT)
+        |    AS n_bytes_out
+        |FROM documents""".stripMargin,
 
     "m01_media_features" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,

@@ -117,4 +117,18 @@ class SimilaritySpec extends SparkTestBase {
         f.height != (64 + (f.n_bytes * 31) % 960).toInt)
     assert(bad.isEmpty)
   }
+
+  test("multimodal resize bounds output size and is deterministic") {
+    val docs = Tables.documents(spark, sf0001)
+    val assets = Multimodal.asAssets(docs)
+    val r1 = Multimodal.resize(spark, assets).collect()
+      .map(r => r.doc_id -> r).toMap
+    // output size = min(input, 224*224/64) exactly; never larger than input
+    assert(r1.values.forall(r =>
+      r.n_bytes_out == math.min(r.n_bytes_in, 224L * 224 / 64)))
+    // deterministic under repartitioning (digest included)
+    val r2 = Multimodal.resize(spark, assets.repartition(7)).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(r1 == r2)
+  }
 }
