@@ -148,6 +148,84 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("custdist"))
     },
 
+    /** q07 — volume shipping between two nation pairs: the double-dim
+      * join shape (nation joined twice under different roles). Both
+      * nation sides and supplier/customer broadcast; the one big
+      * shuffle is lineitem⋈orders on orderkey, then a 3-key group-by.
+      */
+    "q07_volume_shipping" -> { (s, d) =>
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(
+          lit("1995-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+          "l_shipdate")
+      val pairs = (col("supp_nation") === "NATION_1" &&
+        col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(pairs)
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+    },
+
+    /** q10 — returned-item customer ranking: 3-way join + top-20 on
+      * aggregated revenue (TakeOrdered, never a global sort).
+      */
+    "q10_returned_items" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate").between(
+          lit("1995-10-01").cast("timestamp"),
+          lit("1996-01-01").cast("timestamp")))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    /** q18 — large-order customers: the group-filter (HAVING) shape
+      * feeding a join back to the dimension side.
+      */
+    "q18_large_orders" -> { (s, d) =>
+      val bigOrders = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = Tables.customer(s, d).select("c_custkey", "c_name")
+      bigOrders.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          ms(col("o_orderdate")).as("order_ms"), col("o_totalprice"),
+          col("total_qty"))
+    },
+
     /** a05 — ROLLUP grouping sets with grouping_id: the subtotal /
       * grand-total report shape. One shuffle; Spark expands the
       * grouping sets map-side (Expand), so partial aggregation still
@@ -261,6 +339,46 @@ object AnalyticsQueries {
         |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey)
         |GROUP BY c_count""".stripMargin,
+
+    "q07_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+        |       (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate BETWEEN TIMESTAMP '1995-10-01' AND TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0)
+        |SELECT c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate) AS order_ms,
+        |  o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "a05_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
