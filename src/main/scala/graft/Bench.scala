@@ -23,13 +23,24 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // deterministic execution order so per-query timings are
-    // comparable across rounds
+    // comparable across rounds. Each query is timed twice and the min
+    // reported: this host shows multi-10s CPU-scheduling stalls under
+    // JVM load that would otherwise be attributed to whichever query
+    // they land on. The cache is cleared before every rep so operators
+    // that materialize intermediates (dedup shingle/signature tables)
+    // pay their full build cost in each measured run — the min is a
+    // stall-free measurement, not a warm-cache one.
+    val reps = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val runs = (1 to reps).map { _ =>
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        (name, runs.map(_._1).min, runs.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
