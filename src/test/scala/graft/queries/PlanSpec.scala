@@ -65,6 +65,30 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LocalLimit") || p.contains("CollectLimit"), p.take(300))
   }
 
+  test("a05 rollup: grouping sets expand map-side, single shuffle") {
+    val p = plan("a05_rollup")
+    assert(p.contains("Expand"), "rollup should plan an Expand node")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"rollup should shuffle exactly once on the expanded keys, got $exchanges")
+  }
+
+  test("q10 grouped top-k: TakeOrderedAndProject after the aggregate") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), p.take(300))
+  }
+
+  test("x08 decontamination: eval shingles broadcast, corpus side not shuffled") {
+    // finalize AQE so the join strategy is the one that actually ran
+    val df = SparkEntry.queries("x08_decontaminate")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "eval-side shingle set should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus⋈eval degraded to a corpus-wide shuffle join")
+  }
+
   test("whole-stage codegen covers the hot analytic paths") {
     Seq("q01_pricing_summary", "e01_export_scan", "x01_token_stats")
       .foreach { q =>
