@@ -68,6 +68,22 @@ object WindowQueries {
           ms(col("o_orderdate")).as("order_ms"))
     },
 
+    /** t02 — argmin (min-per-group recovering the full row): the
+      * cheapest-supplier-per-nation shape, via the rank-1 window rather
+      * than a self-join back (one shuffle on the group key; ties broken
+      * on s_suppkey for a total order).
+      */
+    "t02_argmin_supplier" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal"), col("s_suppkey"))
+      Tables.supplier(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"))
+    },
+
     /** u01 — set ops: requested ∩ exported is the reference's only set
       * operation (import.rb:58, U1); INTERSECT/EXCEPT over nation keys
       * generalize it on payload data.
@@ -110,6 +126,12 @@ object WindowQueries {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+
+    "t02_argmin_supplier" ->
+      """SELECT s_nationkey, s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) = 1""".stripMargin,
 
     "u01_setops" ->
       """SELECT nationkey, 'both' AS which FROM

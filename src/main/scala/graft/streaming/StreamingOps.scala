@@ -86,6 +86,64 @@ object StreamingOps {
       }.toDF()
   }
 
+  final case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long)
+  final case class ClosedSession(user_id: Long, start_us: Long,
+                                 end_us: Long, n_events: Long)
+
+  /** Per-session emission via flatMapGroupsWithState + event-time
+    * timeout: a user's session is EMITTED (not just counted) once the
+    * gap elapses — either observed in-batch (a later event arrives
+    * past the gap) or via state timeout when the watermark passes
+    * lastSeen + gap. Append-mode output, one state row per user,
+    * GC'd by the timeout — the production sessionization shape, where
+    * downstream consumes finished sessions as rows.
+    */
+  def sessionEmit(spark: SparkSession, events: DataFrame,
+                  gapUs: Long = 1800000000L): DataFrame = {
+    import spark.implicits._
+    // the watermarked `ts` column must survive the projection: Spark
+    // requires the event-time attribute inside the child plan of a
+    // flatMapGroupsWithState with EventTimeTimeout
+    val typed = events
+      .withWatermark("ts", "60 seconds")
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[OpenSession]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed lastSeen + gap: the open session is over
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.startUs, s.lastUs,
+              s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { case (_, ts, _, _) =>
+              open match {
+                case Some(s) if ts - s.lastUs <= gapUs =>
+                  open = Some(s.copy(lastUs = ts, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.startUs, s.lastUs, s.nEvents)
+                  open = Some(OpenSession(ts, ts, 1L))
+                case None =>
+                  open = Some(OpenSession(ts, ts, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // wake up when the watermark proves the gap has elapsed
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000)
+            }
+            closed.result().iterator
+          }
+      }.toDF()
+  }
+
   /** d01's streaming twin: exact dedup keyed on event_id with state
     * bounded by the watermark — duplicates arriving within the
     * watermark horizon are dropped, and dedup state is GC'd once the

@@ -50,6 +50,46 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("flatMapGroupsWithState emits exactly the closed sessions") {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 1800000000L
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val q = StreamingOps.runToCompletion(spark,
+      StreamingOps.sessionEmit(spark, stream, gapUs), "stream_sess_emit",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.stop()
+    val got = spark.table("stream_sess_emit")
+
+    // batch session boundaries (lag + cumsum)
+    val ev = Tables.eventsTs(spark, sf0001)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val sess = ev
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess", when(col("prev").isNull ||
+        col("ts_us") - col("prev") > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+    // a session is emitted if a later event closed it in-batch (it is
+    // not the user's last session) OR its event-time timeout fired
+    // (final watermark = max ts − 60 s passed end + gap)
+    val maxUs = ev.agg(max(col("ts_us"))).first().getLong(0)
+    val wmMs = maxUs / 1000 - 60000
+    val lastSid = sess.groupBy(col("user_id"))
+      .agg(max(col("sid")).as("last_sid"))
+    val expected = sess.join(lastSid, "user_id")
+      .filter(col("sid") < col("last_sid") ||
+        lit(wmMs) > col("end_us") / 1000 + gapUs / 1000)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"))
+    assert(got.count() == expected.count() && expected.count() > 0)
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   test("streaming dedup drops within-watermark duplicates, keeps one row each") {
     // stage the events twice: every event_id arrives exactly twice
     val dir = tmpDir("stream-dup")
