@@ -143,6 +143,25 @@ object Exporter {
     }
   }
 
+  /** Bucketed export — the repeated-join layout. `bucketBy` pays the
+    * shuffle ONCE at write time; every later join or aggregation keyed
+    * on the bucket columns reads co-located, pre-sorted buckets and
+    * plans no exchange at all (asserted in BucketedExportSpec). This
+    * is the layout for catalog-⋈-payload and fact-⋈-fact workloads
+    * that repeat per backup cycle at 100 TB: n° of buckets chosen so a
+    * bucket ≈ one executor-core's working set. Bucket metadata lives
+    * in the session catalog (`saveAsTable` is mandatory for bucketing);
+    * `path` keeps the bytes at the backup destination.
+    */
+  def exportBucketed(df: DataFrame, table: String, dest: String,
+                     bucketCols: Seq[String], nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", dest)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S4 — discovered schema → catalog descriptor rows
     * (hbase.rb:46-48 persisted via mysql.rb:181-189). HBase-ish attrs
     * take their Stargate defaults (stargate.rb:36-44).

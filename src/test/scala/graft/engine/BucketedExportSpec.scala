@@ -1,0 +1,63 @@
+package graft.engine
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** The bucketed-layout contract: joins on the bucket key plan no
+  * exchange (the write-time shuffle is amortized over every later
+  * join), and results equal the unbucketed join.
+  */
+class BucketedExportSpec extends SparkTestBase {
+
+  test("join on the bucket key is exchange-free and result-identical") {
+    val dir = tmpDir("bucketed")
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_totalprice")
+    Exporter.exportBucketed(li, "bk_lineitem", s"$dir/lineitem",
+      Seq("l_orderkey"), 4)
+    Exporter.exportBucketed(o, "bk_orders", s"$dir/orders",
+      Seq("o_orderkey"), 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path: broadcast would trivially avoid the
+      // exchange we are asserting the bucketing avoids
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_lineitem")
+        .join(spark.table("bk_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join should be exchange-free:\n${p.take(600)}")
+      // same rows as the plain (unbucketed) join
+      val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() == plain.count())
+      assert(joined.except(plain).isEmpty && plain.except(joined).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+    }
+  }
+
+  test("aggregation on the bucket key needs no shuffle") {
+    val dir = tmpDir("bucketed-agg")
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_quantity")
+    Exporter.exportBucketed(li, "bk_li_agg", s"$dir/lineitem",
+      Seq("l_orderkey"), 4)
+    try {
+      val agg = spark.table("bk_li_agg")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      agg.collect()
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed aggregation should be shuffle-free:\n${p.take(600)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_li_agg")
+    }
+  }
+}
