@@ -64,4 +64,18 @@ object PropertySpec extends Properties("graft") {
       val p2 = graft.ext.Similarity.plane(t, b, 64)
       p1.sameElements(p2)
     }
+
+  property("resizeStub: exact output size, subset bytes, deterministic") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)),
+      Gen.choose(8, 512), Gen.choose(8, 512)) { (bs, w, h) =>
+      import graft.ext.Multimodal
+      val payload = bs.map(_.toByte).toArray
+      val out = Multimodal.resizeStub(payload, w, h)
+      val expected =
+        if (payload.isEmpty) 0
+        else math.min(payload.length, math.max(1, w * h / 64))
+      (out.length == expected) :| s"size ${out.length} != $expected" &&
+        out.forall(payload.contains) :| "bytes come from the payload" &&
+        out.sameElements(Multimodal.resizeStub(payload, w, h)) :| "deterministic"
+    }
 }
