@@ -189,6 +189,39 @@ object TextAnalysis {
       .limit(topV)
   }
 
+  /** Gopher-style repetition signal: the fraction of a document's word
+    * bigrams taken by its single most frequent bigram (high → looped /
+    * boilerplate text). One explode + two grouped aggregations, both
+    * keyed by doc — shuffles only (doc, bigram-count) pairs.
+    */
+  def bigramRepetition(docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    val bigrams = when(size(tk) >= 2,
+      transform(sequence(lit(0), size(tk) - 2),
+        i => concat_ws(" ", slice(tk, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 4)
+          .as("top_bigram_frac"))
+  }
+
+  /** Deterministic stratified sample: keep ~pct% of each stratum by
+    * content hash (same hash family as [[hashSplit]] — stable across
+    * runs/engines/partitionings, and disjointness with a split is
+    * decidable from the bucket arithmetic alone). Narrow map + filter;
+    * the scan prunes nothing but the filter is codegen'd.
+    */
+  def stratifiedSample(docs: DataFrame, pct: Int = 10): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        pmod(Hashing.base60(col("text")), lit(100)).as("bucket"))
+      .filter(col("bucket") < pct)
+      .select(col("doc_id"), col("source"))
+
   /** Document fingerprints: content digest (md5) + 60-bit integer
     * fingerprint for compact joins.
     */

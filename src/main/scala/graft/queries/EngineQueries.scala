@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.engine.Sketches
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -124,6 +125,30 @@ object EngineQueries {
           .as("p50_approx"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
           .as("p99_approx"))
+    },
+
+    /** e10 — Bloom-filter membership integrity (engine-only: the filter
+      * is a Spark-side sketch): every order key that appears in
+      * lineitem must test positive (false negatives are impossible);
+      * shifted absent keys measure the realized false-positive rate.
+      * Deterministic: partial filters OR-merge commutatively.
+      */
+    "e10_bloom_membership" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val present = Tables.orders(s, d)
+        .join(li.select(col("l_orderkey")).distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey").as("k"), lit(true).as("present"))
+      val absent = Tables.orders(s, d)
+        .select((col("o_orderkey") + lit(1000000000L)).as("k"),
+          lit(false).as("present"))
+      val cands = present.unionAll(absent)
+      Sketches.bloomMembership(s, li, "l_orderkey", cands, "k",
+          expectedItems = 2000000L, fpp = 0.01)
+        .join(cands, "k")
+        .groupBy(col("present"))
+        .agg(count(lit(1)).as("n_tested"),
+          sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_positive"))
     },
 
     /** e09 — exact interpolated quantiles, the oracle-checkable twin of

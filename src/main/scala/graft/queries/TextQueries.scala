@@ -50,6 +50,12 @@ object TextQueries {
     },
     "x11_vocab" -> { (s, d) =>
       TextAnalysis.vocab(Tables.documents(s, d), topV = 100)
+    },
+    "x12_repetition" -> { (s, d) =>
+      TextAnalysis.bigramRepetition(Tables.documents(s, d))
+    },
+    "x13_stratified_sample" -> { (s, d) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, d), pct = 10)
     })
 
   private val stopList =
@@ -184,5 +190,25 @@ object TextQueries {
         |  FROM documents)
         |GROUP BY token
         |ORDER BY n_occurrences DESC, token
-        |LIMIT 100""".stripMargin)
+        |LIMIT 100""".stripMargin,
+
+    "x12_repetition" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(string_split(text, ' ')) - 1),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+2], ' ')))
+        |      AS bg
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |  CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+        |  round(CAST(MAX(n) AS DOUBLE) / SUM(n), 4) AS top_bigram_frac
+        |FROM per GROUP BY doc_id""".stripMargin,
+
+    "x13_stratified_sample" ->
+      s"""SELECT doc_id, source
+         |FROM documents
+         |WHERE ${Hashing.base60Sql("text")} % 100 < 10""".stripMargin)
 }

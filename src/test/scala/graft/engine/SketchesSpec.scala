@@ -1,0 +1,37 @@
+package graft.engine
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkTestBase {
+
+  test("bloom membership: zero false negatives, bounded false positives") {
+    val li = Tables.lineitem(spark, sf0001)
+    val present = li.select(col("l_orderkey").as("k")).distinct()
+    val absent = present.select((col("k") + 1000000000L).as("k"))
+    val fpp = 0.01
+    val verdicts = Sketches.bloomMembership(spark, li, "l_orderkey",
+      present.unionAll(absent), "k", expectedItems = 10000L, fpp = fpp)
+
+    val nPresent = present.count()
+    val presentHits = verdicts
+      .join(present, "k").filter(col("might_contain")).count()
+    assert(presentHits == nPresent, "a false negative is impossible")
+
+    val nAbsent = absent.count()
+    val absentHits = verdicts
+      .join(absent, "k").filter(col("might_contain")).count()
+    assert(absentHits.toDouble / nAbsent <= fpp * 5 + 0.01,
+      s"false-positive rate ${absentHits.toDouble / nAbsent} far above fpp=$fpp")
+  }
+
+  test("bloom build is deterministic under repartitioning") {
+    val li = Tables.lineitem(spark, sf0001)
+    val cands = li.select(col("l_orderkey").as("k")).distinct()
+      .unionAll(li.select((col("l_orderkey") + 777L).as("k")).distinct())
+    def run(src: org.apache.spark.sql.DataFrame) =
+      Sketches.bloomMembership(spark, src, "l_orderkey", cands, "k", 10000L)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(run(li) == run(li.repartition(7)))
+  }
+}
