@@ -40,9 +40,14 @@ object Exporter {
       endMs: Long = Long.MaxValue,
       // Hive-style partition columns for the written layout. Derived
       // partition columns (e.g. the day of tsCol) make later
-      // incremental/restore scans prune whole directories instead of
+      // incremental/restore scans prune whole partitions instead of
       // relying on row-group stats alone — the 100 TB layout.
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      // output format: parquet (default — columnar, stats, pushdown),
+      // json or csv for interchange with non-Spark consumers (the
+      // reference's SequenceFile container generalized to whatever the
+      // destination needs)
+      format: String = "parquet")
 
   sealed trait Outcome { def table: String }
   final case class Exported(table: String, rows: Long, dest: String)
@@ -113,13 +118,15 @@ object Exporter {
           case None => src
         }
         val dest = destPath(destRoot, sessionName, spec.table)
-        val writer = windowed.write.mode(SaveMode.Overwrite)
-        (if (spec.partitionBy.nonEmpty)
-           writer.partitionBy(spec.partitionBy: _*)
-         else writer).parquet(dest)
+        val writer0 = windowed.write.mode(SaveMode.Overwrite)
+        val writer = if (spec.partitionBy.nonEmpty)
+          writer0.partitionBy(spec.partitionBy: _*) else writer0
+        writer.format(spec.format).option("header", "true").save(dest)
         // integrity metric the reference wants (README.textile:189-191):
-        // count what was written, post-write, from the written files.
-        val rows = spark.read.parquet(dest).count()
+        // count what was written, post-write, from the written files —
+        // schema-pinned for the text formats (csv/json carry no types)
+        val rows = spark.read.schema(windowed.schema).format(spec.format)
+          .option("header", "true").load(dest).count()
         // job-log sidecar next to the data, as export.rb:167-168 —
         // underscore-prefixed so parquet readers ignore it
         TableOps.saveInfo(spark, s"$dest/_export_info.log",

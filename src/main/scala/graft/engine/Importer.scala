@@ -59,13 +59,23 @@ object Importer {
   def importTable(spark: SparkSession, exportCat: BackupCatalog,
                   importCat: BackupCatalog, table: String,
                   sessionName: String, destRoot: String,
-                  targetPath: String): Outcome = {
+                  targetPath: String,
+                  format: String = "parquet"): Outcome = {
     try {
       val src = Exporter.destPath(destRoot, sessionName, table)
       val descs = exportCat.columnDescriptorRows(sessionName, table)
+      def readSrc(schema: Option[StructType]): DataFrame = {
+        val r0 = spark.read.format(format).option("header", "true")
+        val r = schema.fold(
+          // text formats carry no types: infer only as a last resort
+          // (no catalog descriptors to pin against)
+          if (format == "parquet") r0 else r0.option("inferSchema", "true")
+        )(r0.schema)
+        r.load(src)
+      }
       val df = if (descs.nonEmpty) {
         val expected = schemaFromDescriptors(descs)
-        val got = spark.read.parquet(src).schema
+        val got = readSrc(None).schema
         // column-name parity check (order-insensitive: partitioned
         // layouts reorder on discovery); types are enforced by the
         // schema-pinned read below, which fails loudly on mismatch
@@ -73,12 +83,13 @@ object Importer {
           s"schema mismatch for $table: catalog=$expected actual=$got")
         // read under the CATALOG schema, not the discovered one: this
         // restores the original column order for partitioned layouts
-        // (partition cols move to the end on discovery) and defeats
-        // Hive partition-column type inference, which would otherwise
-        // silently retype e.g. a "0123" string partition value as
-        // integer 123 — data corruption for a restore path.
-        spark.read.schema(expected).parquet(src)
-      } else spark.read.parquet(src)
+        // (partition cols move to the end on discovery), defeats Hive
+        // partition-column type inference (which would silently retype
+        // e.g. a "0123" string partition value as integer 123 — data
+        // corruption for a restore path), and gives csv/json their
+        // recorded types back.
+        readSrc(Some(expected))
+      } else readSrc(None)
       df.write.mode(SaveMode.Append).parquet(targetPath)
       val rows = df.count()
       importCat.importedTableInfo(

@@ -1,0 +1,46 @@
+package graft.engine
+
+import graft.{SparkTestBase, Tables}
+import graft.catalog.BackupCatalog
+import graft.engine.Exporter.ExportSpec
+import org.apache.spark.sql.functions._
+
+/** Interchange formats (json/csv) round-trip through export → import
+  * with types restored from the catalog descriptors — text containers
+  * carry no schema, so the catalog is what makes restore lossless.
+  */
+class FormatRoundTripSpec extends SparkTestBase {
+
+  private def roundTrip(format: String): Unit = {
+    val cat = new BackupCatalog(spark, tmpDir(s"cat-$format"))
+    val impCat = new BackupCatalog(spark, tmpDir(s"icat-$format"))
+    val root = tmpDir(s"bk-$format")
+    val target = tmpDir(s"restore-$format") + "/lineitem"
+    val session = "20240101_000000"
+    val spec = ExportSpec("lineitem", Tables.path(sf0001, "lineitem"),
+      format = format)
+    val out = Exporter.exportTable(spark, cat, spec, session, root)
+    val exported = out.asInstanceOf[Exporter.Exported]
+    val original = Tables.lineitem(spark, sf0001)
+    assert(exported.rows == original.count())
+
+    val imp = Importer.importTable(spark, cat, impCat, "lineitem",
+      session, root, target, format = format)
+    assert(imp.isInstanceOf[Importer.Imported])
+    val restored = spark.read.parquet(target)
+    assert(restored.schema == original.schema,
+      s"$format restore changed the schema: ${restored.schema}")
+    assert(restored.count() == original.count())
+    assert(restored.except(original).isEmpty &&
+      original.except(restored).isEmpty,
+      s"$format round-trip altered data")
+  }
+
+  test("json export/import round-trips losslessly via catalog schema") {
+    roundTrip("json")
+  }
+
+  test("csv export/import round-trips losslessly via catalog schema") {
+    roundTrip("csv")
+  }
+}
