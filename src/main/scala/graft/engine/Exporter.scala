@@ -121,12 +121,12 @@ object Exporter {
         val writer0 = windowed.write.mode(SaveMode.Overwrite)
         val writer = if (spec.partitionBy.nonEmpty)
           writer0.partitionBy(spec.partitionBy: _*) else writer0
-        writer.format(spec.format).option("header", "true").save(dest)
+        writer.format(spec.format).options(textFormatOptions).save(dest)
         // integrity metric the reference wants (README.textile:189-191):
         // count what was written, post-write, from the written files —
         // schema-pinned for the text formats (csv/json carry no types)
         val rows = spark.read.schema(windowed.schema).format(spec.format)
-          .option("header", "true").load(dest).count()
+          .options(textFormatOptions).load(dest).count()
         // job-log sidecar next to the data, as export.rb:167-168 —
         // underscore-prefixed so parquet readers ignore it
         TableOps.saveInfo(spark, s"$dest/_export_info.log",
@@ -149,6 +149,14 @@ object Exporter {
         Failed(spec.table, e)
     }
   }
+
+  /** Options making the csv container round-trip-safe: an explicit
+    * null sentinel so null and empty string stay distinct on disk
+    * (Spark's defaults conflate them). Ignored by parquet/json.
+    * Shared by export write, post-write count and import read.
+    */
+  val textFormatOptions: Map[String, String] =
+    Map("header" -> "true", "nullValue" -> "\\N")
 
   /** Bucketed export — the repeated-join layout. `bucketBy` pays the
     * shuffle ONCE at write time; every later join or aggregation keyed

@@ -65,7 +65,8 @@ object Importer {
       val src = Exporter.destPath(destRoot, sessionName, table)
       val descs = exportCat.columnDescriptorRows(sessionName, table)
       def readSrc(schema: Option[StructType]): DataFrame = {
-        val r0 = spark.read.format(format).option("header", "true")
+        val r0 = spark.read.format(format)
+          .options(Exporter.textFormatOptions)
         val r = schema.fold(
           // text formats carry no types: infer only as a last resort
           // (no catalog descriptors to pin against)
@@ -73,14 +74,28 @@ object Importer {
         )(r0.schema)
         r.load(src)
       }
+      // column names only, without a data scan: parquet footers and csv
+      // headers are metadata; json needs inference, so sample a few
+      // lines instead of letting inference read the whole table
+      def srcFieldNames(): Array[String] = format match {
+        case "json" =>
+          import spark.implicits._
+          spark.read.json(
+            spark.read.text(src).limit(100).as[String]).schema.fieldNames
+        case "csv" =>
+          spark.read.format("csv").options(Exporter.textFormatOptions)
+            .load(src).schema.fieldNames
+        case _ => readSrc(None).schema.fieldNames
+      }
       val df = if (descs.nonEmpty) {
         val expected = schemaFromDescriptors(descs)
-        val got = readSrc(None).schema
         // column-name parity check (order-insensitive: partitioned
         // layouts reorder on discovery); types are enforced by the
         // schema-pinned read below, which fails loudly on mismatch
-        require(got.fieldNames.sorted.sameElements(expected.fieldNames.sorted),
-          s"schema mismatch for $table: catalog=$expected actual=$got")
+        val gotNames = srcFieldNames()
+        require(gotNames.sorted.sameElements(expected.fieldNames.sorted),
+          s"schema mismatch for $table: catalog=${expected.fieldNames.toSeq} " +
+            s"actual=${gotNames.toSeq}")
         // read under the CATALOG schema, not the discovered one: this
         // restores the original column order for partitioned layouts
         // (partition cols move to the end on discovery), defeats Hive

@@ -19,20 +19,29 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** Build a Bloom filter over `keys.keyCol` and probe every
-    * `candidates.candCol`; returns per-candidate membership verdicts.
+    * `candidates.candCol`: returns `candidates` with a `might_contain`
+    * verdict column appended (all other candidate columns pass
+    * through — no join-back needed).
+    *
+    * Keys of ANY type are supported: both sides go through xxhash64, so
+    * the filter and the probes always hash the same representation
+    * (inserting strings and probing longs can never silently diverge).
+    * The 64-bit pre-hash adds ~n²/2⁶⁴ collision probability — noise
+    * next to fpp. Null keys probe as non-members.
     */
   def bloomMembership(spark: SparkSession, keys: DataFrame, keyCol: String,
                       candidates: DataFrame, candCol: String,
                       expectedItems: Long,
                       fpp: Double = 0.01): DataFrame = {
-    val bf = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
+    // xxhash64 maps null to the seed value, which would make null keys
+    // "members" — null-gate both sides instead
+    val bf = keys.filter(col(keyCol).isNotNull)
+      .select(xxhash64(col(keyCol)).as("k64"))
+      .stat.bloomFilter("k64", expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bf)
-    import spark.implicits._
-    val cands = candidates.select(col(candCol).cast("long"))
-      .as[Long]
-    cands.mapPartitions { it =>
-      val f = bc.value // deserialized once per partition
-      it.map(k => (k, f.mightContain(k)))
-    }.toDF(candCol, "might_contain")
+    val might = udf((k64: java.lang.Long) =>
+      k64 != null && bc.value.mightContain(k64.longValue))
+    candidates.withColumn("might_contain",
+      might(when(col(candCol).isNotNull, xxhash64(col(candCol)))))
   }
 }

@@ -142,10 +142,14 @@ object EngineQueries {
       val absent = Tables.orders(s, d)
         .select((col("o_orderkey") + lit(1000000000L)).as("k"),
           lit(false).as("present"))
-      val cands = present.unionAll(absent)
-      Sketches.bloomMembership(s, li, "l_orderkey", cands, "k",
-          expectedItems = 2000000L, fpp = 0.01)
-        .join(cands, "k")
+      // size the filter from the data (a hardcoded capacity saturates at
+      // larger sf and the realized fpp quietly degrades toward 1)
+      val nKeys = li.agg(
+        approx_count_distinct(col("l_orderkey"), 0.05).as("n"))
+        .first().getLong(0)
+      Sketches.bloomMembership(s, li, "l_orderkey",
+          present.unionAll(absent), "k",
+          expectedItems = math.max(2 * nKeys, 1000L), fpp = 0.01)
         .groupBy(col("present"))
         .agg(count(lit(1)).as("n_tested"),
           sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_positive"))

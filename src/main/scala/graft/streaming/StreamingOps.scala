@@ -126,7 +126,11 @@ object StreamingOps {
             sorted.foreach { case (_, ts, _, _) =>
               open match {
                 case Some(s) if ts - s.lastUs <= gapUs =>
-                  open = Some(s.copy(lastUs = ts, nEvents = s.nEvents + 1))
+                  // min/max, not assignment: an out-of-order event from
+                  // a later micro-batch (legal within the watermark) may
+                  // precede the session's recorded bounds
+                  open = Some(OpenSession(math.min(s.startUs, ts),
+                    math.max(s.lastUs, ts), s.nEvents + 1))
                 case Some(s) =>
                   closed += ClosedSession(user, s.startUs, s.lastUs, s.nEvents)
                   open = Some(OpenSession(ts, ts, 1L))
@@ -136,8 +140,10 @@ object StreamingOps {
             }
             open.foreach { s =>
               state.update(s)
-              // wake up when the watermark proves the gap has elapsed
-              state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000)
+              // wake up when the watermark proves the gap has elapsed —
+              // ceil to ms so the timeout can never fire before an event
+              // at exactly lastUs+gap (which the in-batch rule merges)
+              state.setTimeoutTimestamp((s.lastUs + gapUs + 999L) / 1000)
             }
             closed.result().iterator
           }

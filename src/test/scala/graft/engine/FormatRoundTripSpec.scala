@@ -43,4 +43,27 @@ class FormatRoundTripSpec extends SparkTestBase {
   test("csv export/import round-trips losslessly via catalog schema") {
     roundTrip("csv")
   }
+
+  test("csv keeps null and empty string distinct (the lossy defaults trap)") {
+    import spark.implicits._
+    val cat = new BackupCatalog(spark, tmpDir("cat-nulls"))
+    val impCat = new BackupCatalog(spark, tmpDir("icat-nulls"))
+    val root = tmpDir("bk-nulls")
+    val target = tmpDir("restore-nulls") + "/t"
+    val srcDir = tmpDir("src-nulls") + "/t"
+    val original = Seq(
+      (1L, "plain"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    original.write.parquet(srcDir)
+    val session = "20240101_000000"
+    Exporter.exportTable(spark, cat,
+      ExportSpec("t", srcDir, format = "csv"), session, root)
+    Importer.importTable(spark, cat, impCat, "t", session, root, target,
+      format = "csv")
+    val restored = spark.read.parquet(target)
+    assert(restored.count() == 3)
+    assert(restored.except(original).isEmpty &&
+      original.except(restored).isEmpty,
+      restored.collect().mkString("; "))
+  }
 }

@@ -25,6 +25,16 @@ class SketchesSpec extends SparkTestBase {
       s"false-positive rate ${absentHits.toDouble / nAbsent} far above fpp=$fpp")
   }
 
+  test("bloom membership works for string keys (hash-normalized both sides)") {
+    import spark.implicits._
+    val keys = Seq("alpha", "beta", "gamma").toDF("k")
+    val cands = Seq("alpha", "gamma", "delta", null).toDF("k")
+    val v = Sketches.bloomMembership(spark, keys, "k", cands, "k", 100L)
+      .collect().map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+    assert(v(Some("alpha")) && v(Some("gamma")), "no false negatives")
+    assert(!v(None), "null probes as non-member")
+  }
+
   test("bloom build is deterministic under repartitioning") {
     val li = Tables.lineitem(spark, sf0001)
     val cands = li.select(col("l_orderkey").as("k")).distinct()
