@@ -31,6 +31,27 @@ object EventQueries {
           col("event_type"), col("n"), col("sum_value"))
     },
 
+    /** ev06 — gap-fill / resample: hourly counts per event type with
+      * every hour of the observed range present, zeros filled. The
+      * spine (hours × types) is generated with sequence+explode — tiny
+      * relative to the data, so it broadcasts into the left join; the
+      * only data-sized work is the ev01-shaped aggregation.
+      */
+    "ev06_gapfill" -> { (s, d) =>
+      val hourUs = 3600000000L
+      val ev = Tables.eventsTs(s, d)
+        .withColumn("b", expr(s"(ts_ns div 1000) div $hourUs"))
+      val counted = ev.groupBy(col("b"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val spine = ev.agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("b"))
+        .crossJoin(ev.select(col("event_type")).distinct())
+      broadcast(spine)
+        .join(counted, Seq("b", "event_type"), "left_outer")
+        .select((col("b") * 3600000L).as("bucket_ms"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    },
+
     /** ev02 — sessionization: 30-min-gap sessions per user via
       * lag + cumulative flag sum — the mapGroupsWithState-free form
       * (streaming twin uses flatMapGroupsWithState). Single shuffle
@@ -109,6 +130,19 @@ object EventQueries {
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events
          |GROUP BY 1, 2""".stripMargin,
+
+    "ev06_gapfill" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS b, event_type FROM events),
+        |counted AS (
+        |  SELECT b, event_type, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ev),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS b FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT b * 3600000 AS bucket_ms, event_type,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n
+        |FROM spine CROSS JOIN types
+        |LEFT JOIN counted USING (b, event_type)""".stripMargin,
 
     "ev02_sessionize" ->
       s"""WITH flagged AS (
