@@ -168,14 +168,36 @@ object Exporter {
     * in the session catalog (`saveAsTable` is mandatory for bucketing);
     * `path` keeps the bytes at the backup destination.
     */
-  def exportBucketed(df: DataFrame, table: String, dest: String,
-                     bucketCols: Seq[String], nBuckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
-      .option("path", dest)
-      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .format("parquet")
-      .saveAsTable(table)
+  def exportBucketed(spark: SparkSession, cat: BackupCatalog,
+                     df: DataFrame, table: String, sessionName: String,
+                     dest: String, bucketCols: Seq[String],
+                     nBuckets: Int): Outcome = {
+    try {
+      df.write.mode(SaveMode.Overwrite)
+        .option("path", dest)
+        .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .format("parquet")
+        .saveAsTable(table)
+      // same integrity machinery as exportTable: post-write count from
+      // the written table, catalog record, job-log sidecar
+      val rows = spark.table(table).count()
+      TableOps.saveInfo(spark, s"$dest/_export_info.log",
+        s"table=$table session=$sessionName rows=$rows " +
+          s"bucketBy=${bucketCols.mkString(",")} buckets=$nBuckets\n")
+      cat.exportedTableInfo(
+        TableRecord("export", table, sessionName, 0L, Long.MaxValue, 0L,
+          empty = rows == 0L, error = false, "", rows),
+        descriptorRows(df, sessionName, table))
+      Exported(table, rows, dest)
+    } catch {
+      case e: Throwable =>
+        cat.exportedTableInfo(
+          TableRecord("export", table, sessionName, 0L, Long.MaxValue, 0L,
+            empty = false, error = true, e.toString.take(500), -1L), Nil)
+        Failed(table, e)
+    }
+  }
 
   /** S4 — discovered schema → catalog descriptor rows
     * (hbase.rb:46-48 persisted via mysql.rb:181-189). HBase-ish attrs

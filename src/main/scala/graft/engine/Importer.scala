@@ -80,8 +80,14 @@ object Importer {
       def srcFieldNames(): Array[String] = format match {
         case "json" =>
           import spark.implicits._
-          spark.read.json(
-            spark.read.text(src).limit(100).as[String]).schema.fieldNames
+          // a partitioned layout adds partition columns to the text
+          // read's schema (and they are absent from the json lines) —
+          // select the content column explicitly and fold them back in
+          val txt = spark.read.text(src)
+          val partCols = txt.schema.fieldNames.filter(_ != "value")
+          val dataNames = spark.read.json(
+            txt.select("value").limit(100).as[String]).schema.fieldNames
+          (dataNames ++ partCols).distinct
         case "csv" =>
           spark.read.format("csv").options(Exporter.textFormatOptions)
             .load(src).schema.fieldNames
@@ -93,7 +99,15 @@ object Importer {
         // layouts reorder on discovery); types are enforced by the
         // schema-pinned read below, which fails loudly on mismatch
         val gotNames = srcFieldNames()
-        require(gotNames.sorted.sameElements(expected.fieldNames.sorted),
+        // json: subset check only — the writer omits null fields, so a
+        // column that is null in every sampled line legitimately
+        // disappears from the sample; an UNEXPECTED column is still a
+        // hard mismatch. Other formats carry exact names.
+        val namesOk =
+          if (format == "json")
+            gotNames.toSet.subsetOf(expected.fieldNames.toSet)
+          else gotNames.sorted.sameElements(expected.fieldNames.sorted)
+        require(namesOk,
           s"schema mismatch for $table: catalog=${expected.fieldNames.toSeq} " +
             s"actual=${gotNames.toSeq}")
         // read under the CATALOG schema, not the discovered one: this

@@ -23,25 +23,29 @@ object Sketches {
     * verdict column appended (all other candidate columns pass
     * through — no join-back needed).
     *
-    * Keys of ANY type are supported: both sides go through xxhash64, so
-    * the filter and the probes always hash the same representation
-    * (inserting strings and probing longs can never silently diverge).
-    * The 64-bit pre-hash adds ~n²/2⁶⁴ collision probability — noise
-    * next to fpp. Null keys probe as non-members.
+    * Keys of ANY type are supported: both sides are normalized to
+    * their canonical string form and xxhash64'd, so the filter and the
+    * probes always hash the same representation even when the two
+    * columns have different numeric widths (int keys vs bigint
+    * probes). The 64-bit pre-hash adds ~n²/2⁶⁴ collision probability —
+    * noise next to fpp. Null keys probe as non-members.
     */
   def bloomMembership(spark: SparkSession, keys: DataFrame, keyCol: String,
                       candidates: DataFrame, candCol: String,
                       expectedItems: Long,
                       fpp: Double = 0.01): DataFrame = {
     // xxhash64 maps null to the seed value, which would make null keys
-    // "members" — null-gate both sides instead
+    // "members" — null-gate both sides instead. xxhash64 is also
+    // TYPE-sensitive (int 5, bigint 5, '5' hash differently), hence
+    // the canonical string cast on both sides.
     val bf = keys.filter(col(keyCol).isNotNull)
-      .select(xxhash64(col(keyCol)).as("k64"))
+      .select(xxhash64(col(keyCol).cast("string")).as("k64"))
       .stat.bloomFilter("k64", expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val might = udf((k64: java.lang.Long) =>
       k64 != null && bc.value.mightContain(k64.longValue))
     candidates.withColumn("might_contain",
-      might(when(col(candCol).isNotNull, xxhash64(col(candCol)))))
+      might(when(col(candCol).isNotNull,
+        xxhash64(col(candCol).cast("string")))))
   }
 }

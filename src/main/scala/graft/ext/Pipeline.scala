@@ -6,16 +6,34 @@ import org.apache.spark.sql.functions._
 /** The composed training-data cleaning pipeline [EXT] — the flagship
   * "what this engine is for" operator: quality-gate the corpus, strip
   * near-duplicates, fingerprint the survivors. Each stage is one of
-  * the already-proven operators; the composition stays a single
-  * Catalyst plan (no materialization barriers), so column pruning and
-  * filter pushdown cross stage boundaries.
+  * the already-proven operators; the only materialization barrier is
+  * the shingle table jaccardPairs caches internally — everything else
+  * remains one Catalyst plan, so column pruning and filter pushdown
+  * cross stage boundaries.
   *
   * Scale shape: quality gating is a narrow map; near-dup detection is
-  * the capped shingle join (see [[Dedup.jaccardPairs]]); the survivor
-  * anti-join shuffles only doc ids. Nothing in the pipeline holds
-  * more than (doc_id, hash) pairs in a shuffle.
+  * the capped shingle join (see [[Dedup.jaccardPairs]]), whose shingle
+  * table is materialized once per input (freed via [[release]]); the
+  * survivor anti-join shuffles only doc ids. Nothing in the pipeline
+  * holds more than (doc_id, hash) pairs in a shuffle.
   */
 object Pipeline {
+
+  /** The quality-gated input [[cleanCorpus]] feeds to jaccardPairs —
+    * shared with [[release]] so the plan-keyed unpersist matches the
+    * exact cached entry.
+    */
+  private def qualityDocs(docs: DataFrame): DataFrame =
+    docs.join(
+      TextAnalysis.qualityScores(docs).filter(col("keep")).select("doc_id"),
+      "doc_id")
+
+  /** Free the shingle table [[cleanCorpus]] materialized (its input is
+    * the quality-gated corpus, so `Dedup.release(docs)` alone would
+    * miss it — the cache is keyed by canonical plan).
+    */
+  def release(docs: DataFrame): Unit =
+    Dedup.release(qualityDocs(docs))
 
   /** Deterministic survivor rule for near-dup pairs (a < b): the
     * lower id of every pair survives, any doc appearing as the higher
@@ -24,10 +42,7 @@ object Pipeline {
     */
   def cleanCorpus(docs: DataFrame, jaccardThreshold: Double = 0.5,
                   maxDf: Int = 50): DataFrame = {
-    val quality = TextAnalysis.qualityScores(docs)
-      .filter(col("keep"))
-      .select("doc_id")
-    val qdocs = docs.join(quality, "doc_id")
+    val qdocs = qualityDocs(docs)
     val dropIds = Dedup.jaccardPairs(qdocs, n = 3, jaccardThreshold, maxDf)
       .select(col("doc_b").as("doc_id")).distinct()
     qdocs.join(dropIds, Seq("doc_id"), "left_anti")

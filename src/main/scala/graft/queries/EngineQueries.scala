@@ -139,8 +139,11 @@ object EngineQueries {
         .join(li.select(col("l_orderkey")).distinct(),
           col("o_orderkey") === col("l_orderkey"), "left_semi")
         .select(col("o_orderkey").as("k"), lit(true).as("present"))
+      // negated keys can never collide with real (positive) order keys
+      // at any scale factor — an additive shift would overlap real ids
+      // once orderkey exceeds the shift
       val absent = Tables.orders(s, d)
-        .select((col("o_orderkey") + lit(1000000000L)).as("k"),
+        .select((-col("o_orderkey") - lit(1L)).as("k"),
           lit(false).as("present"))
       // size the filter from the data (a hardcoded capacity saturates at
       // larger sf and the realized fpp quietly degrades toward 1)

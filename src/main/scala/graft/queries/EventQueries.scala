@@ -32,10 +32,14 @@ object EventQueries {
     },
 
     /** ev06 — gap-fill / resample: hourly counts per event type with
-      * every hour of the observed range present, zeros filled. The
-      * spine (hours × types) is generated with sequence+explode — tiny
-      * relative to the data, so it broadcasts into the left join; the
-      * only data-sized work is the ev01-shaped aggregation.
+      * every hour of the observed range present, zeros filled. Both
+      * join inputs are already bucket-grained (hours × types) — tiny at
+      * any data scale; the only data-sized work is the ev01-shaped
+      * aggregation. The aggregate side carries the broadcast hint:
+      * Spark can't build the outer-preserved side of an outer join, so
+      * a hint on the spine would be silently dropped (right_outer +
+      * build-left is the supported combination that keeps every spine
+      * row).
       */
     "ev06_gapfill" -> { (s, d) =>
       val hourUs = 3600000000L
@@ -46,8 +50,8 @@ object EventQueries {
       val spine = ev.agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"))).as("b"))
         .crossJoin(ev.select(col("event_type")).distinct())
-      broadcast(spine)
-        .join(counted, Seq("b", "event_type"), "left_outer")
+      broadcast(counted)
+        .join(spine, Seq("b", "event_type"), "right_outer")
         .select((col("b") * 3600000L).as("bucket_ms"), col("event_type"),
           coalesce(col("n"), lit(0L)).as("n"))
     },

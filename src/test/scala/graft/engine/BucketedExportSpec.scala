@@ -11,14 +11,18 @@ class BucketedExportSpec extends SparkTestBase {
 
   test("join on the bucket key is exchange-free and result-identical") {
     val dir = tmpDir("bucketed")
+    val cat = new graft.catalog.BackupCatalog(spark, tmpDir("bk-cat"))
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_quantity", "l_extendedprice")
     val o = Tables.orders(spark, sf0001)
       .select("o_orderkey", "o_totalprice")
-    Exporter.exportBucketed(li, "bk_lineitem", s"$dir/lineitem",
-      Seq("l_orderkey"), 4)
-    Exporter.exportBucketed(o, "bk_orders", s"$dir/orders",
-      Seq("o_orderkey"), 4)
+    val out1 = Exporter.exportBucketed(spark, cat, li, "bk_lineitem",
+      "s1", s"$dir/lineitem", Seq("l_orderkey"), 4)
+    Exporter.exportBucketed(spark, cat, o, "bk_orders",
+      "s1", s"$dir/orders", Seq("o_orderkey"), 4)
+    // bucketed exports land in the catalog like any other export
+    assert(out1.isInstanceOf[Exporter.Exported])
+    assert(cat.exists("export", "bk_lineitem", "s1"))
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // force the shuffle-join path: broadcast would trivially avoid the
@@ -44,10 +48,11 @@ class BucketedExportSpec extends SparkTestBase {
 
   test("aggregation on the bucket key needs no shuffle") {
     val dir = tmpDir("bucketed-agg")
+    val cat = new graft.catalog.BackupCatalog(spark, tmpDir("bk-cat2"))
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_quantity")
-    Exporter.exportBucketed(li, "bk_li_agg", s"$dir/lineitem",
-      Seq("l_orderkey"), 4)
+    Exporter.exportBucketed(spark, cat, li, "bk_li_agg",
+      "s1", s"$dir/lineitem", Seq("l_orderkey"), 4)
     try {
       val agg = spark.table("bk_li_agg")
         .groupBy("l_orderkey")
