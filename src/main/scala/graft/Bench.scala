@@ -17,44 +17,79 @@ object Bench {
     // Catalyst planning and janino codegen classes are shared across
     // scale factors, so the timed numbers then reflect steady-state
     // query cost — what a long-running cluster app pays — not
-    // first-execution JIT compilation. Falls back to the bench dir
-    // itself if no warm dir exists; a silent no-op warmup would skew
-    // rep 1, so failures are reported (stderr keeps stdout JSON-clean).
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
-      "/root/testdata/sf0.001")
-    val warm = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
+    // first-execution JIT compilation. The default warm dir is the
+    // sibling sf0.001 of the bench dir (portable — no hardcoded host
+    // path); if absent we warn and warm on the bench dir itself (wall
+    // time doubles, numbers stay valid). Failures are reported (stderr
+    // keeps stdout JSON-clean).
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR").getOrElse {
+      val sibling = new java.io.File(sfDir).getAbsoluteFile
+        .getParentFile.toPath.resolve("sf0.001").toString
+      if (new java.io.File(sibling).isDirectory) sibling
+      else {
+        System.err.println(
+          s"warmup: no $sibling; warming on the bench dir itself")
+        sfDir
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, warm).count()
+      try fn(spark, warmDir).count()
       catch { case e: Throwable =>
         System.err.println(s"warmup $name failed: ${e.getMessage}") }
     }
-    // deterministic execution order so per-query timings are
-    // comparable across rounds. Each query is timed twice and the min
-    // reported: this host shows multi-10s CPU-scheduling stalls under
-    // JVM load that would otherwise be attributed to whichever query
-    // they land on. The cache is cleared before every rep so operators
-    // that materialize intermediates (dedup shingle/signature tables)
-    // pay their full build cost in each measured run — the min is a
-    // stall-free measurement, not a warm-cache one.
-    val reps = 2
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val runs = (1 to reps).map { _ =>
-          spark.sharedState.cacheManager.clearCache()
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-          ((System.nanoTime() - t0) / 1e9, ok)
-        }
-        (name, runs.map(_._1).min, runs.forall(_._2))
+    // Timing methodology (stall-proofing — this host shows random
+    // multi-10-second CPU-scheduling stalls under JVM load that would
+    // otherwise be attributed to whichever query they land on):
+    //  - >=3 reps; every per-rep time is emitted so a stalled rep is
+    //    VISIBLE in the output instead of silently polluting a mean;
+    //  - the min is the headline (a stall can only add time), the
+    //    median rides along as the skeptic's cross-check — min ≈ median
+    //    means the min is reproducible, min << median means stalls hit;
+    //  - query order rotates by a third of the list each rep, so a
+    //    stall window covers DIFFERENT queries in different reps and
+    //    the per-query min survives it;
+    //  - the cache is cleared before every run so operators that
+    //    materialize intermediates (dedup shingle/signature tables) pay
+    //    their full build cost in each measured run.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val n = ordered.size
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val failed = scala.collection.mutable.Set.empty[String]
+    for (rep <- 0 until reps) {
+      val rotated = {
+        val shift = rep * n / reps
+        ordered.drop(shift) ++ ordered.take(shift)
+      }
+      rotated.foreach { case (name, fn) =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        if (!ok) failed += name
+      }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def fmt(d: Double): String = BigDecimal(d)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val names = ordered.map(_._1)
+    def obj(f: String => String): String =
+      names.map(k => "\"" + k + "\":" + f(k)).mkString("{", ",", "}")
+    val qs = obj(k => fmt(times(k).min))
+    val medians = obj(k => fmt(median(times(k))))
+    val repTimes = obj(k => times(k).map(fmt).mkString("[", ",", "]"))
     // a failed query must not masquerade as a fast one — surface it
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = names.map(k => times(k).min).sum
+    val totalMedian = names.map(k => median(times(k))).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"medians":$medians,"total_median":${fmt(totalMedian)},"reps":$repTimes,"n_reps":$reps,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,220 @@
+package graft
+
+import graft.catalog.BackupCatalog
+import graft.engine.{Exporter, TableOps}
+import graft.engine.Exporter.ExportSpec
+import graft.incremental.Incremental
+import graft.orchestrate.BackupRunner
+import org.apache.spark.sql.SparkSession
+
+/** The operational entry point — parity with the reference's three Thor
+  * commands (/root/reference/lib/hbacker/cli.rb):
+  *
+  *   - `export` (cli.rb:147-169): `--all` XOR `--tables`, fan the
+  *     chosen tables of `--source-dir` out through [[BackupRunner]]
+  *     into `--dest-root/<session>/<table>/`.
+  *   - `import` (cli.rb:257-264): `--tables` XOR `--pattern` (SQL `%`
+  *     wildcard), restore from `--source-root/<session>/` into
+  *     `--target-root/<table>`.
+  *   - `db` (cli.rb:266-322): query the backup catalog — sessions by
+  *     name-or-%-pattern, optionally their table rows by `%`-pattern.
+  *
+  * Option names accept `--snake_case` or `--kebab-case`; values follow
+  * as the next token or after `=`. Defaults mirror the reference:
+  * `start-time` 0 = full export (cli.rb:79-83), `end-time` now−60 s
+  * (the hot-tail guard, cli.rb:28-31), `versions` 100000 (cli.rb:71-74),
+  * session name `yyyyMMdd_HHmmss` of startup time (cli.rb:30-32),
+  * `max-jobs` 6 (`--mapred-max-jobs`, cli.rb:111-114).
+  *
+  * The catalog lives at `--catalog-root` (default
+  * `<dest-root>/_catalog` — metadata travels with the backup, the
+  * underscore prefix keeps payload readers away from it).
+  */
+object Cli {
+
+  final case class CliError(message: String) extends RuntimeException(message)
+
+  /** `--key value`, `--key=value`, bare `--flag` (value "true"). Keys
+    * normalize kebab→snake so both spellings of the reference's option
+    * names work.
+    */
+  def parseOpts(args: Seq[String]): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (!a.startsWith("--"))
+        throw CliError(s"unexpected argument: $a")
+      val body = a.drop(2)
+      val (k, inline) = body.indexOf('=') match {
+        case -1 => (body, None)
+        case eq => (body.take(eq), Some(body.drop(eq + 1)))
+      }
+      val key = k.replace('-', '_')
+      inline match {
+        case Some(v) => out(key) = v
+        case None =>
+          if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+            out(key) = args(i + 1); i += 1
+          } else out(key) = "true"
+      }
+      i += 1
+    }
+    out.toMap
+  }
+
+  private def required(opts: Map[String, String], key: String): String =
+    opts.getOrElse(key,
+      throw CliError(s"missing required option --${key.replace('_', '-')}"))
+
+  /** F1 — session names are formatted startup timestamps (cli.rb:30-32). */
+  def defaultSessionName(nowMs: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(nowMs))
+
+  /** Run one command; returns the text a terminal user would see.
+    * `nowMs` is injected (computed ONCE at startup, as cli.rb:30-32
+    * does) so sessions/windows are deterministic and testable.
+    */
+  def run(spark: SparkSession, args: Seq[String], nowMs: Long): String =
+    args.headOption match {
+      case Some("export") => exportCmd(spark, parseOpts(args.tail), nowMs)
+      case Some("import") => importCmd(spark, parseOpts(args.tail), nowMs)
+      case Some("db") => dbCmd(spark, parseOpts(args.tail))
+      case Some(other) => throw CliError(
+        s"unknown command: $other (expected export | import | db)")
+      case None => throw CliError("usage: graft.Cli <export|import|db> [--options]")
+    }
+
+  /** `export` — cli.rb:147-169. */
+  private def exportCmd(spark: SparkSession, opts: Map[String, String],
+                        nowMs: Long): String = {
+    // cli.rb:150-154 — exact validation: --all and --tables are exclusive
+    if (opts.contains("all") && opts.contains("tables"))
+      throw CliError("Can only choose one of --all or --tables")
+    val sourceDir = required(opts, "source_dir")
+    val destRoot = required(opts, "dest_root")
+    val tables: Seq[String] =
+      if (opts.contains("all"))
+        TableOps.listTables(spark, sourceDir).collect().toSeq
+      else if (opts.contains("tables"))
+        opts("tables").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      // cli.rb:163-167 — neither selection option is an error, not a default
+      else throw CliError("Invalid option combination: need --all or --tables")
+    val sessionName = opts.getOrElse("session_name", defaultSessionName(nowMs))
+    val startMs = opts.get("start_time").map(_.toLong).getOrElse(0L)
+    val endMs = opts.get("end_time").map(_.toLong)
+      .getOrElse(nowMs - Incremental.HotTailGuardMs)
+    val versions = opts.get("versions").map(_.toInt).getOrElse(100000)
+    val tsCol = opts.get("ts_col")
+    val specs = tables.map { t =>
+      ExportSpec(t, Tables.path(sourceDir, t), tsCol = tsCol,
+        versions = versions, startMs = startMs, endMs = endMs)
+    }
+    val cat = new BackupCatalog(spark,
+      opts.getOrElse("catalog_root", s"$destRoot/_catalog"))
+    val runner = new BackupRunner(spark, cat,
+      maxConcurrent = opts.get("max_jobs").map(_.toInt).getOrElse(6))
+    val summary = runner.exportAll(specs,
+      opts.getOrElse("cluster_name", sourceDir), sessionName, destRoot,
+      nowMs, specifiedStart = startMs, specifiedEnd = endMs)
+    val lines = summary.outcomes.sortBy(_.table).map {
+      case Exporter.Exported(t, rows, dest) => s"$t: exported rows=$rows dest=$dest"
+      case Exporter.Empty(t) => s"$t: empty (no export job run)"
+      case Exporter.Skipped(t) => s"$t: skipped (already recorded for $sessionName)"
+      case Exporter.Failed(t, e) => s"$t: FAILED ${e.getMessage}"
+    }
+    (lines :+ s"session $sessionName: ${summary.outcomes.size} tables, " +
+      s"${summary.failed.size} failed").mkString("\n")
+  }
+
+  /** `import` — cli.rb:257-264. */
+  private def importCmd(spark: SparkSession, opts: Map[String, String],
+                        nowMs: Long): String = {
+    // cli.rb:259 — exact validation (reference raises MalformattedArgumentError)
+    if (opts.contains("tables") && opts.contains("pattern"))
+      throw CliError("Can not set both --tables and --pattern")
+    val sourceRoot = required(opts, "source_root")
+    val sessionName = required(opts, "session_name")
+    val targetRoot = required(opts, "target_root")
+    val exportCat = new BackupCatalog(spark,
+      opts.getOrElse("catalog_root", s"$sourceRoot/_catalog"))
+    val requested: Seq[String] =
+      if (opts.contains("tables"))
+        opts("tables").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else {
+        // no --tables: everything exported for the session, optionally
+        // narrowed by the %-pattern (cli.rb long_desc; mysql.rb:274-288)
+        import spark.implicits._
+        exportCat.listTableInfo("export", sessionName,
+            opts.getOrElse("pattern", "%"))
+          .select("table_name").distinct().as[String].collect().toSeq.sorted
+      }
+    val importCat = new BackupCatalog(spark,
+      opts.getOrElse("import_catalog_root", s"$targetRoot/_catalog"))
+    val runner = new BackupRunner(spark, importCat,
+      maxConcurrent = opts.get("max_jobs").map(_.toInt).getOrElse(6))
+    val importSession = opts.getOrElse("import_session_name",
+      defaultSessionName(nowMs))
+    val outcomes = runner.importAll(exportCat, requested,
+      opts.getOrElse("cluster_name", sourceRoot), sessionName, sourceRoot,
+      targetRoot, nowMs)
+    val lines = outcomes.sortBy(_.table).map {
+      case graft.engine.Importer.Imported(t, rows, target) =>
+        s"$t: imported rows=$rows target=$target"
+      case graft.engine.Importer.Failed(t, e) => s"$t: FAILED ${e.getMessage}"
+    }
+    val nFailed = outcomes.count(_.isInstanceOf[graft.engine.Importer.Failed])
+    (lines :+ s"import session $importSession: ${outcomes.size} tables, " +
+      s"$nFailed failed").mkString("\n")
+  }
+
+  /** `db` — cli.rb:266-322: print each matching session's non-key
+    * attributes; with --table-name, its table rows too. One collected
+    * plan per relation instead of the reference's per-session query
+    * loop (the N+1 CatalogOps.displayJoin fixes).
+    */
+  private def dbCmd(spark: SparkSession, opts: Map[String, String]): String = {
+    val cat = new BackupCatalog(spark, required(opts, "catalog_root"))
+    val sessionPattern = opts.getOrElse("session_name", "%")
+    val sessions = cat.sessionInfo("export", sessionPattern)
+      .collect().sortBy(_.getAs[String]("session_name"))
+    val out = new StringBuilder
+    sessions.foreach { s =>
+      val attrs = s.schema.fieldNames
+        .filterNot(Set("session_name")) // cli.rb:303 skips key columns
+        .map(k => s"$k: ${s.getAs[Any](k)}").mkString(" ")
+      out ++= s"${s.getAs[String]("session_name")}: $attrs\n"
+      opts.get("table_name").foreach { tablePattern =>
+        val tables = cat.listTableInfo("export",
+            s.getAs[String]("session_name"), tablePattern)
+          .collect().sortBy(_.getAs[String]("table_name"))
+        tables.foreach { t =>
+          val tAttrs = t.schema.fieldNames
+            .filterNot(Set("table_name", "session_name"))
+            .map(k => s"$k: ${t.getAs[Any](k)}").mkString(" ")
+          out ++= s"  ${t.getAs[String]("table_name")}: $tAttrs\n"
+        }
+      }
+    }
+    if (out.isEmpty) s"no export sessions match '$sessionPattern'"
+    else out.toString.stripLineEnd
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .appName("graft-cli")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(run(spark, args.toSeq, System.currentTimeMillis()))
+    catch {
+      case CliError(msg) =>
+        System.err.println(s"error: $msg")
+        sys.exit(2)
+    } finally spark.stop()
+  }
+}

@@ -99,8 +99,35 @@ object Exporter {
     */
   def exportTable(spark: SparkSession, cat: BackupCatalog,
                   spec: ExportSpec, sessionName: String,
-                  destRoot: String): Outcome = {
-    try {
+                  destRoot: String): Outcome =
+    try exportTableAttempt(spark, cat, spec, sessionName, destRoot)
+    catch {
+      case e: Throwable =>
+        recordExportFailure(cat, spec, sessionName, e)
+        Failed(spec.table, e)
+    }
+
+  /** Error row + raise, as export.rb:156-164 / worker.rb:41-47 — the
+    * "bury" half of the worker's error routing.
+    */
+  def recordExportFailure(cat: BackupCatalog, spec: ExportSpec,
+                          sessionName: String, e: Throwable): Unit =
+    cat.exportedTableInfo(
+      TableRecord("export", spec.table, sessionName, spec.startMs,
+        spec.endMs, spec.versions, empty = false, error = true,
+        e.toString.take(500), -1L), Nil)
+
+  /** One export attempt that THROWS on failure instead of recording an
+    * error row — the seam the orchestrator's transient-retry loop
+    * (worker.rb:28-48) needs: a retried-then-succeeded table must not
+    * leave per-attempt error rows in the catalog, only the final
+    * verdict. Everything the attempt writes (data, sidecar) is
+    * Overwrite-idempotent, so a re-attempt after a partial failure is
+    * safe.
+    */
+  def exportTableAttempt(spark: SparkSession, cat: BackupCatalog,
+                         spec: ExportSpec, sessionName: String,
+                         destRoot: String): Outcome = {
       val src = spark.read.parquet(spec.srcPath)
       // S5 empty-table short-circuit (worker.rb:89,95-99): LocalLimit(1)
       // probe instead of launching the full job.
@@ -124,9 +151,11 @@ object Exporter {
         writer.format(spec.format).options(textFormatOptions).save(dest)
         // integrity metric the reference wants (README.textile:189-191):
         // count what was written, post-write, from the written files —
-        // schema-pinned for the text formats (csv/json carry no types)
+        // schema-pinned for the text formats (csv/json carry no types),
+        // FAILFAST so a value the pinned schema can't parse back fails
+        // the export instead of silently counting a nulled row
         val rows = spark.read.schema(windowed.schema).format(spec.format)
-          .options(textFormatOptions).load(dest).count()
+          .options(textReadOptions).load(dest).count()
         // job-log sidecar next to the data, as export.rb:167-168 —
         // underscore-prefixed so parquet readers ignore it
         TableOps.saveInfo(spark, s"$dest/_export_info.log",
@@ -139,15 +168,6 @@ object Exporter {
           descriptorRows(src, sessionName, spec.table))
         Exported(spec.table, rows, dest)
       }
-    } catch {
-      case e: Throwable =>
-        // error row + raise, as export.rb:156-164 / worker.rb:41-47
-        cat.exportedTableInfo(
-          TableRecord("export", spec.table, sessionName, spec.startMs,
-            spec.endMs, spec.versions, empty = false, error = true,
-            e.toString.take(500), -1L), Nil)
-        Failed(spec.table, e)
-    }
   }
 
   /** Options making the csv container round-trip-safe: an explicit
@@ -158,6 +178,14 @@ object Exporter {
   val textFormatOptions: Map[String, String] =
     Map("header" -> "true", "nullValue" -> "\\N")
 
+  /** Read-side variant of [[textFormatOptions]]: text-format parses
+    * abort on malformed or type-mismatched values (the PERMISSIVE
+    * default silently nulls them — on a restore path that is data
+    * corruption with matching row counts). Parquet ignores `mode`.
+    */
+  val textReadOptions: Map[String, String] =
+    textFormatOptions + ("mode" -> "FAILFAST")
+
   /** Bucketed export — the repeated-join layout. `bucketBy` pays the
     * shuffle ONCE at write time; every later join or aggregation keyed
     * on the bucket columns reads co-located, pre-sorted buckets and
@@ -167,21 +195,32 @@ object Exporter {
     * bucket ≈ one executor-core's working set. Bucket metadata lives
     * in the session catalog (`saveAsTable` is mandatory for bucketing);
     * `path` keeps the bytes at the backup destination.
+    *
+    * The metastore identifier is session-qualified
+    * ([[bucketedTableName]]) — a bare `table` key would let a second
+    * session's SaveMode.Overwrite replace the first session's entry and
+    * bucket metadata, orphaning its files (still readable as plain
+    * parquet, but no longer exchange-free joinable). This mirrors
+    * exportTable, whose dest path is already session-scoped.
     */
+  def bucketedTableName(table: String, sessionName: String): String =
+    s"${table}_$sessionName"
+
   def exportBucketed(spark: SparkSession, cat: BackupCatalog,
                      df: DataFrame, table: String, sessionName: String,
                      dest: String, bucketCols: Seq[String],
                      nBuckets: Int): Outcome = {
     try {
+      val ident = bucketedTableName(table, sessionName)
       df.write.mode(SaveMode.Overwrite)
         .option("path", dest)
         .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
         .format("parquet")
-        .saveAsTable(table)
+        .saveAsTable(ident)
       // same integrity machinery as exportTable: post-write count from
       // the written table, catalog record, job-log sidecar
-      val rows = spark.table(table).count()
+      val rows = spark.table(ident).count()
       TableOps.saveInfo(spark, s"$dest/_export_info.log",
         s"table=$table session=$sessionName rows=$rows " +
           s"bucketBy=${bucketCols.mkString(",")} buckets=$nBuckets\n")

@@ -60,13 +60,46 @@ object Importer {
                   importCat: BackupCatalog, table: String,
                   sessionName: String, destRoot: String,
                   targetPath: String,
-                  format: String = "parquet"): Outcome = {
-    try {
+                  format: String = "parquet"): Outcome =
+    try importTableAttempt(spark, exportCat, importCat, table, sessionName,
+      destRoot, targetPath, format)
+    catch {
+      case e: Throwable =>
+        recordImportFailure(importCat, table, sessionName, e)
+        Failed(table, e)
+    }
+
+  /** Error row, as worker.rb:41-42 — the "bury" half of the worker's
+    * error routing.
+    */
+  def recordImportFailure(importCat: BackupCatalog, table: String,
+                          sessionName: String, e: Throwable): Unit =
+    importCat.importedTableInfo(
+      TableRecord("import", table, sessionName, 0L, 0L, 0L,
+        empty = false, error = true, e.toString.take(500), -1L))
+
+  /** One import attempt that THROWS on failure instead of recording an
+    * error row — the orchestrator's transient-retry seam
+    * (worker.rb:28-48): only the final verdict lands in the catalog.
+    * NOTE a partially-failed Append write is NOT idempotent the way the
+    * export's Overwrite is; Spark's commit protocol makes the append
+    * all-or-nothing per attempt (task files only move to the target on
+    * job commit), so a retried attempt appends exactly once.
+    */
+  def importTableAttempt(spark: SparkSession, exportCat: BackupCatalog,
+                         importCat: BackupCatalog, table: String,
+                         sessionName: String, destRoot: String,
+                         targetPath: String,
+                         format: String = "parquet"): Outcome = {
       val src = Exporter.destPath(destRoot, sessionName, table)
       val descs = exportCat.columnDescriptorRows(sessionName, table)
       def readSrc(schema: Option[StructType]): DataFrame = {
+        // FAILFAST: a value the catalog-pinned schema can't parse must
+        // abort the restore, not silently become null (PERMISSIVE's
+        // default — row counts would still match while data corrupts).
+        // Parquet enforces types structurally and ignores `mode`.
         val r0 = spark.read.format(format)
-          .options(Exporter.textFormatOptions)
+          .options(Exporter.textReadOptions)
         val r = schema.fold(
           // text formats carry no types: infer only as a last resort
           // (no catalog descriptors to pin against)
@@ -110,6 +143,17 @@ object Importer {
         require(namesOk,
           s"schema mismatch for $table: catalog=${expected.fieldNames.toSeq} " +
             s"actual=${gotNames.toSeq}")
+        // a column absent from the whole sample is either null-omitted
+        // (benign) or physically lost (data loss the subset check can't
+        // distinguish) — surface it so an operator can cross-check the
+        // export catalog's per-column stats
+        if (format == "json") {
+          val absentFromSample = expected.fieldNames.toSet -- gotNames.toSet
+          if (absentFromSample.nonEmpty)
+            System.err.println(s"import $table: columns absent from the " +
+              s"sampled json lines (null-omitted or missing): " +
+              absentFromSample.toSeq.sorted.mkString(", "))
+        }
         // read under the CATALOG schema, not the discovered one: this
         // restores the original column order for partitioned layouts
         // (partition cols move to the end on discovery), defeats Hive
@@ -119,19 +163,20 @@ object Importer {
         // recorded types back.
         readSrc(Some(expected))
       } else readSrc(None)
-      df.write.mode(SaveMode.Append).parquet(targetPath)
-      val rows = df.count()
+      // single source scan: the write and the integrity row count share
+      // one pass via an Observation (a CollectMetrics node on the write
+      // plan). Counting the written target instead — Exporter's choice —
+      // would be wrong here: Append mode folds pre-existing target rows
+      // into the metric.
+      val obs = org.apache.spark.sql.Observation()
+      df.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+        .write.mode(SaveMode.Append).parquet(targetPath)
+      val rows = obs.get("rows").asInstanceOf[Long]
       importCat.importedTableInfo(
         TableRecord("import", table, sessionName, 0L, 0L, 0L,
           empty = rows == 0L, error = false, "", rows))
       Imported(table, rows, targetPath)
-    } catch {
-      case e: Throwable =>
-        importCat.importedTableInfo(
-          TableRecord("import", table, sessionName, 0L, 0L, 0L,
-            empty = false, error = true, e.toString.take(500), -1L))
-        Failed(table, e)
-    }
   }
 
   /** J2 — requested ∩ exported with a hard failure listing the missing

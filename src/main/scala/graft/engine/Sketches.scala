@@ -23,17 +23,37 @@ object Sketches {
     * verdict column appended (all other candidate columns pass
     * through — no join-back needed).
     *
-    * Keys of ANY type are supported: both sides are normalized to
-    * their canonical string form and xxhash64'd, so the filter and the
-    * probes always hash the same representation even when the two
-    * columns have different numeric widths (int keys vs bigint
-    * probes). The 64-bit pre-hash adds ~n²/2⁶⁴ collision probability —
-    * noise next to fpp. Null keys probe as non-members.
+    * Integral, string, boolean, date, timestamp and binary keys are
+    * supported: both sides are normalized to their canonical string
+    * form and xxhash64'd, so the filter and the probes always hash the
+    * same representation even when the two columns have different
+    * integer widths (int keys vs bigint probes). Fractional types
+    * (float/double/decimal) are REJECTED rather than silently
+    * mis-normalized — double 5.0 renders "5.0" while a bigint probe
+    * renders "5", a guaranteed false negative that would violate the
+    * no-false-negative integrity contract; pre-normalize such keys to
+    * a single type on both sides before calling. The 64-bit pre-hash
+    * adds ~n²/2⁶⁴ collision probability — noise next to fpp. Null keys
+    * probe as non-members.
     */
   def bloomMembership(spark: SparkSession, keys: DataFrame, keyCol: String,
                       candidates: DataFrame, candCol: String,
                       expectedItems: Long,
                       fpp: Double = 0.01): DataFrame = {
+    def rejectFractional(df: DataFrame, c: String): Unit = {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+      df.schema(c).dataType match {
+        case FloatType | DoubleType | _: DecimalType =>
+          throw new IllegalArgumentException(
+            s"bloomMembership: column '$c' is fractional — its string " +
+              "form ('5.0'/'5.00') can never match an integral probe's " +
+              "('5'), guaranteeing false negatives. Cast both sides to " +
+              "one type first.")
+        case _ => ()
+      }
+    }
+    rejectFractional(keys, keyCol)
+    rejectFractional(candidates, candCol)
     // xxhash64 maps null to the seed value, which would make null keys
     // "members" — null-gate both sides instead. xxhash64 is also
     // TYPE-sensitive (int 5, bigint 5, '5' hash differently), hence

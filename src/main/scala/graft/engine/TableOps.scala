@@ -66,6 +66,33 @@ object TableOps {
     finally out.close()
   }
 
+  /** Row count from parquet footers only — a driver-side metadata read,
+    * no Spark job and no data scan: every parquet file already carries
+    * its row count. This is how sketch sizing (e10) gets its capacity
+    * estimate: at production scale the number would come from the
+    * catalog's export-time stats (e05 records n_rows per table); for a
+    * standalone query the footer sum is the same statistic at the same
+    * (zero-job) cost. Recursive, so partitioned layouts count too.
+    */
+  def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new Path(dir)
+    val fs = path.getFileSystem(conf)
+    var total = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, conf))
+        try total += rd.getRecordCount
+        finally rd.close()
+      }
+    }
+    total
+  }
+
   /** Read back a saved info payload (round-trip of S8). */
   def readInfo(spark: SparkSession, url: String): String = {
     val path = new Path(url)

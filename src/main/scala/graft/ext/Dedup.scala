@@ -117,6 +117,72 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected near-dup pair set →
+    * `(doc_id, cluster_id, survivor)` — the step that turns pairwise
+    * candidates (jaccard/minhash/simhash/embedding pairs) into "keep
+    * one doc per duplicate cluster". `cluster_id` is the minimum doc id
+    * reachable through the pair graph (deterministic, like [[exact]]'s
+    * min-id survivor); `survivor` marks the cluster representative.
+    *
+    * Shape: Pregel-style min-label propagation with pointer jumping —
+    * each round (a) takes the min over neighbors' labels (one
+    * shuffle-agg over the EDGE list, never the corpus) and (b) path-
+    * halves by following the label's own label, so convergence is
+    * O(log diameter) rounds rather than O(diameter). The edge list is
+    * the near-dup pair set — tiny relative to a 100 TB corpus (dedup
+    * keeps it sparse by construction) — and both persisted frames are
+    * (long, long) pairs. The per-round convergence probe is a limit-1
+    * job over the changed-label set, not a count.
+    */
+  def clusters(pairs: DataFrame, aCol: String = "doc_a",
+               bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(lvl)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer jumping: my label's own label is ≤ my label (labels
+      // only ever decrease), so following it halves path lengths
+      val next = stepped.as("l")
+        .join(stepped.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("root")).as("r"), Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("cluster_id")).as("cluster_id"))
+        .persist(lvl)
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") < col("prev")).limit(1).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"clusters did not converge in $maxIters rounds — pathological " +
+        "chain-shaped dup graph; raise maxIters")
+    // eager localCheckpoint truncates the iterative lineage: the result
+    // (cluster membership — bounded by docs-that-have-a-dup, far below
+    // corpus size) stays materialized, so the working frames can be
+    // freed and later consumers don't replay the whole loop
+    val out = labels.select(col("doc_id"), col("cluster_id"),
+      (col("doc_id") === col("cluster_id")).as("survivor"))
+      .localCheckpoint(true)
+    edges.unpersist()
+    labels.unpersist()
+    out
+  }
+
   /** MinHash signatures: k universal-hash minima over the doc's
     * shingle set — k longs per doc, one shuffle (the per-doc min agg).
     */

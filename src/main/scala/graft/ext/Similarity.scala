@@ -184,9 +184,12 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥
     * threshold) — the dedup-flavored twin of top-k search. Brute
-    * pairwise here (exact, oracle-checkable); at corpus scale the
-    * candidate set comes from the same LSH banding as [[annTopK]] and
-    * only candidates pay the dot product.
+    * pairwise: O(n²) all-pairs, exact. This is the ORACLE/TRUTH form
+    * only — it is the recall baseline [[cosineDupPairsLsh]] is
+    * spec-tested against, and the oracle-checkable exact twin (d05) at
+    * small n. At corpus scale use [[cosineDupPairsLsh]] (d07), whose
+    * candidate set comes from sign-LSH banding and only candidates pay
+    * the dot product.
     */
   def cosineDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"),
@@ -194,6 +197,58 @@ object Similarity {
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cosine(col("a.emb"), col("b.emb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The signature table [[cosineDupPairsLsh]] self-joins — factored
+    * (and persisted) so the two join sides share one computation and
+    * [[releaseDupSignatures]] can plan-key the unpersist. More tables ×
+    * fewer bits than [[annTopK]]'s defaults: near-dup pairs sit at much
+    * higher cosine than top-k neighbors, so shorter bucket keys with
+    * more independent tables drive the miss probability of a true
+    * near-dup pair to ~0 (at cosine ≥ 0.99 a pair collides in ≥1 of 12
+    * 6-bit tables with p > 1 − 1e-7).
+    */
+  private def dupSignatures(embeddings: DataFrame, tables: Int, bits: Int,
+                            dim: Int): DataFrame =
+    signatures(
+      embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb")),
+      "vec_id", tables, bits, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def releaseDupSignatures(embeddings: DataFrame, tables: Int = 12,
+                           bits: Int = 6, dim: Int = 64): Unit =
+    dupSignatures(embeddings, tables, bits, dim).unpersist()
+
+  /** Candidate-pruned embedding near-dup pairs — the 100 TB form of
+    * [[cosineDupPairs]]: sign-LSH banding proposes candidate pairs via
+    * a bucket-equality self-join (shuffle on (table, bucket) of 8-byte
+    * keys — never all-pairs), exact cosine verifies each candidate, so
+    * precision is 1.0 by construction and recall is the banding's
+    * collision probability (spec-tested at 1.0 on planted near-dups).
+    * Skewed buckets split under AQE since the join is a plain
+    * equi-join.
+    */
+  def cosineDupPairsLsh(embeddings: DataFrame, threshold: Double,
+                        tables: Int = 12, bits: Int = 6,
+                        dim: Int = 64): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val sig = dupSignatures(embeddings, tables, bits, dim)
+    val candidates = sig.as("x").join(sig.as("y"),
+        col("x.tbl") === col("y.tbl") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct() // a pair can collide in several tables
+    candidates
+      .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")),
+        "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")),
+        "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

@@ -24,16 +24,32 @@ import org.apache.spark.sql.SparkSession
   * Deliberate fix vs the reference: `end_info` is written only after
   * every table job COMPLETES, not after the last job is enqueued
   * (export.rb:96 marks enqueue-completion — SURVEY.md §3.1 step 8).
+  *
+  * Failure routing mirrors worker.rb:28-48 via [[Retry]]: transient
+  * (IO-ish) failures re-attempt up to `maxAttempts` with doubling
+  * delay and leave NO per-attempt error rows; hard failures (and
+  * exhausted retries) record one error row and move on — the
+  * record-and-bury path.
   */
-final class BackupRunner(spark: SparkSession, cat: BackupCatalog,
-                         maxConcurrent: Int = 6) {
+class BackupRunner(spark: SparkSession, cat: BackupCatalog,
+                   maxConcurrent: Int = 6,
+                   maxAttempts: Int = 3,
+                   retryBaseDelayMs: Long = 500,
+                   sleep: Long => Unit = Thread.sleep) {
 
-  final case class SessionSummary(sessionName: String,
-                                  outcomes: Seq[Outcome]) {
-    def failed: Seq[Outcome] = outcomes.collect {
-      case f: Exporter.Failed => f
-    }
-  }
+  /** One export attempt (throws on failure) — overridable spec seam. */
+  protected def exportAttempt(spec: ExportSpec, sessionName: String,
+                              destRoot: String): Outcome =
+    Exporter.exportTableAttempt(spark, cat, spec, sessionName, destRoot)
+
+  /** One import attempt (throws on failure) — overridable spec seam. */
+  protected def importAttempt(exportCat: BackupCatalog, table: String,
+                              sessionName: String, destRoot: String,
+                              targetPath: String): Importer.Outcome =
+    Importer.importTableAttempt(spark, exportCat, cat, table, sessionName,
+      destRoot, targetPath)
+
+  import BackupRunner.SessionSummary
 
   private val fairMode =
     spark.sparkContext.getConf.get("spark.scheduler.mode", "FIFO")
@@ -85,8 +101,14 @@ final class BackupRunner(spark: SparkSession, cat: BackupCatalog,
       // recorded: idempotent re-run of a crashed session.
       if (cat.exists("export", spec.table, sessionName))
         Exporter.Skipped(spec.table): Outcome
-      else Exporter.exportTable(spark, cat, spec, sessionName, destRoot)
-    } { (spec, e) => Exporter.Failed(spec.table, e) }
+      else Retry.withRetry(maxAttempts, retryBaseDelayMs, sleep) {
+        exportAttempt(spec, sessionName, destRoot)
+      }
+    } { (spec, e) =>
+      // bury: one error row for the final verdict (worker.rb:41-47)
+      Exporter.recordExportFailure(cat, spec, sessionName, e)
+      Exporter.Failed(spec.table, e)
+    }
 
     val failures = outcomes.collect { case f: Exporter.Failed => f }
     cat.endInfo("export", sessionName, endedAt = nowMs + 1,
@@ -111,9 +133,14 @@ final class BackupRunner(spark: SparkSession, cat: BackupCatalog,
       destRoot, 0L, 0L, nowMs, 0L, error = false, ""))
 
     val outcomes = runBounded(tables) { t =>
-      Importer.importTable(spark, exportCat, cat, t, sessionName,
-        destRoot, s"$targetRoot/$t"): Importer.Outcome
-    } { (t, e) => Importer.Failed(t, e) }
+      Retry.withRetry(maxAttempts, retryBaseDelayMs, sleep) {
+        importAttempt(exportCat, t, sessionName, destRoot,
+          s"$targetRoot/$t"): Importer.Outcome
+      }
+    } { (t, e) =>
+      Importer.recordImportFailure(cat, t, sessionName, e)
+      Importer.Failed(t, e)
+    }
 
     val failures = outcomes.collect { case f: Importer.Failed => f }
     cat.endInfo("import", sessionName, endedAt = nowMs + 1,
@@ -121,5 +148,14 @@ final class BackupRunner(spark: SparkSession, cat: BackupCatalog,
       errorInfo = failures.map(f => s"${f.table}: ${f.e.getMessage}")
         .mkString("; ").take(500))
     outcomes
+  }
+}
+
+object BackupRunner {
+  final case class SessionSummary(sessionName: String,
+                                  outcomes: Seq[Exporter.Outcome]) {
+    def failed: Seq[Exporter.Outcome] = outcomes.collect {
+      case f: Exporter.Failed => f
+    }
   }
 }

@@ -56,8 +56,13 @@ object AnalyticsQueries {
     },
 
     /** q05 — star join through region→nation→customer→orders→lineitem
-      * with the supplier co-location predicate. All dims broadcast;
-      * the single shuffle is the final group-by on n_name.
+      * with the supplier co-location predicate. nation/region are
+      * fixed-cardinality (25/5 rows at every SF) so they carry explicit
+      * broadcast hints; customer and supplier scale linearly with SF, so
+      * the hint is deliberately omitted — AQE broadcasts them at small
+      * SF and falls back to shuffle joins when they outgrow the
+      * broadcast threshold at cluster scale. The single guaranteed
+      * shuffle is the final group-by on n_name.
       */
     "q05_region_revenue" -> { (s, d) =>
       val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
@@ -71,8 +76,8 @@ object AnalyticsQueries {
       val l = Tables.lineitem(s, d)
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cdim), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup),
+        .join(cdim, col("o_custkey") === col("c_custkey"))
+        .join(sup,
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))

@@ -34,6 +34,18 @@ object DedupQueries {
       graft.ext.Pipeline.cleanCorpus(Tables.documents(s, d))
     },
 
+    /** d08 — duplicate-cluster formation + survivor selection over the
+      * d02 jaccard pair set: connected components (min-id label
+      * propagation with pointer jumping) turn pairwise candidates into
+      * "keep one per cluster" — the last step of a production dedup
+      * pass. Oracle: the same components via a recursive CTE.
+      */
+    "d08_dup_clusters" -> { (s, d) =>
+      Dedup.clusters(
+        Dedup.jaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.5,
+          maxDf = 50))
+    },
+
     /** d06 — chunk-level (paragraph/boilerplate) dedup: chunk every
       * doc, find chunk digests shared across >1 document. Composition
       * of x06 chunking + d01 exact-dedup grouping — the pipeline shape
@@ -57,24 +69,51 @@ object DedupQueries {
       |        i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
       |    FROM documents))""".stripMargin
 
-  // d02's Spark side joins on xxhash64(shingle) purely as a compact
-  // join key; the oracle joins on the raw shingle string — results are
-  // identical short of a 64-bit collision.
-  private val d02Sql =
-    s"""WITH $shinglesCte,
+  /** The d02 jaccard-pair CTE chain, shared by d02 and d08's oracle. */
+  private val jaccardCtes =
+    s"""$shinglesCte,
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
        |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s)),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
        |  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  // d02's Spark side joins on xxhash64(shingle) purely as a compact
+  // join key; the oracle joins on the raw shingle string — results are
+  // identical short of a 64-bit collision.
+  private val d02Sql =
+    s"""WITH $jaccardCtes
        |SELECT doc_a, doc_b,
        |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
        |FROM inter
        |JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""".stripMargin
+
+  // d08: connected components of the d02 pair graph. The oracle builds
+  // the transitive closure with a recursive CTE (fine at oracle scale;
+  // the Spark side is the log-rounds label propagation).
+  private val d08Sql =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, reach.r FROM edges e
+       |  JOIN reach ON reach.id = e.dst)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id,
+       |  (id = MIN(r)) AS survivor
+       |FROM reach GROUP BY id""".stripMargin
 
   private val d03Sql = {
     val minhashCols = (0 until K).map(i =>
@@ -163,6 +202,7 @@ object DedupQueries {
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
     "d02_jaccard_pairs" -> d02Sql,
+    "d08_dup_clusters" -> d08Sql,
     "d03_minhash_lsh" -> d03Sql,
     "d04_simhash_pairs" -> d04Sql,
 

@@ -145,11 +145,14 @@ object EngineQueries {
       val absent = Tables.orders(s, d)
         .select((-col("o_orderkey") - lit(1L)).as("k"),
           lit(false).as("present"))
-      // size the filter from the data (a hardcoded capacity saturates at
-      // larger sf and the realized fpp quietly degrades toward 1)
-      val nKeys = li.agg(
-        approx_count_distinct(col("l_orderkey"), 0.05).as("n"))
-        .first().getLong(0)
+      // size the filter from metadata, not a data scan: l_orderkey's NDV
+      // is bounded by the orders row count, which parquet footers carry
+      // for free (driver-side read, zero Spark jobs — the catalog's
+      // export-time e05 stats would supply the same number in a backup
+      // workflow). A hardcoded capacity saturates at larger sf and the
+      // realized fpp quietly degrades toward 1.
+      val nKeys = graft.engine.TableOps.parquetRowCount(
+        s, graft.Tables.path(d, "orders"))
       Sketches.bloomMembership(s, li, "l_orderkey",
           present.unionAll(absent), "k",
           expectedItems = math.max(2 * nKeys, 1000L), fpp = 0.01)

@@ -28,10 +28,23 @@ object SimilarityQueries {
     },
 
     /** d05 — embedding-cosine near-dup pairs (threshold tuned to the
-      * isotropic corpus: max pairwise cosine ≈ 0.48).
+      * isotropic corpus: max pairwise cosine ≈ 0.48). Exact all-pairs:
+      * the oracle-checkable truth twin of d07, kept at small n only.
       */
     "d05_embedding_dups" -> { (s, d) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, d), 0.4)
+    },
+
+    /** d07 — candidate-pruned near-dup pairs: the scale path (LSH
+      * banding → bucket join → exact verify; no all-pairs anywhere).
+      * Engine-only: the hyperplane signatures aren't SQL-expressible.
+      * Precision vs d05 is 1.0 by construction (exact re-verification);
+      * recall on this isotropic corpus at threshold 0.4 is deliberately
+      * partial (banding prunes weak pairs — near-dup recall is what the
+      * spec pins at 1.0 on planted dups).
+      */
+    "d07_embedding_dups_lsh" -> { (s, d) =>
+      Similarity.cosineDupPairsLsh(Tables.embeddings(s, d), 0.4)
     },
 
     /** m01 — multimodal feature extraction through the binary-column
@@ -75,30 +88,60 @@ object SimilarityQueries {
 
     /** x05 — label-centroid similarity: mean embedding per label, then
       * each vector's cosine to its own label centroid (the
-      * embedding-quality probe of a curation pipeline). Exact decimal
-      * mean via per-dimension explode — engine-only (no oracle:
-      * centroid float summation order is engine-specific).
+      * embedding-quality probe of a curation pipeline).
+      *
+      * Oracle-checkable formulation: every float reduction goes through
+      * a decimal cast (exact, order-free — the dsum trick of
+      * [[graft.queries]]), so centroid components, dot products and
+      * norms are bit-identical across engines; sqrt and the final
+      * division are single IEEE ops on identical doubles. Fully
+      * relational (explode → two hash aggregations + one broadcast
+      * join) — at 100 TB this is two ordinary shuffles on (label,dim)
+      * and vec_id, no arrays of state anywhere.
       */
     "x05_label_centroid_sim" -> { (s, d) =>
-      val e = Similarity.withNorm(Tables.embeddings(s, d))
-      val byDim = e.select(col("vec_id"), col("label"),
-          posexplode(col("emb")).as(Seq("dim", "v")))
+      val byDim = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "v")))
+      // exact mean: decimal sum surfaced as double, ONE double division
+      // (the op order DuckDB performs — see davg's contract)
       val centroids = byDim.groupBy(col("label"), col("dim"))
-        .agg(avg(col("v")).as("c"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
-          .as("cs"))
-        .select(col("label"),
-          transform(col("cs"), s => s.getField("c")).as("centroid"))
-      val withC = e.join(broadcast(centroids), "label")
-      withC.select(col("vec_id"), col("label"),
-        round(Similarity.dot(col("emb"), col("centroid")) /
-          (col("norm") *
-            sqrt(aggregate(col("centroid"), lit(0.0),
-              (acc, x) => acc + x * x))), 4).as("centroid_sim"))
+        .agg((sum(col("v").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("c"))
+      byDim.join(broadcast(centroids), Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(
+          sum((col("v") * col("c")).cast("decimal(38,18)")).cast("double")
+            .as("dot"),
+          sum((col("v") * col("v")).cast("decimal(38,18)")).cast("double")
+            .as("vn"),
+          sum((col("c") * col("c")).cast("decimal(38,18)")).cast("double")
+            .as("cn"))
+        .select(col("vec_id"), col("label"),
+          round(col("dot") / (sqrt(col("vn")) * sqrt(col("cn"))), 4)
+            .as("centroid_sim"))
     })
 
   val oracles: Map[String, String] = Map(
+    "x05_label_centroid_sim" ->
+      """WITH byd AS (
+        |  SELECT vec_id, label, i AS dim, emb[i+1] AS v
+        |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+        |               unnest(range(0, len(embedding))) AS i
+        |        FROM embeddings)),
+        |cent AS (
+        |  SELECT label, dim,
+        |    CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+        |  FROM byd GROUP BY label, dim)
+        |SELECT b.vec_id, b.label,
+        |  round(CAST(SUM(CAST(b.v * c.c AS DECIMAL(38,18))) AS DOUBLE) /
+        |    (sqrt(CAST(SUM(CAST(b.v * b.v AS DECIMAL(38,18))) AS DOUBLE)) *
+        |     sqrt(CAST(SUM(CAST(c.c * c.c AS DECIMAL(38,18))) AS DOUBLE))), 4)
+        |    AS centroid_sim
+        |FROM byd b JOIN cent c ON b.label = c.label AND b.dim = c.dim
+        |GROUP BY b.vec_id, b.label""".stripMargin,
+
     "s01_cosine_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

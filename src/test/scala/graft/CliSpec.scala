@@ -1,0 +1,127 @@
+package graft
+
+import graft.Cli.CliError
+
+/** The three commands end-to-end plus the reference's exact option
+  * validations (cli.rb:150-154 export, :259 import).
+  */
+class CliSpec extends SparkTestBase {
+
+  private val now = 1704067200000L // 2024-01-01T00:00:00Z
+
+  test("export --tables runs end-to-end and records the session") {
+    val dest = tmpDir("cli-bk")
+    val out = Cli.run(spark, Seq("export",
+      "--source-dir", sf0001, "--dest-root", dest,
+      "--tables", "region,nation", "--session-name", "s1"), now)
+    assert(out.contains("region: exported rows=5"))
+    assert(out.contains("nation: exported rows=25"))
+    assert(out.contains("session s1: 2 tables, 0 failed"))
+    // data landed in the reference's namespace, catalog alongside
+    assert(spark.read.parquet(s"$dest/s1/region").count() == 5)
+    val cat = new catalog.BackupCatalog(spark, s"$dest/_catalog")
+    assert(cat.exists("export", "nation", "s1"))
+  }
+
+  test("export --all discovers every table in the source dir") {
+    val dest = tmpDir("cli-bk-all")
+    // a private source dir with a known table set (sf dirs have 10)
+    val src = tmpDir("cli-src")
+    Tables.region(spark, sf0001).write.parquet(s"$src/region.parquet")
+    Tables.nation(spark, sf0001).write.parquet(s"$src/nation.parquet")
+    val out = Cli.run(spark, Seq("export",
+      "--source-dir", src, "--dest-root", dest, "--all",
+      "--session-name", "s2"), now)
+    assert(out.contains("session s2: 2 tables, 0 failed"))
+  }
+
+  test("import restores an exported session into the target root") {
+    val dest = tmpDir("cli-bk2")
+    val target = tmpDir("cli-restore")
+    Cli.run(spark, Seq("export", "--source-dir", sf0001,
+      "--dest-root", dest, "--tables", "region,nation",
+      "--session-name", "s1"), now)
+    val out = Cli.run(spark, Seq("import", "--source-root", dest,
+      "--session-name", "s1", "--target-root", target,
+      "--tables", "region"), now)
+    assert(out.contains("region: imported rows=5"))
+    assert(spark.read.parquet(s"$target/region").count() == 5)
+  }
+
+  test("import --pattern narrows by SQL wildcard") {
+    val dest = tmpDir("cli-bk3")
+    val target = tmpDir("cli-restore3")
+    Cli.run(spark, Seq("export", "--source-dir", sf0001,
+      "--dest-root", dest, "--tables", "region,nation",
+      "--session-name", "s1"), now)
+    val out = Cli.run(spark, Seq("import", "--source-root", dest,
+      "--session-name", "s1", "--target-root", target,
+      "--pattern", "reg%"), now)
+    assert(out.contains("region: imported"))
+    assert(!out.contains("nation: imported"))
+  }
+
+  test("db prints sessions and (with --table-name) their table rows") {
+    val dest = tmpDir("cli-bk4")
+    Cli.run(spark, Seq("export", "--source-dir", sf0001,
+      "--dest-root", dest, "--tables", "region,nation",
+      "--session-name", "20240101_000000"), now)
+    val sessionsOnly = Cli.run(spark, Seq("db",
+      "--catalog-root", s"$dest/_catalog",
+      "--session-name", "20240101_%"), now)
+    assert(sessionsOnly.startsWith("20240101_000000:"))
+    assert(!sessionsOnly.contains("  region:"))
+    val withTables = Cli.run(spark, Seq("db",
+      "--catalog-root", s"$dest/_catalog",
+      "--session-name", "20240101_%", "--table-name", "%"), now)
+    assert(withTables.contains("  region:") && withTables.contains("  nation:"))
+    assert(withTables.contains("row_count: 5"))
+    val none = Cli.run(spark, Seq("db",
+      "--catalog-root", s"$dest/_catalog", "--session-name", "1999%"), now)
+    assert(none.contains("no export sessions match"))
+  }
+
+  test("export validation: --all and --tables are exclusive (cli.rb:150-154)") {
+    val e = intercept[CliError] {
+      Cli.run(spark, Seq("export", "--source-dir", sf0001,
+        "--dest-root", "/tmp/x", "--all", "--tables", "region"), now)
+    }
+    assert(e.message == "Can only choose one of --all or --tables")
+  }
+
+  test("export validation: neither --all nor --tables is an error") {
+    val e = intercept[CliError] {
+      Cli.run(spark, Seq("export", "--source-dir", sf0001,
+        "--dest-root", "/tmp/x"), now)
+    }
+    assert(e.message.startsWith("Invalid option combination"))
+  }
+
+  test("import validation: --tables and --pattern are exclusive (cli.rb:259)") {
+    val e = intercept[CliError] {
+      Cli.run(spark, Seq("import", "--source-root", "/tmp/x",
+        "--session-name", "s1", "--target-root", "/tmp/y",
+        "--tables", "a", "--pattern", "%"), now)
+    }
+    assert(e.message == "Can not set both --tables and --pattern")
+  }
+
+  test("missing required options and unknown commands fail loudly") {
+    assert(intercept[CliError] {
+      Cli.run(spark, Seq("export", "--tables", "region"), now)
+    }.message.contains("--source-dir"))
+    assert(intercept[CliError] {
+      Cli.run(spark, Seq("frobnicate"), now)
+    }.message.contains("unknown command"))
+    assert(intercept[CliError] { Cli.run(spark, Seq.empty, now) }
+      .message.contains("usage"))
+  }
+
+  test("option parser: = form, kebab/snake equivalence, flags") {
+    val o = Cli.parseOpts(Seq("--dest-root=/x", "--session_name", "s",
+      "--all"))
+    assert(o == Map("dest_root" -> "/x", "session_name" -> "s",
+      "all" -> "true"))
+    assert(Cli.defaultSessionName(now) == "20240101_000000")
+  }
+}

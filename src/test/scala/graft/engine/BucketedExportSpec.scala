@@ -28,8 +28,8 @@ class BucketedExportSpec extends SparkTestBase {
       // force the shuffle-join path: broadcast would trivially avoid the
       // exchange we are asserting the bucketing avoids
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("bk_lineitem")
-        .join(spark.table("bk_orders"),
+      val joined = spark.table(Exporter.bucketedTableName("bk_lineitem", "s1"))
+        .join(spark.table(Exporter.bucketedTableName("bk_orders", "s1")),
           col("l_orderkey") === col("o_orderkey"))
       joined.collect()
       val p = joined.queryExecution.executedPlan.toString
@@ -41,8 +41,28 @@ class BucketedExportSpec extends SparkTestBase {
       assert(joined.except(plain).isEmpty && plain.except(joined).isEmpty)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS bk_lineitem")
-      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem_s1")
+      spark.sql("DROP TABLE IF EXISTS bk_orders_s1")
+    }
+  }
+
+  test("two sessions' bucketed exports of one table coexist in the metastore") {
+    // a bare-table identifier would let session 2's Overwrite replace
+    // session 1's entry and orphan its bucket metadata
+    val dir = tmpDir("bucketed-two")
+    val cat = new graft.catalog.BackupCatalog(spark, tmpDir("bk-cat3"))
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    Exporter.exportBucketed(spark, cat, li, "bk_two",
+      "s1", s"$dir/s1", Seq("l_orderkey"), 4)
+    Exporter.exportBucketed(spark, cat, li, "bk_two",
+      "s2", s"$dir/s2", Seq("l_orderkey"), 4)
+    try {
+      val n1 = spark.table(Exporter.bucketedTableName("bk_two", "s1")).count()
+      val n2 = spark.table(Exporter.bucketedTableName("bk_two", "s2")).count()
+      assert(n1 == n2 && n1 == li.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_two_s1")
+      spark.sql("DROP TABLE IF EXISTS bk_two_s2")
     }
   }
 
@@ -54,7 +74,7 @@ class BucketedExportSpec extends SparkTestBase {
     Exporter.exportBucketed(spark, cat, li, "bk_li_agg",
       "s1", s"$dir/lineitem", Seq("l_orderkey"), 4)
     try {
-      val agg = spark.table("bk_li_agg")
+      val agg = spark.table(Exporter.bucketedTableName("bk_li_agg", "s1"))
         .groupBy("l_orderkey")
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
       agg.collect()
@@ -62,7 +82,7 @@ class BucketedExportSpec extends SparkTestBase {
       assert(!p.contains("Exchange"),
         s"bucketed aggregation should be shuffle-free:\n${p.take(600)}")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS bk_li_agg")
+      spark.sql("DROP TABLE IF EXISTS bk_li_agg_s1")
     }
   }
 }

@@ -30,6 +30,31 @@ class DedupSpec extends SparkTestBase {
     assert(banded.except(brute).isEmpty && brute.except(banded).isEmpty)
   }
 
+  test("clusters: components, min-id survivor, transitivity via chains") {
+    import spark.implicits._
+    // components: {1,2,3} via a chain (1-2, 2-3 — transitive, no 1-3
+    // edge), {10,11}, and a longer chain {20..24} exercising multiple
+    // propagation rounds
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false),
+      20L -> (20L, true), 21L -> (20L, false), 22L -> (20L, false),
+      23L -> (20L, false), 24L -> (20L, false)))
+  }
+
+  test("clusters on an empty pair set is empty, not an error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clusters(empty).isEmpty)
+  }
+
   test("exact dedup groups identical texts deterministically") {
     import spark.implicits._
     val withDups = docs.select("doc_id", "text").unionAll(

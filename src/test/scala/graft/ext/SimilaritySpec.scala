@@ -87,6 +87,51 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivfAll.count() < 10 * n / 2, "IVF probing isn't pruning")
   }
 
+  test("LSH near-dup pairs: recall 1.0 on planted dups, precision 1.0 always") {
+    // planted triplets (i, 1000+i, 2000+i) sit at cosine ≈ 0.997 —
+    // true near-dups; isotropic non-pairs top out near 0.35, so at
+    // threshold 0.9 ground truth is exactly the 3 pairs per triplet.
+    import spark.implicits._
+    def mixD(s: Long, j: Int): Double = {
+      var z = s * 64 + j + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53) - 0.5
+    }
+    val base = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(j => mixD(i, j).toFloat))
+    }
+    val planted = base.flatMap { case (i, v) =>
+      Seq((i, v)) ++ Seq(1, 2).map { c =>
+        (1000L * c + i,
+          v.zipWithIndex.map { case (x, j) =>
+            x + 0.08f * mixD(i * 7919 + c, j).toFloat })
+      }
+    }
+    val df = planted.toDF("vec_id", "embedding")
+    try {
+      val truth = Similarity.cosineDupPairs(df, 0.9)
+        .select("vec_a", "vec_b")
+      val lsh = Similarity.cosineDupPairsLsh(df, 0.9)
+        .select("vec_a", "vec_b")
+      assert(truth.count() == 600L, "expected 3 pairs per planted triplet")
+      assert(lsh.except(truth).isEmpty,
+        "LSH near-dup emitted a pair brute force rejects (precision < 1)")
+      assert(truth.except(lsh).isEmpty,
+        "banding missed a true near-dup pair (recall < 1)")
+    } finally Similarity.releaseDupSignatures(df)
+  }
+
+  test("LSH near-dup pairs are a subset of brute force on the corpus") {
+    // exact verification makes precision 1.0 by construction, at any
+    // threshold, even where banding recall is partial (isotropic data)
+    try {
+      val brute = Similarity.cosineDupPairs(emb, 0.4).select("vec_a", "vec_b")
+      val lsh = Similarity.cosineDupPairsLsh(emb, 0.4).select("vec_a", "vec_b")
+      assert(lsh.except(brute).isEmpty)
+    } finally Similarity.releaseDupSignatures(emb)
+  }
+
   test("top-k ranking is deterministic across runs") {
     val a = Similarity.cosineTopK(emb, queries, 3).collect().toSeq
     val b = Similarity.cosineTopK(emb, queries, 3).collect().toSeq

@@ -54,6 +54,86 @@ class BackupRunnerSpec extends SparkTestBase {
       .count() == 1)
   }
 
+  /** Runner whose export attempts fail with `failures` injected
+    * throwables before succeeding for real — the worker.rb:28-48
+    * release-vs-bury routing under test. Sleeps are captured, not
+    * slept.
+    */
+  private class FlakyRunner(cat: BackupCatalog,
+                            failures: scala.collection.mutable.Queue[Throwable])
+      extends BackupRunner(spark, cat, maxConcurrent = 1, maxAttempts = 3,
+        retryBaseDelayMs = 100, sleep = _ => ()) {
+    var attempts = 0
+    override protected def exportAttempt(spec: ExportSpec, sessionName: String,
+                                         destRoot: String): Exporter.Outcome = {
+      attempts += 1
+      if (failures.nonEmpty) throw failures.dequeue()
+      super.exportAttempt(spec, sessionName, destRoot)
+    }
+  }
+
+  test("transient failures are retried then succeed, with no error rows") {
+    val cat = new BackupCatalog(spark, tmpDir("cat"))
+    val flaky = scala.collection.mutable.Queue[Throwable](
+      new java.io.IOException("fs hiccup 1"),
+      new java.io.IOException("fs hiccup 2"))
+    val runner = new FlakyRunner(cat, flaky)
+    val summary = runner.exportAll(specs("region"), "c", "s1", tmpDir("bk"), 1L)
+    assert(runner.attempts == 3, s"expected 2 retries, got ${runner.attempts}")
+    assert(summary.failed.isEmpty)
+    assert(summary.outcomes.collect { case e: Exporter.Exported => e.table }
+      == Seq("region"))
+    // retried-then-succeeded leaves exactly ONE catalog row, no error rows
+    assert(cat.tables.filter(t => t.table_name == "region").count() == 1)
+    assert(cat.tables.filter(_.error).count() == 0)
+    val sess = cat.sessions.collect().head
+    assert(!sess.error)
+  }
+
+  test("transient failures bury after maxAttempts with one error row") {
+    val cat = new BackupCatalog(spark, tmpDir("cat"))
+    val flaky = scala.collection.mutable.Queue[Throwable](
+      new java.io.IOException("down 1"),
+      new java.io.IOException("down 2"),
+      new java.io.IOException("down 3"))
+    val runner = new FlakyRunner(cat, flaky)
+    val summary = runner.exportAll(specs("region"), "c", "s1", tmpDir("bk"), 1L)
+    assert(runner.attempts == 3, "must stop at maxAttempts")
+    assert(summary.failed.map(_.table) == Seq("region"))
+    // buried: exactly one error row, session marked errored
+    assert(cat.tables.filter(t => t.table_name == "region" && t.error)
+      .count() == 1)
+    assert(cat.sessions.collect().head.error)
+  }
+
+  test("hard failures bury immediately — no retry") {
+    val cat = new BackupCatalog(spark, tmpDir("cat"))
+    val flaky = scala.collection.mutable.Queue[Throwable](
+      new IllegalArgumentException("schema mismatch — retrying cannot fix"))
+    val runner = new FlakyRunner(cat, flaky)
+    val summary = runner.exportAll(specs("region"), "c", "s1", tmpDir("bk"), 1L)
+    assert(runner.attempts == 1, "hard failure must not be retried")
+    assert(summary.failed.map(_.table) == Seq("region"))
+    assert(cat.tables.filter(_.error).count() == 1)
+  }
+
+  test("retry backoff doubles per reiteration (db.rb.old:46-47)") {
+    val slept = scala.collection.mutable.Buffer.empty[Long]
+    val e = intercept[java.io.IOException] {
+      Retry.withRetry(4, 100L, slept += _) {
+        throw new java.io.IOException("always down")
+      }
+    }
+    assert(e.getMessage == "always down")
+    assert(slept.toSeq == Seq(100L, 200L, 400L))
+  }
+
+  test("cause-chain transience: a wrapped IO failure is transient") {
+    assert(Retry.isTransient(new RuntimeException("wrapper",
+      new java.net.SocketTimeoutException("read timed out"))))
+    assert(!Retry.isTransient(new IllegalStateException("bad plan")))
+  }
+
   test("incremental plan picks up at each table's watermark") {
     val cat = new BackupCatalog(spark, tmpDir("cat"))
     val runner = new BackupRunner(spark, cat, maxConcurrent = 2)

@@ -29,12 +29,18 @@ class PlanSpec extends SparkTestBase {
       s"scan reads unprojected columns: $readSchema")
   }
 
-  test("q05 star join: every dimension side is broadcast, not shuffled") {
-    val p = plan("q05_region_revenue")
+  test("q05 star join: AQE broadcasts every dimension side at small SF") {
+    // customer/supplier deliberately carry NO broadcast hint (they scale
+    // with SF; a hint would bypass AQE's size check and OOM at 100 TB).
+    // At small SF AQE must still pick broadcast for all four dim joins —
+    // run the query so the adaptive plan is final, then assert on it.
+    val df = SparkEntry.queries("q05_region_revenue")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
     assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
     assert(!p.contains("SortMergeJoin"),
-      "a dimension join degraded to sort-merge")
+      "a dimension join degraded to sort-merge at small SF")
   }
 
   test("q01 aggregate: map-side partial aggregation before the shuffle") {
