@@ -222,6 +222,33 @@ object TextAnalysis {
       .filter(col("bucket") < pct)
       .select(col("doc_id"), col("source"))
 
+  /** PII patterns (C4/Dolma-style scrubbing): email addresses and
+    * international-ish phone numbers. Deliberately RE2-compatible (no
+    * backrefs/lookaround) so the DuckDB oracle runs the identical
+    * patterns.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction — the scrub step every shipped training corpus
+    * runs: emails then phone numbers replaced by sentinel tokens, with
+    * per-doc match counts for the removal audit. Narrow codegen'd map
+    * (regexp only), zero shuffles — scan-speed over 100 TB like every
+    * other operator in this file. Phone counting runs on the
+    * email-redacted text so an address's digits can't double-count.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val deEmailed = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    docs.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+          .cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(deEmailed, lit(PhonePattern), lit(0)))
+          .cast("long"))
+      .withColumn("clean_text",
+        regexp_replace(deEmailed, PhonePattern, "<PHONE>"))
+  }
+
   /** Document fingerprints: content digest (md5) + 60-bit integer
     * fingerprint for compact joins.
     */

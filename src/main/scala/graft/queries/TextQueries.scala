@@ -26,6 +26,25 @@ object TextQueries {
     "x06_chunking" -> { (s, d) =>
       TextAnalysis.chunk(Tables.documents(s, d), window = 40, stride = 30)
     },
+
+    /** x14 — PII redaction. The synthetic corpus contains no PII, so
+      * the query redacts a deterministically PII-AUGMENTED column
+      * (every doc gains one email + one phone derived from its id):
+      * the operator's counting and replacement mechanics are fully
+      * oracle-checked with real matches. The redacted text crosses the
+      * oracle boundary as an md5 digest (compact, order-free).
+      */
+    "x14_redact_pii" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact doc"),
+          col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+          .as("text"))
+      TextAnalysis.redactPii(aug)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("clean_text")).as("redacted_digest"))
+    },
     "x07_bpe_tokens" -> { (s, d) =>
       import org.apache.spark.sql.functions.col
       Tables.documents(s, d).select(col("doc_id"),
@@ -79,6 +98,27 @@ object TextQueries {
          |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "x14_redact_pii" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' contact doc' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com or +1-555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM documents),
+         |de AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text,
+         |      '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_emails,
+         |    regexp_replace(text, '${TextAnalysis.EmailPattern}',
+         |      '<EMAIL>', 'g') AS de_emailed
+         |  FROM aug)
+         |SELECT doc_id, n_emails,
+         |  CAST(len(regexp_extract_all(de_emailed,
+         |    '${TextAnalysis.PhonePattern}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(de_emailed, '${TextAnalysis.PhonePattern}',
+         |    '<PHONE>', 'g')) AS redacted_digest
+         |FROM de""".stripMargin,
+
     "x01_token_stats" ->
       """SELECT doc_id, n_chars,
         |  len(string_split(text, ' ')) AS n_tokens,

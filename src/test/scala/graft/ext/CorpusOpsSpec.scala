@@ -11,6 +11,30 @@ class CorpusOpsSpec extends SparkTestBase {
 
   private lazy val docs = Tables.documents(spark, sf0001)
 
+  test("PII redaction scrubs every email/phone and counts them") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "write to alice.smith+spam@mail.example.org or bob@ex.io now"),
+      (2L, "call +1-555-0199 or 44-555-1234 tomorrow"),
+      (3L, "mixed carol@corp.net and +1-555-7777 here"),
+      (4L, "nothing sensitive in this one"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2 == 0L)
+    assert(got(2L) == ((0L, 2L,
+      "call <PHONE> or <PHONE> tomorrow")))
+    assert(got(3L) == ((1L, 1L, "mixed <EMAIL> and <PHONE> here")))
+    assert(got(4L) == ((0L, 0L, "nothing sensitive in this one")))
+    // nothing matching the patterns survives redaction
+    val residue = TextAnalysis.redactPii(rows).filter(
+      col("clean_text").rlike(TextAnalysis.EmailPattern) ||
+        col("clean_text").rlike(TextAnalysis.PhonePattern))
+    assert(residue.isEmpty)
+  }
+
   test("contamination flags a planted copy and nothing from disjoint text") {
     import spark.implicits._
     val corpus = Seq(

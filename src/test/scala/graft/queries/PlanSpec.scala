@@ -95,6 +95,21 @@ class PlanSpec extends SparkTestBase {
       "corpus⋈eval degraded to a corpus-wide shuffle join")
   }
 
+  test("d07 candidate near-dup: no all-pairs join anywhere in the plan") {
+    // d05 (the exact twin) is intentionally a nested-loop all-pairs
+    // join; d07 is the scale path and must never degrade to one —
+    // candidates come from the (tbl, bucket) equi-join
+    val df = SparkEntry.queries("d07_embedding_dups_lsh")(spark, sf0001)
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        "candidate generation degraded to an all-pairs join")
+    } finally graft.ext.Similarity.releaseDupSignatures(
+      graft.Tables.embeddings(spark, sf0001))
+  }
+
   test("whole-stage codegen covers the hot analytic paths") {
     Seq("q01_pricing_summary", "e01_export_scan", "x01_token_stats")
       .foreach { q =>
