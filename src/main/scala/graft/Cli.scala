@@ -103,11 +103,19 @@ object Cli {
       // cli.rb:163-167 — neither selection option is an error, not a default
       else throw CliError("Invalid option combination: need --all or --tables")
     val sessionName = opts.getOrElse("session_name", defaultSessionName(nowMs))
-    val startMs = opts.get("start_time").map(_.toLong).getOrElse(0L)
-    val endMs = opts.get("end_time").map(_.toLong)
-      .getOrElse(nowMs - Incremental.HotTailGuardMs)
-    val versions = opts.get("versions").map(_.toInt).getOrElse(100000)
     val tsCol = opts.get("ts_col")
+    // an explicit window without a timestamp column would be silently
+    // ignored by the engine (full export) while the catalog records the
+    // window as taken — corrupting later incremental planning
+    if (tsCol.isEmpty &&
+        (opts.contains("start_time") || opts.contains("end_time")))
+      throw CliError(
+        "--start-time/--end-time require --ts-col (the column to window on)")
+    val startMs = opts.get("start_time").map(_.toLong).getOrElse(0L)
+    val endMs = opts.get("end_time").map(_.toLong).getOrElse(
+      if (tsCol.isDefined) nowMs - Incremental.HotTailGuardMs
+      else Long.MaxValue)
+    val versions = opts.get("versions").map(_.toInt).getOrElse(100000)
     val specs = tables.map { t =>
       ExportSpec(t, Tables.path(sourceDir, t), tsCol = tsCol,
         versions = versions, startMs = startMs, endMs = endMs)
@@ -145,10 +153,15 @@ object Cli {
         opts("tables").split(",").map(_.trim).filter(_.nonEmpty).toSeq
       else {
         // no --tables: everything exported for the session, optionally
-        // narrowed by the %-pattern (cli.rb long_desc; mysql.rb:274-288)
+        // narrowed by the %-pattern (cli.rb long_desc; mysql.rb:274-288).
+        // Empty exports wrote no data dir (the short-circuit) and error
+        // rows have nothing restorable — selecting either would fail a
+        // restore of a perfectly good backup.
         import spark.implicits._
+        import org.apache.spark.sql.functions.col
         exportCat.listTableInfo("export", sessionName,
             opts.getOrElse("pattern", "%"))
+          .filter(!col("error") && !col("empty"))
           .select("table_name").distinct().as[String].collect().toSeq.sorted
       }
     val importCat = new BackupCatalog(spark,
@@ -159,7 +172,7 @@ object Cli {
       defaultSessionName(nowMs))
     val outcomes = runner.importAll(exportCat, requested,
       opts.getOrElse("cluster_name", sourceRoot), sessionName, sourceRoot,
-      targetRoot, nowMs)
+      targetRoot, nowMs, importSessionName = Some(importSession))
     val lines = outcomes.sortBy(_.table).map {
       case graft.engine.Importer.Imported(t, rows, target) =>
         s"$t: imported rows=$rows target=$target"

@@ -126,13 +126,19 @@ final class BackupCatalog(spark: SparkSession, root: String) {
       f.delete(pOld, true) // old copy only removed after a complete swap
     }
 
-  /** Per-table record, export side (mysql.rb:154-190). */
+  /** Per-table record, export side (mysql.rb:154-190). Descriptors
+    * land FIRST and the table row — the row `exists()` and every
+    * count/watermark read key on — last: a retried record op (after a
+    * failure between the two appends) can then only duplicate
+    * descriptor rows, which [[columnDescriptorRows]] dedupes on read,
+    * never the keyed table record.
+    */
   def exportedTableInfo(t: TableRecord,
                         descs: Seq[ColumnDescriptor]): Unit = synchronized {
     require(t.mode == "export", s"mode=${t.mode}")
-    Seq(t).toDS().write.mode(SaveMode.Append).parquet(tablesDir)
     if (descs.nonEmpty)
       descs.toDS().write.mode(SaveMode.Append).parquet(descsDir)
+    Seq(t).toDS().write.mode(SaveMode.Append).parquet(tablesDir)
   }
 
   /** Per-table record, import side (mysql.rb:200-215). */
@@ -165,8 +171,10 @@ final class BackupCatalog(spark: SparkSession, root: String) {
 
   def columnDescriptorRows(sessionName: String,
                            tableName: String): Seq[ColumnDescriptor] =
+    // distinct: a retried exportedTableInfo can legitimately re-append
+    // descriptor rows (see its doc) — identical duplicates, dropped here
     descriptors.filter(d => d.session_name == sessionName &&
-      d.table_name == tableName).collect().toSeq.sortBy(_.ordinal)
+      d.table_name == tableName).collect().toSeq.distinct.sortBy(_.ordinal)
 
   def lastEndTime(mode: String, tableName: String): Long = {
     val rows = CatalogOps.lastEndTimes(tables.toDF(), mode)

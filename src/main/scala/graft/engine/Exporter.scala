@@ -121,23 +121,34 @@ object Exporter {
     * error row — the seam the orchestrator's transient-retry loop
     * (worker.rb:28-48) needs: a retried-then-succeeded table must not
     * leave per-attempt error rows in the catalog, only the final
-    * verdict. Everything the attempt writes (data, sidecar) is
-    * Overwrite-idempotent, so a re-attempt after a partial failure is
-    * safe.
+    * verdict. Data + record in sequence; the orchestrator retries the
+    * two halves SEPARATELY ([[exportTableData]] /
+    * [[recordExportOutcome]]) so a transient failure in the record
+    * step can never replay the data step.
     */
   def exportTableAttempt(spark: SparkSession, cat: BackupCatalog,
                          spec: ExportSpec, sessionName: String,
                          destRoot: String): Outcome = {
+    val (outcome, descs) = exportTableData(spark, spec, sessionName, destRoot)
+    recordExportOutcome(cat, spec, sessionName, outcome, descs)
+    outcome
+  }
+
+  /** The data half of an export attempt: probe → scan → cap → write →
+    * count → sidecar. NO catalog writes — everything here is
+    * Overwrite-idempotent, so the retry loop may safely re-run it after
+    * any partial failure. Returns the outcome plus the discovered
+    * descriptor rows for [[recordExportOutcome]].
+    */
+  def exportTableData(spark: SparkSession, spec: ExportSpec,
+                      sessionName: String,
+                      destRoot: String): (Outcome, Seq[ColumnDescriptor]) = {
       val src = spark.read.parquet(spec.srcPath)
+      val descs = descriptorRows(src, sessionName, spec.table)
       // S5 empty-table short-circuit (worker.rb:89,95-99): LocalLimit(1)
       // probe instead of launching the full job.
-      if (src.limit(1).isEmpty) {
-        cat.exportedTableInfo(
-          TableRecord("export", spec.table, sessionName, spec.startMs,
-            spec.endMs, spec.versions, empty = true, error = false, "", 0L),
-          descriptorRows(src, sessionName, spec.table))
-        Empty(spec.table)
-      } else {
+      if (src.limit(1).isEmpty) (Empty(spec.table), descs)
+      else {
         val windowed = spec.tsCol match {
           case Some(ts) =>
             versionCap(scanWindow(src, ts, spec.startMs, spec.endMs),
@@ -155,19 +166,37 @@ object Exporter {
         // FAILFAST so a value the pinned schema can't parse back fails
         // the export instead of silently counting a nulled row
         val rows = spark.read.schema(windowed.schema).format(spec.format)
-          .options(textReadOptions).load(dest).count()
+          .options(textReadOptions(spec.format)).load(dest).count()
         // job-log sidecar next to the data, as export.rb:167-168 —
         // underscore-prefixed so parquet readers ignore it
         TableOps.saveInfo(spark, s"$dest/_export_info.log",
           s"table=${spec.table} session=$sessionName rows=$rows " +
             s"window=[${spec.startMs},${spec.endMs}) versions=${spec.versions}\n")
-        cat.exportedTableInfo(
-          TableRecord("export", spec.table, sessionName, spec.startMs,
-            spec.endMs, spec.versions, empty = false, error = false, "",
-            rows),
-          descriptorRows(src, sessionName, spec.table))
-        Exported(spec.table, rows, dest)
+        (Exported(spec.table, rows, dest), descs)
       }
+  }
+
+  /** The record half of an export attempt: one catalog verdict row (+
+    * descriptors). Retried on its own — a FAILED catalog append
+    * commits nothing (the parquet commit protocol only publishes files
+    * on job commit), so re-running a failed record is safe, while a
+    * succeeded record is never re-entered by the orchestrator.
+    */
+  def recordExportOutcome(cat: BackupCatalog, spec: ExportSpec,
+                          sessionName: String, outcome: Outcome,
+                          descs: Seq[ColumnDescriptor]): Unit = outcome match {
+    case Empty(t) =>
+      cat.exportedTableInfo(
+        TableRecord("export", t, sessionName, spec.startMs,
+          spec.endMs, spec.versions, empty = true, error = false, "", 0L),
+        descs)
+    case Exported(t, rows, _) =>
+      cat.exportedTableInfo(
+        TableRecord("export", t, sessionName, spec.startMs,
+          spec.endMs, spec.versions, empty = false, error = false, "",
+          rows),
+        descs)
+    case _ => ()
   }
 
   /** Options making the csv container round-trip-safe: an explicit
@@ -181,10 +210,18 @@ object Exporter {
   /** Read-side variant of [[textFormatOptions]]: text-format parses
     * abort on malformed or type-mismatched values (the PERMISSIVE
     * default silently nulls them — on a restore path that is data
-    * corruption with matching row counts). Parquet ignores `mode`.
+    * corruption with matching row counts; with FAILFAST a quoted
+    * embedded newline would otherwise hard-fail as an unclosed
+    * record). Parquet ignores `mode`. csv additionally needs
+    * multiLine: the writer quotes embedded newlines, and a
+    * line-splitting read cannot reassemble them. multiLine costs csv
+    * its input-split parallelism (whole-file reads) — acceptable on
+    * the interchange path; parquet is the performance path. json-lines
+    * must NOT set it (there multiLine means one JSON value per file).
     */
-  val textReadOptions: Map[String, String] =
-    textFormatOptions + ("mode" -> "FAILFAST")
+  def textReadOptions(format: String): Map[String, String] =
+    textFormatOptions + ("mode" -> "FAILFAST") ++
+      (if (format == "csv") Map("multiLine" -> "true") else Map.empty)
 
   /** Bucketed export — the repeated-join layout. `bucketBy` pays the
     * shuffle ONCE at write time; every later join or aggregation keyed

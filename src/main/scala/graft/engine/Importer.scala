@@ -61,9 +61,12 @@ object Importer {
                   sessionName: String, destRoot: String,
                   targetPath: String,
                   format: String = "parquet"): Outcome =
-    try importTableAttempt(spark, exportCat, importCat, table, sessionName,
-      destRoot, targetPath, format)
-    catch {
+    try {
+      val imported = importTableData(spark, exportCat, table, sessionName,
+        destRoot, targetPath, format)
+      recordImportOutcome(importCat, table, sessionName, imported)
+      imported
+    } catch {
       case e: Throwable =>
         recordImportFailure(importCat, table, sessionName, e)
         Failed(table, e)
@@ -78,19 +81,32 @@ object Importer {
       TableRecord("import", table, sessionName, 0L, 0L, 0L,
         empty = false, error = true, e.toString.take(500), -1L))
 
-  /** One import attempt that THROWS on failure instead of recording an
-    * error row — the orchestrator's transient-retry seam
-    * (worker.rb:28-48): only the final verdict lands in the catalog.
-    * NOTE a partially-failed Append write is NOT idempotent the way the
-    * export's Overwrite is; Spark's commit protocol makes the append
-    * all-or-nothing per attempt (task files only move to the target on
-    * job commit), so a retried attempt appends exactly once.
+  /** The record half of a successful import: one catalog verdict row.
+    * Retried separately from the data write by the orchestrator — a
+    * failed catalog append commits nothing, so re-running it is safe,
+    * and the data write is never replayed for a record-side hiccup
+    * (an Append that re-runs would double the restored table).
     */
-  def importTableAttempt(spark: SparkSession, exportCat: BackupCatalog,
-                         importCat: BackupCatalog, table: String,
-                         sessionName: String, destRoot: String,
-                         targetPath: String,
-                         format: String = "parquet"): Outcome = {
+  def recordImportOutcome(importCat: BackupCatalog, table: String,
+                          sessionName: String, imported: Imported): Unit =
+    importCat.importedTableInfo(
+      TableRecord("import", table, sessionName, 0L, 0L, 0L,
+        empty = imported.rows == 0L, error = false, "", imported.rows))
+
+  /** The data half of an import attempt: read → validate → append →
+    * count, NO catalog writes; THROWS on failure (the orchestrator's
+    * transient-retry seam, worker.rb:28-48 — only final verdicts land
+    * in the catalog). A partially-FAILED Append is safe to re-run:
+    * Spark's commit protocol publishes task files only on job commit,
+    * so a failed attempt contributed nothing. (The remaining window —
+    * a failure between job commit and this method returning — is the
+    * usual exactly-once limit of an Append sink; the observation read
+    * is driver-local and cannot launch jobs after the commit.)
+    */
+  def importTableData(spark: SparkSession, exportCat: BackupCatalog,
+                      table: String, sessionName: String, destRoot: String,
+                      targetPath: String,
+                      format: String = "parquet"): Imported = {
       val src = Exporter.destPath(destRoot, sessionName, table)
       val descs = exportCat.columnDescriptorRows(sessionName, table)
       def readSrc(schema: Option[StructType]): DataFrame = {
@@ -99,7 +115,7 @@ object Importer {
         // default — row counts would still match while data corrupts).
         // Parquet enforces types structurally and ignores `mode`.
         val r0 = spark.read.format(format)
-          .options(Exporter.textReadOptions)
+          .options(Exporter.textReadOptions(format))
         val r = schema.fold(
           // text formats carry no types: infer only as a last resort
           // (no catalog descriptors to pin against)
@@ -173,9 +189,6 @@ object Importer {
           org.apache.spark.sql.functions.lit(1)).as("rows"))
         .write.mode(SaveMode.Append).parquet(targetPath)
       val rows = obs.get("rows").asInstanceOf[Long]
-      importCat.importedTableInfo(
-        TableRecord("import", table, sessionName, 0L, 0L, 0L,
-          empty = rows == 0L, error = false, "", rows))
       Imported(table, rows, targetPath)
   }
 

@@ -200,27 +200,6 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
-  /** The signature table [[cosineDupPairsLsh]] self-joins — factored
-    * (and persisted) so the two join sides share one computation and
-    * [[releaseDupSignatures]] can plan-key the unpersist. More tables ×
-    * fewer bits than [[annTopK]]'s defaults: near-dup pairs sit at much
-    * higher cosine than top-k neighbors, so shorter bucket keys with
-    * more independent tables drive the miss probability of a true
-    * near-dup pair to ~0 (at cosine ≥ 0.99 a pair collides in ≥1 of 12
-    * 6-bit tables with p > 1 − 1e-7).
-    */
-  private def dupSignatures(embeddings: DataFrame, tables: Int, bits: Int,
-                            dim: Int): DataFrame =
-    signatures(
-      embeddings.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("emb")),
-      "vec_id", tables, bits, dim)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-  def releaseDupSignatures(embeddings: DataFrame, tables: Int = 12,
-                           bits: Int = 6, dim: Int = 64): Unit =
-    dupSignatures(embeddings, tables, bits, dim).unpersist()
-
   /** Candidate-pruned embedding near-dup pairs — the 100 TB form of
     * [[cosineDupPairs]]: sign-LSH banding proposes candidate pairs via
     * a bucket-equality self-join (shuffle on (table, bucket) of 8-byte
@@ -229,19 +208,37 @@ object Similarity {
     * collision probability (spec-tested at 1.0 on planted near-dups).
     * Skewed buckets split under AQE since the join is a plain
     * equi-join.
+    *
+    * More tables × fewer bits than [[annTopK]]'s defaults: near-dup
+    * pairs sit at much higher cosine than top-k neighbors, so shorter
+    * bucket keys with more independent tables drive the miss
+    * probability of a true near-dup pair to ~0 (at cosine ≥ 0.99 a
+    * pair collides in ≥1 of 12 6-bit tables with p > 1 − 1e-7).
+    *
+    * Cache lifetime: the signature table backs both self-join sides,
+    * so it is persisted for the candidate join and unpersisted HERE —
+    * the candidate list (pairs only, far below corpus size) is eagerly
+    * localCheckpoint'ed first so later consumers never replay the
+    * signature computation. A caller-side plan-keyed release (the
+    * Dedup.release idiom) cannot work for this table: `signatures`
+    * goes through mapPartitions, whose fresh lambda instance defeats
+    * the CacheManager's sameResult plan matching.
     */
   def cosineDupPairsLsh(embeddings: DataFrame, threshold: Double,
                         tables: Int = 12, bits: Int = 6,
                         dim: Int = 64): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
-    val sig = dupSignatures(embeddings, tables, bits, dim)
+    val sig = signatures(e, "vec_id", tables, bits, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = sig.as("x").join(sig.as("y"),
         col("x.tbl") === col("y.tbl") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct() // a pair can collide in several tables
+      .localCheckpoint(true)
+    sig.unpersist()
     candidates
       .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")),
         "vec_a")

@@ -224,10 +224,12 @@ object TextAnalysis {
 
   /** PII patterns (C4/Dolma-style scrubbing): email addresses and
     * international-ish phone numbers. Deliberately RE2-compatible (no
-    * backrefs/lookaround) so the DuckDB oracle runs the identical
-    * patterns.
+    * backrefs/lookaround; `(?i)` is shared syntax) so the DuckDB
+    * oracle runs the identical patterns. Case-insensitive — a scrub
+    * that lets `John.Doe@Gmail.COM` through is a PII leak, not a
+    * stricter matcher.
     */
-  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailPattern = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhonePattern = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
 
   /** PII redaction — the scrub step every shipped training corpus

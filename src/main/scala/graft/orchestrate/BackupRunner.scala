@@ -37,17 +37,33 @@ class BackupRunner(spark: SparkSession, cat: BackupCatalog,
                    retryBaseDelayMs: Long = 500,
                    sleep: Long => Unit = Thread.sleep) {
 
-  /** One export attempt (throws on failure) — overridable spec seam. */
+  /** One export DATA attempt (throws on failure; no catalog writes) —
+    * overridable spec seam. The catalog record runs under its own
+    * retry, so a transient record-side failure never replays the data
+    * write.
+    */
   protected def exportAttempt(spec: ExportSpec, sessionName: String,
-                              destRoot: String): Outcome =
-    Exporter.exportTableAttempt(spark, cat, spec, sessionName, destRoot)
+                              destRoot: String)
+      : (Outcome, Seq[graft.catalog.ColumnDescriptor]) =
+    Exporter.exportTableData(spark, spec, sessionName, destRoot)
 
-  /** One import attempt (throws on failure) — overridable spec seam. */
+  /** One import DATA attempt (throws on failure; no catalog writes) —
+    * overridable spec seam.
+    */
   protected def importAttempt(exportCat: BackupCatalog, table: String,
                               sessionName: String, destRoot: String,
-                              targetPath: String): Importer.Outcome =
-    Importer.importTableAttempt(spark, exportCat, cat, table, sessionName,
+                              targetPath: String): Importer.Imported =
+    Importer.importTableData(spark, exportCat, table, sessionName,
       destRoot, targetPath)
+
+  /** One export RECORD attempt (throws on failure) — overridable spec
+    * seam, retried independently of the data half.
+    */
+  protected def recordExport(spec: ExportSpec, sessionName: String,
+                             outcome: Outcome,
+                             descs: Seq[graft.catalog.ColumnDescriptor])
+      : Unit =
+    Exporter.recordExportOutcome(cat, spec, sessionName, outcome, descs)
 
   import BackupRunner.SessionSummary
 
@@ -101,8 +117,19 @@ class BackupRunner(spark: SparkSession, cat: BackupCatalog,
       // recorded: idempotent re-run of a crashed session.
       if (cat.exists("export", spec.table, sessionName))
         Exporter.Skipped(spec.table): Outcome
-      else Retry.withRetry(maxAttempts, retryBaseDelayMs, sleep) {
-        exportAttempt(spec, sessionName, destRoot)
+      else {
+        // two retry scopes: the data half is Overwrite-idempotent (safe
+        // to replay); the record half appends — replaying it after a
+        // SUCCESSFUL append would duplicate catalog rows, so it only
+        // ever retries its own (nothing-committed) failures.
+        val (outcome, descs) =
+          Retry.withRetry(maxAttempts, retryBaseDelayMs, sleep) {
+            exportAttempt(spec, sessionName, destRoot)
+          }
+        Retry.withRetry(maxAttempts, retryBaseDelayMs, sleep) {
+          recordExport(spec, sessionName, outcome, descs)
+        }
+        outcome
       }
     } { (spec, e) =>
       // bury: one error row for the final verdict (worker.rb:41-47)
@@ -123,27 +150,40 @@ class BackupRunner(spark: SparkSession, cat: BackupCatalog,
     * listing anything missing, import.rb:56-63), then import each
     * concurrently into `targetRoot/<table>`, recording into the
     * import-side catalog, finalizing only after completion.
+    *
+    * `sessionName` selects WHICH export to restore (paths, catalog
+    * lookups); the import RUN records under its own
+    * `importSessionName` (default: same) — the reference's
+    * `--import-session-name` (cli.rb:257-264), so two restores of one
+    * backup are distinguishable sessions in the import catalog.
     */
   def importAll(exportCat: BackupCatalog, requested: Seq[String],
                 clusterName: String, sessionName: String, destRoot: String,
-                targetRoot: String, nowMs: Long): Seq[Importer.Outcome] = {
+                targetRoot: String, nowMs: Long,
+                importSessionName: Option[String] = None)
+      : Seq[Importer.Outcome] = {
+    val importSession = importSessionName.getOrElse(sessionName)
     val tables = Importer.resolveRequested(exportCat, sessionName,
       destRoot, requested)
-    cat.startInfo(BackupSession("import", clusterName, sessionName,
+    cat.startInfo(BackupSession("import", clusterName, importSession,
       destRoot, 0L, 0L, nowMs, 0L, error = false, ""))
 
     val outcomes = runBounded(tables) { t =>
-      Retry.withRetry(maxAttempts, retryBaseDelayMs, sleep) {
-        importAttempt(exportCat, t, sessionName, destRoot,
-          s"$targetRoot/$t"): Importer.Outcome
+      // same two-scope retry split as the export path
+      val imported = Retry.withRetry(maxAttempts, retryBaseDelayMs, sleep) {
+        importAttempt(exportCat, t, sessionName, destRoot, s"$targetRoot/$t")
       }
+      Retry.withRetry(maxAttempts, retryBaseDelayMs, sleep) {
+        Importer.recordImportOutcome(cat, t, importSession, imported)
+      }
+      imported: Importer.Outcome
     } { (t, e) =>
-      Importer.recordImportFailure(cat, t, sessionName, e)
+      Importer.recordImportFailure(cat, t, importSession, e)
       Importer.Failed(t, e)
     }
 
     val failures = outcomes.collect { case f: Importer.Failed => f }
-    cat.endInfo("import", sessionName, endedAt = nowMs + 1,
+    cat.endInfo("import", importSession, endedAt = nowMs + 1,
       error = failures.nonEmpty,
       errorInfo = failures.map(f => s"${f.table}: ${f.e.getMessage}")
         .mkString("; ").take(500))

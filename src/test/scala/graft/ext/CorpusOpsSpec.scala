@@ -17,7 +17,8 @@ class CorpusOpsSpec extends SparkTestBase {
       (1L, "write to alice.smith+spam@mail.example.org or bob@ex.io now"),
       (2L, "call +1-555-0199 or 44-555-1234 tomorrow"),
       (3L, "mixed carol@corp.net and +1-555-7777 here"),
-      (4L, "nothing sensitive in this one"))
+      (4L, "nothing sensitive in this one"),
+      (5L, "upper-case John.Doe@Gmail.COM must not leak"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.redactPii(rows).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -28,6 +29,7 @@ class CorpusOpsSpec extends SparkTestBase {
       "call <PHONE> or <PHONE> tomorrow")))
     assert(got(3L) == ((1L, 1L, "mixed <EMAIL> and <PHONE> here")))
     assert(got(4L) == ((0L, 0L, "nothing sensitive in this one")))
+    assert(got(5L) == ((1L, 0L, "upper-case <EMAIL> must not leak")))
     // nothing matching the patterns survives redaction
     val residue = TextAnalysis.redactPii(rows).filter(
       col("clean_text").rlike(TextAnalysis.EmailPattern) ||

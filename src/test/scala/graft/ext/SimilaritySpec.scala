@@ -109,28 +109,25 @@ class SimilaritySpec extends SparkTestBase {
       }
     }
     val df = planted.toDF("vec_id", "embedding")
-    try {
-      val truth = Similarity.cosineDupPairs(df, 0.9)
-        .select("vec_a", "vec_b")
-      val lsh = Similarity.cosineDupPairsLsh(df, 0.9)
-        .select("vec_a", "vec_b")
-      assert(truth.count() == 600L, "expected 3 pairs per planted triplet")
-      assert(lsh.except(truth).isEmpty,
-        "LSH near-dup emitted a pair brute force rejects (precision < 1)")
-      assert(truth.except(lsh).isEmpty,
-        "banding missed a true near-dup pair (recall < 1)")
-    } finally Similarity.releaseDupSignatures(df)
+    val truth = Similarity.cosineDupPairs(df, 0.9)
+      .select("vec_a", "vec_b")
+    val lsh = Similarity.cosineDupPairsLsh(df, 0.9)
+      .select("vec_a", "vec_b")
+    assert(truth.count() == 600L, "expected 3 pairs per planted triplet")
+    assert(lsh.except(truth).isEmpty,
+      "LSH near-dup emitted a pair brute force rejects (precision < 1)")
+    assert(truth.except(lsh).isEmpty,
+      "banding missed a true near-dup pair (recall < 1)")
   }
 
   test("LSH near-dup pairs are a subset of brute force on the corpus") {
     // exact verification makes precision 1.0 by construction, at any
     // threshold, even where banding recall is partial (isotropic data)
-    try {
-      val brute = Similarity.cosineDupPairs(emb, 0.4).select("vec_a", "vec_b")
-      val lsh = Similarity.cosineDupPairsLsh(emb, 0.4).select("vec_a", "vec_b")
-      assert(lsh.except(brute).isEmpty)
-    } finally Similarity.releaseDupSignatures(emb)
+    val brute = Similarity.cosineDupPairs(emb, 0.4).select("vec_a", "vec_b")
+    val lsh = Similarity.cosineDupPairsLsh(emb, 0.4).select("vec_a", "vec_b")
+    assert(lsh.except(brute).isEmpty)
   }
+
 
   test("top-k ranking is deterministic across runs") {
     val a = Similarity.cosineTopK(emb, queries, 3).collect().toSeq

@@ -65,7 +65,8 @@ class BackupRunnerSpec extends SparkTestBase {
         retryBaseDelayMs = 100, sleep = _ => ()) {
     var attempts = 0
     override protected def exportAttempt(spec: ExportSpec, sessionName: String,
-                                         destRoot: String): Exporter.Outcome = {
+                                         destRoot: String)
+        : (Exporter.Outcome, Seq[graft.catalog.ColumnDescriptor]) = {
       attempts += 1
       if (failures.nonEmpty) throw failures.dequeue()
       super.exportAttempt(spec, sessionName, destRoot)
@@ -115,6 +116,41 @@ class BackupRunnerSpec extends SparkTestBase {
     assert(runner.attempts == 1, "hard failure must not be retried")
     assert(summary.failed.map(_.table) == Seq("region"))
     assert(cat.tables.filter(_.error).count() == 1)
+  }
+
+  test("record-side transient failure retries the RECORD only, not the data write") {
+    val cat = new BackupCatalog(spark, tmpDir("cat"))
+    val recordFailures = scala.collection.mutable.Queue[Throwable](
+      new java.io.IOException("catalog fs blip"))
+    val runner = new BackupRunner(spark, cat, maxConcurrent = 1,
+      maxAttempts = 3, retryBaseDelayMs = 1, sleep = _ => ()) {
+      var dataAttempts = 0
+      var recordAttempts = 0
+      override protected def exportAttempt(spec: ExportSpec,
+                                           sessionName: String,
+                                           destRoot: String)
+          : (Exporter.Outcome, Seq[graft.catalog.ColumnDescriptor]) = {
+        dataAttempts += 1
+        super.exportAttempt(spec, sessionName, destRoot)
+      }
+      override protected def recordExport(spec: ExportSpec,
+                                          sessionName: String,
+                                          outcome: Exporter.Outcome,
+                                          descs: Seq[graft.catalog.ColumnDescriptor])
+          : Unit = {
+        recordAttempts += 1
+        if (recordFailures.nonEmpty) throw recordFailures.dequeue()
+        super.recordExport(spec, sessionName, outcome, descs)
+      }
+    }
+    val summary = runner.exportAll(specs("region"), "c", "s1", tmpDir("bk"), 1L)
+    assert(summary.failed.isEmpty)
+    assert(runner.dataAttempts == 1,
+      "a record-side hiccup must never replay the data write")
+    assert(runner.recordAttempts == 2)
+    // exactly one success row in the catalog
+    assert(cat.tables.filter(t => t.table_name == "region").count() == 1)
+    assert(cat.tables.filter(_.error).count() == 0)
   }
 
   test("retry backoff doubles per reiteration (db.rb.old:46-47)") {

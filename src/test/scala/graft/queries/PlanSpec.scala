@@ -100,14 +100,11 @@ class PlanSpec extends SparkTestBase {
     // join; d07 is the scale path and must never degrade to one —
     // candidates come from the (tbl, bucket) equi-join
     val df = SparkEntry.queries("d07_embedding_dups_lsh")(spark, sf0001)
-    try {
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-      assert(!p.contains("BroadcastNestedLoopJoin") &&
-        !p.contains("CartesianProduct"),
-        "candidate generation degraded to an all-pairs join")
-    } finally graft.ext.Similarity.releaseDupSignatures(
-      graft.Tables.embeddings(spark, sf0001))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "candidate generation degraded to an all-pairs join")
   }
 
   test("whole-stage codegen covers the hot analytic paths") {
