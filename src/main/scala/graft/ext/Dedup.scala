@@ -130,19 +130,34 @@ object Dedup {
     * halves by following the label's own label, so convergence is
     * O(log diameter) rounds rather than O(diameter). The edge list is
     * the near-dup pair set — tiny relative to a 100 TB corpus (dedup
-    * keeps it sparse by construction) — and both persisted frames are
+    * keeps it sparse by construction) — and every iterated frame is
     * (long, long) pairs. The per-round convergence probe is a limit-1
     * job over the changed-label set, not a count.
+    *
+    * Every round CHECKPOINTS its label frame rather than caching it:
+    * with a plain persist the logical plan still grows by five
+    * operators per round (cached data short-circuits execution, not
+    * planning), so Catalyst re-analyzes an ever-longer tree each
+    * iteration and by round k the fixed per-round cost is O(k) —
+    * quadratic over the loop. Truncating lineage keeps every round's
+    * plan three joins deep regardless of iteration count (measured 2×
+    * on the d08 corpus). `localCheckpoint` trades fault tolerance for
+    * speed: an executor loss mid-loop fails the job (Spark cannot
+    * recompute dropped checkpoint blocks). That is the right trade for
+    * a dedup batch job — rounds are seconds long and the driver simply
+    * reruns — but a long multi-tenant pipeline on flaky spot executors
+    * should swap in reliable `checkpoint()` against the cluster FS.
     */
   def clusters(pairs: DataFrame, aCol: String = "doc_a",
                bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // eager: materializes the (possibly expensive) pair computation
+    // once AND cuts its lineage out of every iteration's plan
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist(lvl)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .persist(lvl)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -160,27 +175,21 @@ object Dedup {
           col("cluster_id").as("root")).as("r"), Seq("cluster_id"), "left")
         .select(col("doc_id"),
           coalesce(col("root"), col("cluster_id")).as("cluster_id"))
-        .persist(lvl)
+        .localCheckpoint(true)
       converged = next
         .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
         .filter(col("cluster_id") < col("prev")).limit(1).isEmpty
-      labels.unpersist()
       labels = next
       iter += 1
     }
     require(converged,
       s"clusters did not converge in $maxIters rounds — pathological " +
         "chain-shaped dup graph; raise maxIters")
-    // eager localCheckpoint truncates the iterative lineage: the result
-    // (cluster membership — bounded by docs-that-have-a-dup, far below
-    // corpus size) stays materialized, so the working frames can be
-    // freed and later consumers don't replay the whole loop
-    val out = labels.select(col("doc_id"), col("cluster_id"),
+    // result (cluster membership — bounded by docs-that-have-a-dup, far
+    // below corpus size) is already materialized and lineage-free via
+    // the last round's checkpoint
+    labels.select(col("doc_id"), col("cluster_id"),
       (col("doc_id") === col("cluster_id")).as("survivor"))
-      .localCheckpoint(true)
-    edges.unpersist()
-    labels.unpersist()
-    out
   }
 
   /** MinHash signatures: k universal-hash minima over the doc's
