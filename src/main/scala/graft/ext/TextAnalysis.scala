@@ -174,6 +174,37 @@ object TextAnalysis {
         col("rank"))
   }
 
+  /** CCNet-style unigram log-likelihood: each document's mean natural-
+    * log probability of its tokens under the corpus's OWN unigram
+    * distribution — the model-free stand-in for LM-perplexity quality
+    * filtering (fluent text scores high, gibberish and boilerplate
+    * outliers low). No OOV smoothing needed: the distribution is built
+    * from the same corpus it scores, so every token has tf ≥ 1.
+    *
+    * Oracle determinism: the per-token log is rounded to 6 decimals,
+    * then summed through a decimal cast (exact, order-free — the dsum
+    * contract of [[graft.queries]]); only the final mean is a fresh
+    * IEEE op. Scale: the token table is materialized once (freed via
+    * [[release]]) and feeds a vocab-sized aggregate + one equi-join
+    * AQE broadcasts while vocab fits (and shuffle-joins beyond);
+    * the corpus-total scalar is an aggregate OF the vocab table, not
+    * a third corpus scan.
+    */
+  def unigramLogLik(docs: DataFrame): DataFrame = {
+    val tok = explodedTokens(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val tot = freq.agg(sum(col("tf")).as("n_total"))
+    tok.join(freq, "token")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("tf").cast("double") / col("n_total")), 6).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("logp").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 4).as("avg_logprob"))
+  }
+
   /** Corpus vocabulary: the top-V tokens by occurrence count (token
     * tiebreak — deterministic cutoff) with document frequency — the
     * input to any frequency-based tokenizer/vocab build. TakeOrdered

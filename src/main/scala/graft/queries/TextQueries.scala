@@ -75,6 +75,33 @@ object TextQueries {
     },
     "x13_stratified_sample" -> { (s, d) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, d), pct = 10)
+    },
+
+    /** x15 — unigram log-likelihood (CCNet-style perplexity stand-in):
+      * mean ln p(token) per doc under the corpus's own unigram model.
+      */
+    "x15_unigram_loglik" -> { (s, d) =>
+      TextAnalysis.unigramLogLik(Tables.documents(s, d))
+    },
+
+    /** x16 — Unicode NFC canonicalization via the native
+      * [[graft.functions.NfcNormalize]] expression. The synthetic corpus
+      * is ASCII (already NFC — would only exercise the fast path), so
+      * the query appends a combining-mark suffix to every doc: code-
+      * point counts shrink under NFC (5→4 for `cafe`+U+0301) and the
+      * digest proves the normalized bytes match DuckDB's nfc_normalize
+      * exactly.
+      */
+    "x16_nfc_normalize" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import graft.functions.NfcNormalize.nfc_normalize
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" cafe\u0301 A\u030Angstro\u0308m")).as("text"))
+      aug.select(col("doc_id"),
+        length(col("text")).as("n_cp_raw"),
+        length(nfc_normalize(col("text"))).as("n_cp_nfc"),
+        md5(nfc_normalize(col("text"))).as("nfc_digest"))
     })
 
   private val stopList =
@@ -250,5 +277,33 @@ object TextQueries {
     "x13_stratified_sample" ->
       s"""SELECT doc_id, source
          |FROM documents
-         |WHERE ${Hashing.base60Sql("text")} % 100 < 10""".stripMargin)
+         |WHERE ${Hashing.base60Sql("text")} % 100 < 10""".stripMargin,
+
+    // per-token ln rounded to 6 decimals, summed through a decimal
+    // cast (order-free) — both engines then divide identical doubles
+    "x15_unigram_loglik" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM freq)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(CAST(round(ln(CAST(tf AS DOUBLE) / n_total), 6)
+        |      AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+        |FROM tok JOIN freq USING (token) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+
+    // combining marks built with chr() — DuckDB strings have no \u
+    // escapes; both engines count code points and md5 UTF-8 bytes
+    "x16_nfc_normalize" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' A' || chr(778) ||
+        |      'ngstro' || chr(776) || 'm' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_cp_raw,
+        |  CAST(length(nfc_normalize(text)) AS INT) AS n_cp_nfc,
+        |  md5(nfc_normalize(text)) AS nfc_digest
+        |FROM aug""".stripMargin)
 }

@@ -30,6 +30,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(spark.sql(
         "SELECT cosine_similarity(array(1.0d), array(1.0d, 2.0d))")
         .first().isNullAt(0))
+      // nfc_normalize rides the same extension
+      assert(spark.sql("SELECT nfc_normalize('cafe\\u0301')")
+        .first().getString(0) == "café")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
