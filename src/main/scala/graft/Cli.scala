@@ -24,7 +24,8 @@ import org.apache.spark.sql.SparkSession
   * `start-time` 0 = full export (cli.rb:79-83), `end-time` now−60 s
   * (the hot-tail guard, cli.rb:28-31), `versions` 100000 (cli.rb:71-74),
   * session name `yyyyMMdd_HHmmss` of startup time (cli.rb:30-32),
-  * `max-jobs` 6 (`--mapred-max-jobs`, cli.rb:111-114).
+  * `max-jobs` 6 (`--mapred-max-jobs`, cli.rb:111-114), `--format`
+  * parquet|orc|json|csv (container choice; both sides must agree).
   *
   * The catalog lives at `--catalog-root` (default
   * `<dest-root>/_catalog` — metadata travels with the backup, the
@@ -66,6 +67,17 @@ object Cli {
   private def required(opts: Map[String, String], key: String): String =
     opts.getOrElse(key,
       throw CliError(s"missing required option --${key.replace('_', '-')}"))
+
+  /** `--format` must fail at parse time, not as a Spark datasource
+    * error halfway through a session with some tables already written.
+    */
+  private val Formats = Set("parquet", "orc", "json", "csv")
+  private def formatOpt(opts: Map[String, String]): String = {
+    val f = opts.getOrElse("format", "parquet")
+    if (!Formats(f)) throw CliError(
+      s"unknown --format $f (expected ${Formats.toSeq.sorted.mkString("|")})")
+    f
+  }
 
   /** F1 — session names are formatted startup timestamps (cli.rb:30-32). */
   def defaultSessionName(nowMs: Long): String =
@@ -116,9 +128,11 @@ object Cli {
       if (tsCol.isDefined) nowMs - Incremental.HotTailGuardMs
       else Long.MaxValue)
     val versions = opts.get("versions").map(_.toInt).getOrElse(100000)
+    val format = formatOpt(opts)
     val specs = tables.map { t =>
       ExportSpec(t, Tables.path(sourceDir, t), tsCol = tsCol,
-        versions = versions, startMs = startMs, endMs = endMs)
+        versions = versions, startMs = startMs, endMs = endMs,
+        format = format)
     }
     val cat = new BackupCatalog(spark,
       opts.getOrElse("catalog_root", s"$destRoot/_catalog"))
@@ -172,7 +186,8 @@ object Cli {
       defaultSessionName(nowMs))
     val outcomes = runner.importAll(exportCat, requested,
       opts.getOrElse("cluster_name", sourceRoot), sessionName, sourceRoot,
-      targetRoot, nowMs, importSessionName = Some(importSession))
+      targetRoot, nowMs, importSessionName = Some(importSession),
+      format = formatOpt(opts))
     val lines = outcomes.sortBy(_.table).map {
       case graft.engine.Importer.Imported(t, rows, target) =>
         s"$t: imported rows=$rows target=$target"

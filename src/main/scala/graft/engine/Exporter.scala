@@ -44,9 +44,10 @@ object Exporter {
       // relying on row-group stats alone — the 100 TB layout.
       partitionBy: Seq[String] = Nil,
       // output format: parquet (default — columnar, stats, pushdown),
-      // json or csv for interchange with non-Spark consumers (the
-      // reference's SequenceFile container generalized to whatever the
-      // destination needs)
+      // orc (the other self-describing columnar container, for Hive/
+      // Trino-side consumers), json or csv for interchange with
+      // non-Spark consumers (the reference's SequenceFile container
+      // generalized to whatever the destination needs)
       format: String = "parquet")
 
   sealed trait Outcome { def table: String }

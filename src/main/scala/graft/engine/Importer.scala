@@ -118,8 +118,10 @@ object Importer {
           .options(Exporter.textReadOptions(format))
         val r = schema.fold(
           // text formats carry no types: infer only as a last resort
-          // (no catalog descriptors to pin against)
-          if (format == "parquet") r0 else r0.option("inferSchema", "true")
+          // (no catalog descriptors to pin against); parquet/orc are
+          // self-describing and need no inference
+          if (format == "parquet" || format == "orc") r0
+          else r0.option("inferSchema", "true")
         )(r0.schema)
         r.load(src)
       }

@@ -52,9 +52,11 @@ class BackupRunner(spark: SparkSession, cat: BackupCatalog,
     */
   protected def importAttempt(exportCat: BackupCatalog, table: String,
                               sessionName: String, destRoot: String,
-                              targetPath: String): Importer.Imported =
+                              targetPath: String,
+                              format: String = "parquet")
+      : Importer.Imported =
     Importer.importTableData(spark, exportCat, table, sessionName,
-      destRoot, targetPath)
+      destRoot, targetPath, format)
 
   /** One export RECORD attempt (throws on failure) — overridable spec
     * seam, retried independently of the data half.
@@ -160,7 +162,8 @@ class BackupRunner(spark: SparkSession, cat: BackupCatalog,
   def importAll(exportCat: BackupCatalog, requested: Seq[String],
                 clusterName: String, sessionName: String, destRoot: String,
                 targetRoot: String, nowMs: Long,
-                importSessionName: Option[String] = None)
+                importSessionName: Option[String] = None,
+                format: String = "parquet")
       : Seq[Importer.Outcome] = {
     val importSession = importSessionName.getOrElse(sessionName)
     val tables = Importer.resolveRequested(exportCat, sessionName,
@@ -171,7 +174,8 @@ class BackupRunner(spark: SparkSession, cat: BackupCatalog,
     val outcomes = runBounded(tables) { t =>
       // same two-scope retry split as the export path
       val imported = Retry.withRetry(maxAttempts, retryBaseDelayMs, sleep) {
-        importAttempt(exportCat, t, sessionName, destRoot, s"$targetRoot/$t")
+        importAttempt(exportCat, t, sessionName, destRoot, s"$targetRoot/$t",
+          format)
       }
       Retry.withRetry(maxAttempts, retryBaseDelayMs, sleep) {
         Importer.recordImportOutcome(cat, t, importSession, imported)

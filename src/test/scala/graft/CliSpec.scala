@@ -81,6 +81,26 @@ class CliSpec extends SparkTestBase {
     assert(none.contains("no export sessions match"))
   }
 
+  test("--format orc round-trips export then import; unknown format fails at parse") {
+    val dest = tmpDir("cli-bk-orc")
+    val target = tmpDir("cli-restore-orc")
+    Cli.run(spark, Seq("export", "--source-dir", sf0001,
+      "--dest-root", dest, "--tables", "region",
+      "--session-name", "s1", "--format", "orc"), now)
+    assert(spark.read.orc(s"$dest/s1/region").count() == 5)
+    val out = Cli.run(spark, Seq("import", "--source-root", dest,
+      "--session-name", "s1", "--target-root", target,
+      "--tables", "region", "--format", "orc"), now)
+    assert(out.contains("region: imported rows=5"))
+    assert(spark.read.parquet(s"$target/region").count() == 5)
+    val e = intercept[CliError] {
+      Cli.run(spark, Seq("export", "--source-dir", sf0001,
+        "--dest-root", dest, "--tables", "region",
+        "--format", "avro"), now)
+    }
+    assert(e.getMessage.contains("unknown --format"))
+  }
+
   test("export validation: --all and --tables are exclusive (cli.rb:150-154)") {
     val e = intercept[CliError] {
       Cli.run(spark, Seq("export", "--source-dir", sf0001,

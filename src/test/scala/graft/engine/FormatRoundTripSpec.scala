@@ -44,6 +44,10 @@ class FormatRoundTripSpec extends SparkTestBase {
     roundTrip("csv")
   }
 
+  test("orc export/import round-trips losslessly (self-describing columnar)") {
+    roundTrip("orc")
+  }
+
   test("csv keeps null and empty string distinct (the lossy defaults trap)") {
     import spark.implicits._
     val cat = new BackupCatalog(spark, tmpDir("cat-nulls"))
