@@ -23,5 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       NfcNormalize.fromExprs))
+    // whole-operator extension (tier c): the as-of join planner rule
+    e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }
 }

@@ -1,0 +1,215 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+
+/** As-of join as a WHOLE-OPERATOR extension — tier (c) of SURVEY.md
+  * §2.10's preference order: a custom `LogicalPlan` + `SparkStrategy`
+  * + `SparkPlan`, planned into the session like any built-in join.
+  *
+  * Semantics (left-outer, the common event-enrichment form): every
+  * left row is joined to the right row with the LARGEST right-time ≤
+  * the left row's time among rows sharing its key, or nulls when no
+  * such row exists. Null keys and null times never match (SQL join
+  * semantics). When several right rows tie on (key, time), the last
+  * one in the right side's sort order wins — callers that need a
+  * deterministic payload under ties should fold the tiebreak into the
+  * time column.
+  *
+  * Why a custom operator when ev05 composes the same semantics from a
+  * union + running-max window (tier (a))? The composed form carries
+  * the WHOLE left payload through the window shuffle and can only
+  * produce the right side's time column (any other right column needs
+  * a second join back). The operator needs one exchange per side —
+  * exactly the join keys, nothing widened — and streams each sorted
+  * partition pair once, emitting the full right payload as it goes:
+  * the merge is O(|L| + |R|) per partition with O(1) state (one
+  * retained match row), so it scales to 100 TB exactly like a
+  * sort-merge join — both sides hash-partitioned on the key,
+  * per-partition work linear, no buffering of either side.
+  *
+  * Catalyst integration: [[AsofJoinPlan]] declares co-clustered
+  * distribution and (key, time) ordering requirements, so
+  * EnsureRequirements plans the exchanges/sorts (and AQE sizes them)
+  * like it would for a shuffled join — nothing here hand-schedules.
+  */
+final case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                              leftKeys: Seq[Expression],
+                              rightKeys: Seq[Expression],
+                              leftTime: Expression, rightTime: Expression)
+    extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical as-of join: requires both children clustered on their keys
+  * and sorted by (keys, time); merges each co-partition pair in one
+  * forward pass.
+  */
+final case class AsofJoinExec(leftKeys: Seq[Expression],
+                              rightKeys: Seq[Expression],
+                              leftTime: Expression, rightTime: Expression,
+                              left: SparkPlan, right: SparkPlan)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-clustering contract, verbatim from ShuffledJoin: two
+  // ClusteredDistributions that EnsureRequirements reconciles into
+  // compatible HashPartitionings (and AQE may re-plan)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // NULLS FIRST (ascending default) is load-bearing for the merge:
+  // null-key/null-time right rows sort before every real candidate of
+  // their group, so the single forward pointer can consume-and-ignore
+  // them without ever stepping past a live match
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // left rows pass through in their sorted order
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val rightWidth = right.output.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime), left.output)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTime), right.output)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(output, output)
+      val rBuf = rIter.buffered
+      // O(1) merge state: the best match seen so far and its key
+      var lastMatch: InternalRow = null
+      var lastMatchKey: UnsafeRow = null
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val lt = lTimeProj(l)
+        if (lk.anyNull || lt.isNullAt(0)) resultProj(joined(l, nullRight))
+        else {
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rk = rKeyProj(rBuf.head)
+            val c = keyOrd.compare(rk, lk)
+            val consume = c < 0 || (c == 0 && {
+              val rt = rTimeProj(rBuf.head)
+              // null time sorts first within the key group: consume
+              // (it can never match) instead of blocking the pointer
+              rt.isNullAt(0) || timeOrd.compare(rt, lt) <= 0
+            })
+            if (consume) {
+              val r = rBuf.next()
+              val rk2 = rKeyProj(r)
+              if (c == 0 && !rk2.anyNull && !rTimeProj(r).isNullAt(0)) {
+                // rows are reused buffers — copy the one we retain
+                lastMatch = r.copy()
+                lastMatchKey = rk2.copy()
+              }
+            } else advancing = false
+          }
+          val matched = lastMatch != null &&
+            keyOrd.compare(lastMatchKey, lk) == 0
+          resultProj(joined(l, if (matched) lastMatch else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinPlan]] → [[AsofJoinExec]]; injected via
+  * [[graft.GraftExtensions]] (cluster deployment) or
+  * `experimental.extraStrategies` ([[Asof.join]] self-registers for
+  * plain sessions).
+  */
+class AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+object Asof {
+
+  import org.apache.spark.sql.GraftColumnBridge
+
+  /** Ensure the planner knows the operator on sessions built without
+    * [[graft.GraftExtensions]]; idempotent.
+    */
+  def ensureStrategy(spark: SparkSession): Unit = synchronized {
+    val es = spark.experimental.extraStrategies
+    if (!es.exists(_.isInstanceOf[AsofJoinStrategy]))
+      spark.experimental.extraStrategies = es :+ new AsofJoinStrategy
+  }
+
+  /** `left ASOF JOIN right ON leftKeys = rightKeys AND rightTime <=
+    * leftTime` (latest match, left-outer). Output = all left columns
+    * then all right columns (nullable); rename collisions away before
+    * joining — both sides' names survive as-is.
+    */
+  def join(left: DataFrame, right: DataFrame,
+           leftKeys: Seq[String], rightKeys: Seq[String],
+           leftTime: String, rightTime: String): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      s"asof join needs matching non-empty key lists, " +
+        s"got $leftKeys vs $rightKeys")
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = left.queryExecution.analyzed
+    // a branched DataFrame (both sides from one plan) would duplicate
+    // attribute ids across the two children; re-alias the right side's
+    // columns (fresh exprIds) in that case, as the analyzer's
+    // DeduplicateRelations does for built-in joins
+    val rightDeduped =
+      if (left.queryExecution.analyzed.outputSet
+            .intersect(right.queryExecution.analyzed.outputSet).nonEmpty)
+        right.select(right.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+      else right
+    val rPlan = rightDeduped.queryExecution.analyzed
+    def attr(plan: LogicalPlan, n: String, side: String): Attribute =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"asof join: no column '$n' on the $side side " +
+            s"(has ${plan.output.map(_.name).mkString(", ")})"))
+    val lks = leftKeys.map(attr(lPlan, _, "left"))
+    val rks = rightKeys.map(attr(rPlan, _, "right"))
+    lks.zip(rks).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"asof key type mismatch: ${a.name}:${a.dataType.simpleString} vs " +
+          s"${b.name}:${b.dataType.simpleString}")
+    }
+    val lt = attr(lPlan, leftTime, "left")
+    val rt = attr(rPlan, rightTime, "right")
+    require(lt.dataType == rt.dataType,
+      s"asof time type mismatch: ${lt.dataType.simpleString} vs " +
+        s"${rt.dataType.simpleString}")
+    GraftColumnBridge.ofRows(spark,
+      AsofJoinPlan(lPlan, rPlan, lks, rks, lt, rt))
+  }
+}

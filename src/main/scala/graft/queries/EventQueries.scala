@@ -115,6 +115,31 @@ object EventQueries {
           col("ts_us").as("purchase_us"), col("last_view_us"))
     },
 
+    /** ev07 — the same enrichment as ev05 through the CUSTOM as-of
+      * operator (tier (c): [[graft.plans.AsofJoinPlan]] planned by
+      * [[graft.plans.AsofJoinStrategy]]): purchases as-of-joined to
+      * the latest view at-or-before each purchase. Semantics are the
+      * pure time form (a same-microsecond view counts regardless of
+      * event id), hence its own oracle rather than ev05's. Both sides
+      * branch from ONE events scan — also exercising the operator's
+      * attribute-dedup path in production.
+      */
+    "ev07_asof_custom" -> { (s, d) =>
+      val ev = Tables.eventsTs(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .filter(col("event_type").isin("purchase", "view"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("purchase_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"),
+          col("ts_us").as("last_view_us"))
+      graft.plans.Asof.join(p, v, Seq("user_id"), Seq("v_user"),
+          "purchase_us", "last_view_us")
+        .select(col("user_id"), col("purchase_id"), col("purchase_us"),
+          col("last_view_us"))
+    },
+
     /** ev04 — F9-adjacent: JSON prop extraction from the event payload
       * (`props` is a JSON string) + per-type value stats.
       */
@@ -183,6 +208,25 @@ object EventQueries {
         |          ROWS UNBOUNDED PRECEDING) AS last_view_us
         |  FROM ev)
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    // pure as-of truth: per purchase, the max view time at-or-before it
+    // (the O(n²) formulation is fine at oracle scale; the operator is
+    // the O(n log n) path)
+    "ev07_asof_custom" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us
+        |  FROM ev WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, ts_us AS view_us FROM ev
+        |  WHERE event_type = 'view')
+        |SELECT p.user_id, p.purchase_id, p.purchase_us,
+        |  MAX(v.view_us) AS last_view_us
+        |FROM p LEFT JOIN v
+        |  ON v.user_id = p.user_id AND v.view_us <= p.purchase_us
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "ev04_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
