@@ -140,6 +140,41 @@ object EventQueries {
           col("last_view_us"))
     },
 
+    /** ev08 — range (point-in-interval) join via bucketing
+      * ([[graft.ext.RangeJoin]]): every purchase joined to the
+      * 30-min-gap session interval (ev02's sessionization) containing
+      * it. Sessions are derived from ALL events, so each purchase falls
+      * in exactly one of its user's sessions — rows = #purchases. The
+      * bucket width equals the session gap: a session spans few buckets
+      * and the join stays a (user, bucket) equi-join, never a per-user
+      * cartesian.
+      */
+    "ev08_range_join" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables.eventsTs(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val sess = ev
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id").as("s_user"), col("sess_id"))
+        .agg(min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          count(lit(1)).as("n_sess_events"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us"))
+      graft.ext.RangeJoin.pointInInterval(p, sess,
+          Seq("user_id"), Seq("s_user"), "ts_us", "start_us", "end_us",
+          bucketWidth = SessionGapUs)
+        .select(col("user_id"), col("purchase_id"), col("sess_id"),
+          col("start_us"), col("end_us"), col("n_sess_events"))
+    },
+
     /** ev04 — F9-adjacent: JSON prop extraction from the event payload
       * (`props` is a JSON string) + per-type value stats.
       */
@@ -208,6 +243,34 @@ object EventQueries {
         |          ROWS UNBOUNDED PRECEDING) AS last_view_us
         |  FROM ev)
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    // sessionize exactly as ev02, aggregate to intervals, then the
+    // non-equi containment join DuckDB can afford at oracle scale
+    "ev08_range_join" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS new_sess,
+         |    event_type
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |), tagged AS (
+         |  SELECT user_id, event_id, ts_us, event_type,
+         |    SUM(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM flagged
+         |), sess AS (
+         |  SELECT user_id AS s_user, CAST(sess_id AS BIGINT) AS sess_id,
+         |    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         |    COUNT(*) AS n_sess_events
+         |  FROM tagged GROUP BY 1, 2)
+         |SELECT t.user_id, t.event_id AS purchase_id, s.sess_id,
+         |  s.start_us, s.end_us, s.n_sess_events
+         |FROM tagged t JOIN sess s
+         |  ON s.s_user = t.user_id
+         |  AND t.ts_us BETWEEN s.start_us AND s.end_us
+         |WHERE t.event_type = 'purchase'""".stripMargin,
 
     // pure as-of truth: per purchase, the max view time at-or-before it
     // (the O(n²) formulation is fine at oracle scale; the operator is
