@@ -67,11 +67,17 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
-        if (!ok) failed += name
+        // a failed rep's (usually tiny) duration must not enter the
+        // min/median — a fast crash would masquerade as a fast query
+        if (ok) times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        else failed += name
       }
     }
+    // -1 marks a query with NO successful rep (it is also in `failed`);
+    // the totals skip it rather than summing the sentinel
+    def minOr(v: Vector[Double]): Double = if (v.isEmpty) -1 else v.min
     def median(v: Vector[Double]): Double = {
+      if (v.isEmpty) return -1
       val s = v.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -81,14 +87,15 @@ object Bench {
     val names = ordered.map(_._1)
     def obj(f: String => String): String =
       names.map(k => "\"" + k + "\":" + f(k)).mkString("{", ",", "}")
-    val qs = obj(k => fmt(times(k).min))
+    val qs = obj(k => fmt(minOr(times(k))))
     val medians = obj(k => fmt(median(times(k))))
     val repTimes = obj(k => times(k).map(fmt).mkString("[", ",", "]"))
     // a failed query must not masquerade as a fast one — surface it
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val total = names.map(k => times(k).min).sum
-    val totalMedian = names.map(k => median(times(k))).sum
+    val succeeded = names.filter(k => times(k).nonEmpty)
+    val total = succeeded.map(k => times(k).min).sum
+    val totalMedian = succeeded.map(k => median(times(k))).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"medians":$medians,"total_median":${fmt(totalMedian)},"reps":$repTimes,"n_reps":$reps,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -124,9 +124,15 @@ object Cli {
       throw CliError(
         "--start-time/--end-time require --ts-col (the column to window on)")
     val startMs = opts.get("start_time").map(_.toLong).getOrElse(0L)
-    val endMs = opts.get("end_time").map(_.toLong).getOrElse(
-      if (tsCol.isDefined) nowMs - Incremental.HotTailGuardMs
-      else Long.MaxValue)
+    // the default end bound is the hot-tail guard even WITHOUT a ts
+    // column: the engine ignores the window then, but the value lands
+    // in the catalog's end_time, which lastEndTimes/planIncremental
+    // read back as the table's watermark. A full export taken at T
+    // contains everything visible at T, so claiming T−guard is the
+    // conservative truth — a MaxValue sentinel would poison every
+    // later incremental into an empty window (start > end) forever.
+    val endMs = opts.get("end_time").map(_.toLong)
+      .getOrElse(nowMs - Incremental.HotTailGuardMs)
     val versions = opts.get("versions").map(_.toInt).getOrElse(100000)
     val format = formatOpt(opts)
     val specs = tables.map { t =>
@@ -178,6 +184,13 @@ object Cli {
           .filter(!col("error") && !col("empty"))
           .select("table_name").distinct().as[String].collect().toSeq.sorted
       }
+    // a mistyped session/pattern must not masquerade as a successful
+    // 0-table restore (the --tables path already hard-fails via
+    // resolveRequested; this makes the pattern path equally loud)
+    if (requested.isEmpty)
+      throw CliError(s"nothing to restore: session '$sessionName'" +
+        opts.get("pattern").fold("")(p => s" pattern '$p'") +
+        " matches no restorable exported tables")
     val importCat = new BackupCatalog(spark,
       opts.getOrElse("import_catalog_root", s"$targetRoot/_catalog"))
     val runner = new BackupRunner(spark, importCat,

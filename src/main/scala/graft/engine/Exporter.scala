@@ -242,7 +242,11 @@ object Exporter {
     * exportTable, whose dest path is already session-scoped.
     */
   def bucketedTableName(table: String, sessionName: String): String =
-    s"${table}_$sessionName"
+    // metastore identifiers reject '-', '.', etc. — a session name like
+    // "run-2026.08" would fail saveAsTable at parse time. Sanitizing
+    // can in principle collide two exotic names ("a-b"/"a.b"); the
+    // session-scoped `path` keeps even those byte-separate on disk
+    s"${table}_$sessionName".replaceAll("[^A-Za-z0-9_]", "_")
 
   def exportBucketed(spark: SparkSession, cat: BackupCatalog,
                      df: DataFrame, table: String, sessionName: String,

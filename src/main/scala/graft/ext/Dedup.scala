@@ -147,6 +147,13 @@ object Dedup {
     * a dedup batch job — rounds are seconds long and the driver simply
     * reruns — but a long multi-tenant pipeline on flaky spot executors
     * should swap in reliable `checkpoint()` against the cluster FS.
+    *
+    * Block lifetime: checkpoint blocks cannot be freed through the
+    * Dataset API (unpersist only touches CacheManager entries), so
+    * superseded rounds are reclaimed by the ContextCleaner once
+    * unreachable — at most edges + two label frames are referenced at
+    * any point in the loop, and the frames are (long, long) pairs over
+    * docs-that-have-a-dup, far below corpus size by construction.
     */
   def clusters(pairs: DataFrame, aCol: String = "doc_a",
                bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {

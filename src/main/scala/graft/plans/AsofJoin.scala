@@ -193,10 +193,17 @@ object Asof {
       else right
     val rPlan = rightDeduped.queryExecution.analyzed
     def attr(plan: LogicalPlan, n: String, side: String): Attribute =
-      plan.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
+      plan.output.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
           s"asof join: no column '$n' on the $side side " +
-            s"(has ${plan.output.map(_.name).mkString(", ")})"))
+            s"(has ${plan.output.map(_.name).mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          // silently binding the first duplicate could join on the
+          // WRONG side's column — reject like Spark's own resolver
+          s"asof join: column '$n' is ambiguous on the $side side " +
+            s"(${many.size} columns share the name)")
+      }
     val lks = leftKeys.map(attr(lPlan, _, "left"))
     val rks = rightKeys.map(attr(rPlan, _, "right"))
     lks.zip(rks).foreach { case (a, b) =>

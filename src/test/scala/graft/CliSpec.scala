@@ -81,6 +81,37 @@ class CliSpec extends SparkTestBase {
     assert(none.contains("no export sessions match"))
   }
 
+  test("export without --ts-col records a sane watermark, not a sentinel") {
+    val dest = tmpDir("cli-bk-wm")
+    Cli.run(spark, Seq("export", "--source-dir", sf0001,
+      "--dest-root", dest, "--tables", "region",
+      "--session-name", "s1"), now)
+    val cat = new catalog.BackupCatalog(spark, s"$dest/_catalog")
+    // Long.MaxValue here would poison every later incremental window
+    // (start > end) — the recorded end must be the hot-tail guard
+    assert(cat.lastEndTime("export", "region") ==
+      now - graft.incremental.Incremental.HotTailGuardMs)
+  }
+
+  test("import matching nothing fails loudly instead of restoring 0 tables") {
+    val dest = tmpDir("cli-bk-miss")
+    val target = tmpDir("cli-restore-miss")
+    Cli.run(spark, Seq("export", "--source-dir", sf0001,
+      "--dest-root", dest, "--tables", "region",
+      "--session-name", "s1"), now)
+    val e = intercept[CliError] {
+      Cli.run(spark, Seq("import", "--source-root", dest,
+        "--session-name", "s1-typo", "--target-root", target), now)
+    }
+    assert(e.getMessage.contains("nothing to restore"))
+    val e2 = intercept[CliError] {
+      Cli.run(spark, Seq("import", "--source-root", dest,
+        "--session-name", "s1", "--target-root", target,
+        "--pattern", "zzz%"), now)
+    }
+    assert(e2.getMessage.contains("zzz%"))
+  }
+
   test("--format orc round-trips export then import; unknown format fails at parse") {
     val dest = tmpDir("cli-bk-orc")
     val target = tmpDir("cli-restore-orc")

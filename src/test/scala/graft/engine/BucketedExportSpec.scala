@@ -9,6 +9,18 @@ import org.apache.spark.sql.functions._
   */
 class BucketedExportSpec extends SparkTestBase {
 
+  test("session names with metastore-hostile characters still export") {
+    val dir = tmpDir("bucketed-dash")
+    val cat = new graft.catalog.BackupCatalog(spark, tmpDir("bk-cat-dash"))
+    val r = Tables.region(spark, sf0001)
+    val out = Exporter.exportBucketed(spark, cat, r, "bk_region",
+      "run-2026.08.12", s"$dir/region", Seq("r_regionkey"), 2)
+    assert(out.isInstanceOf[Exporter.Exported], out)
+    assert(spark.table(
+      Exporter.bucketedTableName("bk_region", "run-2026.08.12"))
+      .count() == 5)
+  }
+
   test("join on the bucket key is exchange-free and result-identical") {
     val dir = tmpDir("bucketed")
     val cat = new graft.catalog.BackupCatalog(spark, tmpDir("bk-cat"))

@@ -104,5 +104,12 @@ class AsofJoinSpec extends SparkTestBase {
       Asof.join(trades, quotes, Seq("sym"), Seq("qt"), "t", "qt")
     }
     assert(e2.getMessage.contains("type mismatch"))
+    // duplicate names must be rejected, not silently bound to the first
+    val amb = Seq((1L, 2L, "k")).toDF("a", "b", "sym")
+      .select(col("sym"), col("a").as("t"), col("b").as("t"))
+    val e3 = intercept[IllegalArgumentException] {
+      Asof.join(amb, quotes, Seq("sym"), Seq("qsym"), "t", "qt")
+    }
+    assert(e3.getMessage.contains("ambiguous"))
   }
 }
