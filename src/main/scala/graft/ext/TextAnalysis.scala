@@ -241,6 +241,36 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Mixture sampling — the corpus-composition step (Dolma/SlimPajama
+    * style): given target mixture weights per source and a total token
+    * budget, down-sample each source to ≈ its token share,
+    * deterministically by content hash (re-runs and re-partitions pick
+    * the same documents; no RNG). A source's keep fraction is
+    * `min(1, weight·budget / available)`, quantized to basis points so
+    * the threshold is integral in both engines; sources without a
+    * weight are dropped. Scale: one aggregation for per-source token
+    * totals (sources ≪ corpus — broadcast back), then a narrow
+    * filtered scan; nothing corpus-sized shuffles.
+    */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+                    budgetTokens: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF("source", "weight")
+    val tk = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).as("n_tokens"), col("text"))
+    val avail = tk.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("avail_tokens"))
+    val frac = avail.join(w, "source")
+      .select(col("source"),
+        floor(lit(10000.0) * least(lit(1.0),
+          col("weight") * budgetTokens / col("avail_tokens")))
+          .as("keep_bp"))
+    tk.join(broadcast(frac), "source")
+      .filter(Hashing.base60(col("text")) % 10000 < col("keep_bp"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
   /** Deterministic stratified sample: keep ~pct% of each stratum by
     * content hash (same hash family as [[hashSplit]] — stable across
     * runs/engines/partitionings, and disjointness with a split is

@@ -84,6 +84,15 @@ object TextQueries {
       TextAnalysis.unigramLogLik(Tables.documents(s, d))
     },
 
+    /** x17 — mixture sampling: compose a 2000-token corpus at
+      * 40/30/20/10 weights over four sources, deterministic by content
+      * hash. Weights and budget are shared with the oracle below.
+      */
+    "x17_mixture_sample" -> { (s, d) =>
+      TextAnalysis.mixtureSample(Tables.documents(s, d),
+        MixtureWeights, MixtureBudget)
+    },
+
     /** x16 — Unicode NFC canonicalization via the native
       * [[graft.functions.NfcNormalize]] expression. The synthetic corpus
       * is ASCII (already NFC — would only exercise the fast path), so
@@ -106,6 +115,16 @@ object TextQueries {
 
   private val stopList =
     TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+
+  /** x17's mixture — ONE definition feeding both engines. */
+  val MixtureWeights: Map[String, Double] =
+    Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+  val MixtureBudget = 2000L
+
+  // CAST: DuckDB would infer the bare literal as DECIMAL and run the
+  // fraction arithmetic in decimal, diverging from Spark's double
+  private val mixtureValuesSql = MixtureWeights.toSeq.sorted
+    .map { case (s, w) => s"('$s', CAST($w AS DOUBLE))" }.mkString(", ")
 
   /** zh score in DuckDB's RE2 syntax (Spark uses Java's \uXXXX form —
     * same codepoint class).
@@ -292,6 +311,27 @@ object TextQueries {
         |      AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    // identical op order both sides: (weight*budget)/avail in double,
+    // min with 1, ×10000, floor → integral basis-point threshold
+    "x17_mixture_sample" ->
+      s"""WITH w(source, weight) AS (VALUES $mixtureValuesSql),
+         |tk AS (
+         |  SELECT doc_id, source,
+         |    len(string_split(text, ' ')) AS n_tokens, text
+         |  FROM documents),
+         |avail AS (
+         |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+         |  FROM tk GROUP BY source),
+         |frac AS (
+         |  SELECT source,
+         |    CAST(FLOOR(10000.0 * LEAST(1.0,
+         |      weight * ${TextQueries.MixtureBudget} / avail_tokens))
+         |      AS BIGINT) AS keep_bp
+         |  FROM avail JOIN w USING (source))
+         |SELECT doc_id, source, n_tokens
+         |FROM tk JOIN frac USING (source)
+         |WHERE ${Hashing.base60Sql("text")} % 10000 < keep_bp""".stripMargin,
 
     // combining marks built with chr() — DuckDB strings have no \u
     // escapes; both engines count code points and md5 UTF-8 bytes

@@ -83,6 +83,30 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(both.exists(_.getLong(0) == orig) && both.exists(_.getLong(0) == 99999L))
   }
 
+  test("mixture sampling hits token targets, drops unweighted, clamps at 1") {
+    val weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 30.0)
+    val budget = 2000L
+    val kept = TextAnalysis.mixtureSample(docs, weights, budget)
+    val bySource = kept.groupBy("source")
+      .agg(sum(col("n_tokens")).as("kept_tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unweighted sources are absent entirely
+    assert(bySource.keySet.subsetOf(weights.keySet))
+    // an over-weighted source clamps at keeping everything
+    val src2All = docs.filter(col("source") === "src2")
+      .select(sum(size(split(col("text"), " ")))).first().getLong(0)
+    assert(bySource("src2") == src2All)
+    // a fractional source lands near its token target (hash sampling
+    // variance: the corpus has ~25 docs/source, so allow a wide band
+    // around target = weight * budget)
+    val target0 = (0.4 * budget).toLong
+    assert(bySource("src0") > 0 && bySource("src0") < 2L * target0,
+      s"src0 kept ${bySource("src0")} vs target $target0")
+    // deterministic: a second invocation picks identical documents
+    val again = TextAnalysis.mixtureSample(docs, weights, budget)
+    assert(kept.except(again).isEmpty && again.except(kept).isEmpty)
+  }
+
   test("tfidf ranks a rare term above stop-like terms") {
     import spark.implicits._
     val corpus = Seq(
