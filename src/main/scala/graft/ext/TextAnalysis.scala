@@ -271,6 +271,39 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("n_tokens"))
   }
 
+  /** Sequence packing — the layout step between a cleaned corpus and a
+    * trainer: documents are packed contiguously into fixed-length
+    * training sequences (GPT-style, split at sequence boundaries), and
+    * every document gets its (bucket, sequence, offset) coordinate.
+    * Packing is greedy-contiguous in doc_id order within a hash
+    * bucket: a document straddling a boundary starts in one sequence
+    * and overflows into the next — exactly what boundary-splitting
+    * tokenizer pipelines do, and (unlike bin-packing heuristics) fully
+    * relational: one exclusive running sum per bucket.
+    *
+    * Scale: a single shuffle on the bucket column; the window sorts
+    * within buckets only — `nBuckets` sized so a bucket is one
+    * executor-core's working set keeps the sort bounded. A GLOBAL
+    * packing order would serialize the window into one partition; the
+    * bucket is what makes the operator parallel, at the cost of
+    * per-bucket (not corpus-global) sequence numbering.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int,
+                    nBuckets: Int): DataFrame = {
+    require(seqLen > 0 && nBuckets > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    docs.select(col("doc_id"), pmod(col("doc_id"), lit(nBuckets)).as("bucket"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        // integral `div`, not `/`: no double rounding at any scale
+        expr(s"cum_excl div $seqLen").as("seq_id"),
+        (col("cum_excl") % seqLen).as("offset_tokens"))
+  }
+
   /** Deterministic stratified sample: keep ~pct% of each stratum by
     * content hash (same hash family as [[hashSplit]] — stable across
     * runs/engines/partitionings, and disjointness with a split is

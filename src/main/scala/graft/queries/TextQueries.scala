@@ -93,6 +93,14 @@ object TextQueries {
         MixtureWeights, MixtureBudget)
     },
 
+    /** x18 — sequence packing at 512-token sequences over 8 buckets:
+      * every doc's (bucket, training-sequence, offset) coordinate.
+      */
+    "x18_pack_sequences" -> { (s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d),
+        seqLen = 512, nBuckets = 8)
+    },
+
     /** x16 — Unicode NFC canonicalization via the native
       * [[graft.functions.NfcNormalize]] expression. The synthetic corpus
       * is ASCII (already NFC — would only exercise the fast path), so
@@ -311,6 +319,23 @@ object TextQueries {
         |      AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    // exclusive running sum per bucket; integer div/mod only
+    "x18_pack_sequences" ->
+      """WITH tk AS (
+        |  SELECT doc_id, doc_id % 8 AS bucket,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+        |  FROM tk)
+        |SELECT doc_id, bucket, n_tokens,
+        |  cum_excl // 512 AS seq_id,
+        |  cum_excl % 512 AS offset_tokens
+        |FROM c""".stripMargin,
 
     // identical op order both sides: (weight*budget)/avail in double,
     // min with 1, ×10000, floor → integral basis-point threshold

@@ -107,6 +107,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(kept.except(again).isEmpty && again.except(kept).isEmpty)
   }
 
+  test("sequence packing is contiguous, in-bounds, and token-conserving") {
+    val packed = TextAnalysis.packSequences(docs, seqLen = 512, nBuckets = 8)
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("offset_tokens")))
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // contiguity: each doc starts exactly where the previous ended
+      ordered.zip(ordered.tail).foreach {
+        case ((_, _, n, seq, off), (_, _, _, seq2, off2)) =>
+          val endAbs = seq * 512 + off + n
+          assert(seq2 * 512 + off2 == endAbs,
+            s"gap or overlap at seq=$seq2 off=$off2, expected abs $endAbs")
+      }
+      assert(ordered.head._4 == 0L && ordered.head._5 == 0L)
+    }
+    assert(packed.forall(r => r._5 >= 0 && r._5 < 512))
+    // every token is laid out exactly once
+    val total = docs.select(sum(size(split(col("text"), " "))))
+      .first().getLong(0)
+    assert(packed.map(_._3.toLong).sum == total)
+  }
+
   test("tfidf ranks a rare term above stop-like terms") {
     import spark.implicits._
     val corpus = Seq(
