@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       NfcNormalize.fromExprs))
     // whole-operator extension (tier c): the as-of join planner rule
+    // plus the optimizer rule that lets column pruning pass through
+    // the custom node down to both scans
     e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.AsofJoinPruning)
   }
 }

@@ -142,6 +142,42 @@ final case class AsofJoinExec(leftKeys: Seq[Expression],
     copy(left = newLeft, right = newRight)
 }
 
+/** Column pruning through [[AsofJoinPlan]] — the optimizer-rule leg of
+  * the extension (`injectOptimizerRule`). Catalyst's own ColumnPruning
+  * only understands built-in operators, so a custom node is a pruning
+  * BARRIER: `Asof.join(wideTable, …).select(two columns)` would read
+  * every column of both scans. This rule narrows each child to the
+  * columns the parent projection references plus the join keys/times;
+  * the inserted Projects then collapse into the children and reach the
+  * file-source `ReadSchema` like any built-in join's would (asserted
+  * in AsofJoinSpec). Without it the operator is correct but pays full
+  * row width in I/O and shuffle — at 100 TB that is the difference
+  * between scanning two columns and scanning fifty.
+  */
+object AsofJoinPruning
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projectList,
+        aj @ AsofJoinPlan(l, r, lk, rk, lt, rt)) =>
+      val required = AttributeSet(projectList.flatMap(_.references)) ++
+        AttributeSet((lk ++ rk) :+ lt :+ rt)
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(required.contains)
+        if (keep.length == child.output.length) child
+        else Project(keep, child)
+      }
+      val (nl, nr) = (prune(l), prune(r))
+      // fixed-point safe: once nothing prunes, the original node is
+      // returned unchanged
+      if ((nl eq l) && (nr eq r)) p
+      else Project(projectList, aj.copy(left = nl, right = nr))
+  }
+}
+
 /** Plans [[AsofJoinPlan]] → [[AsofJoinExec]]; injected via
   * [[graft.GraftExtensions]] (cluster deployment) or
   * `experimental.extraStrategies` ([[Asof.join]] self-registers for
@@ -166,6 +202,9 @@ object Asof {
     val es = spark.experimental.extraStrategies
     if (!es.exists(_.isInstanceOf[AsofJoinStrategy]))
       spark.experimental.extraStrategies = es :+ new AsofJoinStrategy
+    val eo = spark.experimental.extraOptimizations
+    if (!eo.contains(AsofJoinPruning))
+      spark.experimental.extraOptimizations = eo :+ AsofJoinPruning
   }
 
   /** `left ASOF JOIN right ON leftKeys = rightKeys AND rightTime <=

@@ -94,6 +94,29 @@ class AsofJoinSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("column pruning passes through the custom node to both scans") {
+    // full-width events on both sides, two columns selected: without
+    // AsofJoinPruning the custom node is a pruning barrier and both
+    // ReadSchemas carry every column (props, value, ...)
+    val l = graft.Tables.eventsTs(spark, sf0001)
+      .withColumnRenamed("event_id", "l_id")
+    val r = graft.Tables.eventsTs(spark, sf0001)
+      .withColumnRenamed("user_id", "r_user")
+      .withColumnRenamed("ts_ns", "r_ts")
+      .withColumnRenamed("event_id", "r_id")
+    val j = Asof.join(l, r, Seq("user_id"), Seq("r_user"), "ts_ns", "r_ts")
+      .select("l_id", "r_ts")
+    j.collect()
+    // AQE's plan string can repeat the scans (initial + final plan)
+    val schemas = j.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("ReadSchema")).map(_.trim.replaceAll("^[:+\\- ]+", ""))
+      .toSeq.distinct
+    assert(schemas.size == 2, schemas)
+    assert(!schemas.exists(_.contains("props")),
+      s"unreferenced wide column survived pruning:\n${schemas.mkString("\n")}")
+    schemas.foreach(s => assert(!s.contains("value"), s))
+  }
+
   test("key/time column validation fails loudly") {
     val e1 = intercept[IllegalArgumentException] {
       Asof.join(trades, quotes, Seq("nope"), Seq("qsym"), "t", "qt")
