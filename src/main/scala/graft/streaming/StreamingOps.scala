@@ -161,6 +161,52 @@ object StreamingOps {
       .withWatermark("ts", "60 seconds")
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class LastView(lastViewUs: Long)
+  final case class EnrichedPurchase(user_id: Long, purchase_id: Long,
+                                    purchase_us: Long,
+                                    last_view_us: Option[Long])
+
+  /** ev07's streaming twin — as-of ENRICHMENT as keyed state: one
+    * `LastView` row per user carries the max view time seen so far;
+    * each purchase is emitted immediately, enriched with it. Unlike
+    * [[purchaseViewJoin]] (which buffers an hour of views per user in
+    * join state), the as-of shape needs O(1) state per key and no
+    * retraction — the right fold for "latest value at-or-before".
+    *
+    * Within a micro-batch, a user's rows are ordered (ts, views before
+    * purchases at equal ts, event_id) so a same-microsecond view counts
+    * for its purchase exactly as the batch operator's `<=` does; run as
+    * one AvailableNow batch the output equals ev07 row-for-row
+    * (StreamingSpec). Across micro-batches the append output is
+    * best-effort-ordered: a view arriving in a LATER batch than a
+    * purchase it precedes in event time cannot retro-update the
+    * already-emitted row — the inherent as-of-enrichment/append trade,
+    * bounded by the source's batch skew.
+    */
+  def asofEnrich(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[LastView, EnrichedPurchase](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[LastView]) =>
+          val sorted = rows.toSeq.sortBy(r =>
+            (r._2, if (r._4 == "view") 0 else 1, r._3))
+          var last = state.getOption.map(_.lastViewUs)
+          val out = Seq.newBuilder[EnrichedPurchase]
+          sorted.foreach { case (_, ts, eid, typ) =>
+            if (typ == "view") last = Some(last.fold(ts)(math.max(_, ts)))
+            else out += EnrichedPurchase(user, eid, ts, last)
+          }
+          last.foreach(v => state.update(LastView(v)))
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Stream-stream interval join (the watermarked join shape): each
     * purchase matched to the same user's view events in the preceding
     * hour. Both sides carry watermarks and the join condition bounds

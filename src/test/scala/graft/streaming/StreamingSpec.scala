@@ -137,6 +137,19 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("streaming as-of enrichment agrees with batch ev07") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val q = StreamingOps.runToCompletion(spark,
+      StreamingOps.asofEnrich(spark, stream), "stream_ev07",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.stop()
+    val got = spark.table("stream_ev07")
+    val expected = graft.queries.EventQueries
+      .defs("ev07_asof_custom")(spark, sf0001)
+    assert(got.count() == expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   test("late rows beyond the watermark are dropped in append mode") {
     // two files: the bulk, then a far-late single event — with a 60s
     // watermark the late row lands in a closed window and is dropped
