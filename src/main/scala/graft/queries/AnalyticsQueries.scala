@@ -237,6 +237,204 @@ object AnalyticsQueries {
           col("total_qty"))
     },
 
+    /** q02 — correlated-min lookup (TPC-H Q2 shape, adapted: no
+      * partsupp table, so the "min supply cost per part" becomes "min
+      * retail price per type"): an aggregate subquery de-correlated
+      * into a tiny group-by joined back to the base table, ties kept.
+      * The per-type min table is bounded by the p_type domain (6 fixed
+      * values at every SF) — broadcast hint is safe, unlike the
+      * SF-scaling dims.
+      */
+    "q02_cheapest_part" -> { (s, d) =>
+      val p = Tables.part(s, d)
+        .select("p_partkey", "p_name", "p_type", "p_retailprice")
+      val mins = p.groupBy(col("p_type").as("mt"))
+        .agg(min(col("p_retailprice")).as("min_price"))
+      // equality on raw parquet doubles is exact — no arithmetic on
+      // either side of the comparison
+      p.join(broadcast(mins),
+          col("p_type") === col("mt") &&
+            col("p_retailprice") === col("min_price"))
+        .select(col("p_type"), col("p_partkey"), col("p_name"),
+          col("p_retailprice"))
+    },
+
+    /** q08 — market-share: the conditional-share aggregation over a
+      * two-role nation join (customer's region gates the rows, the
+      * supplier's nation feeds the numerator). Fixed-cardinality
+      * nation/region broadcast by hint; part/customer/supplier scale
+      * with SF — AQE decides. Share = decimal-exact numerator /
+      * decimal-exact denominator, one double division (portable).
+      */
+    "q08_market_share" -> { (s, d) =>
+      val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val p = Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+          "l_discount")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((dsum(when(col("supp_nation") === "NATION_7", vol)
+            .otherwise(lit(0.0)), 4) / dsum(vol, 4)).as("mkt_share"))
+    },
+
+    /** q11 — group-filter against a global scalar (TPC-H Q11 shape):
+      * per-brand revenue kept only where it exceeds a fraction of
+      * total revenue. The scalar total is a one-row aggregate joined
+      * in by (always-safe) broadcast; both sides are decimal-exact
+      * sums so the threshold comparison is bit-identical cross-engine.
+      */
+    "q11_brand_share" -> { (s, d) =>
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val lp = Tables.lineitem(s, d)
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(Tables.part(s, d).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+      val perBrand = lp.groupBy(col("p_brand"))
+        .agg(dsum(vol, 4).as("brand_rev"))
+      val total = lp.agg(dsum(vol, 4).as("total_rev"))
+      perBrand.join(broadcast(total))
+        .filter(col("brand_rev") > lit(0.042) * col("total_rev"))
+        .select(col("p_brand"), col("brand_rev"))
+    },
+
+    /** q14 — promo-revenue ratio per ship year: conditional numerator
+      * over unconditional denominator in one aggregation pass (no
+      * second scan for the total). part scales with SF — AQE decides
+      * the join side.
+      */
+    "q14_promo_revenue" -> { (s, d) =>
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(Tables.part(s, d).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).as("l_year"))
+        .agg(((lit(100.0) * dsum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(0.0)), 4)) / dsum(vol, 4)).as("promo_pct"))
+    },
+
+    /** q15 — argmax against an aggregate-of-aggregates (TPC-H Q15's
+      * view + max shape): supplier revenue for one quarter, keeping
+      * the supplier(s) whose revenue equals the global max. The max is
+      * a one-row aggregate — broadcast unconditionally. Equality on
+      * doubles is safe: both sides are the same decimal-exact sums.
+      */
+    "q15_top_supplier" -> { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    },
+
+    /** q17 — correlated average de-correlated (TPC-H Q17 shape):
+      * lines whose quantity is under 20% of their part's average
+      * quantity. The correlated scalar subquery becomes a per-part
+      * aggregate joined back on partkey (AQE decides the side — the
+      * agg output scales with the filtered part count). davg is
+      * decimal-exact, so the 0.2*avg threshold is bit-identical
+      * cross-engine.
+      */
+    "q17_small_quantity" -> { (s, d) =>
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#3" && col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val lp = Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(p, col("l_partkey") === col("p_partkey"))
+      val avgq = lp.groupBy(col("l_partkey").as("ap"))
+        .agg(davg(col("l_quantity")).as("avg_qty"))
+      lp.join(avgq, col("l_partkey") === col("ap"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    /** q19 — disjunction of conjunctions across both join sides
+      * (TPC-H Q19 shape): the predicate can't be pushed whole, but
+      * Catalyst's constraint extraction pushes the per-table residuals
+      * (brand/size to the part scan, quantity to the lineitem scan).
+      * PlanSpec pins that.
+      */
+    "q19_disjunctive" -> { (s, d) =>
+      val clause = (col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#24" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(Tables.part(s, d).select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .filter(clause)
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"), count(lit(1)).as("n_lines"))
+    },
+
+    /** q21 — the double-correlated EXISTS / NOT EXISTS shape (TPC-H
+      * Q21 adapted — no commit/receipt dates, so "late" is shipdate
+      * more than 90 days after the order date): suppliers who were the
+      * sole late shipper of a multi-supplier order. Both subqueries
+      * become self-joins on orderkey — a left-semi (another supplier
+      * exists) then a left-anti (no other *late* supplier) — hash
+      * joins on orderkey with the supplier inequality as a residual
+      * condition, never a nested loop. nation is fixed-size
+      * (broadcast hint); supplier scales (AQE).
+      */
+    "q21_sole_late_supplier" -> { (s, d) =>
+      val nat = Tables.nation(s, d).filter(col("n_name") === "NATION_3")
+        .select("n_nationkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      val l = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = l
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      late.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")),
+          col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+          "left_semi")
+        .join(late.select(col("l_orderkey").as("ok3"),
+            col("l_suppkey").as("sk3")),
+          col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+          "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
+
     /** a05 — ROLLUP grouping sets with grouping_id: the subtotal /
       * grand-total report shape. One shuffle; Spark expands the
       * grouping sets map-side (Expand), so partial aggregation still
@@ -390,6 +588,116 @@ object AnalyticsQueries {
         |FROM big
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q02_cheapest_part" ->
+      """SELECT p_type, p_partkey, p_name, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2
+        |                       WHERE p2.p_type = p.p_type)""".stripMargin,
+
+    "q08_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_7'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |    AS DECIMAL(18,4))) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q11_brand_share" ->
+      """WITH lp AS (
+        |  SELECT p_brand,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS v
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT p_brand, CAST(SUM(v) AS DOUBLE) AS brand_rev
+        |FROM lp
+        |GROUP BY p_brand
+        |HAVING CAST(SUM(v) AS DOUBLE) >
+        |  0.042 * (SELECT CAST(SUM(v) AS DOUBLE) FROM lp)""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT year(l_shipdate) AS l_year,
+        |  100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |    AS DECIMAL(18,4))) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH lp AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY'),
+        |avgq AS (
+        |  SELECT l_partkey AS ap,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(*) AS avg_qty
+        |  FROM lp GROUP BY l_partkey)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lp JOIN avgq ON l_partkey = ap
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_sole_late_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
 
     "a05_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -107,6 +107,51 @@ class PlanSpec extends SparkTestBase {
       "candidate generation degraded to an all-pairs join")
   }
 
+  test("q19 disjunctive predicate: per-table residuals pushed to both scans") {
+    // the OR-of-ANDs spans both tables and can't be pushed whole;
+    // Catalyst must extract the table-local disjunctions so each scan
+    // prunes row groups (part on brand/size, lineitem on quantity)
+    val df = SparkEntry.queries("q19_disjunctive")(spark, sf0001)
+    val scans = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.exists(l => l.contains("p_brand") && l.contains("Or(")),
+      s"part scan lost the disjunctive brand/size residual: $scans")
+    assert(scans.exists(l => l.contains("l_quantity") && l.contains("Or(")),
+      s"lineitem scan lost the disjunctive quantity residual: $scans")
+  }
+
+  test("q21 double-correlated exists: hash joins only, inequality as residual") {
+    // the suppkey<>suppkey conditions must ride the orderkey equi-joins
+    // as residual conditions — a nested-loop fallback here is quadratic
+    val df = SparkEntry.queries("q21_sole_late_supplier")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "semi/anti self-join degraded to a nested loop")
+  }
+
+  test("q15 argmax-of-aggregate: the one-row max joins by broadcast") {
+    val df = SparkEntry.queries("q15_top_supplier")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "global-max join should broadcast the one-row aggregate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "max comparison planned as a non-equi product")
+  }
+
+  test("q08 market share: AQE broadcasts all dimension joins at small SF") {
+    // part/customer/supplier carry no hint (SF-scaling); nation/region
+    // are hinted. At sf0.001 every join must still resolve to broadcast.
+    val df = SparkEntry.queries("q08_market_share")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      "a dimension join degraded to sort-merge at small SF")
+  }
+
   test("whole-stage codegen covers the hot analytic paths") {
     Seq("q01_pricing_summary", "e01_export_scan", "x01_token_stats")
       .foreach { q =>
