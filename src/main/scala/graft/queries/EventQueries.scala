@@ -178,6 +178,30 @@ object EventQueries {
     /** ev04 — F9-adjacent: JSON prop extraction from the event payload
       * (`props` is a JSON string) + per-type value stats.
       */
+    /** ev09 — skew-salted fact⋈dim join, oracle-checked end-to-end:
+      * the events fact side is salted (user_id is the canonical hot
+      * key — 150 users over 10k+ events), the per-user dim derived by
+      * aggregation is exploded across the salt space, and the join
+      * result must equal the plain equi-join exactly. This
+      * oracle-checks engine.SkewJoin's claim (salt never leaks, every
+      * salt value covered) on the data plane, not just in a spec.
+      * At 100 TB the same shape handles a hot-key join AQE's
+      * partition-splitting can't fix (one key's hash bucket is
+      * indivisible for a plain join).
+      */
+    "ev09_salted_join" -> { (s, d) =>
+      val ev = Tables.eventsTs(s, d).select("user_id", "event_type")
+      val dim = Tables.eventsTs(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_user_events"),
+          min(col("event_id")).as("first_event_id"))
+      graft.engine.SkewJoin.saltedEquiJoin(ev, dim, Seq("user_id"), salts = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_user_events")).as("sum_user_n"),
+          min(col("first_event_id")).as("min_first_id"))
+    },
+
     "ev04_json_props" -> { (s, d) =>
       Tables.eventsTs(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -188,6 +212,17 @@ object EventQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "ev09_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, COUNT(*) AS n_user_events,
+        |    MIN(event_id) AS first_event_id
+        |  FROM events GROUP BY user_id)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(n_user_events) AS BIGINT) AS sum_user_n,
+        |  MIN(first_event_id) AS min_first_id
+        |FROM events JOIN dim USING (user_id)
+        |GROUP BY event_type""".stripMargin,
+
     "ev01_tumbling" ->
       s"""SELECT (epoch_us(ts) // $HourUs) * 3600000 AS bucket_ms,
          |  event_type, COUNT(*) AS n,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Multimodal, Similarity}
+import graft.ext.{Multimodal, Quantize, Similarity}
 import org.apache.spark.sql.functions._
 
 /** [EXT] similarity-search and multimodal surface.
@@ -86,6 +86,26 @@ object SimilarityQueries {
           col("n_bytes_in"), col("n_bytes_out"))
     },
 
+    /** x19 — int8 embedding quantization, oracle-checked through
+      * integer checksums of the quantized vectors (sum / L1 / min /
+      * max fully determine element-wise agreement up to permutation,
+      * and the per-dim values are pinned by QuantizeSpec's
+      * reconstruction bound). A narrow no-shuffle map — the whole
+      * query is one codegen stage over the parquet scan.
+      */
+    "x19_quantize_int8" -> { (s, d) =>
+      Quantize.int8(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          col("q_scale"),
+          aggregate(col("q_vec"), lit(0L),
+            (acc, x) => acc + x.cast("long")).as("q_sum"),
+          aggregate(col("q_vec"), lit(0L),
+            (acc, x) => acc + abs(x.cast("long"))).as("q_l1"),
+          array_min(col("q_vec")).cast("long").as("q_min"),
+          array_max(col("q_vec")).cast("long").as("q_max"))
+    },
+
     /** x05 — label-centroid similarity: mean embedding per label, then
       * each vector's cosine to its own label centroid (the
       * embedding-quality probe of a curation pipeline).
@@ -124,6 +144,28 @@ object SimilarityQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "x19_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x)))
+        |      AS DOUBLE) / 127.0 AS q_scale,
+        |    embedding
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, n_dims, q_scale,
+        |    CASE WHEN q_scale = 0.0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |             x -> CAST(round(CAST(x AS DOUBLE) / q_scale) AS BIGINT))
+        |    END AS qv
+        |  FROM q)
+        |SELECT vec_id, n_dims, q_scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM qq""".stripMargin,
+
     "x05_label_centroid_sim" ->
       """WITH byd AS (
         |  SELECT vec_id, label, i AS dim, emb[i+1] AS v
