@@ -94,10 +94,47 @@ object Cli {
       case Some("export") => exportCmd(spark, parseOpts(args.tail), nowMs)
       case Some("import") => importCmd(spark, parseOpts(args.tail), nowMs)
       case Some("db") => dbCmd(spark, parseOpts(args.tail))
+      case Some("compact") => compactCmd(spark, parseOpts(args.tail))
       case Some(other) => throw CliError(
-        s"unknown command: $other (expected export | import | db)")
-      case None => throw CliError("usage: graft.Cli <export|import|db> [--options]")
+        s"unknown command: $other (expected export | import | db | compact)")
+      case None =>
+        throw CliError("usage: graft.Cli <export|import|db|compact> [--options]")
     }
+
+  /** `compact` — [EXT] maintenance: rewrite a session's (or one
+    * table's) fragmented export dirs into ~target-mb files. No
+    * reference equivalent (HBase compacts server-side; a file-based
+    * destination needs it done here).
+    */
+  private def compactCmd(spark: SparkSession,
+                         opts: Map[String, String]): String = {
+    val destRoot = required(opts, "dest_root")
+    val sessionName = required(opts, "session_name")
+    val targetBytes =
+      opts.get("target_mb").map(_.toLong).getOrElse(512L) << 20
+    val tables: Seq[String] =
+      if (opts.contains("tables"))
+        opts("tables").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else {
+        val session = new org.apache.hadoop.fs.Path(s"$destRoot/$sessionName")
+        val f = session.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(session))
+          throw CliError(s"no such session dir: $session")
+        f.listStatus(session).filter(_.isDirectory)
+          .map(_.getPath.getName).filterNot(_.startsWith("_")).toSeq.sorted
+      }
+    if (tables.isEmpty)
+      throw CliError(s"nothing to compact under $destRoot/$sessionName")
+    val lines = tables.map { t =>
+      val r = engine.Compactor.compact(spark,
+        engine.Exporter.destPath(destRoot, sessionName, t), targetBytes)
+      if (r.compacted)
+        s"$t: compacted ${r.filesBefore} -> ${r.filesAfter} files " +
+          s"(rows=${r.rows}, bytes=${r.bytes})"
+      else s"$t: already compact (${r.filesAfter} files)"
+    }
+    lines.mkString("\n")
+  }
 
   /** `export` — cli.rb:147-169. */
   private def exportCmd(spark: SparkSession, opts: Map[String, String],

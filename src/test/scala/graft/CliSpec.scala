@@ -132,6 +132,37 @@ class CliSpec extends SparkTestBase {
     assert(e.getMessage.contains("unknown --format"))
   }
 
+  test("compact rewrites a fragmented session table and reports a no-op twice") {
+    val dest = tmpDir("cli-compact")
+    Cli.run(spark, Seq("export",
+      "--source-dir", sf0001, "--dest-root", dest,
+      "--tables", "lineitem", "--session-name", "s9"), now)
+    // fragment the destination the way many incremental sessions would
+    val dir = s"$dest/s9/lineitem"
+    val df = spark.read.parquet(dir)
+    val nRows = df.count()
+    df.repartition(16).write.mode("overwrite").parquet(dir + "__frag")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    f.rename(new org.apache.hadoop.fs.Path(dir + "__frag"),
+      new org.apache.hadoop.fs.Path(dir))
+
+    val out = Cli.run(spark, Seq("compact",
+      "--dest-root", dest, "--session-name", "s9"), now)
+    assert(out.contains("lineitem: compacted 16 -> 1 files"), out)
+    val again = Cli.run(spark, Seq("compact",
+      "--dest-root", dest, "--session-name", "s9"), now)
+    assert(again.contains("lineitem: already compact"), again)
+    assert(spark.read.parquet(dir).count() == nRows)
+  }
+
+  test("compact validation: a missing session dir fails loudly") {
+    val e = intercept[CliError](Cli.run(spark, Seq("compact",
+      "--dest-root", tmpDir("cli-ghost"), "--session-name", "nope"), now))
+    assert(e.message.contains("no such session dir"))
+  }
+
   test("export validation: --all and --tables are exclusive (cli.rb:150-154)") {
     val e = intercept[CliError] {
       Cli.run(spark, Seq("export", "--source-dir", sf0001,

@@ -1,0 +1,88 @@
+package graft.engine
+
+import graft.{SparkTestBase, Tables}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+class CompactorSpec extends SparkTestBase {
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFileCount(dir: String): Int =
+    fsOf(dir).listStatus(new Path(dir)).count { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  test("compaction merges a fragmented dir, preserving rows and content") {
+    val dir = tmpDir("compact") + "/lineitem"
+    val src = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    src.repartition(24).write.parquet(dir)
+    assert(dataFileCount(dir) == 24)
+
+    val r = Compactor.compact(spark, dir, targetBytes = 1L << 30)
+    assert(r.compacted && r.filesBefore == 24 && r.filesAfter == 1, r)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == src.count())
+    // content equality via symmetric anti-joins on the full row
+    val cols = src.columns.toSeq
+    assert(back.join(src, cols, "left_anti").isEmpty &&
+      src.join(back, cols, "left_anti").isEmpty,
+      "compacted content differs from the original")
+  }
+
+  test("already-compact dir is a no-op") {
+    val dir = tmpDir("compact") + "/small"
+    Tables.nation(spark, sf0001).coalesce(1).write.parquet(dir)
+    val r = Compactor.compact(spark, dir, targetBytes = 1L << 30)
+    assert(!r.compacted && r.filesAfter == 1)
+  }
+
+  test("partitioned layout compacts per leaf and keeps the layout") {
+    val dir = tmpDir("compact") + "/bystatus"
+    Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+      .repartition(8)
+      .write.partitionBy("l_returnflag").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val beforeCounts = before.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val r = Compactor.compact(spark, dir, targetBytes = 1L << 30)
+    assert(r.compacted)
+
+    val f = fsOf(dir)
+    val leaves = f.listStatus(new Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    assert(leaves.nonEmpty, "partition layout lost by compaction")
+    leaves.foreach { l =>
+      assert(dataFileCount(l.getPath.toString) == 1,
+        s"leaf ${l.getPath.getName} not compacted to one file")
+    }
+    val afterCounts = spark.read.parquet(dir)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterCounts == beforeCounts)
+  }
+
+  test("sidecar files survive the swap") {
+    val dir = tmpDir("compact") + "/withinfo"
+    Tables.region(spark, sf0001).repartition(4).write.parquet(dir)
+    TableOps.saveInfo(spark, s"$dir/_export_info.log", "provenance\n")
+    Compactor.compact(spark, dir, targetBytes = 1L << 30)
+    assert(TableOps.readInfo(spark, s"$dir/_export_info.log") == "provenance\n")
+  }
+
+  test("recover restores a destination whose swap died after staging") {
+    val dir = tmpDir("compact") + "/crashy"
+    Tables.region(spark, sf0001).coalesce(1).write.parquet(dir)
+    val f = fsOf(dir)
+    // simulate the crash window: dest staged to __old, tmp never landed
+    require(f.rename(new Path(dir), new Path(dir + "__old")))
+    Compactor.recover(spark, dir)
+    assert(spark.read.parquet(dir).count() == 5)
+  }
+}
