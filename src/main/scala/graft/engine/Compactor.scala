@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Small-file compaction for export destinations.
   *
@@ -101,17 +102,27 @@ object Compactor {
       throw new IllegalStateException(
         s"compaction of $dir dropped rows ($rowsBefore -> $rowsAfter); aborted")
     }
+    swapInto(f, dir, tmp)
+    val after = dataFiles(f, root)
+    Report(dir, files.length, after.length, after.map(_.getLen).sum,
+      rowsAfter, compacted = true)
+  }
+
+  /** Carry sidecars into the rewrite, then publish it over `dir` via
+    * the checked-rename swap (dir → __old, tmp → dir, drop __old).
+    */
+  private def swapInto(f: FileSystem, dir: String, tmp: String): Unit = {
+    val (p, pTmp, pOld) = (new Path(dir), new Path(tmp), new Path(dir + "__old"))
     // sidecars (_export_info.log etc.) move into the rewrite before the
     // swap so the published dir keeps its provenance; the rewrite's own
     // _SUCCESS already exists in tmp
-    f.listStatus(root).filter { s =>
+    f.listStatus(p).filter { s =>
       val n = s.getPath.getName
       s.isFile && n.startsWith("_") && n != "_SUCCESS"
     }.foreach { s =>
-      require(f.rename(s.getPath, new Path(tmp, s.getPath.getName)),
+      require(f.rename(s.getPath, new Path(pTmp, s.getPath.getName)),
         s"cannot carry sidecar ${s.getPath} into the compacted dir")
     }
-    val (p, pTmp, pOld) = (root, new Path(tmp), new Path(dir + "__old"))
     if (f.exists(pOld)) require(f.delete(pOld, true), s"cannot clear $pOld")
     require(f.rename(p, pOld), s"cannot stage $p to $pOld")
     if (!f.rename(pTmp, p)) {
@@ -119,8 +130,60 @@ object Compactor {
       throw new IllegalStateException(s"cannot swap $pTmp into $p")
     }
     f.delete(pOld, true)
-    val after = dataFiles(f, root)
-    Report(dir, files.length, after.length, after.map(_.getLen).sum,
-      rowsAfter, compacted = true)
+  }
+
+  final case class MajorReport(dir: String, rowsBefore: Long,
+                               rowsAfter: Long, files: Int)
+
+  /** HBase major compaction over a file-based restore target: imports
+    * are additive (Hadoop Import appends cells — Importer.scala's
+    * Append mode mirrors that), so a target restored from several
+    * sessions accumulates every version of every key. Major compaction
+    * enforces the column-family contract the catalog already records
+    * (ColumnDescriptor.max_versions / ttl, mysql.rb:75-102 — HBase
+    * drops beyond-maxVersions and TTL-expired cells when it rewrites
+    * an HFile): keep the newest `maxVersions` rows per key, drop rows
+    * older than the TTL, publish atomically.
+    *
+    * Scale: one hash shuffle on the key columns (the ranking window of
+    * Exporter.versionCap — same skew bounds as a capped export), then
+    * a sized write. The unit of rewrite is the table dir; at 100 TB
+    * run it per partition dir like `compact` does.
+    */
+  def majorCompact(spark: SparkSession, dir: String, keyCols: Seq[String],
+                   tsCol: String, tieBreakCols: Seq[String] = Nil,
+                   maxVersions: Int = Int.MaxValue, ttlMs: Long = 0L,
+                   nowMs: Long = 0L,
+                   targetBytes: Long = 512L << 20): MajorReport = {
+    require(keyCols.nonEmpty, "major compaction needs the row key columns")
+    recover(spark, dir)
+    val f = fs(spark, dir)
+    val rowsBefore = TableOps.parquetRowCount(spark, dir)
+    val bytes = dataFiles(f, new Path(dir)).map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+
+    val df = spark.read.parquet(dir)
+    // HBase expiry is `now - ts >= ttl` (strict survival: ts > now-ttl).
+    // Integral ts columns are epoch millis and compare as such — a
+    // cast("timestamp") would reinterpret them as SECONDS.
+    val alive =
+      if (ttlMs > 0L) {
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        val cutoff = nowMs - ttlMs
+        df.schema(tsCol).dataType match {
+          case LongType | IntegerType => df.filter(col(tsCol) > lit(cutoff))
+          case _ => df.filter(col(tsCol).cast("timestamp") >
+            timestamp_millis(lit(cutoff)))
+        }
+      } else df
+    val kept = Exporter.versionCap(alive, keyCols, tsCol, tieBreakCols,
+      maxVersions)
+    val tmp = dir + "__compact_tmp"
+    f.delete(new Path(tmp), true)
+    kept.coalesce(nOut).write.mode("overwrite").parquet(tmp)
+    val rowsAfter = TableOps.parquetRowCount(spark, tmp)
+    swapInto(f, dir, tmp)
+    MajorReport(dir, rowsBefore, rowsAfter,
+      dataFiles(f, new Path(dir)).length)
   }
 }

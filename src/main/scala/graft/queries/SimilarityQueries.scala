@@ -86,6 +86,15 @@ object SimilarityQueries {
           col("n_bytes_in"), col("n_bytes_out"))
     },
 
+    /** s04 — int8-quantized ANN (engine-only like s02/s03: the
+      * quantize-score-rerank pipeline isn't worth a 4096-literal SQL
+      * twin; exact-equality and recall are spec-pinned instead).
+      */
+    "s04_ann_int8" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(e, e.filter(col("vec_id") < NumQueries), K)
+    },
+
     /** x19 — int8 embedding quantization, oracle-checked through
       * integer checksums of the quantized vectors (sum / L1 / min /
       * max fully determine element-wise agreement up to permutation,

@@ -76,6 +76,27 @@ class CompactorSpec extends SparkTestBase {
     assert(TableOps.readInfo(spark, s"$dir/_export_info.log") == "provenance\n")
   }
 
+  test("major compaction enforces max_versions and ttl like an HBase rewrite") {
+    import spark.implicits._
+    val dir = tmpDir("compact") + "/versioned"
+    // three "sessions" appended additively: key 1 gets versions at
+    // t=1000,2000,3000; key 2 at t=1000 only (expired under the TTL)
+    Seq((1L, 1000L, "a"), (2L, 1000L, "x")).toDF("k", "ts", "v")
+      .write.parquet(dir)
+    Seq((1L, 2000L, "b")).toDF("k", "ts", "v")
+      .write.mode("append").parquet(dir)
+    Seq((1L, 3000L, "c")).toDF("k", "ts", "v")
+      .write.mode("append").parquet(dir)
+
+    val r = Compactor.majorCompact(spark, dir, keyCols = Seq("k"),
+      tsCol = "ts", maxVersions = 2, ttlMs = 2500L, nowMs = 3500L)
+    assert(r.rowsBefore == 4 && r.rowsAfter == 2, r)
+    val rows = spark.read.parquet(dir).orderBy("k", "ts")
+      .as[(Long, Long, String)].collect().toSeq
+    // key 1: newest two of the three survive; key 2: TTL-expired, gone
+    assert(rows == Seq((1L, 2000L, "b"), (1L, 3000L, "c")), rows)
+  }
+
   test("recover restores a destination whose swap died after staging") {
     val dir = tmpDir("compact") + "/crashy"
     Tables.region(spark, sf0001).coalesce(1).write.parquet(dir)

@@ -43,6 +43,29 @@ class QuantizeSpec extends SparkTestBase {
     assert(q(1).getSeq[Int](q(1).fieldIndex("q_vec"))(1) == -127)
   }
 
+  test("quantizedTopK with full rerank equals the exact ranking") {
+    // rerank covering the whole corpus makes the int8 pass a pure
+    // candidate generator — the exact re-rank must then reproduce
+    // cosineTopK row for row
+    val e = Tables.embeddings(spark, sf0001)
+    val qs = e.filter(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(e, qs, 3).collect().toSet
+    val viaQ = Similarity.quantizedTopK(e, qs, 3, rerank = Int.MaxValue / 4)
+      .collect().toSet
+    assert(viaQ == exact)
+  }
+
+  test("quantizedTopK recall at sane rerank on the isotropic corpus") {
+    val e = Tables.embeddings(spark, sf0001)
+    val qs = e.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(e, qs, 3)
+      .select("query_id", "neighbor_id").collect().toSet
+    val viaQ = Similarity.quantizedTopK(e, qs, 3, rerank = 4)
+      .select("query_id", "neighbor_id").collect().toSet
+    val recall = exact.intersect(viaQ).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 ANN recall $recall < 0.9")
+  }
+
   test("integer dot product approximates the float dot within quantization error") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 20)
