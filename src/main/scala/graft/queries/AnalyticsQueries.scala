@@ -435,6 +435,101 @@ object AnalyticsQueries {
         .limit(10)
     },
 
+    /** q09 — product-type profit (TPC-H Q9 shape, adapted: no partsupp
+      * table, so supply cost is modeled as 60% of the part's retail
+      * price): a 5-way join with a computed measure aggregated by
+      * supplier nation × order year. nation is fixed-size (broadcast
+      * hint); part/supplier scale with SF (AQE decides); the two
+      * SF-scaling shuffles are lineitem⋈orders on orderkey and the
+      * final 2-key group-by. The profit expression is evaluated in
+      * double (IEEE-identical cross-engine) and decimal-cast before
+      * the order-insensitive sum.
+      */
+    "q09_product_profit" -> { (s, d) =>
+      val p = Tables.part(s, d)
+        .filter(col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+      val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(profit, 4).as("sum_profit"))
+    },
+
+    /** q16 — supplier-relation count (TPC-H Q16 shape, adapted: the
+      * part↔supplier relation is derived from lineitem since there is
+      * no partsupp): DISTINCT-aggregation over a join, minus an
+      * excluded-supplier list applied as a left-anti join (never a
+      * NOT IN subquery re-scan). count_distinct is the two-shuffle
+      * partial-distinct shape — dedup on (group keys, l_suppkey)
+      * map-side first, so the second shuffle moves only distinct
+      * pairs. The exclusion list is tiny (LIKE over supplier) and
+      * stays on the build side at any SF.
+      */
+    "q16_supplier_relation" -> { (s, d) =>
+      val excluded = Tables.supplier(s, d)
+        .filter(col("s_name").like("%7"))
+        .select("s_suppkey")
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25))
+        .select("p_partkey", "p_brand", "p_size")
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+
+    /** q20 — excess-stock suppliers (TPC-H Q20 shape, adapted: with no
+      * partsupp.availqty, "excess" means the supplier shipped more
+      * than half of a part's total 1996 volume): two aggregations of
+      * the SAME filtered scan at different granularities — per
+      * (part, supplier) and per part — joined on partkey to apply the
+      * half-of-total threshold, then the qualifying supplier set
+      * applied to the dimension side as a left-semi join. The window
+      * scan is computed once per aggregate but shares the pushed
+      * semi-join + date filters; both aggregates shuffle on (subsets
+      * of) partkey. Threshold compare is double-vs-double of
+      * decimal-exact sums — bit-identical cross-engine.
+      */
+    "q20_excess_stock" -> { (s, d) =>
+      val redParts = Tables.part(s, d)
+        .filter(col("p_name").like("red%"))
+        .select("p_partkey")
+      val w = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      val pairQty = w.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("pair_qty"))
+      val partQty = w.groupBy(col("l_partkey").as("pk"))
+        .agg(dsum(col("l_quantity")).as("part_qty"))
+      val dominant = pairQty
+        .join(partQty, col("l_partkey") === col("pk"))
+        .filter(col("pair_qty") > lit(0.5) * col("part_qty"))
+        .select(col("l_suppkey"))
+        .distinct()
+      val nat = Tables.nation(s, d)
+        .filter(col("n_name") === "NATION_2")
+        .select("n_nationkey")
+      Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    },
+
     /** a05 — ROLLUP grouping sets with grouping_id: the subtotal /
       * grand-total report shape. One shuffle; Spark expands the
       * grouping sets map-side (Expand), so partial aggregation still
@@ -698,6 +793,52 @@ object AnalyticsQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 10""".stripMargin,
+
+    "q09_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q16_supplier_relation" ->
+      """SELECT p_brand, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q20_excess_stock" ->
+      """WITH w AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')),
+        |pair AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS pair_qty
+        |  FROM w GROUP BY 1, 2),
+        |ptot AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_qty
+        |  FROM w GROUP BY 1)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |  AND EXISTS (SELECT 1 FROM pair JOIN ptot ON l_partkey = pk
+        |              WHERE pair_qty > 0.5 * part_qty
+        |                AND l_suppkey = s_suppkey)""".stripMargin,
 
     "a05_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
