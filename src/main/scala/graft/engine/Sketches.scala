@@ -68,4 +68,59 @@ object Sketches {
       might(when(col(candCol).isNotNull,
         xxhash64(col(candCol).cast("string")))))
   }
+
+  /** Heavy hitters via Count-Min-Sketch candidate pruning + exact
+    * re-verification: items occurring more than `minShare` of the
+    * total stream.
+    *
+    * Returns EXACTLY the rows of the brute-force
+    * `group-by → filter(count > minShare·total)` — not an
+    * approximation — because (a) CMS only ever OVER-estimates, so
+    * every true heavy hitter survives the candidate filter (no false
+    * negatives by construction), and (b) candidates are re-counted
+    * exactly before the final threshold, which removes the false
+    * positives. That makes the operator oracle-checkable against the
+    * exact SQL.
+    *
+    * Scale shape (the point vs the exact form): the exact group-by
+    * shuffles one row per DISTINCT item — at 100 TB of web tokens
+    * that is billions of rows of exchange for a handful of answers.
+    * Here pass 1 builds the sketch (fixed ~`2/eps · ln(1/(1-conf))`
+    * counters, merged commutatively across partitions) and pass 2
+    * probes each scanned item against the broadcast sketch BEFORE the
+    * distinct, so only near-heavy tokens ever reach an exchange; the
+    * final exact count runs over a stream semi-joined to that tiny
+    * candidate set. The probe is a broadcast-handle UDF (no public
+    * built-in probes a CountMinSketch), same pattern as the bloom
+    * probe above — narrow, no shuffle.
+    *
+    * `eps` trades sketch memory for candidate precision: estimates
+    * exceed truth by at most eps·total with prob ≥ confidence, so the
+    * candidate set is ~{items with share > minShare − eps}. Choose
+    * eps ≪ minShare.
+    */
+  def heavyHittersCms(spark: SparkSession, items: DataFrame,
+                      itemCol: String, minShare: Double,
+                      eps: Double = 1e-4, confidence: Double = 0.99,
+                      seed: Int = 42): DataFrame = {
+    require(minShare > 0 && minShare < 1, s"minShare=$minShare out of (0,1)")
+    val stream = items.filter(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("string").as("token"))
+    val cms = stream.stat.countMinSketch("token", eps, confidence, seed)
+    val total = cms.totalCount // exact: CMS tracks the true add count
+    val bc = spark.sparkContext.broadcast(cms)
+    // floor(minShare·total) is a safe candidate bar: a true hitter has
+    // n > minShare·total ⇒ n ≥ floor+1 > floor, and est ≥ n.
+    val bar = (minShare * total).toLong
+    val est = udf((t: String) => bc.value.estimateCount(t))
+    val candidates = stream
+      .filter(est(col("token")) > lit(bar))
+      .distinct()
+    stream.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") > lit(total) * lit(minShare))
+      .select(col("token"), col("n_occurrences"),
+        (col("n_occurrences").cast("double") / lit(total)).as("share"))
+  }
 }

@@ -205,6 +205,26 @@ object TextAnalysis {
           count(lit(1)), 4).as("avg_logprob"))
   }
 
+  /** Heavy hitters: tokens whose occurrence count exceeds `minShare`
+    * of all token occurrences in the corpus — the exact form (full
+    * token group-by, then the threshold against the one-row global
+    * total, joined by always-safe broadcast). The shuffle moves one
+    * row per distinct token; the scan is one pass. For corpora whose
+    * distinct-token count itself is the bottleneck, the sketch-pruned
+    * twin `engine.Sketches.heavyHittersCms` returns the same rows
+    * while shuffling only near-heavy tokens.
+    */
+  def heavyHitters(docs: DataFrame, minShare: Double): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val total = counts.agg(sum(col("n_occurrences")).as("total"))
+    counts.join(broadcast(total))
+      .filter(col("n_occurrences") > col("total") * lit(minShare))
+      .select(col("token"), col("n_occurrences"),
+        (col("n_occurrences").cast("double") / col("total")).as("share"))
+  }
+
   /** Corpus vocabulary: the top-V tokens by occurrence count (token
     * tiebreak — deterministic cutoff) with document frequency — the
     * input to any frequency-based tokenizer/vocab build. TakeOrdered

@@ -70,6 +70,24 @@ object TextQueries {
     "x11_vocab" -> { (s, d) =>
       TextAnalysis.vocab(Tables.documents(s, d), topV = 100)
     },
+
+    /** x20/x21 — heavy hitters (tokens above 1% of all occurrences):
+      * exact group-by form and the CMS-pruned + exact-reverify form.
+      * The sketch path provably returns the same rows (CMS never
+      * underestimates; candidates are re-counted exactly), so BOTH are
+      * checked against the same oracle — the approximation is in the
+      * pruning, never in the answer.
+      */
+    "x20_heavy_hitters" -> { (s, d) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, d), minShare = 0.01)
+    },
+    "x21_heavy_hitters_cms" -> { (s, d) =>
+      import org.apache.spark.sql.functions.{col, explode}
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      graft.engine.Sketches.heavyHittersCms(s, toks, "token",
+        minShare = 0.01, eps = 1e-4)
+    },
     "x12_repetition" -> { (s, d) =>
       TextAnalysis.bigramRepetition(Tables.documents(s, d))
     },
@@ -286,6 +304,9 @@ object TextQueries {
         |ORDER BY n_occurrences DESC, token
         |LIMIT 100""".stripMargin,
 
+    "x20_heavy_hitters" -> HeavyHittersSql,
+    "x21_heavy_hitters_cms" -> HeavyHittersSql,
+
     "x12_repetition" ->
       """WITH bg AS (
         |  SELECT doc_id,
@@ -371,4 +392,18 @@ object TextQueries {
         |  CAST(length(nfc_normalize(text)) AS INT) AS n_cp_nfc,
         |  md5(nfc_normalize(text)) AS nfc_digest
         |FROM aug""".stripMargin)
+
+  /** Shared by x20 (exact) and x21 (CMS-pruned): the sketch path
+    * returns identical rows by construction, so one oracle covers
+    * both. Share = double(count)/total — same op order both engines.
+    */
+  private lazy val HeavyHittersSql =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |cnt AS (SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS total FROM tok)
+      |SELECT token, n_occurrences,
+      |  CAST(n_occurrences AS DOUBLE) / total AS share
+      |FROM cnt, tot
+      |WHERE n_occurrences > total * 0.01""".stripMargin
 }

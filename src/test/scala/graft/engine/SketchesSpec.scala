@@ -35,6 +35,37 @@ class SketchesSpec extends SparkTestBase {
     assert(!v(None), "null probes as non-member")
   }
 
+  test("CMS heavy hitters equal the exact group-by answer on a skewed stream") {
+    import spark.implicits._
+    // zipf-ish skew: item i appears ~ 3000/i times; hitters at 1% of
+    // ~22k total are the first few items, the tail is pruning fodder
+    val stream = (1 to 60).flatMap(i => Seq.fill(3000 / i)(s"item_$i"))
+      .toDF("v").repartition(7)
+    val exact = stream.groupBy($"v").count()
+      .withColumn("total", sum($"count").over())
+      .filter($"count" > $"total" * 0.01)
+      .select($"v", $"count").as[(String, Long)].collect().toMap
+    val cms = Sketches.heavyHittersCms(spark, stream, "v", minShare = 0.01)
+      .select($"token", $"n_occurrences").as[(String, Long)].collect().toMap
+    assert(cms == exact, s"cms=$cms exact=$exact")
+    assert(exact.nonEmpty && exact.size < 60, "threshold should prune the tail")
+  }
+
+  test("CMS heavy hitters: coarse sketch still yields the exact answer " +
+    "(false positives die in re-verification)") {
+    import spark.implicits._
+    val stream = (1 to 40).flatMap(i => Seq.fill(1000 / i)(s"w$i")).toDF("v")
+    // eps of 5% >> minShare 2%: the candidate set is sloppy, the
+    // answer must not be
+    val loose = Sketches.heavyHittersCms(spark, stream, "v",
+      minShare = 0.02, eps = 0.05)
+      .select($"token").as[String].collect().toSet
+    val tight = Sketches.heavyHittersCms(spark, stream, "v",
+      minShare = 0.02, eps = 1e-4)
+      .select($"token").as[String].collect().toSet
+    assert(loose == tight, "answer must be independent of sketch precision")
+  }
+
   test("bloom build is deterministic under repartitioning") {
     val li = Tables.lineitem(spark, sf0001)
     val cands = li.select(col("l_orderkey").as("k")).distinct()
