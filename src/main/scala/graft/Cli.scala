@@ -104,7 +104,9 @@ object Cli {
   /** `compact` — [EXT] maintenance: rewrite a session's (or one
     * table's) fragmented export dirs into ~target-mb files. No
     * reference equivalent (HBase compacts server-side; a file-based
-    * destination needs it done here).
+    * destination needs it done here). `--zorder a,b` re-layouts the
+    * rewrite along a Z-order curve over the named columns
+    * (engine.Layout) so restore-side scans prune on any of them.
     */
   private def compactCmd(spark: SparkSession,
                          opts: Map[String, String]): String = {
@@ -112,6 +114,8 @@ object Cli {
     val sessionName = required(opts, "session_name")
     val targetBytes =
       opts.get("target_mb").map(_.toLong).getOrElse(512L) << 20
+    val zorderCols = opts.get("zorder").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val tables: Seq[String] =
       if (opts.contains("tables"))
         opts("tables").split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -127,7 +131,8 @@ object Cli {
       throw CliError(s"nothing to compact under $destRoot/$sessionName")
     val lines = tables.map { t =>
       val r = engine.Compactor.compact(spark,
-        engine.Exporter.destPath(destRoot, sessionName, t), targetBytes)
+        engine.Exporter.destPath(destRoot, sessionName, t), targetBytes,
+        zorderCols)
       if (r.compacted)
         s"$t: compacted ${r.filesBefore} -> ${r.filesAfter} files " +
           s"(rows=${r.rows}, bytes=${r.bytes})"

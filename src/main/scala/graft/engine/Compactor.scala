@@ -69,7 +69,8 @@ object Compactor {
     * directory already has few enough files.
     */
   def compact(spark: SparkSession, dir: String,
-              targetBytes: Long = 512L << 20): Report = {
+              targetBytes: Long = 512L << 20,
+              zorderCols: Seq[String] = Nil): Report = {
     recover(spark, dir)
     val f = fs(spark, dir)
     val root = new Path(dir)
@@ -77,7 +78,8 @@ object Compactor {
     if (parts.nonEmpty) {
       // leaf-partition recursion: each partition is its own rewrite
       // unit; the layout (and partition pruning on restore) survives
-      val reports = parts.map(p => compact(spark, p.toString, targetBytes))
+      val reports =
+        parts.map(p => compact(spark, p.toString, targetBytes, zorderCols))
       return Report(dir, reports.map(_.filesBefore).sum,
         reports.map(_.filesAfter).sum, reports.map(_.bytes).sum,
         reports.map(_.rows).sum, reports.exists(_.compacted))
@@ -86,15 +88,21 @@ object Compactor {
     val files = dataFiles(f, root)
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    if (files.length <= nOut)
+    // a z-order request is a RE-LAYOUT: it must rewrite even when the
+    // file count is already at target (the point is clustering, not
+    // merging)
+    if (files.length <= nOut && zorderCols.isEmpty)
       return Report(dir, files.length, files.length, bytes,
         TableOps.parquetRowCount(spark, dir), compacted = false)
 
     val rowsBefore = TableOps.parquetRowCount(spark, dir)
     val tmp = dir + "__compact_tmp"
     f.delete(new Path(tmp), true)
-    spark.read.parquet(dir).coalesce(nOut)
-      .write.mode("overwrite").parquet(tmp)
+    val src = spark.read.parquet(dir)
+    val rewritten =
+      if (zorderCols.nonEmpty) Layout.zorderBy(src, zorderCols, nOut)
+      else src.coalesce(nOut)
+    rewritten.write.mode("overwrite").parquet(tmp)
 
     val rowsAfter = TableOps.parquetRowCount(spark, tmp)
     if (rowsAfter != rowsBefore) {

@@ -1,0 +1,75 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional layout clustering (Z-order) for the export
+  * destination — the data-skipping lever the flat per-table layout
+  * leaves on the table.
+  *
+  * Problem at 100 TB: parquet row-group pruning works off per-file
+  * min/max stats, so it only prunes on columns the layout is sorted
+  * by. A linear sort on (a, b) prunes a perfectly and b not at all —
+  * the b-ranges of every file span the whole domain. Z-ordering maps
+  * each row to a point on a space-filling curve that interleaves the
+  * bits of per-column RANK BUCKETS, so files cover small
+  * hyper-rectangles of the combined domain and a selective predicate
+  * on ANY clustered column overlaps only ~N^((k-1)/k) of N files
+  * instead of all of them.
+  *
+  * Scale shape: one pass computes per-column approximate quantile
+  * boundaries (a fixed few-KB aggregate, merged map-side); bucketing
+  * each value against the broadcast boundary array is a narrow,
+  * codegen'd higher-order-function expression; the only shuffle is
+  * the final `repartitionByRange` on the z-value — exactly the
+  * exchange any re-layout must pay. Quantile (not min/max-uniform)
+  * buckets make the curve skew-resistant: each bucket holds ~1/B of
+  * the rows regardless of value distribution.
+  */
+object Layout {
+
+  /** Append a `zorder` column interleaving `bits` bits per column of
+    * the quantile-bucket ranks of `cols`. k·bits must fit a long.
+    */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
+    require(cols.nonEmpty, "zValue needs at least one column")
+    require(cols.size * bits <= 63, s"${cols.size} cols × $bits bits > 63")
+    val buckets = 1 << bits
+    // one aggregate row: quantile boundaries for every column at once
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val boundaryRow = df.select(cols.map(c =>
+      percentile_approx(col(c).cast("double"), typedLit(qs), lit(10000))
+        .as(c)): _*).head()
+    val bucketOf: Map[String, Column] = cols.zipWithIndex.map {
+      case (c, i) =>
+        val bs = boundaryRow.getSeq[Double](i)
+        // rank bucket = #boundaries <= v; literal array keeps the
+        // comparison inside codegen (no UDF, no join)
+        c -> aggregate(typedLit(bs),
+          lit(0),
+          (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+    }.toMap
+    // interleave: z bit (j·k + c) = bit j of column c's bucket —
+    // column 0 owns the most-significant position of each bit group
+    val k = cols.size
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, ci)) =>
+        val bit = shiftright(bucketOf(c).cast("long"), j).bitwiseAND(lit(1L))
+        a.bitwiseOR(shiftleft(bit, j * k + (k - 1 - ci)))
+      }
+    }
+    df.withColumn("zorder", z)
+  }
+
+  /** Re-layout `df` into `numFiles` z-ordered files: range-partition
+    * on the z-value (each output file covers one contiguous curve
+    * segment = one small hyper-rectangle per file), sort within, drop
+    * the helper column. Compose with Exporter/Compactor writes.
+    */
+  def zorderBy(df: DataFrame, cols: Seq[String], numFiles: Int,
+               bits: Int = 8): DataFrame =
+    zValue(df, cols, bits)
+      .repartitionByRange(numFiles, col("zorder"))
+      .sortWithinPartitions("zorder")
+      .drop("zorder")
+}

@@ -97,6 +97,25 @@ class CompactorSpec extends SparkTestBase {
     assert(rows == Seq((1L, 2000L, "b"), (1L, 3000L, "c")), rows)
   }
 
+  test("z-order compaction re-layouts even an already-compact dir " +
+    "and preserves rows") {
+    val dir = tmpDir("compact") + "/zorder"
+    val li = spark.read.parquet(Tables.path(sf0001, "lineitem"))
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    li.coalesce(2).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+    val rows = before.count()
+    // 2 files is already under any byte target — a plain compact would
+    // no-op, but the z-order request must rewrite anyway
+    val r = Compactor.compact(spark, dir, targetBytes = 512L << 20,
+      zorderCols = Seq("l_orderkey", "l_partkey"))
+    assert(r.compacted, "z-order request must force a rewrite")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == rows)
+    assert(after.except(li).isEmpty && li.except(after).isEmpty,
+      "re-layout must not change content")
+  }
+
   test("recover restores a destination whose swap died after staging") {
     val dir = tmpDir("compact") + "/crashy"
     Tables.region(spark, sf0001).coalesce(1).write.parquet(dir)
