@@ -161,6 +161,22 @@ object EngineQueries {
           sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_positive"))
     },
 
+    /** e11 — equi-width histogram of a payload column: the
+      * distribution fingerprint for the export-time integrity family
+      * (e05 counts, e06 NDV, e08/e09 quantiles) — two backups whose
+      * histograms differ corrupted something even when row counts
+      * match. Bucket = floor(v / width) (IEEE-identical both engines,
+      * no arithmetic on the summed side); one hash aggregate.
+      */
+    "e11_histogram" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 5000.0).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+    },
+
     /** e09 — exact interpolated quantiles, the oracle-checkable twin of
       * e08: Spark `percentile` and DuckDB `quantile_cont` share the
       * (n-1)·p linear-interpolation definition, compared at 2 decimals.
@@ -223,5 +239,13 @@ object EngineQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS q50,
         |  round(quantile_cont(l_extendedprice, 0.75), 2) AS q75,
         |  round(quantile_cont(l_extendedprice, 0.95), 2) AS q95
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
+
+    "e11_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  MIN(l_extendedprice) AS lo,
+        |  MAX(l_extendedprice) AS hi
+        |FROM lineitem
+        |GROUP BY 1""".stripMargin)
 }

@@ -56,6 +56,37 @@ object EventQueries {
           coalesce(col("n"), lit(0L)).as("n"))
     },
 
+    /** ev10 — LOCF resample (last observation carried forward): the
+      * gap-fill twin for VALUES instead of counts — each (hour, type)
+      * carries the latest observed reading, empty hours inherit the
+      * previous one (null before the first observation). Two window
+      * passes over the same (event_type, bucket) partitioning: a
+      * per-bucket argmax (row_number desc) then the ignoreNulls
+      * last-value frame along the broadcast-joined spine. Values pass
+      * through un-summed — no decimal dance needed.
+      */
+    "ev10_locf" -> { (s, d) =>
+      val hourUs = 3600000000L
+      val ev = Tables.eventsTs(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("b", expr(s"(ts_ns div 1000) div $hourUs"))
+      val byBucket = Window.partitionBy(col("event_type"), col("b"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val lastObs = ev.withColumn("rn", row_number().over(byBucket))
+        .filter(col("rn") === 1)
+        .select(col("b"), col("event_type"), col("value").as("obs"))
+      val spine = ev.agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("b"))
+        .crossJoin(ev.select(col("event_type")).distinct())
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      broadcast(lastObs)
+        .join(spine, Seq("b", "event_type"), "right_outer")
+        .withColumn("locf", last(col("obs"), ignoreNulls = true).over(byType))
+        .select((col("b") * 3600000L).as("bucket_ms"), col("event_type"),
+          col("locf"))
+    },
+
     /** ev02 — sessionization: 30-min-gap sessions per user via
       * lag + cumulative flag sum — the mapGroupsWithState-free form
       * (streaming twin uses flatMapGroupsWithState). Single shuffle
@@ -229,6 +260,24 @@ object EventQueries {
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events
          |GROUP BY 1, 2""".stripMargin,
+
+    "ev10_locf" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS b, event_type,
+        |    epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events),
+        |last_obs AS (
+        |  SELECT b, event_type, value AS obs FROM ev
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, b
+        |    ORDER BY ts_us DESC, event_id DESC) = 1),
+        |bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ev),
+        |spine AS (
+        |  SELECT unnest(range(lo, hi + 1)) AS b, event_type
+        |  FROM bounds, (SELECT DISTINCT event_type FROM ev))
+        |SELECT b * 3600000 AS bucket_ms, event_type,
+        |  last_value(obs IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY b ROWS UNBOUNDED PRECEDING) AS locf
+        |FROM last_obs RIGHT JOIN spine USING (b, event_type)""".stripMargin,
 
     "ev06_gapfill" ->
       """WITH ev AS (
