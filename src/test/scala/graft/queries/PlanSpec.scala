@@ -43,6 +43,41 @@ class PlanSpec extends SparkTestBase {
       "a dimension join degraded to sort-merge at small SF")
   }
 
+  test("q09 profit join: name filter pushed to the part scan, no " +
+    "nested loop anywhere") {
+    val p = plan("q09_product_profit")
+    assert(p.contains("StringContains(p_name,red)"),
+      "p_name LIKE '%red%' not pushed to the part scan")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "5-way join degraded to a nested loop")
+  }
+
+  test("q16 distinct-count: supplier exclusion is an anti hash join " +
+    "with partial distinct below the shuffle") {
+    val df = SparkEntry.queries("q16_supplier_relation")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), "exclusion list must be an anti join")
+    assert(!p.contains("SortMergeJoin"),
+      "anti join degraded to sort-merge at small SF")
+    // count(distinct) plans as a two-level aggregate: keys extended
+    // with l_suppkey below the exchange, so only distinct pairs shuffle
+    assert(p.contains("HashAggregate(keys=[p_brand") &&
+      p.contains("l_suppkey"), "no partial-distinct aggregate")
+  }
+
+  test("q20 excess-stock: threshold + membership are hash semi-joins, " +
+    "never a nested loop") {
+    val df = SparkEntry.queries("q20_excess_stock")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), "dominant-supplier set must semi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "threshold comparison degraded to a nested loop")
+  }
+
   test("q01 aggregate: map-side partial aggregation before the shuffle") {
     val p = plan("q01_pricing_summary")
     val hashAggs = "HashAggregate".r.findAllIn(p).size
