@@ -41,7 +41,7 @@ object Compactor {
   final case class Report(dir: String, filesBefore: Int, filesAfter: Int,
                           bytes: Long, rows: Long, compacted: Boolean)
 
-  private def fs(spark: SparkSession, dir: String): FileSystem =
+  private[graft] def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def dataFiles(f: FileSystem, dir: Path) =
@@ -119,7 +119,7 @@ object Compactor {
   /** Carry sidecars into the rewrite, then publish it over `dir` via
     * the checked-rename swap (dir → __old, tmp → dir, drop __old).
     */
-  private def swapInto(f: FileSystem, dir: String, tmp: String): Unit = {
+  private[graft] def swapInto(f: FileSystem, dir: String, tmp: String): Unit = {
     val (p, pTmp, pOld) = (new Path(dir), new Path(tmp), new Path(dir + "__old"))
     // sidecars (_export_info.log etc.) move into the rewrite before the
     // swap so the published dir keeps its provenance; the rewrite's own

@@ -177,6 +177,25 @@ object EngineQueries {
           max(col("l_extendedprice")).as("hi"))
     },
 
+    /** e12 — incremental rollup merge identity: the maintained
+      * summary's algebra (incremental.Rollup) proven through the
+      * oracle — summarize two disjoint halves, merge the partial
+      * states, and the result must hash-match DuckDB's direct
+      * full-scan aggregate. This is what makes "absorb each session's
+      * delta, never rescan history" CORRECT, not just fast.
+      */
+    "e12_rollup_merge" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val cut = lit("1997-01-01").cast("timestamp")
+      val a = graft.incremental.Rollup.summarize(
+        li.filter(col("l_shipdate") < cut), keys, "l_quantity")
+      val b = graft.incremental.Rollup.summarize(
+        li.filter(col("l_shipdate") >= cut), keys, "l_quantity")
+      graft.incremental.Rollup.finish(
+        graft.incremental.Rollup.merge(keys, a, b))
+    },
+
     /** e09 — exact interpolated quantiles, the oracle-checkable twin of
       * e08: Spark `percentile` and DuckDB `quantile_cont` share the
       * (n-1)·p linear-interpolation definition, compared at 2 decimals.
@@ -240,6 +259,13 @@ object EngineQueries {
         |  round(quantile_cont(l_extendedprice, 0.75), 2) AS q75,
         |  round(quantile_cont(l_extendedprice, 0.95), 2) AS q95
         |FROM lineitem""".stripMargin,
+
+    "e12_rollup_merge" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_v,
+        |  MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+        |FROM lineitem
+        |GROUP BY 1, 2""".stripMargin,
 
     "e11_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
