@@ -121,6 +121,33 @@ object CatalogOps {
     descs.groupBy(col("table_name"))
       .agg(max(col("max_versions")).as("largest_versions"))
 
+  /** [EXT] Session diff — "what changed between two backup sessions",
+    * the natural follow-up to every `db` listing (cli.rb:266-322
+    * prints sessions side by side; the comparison is left to the
+    * operator's eyeballs): a full-outer join of the two sessions'
+    * table rows classifying each table as only_in_a / only_in_b /
+    * error / changed / unchanged by recorded row_count. Catalog-sized
+    * input — the join broadcasts at any payload scale.
+    */
+  def sessionDiff(tables: DataFrame, mode: String,
+                  sessionA: String, sessionB: String): DataFrame = {
+    def side(s: String, rc: String, err: String) =
+      tables.filter(col("mode") === mode && col("session_name") === s)
+        .select(col("table_name"), col("row_count").as(rc),
+          col("error").as(err))
+    side(sessionA, "rows_a", "err_a")
+      .join(side(sessionB, "rows_b", "err_b"), Seq("table_name"),
+        "full_outer")
+      .withColumn("status",
+        when(col("rows_a").isNull, "only_in_b")
+          .when(col("rows_b").isNull, "only_in_a")
+          .when(col("err_a") || col("err_b"), "error")
+          .when(col("rows_a") === col("rows_b"), "unchanged")
+          .otherwise("changed"))
+      .select(col("table_name"), col("rows_a"), col("rows_b"),
+        col("status"))
+  }
+
   /** P10 — key canonicalization (helpers.rb:70-77): lowercase and
     * `[-\s.]`→`_` over column names, applied at DataFrame construction
     * (the reference recursively munges every hash key; a DataFrame has

@@ -117,6 +117,15 @@ object CatalogQueries {
         (col("started_at") - 60000L).as("watermark_ms"))
     },
 
+    /** [EXT] c16 — session diff: S1 (full export) vs S3 (partial
+      * export of cluster_b): lineitem grew, orders errored, customer
+      * went empty-but-present, seven tables exist only in the full
+      * session. See CatalogOps.sessionDiff.
+      */
+    "c16_session_diff" -> { (s, _) =>
+      CatalogOps.sessionDiff(F.tablesDf(s), "export", F.S1, F.S3)
+    },
+
     /** P11+F4+F5 — URL/scheme parse (s3.rb:61-64) and hostname
       * canonicalization (cli.rb:354,360) as regexp ops.
       */
@@ -224,6 +233,20 @@ object CatalogQueries {
         |  strftime(epoch_ms(started_at), '%Y%m%d_%H%M%S') AS derived_name,
         |  started_at - 60000 AS watermark_ms
         |FROM sessions_cat""".stripMargin),
+
+    "c16_session_diff" -> F.withCatalog(
+      s"""SELECT table_name, a.row_count AS rows_a, b.row_count AS rows_b,
+         |  CASE WHEN a.row_count IS NULL THEN 'only_in_b'
+         |       WHEN b.row_count IS NULL THEN 'only_in_a'
+         |       WHEN a.error OR b.error THEN 'error'
+         |       WHEN a.row_count = b.row_count THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM (SELECT table_name, row_count, error FROM tables_cat
+         |      WHERE mode = 'export' AND session_name = '${F.S1}') a
+         |FULL OUTER JOIN
+         |     (SELECT table_name, row_count, error FROM tables_cat
+         |      WHERE mode = 'export' AND session_name = '${F.S3}') b
+         |USING (table_name)""".stripMargin),
 
     "c15_url_parse" -> {
       val urls = Seq("s3n://somebucket/20110101_111111/table_a/",

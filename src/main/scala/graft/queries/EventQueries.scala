@@ -56,6 +56,34 @@ object EventQueries {
           coalesce(col("n"), lit(0L)).as("n"))
     },
 
+    /** ev11 — volume anomaly detection: hours whose event count sits
+      * more than 3σ above that type's hourly mean. Mean and variance
+      * come from EXACT integer moments (Σn, Σn² of bucket counts —
+      * never a floating stddev, whose summation order is
+      * partition-dependent), so the z-threshold is bit-identical
+      * cross-engine. Two aggregations: bucket counts (shuffle on
+      * (bucket, type)), then the per-type one-row moment table joined
+      * back by broadcast.
+      */
+    "ev11_anomaly" -> { (s, d) =>
+      val hourUs = 3600000000L
+      val counts = Tables.eventsTs(s, d)
+        .withColumn("b", expr(s"(ts_ns div 1000) div $hourUs"))
+        .groupBy(col("b"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val stats = counts.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("nb"),
+          sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+      val mean = col("s1").cast("double") / col("nb")
+      val varr = (col("s2").cast("double") -
+        col("s1").cast("double") * col("s1") / col("nb")) / col("nb")
+      counts.join(broadcast(stats), col("event_type") === col("et"))
+        .filter(col("n") > mean + lit(3.0) * sqrt(varr))
+        .select((col("b") * 3600000L).as("bucket_ms"), col("event_type"),
+          col("n"), round(mean, 4).as("mean_n"))
+    },
+
     /** ev10 — LOCF resample (last observation carried forward): the
       * gap-fill twin for VALUES instead of counts — each (hour, type)
       * carries the latest observed reading, empty hours inherit the
@@ -260,6 +288,22 @@ object EventQueries {
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events
          |GROUP BY 1, 2""".stripMargin,
+
+    "ev11_anomaly" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS b, event_type,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type AS et, COUNT(*) AS nb,
+        |    SUM(n) AS s1, SUM(n * n) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT b * 3600000 AS bucket_ms, event_type, n,
+        |  round(CAST(s1 AS DOUBLE) / nb, 4) AS mean_n
+        |FROM c JOIN s ON event_type = et
+        |WHERE n > CAST(s1 AS DOUBLE) / nb +
+        |  3.0 * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nb)
+        |             / nb)""".stripMargin,
 
     "ev10_locf" ->
       """WITH ev AS (
