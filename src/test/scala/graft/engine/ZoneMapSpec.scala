@@ -1,0 +1,76 @@
+package graft.engine
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class ZoneMapSpec extends SparkTestBase {
+
+  private def writeSorted(dir: String): Unit =
+    spark.read.parquet(Tables.path(sf0001, "lineitem"))
+      .select("l_orderkey", "l_partkey", "l_extendedprice", "l_shipdate")
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(dir)
+
+  test("manifest stats match the actual per-file min/max and row count") {
+    val dir = tmpDir("zm") + "/t"
+    writeSorted(dir)
+    val idx = ZoneMap.build(spark, dir, Seq("l_orderkey", "l_extendedprice"))
+      .collect()
+    assert(idx.map(_.file).distinct.length == 8)
+    // verify every entry against a real scan of its file
+    idx.filter(_.column == "l_orderkey").foreach { e =>
+      val r = spark.read.parquet(e.file)
+        .agg(min(col("l_orderkey").cast("double")),
+          max(col("l_orderkey").cast("double")), count(lit(1))).head()
+      assert(e.min_v == r.getDouble(0) && e.max_v == r.getDouble(1) &&
+        e.rows == r.getLong(2), s"stat mismatch for ${e.file}: $e vs $r")
+    }
+  }
+
+  test("pruned read is exact and reads strictly fewer files") {
+    val dir = tmpDir("zm") + "/t2"
+    writeSorted(dir)
+    val cols = Seq("l_orderkey")
+    val idx = ZoneMap.build(spark, dir, cols).toDF()
+    val li = spark.read.parquet(dir)
+    val mid = li.agg(percentile_approx(col("l_orderkey").cast("double"),
+      lit(0.5), lit(1000))).head().getDouble(0)
+    val (lo, hi) = (mid, mid + 50)
+    val pruned = ZoneMap.prunedRead(spark, dir, idx, "l_orderkey", lo, hi)
+      .filter(col("l_orderkey").cast("double").between(lo, hi))
+    val full = li.filter(col("l_orderkey").cast("double").between(lo, hi))
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty,
+      "pruning changed the answer")
+    // range-sorted layout: a narrow key range must hit few of 8 files
+    val nKept = ZoneMap.pruneFiles(idx,
+      idx.select("file").distinct().collect().map(_.getString(0)).toSeq,
+      "l_orderkey", lo, hi).length
+    assert(nKept <= 2, s"expected <=2 overlapping files, got $nKept")
+  }
+
+  test("unknown files are never pruned; disjoint range prunes everything") {
+    val dir = tmpDir("zm") + "/t3"
+    writeSorted(dir)
+    val idx = ZoneMap.build(spark, dir, Seq("l_orderkey")).toDF()
+    val unknown = Seq("mystery.parquet")
+    val kept = ZoneMap.pruneFiles(idx, unknown, "l_orderkey", 0, 1)
+    assert(kept == unknown, "files without stats must be read, not dropped")
+    val none = ZoneMap.prunedRead(spark, dir, idx, "l_orderkey",
+      -100.0, -1.0)
+    assert(none.isEmpty, "disjoint range must read zero files")
+  }
+
+  test("sidecar write round-trips and is invisible to data readers") {
+    val dir = tmpDir("zm") + "/t4"
+    writeSorted(dir)
+    val rowsBefore = spark.read.parquet(dir).count()
+    val target = ZoneMap.write(spark, dir, Seq("l_orderkey"))
+    val reread = spark.read.parquet(target)
+    assert(reread.count() == 8, "one entry per file per column")
+    assert(spark.read.parquet(dir).count() == rowsBefore,
+      "sidecar leaked into the data read")
+    // rebuilding the manifest must not index its own sidecar
+    assert(ZoneMap.build(spark, dir, Seq("l_orderkey")).count() == 8)
+  }
+}
