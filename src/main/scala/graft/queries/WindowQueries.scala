@@ -84,6 +84,29 @@ object WindowQueries {
           col("s_acctbal"))
     },
 
+    /** t03 — grouped top-k via the typed TopKAggregator (§2.10
+      * Aggregator tier): same answer as the rank-window form, but the
+      * k-bounded heap reduces each partition's contribution to ≤ k
+      * rows BEFORE the exchange — the shuffle carries
+      * O(partitions × k) rows per group instead of every row, and the
+      * per-group cost is O(n log k), not a full sort. Oracle is the
+      * window twin in DuckDB.
+      */
+    "t03_topk_agg" -> { (s, d) =>
+      import s.implicits._
+      val agg = graft.functions.TopKAggregator.topK(3)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderkey"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3, ""))
+        .agg(agg.toColumn)
+        .flatMap { case (prio, items) =>
+          items.map(e => (prio, e._1, e._2)) }
+        .toDF("o_orderpriority", "o_totalprice", "o_orderkey")
+    },
+
     /** u01 — set ops: requested ∩ exported is the reference's only set
       * operation (import.rb:58, U1); INTERSECT/EXCEPT over nation keys
       * generalize it on payload data.
@@ -132,6 +155,13 @@ object WindowQueries {
         |FROM supplier
         |QUALIFY row_number() OVER (
         |  PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) = 1""".stripMargin,
+
+    "t03_topk_agg" ->
+      """SELECT o_orderpriority, o_totalprice, o_orderkey
+        |FROM orders
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin,
 
     "u01_setops" ->
       """SELECT nationkey, 'both' AS which FROM
