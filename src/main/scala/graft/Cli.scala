@@ -256,10 +256,30 @@ object Cli {
   /** `db` — cli.rb:266-322: print each matching session's non-key
     * attributes; with --table-name, its table rows too. One collected
     * plan per relation instead of the reference's per-session query
-    * loop (the N+1 CatalogOps.displayJoin fixes).
+    * loop (the N+1 CatalogOps.displayJoin fixes). `--diff-with S2`
+    * ([EXT]) compares --session-name against S2 per table
+    * (CatalogOps.sessionDiff) instead of leaving the eyeball diff of
+    * two printed listings to the operator.
     */
   private def dbCmd(spark: SparkSession, opts: Map[String, String]): String = {
     val cat = new BackupCatalog(spark, required(opts, "catalog_root"))
+    opts.get("diff_with").foreach { other =>
+      val base = required(opts, "session_name")
+      if (base.contains("%") || other.contains("%"))
+        throw CliError("--diff-with needs two exact session names, " +
+          "not patterns")
+      val rows = catalog.CatalogOps
+        .sessionDiff(cat.tables.toDF(), "export", base, other)
+        .collect().sortBy(_.getAs[String]("table_name"))
+      if (rows.isEmpty)
+        return s"no export tables recorded for '$base' or '$other'"
+      return rows.map { r =>
+        def n(c: String) = Option(r.getAs[Any](c)).map(_.toString)
+          .getOrElse("-")
+        f"${r.getAs[String]("table_name")}%-12s ${n("rows_a")}%8s " +
+          f"${n("rows_b")}%8s  ${r.getAs[String]("status")}"
+      }.mkString(s"table        $base -> $other  status\n", "\n", "")
+    }
     val sessionPattern = opts.getOrElse("session_name", "%")
     val sessions = cat.sessionInfo("export", sessionPattern)
       .collect().sortBy(_.getAs[String]("session_name"))

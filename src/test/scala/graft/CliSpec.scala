@@ -81,6 +81,27 @@ class CliSpec extends SparkTestBase {
     assert(none.contains("no export sessions match"))
   }
 
+  test("db --diff-with compares two sessions per table") {
+    val dest = tmpDir("cli-bk-diff")
+    Cli.run(spark, Seq("export", "--source-dir", sf0001,
+      "--dest-root", dest, "--tables", "region,nation",
+      "--session-name", "20240101_000000"), now)
+    Cli.run(spark, Seq("export", "--source-dir", sf0001,
+      "--dest-root", dest, "--tables", "region",
+      "--session-name", "20240201_000000"), now)
+    val diff = Cli.run(spark, Seq("db",
+      "--catalog-root", s"$dest/_catalog",
+      "--session-name", "20240101_000000",
+      "--diff-with", "20240201_000000"), now)
+    assert(diff.contains("region") && diff.contains("unchanged"), diff)
+    assert(diff.contains("nation") && diff.contains("only_in_a"), diff)
+    val err = intercept[CliError] {
+      Cli.run(spark, Seq("db", "--catalog-root", s"$dest/_catalog",
+        "--session-name", "2024%", "--diff-with", "x"), now)
+    }
+    assert(err.message.contains("exact session names"))
+  }
+
   test("export without --ts-col records a sane watermark, not a sentinel") {
     val dest = tmpDir("cli-bk-wm")
     Cli.run(spark, Seq("export", "--source-dir", sf0001,
