@@ -34,6 +34,19 @@ object Layout {
   def zValue(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
     require(cols.nonEmpty, "zValue needs at least one column")
     require(cols.size * bits <= 63, s"${cols.size} cols × $bits bits > 63")
+    // non-numeric columns would cast('double') to all-null, null every
+    // z-value, and collapse repartitionByRange into ONE partition —
+    // silent layout destruction. Fail loudly instead.
+    cols.foreach { c =>
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case _: NumericType | TimestampType | TimestampNTZType => ()
+        case other => throw new IllegalArgumentException(
+          s"zValue column '$c' is $other — only numeric/timestamp " +
+            "columns have a meaningful rank order to interleave " +
+            "(cast dates/strings to a numeric rank first)")
+      }
+    }
     val buckets = 1 << bits
     // one aggregate row: quantile boundaries for every column at once
     val qs = (1 until buckets).map(_.toDouble / buckets)

@@ -88,9 +88,9 @@ object Sketches {
     * Here pass 1 builds the sketch (fixed ~`2/eps · ln(1/(1-conf))`
     * counters, merged commutatively across partitions) and pass 2
     * probes each scanned item against the broadcast sketch BEFORE the
-    * distinct, so only near-heavy tokens ever reach an exchange; the
-    * final exact count runs over a stream semi-joined to that tiny
-    * candidate set. The probe is a broadcast-handle UDF (no public
+    * group-by, so only occurrences of near-heavy tokens ever reach an
+    * exchange — the exact re-count falls out of the same aggregation.
+    * The probe is a broadcast-handle UDF (no public
     * built-in probes a CountMinSketch), same pattern as the bloom
     * probe above — narrow, no shuffle.
     *
@@ -113,10 +113,12 @@ object Sketches {
     // n > minShare·total ⇒ n ≥ floor+1 > floor, and est ≥ n.
     val bar = (minShare * total).toLong
     val est = udf((t: String) => bc.value.estimateCount(t))
-    val candidates = stream
-      .filter(est(col("token")) > lit(bar))
-      .distinct()
-    stream.join(broadcast(candidates), Seq("token"), "left_semi")
+    // est is deterministic per token, so filtering the stream IS the
+    // candidate selection: every occurrence of a surviving token
+    // passes, so the group-by after the filter re-counts candidates
+    // exactly — no separate distinct + semi-join pass (which would
+    // cost a third full scan) needed.
+    stream.filter(est(col("token")) > lit(bar))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") > lit(total) * lit(minShare))

@@ -45,11 +45,12 @@ object ZoneMap {
     val want = cols.toSet
     val path = new Path(dir)
     val fs = path.getFileSystem(conf)
+    val committed = committedFilter(spark, dir, fs)
     val out = Seq.newBuilder[Entry]
     val it = fs.listFiles(path, true)
     while (it.hasNext) {
       val f = it.next()
-      if (isDataFile(f.getPath)) {
+      if (isDataFile(f.getPath, path) && committed(f.getPath.toString)) {
         val rd = ParquetFileReader.open(
           HadoopInputFile.fromPath(f.getPath, conf))
         try {
@@ -89,17 +90,38 @@ object ZoneMap {
   }
 
   /** A data file: .parquet, and no hidden/underscore path segment
-    * (excludes _zonemap itself, _spark_metadata, .staging dirs).
+    * BELOW the scan root (excludes _zonemap itself, _spark_metadata,
+    * .staging dirs — but a dotted ancestor of the root, e.g. a
+    * `/home/u/.local/...` destination, must not hide everything).
     */
-  private def isDataFile(p: Path): Boolean = {
-    var cur = p
-    var hidden = false
-    while (cur != null) {
+  private def isDataFile(p: Path, root: Path): Boolean = {
+    var cur = p.getParent
+    var hidden = p.getName.startsWith("_") || p.getName.startsWith(".")
+    while (cur != null && cur != root && !hidden) {
       val n = cur.getName
       if (n.startsWith("_") || n.startsWith(".")) hidden = true
       cur = cur.getParent
     }
     p.getName.endsWith(".parquet") && !hidden
+  }
+
+  /** Committed-file filter: a streaming file sink's `_spark_metadata`
+    * commit log is the source of truth for that directory — a raw
+    * listing would also pick up orphan files from a crashed
+    * micro-batch that a batch read (which honors the log) never sees.
+    * When the log exists, restrict to the files the committed view
+    * reads; otherwise accept everything.
+    */
+  private def committedFilter(spark: SparkSession, dir: String,
+                              fs: org.apache.hadoop.fs.FileSystem)
+      : String => Boolean = {
+    val meta = new Path(dir, "_spark_metadata")
+    if (!fs.exists(meta)) (_: String) => true
+    else {
+      val committed = spark.read.parquet(dir).inputFiles
+        .map(u => new Path(java.net.URI.create(u)).toUri.getPath).toSet
+      (f: String) => committed(new Path(f).toUri.getPath)
+    }
   }
 
   private def numeric(v: Any): Option[Double] = v match {
@@ -161,11 +183,12 @@ object ZoneMap {
     val conf = spark.sessionState.newHadoopConf()
     val path = new Path(dir)
     val fs = path.getFileSystem(conf)
+    val committed = committedFilter(spark, dir, fs)
     val out = Seq.newBuilder[String]
     val it = fs.listFiles(path, true)
     while (it.hasNext) {
       val f = it.next()
-      if (isDataFile(f.getPath))
+      if (isDataFile(f.getPath, path) && committed(f.getPath.toString))
         out += f.getPath.toString
     }
     out.result()

@@ -74,7 +74,10 @@ object EventQueries {
       val stats = counts.groupBy(col("event_type").as("et"))
         .agg(count(lit(1)).as("nb"),
           sum(col("n")).as("s1"),
-          sum(col("n") * col("n")).as("s2"))
+          // square in decimal: long n*n wraps negative past ~3.0e9
+          // events/bucket (DuckDB's HUGEINT doesn't) — still exact,
+          // still order-insensitive
+          sum(col("n").cast("decimal(38,0)") * col("n")).as("s2"))
       val mean = col("s1").cast("double") / col("nb")
       val varr = (col("s2").cast("double") -
         col("s1").cast("double") * col("s1") / col("nb")) / col("nb")

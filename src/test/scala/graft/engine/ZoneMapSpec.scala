@@ -61,6 +61,34 @@ class ZoneMapSpec extends SparkTestBase {
     assert(none.isEmpty, "disjoint range must read zero files")
   }
 
+  test("a streaming-sink destination indexes only committed files " +
+    "(orphans from a crashed batch are invisible)") {
+    val srcDir = tmpDir("zm-stream-src")
+    val dest = tmpDir("zm-stream") + "/dest"
+    val li = spark.read.parquet(Tables.path(sf0001, "lineitem"))
+      .select("l_orderkey", "l_partkey")
+    li.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream.schema(li.schema).parquet(srcDir)
+      .writeStream.format("parquet")
+      .option("path", dest)
+      .option("checkpointLocation", tmpDir("zm-stream-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val committedEntries = ZoneMap.build(spark, dest, Seq("l_orderkey"))
+      .collect()
+    // plant an orphan (a crashed micro-batch's torn file) by copying a
+    // committed file under an uncommitted name: a batch read honors
+    // _spark_metadata and ignores it — so must the index
+    val f = new java.io.File(dest).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(f.toPath,
+      java.nio.file.Paths.get(dest, "part-orphan-torn.parquet"))
+    val after = ZoneMap.build(spark, dest, Seq("l_orderkey")).collect()
+    assert(after.map(_.file).toSet == committedEntries.map(_.file).toSet,
+      "orphan file leaked into the manifest")
+  }
+
   test("sidecar write round-trips and is invisible to data readers") {
     val dir = tmpDir("zm") + "/t4"
     writeSorted(dir)
