@@ -137,4 +137,67 @@ object Multimodal {
       }
     }
   }
+
+  /** ===== STUB perceptual hash =====: 64-bit dHash-style fingerprint
+    * from payload chunk statistics — the payload is split into 65
+    * even chunks and bit i compares neighbor chunk sums
+    * (chunk_i > chunk_i+1). A real pHash DCTs the DECODED image here;
+    * the stub keeps the property the pipeline depends on: a local
+    * edit touches one or two chunks, so near-identical payloads land
+    * within a few bits of each other (no global statistic couples
+    * distant bits).
+    */
+  def pHashStub(payload: Array[Byte]): Long = {
+    val chunks = new Array[Long](65)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < payload.length) {
+        chunks((i.toLong * 65 / payload.length).toInt) +=
+          (payload(i) & 0xff).toLong
+        i += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (chunks(b) > chunks(b + 1)) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  final case class PHashPair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** Media near-dup pairs at Hamming ≤ `maxDist` over the perceptual
+    * hash — the multimodal member of the dedup family (Dedup covers
+    * text, Similarity covers embeddings). Same banded self-join as
+    * Dedup.simhashPairs: 4 bands of 16 bits, so any pair within
+    * Hamming 3 agrees exactly on ≥ 1 band (pigeonhole — EXACT, not
+    * probabilistic, for maxDist < 4); candidates hit the exact
+    * bit_count filter. Payload bytes never shuffle: the fingerprint
+    * table (8 bytes/doc) is computed in one narrow pass, persisted,
+    * and both self-join sides read it.
+    */
+  def phashPairs(spark: SparkSession, assets: DataFrame,
+                 maxDist: Int = 3): Dataset[PHashPair] = {
+    import spark.implicits._
+    require(maxDist < 4, s"4x16-bit banding is only exact below 4 bits")
+    val fps = assets.as[MediaAsset]
+      .map(a => (a.doc_id, pHashStub(a.payload))).toDF("doc_id", "fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))
+          .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .as[PHashPair]
+  }
 }

@@ -86,6 +86,25 @@ object SimilarityQueries {
           col("n_bytes_in"), col("n_bytes_out"))
     },
 
+    /** m04 — media near-dup pairs via perceptual hash (engine-only:
+      * the chunked dHash over payload BYTES has no SQL twin — DuckDB
+      * can't fold over blobs; exactness vs brute force and planted
+      * recall are spec-pinned in SimilaritySpec instead). Near-copies
+      * are planted in-query (same-length tail edits, doc_id + 10⁹) so
+      * the result demonstrably contains the pairs the operator
+      * exists to find.
+      */
+    "m04_phash_dups" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val near = docs
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) - 1)"), lit("Z"))
+            .as("text"))
+      Multimodal.phashPairs(s,
+        Multimodal.asAssets(docs.unionByName(near)), maxDist = 3).toDF()
+    },
+
     /** s04 — int8-quantized ANN (engine-only like s02/s03: the
       * quantize-score-rerank pipeline isn't worth a 4096-literal SQL
       * twin; exact-equality and recall are spec-pinned instead).

@@ -160,6 +160,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(bad.isEmpty)
   }
 
+  test("phash pairs find planted same-length edits and nothing random") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .filter(length(col("text")) > 130) // one chunk ≥ 2 bytes
+      .limit(50)
+    // same-length tail edit: only the last chunk's sum moves, so the
+    // fingerprint stays within a couple of bits (dHash locality)
+    val near = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) - 1)"), lit("Z"))
+        .as("text"))
+    val assets = Multimodal.asAssets(docs.unionByName(near))
+    val pairs = Multimodal.phashPairs(spark, assets, maxDist = 3)
+      .collect()
+    val planted = pairs.filter(p => p.doc_b - p.doc_a == 1000000L)
+    val nDocs = docs.count()
+    assert(planted.length >= nDocs * 0.9,
+      s"found ${planted.length} of $nDocs planted near-dups")
+    assert(planted.forall(_.hamming <= 3))
+  }
+
+  test("phash banding is exact: equals brute force at hamming <= 3") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .limit(120)
+    val assets = Multimodal.asAssets(docs)
+    val banded = Multimodal.phashPairs(spark, assets, maxDist = 3)
+      .collect().map(p => (p.doc_a, p.doc_b)).toSet
+    val fps = assets.collect().map(r => r.getLong(0) ->
+      Multimodal.pHashStub(r.getAs[Array[Byte]]("payload")))
+    val brute = (for {
+      (ida, fa) <- fps; (idb, fb) <- fps
+      if ida < idb && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ida, idb)).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
   test("multimodal resize bounds output size and is deterministic") {
     val docs = Tables.documents(spark, sf0001)
     val assets = Multimodal.asAssets(docs)
