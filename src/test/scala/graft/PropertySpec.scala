@@ -65,6 +65,27 @@ object PropertySpec extends Properties("graft") {
       p1.sameElements(p2)
     }
 
+  property("pHash locality: a single in-place byte edit flips <= 2 bits") =
+    forAll(Gen.listOfN(260, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)),
+      Gen.choose(0, 259), Gen.chooseNum(Byte.MinValue, Byte.MaxValue)) {
+      (bs, pos, nb) =>
+        import graft.ext.Multimodal
+        val a = bs.map(_.toByte).toArray
+        val b = a.clone(); b(pos) = nb.toByte
+        val d = java.lang.Long.bitCount(
+          Multimodal.pHashStub(a) ^ Multimodal.pHashStub(b))
+        // one chunk sum moves -> only the two neighbor comparisons
+        // that read it can flip
+        (d <= 2) :| s"hamming $d after a 1-byte edit at $pos"
+    }
+
+  property("pHash is deterministic and total on any payload") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      import graft.ext.Multimodal
+      val p = bs.map(_.toByte).toArray
+      Multimodal.pHashStub(p) == Multimodal.pHashStub(p.clone())
+    }
+
   property("resizeStub: exact output size, subset bytes, deterministic") =
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)),
       Gen.choose(8, 512), Gen.choose(8, 512)) { (bs, w, h) =>
