@@ -306,6 +306,66 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus around coarse centroids,
+    * then drop any vector that has a smaller-id near-duplicate
+    * (cosine ≥ `threshold`) WITHIN ITS CLUSTER — the quadratic pair
+    * check never crosses cluster boundaries, which is the whole trick:
+    * with nlist ≈ √N clusters the expected per-cluster population is
+    * √N, so intra-cluster pairing is O(N) total instead of O(N²).
+    *
+    * Engine-portable determinism (this query is oracle-checked):
+    *  - centroid sample: the `nlist` rows ranked smallest by the
+    *    Knuth-multiplicative key ((vec_id·40503) mod 65536, vec_id) —
+    *    pure integer arithmetic any SQL engine reproduces, unlike
+    *    xxhash64 ([[ivfTopK]] can afford the better hash because it is
+    *    engine-only). A TakeOrdered(nlist) — heap per partition, no
+    *    global sort.
+    *  - assignment: argmax of 4-decimal-rounded cosine with a
+    *    centroid_id tiebreak, computed as a `max_by` over a broadcast
+    *    crossJoin — partial-aggregable (map-side combine), one shuffle
+    *    on vec_id, no window sort. The embedding rides along via
+    *    `first(emb)` (functionally dependent on the group key).
+    *  - survivor rule: keep vec v unless ∃ u in v's cluster with
+    *    u.vec_id < v.vec_id and cosine(u,v) ≥ threshold (d01's min-id
+    *    survivor, applied per cluster; non-transitive by design — the
+    *    rule is a pure predicate of the pair set, so it is
+    *    order-independent and needs no iteration).
+    *
+    * At 100 TB: assignment is one shuffle; the pair stage shuffles on
+    * cluster_id (hash equi-join, AQE-splittable on skewed clusters);
+    * a pathological mega-cluster is bounded by raising nlist — the
+    * centroid list stays a broadcast until nlist ~ 10⁷.
+    *
+    * Returns the SURVIVORS: (vec_id, cluster_id), one row per kept
+    * vector.
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double,
+               nlist: Int = 16): DataFrame = {
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val centroids = e
+      .orderBy((col("vec_id") * 40503L) % 65536L, col("vec_id"))
+      .limit(nlist)
+      .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", round(cosine(col("emb"), col("c_emb")), 4))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("centroid_id"),
+          struct(col("c_sim"), (-col("centroid_id")).as("neg")))
+          .as("cluster_id"),
+        first(col("emb")).as("emb"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          round(cosine(col("a.emb"), col("b.emb")), 4) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster_id"))
+  }
+
   /** ANN via L hash tables of `bits` sign-bits: bucket-equality join
     * for candidates, then exact cosine re-rank of candidates only.
     */

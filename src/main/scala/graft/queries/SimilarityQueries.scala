@@ -47,6 +47,18 @@ object SimilarityQueries {
       Similarity.cosineDupPairsLsh(Tables.embeddings(s, d), 0.4)
     },
 
+    /** d09 — SemDeDup semantic deduplication: coarse clusters bound
+      * the quadratic near-dup check (the pair join never crosses a
+      * cluster), min-id survivor within each cluster. The threshold
+      * matches d05's so the two dedup families are comparable; the
+      * centroid sample / assignment arithmetic is engine-portable by
+      * construction (see [[graft.ext.Similarity.semDedup]]), which is
+      * what makes this one oracle-checkable where s02/s03 are not.
+      */
+    "d09_semdedup" -> { (s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), 0.4)
+    },
+
     /** m01 — multimodal feature extraction through the binary-column
       * pipeline (typed Dataset + batched mapPartitions decode stub).
       */
@@ -226,6 +238,27 @@ object SimilarityQueries {
          |WINDOW w AS (PARTITION BY query_id
          |  ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id)
          |QUALIFY rank <= $K""".stripMargin,
+
+    "d09_semdedup" ->
+      """WITH e AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY (vec_id * 40503) % 65536, vec_id) <= 16),
+        |assigned AS (
+        |  SELECT vec_id, emb, centroid_id AS cluster_id
+        |  FROM e CROSS JOIN cent
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY round(list_cosine_similarity(emb, c_emb), 4) DESC,
+        |             centroid_id) = 1)
+        |SELECT a.vec_id, a.cluster_id FROM assigned a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM assigned b
+        |  WHERE b.cluster_id = a.cluster_id AND b.vec_id < a.vec_id
+        |    AND round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4)""".stripMargin,
 
     "d05_embedding_dups" ->
       """WITH e AS (

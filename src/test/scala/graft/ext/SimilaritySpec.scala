@@ -129,6 +129,61 @@ class SimilaritySpec extends SparkTestBase {
   }
 
 
+  test("semDedup drops planted near-dups, keeps min-id survivors") {
+    // identical copies (cosine = 1.0) land in the same cluster by
+    // construction (same embedding → same argmax centroid), so every
+    // copy with a larger id MUST be dropped; its base must survive
+    // unless the base itself has a smaller-id near-dup.
+    import spark.implicits._
+    val base = emb.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val copies = base.filter(_._1 % 7 == 0)
+      .map { case (i, v) => (100000L + i, v) }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(df, 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(copies.forall { case (cid, _) => !kept.contains(cid) },
+      "an identical larger-id copy survived semDedup")
+    // at 0.95 the isotropic base corpus has no true near-dups, so all
+    // original ids survive
+    assert(base.forall { case (i, _) => kept.contains(i) },
+      "a base vector with no smaller-id near-dup was dropped")
+  }
+
+  test("semDedup survivor rule matches the per-cluster brute-force rule") {
+    import spark.implicits._
+    val assignedKept = Similarity.semDedup(emb, 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    // recompute the rule from first principles: pairwise cosine on the
+    // driver, restricted to same-cluster pairs
+    val e = emb.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (i, v) => (i, v.map(_.toDouble)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      var j = 0
+      while (j < a.length) { d += a(j)*b(j); na += a(j)*a(j); nb += b(j)*b(j); j += 1 }
+      // HALF_UP to match Spark's round()
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val nlist = 16
+    val cents = e.sortBy { case (i, _) => ((i * 40503L) % 65536L, i) }
+      .take(nlist)
+    val cluster = e.map { case (i, v) =>
+      i -> cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .maxBy { case (cid, s) => (s, -cid) }._1
+    }.toMap
+    val expectKept = e.collect { case (i, v)
+      if !e.exists { case (j, w) =>
+        j < i && cluster(j) == cluster(i) && cos(v, w) >= 0.3 } => i
+    }.toSet
+    assert(assignedKept == expectKept,
+      s"semDedup diverges from brute-force rule: " +
+        s"extra=${(assignedKept -- expectKept).take(5)} " +
+        s"missing=${(expectKept -- assignedKept).take(5)}")
+  }
+
   test("top-k ranking is deterministic across runs") {
     val a = Similarity.cosineTopK(emb, queries, 3).collect().toSeq
     val b = Similarity.cosineTopK(emb, queries, 3).collect().toSeq

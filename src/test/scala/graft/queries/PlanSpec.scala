@@ -13,6 +13,50 @@ class PlanSpec extends SparkTestBase {
     SparkEntry.queries(name)(spark, sf0001)
       .queryExecution.executedPlan.toString
 
+  /** Queries where an unconstrained join IS the documented design:
+    * small-side broadcast crossJoins (query probes, centroid lists,
+    * quantized rerank) and the two brute-force truth twins whose
+    * all-pairs form is the point (d05's oracle role, s01's exactness).
+    * Everything else must never plan a cartesian / nested-loop join —
+    * the single most common way a query silently stops scaling.
+    */
+  private val allPairsByDesign = Set(
+    "s01_cosine_topk",      // corpus × broadcast probe set (O(Q·N), Q small)
+    "s03_ann_ivf",          // corpus × broadcast centroid list
+    "s04_ann_int8",         // corpus × broadcast quantized probes
+    "d05_embedding_dups",   // brute-force truth twin of d07
+    "d09_semdedup",         // corpus × broadcast centroid list
+    "x05_label_centroid_sim") // dims × broadcast per-label centroids
+
+  /** Scalar / grid joins: the nested-loop side is a one-row
+    * ungrouped aggregate (a broadcast scalar — O(N·1)), or, for the
+    * gap-fill family, the deliberate dense spine (hour-range ×
+    * distinct types, the OUTPUT cardinality). Safe at any SF.
+    */
+  private val scalarJoinByDesign = Set(
+    "c13_incremental_window", // × max(end_time) watermark scalar
+    "ev03_hot_tail",          // × max(ts) scalar
+    "ev06_gapfill",           // hour spine × distinct event types
+    "ev10_locf",              // hour spine × distinct event types
+    "q11_brand_share",        // × total-revenue scalar
+    "x10_tfidf",              // × corpus doc-count scalar
+    "x15_unigram_loglik",     // × total-token-count scalar
+    "x20_heavy_hitters")      // × total-count threshold scalar
+
+  test("global audit: no cartesian or nested-loop join in any contract " +
+    "query not designed around one") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allPairsByDesign ++ scalarJoinByDesign)
+      .flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, sf0001)
+          .queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") ||
+            p.contains("BroadcastNestedLoopJoin")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"unplanned all-pairs join in: ${offenders.mkString(", ")}")
+  }
+
   test("e01 export scan: time-range predicate reaches the parquet reader") {
     val p = plan("e01_export_scan")
     assert(p.contains("PushedFilters:"), p.take(400))
