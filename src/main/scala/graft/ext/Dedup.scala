@@ -168,24 +168,28 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+      val lab = labels.select(col("doc_id"), col("cluster_id"))
+      val nbrMin = edges.join(lab.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+      // carry the pre-step label through the round: convergence is then
+      // a local filter over the SAME checkpointed result — no extra
+      // join/shuffle per iteration just to detect a fixpoint
+      val stepped = lab.withColumnRenamed("cluster_id", "prev")
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_min"), col("prev")))
             .as("cluster_id"))
       // pointer jumping: my label's own label is ≤ my label (labels
       // only ever decrease), so following it halves path lengths
       val next = stepped.as("l")
         .join(stepped.select(col("doc_id").as("cluster_id"),
           col("cluster_id").as("root")).as("r"), Seq("cluster_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("prev"),
           coalesce(col("root"), col("cluster_id")).as("cluster_id"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") < col("prev")).limit(1).isEmpty
+      converged = next.filter(col("cluster_id") < col("prev"))
+        .limit(1).isEmpty
       labels = next
       iter += 1
     }
