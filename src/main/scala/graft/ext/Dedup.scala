@@ -131,8 +131,10 @@ object Dedup {
     * O(log diameter) rounds rather than O(diameter). The edge list is
     * the near-dup pair set — tiny relative to a 100 TB corpus (dedup
     * keeps it sparse by construction) — and every iterated frame is
-    * (long, long) pairs. The per-round convergence probe is a limit-1
-    * job over the changed-label set, not a count.
+    * three longs per doc (id, pre-round label, label; the carried
+    * pre-round label is what lets the convergence probe run against
+    * the round's own checkpoint with no extra join). The probe is a
+    * limit-1 job over the changed-label set, not a count.
     *
     * Every round CHECKPOINTS its label frame rather than caching it:
     * with a plain persist the logical plan still grows by five
@@ -152,8 +154,8 @@ object Dedup {
     * Dataset API (unpersist only touches CacheManager entries), so
     * superseded rounds are reclaimed by the ContextCleaner once
     * unreachable — at most edges + two label frames are referenced at
-    * any point in the loop, and the frames are (long, long) pairs over
-    * docs-that-have-a-dup, far below corpus size by construction.
+    * any point in the loop, and the frames are three longs per
+    * doc-that-has-a-dup, far below corpus size by construction.
     */
   def clusters(pairs: DataFrame, aCol: String = "doc_a",
                bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {

@@ -316,11 +316,15 @@ object Similarity {
     *
     * Engine-portable determinism (this query is oracle-checked):
     *  - centroid sample: the `nlist` rows ranked smallest by the
-    *    Knuth-multiplicative key ((vec_id·40503) mod 65536, vec_id) —
-    *    pure integer arithmetic any SQL engine reproduces, unlike
-    *    xxhash64 ([[ivfTopK]] can afford the better hash because it is
-    *    engine-only). A TakeOrdered(nlist) — heap per partition, no
-    *    global sort.
+    *    universal-hash key ((vec_id mod p)·40503 mod p, vec_id) with
+    *    p = 999983 prime — pure integer arithmetic any SQL engine
+    *    reproduces, unlike xxhash64 ([[ivfTopK]] can afford the better
+    *    hash because it is engine-only). Reducing mod an odd prime
+    *    FIRST keeps the key sensitive to all id bits (a power-of-two
+    *    modulus sees only low bits — constant across a snowflake id
+    *    stream) and bounds the product at ~4·10¹⁰, so the arithmetic
+    *    can never overflow ANSI bigint multiplication at any real id.
+    *    A TakeOrdered(nlist) — heap per partition, no global sort.
     *  - assignment: argmax of 4-decimal-rounded cosine with a
     *    centroid_id tiebreak, computed as a `max_by` over a broadcast
     *    crossJoin — partial-aggregable (map-side combine), one shuffle
@@ -345,7 +349,8 @@ object Similarity {
     val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
     val centroids = e
-      .orderBy((col("vec_id") * 40503L) % 65536L, col("vec_id"))
+      .orderBy(((col("vec_id") % 999983L) * 40503L) % 999983L,
+        col("vec_id"))
       .limit(nlist)
       .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
     val assigned = e.crossJoin(broadcast(centroids))
@@ -356,12 +361,14 @@ object Similarity {
           struct(col("c_sim"), (-col("centroid_id")).as("neg")))
           .as("cluster_id"),
         first(col("emb")).as("emb"))
+    // no distinct on the drop side: left_anti is insensitive to
+    // duplicate keys on its right input, so deduplicating them would
+    // only add a shuffle
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col("a.vec_id") < col("b.vec_id") &&
           round(cosine(col("a.emb"), col("b.emb")), 4) >= threshold)
       .select(col("b.vec_id").as("vec_id"))
-      .distinct()
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster_id"))
   }

@@ -247,7 +247,7 @@ object SimilarityQueries {
         |cent AS (
         |  SELECT vec_id AS centroid_id, emb AS c_emb FROM e
         |  QUALIFY row_number() OVER (
-        |    ORDER BY (vec_id * 40503) % 65536, vec_id) <= 16),
+        |    ORDER BY ((vec_id % 999983) * 40503) % 999983, vec_id) <= 16),
         |assigned AS (
         |  SELECT vec_id, emb, centroid_id AS cluster_id
         |  FROM e CROSS JOIN cent

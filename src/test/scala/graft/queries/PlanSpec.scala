@@ -25,8 +25,7 @@ class PlanSpec extends SparkTestBase {
     "s03_ann_ivf",          // corpus × broadcast centroid list
     "s04_ann_int8",         // corpus × broadcast quantized probes
     "d05_embedding_dups",   // brute-force truth twin of d07
-    "d09_semdedup",         // corpus × broadcast centroid list
-    "x05_label_centroid_sim") // dims × broadcast per-label centroids
+    "d09_semdedup")         // corpus × broadcast centroid list
 
   /** Scalar / grid joins: the nested-loop side is a one-row
     * ungrouped aggregate (a broadcast scalar — O(N·1)), or, for the
@@ -43,18 +42,61 @@ class PlanSpec extends SparkTestBase {
     "x15_unigram_loglik",     // × total-token-count scalar
     "x20_heavy_hitters")      // × total-count threshold scalar
 
+  private def hasAllPairsJoin(p: String): Boolean =
+    p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+
   test("global audit: no cartesian or nested-loop join in any contract " +
     "query not designed around one") {
+    // NOTE the horizon: for queries that localCheckpoint intermediates
+    // (d07, d08) this sees only the post-checkpoint plan; their
+    // pre-checkpoint stages are audited by the statusStore sweep below.
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allPairsByDesign ++ scalarJoinByDesign)
-      .flatMap { name =>
-        val p = SparkEntry.queries(name)(spark, sf0001)
-          .queryExecution.executedPlan.toString
-        if (p.contains("CartesianProduct") ||
-            p.contains("BroadcastNestedLoopJoin")) Some(name) else None
-      }
+      .filter(name => hasAllPairsJoin(plan(name)))
     assert(offenders.isEmpty,
       s"unplanned all-pairs join in: ${offenders.mkString(", ")}")
+  }
+
+  test("global audit: the whitelists stay honest — every exempted query " +
+    "really does plan the join it is exempted for") {
+    // without this, a whitelisted query rewritten to hash joins leaves
+    // a stale exemption behind, permanently shielding a future
+    // regression from the audit above
+    val stale = (allPairsByDesign ++ scalarJoinByDesign).toSeq.sorted
+      .filterNot(name => hasAllPairsJoin(plan(name)))
+    assert(stale.isEmpty,
+      s"whitelisted but plans no cartesian/nested-loop join " +
+        s"(remove from the list): ${stale.mkString(", ")}")
+  }
+
+  test("global audit: checkpointing queries have no all-pairs join in " +
+    "ANY executed stage, including pre-checkpoint ones") {
+    // d07/d08 eagerly execute+checkpoint their candidate/label stages
+    // during construction, hiding those plans from executedPlan. The
+    // SQL status store records every execution, so run each query and
+    // audit everything it executed.
+    val store = spark.sharedState.statusStore
+    for (name <- Seq("d07_embedding_dups_lsh", "d08_dup_clusters")) {
+      val before = store.executionsList().map(_.executionId)
+        .foldLeft(-1L)(math.max)
+      SparkEntry.queries(name)(spark, sf0001).collect()
+      // store ingestion is async — poll until the execution count is
+      // stable across two consecutive observations
+      var seen = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stable < 2 && System.nanoTime() < deadline) {
+        val n = store.executionsList().count(_.executionId > before)
+        if (n == seen && n > 0) stable += 1 else { stable = 0; seen = n }
+        Thread.sleep(100)
+      }
+      val bad = store.executionsList()
+        .filter(_.executionId > before)
+        .filter(e => hasAllPairsJoin(e.physicalPlanDescription))
+      assert(bad.isEmpty,
+        s"$name executed an all-pairs join in a checkpointed stage " +
+          s"(executionIds ${bad.map(_.executionId).mkString(",")})")
+    }
   }
 
   test("e01 export scan: time-range predicate reaches the parquet reader") {
