@@ -125,4 +125,90 @@ object Sketches {
       .select(col("token"), col("n_occurrences"),
         (col("n_occurrences").cast("double") / lit(total)).as("share"))
   }
+
+  // ---------------------------------------------------------------
+  // KMV (k-minimum-values) distinct-value sketch — the cardinality
+  // op HLL cannot answer: the NDV of an INTERSECTION (user overlap
+  // between two event streams, key overlap between two backup
+  // sessions). Beyer et al., "On synopses for distinct-value
+  // estimation under multiset operations", SIGMOD'07.
+  //
+  // The sketch is the k smallest DISTINCT hash values — fully
+  // deterministic under any partitioning (a set minimum is
+  // order-free), mergeable (union = merge-and-trim), and k longs of
+  // state regardless of input size. At 100 TB both sketches build in
+  // one pass with k-bounded map-side partials; nothing about the
+  // user/key population is ever shuffled or collected.
+  // ---------------------------------------------------------------
+
+  /** Insert into a sorted-ascending distinct k-bounded buffer.
+    * Fast path: a full buffer rejects anything ≥ its max in O(1) —
+    * after warm-up almost every row takes this exit.
+    */
+  private[engine] def kmvInsert(buf: List[Long], x: Long,
+                                k: Int): List[Long] = {
+    if (buf.lengthCompare(k) >= 0 && x >= buf.last) buf
+    else {
+      val (lo, hi) = buf.span(_ < x)
+      if (hi.nonEmpty && hi.head == x) buf
+      else {
+        val grown = lo ::: (x :: hi)
+        if (grown.lengthCompare(k) > 0) grown.init else grown
+      }
+    }
+  }
+
+  /** One-pass paired KMV: input rows are (hash, inA, inB); the two
+    * sketches build side by side so overlap queries scan the stream
+    * once. Hashes must be sign-flipped xxhash64 (`x ^ Long.MinValue`)
+    * so signed ordering equals unsigned hash ordering.
+    */
+  def kmvPair(k: Int): org.apache.spark.sql.expressions.Aggregator[
+      (Long, Boolean, Boolean), (List[Long], List[Long]),
+      (Seq[Long], Seq[Long])] =
+    new org.apache.spark.sql.expressions.Aggregator[
+        (Long, Boolean, Boolean), (List[Long], List[Long]),
+        (Seq[Long], Seq[Long])] {
+      def zero: (List[Long], List[Long]) = (Nil, Nil)
+      def reduce(b: (List[Long], List[Long]), e: (Long, Boolean, Boolean))
+          : (List[Long], List[Long]) =
+        (if (e._2) kmvInsert(b._1, e._1, k) else b._1,
+          if (e._3) kmvInsert(b._2, e._1, k) else b._2)
+      def merge(a: (List[Long], List[Long]), b: (List[Long], List[Long]))
+          : (List[Long], List[Long]) =
+        (b._1.foldLeft(a._1)(kmvInsert(_, _, k)),
+          b._2.foldLeft(a._2)(kmvInsert(_, _, k)))
+      def finish(r: (List[Long], List[Long])): (Seq[Long], Seq[Long]) = r
+      def bufferEncoder
+          : org.apache.spark.sql.Encoder[(List[Long], List[Long])] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      def outputEncoder
+          : org.apache.spark.sql.Encoder[(Seq[Long], Seq[Long])] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+
+  /** Fraction of the 2⁶⁴ hash space at or below sign-flipped hash x. */
+  private def hashFraction(x: Long): Double =
+    x.toDouble / 1.8446744073709552e19 + 0.5
+
+  /** NDV estimate from a k-sketch: exact when the sketch never filled
+    * (it then holds EVERY distinct hash); (k−1)/F(x_k) otherwise.
+    */
+  def kmvNdv(sketch: Seq[Long], k: Int): Double =
+    if (sketch.lengthCompare(k) < 0) sketch.length.toDouble
+    else (k - 1).toDouble / hashFraction(sketch.last)
+
+  /** Intersection-NDV estimate from two k-sketches: the k smallest of
+    * the union form a valid union sketch; the fraction of them present
+    * in BOTH input sketches estimates the Jaccard index, scaled by the
+    * union NDV. Exact when neither sketch filled.
+    */
+  def kmvOverlap(a: Seq[Long], b: Seq[Long], k: Int): Double = {
+    val union = (a ++ b).distinct.sorted.take(k)
+    val sa = a.toSet
+    val sb = b.toSet
+    val rho = union.count(x => sa(x) && sb(x))
+    if (union.isEmpty) 0.0
+    else rho.toDouble / union.length * kmvNdv(union, k)
+  }
 }

@@ -31,6 +31,49 @@ object EventQueries {
           col("event_type"), col("n"), col("sum_value"))
     },
 
+    /** ev12 — audience overlap, exact: users with ≥1 'click' AND ≥1
+      * 'view'. One shuffle on user_id with map-side partials (the
+      * flag-max formulation — no self-join, no INTERSECT rescan), then
+      * a scalar count. The exact twin of ev13's KMV sketch.
+      */
+    "ev12_user_overlap" -> { (s, d) =>
+      Tables.eventsTs(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("v"))
+        .filter(col("c") === 1 && col("v") === 1)
+        .agg(count(lit(1)).cast("long").as("n_overlap"))
+    },
+
+    /** ev13 — audience overlap via paired KMV sketches (engine-only:
+      * the sketch is not SQL-expressible; exactness below sketch
+      * capacity and estimator error are pinned in SketchesSpec). ONE
+      * narrow pass over events with k-bounded map-side partials —
+      * unlike ev12, nothing keyed by user is ever shuffled, which is
+      * the 100 TB form when the user population itself is huge. The
+      * sketch is deterministic under any partitioning (set minima),
+      * so the output is stable across runs/topologies.
+      */
+    "ev13_user_overlap_kmv" -> { (s, d) =>
+      import s.implicits._
+      val k = 256
+      val in = Tables.eventsTs(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(
+          xxhash64(col("user_id")).bitwiseXOR(lit(Long.MinValue)).as("h"),
+          (col("event_type") === "click").as("ia"),
+          (col("event_type") === "view").as("ib"))
+        .as[(Long, Boolean, Boolean)]
+      val (cs, vs) = in.select(
+        graft.engine.Sketches.kmvPair(k).toColumn).head()
+      Seq((
+        math.round(graft.engine.Sketches.kmvNdv(cs, k)),
+        math.round(graft.engine.Sketches.kmvNdv(vs, k)),
+        math.round(graft.engine.Sketches.kmvOverlap(cs, vs, k))))
+        .toDF("ndv_click_est", "ndv_view_est", "n_overlap_est")
+    },
+
     /** ev06 — gap-fill / resample: hourly counts per event type with
       * every hour of the observed range present, zeros filled. Both
       * join inputs are already bucket-grained (hours × types) — tiny at
@@ -274,6 +317,12 @@ object EventQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "ev12_user_overlap" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap FROM (
+        |  SELECT user_id FROM events GROUP BY user_id
+        |  HAVING MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+        |     AND MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1)""".stripMargin,
+
     "ev09_salted_join" ->
       """WITH dim AS (
         |  SELECT user_id, COUNT(*) AS n_user_events,

@@ -75,4 +75,60 @@ class SketchesSpec extends SparkTestBase {
         .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(run(li) == run(li.repartition(7)))
   }
+
+  test("KMV below capacity is EXACT: sketch overlap equals true overlap " +
+    "on the event stream") {
+    import spark.implicits._
+    val ev = Tables.eventsTs(spark, sf0001)
+    val exact = ev.groupBy($"user_id")
+      .agg(max(when($"event_type" === "click", 1).otherwise(0)).as("c"),
+        max(when($"event_type" === "view", 1).otherwise(0)).as("v"))
+      .filter($"c" === 1 && $"v" === 1).count()
+    val k = 256
+    val in = ev.filter($"event_type".isin("click", "view"))
+      .select(xxhash64($"user_id").bitwiseXOR(lit(Long.MinValue)).as("h"),
+        ($"event_type" === "click").as("ia"),
+        ($"event_type" === "view").as("ib"))
+      .as[(Long, Boolean, Boolean)]
+    val (cs, vs) = in.select(Sketches.kmvPair(k).toColumn).head()
+    assert(cs.length < k && vs.length < k, "fixture must be sub-capacity")
+    assert(math.round(Sketches.kmvOverlap(cs, vs, k)) == exact,
+      "sub-capacity KMV must be exact")
+  }
+
+  test("KMV estimator error is ~1/sqrt(k) on a 50k-NDV synthetic stream " +
+    "with planted overlap") {
+    import spark.implicits._
+    val k = 256
+    // A = ids [0, 30000), B = ids [20000, 50000) -> |A∩B| = 10000
+    val rows = ((0L until 30000L).map(i => (i, true, false)) ++
+      (20000L until 50000L).map(i => (i, false, true))).toDS()
+      .toDF("id", "ia", "ib")
+    val in = rows.select(
+        xxhash64($"id").bitwiseXOR(lit(Long.MinValue)).as("h"),
+        $"ia", $"ib")
+      .as[(Long, Boolean, Boolean)]
+    val (as_, bs) = in.select(Sketches.kmvPair(k).toColumn).head()
+    def relErr(est: Double, truth: Double) = math.abs(est - truth) / truth
+    assert(relErr(Sketches.kmvNdv(as_, k), 30000) < 0.2,
+      s"NDV(A) est ${Sketches.kmvNdv(as_, k)}")
+    assert(relErr(Sketches.kmvNdv(bs, k), 30000) < 0.2,
+      s"NDV(B) est ${Sketches.kmvNdv(bs, k)}")
+    assert(relErr(Sketches.kmvOverlap(as_, bs, k), 10000) < 0.35,
+      s"overlap est ${Sketches.kmvOverlap(as_, bs, k)}")
+  }
+
+  test("KMV sketch is identical under repartitioning (set minima are " +
+    "order-free)") {
+    import spark.implicits._
+    val ev = Tables.eventsTs(spark, sf0001)
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"event_type".isin("click", "view"))
+      .select(xxhash64($"user_id").bitwiseXOR(lit(Long.MinValue)).as("h"),
+        ($"event_type" === "click").as("ia"),
+        ($"event_type" === "view").as("ib"))
+      .as[(Long, Boolean, Boolean)]
+      .select(Sketches.kmvPair(64).toColumn).head()
+    assert(sketch(ev) == sketch(ev.repartition(13)))
+  }
 }
