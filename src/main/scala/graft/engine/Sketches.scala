@@ -145,8 +145,8 @@ object Sketches {
     * Fast path: a full buffer rejects anything ≥ its max in O(1) —
     * after warm-up almost every row takes this exit.
     */
-  private[engine] def kmvInsert(buf: List[Long], x: Long,
-                                k: Int): List[Long] = {
+  private[graft] def kmvInsert(buf: List[Long], x: Long,
+                               k: Int): List[Long] = {
     if (buf.lengthCompare(k) >= 0 && x >= buf.last) buf
     else {
       val (lo, hi) = buf.span(_ < x)

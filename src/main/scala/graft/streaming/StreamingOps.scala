@@ -207,6 +207,48 @@ object StreamingOps {
       }.toDF()
   }
 
+  final case class KmvState(a: Seq[Long], b: Seq[Long])
+  final case class KmvBuckets(bucket: Int, clicks: Seq[Long],
+                              views: Seq[Long])
+
+  /** ev13's streaming twin — the paired KMV overlap sketch as keyed
+    * streaming state, SHARDED by hash bucket so no single task owns
+    * the whole stream: each of `buckets` keys maintains its own
+    * (clicks, views) k-minima. Per-bucket minima merged downstream
+    * are exactly the global minima (any global k-smallest hash is a
+    * fortiori among its own bucket's k smallest), so the merged
+    * estimate equals the batch sketch's bit-for-bit — asserted in
+    * StreamingSpec. Update mode emits each bucket's current sketch
+    * every trigger: a live overlap dashboard is one tiny batch merge
+    * of `buckets` rows away at any moment. State is ≤ 2k longs per
+    * bucket FOREVER — the sketch is the bounded summary, so unlike
+    * sessionization there is nothing to time out or GC.
+    */
+  def overlapSketch(spark: SparkSession, events: DataFrame,
+                    k: Int = 256, buckets: Int = 8): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin("click", "view"))
+      .select(
+        xxhash64(col("user_id")).bitwiseXOR(lit(Long.MinValue)).as("h"),
+        (col("event_type") === "click").as("ia"),
+        (col("event_type") === "view").as("ib"))
+      .as[(Long, Boolean, Boolean)]
+    typed.groupByKey(t => math.floorMod(t._1, buckets.toLong).toInt)
+      .mapGroupsWithState[KmvState, KmvBuckets](
+        GroupStateTimeout.NoTimeout) {
+        case (bucket, rows, state: GroupState[KmvState]) =>
+          var sa = state.getOption.map(_.a.toList).getOrElse(Nil)
+          var sb = state.getOption.map(_.b.toList).getOrElse(Nil)
+          rows.foreach { case (h, ia, ib) =>
+            if (ia) sa = graft.engine.Sketches.kmvInsert(sa, h, k)
+            if (ib) sb = graft.engine.Sketches.kmvInsert(sb, h, k)
+          }
+          state.update(KmvState(sa, sb))
+          KmvBuckets(bucket, sa, sb)
+      }.toDF()
+  }
+
   /** Stream-stream interval join (the watermarked join shape): each
     * purchase matched to the same user's view events in the preceding
     * hour. Both sides carry watermarks and the join condition bounds

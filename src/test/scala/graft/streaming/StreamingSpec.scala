@@ -150,6 +150,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("sharded streaming KMV sketches merge to exactly the batch sketch") {
+    import spark.implicits._
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val k = 64
+    val q = StreamingOps.runToCompletion(spark,
+      StreamingOps.overlapSketch(spark, stream, k = k, buckets = 8),
+      "stream_kmv",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    q.stop()
+    // single batch -> one emission per bucket; merge the shards
+    val shards = spark.table("stream_kmv")
+      .select("clicks", "views").as[(Seq[Long], Seq[Long])].collect()
+    def mergeAll(xs: Seq[Seq[Long]]): List[Long] =
+      xs.flatten.foldLeft(List.empty[Long])(
+        graft.engine.Sketches.kmvInsert(_, _, k))
+    val (mc, mv) = (mergeAll(shards.map(_._1)), mergeAll(shards.map(_._2)))
+    // batch twin on the same rows
+    val in = Tables.eventsTs(spark, sf0001)
+      .filter(col("event_type").isin("click", "view"))
+      .select(xxhash64(col("user_id")).bitwiseXOR(lit(Long.MinValue)).as("h"),
+        (col("event_type") === "click").as("ia"),
+        (col("event_type") === "view").as("ib"))
+      .as[(Long, Boolean, Boolean)]
+    val (bc, bv) = in.select(
+      graft.engine.Sketches.kmvPair(k).toColumn).head()
+    assert(mc == bc.toList && mv == bv.toList,
+      "merged shard sketches must equal the batch sketch bit-for-bit")
+  }
+
   test("late rows beyond the watermark are dropped in append mode") {
     // two files: the bulk, then a far-late single event — with a 60s
     // watermark the late row lands in a closed window and is dropped
