@@ -353,6 +353,12 @@ object Similarity {
         col("vec_id"))
       .limit(nlist)
       .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
+    // materialize the assignment once: its three consumers (both pair
+    // sides, the anti-join left) would otherwise each replay the
+    // scan → broadcast-crossJoin → argmax agg subtree (12 corpus scans
+    // in the unmaterialized plan — runtime exchange reuse MAY dedupe
+    // them, but a 100 TB design can't hinge on it). Same idiom as
+    // d07's candidate table; (id, cluster, emb) is input-sized.
     val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("c_sim", round(cosine(col("emb"), col("c_emb")), 4))
       .groupBy(col("vec_id"))
@@ -361,6 +367,7 @@ object Similarity {
           struct(col("c_sim"), (-col("centroid_id")).as("neg")))
           .as("cluster_id"),
         first(col("emb")).as("emb"))
+      .localCheckpoint(true)
     // no distinct on the drop side: left_anti is insensitive to
     // duplicate keys on its right input, so deduplicating them would
     // only add a shuffle

@@ -24,8 +24,10 @@ class PlanSpec extends SparkTestBase {
     "s01_cosine_topk",      // corpus × broadcast probe set (O(Q·N), Q small)
     "s03_ann_ivf",          // corpus × broadcast centroid list
     "s04_ann_int8",         // corpus × broadcast quantized probes
-    "d05_embedding_dups",   // brute-force truth twin of d07
-    "d09_semdedup")         // corpus × broadcast centroid list
+    "d05_embedding_dups")   // brute-force truth twin of d07
+  // (d09's corpus × broadcast-centroid crossJoin sits BEHIND its
+  // assignment checkpoint, so the visible plan is all hash joins —
+  // no exemption needed)
 
   /** Scalar / grid joins: the nested-loop side is a one-row
     * ungrouped aggregate (a broadcast scalar — O(N·1)), or, for the
