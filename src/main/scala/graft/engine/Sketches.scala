@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based integrity probes beyond HLL/quantiles: Bloom-filter
@@ -142,20 +142,47 @@ object Sketches {
   // ---------------------------------------------------------------
 
   /** Insert into a sorted-ascending distinct k-bounded buffer.
-    * Fast path: a full buffer rejects anything ≥ its max in O(1) —
-    * after warm-up almost every row takes this exit.
+    * Reject decisions (duplicate, or k smaller values already present
+    * — after warm-up almost every row) are made in ONE allocation-free
+    * walk of the ≤k-element list; only a genuine insert pays the
+    * rebuild.
     */
   private[graft] def kmvInsert(buf: List[Long], x: Long,
                                k: Int): List[Long] = {
-    if (buf.lengthCompare(k) >= 0 && x >= buf.last) buf
-    else {
-      val (lo, hi) = buf.span(_ < x)
-      if (hi.nonEmpty && hi.head == x) buf
-      else {
-        val grown = lo ::: (x :: hi)
-        if (grown.lengthCompare(k) > 0) grown.init else grown
-      }
+    // pass 1, allocation-free: count elements < x, detect duplicates
+    var rest = buf
+    var n = 0
+    var reject = false
+    while (!reject && rest.nonEmpty && rest.head < x) {
+      n += 1
+      if (n == k) reject = true // k smaller values exist: x can't enter
+      else rest = rest.tail
     }
+    if (reject || (rest.nonEmpty && rest.head == x)) buf
+    else {
+      // pass 2: rebuild prefix, splice x, keep at most k elements
+      val pre = List.newBuilder[Long]
+      var p = buf
+      var i = 0
+      while (i < n) { pre += p.head; p = p.tail; i += 1 }
+      pre += x
+      pre.result() ::: rest.take(k - n - 1)
+    }
+  }
+
+  /** The KMV input projection — the ONE place that encodes the
+    * sign-flip contract ([[kmvPair]] orders signed longs, so hashes
+    * must be xxhash64 ^ Long.MinValue for signed order to equal
+    * unsigned hash order): (flipped hash of `keyCol`, in-A?, in-B?).
+    */
+  def kmvInput(df: DataFrame, keyCol: String, isA: Column,
+               isB: Column): Dataset[(Long, Boolean, Boolean)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        xxhash64(col(keyCol)).bitwiseXOR(lit(Long.MinValue)).as("h"),
+        isA.as("ia"), isB.as("ib"))
+      .as[(Long, Boolean, Boolean)]
   }
 
   /** One-pass paired KMV: input rows are (hash, inA, inB); the two

@@ -344,12 +344,24 @@ object Similarity {
     * Returns the SURVIVORS: (vec_id, cluster_id), one row per kept
     * vector.
     */
+  /** The engine-portable centroid ranking key, shared between the
+    * Column form below, the spec's brute-force twin, and the
+    * PropertySpec bijection guard (so editing the constants here
+    * cannot silently diverge from the tests that pin them). The d09
+    * oracle SQL states the same arithmetic for DuckDB.
+    */
+  private[graft] val CentroidPrime = 999983L
+  private[graft] val CentroidMult = 40503L
+  private[graft] def centroidKey(id: Long): Long =
+    ((id % CentroidPrime) * CentroidMult) % CentroidPrime
+
   def semDedup(embeddings: DataFrame, threshold: Double,
                nlist: Int = 16): DataFrame = {
     val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
     val centroids = e
-      .orderBy(((col("vec_id") % 999983L) * 40503L) % 999983L,
+      .orderBy(((col("vec_id") % CentroidPrime) * CentroidMult)
+          % CentroidPrime,
         col("vec_id"))
       .limit(nlist)
       .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))

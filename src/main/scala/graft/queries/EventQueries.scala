@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,22 +57,34 @@ object EventQueries {
       * so the output is stable across runs/topologies.
       */
     "ev13_user_overlap_kmv" -> { (s, d) =>
-      import s.implicits._
       val k = 256
-      val in = Tables.eventsTs(s, d)
-        .filter(col("event_type").isin("click", "view"))
-        .select(
-          xxhash64(col("user_id")).bitwiseXOR(lit(Long.MinValue)).as("h"),
-          (col("event_type") === "click").as("ia"),
-          (col("event_type") === "view").as("ib"))
-        .as[(Long, Boolean, Boolean)]
-      val (cs, vs) = in.select(
-        graft.engine.Sketches.kmvPair(k).toColumn).head()
-      Seq((
-        math.round(graft.engine.Sketches.kmvNdv(cs, k)),
-        math.round(graft.engine.Sketches.kmvNdv(vs, k)),
-        math.round(graft.engine.Sketches.kmvOverlap(cs, vs, k))))
-        .toDF("ndv_click_est", "ndv_view_est", "n_overlap_est")
+      val in = graft.engine.Sketches.kmvInput(
+        Tables.eventsTs(s, d)
+          .filter(col("event_type").isin("click", "view")),
+        "user_id",
+        col("event_type") === "click",
+        col("event_type") === "view")
+      // estimators as COLUMN expressions over the sketch arrays — the
+      // whole query stays one lazy Catalyst plan (typed Aggregator →
+      // array math), auditable and with no driver-side job at
+      // construction time. Mirrors Sketches.kmvNdv/kmvOverlap exactly
+      // (parity asserted in SketchesSpec).
+      def fr(x: Column): Column =
+        x.cast("double") / lit(1.8446744073709552e19) + lit(0.5)
+      def ndv(a: Column): Column =
+        when(size(a) < k, size(a).cast("double"))
+          .otherwise(lit((k - 1).toDouble) / fr(element_at(a, -1)))
+      val sk = in.select(graft.engine.Sketches.kmvPair(k).toColumn)
+        .toDF("ca", "va")
+      val un = slice(array_sort(array_union(col("ca"), col("va"))), 1, k)
+      val rho = size(filter(un, x =>
+        array_contains(col("ca"), x) && array_contains(col("va"), x)))
+      val overlap = when(size(un) === 0, lit(0.0))
+        .otherwise(rho.cast("double") / size(un) * ndv(un))
+      sk.select(
+        round(ndv(col("ca"))).cast("long").as("ndv_click_est"),
+        round(ndv(col("va"))).cast("long").as("ndv_view_est"),
+        round(overlap).cast("long").as("n_overlap_est"))
     },
 
     /** ev06 — gap-fill / resample: hourly counts per event type with

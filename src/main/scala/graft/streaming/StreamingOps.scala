@@ -227,13 +227,11 @@ object StreamingOps {
   def overlapSketch(spark: SparkSession, events: DataFrame,
                     k: Int = 256, buckets: Int = 8): DataFrame = {
     import spark.implicits._
-    val typed = events
-      .filter(col("event_type").isin("click", "view"))
-      .select(
-        xxhash64(col("user_id")).bitwiseXOR(lit(Long.MinValue)).as("h"),
-        (col("event_type") === "click").as("ia"),
-        (col("event_type") === "view").as("ib"))
-      .as[(Long, Boolean, Boolean)]
+    val typed = graft.engine.Sketches.kmvInput(
+      events.filter(col("event_type").isin("click", "view")),
+      "user_id",
+      col("event_type") === "click",
+      col("event_type") === "view")
     typed.groupByKey(t => math.floorMod(t._1, buckets.toLong).toInt)
       .mapGroupsWithState[KmvState, KmvBuckets](
         GroupStateTimeout.NoTimeout) {

@@ -92,16 +92,20 @@ object PropertySpec extends Properties("graft") {
     // the LOW bits, so snowflake-style ids (stride 2^22) all got one
     // key and the "pseudo-random" centroid sample became the earliest
     // ids. Mod-an-odd-prime-first keys must spread any stride.
-    forAll(Gen.choose(0L, 1L << 60), Gen.choose(1L, 999982L)) {
+    forAll(Gen.choose(0L, 1L << 60),
+      Gen.choose(1L, graft.ext.Similarity.CentroidPrime - 1)) {
       (base, stride) =>
-      def key(id: Long): Long = ((id % 999983L) * 40503L) % 999983L
+      // THE production key (shared constants/function — editing
+      // Similarity's arithmetic cannot silently detach this guard)
+      import graft.ext.Similarity.{centroidKey, CentroidPrime}
       // stride coprime to the prime modulus (any stride < p qualifies)
       // => 64 consecutive stream ids map to 64 DISTINCT keys — the
       // multiply-mod-p map is a bijection on residues
-      val keys = (0 until 64).map(i => key(base + i * stride)).distinct
+      val keys = (0 until 64).map(i => centroidKey(base + i * stride))
+        .distinct
       (keys.size == 64) :| s"only ${keys.size}/64 distinct keys at " +
         s"stride $stride" &&
-        keys.forall(k => k >= 0L && k < 999983L) :| "key in [0, p)"
+        keys.forall(k => k >= 0L && k < CentroidPrime) :| "key in [0, p)"
     }
 
   property("resizeStub: exact output size, subset bytes, deterministic") =

@@ -85,11 +85,9 @@ class SketchesSpec extends SparkTestBase {
         max(when($"event_type" === "view", 1).otherwise(0)).as("v"))
       .filter($"c" === 1 && $"v" === 1).count()
     val k = 256
-    val in = ev.filter($"event_type".isin("click", "view"))
-      .select(xxhash64($"user_id").bitwiseXOR(lit(Long.MinValue)).as("h"),
-        ($"event_type" === "click").as("ia"),
-        ($"event_type" === "view").as("ib"))
-      .as[(Long, Boolean, Boolean)]
+    val in = Sketches.kmvInput(
+      ev.filter($"event_type".isin("click", "view")), "user_id",
+      $"event_type" === "click", $"event_type" === "view")
     val (cs, vs) = in.select(Sketches.kmvPair(k).toColumn).head()
     assert(cs.length < k && vs.length < k, "fixture must be sub-capacity")
     assert(math.round(Sketches.kmvOverlap(cs, vs, k)) == exact,
@@ -104,10 +102,7 @@ class SketchesSpec extends SparkTestBase {
     val rows = ((0L until 30000L).map(i => (i, true, false)) ++
       (20000L until 50000L).map(i => (i, false, true))).toDS()
       .toDF("id", "ia", "ib")
-    val in = rows.select(
-        xxhash64($"id").bitwiseXOR(lit(Long.MinValue)).as("h"),
-        $"ia", $"ib")
-      .as[(Long, Boolean, Boolean)]
+    val in = Sketches.kmvInput(rows, "id", $"ia", $"ib")
     val (as_, bs) = in.select(Sketches.kmvPair(k).toColumn).head()
     def relErr(est: Double, truth: Double) = math.abs(est - truth) / truth
     assert(relErr(Sketches.kmvNdv(as_, k), 30000) < 0.2,
@@ -122,13 +117,27 @@ class SketchesSpec extends SparkTestBase {
     "order-free)") {
     import spark.implicits._
     val ev = Tables.eventsTs(spark, sf0001)
-    def sketch(df: org.apache.spark.sql.DataFrame) = df
-      .filter($"event_type".isin("click", "view"))
-      .select(xxhash64($"user_id").bitwiseXOR(lit(Long.MinValue)).as("h"),
-        ($"event_type" === "click").as("ia"),
-        ($"event_type" === "view").as("ib"))
-      .as[(Long, Boolean, Boolean)]
+    def sketch(df: org.apache.spark.sql.DataFrame) = Sketches.kmvInput(
+        df.filter($"event_type".isin("click", "view")), "user_id",
+        $"event_type" === "click", $"event_type" === "view")
       .select(Sketches.kmvPair(64).toColumn).head()
     assert(sketch(ev) == sketch(ev.repartition(13)))
+  }
+
+  test("ev13's column-expression estimators equal the Scala estimators") {
+    import spark.implicits._
+    // the query computes kmvNdv/kmvOverlap as Catalyst array math (to
+    // stay one lazy plan); this pins the two formulations together
+    val k = 256
+    val ev = Tables.eventsTs(spark, sf0001)
+    val in = Sketches.kmvInput(
+      ev.filter($"event_type".isin("click", "view")), "user_id",
+      $"event_type" === "click", $"event_type" === "view")
+    val (cs, vs) = in.select(Sketches.kmvPair(k).toColumn).head()
+    val row = graft.queries.EventQueries
+      .defs("ev13_user_overlap_kmv")(spark, sf0001).head()
+    assert(row.getLong(0) == math.round(Sketches.kmvNdv(cs, k)))
+    assert(row.getLong(1) == math.round(Sketches.kmvNdv(vs, k)))
+    assert(row.getLong(2) == math.round(Sketches.kmvOverlap(cs, vs, k)))
   }
 }

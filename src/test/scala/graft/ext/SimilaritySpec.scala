@@ -168,7 +168,7 @@ class SimilaritySpec extends SparkTestBase {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     val nlist = 16
-    val cents = e.sortBy { case (i, _) => (((i % 999983L) * 40503L) % 999983L, i) }
+    val cents = e.sortBy { case (i, _) => (Similarity.centroidKey(i), i) }
       .take(nlist)
     val cluster = e.map { case (i, v) =>
       i -> cents.map { case (cid, cv) => (cid, cos(v, cv)) }

@@ -50,7 +50,7 @@ class PlanSpec extends SparkTestBase {
   test("global audit: no cartesian or nested-loop join in any contract " +
     "query not designed around one") {
     // NOTE the horizon: for queries that localCheckpoint intermediates
-    // (d07, d08) this sees only the post-checkpoint plan; their
+    // (d07, d08, d09) this sees only the post-checkpoint plan; their
     // pre-checkpoint stages are audited by the statusStore sweep below.
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allPairsByDesign ++ scalarJoinByDesign)
@@ -73,12 +73,19 @@ class PlanSpec extends SparkTestBase {
 
   test("global audit: checkpointing queries have no all-pairs join in " +
     "ANY executed stage, including pre-checkpoint ones") {
-    // d07/d08 eagerly execute+checkpoint their candidate/label stages
-    // during construction, hiding those plans from executedPlan. The
-    // SQL status store records every execution, so run each query and
-    // audit everything it executed.
+    // d07/d08/d09 eagerly execute+checkpoint candidate/label/assignment
+    // stages during construction, hiding those plans from executedPlan.
+    // The SQL status store records every execution, so run each query
+    // and audit everything it executed. d09's assignment stage contains
+    // a DESIGNED BroadcastNestedLoopJoin (corpus × broadcast centroid
+    // list — bounded by the broadcast), so only the unbounded
+    // CartesianProduct is forbidden there.
     val store = spark.sharedState.statusStore
-    for (name <- Seq("d07_embedding_dups_lsh", "d08_dup_clusters")) {
+    val sweeps = Seq(
+      ("d07_embedding_dups_lsh", hasAllPairsJoin _),
+      ("d08_dup_clusters", hasAllPairsJoin _),
+      ("d09_semdedup", (p: String) => p.contains("CartesianProduct")))
+    for ((name, forbidden) <- sweeps) {
       val before = store.executionsList().map(_.executionId)
         .foldLeft(-1L)(math.max)
       SparkEntry.queries(name)(spark, sf0001).collect()
@@ -94,10 +101,10 @@ class PlanSpec extends SparkTestBase {
       }
       val bad = store.executionsList()
         .filter(_.executionId > before)
-        .filter(e => hasAllPairsJoin(e.physicalPlanDescription))
+        .filter(e => forbidden(e.physicalPlanDescription))
       assert(bad.isEmpty,
-        s"$name executed an all-pairs join in a checkpointed stage " +
-          s"(executionIds ${bad.map(_.executionId).mkString(",")})")
+        s"$name executed a forbidden all-pairs join in a checkpointed " +
+          s"stage (executionIds ${bad.map(_.executionId).mkString(",")})")
     }
   }
 
