@@ -1,5 +1,6 @@
 package graft.engine
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -19,17 +20,21 @@ import org.apache.spark.sql.functions._
   * KB-sized parquet sidecar (the same zone-map idea Snowflake
   * micro-partitions and the Delta/Iceberg file-stats manifests use).
   *
-  * Build cost is metadata-only (footers, no row reads, zero Spark
-  * jobs — same budget class as Compactor's sizing pass and
-  * TableOps.parquetRowCount). The loop is driver-side here; at
-  * millions of files the identical footer read distributes trivially
-  * (parallelize the path list, read footers in executors) — the
-  * manifest schema and pruning contract don't change, so that upgrade
-  * is local to [[build]].
+  * Build cost is metadata-only (footers, no row reads). The footer
+  * reads run IN EXECUTORS: the driver lists the file names (names are
+  * MBs even at millions of files), then `parallelize(paths)
+  * .mapPartitions(read footers)` spreads the round trips across the
+  * cluster — at millions of object-store files the driver-side loop
+  * this replaces would serialize hours of latency before the first
+  * manifest row. A driver-side twin ([[entriesLocal]]) is kept for
+  * the parity spec: both paths share [[footerEntries]], so the
+  * manifest content is identical by construction and asserted so in
+  * ZoneMapSpec.
   *
   * Numeric (and numeric-logical: date/timestamp) columns only —
   * binary/string min/max truncation semantics differ across writers;
-  * rather than prune wrongly, non-numeric columns are omitted.
+  * rather than prune wrongly, non-numeric columns are omitted
+  * (unknown ⇒ never pruned, so omission is always safe).
   */
 object ZoneMap {
 
@@ -37,62 +42,93 @@ object ZoneMap {
                          min_v: Double, max_v: Double, n_nulls: Long)
 
   /** Read footer stats for `cols` across every parquet file under
-    * `dir` (recursive, so partitioned layouts index too).
+    * `dir` (recursive, so partitioned layouts index too). Footer
+    * reads are distributed over executors; see the object doc.
     */
   def entries(spark: SparkSession, dir: String,
               cols: Seq[String]): Seq[Entry] = {
+    val paths = listParquet(spark, dir)
+    if (paths.isEmpty) return Seq.empty
+    val confKv = confToSeq(spark.sessionState.newHadoopConf())
+    val want = cols.toSet
+    val slices = math.max(1, math.min(paths.size,
+      spark.sparkContext.defaultParallelism * 4))
+    spark.sparkContext.parallelize(paths, slices)
+      .mapPartitions { it =>
+        val conf = seqToConf(confKv)
+        it.flatMap(p => footerEntries(conf, p, want))
+      }
+      .collect().toSeq
+  }
+
+  /** Driver-side twin of [[entries]] — same listing, same
+    * [[footerEntries]] fold, no Spark job. Kept so the spec can
+    * assert the distributed build is row-identical to the serial one.
+    */
+  private[engine] def entriesLocal(spark: SparkSession, dir: String,
+                                   cols: Seq[String]): Seq[Entry] = {
     val conf = spark.sessionState.newHadoopConf()
     val want = cols.toSet
-    val path = new Path(dir)
-    val fs = path.getFileSystem(conf)
-    val committed = committedFilter(spark, dir, fs)
-    val out = Seq.newBuilder[Entry]
-    val it = fs.listFiles(path, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (isDataFile(f.getPath, path) && committed(f.getPath.toString)) {
-        val rd = ParquetFileReader.open(
-          HadoopInputFile.fromPath(f.getPath, conf))
-        try {
-          val blocks = rd.getFooter.getBlocks
-          val rows = rd.getRecordCount
-          // fold row-group stats up to one [min,max] per (file, col)
-          val acc = scala.collection.mutable.Map
-            .empty[String, (Double, Double, Long)]
-          blocks.forEach { b =>
-            b.getColumns.forEach { c =>
-              val name = c.getPath.toDotString
-              if (want(name)) {
-                val st = c.getStatistics
-                if (st != null && st.hasNonNullValue) {
-                  (numeric(st.genericGetMin), numeric(st.genericGetMax))
-                  match {
-                    case (Some(lo), Some(hi)) =>
-                      val prev = acc.getOrElse(name,
-                        (Double.PositiveInfinity, Double.NegativeInfinity,
-                          0L))
-                      acc(name) = (math.min(prev._1, lo),
-                        math.max(prev._2, hi),
-                        prev._3 + st.getNumNulls)
-                    case _ => ()
-                  }
+    listParquet(spark, dir).flatMap(p => footerEntries(conf, p, want))
+  }
+
+  /** Fold one file's row-group stats up to one [min,max,n_nulls] per
+    * (file, col). Null accounting is independent of value stats: an
+    * all-null row group has `hasNonNullValue == false` but its
+    * `getNumNulls` still counts. A column whose non-null values are
+    * non-numeric (string/binary) is omitted entirely — emitting the
+    * empty-fold identity for it would prune files that DO contain
+    * matching rows.
+    *
+    * A column that is entirely null in the file gets the empty-fold
+    * identity (+∞, −∞): `v ∈ [lo,hi]` matches no null row, so pruning
+    * such a file is exact, not just safe.
+    */
+  private def footerEntries(conf: Configuration, file: String,
+                            want: Set[String]): Seq[Entry] = {
+    val rd = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val rows = rd.getRecordCount
+      // (min, max, n_nulls, sawNonNumericValue) per column
+      val acc = scala.collection.mutable.Map
+        .empty[String, (Double, Double, Long, Boolean)]
+      rd.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          if (want(name)) {
+            val st = c.getStatistics
+            if (st != null) {
+              val prev = acc.getOrElse(name,
+                (Double.PositiveInfinity, Double.NegativeInfinity,
+                  0L, false))
+              val next =
+                if (!st.hasNonNullValue) prev
+                else (numeric(st.genericGetMin),
+                  numeric(st.genericGetMax)) match {
+                  case (Some(lo), Some(hi)) =>
+                    (math.min(prev._1, lo), math.max(prev._2, hi),
+                      prev._3, prev._4)
+                  case _ => (prev._1, prev._2, prev._3, true)
                 }
-              }
+              acc(name) = (next._1, next._2,
+                next._3 + st.getNumNulls, next._4)
             }
           }
-          acc.foreach { case (c, (lo, hi, nn)) =>
-            out += Entry(f.getPath.toString, rows, c, lo, hi, nn)
-          }
-        } finally rd.close()
+        }
       }
-    }
-    out.result()
+      acc.toSeq.collect {
+        case (c, (lo, hi, nn, false)) => Entry(file, rows, c, lo, hi, nn)
+      }
+    } finally rd.close()
   }
 
   /** A data file: .parquet, and no hidden/underscore path segment
     * BELOW the scan root (excludes _zonemap itself, _spark_metadata,
     * .staging dirs — but a dotted ancestor of the root, e.g. a
     * `/home/u/.local/...` destination, must not hide everything).
+    * `root` must be fully qualified (same scheme/authority as the
+    * listed paths) or the ancestor walk never terminates at it.
     */
   private def isDataFile(p: Path, root: Path): Boolean = {
     var cur = p.getParent
@@ -129,6 +165,23 @@ object ZoneMap {
     case _ => None // binary/string stats: omitted, never mis-pruned
   }
 
+  /** Hadoop conf ↔ plain pairs, so executors can rebuild it without
+    * depending on Spark-private serializable wrappers. The iterator
+    * flattens defaults + loaded resources, so nothing is lost.
+    */
+  private def confToSeq(conf: Configuration): Seq[(String, String)] = {
+    val b = Seq.newBuilder[(String, String)]
+    val it = conf.iterator()
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
+  private def seqToConf(kv: Seq[(String, String)]): Configuration = {
+    val conf = new Configuration(false)
+    kv.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+
   /** The manifest as a Dataset (for joining/inspection). */
   def build(spark: SparkSession, dir: String,
             cols: Seq[String]): Dataset[Entry] = {
@@ -150,7 +203,10 @@ object ZoneMap {
 
   /** Files whose [min,max] zone for `column` intersects [lo, hi] —
     * plus files with no entry for the column (unknown ⇒ must read:
-    * pruning may only ever drop provably-disjoint files).
+    * pruning may only ever drop provably-disjoint files). The collect
+    * here is driver-sized BY DESIGN: the manifest is one row per
+    * (file, column) — KBs where the data is TBs — and the file list
+    * it filters already lives on the driver.
     */
   def pruneFiles(index: DataFrame, allFiles: Seq[String], column: String,
                  lo: Double, hi: Double): Seq[String] = {
@@ -167,22 +223,30 @@ object ZoneMap {
 
   /** Read only the files that can satisfy `column ∈ [lo, hi]` — the
     * caller applies the row-level filter on top (zones admit false
-    * positives, never false negatives).
+    * positives, never false negatives). `basePath` keeps
+    * hive-partition columns alive: an explicit file list disables
+    * partition discovery, which would otherwise null them out.
     */
   def prunedRead(spark: SparkSession, dir: String, index: DataFrame,
                  column: String, lo: Double, hi: Double): DataFrame = {
-    val schema = spark.read.parquet(dir).schema
+    val full = spark.read.parquet(dir)
+    val schema = full.schema
     val allFiles = listParquet(spark, dir)
     val files = pruneFiles(index, allFiles, column, lo, hi)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    else spark.read.option("basePath", dir).schema(schema)
+      .parquet(files: _*)
   }
 
   private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
-    val path = new Path(dir)
-    val fs = path.getFileSystem(conf)
+    val fs = new Path(dir).getFileSystem(conf)
+    // qualify the root so the ancestor walk in isDataFile can MEET it:
+    // listFiles returns fully-qualified (scheme://...) paths, and an
+    // unqualified root would never compare equal — every file under a
+    // dotted ancestor (e.g. ~/.local/...) would silently vanish.
+    val path = fs.makeQualified(new Path(dir))
     val committed = committedFilter(spark, dir, fs)
     val out = Seq.newBuilder[String]
     val it = fs.listFiles(path, true)

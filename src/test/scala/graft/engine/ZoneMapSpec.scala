@@ -89,6 +89,85 @@ class ZoneMapSpec extends SparkTestBase {
       "orphan file leaked into the manifest")
   }
 
+  test("distributed (executor-side) build is row-identical to the " +
+    "driver-side twin") {
+    val dir = tmpDir("zm") + "/t-parity"
+    writeSorted(dir)
+    val cols = Seq("l_orderkey", "l_extendedprice")
+    val dist = ZoneMap.entries(spark, dir, cols)
+      .sortBy(e => (e.file, e.column))
+    val local = ZoneMap.entriesLocal(spark, dir, cols)
+      .sortBy(e => (e.file, e.column))
+    assert(dist == local, "executor-built manifest diverged from the " +
+      "driver-built one")
+    assert(dist.nonEmpty)
+  }
+
+  test("a dotted ancestor OF the scan root does not hide its files") {
+    // the exact case the isDataFile doc claims to handle: a
+    // destination like ~/.local/share/... — the dot is above the
+    // root, so nothing under it is hidden
+    val dir = tmpDir("zm-dotted") + "/.local/dest"
+    writeSorted(dir)
+    val idx = ZoneMap.build(spark, dir, Seq("l_orderkey"))
+    assert(idx.count() == 8,
+      "files under a dotted ancestor of the root vanished from the manifest")
+    val df = ZoneMap.prunedRead(spark, dir, idx.toDF(), "l_orderkey",
+      Double.NegativeInfinity, Double.PositiveInfinity)
+    assert(df.count() == spark.read.parquet(dir).count(),
+      "prunedRead lost rows under a dotted ancestor root")
+  }
+
+  test("pruned read of a hive-partitioned layout keeps partition columns") {
+    val dir = tmpDir("zm-hive") + "/t"
+    spark.read.parquet(Tables.path(sf0001, "lineitem"))
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_linenumber"))
+      .write.partitionBy("l_linenumber").mode("overwrite").parquet(dir)
+    val idx = ZoneMap.build(spark, dir, Seq("l_orderkey")).toDF()
+    val full = spark.read.parquet(dir)
+    val mid = full.agg(percentile_approx(col("l_orderkey").cast("double"),
+      lit(0.5), lit(1000))).head().getDouble(0)
+    val pruned = ZoneMap.prunedRead(spark, dir, idx, "l_orderkey",
+      mid, mid + 50)
+      .filter(col("l_orderkey").cast("double").between(mid, mid + 50))
+    assert(pruned.filter(col("l_linenumber").isNull).isEmpty,
+      "partition column came back null — partition discovery was lost")
+    val expect = full
+      .filter(col("l_orderkey").cast("double").between(mid, mid + 50))
+    assert(pruned.except(expect).isEmpty && expect.except(pruned).isEmpty,
+      "hive-partitioned pruned read changed the answer")
+  }
+
+  test("n_nulls counts all-null row groups; an all-null file is " +
+    "prunable and exact") {
+    val dir = tmpDir("zm-nulls") + "/t"
+    import spark.implicits._
+    // file A: mixed nulls; file B: entirely null column
+    Seq[(Int, java.lang.Double)]((1, 1.0), (2, null), (3, 3.0), (4, null))
+      .toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq[(Int, java.lang.Double)]((5, null), (6, null))
+      .toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+    val idx = ZoneMap.build(spark, dir, Seq("v")).collect()
+    assert(idx.length == 2, s"expected one entry per file, got ${idx.toSeq}")
+    val byMin = idx.sortBy(_.min_v)
+    assert(byMin(0).n_nulls == 2 && byMin(0).min_v == 1.0 &&
+      byMin(0).max_v == 3.0, s"mixed-null file stats wrong: ${byMin(0)}")
+    assert(byMin(1).n_nulls == 2 &&
+      byMin(1).min_v == Double.PositiveInfinity &&
+      byMin(1).max_v == Double.NegativeInfinity,
+      s"all-null file entry wrong: ${byMin(1)}")
+    // the all-null file can never satisfy a range predicate → pruned,
+    // and the answer is still exact
+    val kept = ZoneMap.pruneFiles(spark.createDataset(idx.toSeq).toDF(),
+      idx.map(_.file).distinct.toSeq, "v", 0.0, 10.0)
+    assert(kept.length == 1, s"expected the all-null file pruned: $kept")
+    val pr = ZoneMap.prunedRead(spark, dir,
+      spark.createDataset(idx.toSeq).toDF(), "v", 0.0, 10.0)
+      .filter(col("v").between(0.0, 10.0))
+    assert(pr.count() == 2, "pruned read of null-bearing layout wrong")
+  }
+
   test("sidecar write round-trips and is invisible to data readers") {
     val dir = tmpDir("zm") + "/t4"
     writeSorted(dir)
