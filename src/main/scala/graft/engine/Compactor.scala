@@ -88,6 +88,10 @@ object Compactor {
     val files = dataFiles(f, root)
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // nothing to rewrite: no files means no rows to cluster either —
+    // a zorder request on an empty dir is a no-op, not a crash
+    if (files.isEmpty)
+      return Report(dir, 0, 0, 0L, 0L, compacted = false)
     // a z-order request is a RE-LAYOUT: it must rewrite even when the
     // file count is already at target (the point is clustering, not
     // merging)

@@ -28,12 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Append a `zorder` column interleaving `bits` bits per column of
-    * the quantile-bucket ranks of `cols`. k·bits must fit a long.
+  /** Append a z-value column (named `out`) interleaving `bits` bits
+    * per column of the quantile-bucket ranks of `cols`. k·bits must
+    * fit a long. Fails loudly if `out` already exists — silently
+    * overwriting a user column is how data disappears.
+    *
+    * Degenerate inputs stay total: an empty frame and an all-null
+    * column both have no rank order to interleave, so their buckets
+    * are all 0 (one curve cell) — the layout is a no-op, not a crash.
     */
-  def zValue(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int = 8,
+             out: String = "zorder"): DataFrame = {
     require(cols.nonEmpty, "zValue needs at least one column")
     require(cols.size * bits <= 63, s"${cols.size} cols × $bits bits > 63")
+    require(!df.columns.contains(out),
+      s"zValue output column '$out' already exists in the input — " +
+        "pass a different `out` name")
     // non-numeric columns would cast('double') to all-null, null every
     // z-value, and collapse repartitionByRange into ONE partition —
     // silent layout destruction. Fail loudly instead.
@@ -52,15 +62,21 @@ object Layout {
     val qs = (1 until buckets).map(_.toDouble / buckets)
     val boundaryRow = df.select(cols.map(c =>
       percentile_approx(col(c).cast("double"), typedLit(qs), lit(10000))
-        .as(c)): _*).head()
+        .as(c)): _*).take(1).headOption
     val bucketOf: Map[String, Column] = cols.zipWithIndex.map {
       case (c, i) =>
-        val bs = boundaryRow.getSeq[Double](i)
-        // rank bucket = #boundaries <= v; literal array keeps the
-        // comparison inside codegen (no UDF, no join)
-        c -> aggregate(typedLit(bs),
-          lit(0),
-          (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+        // empty input → no row; all-null column → null boundary array.
+        // Either way there is nothing to rank against: bucket 0.
+        val bs = boundaryRow.flatMap(r => Option(r.getSeq[Double](i)))
+        c -> (bs match {
+          case None => lit(0)
+          // rank bucket = #boundaries <= v; literal array keeps the
+          // comparison inside codegen (no UDF, no join)
+          case Some(b0) => aggregate(typedLit(b0),
+            lit(0),
+            (acc, b) =>
+              acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+        })
     }.toMap
     // interleave: z bit (j·k + c) = bit j of column c's bucket —
     // column 0 owns the most-significant position of each bit group
@@ -71,18 +87,22 @@ object Layout {
         a.bitwiseOR(shiftleft(bit, j * k + (k - 1 - ci)))
       }
     }
-    df.withColumn("zorder", z)
+    df.withColumn(out, z)
   }
 
   /** Re-layout `df` into `numFiles` z-ordered files: range-partition
     * on the z-value (each output file covers one contiguous curve
     * segment = one small hyper-rectangle per file), sort within, drop
-    * the helper column. Compose with Exporter/Compactor writes.
+    * the helper column. The helper uses a reserved internal name, so
+    * an input that itself has a `zorder` column passes through intact.
+    * Compose with Exporter/Compactor writes.
     */
   def zorderBy(df: DataFrame, cols: Seq[String], numFiles: Int,
-               bits: Int = 8): DataFrame =
-    zValue(df, cols, bits)
-      .repartitionByRange(numFiles, col("zorder"))
-      .sortWithinPartitions("zorder")
-      .drop("zorder")
+               bits: Int = 8): DataFrame = {
+    val zc = "__graft_zorder"
+    zValue(df, cols, bits, out = zc)
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
+  }
 }

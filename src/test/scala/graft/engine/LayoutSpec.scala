@@ -54,6 +54,40 @@ class LayoutSpec extends SparkTestBase {
       s"z-order must beat linear on the second dim: $zPk vs $linPk")
   }
 
+  test("degenerate inputs: empty frame and all-null column z-order " +
+    "without crashing; existing zorder column survives") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    assert(Layout.zValue(empty, Seq("k", "v")).count() == 0)
+    assert(Layout.zorderBy(empty, Seq("k", "v"), 4).count() == 0)
+    val allNull = Seq((1L, null), (2L, null))
+      .map { case (k, v) => (k, v.asInstanceOf[java.lang.Double]) }
+      .toDF("k", "v")
+    val z = Layout.zValue(allNull, Seq("v"))
+    assert(z.count() == 2 &&
+      z.select("zorder").distinct().head().getLong(0) == 0L,
+      "all-null column must collapse to bucket 0, not NPE")
+    // a user column literally named `zorder` is data, not a helper
+    val named = Seq((1L, 2.0, "keep"), (3L, 4.0, "me"))
+      .toDF("k", "v", "zorder")
+    val out = Layout.zorderBy(named, Seq("k", "v"), 2)
+    assert(out.columns.contains("zorder") &&
+      out.select("zorder").as[String].collect().toSet == Set("keep", "me"),
+      "zorderBy clobbered a user column named 'zorder'")
+    // zValue's default output name collides loudly instead of silently
+    intercept[IllegalArgumentException] {
+      Layout.zValue(named, Seq("k", "v"))
+    }
+  }
+
+  test("compact --zorder on an empty directory is a no-op report") {
+    val dir = tmpDir("layout-empty") + "/t"
+    val f = new java.io.File(dir); f.mkdirs()
+    val rep = Compactor.compact(spark, dir, zorderCols = Seq("k"))
+    assert(!rep.compacted && rep.filesBefore == 0 && rep.rows == 0L,
+      s"expected a no-op on an empty dir, got $rep")
+  }
+
   test("z-value interleaving is balanced and deterministic") {
     val li = spark.read.parquet(Tables.path(sf0001, "lineitem"))
       .select("l_orderkey", "l_partkey")
