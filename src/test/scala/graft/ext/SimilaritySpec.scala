@@ -251,6 +251,66 @@ class SimilaritySpec extends SparkTestBase {
     assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
   }
 
+  test("real image payloads decode genuinely: pixel dims, pixel resize, " +
+    "re-encoding-invariant dHash") {
+    import spark.implicits._
+    def img(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val i = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        i.setRGB(x, y, (x * 255 / w) << 16 | (y * 255 / h) << 8)
+      i
+    }
+    def enc(i: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, fmt, bos)
+      bos.toByteArray
+    }
+    val text = "not an image, just bytes".getBytes("UTF-8")
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "image/png", enc(img(13, 7), "png")),
+      Multimodal.MediaAsset(2L, "image/bmp", enc(img(32, 16), "bmp")),
+      Multimodal.MediaAsset(3L, "application/octet-stream", text)).toDS()
+      .toDF()
+    val feats = Multimodal.extractFeatures(spark, assets).collect()
+      .map(f => f.doc_id -> f).toMap
+    // genuine decoded dimensions, not byte-derived ones
+    assert(feats(1L).width == 13 && feats(1L).height == 7, s"${feats(1L)}")
+    assert(feats(2L).width == 32 && feats(2L).height == 16, s"${feats(2L)}")
+    // opaque payloads keep the deterministic byte-derived fallback
+    assert(feats(3L).width == (64 + text.length % 960), s"${feats(3L)}")
+    // resize genuinely rescales: the output IS an image of target dims
+    val resized = Multimodal.resizeBytes(enc(img(64, 48), "png"), 224, 224)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized))
+    assert(back != null && back.getWidth == 224 && back.getHeight == 224,
+      "resized payload is not a decodable 224x224 image")
+    // dHash is a function of PIXELS: lossless re-encode (png vs bmp of
+    // the same pixels) hashes identically; the gradient and its
+    // transpose-ish inverse differ in many bits
+    val hPng = Multimodal.pHash(enc(img(40, 30), "png"))
+    val hBmp = Multimodal.pHash(enc(img(40, 30), "bmp"))
+    assert(hPng == hBmp, "dHash must see pixels, not encoded bytes")
+    val flipped = {
+      val i = img(40, 30)
+      val j = new java.awt.image.BufferedImage(40, 30,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 40; y <- 0 until 30)
+        j.setRGB(39 - x, y, i.getRGB(x, y))
+      enc(j, "png")
+    }
+    assert(java.lang.Long.bitCount(hPng ^ Multimodal.pHash(flipped)) > 16,
+      "mirrored image should be far in dHash space")
+    // a small local edit stays near: overwrite one 4x4 corner block
+    val edited = {
+      val i = img(40, 30)
+      for (x <- 0 until 4; y <- 0 until 4) i.setRGB(x, y, 0xffffff)
+      enc(i, "png")
+    }
+    assert(java.lang.Long.bitCount(hPng ^ Multimodal.pHash(edited)) <= 6,
+      "local edit should stay within a few dHash bits")
+  }
+
   test("multimodal resize bounds output size and is deterministic") {
     val docs = Tables.documents(spark, sf0001)
     val assets = Multimodal.asAssets(docs)
