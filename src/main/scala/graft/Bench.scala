@@ -52,7 +52,12 @@ object Bench {
     //    materialize intermediates (dedup shingle/signature tables) pay
     //    their full build cost in each measured run.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // dev-loop subset (comma-separated names); the driver never sets
+    // it, so the recorded bench always covers every query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (k, _) => only.forall(_.contains(k)) }
     val n = ordered.size
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)

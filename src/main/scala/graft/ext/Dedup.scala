@@ -53,10 +53,34 @@ object Dedup {
     * output, so the DuckDB oracle joins raw shingle strings instead (a
     * collision merging two shingles is ~2^-64 per pair — ignorable).
     */
-  private[ext] def hashedShingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(n)).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+  private[ext] def hashedShingles(docs: DataFrame, n: Int): DataFrame = {
+    // hash each TOKEN once, then key each n-token window by an
+    // xxhash64 over its n token hashes (order-sensitive, same ~2^-64
+    // collision class) — cheaper than materializing every window as a
+    // concatenated string and hashing its bytes: per-token work is
+    // O(chars), per-window work is n O(1) array reads + one fixed-width
+    // hash, and no per-window string allocation. Each exploded row
+    // carries its doc's distinct-shingle count `n_sh` (an int per row)
+    // so downstream jaccard arithmetic needs NO per-doc sizes join.
+    docs.select(col("doc_id"),
+        transform(tokens, t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), when(size(col("th")) >= n,
+        array_distinct(transform(sequence(lit(0), size(col("th")) - n),
+          i => xxhash64((0 until n).map(j =>
+            element_at(col("th"), i + j + 1)): _*))))
+        .otherwise(array().cast("array<bigint>")).as("sh_set"))
+      // explode_OUTER + post-explode null filter, deliberately: with a
+      // plain explode, InferFiltersFromGenerate adds size(sh_set) > 0
+      // below the Generate and predicate pushdown inlines the whole
+      // shingling expression into that (non-codegen) Filter — the
+      // tokenize+hash chain then re-evaluates per element_at reference,
+      // O(tokens²) per doc (measured 15× slower). The rule skips outer
+      // generators; empty docs surface as one null row dropped here.
+      .select(col("doc_id"), size(col("sh_set")).as("n_sh"),
+        explode_outer(col("sh_set")).as("shingle"))
+      .filter(col("shingle").isNotNull)
       .repartition(col("shingle"))
+  }
 
   /** Free the materialized intermediates the dedup operators created
     * for `docs`. CacheManager matches entries by canonical plan, so
@@ -93,29 +117,43 @@ object Dedup {
     // (CacheManager keys by canonical plan) rather than accumulating.
     val shAll = hashedShingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val freq = shAll.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df").between(2, maxDf))
       .select("shingle")
-    val sh = shAll.join(freq, "shingle")
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // |A∩B| without a shingle self-join: the cached table is already
+    // hash-partitioned on shingle, so df-cap count, cap join, and
+    // per-shingle doc-list collect all run exchange-free in one stage;
+    // each capped list (≤ maxDf docs — the cap join runs BEFORE the
+    // collect, so no stop-shingle ever builds a giant list) explodes
+    // to its C(df,2) ordered pairs. Each list element is
+    // (doc_id, n_sh), so |A|/|B| ride along and the ONLY shuffle on
+    // the whole path is the pair-count aggregation — no sizes join.
+    val docLists = shAll.join(freq, "shingle")
+      .groupBy(col("shingle"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("docs"))
+    val k = size(col("docs"))
+    inter_pairs(docLists, k)
+      .groupBy(col("p.a.doc_id").as("doc_a"),
+        col("p.b.doc_id").as("doc_b"),
+        col("p.a.n_sh").as("na"), col("p.b.n_sh").as("nb"))
       .agg(count(lit(1)).as("n_inter"))
-    // sizes is one row per doc — same cardinality as the corpus, so no
-    // broadcast hint: let AQE pick (shuffle join at 100 TB scale).
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_inter")))
-          .as("jaccard"))
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Explode each capped per-shingle doc list into its C(df,2)
+    * ordered pairs `p = (a, b)` with a < b by doc_id (the lists are
+    * sorted, and struct order sorts by the leading doc_id field).
+    */
+  private def inter_pairs(docLists: DataFrame, k: Column): DataFrame =
+    docLists.select(explode(flatten(transform(sequence(lit(0), k - 2),
+      i => transform(slice(col("docs"), i + 2, k - i - 1), b =>
+        struct(element_at(col("docs"), i + 1).as("a"),
+          b.as("b")))))).as("p"))
 
   /** Connected components over an undirected near-dup pair set →
     * `(doc_id, cluster_id, survivor)` — the step that turns pairwise
@@ -160,12 +198,19 @@ object Dedup {
   def clusters(pairs: DataFrame, aCol: String = "doc_a",
                bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
     // eager: materializes the (possibly expensive) pair computation
-    // once AND cuts its lineage out of every iteration's plan
+    // once AND cuts its lineage out of every iteration's plan.
+    // Partitioned by src so the per-round edges⨝labels join reuses
+    // this partitioning every iteration — the edge side (the big side)
+    // never re-shuffles inside the loop.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .repartition(col("src"))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // round 1 folded into the init: with identity labels, the min over
+    // neighbors' labels IS the min neighbor id, which the symmetric
+    // edge list yields in one agg — no join, and one fewer loop round
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
