@@ -26,7 +26,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
   * step 8), [[graft.orchestrate.BackupRunner]] only calls [[endInfo]]
   * after every table job has completed.
   */
-final class BackupCatalog(spark: SparkSession, root: String) {
+final class BackupCatalog(spark: SparkSession, root: String,
+                          compactAfterFiles: Int = 64) {
   import spark.implicits._
 
   private val sessionsDir = s"$root/sessions"
@@ -74,9 +75,26 @@ final class BackupCatalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** The sessions store is an append-structured log: [[startInfo]] and
+    * [[endInfo]] only ever APPEND rows, and this read resolves the log
+    * per (mode, session_name) — last writer (greatest ended_at) wins,
+    * error flags merge as OR, error_info keeps the latest non-empty.
+    * O(1) write per session close at any catalog size; the log is
+    * folded back to one row per session by [[compactSessions]] once
+    * enough close rows accrue.
+    */
   def sessions: Dataset[BackupSession] = synchronized {
-    readOrEmpty[BackupSession](sessionsDir)
+    spark.createDataset(resolveSessions(
+      readOrEmpty[BackupSession](sessionsDir).collect().toSeq))
   }
+
+  private def resolveSessions(rows: Seq[BackupSession]): Seq[BackupSession] =
+    rows.groupBy(s => (s.mode, s.session_name)).values.map { g =>
+      val best = g.maxBy(s => (s.ended_at, s.error, s.error_info.nonEmpty))
+      best.copy(error = g.exists(_.error),
+        error_info = if (best.error_info.nonEmpty) best.error_info
+          else g.map(_.error_info).find(_.nonEmpty).getOrElse(""))
+    }.toSeq
   def tables: Dataset[TableRecord] = synchronized {
     readOrEmpty[TableRecord](tablesDir)
   }
@@ -91,40 +109,73 @@ final class BackupCatalog(spark: SparkSession, root: String) {
     Seq(s).toDS().write.mode(SaveMode.Append).parquet(sessionsDir)
   }
 
-  /** Session end row: keyed update of (mode, session_name)
-    * (mysql.rb:246-267). The rewrite goes through a temp dir + two
-    * renames so a crash can lose at most the in-flight update, never
-    * the existing catalog (a plain Overwrite deletes-then-writes,
-    * leaving a destroyed sessions dir if killed mid-way — fatal for a
-    * catalog whose whole job is surviving crashed runs).
+  /** Session end: a keyed update of (mode, session_name)
+    * (mysql.rb:246-267), recorded as an APPENDED close row — the
+    * resolved current row with ended_at/error/error_info updated.
+    * [[sessions]]' last-writer-wins fold makes the append
+    * indistinguishable from an in-place update, and the write cost is
+    * one row regardless of catalog size (the old implementation
+    * rewrote the whole sessions table per close — O(catalog) writes
+    * per session at high session counts). Unknown keys append nothing,
+    * matching the old no-op update.
+    *
+    * Once the log holds more than `compactAfterFiles` part files,
+    * [[compactSessions]] folds it back to one row per session so read
+    * cost stays bounded; a crash can lose at most the in-flight
+    * append or leave the swap mid-rename, which [[recoverIfNeeded]]
+    * already restores.
     */
   def endInfo(mode: String, sessionName: String, endedAt: Long,
               error: Boolean = false, errorInfo: String = ""): Unit =
     synchronized {
-      val all = readOrEmpty[BackupSession](sessionsDir).collect().toSeq
-      val updated = all.map { s =>
-        if (s.mode == mode && s.session_name == sessionName)
-          s.copy(ended_at = endedAt, error = s.error || error,
-            error_info = if (errorInfo.nonEmpty) errorInfo else s.error_info)
-        else s
-      }
-      val tmp = s"$root/sessions__tmp"
-      val old = s"$root/sessions__old"
-      updated.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-      val f = fs(root)
-      val (pSess, pTmp, pOld) = (new Path(sessionsDir), new Path(tmp), new Path(old))
-      // swap protocol, every rename checked; recovery (recoverIfNeeded)
-      // restores sessions__old if a crash lands between the renames
-      if (f.exists(pOld)) require(f.delete(pOld, true), s"cannot clear $pOld")
-      if (f.exists(pSess))
-        require(f.rename(pSess, pOld), s"cannot stage $pSess to $pOld")
-      if (!f.rename(pTmp, pSess)) {
-        // roll back so the catalog is never left without a sessions dir
-        if (f.exists(pOld)) f.rename(pOld, pSess)
-        throw new IllegalStateException(s"cannot swap $pTmp into $pSess")
-      }
-      f.delete(pOld, true) // old copy only removed after a complete swap
+      val resolved = resolveSessions(
+        readOrEmpty[BackupSession](sessionsDir).collect().toSeq)
+      val closes = resolved
+        .filter(s => s.mode == mode && s.session_name == sessionName)
+        .map(s => s.copy(ended_at = endedAt, error = s.error || error,
+          error_info = if (errorInfo.nonEmpty) errorInfo else s.error_info))
+      if (closes.nonEmpty)
+        closes.toDS().write.mode(SaveMode.Append).parquet(sessionsDir)
+      if (dataFileCount(sessionsDir) > compactAfterFiles) compactSessions()
     }
+
+  private def dataFileCount(dir: String): Int = {
+    val p = new Path(dir)
+    val f = fs(dir)
+    if (!f.exists(p)) 0
+    else f.listStatus(p).count { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Fold the append log back to one row per session. The rewrite goes
+    * through a temp dir + two renames so a crash can lose at most the
+    * in-flight fold, never the existing catalog (a plain Overwrite
+    * deletes-then-writes, leaving a destroyed sessions dir if killed
+    * mid-way — fatal for a catalog whose whole job is surviving
+    * crashed runs).
+    */
+  private def compactSessions(): Unit = {
+    val resolved = resolveSessions(
+      readOrEmpty[BackupSession](sessionsDir).collect().toSeq)
+    val tmp = s"$root/sessions__tmp"
+    val old = s"$root/sessions__old"
+    resolved.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val f = fs(root)
+    val (pSess, pTmp, pOld) = (new Path(sessionsDir), new Path(tmp), new Path(old))
+    // swap protocol, every rename checked; recovery (recoverIfNeeded)
+    // restores sessions__old if a crash lands between the renames
+    if (f.exists(pOld)) require(f.delete(pOld, true), s"cannot clear $pOld")
+    if (f.exists(pSess))
+      require(f.rename(pSess, pOld), s"cannot stage $pSess to $pOld")
+    if (!f.rename(pTmp, pSess)) {
+      // roll back so the catalog is never left without a sessions dir
+      if (f.exists(pOld)) f.rename(pOld, pSess)
+      throw new IllegalStateException(s"cannot swap $pTmp into $pSess")
+    }
+    f.delete(pOld, true) // old copy only removed after a complete swap
+  }
 
   /** Per-table record, export side (mysql.rb:154-190). Descriptors
     * land FIRST and the table row — the row `exists()` and every

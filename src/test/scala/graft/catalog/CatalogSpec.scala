@@ -30,6 +30,44 @@ class CatalogSpec extends SparkTestBase {
     assert(rows.find(_.session_name == "20240201_000000").get.ended_at == 0L)
   }
 
+  test("session close is an O(1) append with last-writer-wins reads, " +
+    "folded by compaction at the file threshold") {
+    val root = tmpDir("graft-cat")
+    val cat = new BackupCatalog(spark, root, compactAfterFiles = 4)
+    def dataFiles(): Int = new java.io.File(root, "sessions").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    cat.startInfo(sess)
+    cat.startInfo(sess.copy(session_name = "20240201_000000"))
+    val before = dataFiles()
+    cat.endInfo("export", "20240101_000000", endedAt = 100L)
+    // one close = one appended part file, not a table rewrite
+    assert(dataFiles() == before + 1,
+      s"expected exactly one appended file, ${dataFiles()} vs $before")
+    // re-close with an error: reads resolve to the LATEST close, and
+    // the error flag survives a later non-error close (OR-merge)
+    cat.endInfo("export", "20240101_000000", endedAt = 200L,
+      error = true, errorInfo = "boom")
+    cat.endInfo("export", "20240101_000000", endedAt = 300L)
+    val r = cat.sessions.collect().find(_.session_name == sess.session_name).get
+    assert(r.ended_at == 300L && r.error && r.error_info == "boom",
+      s"LWW fold wrong: $r")
+    // unknown key appends nothing (the keyed update was a no-op too)
+    val n = dataFiles()
+    cat.endInfo("export", "no_such_session", endedAt = 1L)
+    assert(dataFiles() == n)
+    // push past the threshold: the log folds to one row per session
+    // through the checked-rename swap, semantics unchanged
+    (1 to 4).foreach(i =>
+      cat.endInfo("export", "20240201_000000", endedAt = 1000L + i))
+    assert(dataFiles() <= 2,
+      s"compaction should have folded the log, ${dataFiles()} files left")
+    val after = cat.sessions.collect()
+    assert(after.length == 2 &&
+      after.find(_.session_name == "20240201_000000").get.ended_at == 1004L &&
+      after.find(_.session_name == sess.session_name).get.ended_at == 300L)
+  }
+
   test("exists dispatch and exportedTableInfo") {
     val cat = freshCat()
     cat.startInfo(sess)
