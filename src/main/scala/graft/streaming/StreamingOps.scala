@@ -173,15 +173,25 @@ object StreamingOps {
     * join state), the as-of shape needs O(1) state per key and no
     * retraction — the right fold for "latest value at-or-before".
     *
-    * Within a micro-batch, a user's rows are ordered (ts, views before
-    * purchases at equal ts, event_id) so a same-microsecond view counts
-    * for its purchase exactly as the batch operator's `<=` does; run as
-    * one AvailableNow batch the output equals ev07 row-for-row
-    * (StreamingSpec). Across micro-batches the append output is
-    * best-effort-ordered: a view arriving in a LATER batch than a
-    * purchase it precedes in event time cannot retro-update the
+    * Within a micro-batch, a user's rows are processed in (ts, views
+    * before purchases at equal ts) order so a same-microsecond view
+    * counts for its purchase exactly as the batch operator's `<=`
+    * does; run as one AvailableNow batch the output equals ev07
+    * row-for-row (StreamingSpec). Across micro-batches the append
+    * output is best-effort-ordered: a view arriving in a LATER batch
+    * than a purchase it precedes in event time cannot retro-update the
     * already-emitted row — the inherent as-of-enrichment/append trade,
     * bounded by the source's batch skew.
+    *
+    * MEMORY BOUND: one group call must buffer that user's rows of the
+    * CURRENT trigger to order them (the state shuffle routes one key's
+    * batch to one task — the inherent bound of every keyed-state
+    * operator, not of this fold). The buffers are primitive arrays:
+    * 8 bytes per view + ~20 per purchase, so even a pathological
+    * 10M-event single-user trigger costs ~100-200 MB on one executor
+    * rather than OOMing on boxed tuples; cap trigger size
+    * (maxFilesPerTrigger / maxOffsetsPerTrigger) to bound it further.
+    * Cross-trigger state stays O(1) per user regardless.
     */
   def asofEnrich(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
@@ -194,16 +204,38 @@ object StreamingOps {
       .flatMapGroupsWithState[LastView, EnrichedPurchase](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case (user, rows, state: GroupState[LastView]) =>
-          val sorted = rows.toSeq.sortBy(r =>
-            (r._2, if (r._4 == "view") 0 else 1, r._3))
+          // primitive buffers, not a boxed sort of the whole group:
+          // views need only their sorted timestamps; purchases sort by
+          // an index permutation (enrichment per purchase depends only
+          // on ts, so purchase tie order cannot change any output row)
+          val viewB = new scala.collection.mutable.ArrayBuilder.ofLong
+          val pTsB = new scala.collection.mutable.ArrayBuilder.ofLong
+          val pIdB = new scala.collection.mutable.ArrayBuilder.ofLong
+          rows.foreach { case (_, ts, eid, typ) =>
+            if (typ == "view") viewB += ts
+            else { pTsB += ts; pIdB += eid }
+          }
+          val views = viewB.result(); java.util.Arrays.sort(views)
+          val pTs = pTsB.result(); val pId = pIdB.result()
+          val order = Array.range(0, pTs.length)
+            .sortBy(i => pTs(i)) // boxes ints, not rows; stable
           var last = state.getOption.map(_.lastViewUs)
-          val out = Seq.newBuilder[EnrichedPurchase]
-          sorted.foreach { case (_, ts, eid, typ) =>
-            if (typ == "view") last = Some(last.fold(ts)(math.max(_, ts)))
-            else out += EnrichedPurchase(user, eid, ts, last)
+          if (views.nonEmpty)
+            last = Some(last.fold(views.last)(math.max(_, views.last)))
+          var vi = 0
+          val out = new Array[EnrichedPurchase](pTs.length)
+          var oi = 0
+          var running = state.getOption.map(_.lastViewUs)
+          order.foreach { p =>
+            while (vi < views.length && views(vi) <= pTs(p)) {
+              running = Some(running.fold(views(vi))(math.max(_, views(vi))))
+              vi += 1
+            }
+            out(oi) = EnrichedPurchase(user, pId(p), pTs(p), running)
+            oi += 1
           }
           last.foreach(v => state.update(LastView(v)))
-          out.result().iterator
+          out.iterator
       }.toDF()
   }
 

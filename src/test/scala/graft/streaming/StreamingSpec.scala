@@ -150,6 +150,49 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("as-of enrichment survives a single hot user filling a large " +
+    "trigger and matches the brute-force answer") {
+    import spark.implicits._
+    // one user owns the whole trigger: 200k interleaved views and
+    // purchases land in ONE group call — the primitive-buffer fold
+    // (8 B/view + ~20 B/purchase) must handle it without boxing the
+    // group into sorted tuple Seqs
+    val n = 200000
+    val dir = tmpDir("stream-hot")
+    val rows = (0 until n).map { i =>
+      val typ = if (i % 3 == 0) "purchase" else "view"
+      // deterministic scrambled order within the file, ns timestamps
+      (i.toLong, ((i.toLong * 2654435761L) % n) * 1000000000L, 7L, typ,
+        0.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = StreamingOps.runToCompletion(spark,
+      StreamingOps.asofEnrich(spark,
+        StreamingOps.readEvents(spark, dir)), "stream_hot_asof",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.stop()
+    val got = spark.table("stream_hot_asof")
+    assert(got.count() == rows.count(_._4 == "purchase"))
+    // brute-force oracle on a sample of purchases: last view <= p.ts
+    val viewTs = rows.filter(_._4 == "view").map(_._2 / 1000).sorted.toArray
+    val sample = got.filter(col("purchase_id") % 1000 === 0)
+      .select("purchase_id", "purchase_us", "last_view_us")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(sample.nonEmpty)
+    sample.foreach { case (pid, pus, lv) =>
+      val idx = {
+        val i = java.util.Arrays.binarySearch(viewTs, pus)
+        if (i >= 0) { // rightmost equal
+          var j = i; while (j + 1 < viewTs.length && viewTs(j + 1) == pus) j += 1
+          j
+        } else -i - 2
+      }
+      val expect = if (idx >= 0) Some(viewTs(idx)) else None
+      assert(lv == expect, s"purchase $pid: last_view $lv != $expect")
+    }
+  }
+
   test("sharded streaming KMV sketches merge to exactly the batch sketch") {
     import spark.implicits._
     val stream = StreamingOps.readEvents(spark, eventsDir)
