@@ -64,7 +64,12 @@ final case class ColumnDescriptor(
     block_cache: Boolean,
     ttl: Long,
     blocksize: Long,
-    bloomfilter: String
+    bloomfilter: String,
+    n_nulls: Long = -1L  // [EXT] nulls in the column as EXPORTED
+                         // (measured post-write, same scan as the
+                         // row_count integrity metric); -1 = unknown.
+                         // What lets a json restore distinguish a
+                         // null-omitted column from a lost one.
 )
 
 object ColumnDescriptor {

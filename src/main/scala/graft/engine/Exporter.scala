@@ -148,7 +148,8 @@ object Exporter {
       val descs = descriptorRows(src, sessionName, spec.table)
       // S5 empty-table short-circuit (worker.rb:89,95-99): LocalLimit(1)
       // probe instead of launching the full job.
-      if (src.limit(1).isEmpty) (Empty(spec.table), descs)
+      if (src.limit(1).isEmpty)
+        (Empty(spec.table), descs.map(_.copy(n_nulls = 0L)))
       else {
         val windowed = spec.tsCol match {
           case Some(ts) =>
@@ -161,20 +162,41 @@ object Exporter {
         val writer = if (spec.partitionBy.nonEmpty)
           writer0.partitionBy(spec.partitionBy: _*) else writer0
         writer.format(spec.format).options(textFormatOptions).save(dest)
-        // integrity metric the reference wants (README.textile:189-191):
+        // integrity metrics the reference wants (README.textile:189-191):
         // count what was written, post-write, from the written files —
         // schema-pinned for the text formats (csv/json carry no types),
         // FAILFAST so a value the pinned schema can't parse back fails
-        // the export instead of silently counting a nulled row
-        val rows = spark.read.schema(windowed.schema).format(spec.format)
-          .options(textReadOptions(spec.format)).load(dest).count()
+        // the export instead of silently counting a nulled row. The same
+        // single scan folds per-column non-null counts (map-side partial
+        // agg), giving each descriptor its n_nulls — the stat a json
+        // restore later needs to tell null-omitted from lost columns.
+        val written = spark.read.schema(windowed.schema)
+          .format(spec.format)
+          .options(textReadOptions(spec.format)).load(dest)
+        val (rows, nulls) = countWithNulls(written)
+        val descsWithNulls = descs.map(d => d.copy(n_nulls = nulls(d.name)))
         // job-log sidecar next to the data, as export.rb:167-168 —
         // underscore-prefixed so parquet readers ignore it
         TableOps.saveInfo(spark, s"$dest/_export_info.log",
           s"table=${spec.table} session=$sessionName rows=$rows " +
             s"window=[${spec.startMs},${spec.endMs}) versions=${spec.versions}\n")
-        (Exported(spec.table, rows, dest), descs)
+        (Exported(spec.table, rows, dest), descsWithNulls)
       }
+  }
+
+  /** One aggregation pass: total row count plus per-column null counts
+    * (count(col) skips nulls, so n_nulls = rows − count(col)). A single
+    * job over the written files, all map-side partials.
+    */
+  private[engine] def countWithNulls(df: DataFrame)
+      : (Long, Map[String, Long]) = {
+    val names = df.schema.fieldNames.toSeq
+    val aggs = count(lit(1)).as("__rows") +:
+      names.map(c => count(col(c)))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = r.getLong(0)
+    (rows, names.zipWithIndex
+      .map { case (c, i) => c -> (rows - r.getLong(i + 1)) }.toMap)
   }
 
   /** The record half of an export attempt: one catalog verdict row (+
@@ -260,16 +282,18 @@ object Exporter {
         .sortBy(bucketCols.head, bucketCols.tail: _*)
         .format("parquet")
         .saveAsTable(ident)
-      // same integrity machinery as exportTable: post-write count from
-      // the written table, catalog record, job-log sidecar
-      val rows = spark.table(ident).count()
+      // same integrity machinery as exportTable: post-write count (with
+      // per-column nulls, one scan) from the written table, catalog
+      // record, job-log sidecar
+      val (rows, nulls) = countWithNulls(spark.table(ident))
       TableOps.saveInfo(spark, s"$dest/_export_info.log",
         s"table=$table session=$sessionName rows=$rows " +
           s"bucketBy=${bucketCols.mkString(",")} buckets=$nBuckets\n")
       cat.exportedTableInfo(
         TableRecord("export", table, sessionName, 0L, Long.MaxValue, 0L,
           empty = rows == 0L, error = false, "", rows),
-        descriptorRows(df, sessionName, table))
+        descriptorRows(df, sessionName, table)
+          .map(d => d.copy(n_nulls = nulls(d.name))))
       Exported(table, rows, dest)
     } catch {
       case e: Throwable =>

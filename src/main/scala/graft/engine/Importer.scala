@@ -162,15 +162,42 @@ object Importer {
           s"schema mismatch for $table: catalog=${expected.fieldNames.toSeq} " +
             s"actual=${gotNames.toSeq}")
         // a column absent from the whole sample is either null-omitted
-        // (benign) or physically lost (data loss the subset check can't
-        // distinguish) — surface it so an operator can cross-check the
-        // export catalog's per-column stats
+        // (benign) or physically lost — the sample can't tell, but the
+        // export catalog can: each descriptor records the column's
+        // export-time null count (same scan as row_count). Cross-check:
+        //  - all-null at export → absence is exactly what the writer
+        //    does with nulls; benign.
+        //  - had values at export → the key must occur SOMEWHERE in the
+        //    file. One early-exit text probe decides; no occurrence is
+        //    data loss and fails the restore loudly.
+        //  - stats unknown (-1, pre-stats catalog) → warn, as before.
         if (format == "json") {
           val absentFromSample = expected.fieldNames.toSet -- gotNames.toSet
-          if (absentFromSample.nonEmpty)
-            System.err.println(s"import $table: columns absent from the " +
-              s"sampled json lines (null-omitted or missing): " +
-              absentFromSample.toSeq.sorted.mkString(", "))
+          absentFromSample.toSeq.sorted.foreach { c =>
+            val nNulls = descs.find(_.name == c).map(_.n_nulls).getOrElse(-1L)
+            val exportedRows = exportCat
+              .listTableInfo("export", sessionName, table)
+              .select("row_count").collect()
+              .headOption.map(_.getLong(0)).getOrElse(-1L)
+            val allNullAtExport = nNulls >= 0L && nNulls == exportedRows
+            if (allNullAtExport) () // null-omitted by the writer; benign
+            else {
+              val foundInFile = !spark.read.text(src)
+                .filter(org.apache.spark.sql.functions.col("value")
+                  .contains("\"" + c + "\""))
+                .limit(1).isEmpty
+              if (foundInFile) () // just missed the 100-line sample
+              else if (nNulls >= 0L)
+                throw new IllegalStateException(
+                  s"import $table: column '$c' is absent from the json " +
+                    s"export but had ${exportedRows - nNulls} non-null " +
+                    s"value(s) at export time — data loss, aborting restore")
+              else
+                System.err.println(s"import $table: column '$c' absent " +
+                  "from the json lines and export null-stats unknown " +
+                  "(pre-stats catalog) — null-omitted or missing")
+            }
+          }
         }
         // read under the CATALOG schema, not the discovered one: this
         // restores the original column order for partitioned layouts
