@@ -28,5 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the custom node down to both scans
     e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.AsofJoinPruning)
+    // ... and its SQL surface: a table-valued function over named
+    // tables/views, so SQL-only users reach the operator too —
+    // SELECT * FROM asof_join('purchases','quotes','user_id','user_id','ts','ts')
+    e.injectTableFunction((
+      new FunctionIdentifier("asof_join"),
+      new ExpressionInfo(graft.plans.AsofJoinPlan.getClass.getName,
+        "asof_join"),
+      (args: Seq[Expression]) => graft.plans.Asof.fromSqlArgs(args)))
   }
 }

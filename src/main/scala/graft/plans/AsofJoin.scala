@@ -48,6 +48,17 @@ final case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  // the SQL path builds this node from UnresolvedAttributes that the
+  // analyzer resolves generically — gate `resolved` on the type
+  // contract too, so a key/time type mismatch surfaces as an analysis
+  // error instead of a ClassCastException inside the merge (the Scala
+  // API pre-checks the same thing with a friendlier message)
+  override lazy val resolved: Boolean =
+    expressions.forall(_.resolved) && childrenResolved &&
+      leftKeys.zip(rightKeys).forall { case (a, b) =>
+        a.dataType == b.dataType } &&
+      leftTime.dataType == rightTime.dataType
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -194,6 +205,57 @@ class AsofJoinStrategy extends SparkStrategy {
 object Asof {
 
   import org.apache.spark.sql.GraftColumnBridge
+
+  /** SQL surface: build [[AsofJoinPlan]] from `asof_join(...)` table-
+    * function arguments — six string literals naming the two tables
+    * (or views), the key column(s) (comma-separated for multi-key),
+    * and the time columns:
+    * {{{
+    * SELECT * FROM asof_join('purchases', 'quotes',
+    *                         'user_id', 'user_id', 'ts', 'ts')
+    * }}}
+    * Each side is wrapped in a fixed-name SubqueryAlias and its
+    * key/time columns referenced through that qualifier, so the
+    * analyzer's generic resolution binds them unambiguously even when
+    * both sides share column names. Registered by
+    * [[graft.GraftExtensions]] via `injectTableFunction` — SQL-only
+    * users reach the custom operator without any Scala.
+    */
+  def fromSqlArgs(args: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    import org.apache.spark.sql.types.StringType
+    val usage = "asof_join(left_table, right_table, left_keys, " +
+      "right_keys, left_time, right_time) — six string literals; " +
+      "keys may be comma-separated lists"
+    require(args.length == 6, s"wrong argument count: $usage")
+    def str(e: Expression, what: String): String = e match {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"asof_join: $what must be a string literal, got $other; $usage")
+    }
+    val names = Seq("left_table", "right_table", "left_keys",
+      "right_keys", "left_time", "right_time")
+    val Seq(lTab, rTab, lKeys, rKeys, lTime, rTime) =
+      args.zip(names).map { case (a, n) => str(a, n) }
+    val (lq, rq) = ("__graft_asof_l", "__graft_asof_r")
+    def keys(csv: String, what: String): Seq[String] = {
+      val ks = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(ks.nonEmpty, s"asof_join: $what is empty; $usage")
+      ks
+    }
+    val (lks, rks) = (keys(lKeys, "left_keys"), keys(rKeys, "right_keys"))
+    require(lks.length == rks.length,
+      s"asof_join: key lists differ in length ($lks vs $rks)")
+    AsofJoinPlan(
+      SubqueryAlias(lq, UnresolvedRelation(lTab.split('.').toSeq)),
+      SubqueryAlias(rq, UnresolvedRelation(rTab.split('.').toSeq)),
+      lks.map(k => UnresolvedAttribute(Seq(lq, k))),
+      rks.map(k => UnresolvedAttribute(Seq(rq, k))),
+      UnresolvedAttribute(Seq(lq, lTime)),
+      UnresolvedAttribute(Seq(rq, rTime)))
+  }
 
   /** Ensure the planner knows the operator on sessions built without
     * [[graft.GraftExtensions]]; idempotent.

@@ -40,4 +40,56 @@ class GraftExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("asof_join table function runs the ev07 shape through pure SQL") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-asof-test")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import org.apache.spark.sql.functions._
+      val ev = Tables.eventsTs(spark, "/root/testdata/sf0.001")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .filter(col("event_type").isin("purchase", "view"))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("purchase_us"))
+        .createOrReplaceTempView("purchases_v")
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts_us").as("view_us"))
+        .createOrReplaceTempView("views_v")
+      val got = spark.sql(
+        """SELECT user_id, purchase_id, purchase_us,
+          |       view_us AS last_view_us
+          |FROM asof_join('purchases_v', 'views_v',
+          |               'user_id', 'v_user', 'purchase_us', 'view_us')
+          |""".stripMargin)
+      val expected = graft.queries.EventQueries
+        .defs("ev07_asof_custom")(spark, "/root/testdata/sf0.001")
+      assert(got.count() == expected.count())
+      assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+        "SQL asof_join diverged from the Scala-API operator")
+      // the custom exec is actually in the SQL plan (not some fallback)
+      assert(got.queryExecution.executedPlan.toString.contains("AsofJoin"),
+        got.queryExecution.executedPlan.toString)
+      // misuse fails with the usage message, not an obscure crash
+      val err = intercept[Exception] {
+        spark.sql("SELECT * FROM asof_join('purchases_v', 'views_v')")
+          .collect()
+      }
+      assert(err.getMessage.contains("asof_join"), err.getMessage)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
