@@ -192,11 +192,60 @@ object ZoneMap {
   /** Persist the manifest as a parquet sidecar next to the data
     * (underscore-prefixed: data readers and the manifest build itself
     * ignore it). A rewrite (compaction, re-layout) changes the file
-    * set — rebuild the manifest afterwards.
+    * set — [[update]] the manifest afterwards.
     */
   def write(spark: SparkSession, dir: String, cols: Seq[String]): String = {
     val target = dir + "/_zonemap"
     build(spark, dir, cols).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(target)
+    target
+  }
+
+  /** Incremental manifest maintenance: read footers ONLY for files not
+    * yet in the sidecar, drop rows for files that no longer exist,
+    * keep everything else as-is. An incremental backup destination
+    * accretes a few files per session against millions already
+    * indexed — re-reading every footer per session ([[write]]) would
+    * make manifest upkeep O(destination) instead of O(delta). The
+    * result is row-identical to a full rebuild (asserted in
+    * ZoneMapSpec): entries are per-file facts, so set arithmetic on
+    * file paths is exact, and the delta's footer reads distribute over
+    * executors exactly like [[entries]]'.
+    *
+    * The manifest's column set is pinned by the caller (`cols`), same
+    * as [[write]] — changing the indexed columns needs a rebuild, and
+    * the parity spec would catch a drifted call site.
+    */
+  def update(spark: SparkSession, dir: String,
+             cols: Seq[String]): String = {
+    val target = dir + "/_zonemap"
+    val fs = new Path(target).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(target))) return write(spark, dir, cols)
+    import spark.implicits._
+    val existing = spark.read.parquet(target).as[Entry].collect().toSeq
+    val live = listParquet(spark, dir).toSet
+    val kept = existing.filter(e => live(e.file))
+    val known = kept.map(_.file).toSet
+    val fresh = (live -- known).toSeq.sorted
+    val added =
+      if (fresh.isEmpty) Seq.empty[Entry]
+      else {
+        val confKv = confToSeq(spark.sessionState.newHadoopConf())
+        val want = cols.toSet
+        val slices = math.max(1, math.min(fresh.size,
+          spark.sparkContext.defaultParallelism * 4))
+        spark.sparkContext.parallelize(fresh, slices)
+          .mapPartitions { it =>
+            val conf = seqToConf(confKv)
+            it.flatMap(p => footerEntries(conf, p, want))
+          }
+          .collect().toSeq
+      }
+    // write-then-swap via a fresh overwrite of the sidecar: the
+    // sidecar is a derived index (KBs), so an overwrite race loses
+    // nothing that a re-update can't restore
+    spark.createDataset(kept ++ added).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(target)
     target
   }

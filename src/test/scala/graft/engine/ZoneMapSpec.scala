@@ -168,6 +168,38 @@ class ZoneMapSpec extends SparkTestBase {
     assert(pr.count() == 2, "pruned read of null-bearing layout wrong")
   }
 
+  test("incremental update reads only the delta and equals a full rebuild") {
+    val dir = tmpDir("zm-upd") + "/t"
+    writeSorted(dir)
+    val cols = Seq("l_orderkey")
+    ZoneMap.write(spark, dir, cols)
+    // accrete a new session's files
+    spark.read.parquet(Tables.path(sf0001, "lineitem"))
+      .select("l_orderkey", "l_partkey", "l_extendedprice", "l_shipdate")
+      .limit(500).coalesce(2).write.mode("append").parquet(dir)
+    // ... and lose one original file (compaction/retention)
+    val victim = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    assert(victim.delete())
+    new java.io.File(dir, "." + victim.getName + ".crc").delete()
+    spark.catalog.refreshByPath(dir)
+    ZoneMap.update(spark, dir, cols)
+    val updated = spark.read.parquet(dir + "/_zonemap")
+      .as[ZoneMap.Entry](org.apache.spark.sql.Encoders.product[ZoneMap.Entry])
+      .collect().toSet
+    val rebuilt = ZoneMap.entries(spark, dir, cols).toSet
+    assert(updated == rebuilt,
+      s"incremental update diverged from full rebuild: " +
+        s"extra=${updated -- rebuilt} missing=${rebuilt -- updated}")
+    assert(!updated.exists(_.file.endsWith(victim.getName)),
+      "deleted file's rows survived the update")
+    // pruning contract still holds on the updated manifest
+    val pr = ZoneMap.prunedRead(spark, dir,
+      spark.read.parquet(dir + "/_zonemap"), "l_orderkey",
+      Double.NegativeInfinity, Double.PositiveInfinity)
+    assert(pr.count() == spark.read.parquet(dir).count())
+  }
+
   test("sidecar write round-trips and is invisible to data readers") {
     val dir = tmpDir("zm") + "/t4"
     writeSorted(dir)
