@@ -115,6 +115,19 @@ object Dedup {
     // spills rather than OOMs. Call [[release]] to free the entry in a
     // long-lived session; re-invocations on the same input reuse it
     // (CacheManager keys by canonical plan) rather than accumulating.
+    countedPairs(docs, n, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Shared intersection machinery for [[jaccardPairs]] and
+    * [[containmentPairs]]: `(doc_a, doc_b, na, nb, n_inter)` with
+    * doc_a < doc_b, where na/nb are the docs' distinct-shingle counts.
+    */
+  private def countedPairs(docs: DataFrame, n: Int,
+                           maxDf: Int): DataFrame = {
     val shAll = hashedShingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = shAll.groupBy(col("shingle"))
@@ -139,11 +152,29 @@ object Dedup {
         col("p.b.doc_id").as("doc_b"),
         col("p.a.n_sh").as("na"), col("p.b.n_sh").as("nb"))
       .agg(count(lit(1)).as("n_inter"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
+
+  /** Directed containment pairs: C(A→B) = |A∩B| / |A| ≥ threshold —
+    * the asymmetric twin of [[jaccardPairs]] that catches
+    * SUBSET duplication (a quote, an excerpt, boilerplate inclusion):
+    * a short doc fully contained in a long one has low jaccard (the
+    * union is large) but containment ≈ 1. Both directions of each
+    * intersecting pair are emitted and filtered independently. Same
+    * plan as jaccard up to the final projection — one shuffle total.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+                       threshold: Double = 0.6,
+                       maxDf: Int = 50): DataFrame =
+    countedPairs(docs, n, maxDf)
+      .select(explode(array(
+        struct(col("doc_a").as("src_doc"), col("doc_b").as("in_doc"),
+          (col("n_inter").cast("double") / col("na")).as("containment")),
+        struct(col("doc_b").as("src_doc"), col("doc_a").as("in_doc"),
+          (col("n_inter").cast("double") / col("nb")).as("containment"))))
+        .as("c"))
+      .select(col("c.src_doc").as("src_doc"), col("c.in_doc").as("in_doc"),
+        col("c.containment").as("containment"))
+      .filter(col("containment") >= threshold)
 
   /** Explode each capped per-shingle doc list into its C(df,2)
     * ordered pairs `p = (a, b)` with a < b by doc_id (the lists are

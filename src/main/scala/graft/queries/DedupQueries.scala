@@ -23,6 +23,15 @@ object DedupQueries {
     "d03_minhash_lsh" -> { (s, d) =>
       Dedup.minhashCandidates(Tables.documents(s, d), n = 3)
     },
+
+    /** d10 — directed containment (asymmetric jaccard): catches a doc
+      * whose shingles are mostly a SUBSET of another's (excerpts,
+      * quotes, boilerplate inclusion) — low jaccard, high containment.
+      */
+    "d10_containment" -> { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), n = 3,
+        threshold = 0.6, maxDf = 50)
+    },
     "d04_simhash_pairs" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 3)
     },
@@ -195,8 +204,23 @@ object DedupQueries {
        |FROM quality
        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
 
+  private val d10Sql =
+    s"""WITH $jaccardCtes,
+       |sel AS (
+       |  SELECT doc_a, doc_b, n_inter, sa.n_sh AS na, sb.n_sh AS nb
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b)
+       |SELECT doc_a AS src_doc, doc_b AS in_doc,
+       |  CAST(n_inter AS DOUBLE) / na AS containment
+       |FROM sel WHERE CAST(n_inter AS DOUBLE) / na >= 0.6
+       |UNION ALL
+       |SELECT doc_b, doc_a, CAST(n_inter AS DOUBLE) / nb
+       |FROM sel WHERE CAST(n_inter AS DOUBLE) / nb >= 0.6""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p01_clean_corpus" -> p01Sql,
+    "d10_containment" -> d10Sql,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_docs

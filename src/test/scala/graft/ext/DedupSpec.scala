@@ -30,6 +30,42 @@ class DedupSpec extends SparkTestBase {
     assert(banded.except(brute).isEmpty && brute.except(banded).isEmpty)
   }
 
+  test("containment catches a planted excerpt that jaccard misses") {
+    import spark.implicits._
+    // plant: the first 20 tokens of a long doc become their own doc —
+    // nearly all its shingles are contained in the original, but the
+    // union is dominated by the original, so jaccard stays low
+    // (~18/97 on a 90+-token host)
+    val long = docs
+      .filter(size(split(col("text"), " ")) >= 90)
+      .orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("text")).as[(Long, String)].head()
+    val excerptId = long._1 + 5000000L
+    val excerpt = long._2.split(" ").take(20).mkString(" ")
+    val planted = docs.select("doc_id", "text")
+      .unionByName(Seq((excerptId, excerpt)).toDF("doc_id", "text"))
+    val contained = Dedup.containmentPairs(planted, n = 3,
+      threshold = 0.8, maxDf = 50)
+      .filter(col("src_doc") === excerptId && col("in_doc") === long._1)
+      .collect()
+    assert(contained.length == 1 &&
+      contained.head.getAs[Double]("containment") >= 0.9,
+      s"excerpt not caught: ${contained.toSeq}")
+    val jacc = Dedup.jaccardPairs(planted, n = 3, threshold = 0.5,
+      maxDf = 50)
+      .filter((col("doc_a") === long._1 && col("doc_b") === excerptId) ||
+        (col("doc_a") === excerptId && col("doc_b") === long._1))
+    assert(jacc.isEmpty,
+      "jaccard should NOT flag the excerpt (union-dominated) — if it " +
+        "does, this test stops demonstrating containment's value")
+    // and the reverse direction is not spuriously flagged: the long
+    // doc is NOT contained in its 30-token excerpt
+    val reverse = Dedup.containmentPairs(planted, n = 3,
+      threshold = 0.8, maxDf = 50)
+      .filter(col("src_doc") === long._1 && col("in_doc") === excerptId)
+    assert(reverse.isEmpty, "containment direction inverted")
+  }
+
   test("clusters: components, min-id survivor, transitivity via chains") {
     import spark.implicits._
     // components: {1,2,3} via a chain (1-2, 2-3 — transitive, no 1-3
