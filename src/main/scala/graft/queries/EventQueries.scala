@@ -32,6 +32,51 @@ object EventQueries {
           col("event_type"), col("n"), col("sum_value"))
     },
 
+    /** ev14 — staged funnel conversion (view → click → purchase):
+      * per user, the first view, the first click at-or-after it, the
+      * first purchase at-or-after that click; output is the per-stage
+      * user counts plus the exact total view→purchase latency. ONE
+      * shuffle (groupBy user) — each user's events are collected,
+      * sorted by (ts, stage) so a same-microsecond later stage still
+      * qualifies (ties resolve stage-ascending, matching the oracle's
+      * `>=`), and folded by a codegen'd `aggregate` lambda with O(1)
+      * state. No self-joins: the composed-SQL form needs three (one
+      * per stage), each a shuffle at 100 TB. Per-user memory is that
+      * user's funnel-event list — the same bound as any
+      * sessionization — and sums stay in exact integer micros (no
+      * float drift in the oracle hash).
+      */
+    "ev14_funnel" -> { (s, d) =>
+      val e = Tables.eventsTs(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), expr("ts_ns div 1000").as("us"),
+          when(col("event_type") === "view", 0)
+            .when(col("event_type") === "click", 1)
+            .otherwise(2).as("stage"))
+      val nullT = lit(null).cast("bigint")
+      val folded = e.groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("us"), col("stage"))))
+          .as("ev"))
+        .select(aggregate(
+          col("ev"),
+          struct(nullT.as("s1"), nullT.as("s2"), nullT.as("s3")),
+          (acc, x) => struct(
+            when(acc("s1").isNull && x("stage") === 0, x("us"))
+              .otherwise(acc("s1")).as("s1"),
+            when(acc("s2").isNull && acc("s1").isNotNull &&
+              x("stage") === 1, x("us")).otherwise(acc("s2")).as("s2"),
+            when(acc("s3").isNull && acc("s2").isNotNull &&
+              x("stage") === 2, x("us")).otherwise(acc("s3")).as("s3")))
+          .as("f"))
+      folded.agg(
+        count(col("f.s1")).as("n_view"),
+        count(col("f.s2")).as("n_click"),
+        count(col("f.s3")).as("n_purchase"),
+        coalesce(sum(when(col("f.s3").isNotNull,
+          col("f.s3") - col("f.s1"))), lit(0L)).cast("long")
+          .as("total_convert_us"))
+    },
+
     /** ev12 — audience overlap, exact: users with ≥1 'click' AND ≥1
       * 'view'. One shuffle on user_id with map-side partials (the
       * flag-max formulation — no self-join, no INTERSECT rescan), then
@@ -330,6 +375,26 @@ object EventQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "ev14_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (
+        |  SELECT user_id, MIN(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND us >= t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us >= t2 GROUP BY 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase,
+        |  CAST(COALESCE((SELECT SUM(t3 - t1)
+        |    FROM s3 JOIN s1 USING (user_id)), 0) AS BIGINT)
+        |    AS total_convert_us""".stripMargin,
+
     "ev12_user_overlap" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap FROM (
         |  SELECT user_id FROM events GROUP BY user_id
