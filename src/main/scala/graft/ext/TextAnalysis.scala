@@ -240,6 +240,44 @@ object TextAnalysis {
       .limit(topV)
   }
 
+  /** PMI collocations: the top-K token bigrams by pointwise mutual
+    * information, log(p(a,b) / (p(a)·p(b))) — the standard collocation
+    * test ("new york" scores high, "of the" low) feeding tokenizer
+    * merges and phrase mining. Two count shuffles (unigrams, bigrams),
+    * single-row totals broadcast, two unigram-count joins left to AQE
+    * (vocab-sized sides), TakeOrdered top-K — no global sort. A
+    * `minCount` floor keeps one-off pairings (whose PMI is maximal by
+    * construction) out of the ranking.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5,
+                      topK: Int = 30): DataFrame = {
+    val tk = tokens(col("text"))
+    val pairs = when(size(tk) >= 2,
+      transform(sequence(lit(0), size(tk) - 2),
+        i => struct(element_at(tk, i + 1).as("w1"),
+          element_at(tk, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val uni = docs.select(explode(tk).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val totU = uni.agg(sum(col("n_w")).as("n_uni"))
+    val bic = docs.select(explode(pairs).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+    val totB = bic.agg(sum(col("n_ab")).as("n_bi"))
+    bic.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(totU))
+      .crossJoin(broadcast(totB))
+      .select(col("w1"), col("w2"), col("n_ab").as("n_pair"),
+        round(log(
+          (col("n_ab").cast("double") * col("n_uni") * col("n_uni")) /
+            (col("n_bi").cast("double") * col("n_a") * col("n_b"))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Gopher-style repetition signal: the fraction of a document's word
     * bigrams taken by its single most frequent bigram (high → looped /
     * boilerplate text). One explode + two grouped aggregations, both

@@ -91,6 +91,16 @@ object TextQueries {
     "x12_repetition" -> { (s, d) =>
       TextAnalysis.bigramRepetition(Tables.documents(s, d))
     },
+
+    /** x22 — PMI collocations: top bigrams by pointwise mutual
+      * information (the collocation signal feeding tokenizer merges /
+      * phrase mining). Exact integer counts; the log ratio is rounded
+      * on both sides with identical parenthesization.
+      */
+    "x22_pmi_collocations" -> { (s, d) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, d),
+        minCount = 5, topK = 30)
+    },
     "x13_stratified_sample" -> { (s, d) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, d), pct = 10)
     },
@@ -170,6 +180,29 @@ object TextQueries {
          |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "x22_pmi_collocations" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |uni AS (SELECT w, COUNT(*) AS n_w FROM tok GROUP BY w),
+        |tu AS (SELECT SUM(n_w) AS n_uni FROM uni),
+        |bg AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
+        |    SELECT string_split(text, ' ') AS t,
+        |      unnest(range(1, len(string_split(text, ' ')))) AS i
+        |    FROM documents)),
+        |bic AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+        |tb AS (SELECT SUM(n_ab) AS n_bi FROM bic),
+        |sel AS (
+        |  SELECT w1, w2, n_ab,
+        |    round(ln((CAST(n_ab AS DOUBLE) * n_uni * n_uni) /
+        |      (CAST(n_bi AS DOUBLE) * a.n_w * b.n_w)), 4) AS pmi
+        |  FROM bic, tu, tb
+        |  JOIN uni a ON a.w = w1
+        |  JOIN uni b ON b.w = w2
+        |  WHERE n_ab >= 5)
+        |SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_pair, pmi
+        |FROM sel ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
+
     "x14_redact_pii" ->
       s"""WITH aug AS (
          |  SELECT doc_id,
