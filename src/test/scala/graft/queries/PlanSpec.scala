@@ -42,7 +42,8 @@ class PlanSpec extends SparkTestBase {
     "q11_brand_share",        // × total-revenue scalar
     "x10_tfidf",              // × corpus doc-count scalar
     "x15_unigram_loglik",     // × total-token-count scalar
-    "x20_heavy_hitters")      // × total-count threshold scalar
+    "x20_heavy_hitters",      // × total-count threshold scalar
+    "x22_pmi_collocations")   // × unigram/bigram total scalars
 
   private def hasAllPairsJoin(p: String): Boolean =
     p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
