@@ -77,6 +77,30 @@ object EventQueries {
           .as("total_convert_us"))
     },
 
+    /** ev15 — weekly cohort retention: users bucketed by the week of
+      * their first event; for each (cohort week, week offset), how
+      * many of that cohort were active. The activity set is
+      * per-(user, week) DISTINCT — one shuffle — then a user-keyed
+      * join against the per-user cohort aggregate (AQE sizes it) and
+      * one final count-distinct. All integer arithmetic (`div`, never
+      * `/` — Spark's `/` on longs is double division and would drift
+      * the bucket boundaries from the oracle's).
+      */
+    "ev15_retention" -> { (s, d) =>
+      val weekUs = 604800000000L
+      val e = Tables.eventsTs(s, d)
+        .select(col("user_id"), expr("ts_ns div 1000").as("us"))
+      val cohorts = e.groupBy(col("user_id"))
+        .agg(expr(s"min(us) div $weekUs").as("cw"))
+      val activity = e
+        .select(col("user_id"), expr(s"us div $weekUs").as("w"))
+        .distinct()
+      activity.join(cohorts, "user_id")
+        .groupBy(expr(s"(cw * $weekUs) div 1000").as("cohort_week_ms"),
+          (col("w") - col("cw")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    },
+
     /** ev12 — audience overlap, exact: users with ≥1 'click' AND ≥1
       * 'view'. One shuffle on user_id with map-side partials (the
       * flag-max formulation — no self-join, no INTERSECT rescan), then
@@ -375,6 +399,21 @@ object EventQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "ev15_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT user_id, MIN(us) // 604800000000 AS cw
+        |  FROM e GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT user_id, us // 604800000000 AS w FROM e)
+        |SELECT CAST((cw * 604800000000) // 1000 AS BIGINT)
+        |    AS cohort_week_ms,
+        |  CAST(w - cw AS BIGINT) AS week_offset,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
     "ev14_funnel" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
