@@ -239,6 +239,59 @@ object StreamingOps {
       }.toDF()
   }
 
+  final case class FunnelState(s1: Long, s2: Long, s3: Long) // -1 = unset
+  final case class FunnelRow(user_id: Long, s1: Option[Long],
+                             s2: Option[Long], s3: Option[Long])
+
+  /** ev14's streaming twin — the staged funnel (first view → first
+    * click at-or-after it → first purchase at-or-after that click) as
+    * keyed state: three timestamps per user, FOREVER O(1). Update mode
+    * emits each user's current stage times every trigger; the funnel
+    * counts are one tiny aggregate over the latest emission.
+    *
+    * Within a trigger, a user's rows sort by (ts, stage) — encoded
+    * into one primitive long (`us·4 + stage`, us < 2⁶¹) so the buffer
+    * is a single Array[Long] — exactly the batch operator's tie order
+    * (a same-microsecond later stage still qualifies). Run as one
+    * AvailableNow batch the per-user stages equal ev14's
+    * (StreamingSpec); across micro-batches the fold is monotone (set
+    * stages never move), so a view arriving AFTER a batch that
+    * already advanced s2/s3 cannot retro-improve them — the same
+    * append-trade as [[asofEnrich]], bounded by source batch skew.
+    */
+  def funnel(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), expr("ts_ns div 1000").as("us"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .otherwise(2).as("stage"))
+      .as[(Long, Long, Int)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelRow](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[FunnelState]) =>
+          val enc = new scala.collection.mutable.ArrayBuilder.ofLong
+          rows.foreach { case (_, us, stage) => enc += us * 4 + stage }
+          val sorted = enc.result(); java.util.Arrays.sort(sorted)
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          var i = 0
+          while (i < sorted.length) {
+            val us = sorted(i) >> 2
+            (sorted(i) & 3L) match {
+              case 0L => if (st.s1 < 0) st = st.copy(s1 = us)
+              case 1L => if (st.s2 < 0 && st.s1 >= 0) st = st.copy(s2 = us)
+              case _ => if (st.s3 < 0 && st.s2 >= 0) st = st.copy(s3 = us)
+            }
+            i += 1
+          }
+          state.update(st)
+          def opt(v: Long) = if (v < 0) None else Some(v)
+          FunnelRow(user, opt(st.s1), opt(st.s2), opt(st.s3))
+      }.toDF()
+  }
+
   final case class KmvState(a: Seq[Long], b: Seq[Long])
   final case class KmvBuckets(bucket: Int, clicks: Seq[Long],
                               views: Seq[Long])

@@ -193,6 +193,26 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming funnel agrees with batch ev14") {
+    import spark.implicits._
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val q = StreamingOps.runToCompletion(spark,
+      StreamingOps.funnel(spark, stream), "stream_ev14",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    q.stop()
+    // single batch → one emission per user; fold to the funnel counts
+    val got = spark.table("stream_ev14")
+      .agg(count(col("s1")).as("n_view"),
+        count(col("s2")).as("n_click"),
+        count(col("s3")).as("n_purchase"),
+        coalesce(sum(when(col("s3").isNotNull, col("s3") - col("s1"))),
+          lit(0L)).cast("long").as("total_convert_us"))
+    val expected = graft.queries.EventQueries
+      .defs("ev14_funnel")(spark, sf0001)
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+      s"stream=${got.collect().toSeq} batch=${expected.collect().toSeq}")
+  }
+
   test("sharded streaming KMV sketches merge to exactly the batch sketch") {
     import spark.implicits._
     val stream = StreamingOps.readEvents(spark, eventsDir)
