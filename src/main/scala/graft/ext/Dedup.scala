@@ -64,11 +64,8 @@ object Dedup {
     // so downstream jaccard arithmetic needs NO per-doc sizes join.
     docs.select(col("doc_id"),
         transform(tokens, t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), when(size(col("th")) >= n,
-        array_distinct(transform(sequence(lit(0), size(col("th")) - n),
-          i => xxhash64((0 until n).map(j =>
-            element_at(col("th"), i + j + 1)): _*))))
-        .otherwise(array().cast("array<bigint>")).as("sh_set"))
+      .select(col("doc_id"),
+        windowHashArr(n, distinctWindows = true).as("sh_set"))
       // explode_OUTER + post-explode null filter, deliberately: with a
       // plain explode, InferFiltersFromGenerate adds size(sh_set) > 0
       // below the Generate and predicate pushdown inlines the whole
@@ -80,6 +77,41 @@ object Dedup {
         explode_outer(col("sh_set")).as("shingle"))
       .filter(col("shingle").isNotNull)
       .repartition(col("shingle"))
+  }
+
+  /** The n-token window-hash array over a BOUND `th` column (the
+    * per-token hash array) — callers MUST materialize `th` in a prior
+    * projection: referencing the tokenize+hash expression directly
+    * inside the window lambda re-evaluates it per element_at (the
+    * interpreted HOF path has no common-subexpression elimination),
+    * O(tokens²) per doc.
+    */
+  private[ext] def windowHashArr(n: Int,
+                                 distinctWindows: Boolean): Column = {
+    val windows = transform(sequence(lit(0), size(col("th")) - n),
+      i => xxhash64((0 until n).map(j =>
+        element_at(col("th"), i + j + 1)): _*))
+    when(size(col("th")) >= n,
+      if (distinctWindows) array_distinct(windows) else windows)
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Exploded `(doc_id?, sh)` window-hash rows, string-free — the
+    * narrow (no repartition) sibling of [[hashedShingles]] for
+    * broadcast-side and per-doc consumers. Same explode_outer
+    * rationale as there.
+    */
+  private[ext] def shingleHashRows(df: DataFrame, n: Int,
+                                   withDocId: Boolean): DataFrame = {
+    val th = transform(tokens, t => xxhash64(t)).as("th")
+    val base =
+      if (withDocId) df.select(col("doc_id"), th) else df.select(th)
+    val arr = windowHashArr(n, distinctWindows = true)
+    val sel =
+      if (withDocId)
+        base.select(col("doc_id"), explode_outer(arr).as("sh"))
+      else base.select(explode_outer(arr).as("sh"))
+    sel.filter(col("sh").isNotNull)
   }
 
   /** Free the materialized intermediates the dedup operators created
@@ -329,11 +361,8 @@ object Dedup {
     */
   def contamination(corpus: DataFrame, eval_ : DataFrame, n: Int = 5,
                     minShared: Int = 1): DataFrame = {
-    val cSh = corpus
-      .select(col("doc_id"), explode(shingles(n)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-    val eSh = eval_.select(explode(shingles(n)).as("sh"))
-      .select(xxhash64(col("sh")).as("sh")).distinct()
+    val cSh = shingleHashRows(corpus, n, withDocId = true)
+    val eSh = shingleHashRows(eval_, n, withDocId = false).distinct()
     cSh.join(broadcast(eSh), "sh")
       .groupBy(col("doc_id"))
       // distinct, not raw count: a shingle repeated inside one doc must

@@ -284,12 +284,16 @@ object TextAnalysis {
     * keyed by doc — shuffles only (doc, bigram-count) pairs.
     */
   def bigramRepetition(docs: DataFrame): DataFrame = {
-    val tk = tokens(col("text"))
-    val bigrams = when(size(tk) >= 2,
-      transform(sequence(lit(0), size(tk) - 2),
-        i => concat_ws(" ", slice(tk, i + 1, lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(bigrams).as("bg"))
+    // bigram identity via the token-hash window key (order-sensitive
+    // xxhash64 over the two token hashes, Dedup.windowHashArr — WITH
+    // multiplicity: repetition is the point) instead of materializing
+    // every bigram string; the bigram value never reaches the output,
+    // so only the equality relation matters (~2^-64 collision class)
+    docs.select(col("doc_id"),
+        transform(tokens(col("text")), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), explode_outer(
+        Dedup.windowHashArr(2, distinctWindows = false)).as("bg"))
+      .filter(col("bg").isNotNull)
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
