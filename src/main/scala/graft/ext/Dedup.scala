@@ -25,16 +25,20 @@ object Dedup {
 
   def tokens: Column = TextAnalysis.tokens(col("text"))
 
-  /** Word n-gram shingles, distinct per doc. Guarded for docs shorter
-    * than n tokens (empty set, not an error).
+  /** Word n-gram shingle STRINGS, distinct per doc, over a BOUND token
+    * array column (callers materialize `tokens` in a prior projection —
+    * passing the split() expression itself re-evaluates it per slice on
+    * the interpreted HOF path, O(tokens²) per doc; see
+    * [[windowHashArr]]). Guarded for docs shorter than n tokens (empty
+    * set, not an error). The string form exists for the operators whose
+    * DuckDB oracle must recompute the SAME shingle text (minhash's
+    * base60 family); everything else keys on [[windowHashArr]] hashes.
     */
-  def shingles(n: Int): Column = {
-    val tk = tokens
+  def shinglesOf(tk: Column, n: Int): Column =
     when(size(tk) >= n,
       array_distinct(transform(sequence(lit(0), size(tk) - n),
         i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Exact dedup: group by content digest, keep the minimum doc_id —
     * deterministic survivor choice (`dropDuplicates` picks an
@@ -317,7 +321,10 @@ object Dedup {
     * shingle set — k longs per doc, one shuffle (the per-doc min agg).
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(n)).as("shingle"))
+    val sh = docs.select(col("doc_id"), tokens.as("tk"))
+      .select(col("doc_id"),
+        explode_outer(shinglesOf(col("tk"), n)).as("shingle"))
+      .filter(col("shingle").isNotNull)
       .withColumn("h", base60(col("shingle")))
     val aggs = (0 until K).map(i =>
       min(minhashTerm(i, col("h"))).as(s"mh$i"))

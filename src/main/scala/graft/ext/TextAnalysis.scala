@@ -104,11 +104,13 @@ object TextAnalysis {
     * is ⌈n/stride⌉.
     */
   def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
-    val tk = tokens(col("text"))
+    // tk materialized first — slice(split-expr) inside the lambda would
+    // re-split the text per chunk (see Dedup.windowHashArr)
     val chunks = transform(
-      sequence(lit(0), size(tk) - 1, lit(stride)),
-      i => concat_ws(" ", slice(tk, i + 1, lit(window))))
-    docs.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      sequence(lit(0), size(col("tk")) - 1, lit(stride)),
+      i => concat_ws(" ", slice(col("tk"), i + 1, lit(window))))
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx"),
         size(split(col("chunk"), " ")).as("n_chunk_tokens"),
         md5(col("chunk")).as("chunk_digest"))
@@ -252,23 +254,32 @@ object TextAnalysis {
   def pmiCollocations(docs: DataFrame, minCount: Int = 5,
                       topK: Int = 30): DataFrame = {
     val tk = tokens(col("text"))
-    val pairs = when(size(tk) >= 2,
-      transform(sequence(lit(0), size(tk) - 2),
-        i => struct(element_at(tk, i + 1).as("w1"),
-          element_at(tk, i + 2).as("w2"))))
+    // `tk` is materialized as a bound column BEFORE the window lambda:
+    // referencing the split() expression inside element_at re-evaluates
+    // it per reference on the interpreted HOF path (no CSE) — O(len²)
+    // per doc (see Dedup.windowHashArr)
+    val pairs = when(size(col("tk")) >= 2,
+      transform(sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("w1"),
+          element_at(col("tk"), i + 2).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
     val uni = docs.select(explode(tk).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-    val totU = uni.agg(sum(col("n_w")).as("n_uni"))
-    val bic = docs.select(explode(pairs).as("p"))
+    val bic = docs.select(tk.as("tk"))
+      .select(explode_outer(pairs).as("p"))
+      .filter(col("p").isNotNull)
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_ab"))
-    val totB = bic.agg(sum(col("n_ab")).as("n_bi"))
+    // the totals are Σ len and Σ (len−1) — one NARROW corpus scan for
+    // both, instead of forcing the unigram/bigram count shuffles to
+    // materialize twice (once for a totals job, again for the joins)
+    val totals = docs.agg(
+      sum(size(tk)).cast("long").as("n_uni"),
+      sum(greatest(size(tk) - 1, lit(0))).cast("long").as("n_bi"))
     bic.filter(col("n_ab") >= minCount)
       .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
       .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
-      .crossJoin(broadcast(totU))
-      .crossJoin(broadcast(totB))
+      .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("n_ab").as("n_pair"),
         round(log(
           (col("n_ab").cast("double") * col("n_uni") * col("n_uni")) /
