@@ -95,11 +95,51 @@ object Cli {
       case Some("import") => importCmd(spark, parseOpts(args.tail), nowMs)
       case Some("db") => dbCmd(spark, parseOpts(args.tail))
       case Some("compact") => compactCmd(spark, parseOpts(args.tail))
+      case Some("zonemap") => zonemapCmd(spark, parseOpts(args.tail))
       case Some(other) => throw CliError(
-        s"unknown command: $other (expected export | import | db | compact)")
+        s"unknown command: $other " +
+          "(expected export | import | db | compact | zonemap)")
       case None =>
-        throw CliError("usage: graft.Cli <export|import|db|compact> [--options]")
+        throw CliError(
+          "usage: graft.Cli <export|import|db|compact|zonemap> [--options]")
     }
+
+  /** `zonemap` — [EXT] maintenance: build or incrementally refresh the
+    * per-table `_zonemap` sidecars (engine.ZoneMap) for a session's
+    * tables, over `--cols a,b`. `--rebuild` forces a from-scratch
+    * build; the default is the O(delta) [[graft.engine.ZoneMap.update]]
+    * (new files' footers only, deleted files dropped).
+    */
+  private def zonemapCmd(spark: SparkSession,
+                         opts: Map[String, String]): String = {
+    val destRoot = required(opts, "dest_root")
+    val sessionName = required(opts, "session_name")
+    val cols = required(opts, "cols").split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    if (cols.isEmpty) throw CliError("--cols must name at least one column")
+    val tables: Seq[String] =
+      if (opts.contains("tables"))
+        opts("tables").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else {
+        val session = new org.apache.hadoop.fs.Path(s"$destRoot/$sessionName")
+        val f = session.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(session))
+          throw CliError(s"no such session dir: $session")
+        f.listStatus(session).filter(_.isDirectory)
+          .map(_.getPath.getName).filterNot(_.startsWith("_")).toSeq.sorted
+      }
+    if (tables.isEmpty)
+      throw CliError(s"nothing to index under $destRoot/$sessionName")
+    val rebuild = opts.get("rebuild").contains("true")
+    tables.map { t =>
+      val dir = engine.Exporter.destPath(destRoot, sessionName, t)
+      val target =
+        if (rebuild) engine.ZoneMap.write(spark, dir, cols)
+        else engine.ZoneMap.update(spark, dir, cols)
+      val n = spark.read.parquet(target).count()
+      s"$t: ${if (rebuild) "rebuilt" else "updated"} $target ($n entries)"
+    }.mkString("\n")
+  }
 
   /** `compact` — [EXT] maintenance: rewrite a session's (or one
     * table's) fragmented export dirs into ~target-mb files. No

@@ -178,6 +178,33 @@ class CliSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == nRows)
   }
 
+  test("zonemap builds then incrementally updates a session's sidecars") {
+    val dest = tmpDir("cli-zm")
+    Cli.run(spark, Seq("export",
+      "--source-dir", sf0001, "--dest-root", dest,
+      "--tables", "region,nation", "--session-name", "s1"), now)
+    val out = Cli.run(spark, Seq("zonemap",
+      "--dest-root", dest, "--session-name", "s1",
+      "--cols", "r_regionkey,n_regionkey"), now)
+    assert(out.contains("region: updated") && out.contains("nation: updated"),
+      out)
+    assert(spark.read.parquet(s"$dest/s1/region/_zonemap").count() > 0)
+    // second run is the O(delta) no-op path, same entry count
+    val n1 = spark.read.parquet(s"$dest/s1/nation/_zonemap").count()
+    Cli.run(spark, Seq("zonemap", "--dest-root", dest,
+      "--session-name", "s1", "--cols", "r_regionkey,n_regionkey"), now)
+    assert(spark.read.parquet(s"$dest/s1/nation/_zonemap").count() == n1)
+    // --rebuild forces the from-scratch path; --cols is required
+    val out2 = Cli.run(spark, Seq("zonemap", "--dest-root", dest,
+      "--session-name", "s1", "--tables", "region",
+      "--cols", "r_regionkey", "--rebuild"), now)
+    assert(out2.contains("region: rebuilt"), out2)
+    intercept[CliError] {
+      Cli.run(spark, Seq("zonemap", "--dest-root", dest,
+        "--session-name", "s1"), now)
+    }
+  }
+
   test("compact validation: a missing session dir fails loudly") {
     val e = intercept[CliError](Cli.run(spark, Seq("compact",
       "--dest-root", tmpDir("cli-ghost"), "--session-name", "nope"), now))

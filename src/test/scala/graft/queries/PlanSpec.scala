@@ -125,6 +125,16 @@ class PlanSpec extends SparkTestBase {
       s"scan reads unprojected columns: $readSchema")
   }
 
+  test("ev14 funnel: join-free single-pass plan (one keyed shuffle + " +
+    "the global fold)") {
+    // the whole point of the sorted-fold formulation: the composed-SQL
+    // funnel needs one self-join per stage; this plan must have NONE
+    val p = plan("ev14_funnel")
+    assert(!p.contains("Join"), s"funnel plan grew a join:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "expected the collect_list fold aggregate")
+  }
+
   test("q05 star join: AQE broadcasts every dimension side at small SF") {
     // customer/supplier deliberately carry NO broadcast hint (they scale
     // with SF; a hint would bypass AQE's size check and OOM at 100 TB).
