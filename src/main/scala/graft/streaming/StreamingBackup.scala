@@ -46,7 +46,8 @@ object StreamingBackup {
     */
   def exportTableStream(spark: SparkSession, cat: BackupCatalog,
                         spec: ExportSpec, sessionName: String,
-                        destRoot: String, checkpointDir: String): Outcome = {
+                        destRoot: String, checkpointDir: String,
+                        zonemapCols: Seq[String] = Nil): Outcome = {
     require(spec.keyCols.isEmpty,
       "version capping is a batch-only operator (global per-key ranking); " +
         "use Exporter.exportTable for capped exports")
@@ -86,6 +87,13 @@ object StreamingBackup {
       TableRecord("export", spec.table, sessionName, spec.startMs,
         spec.endMs, spec.versions, empty = false, error = false, "", rows),
       descs)
+    // zone-map upkeep rides the drain: an O(delta) sidecar refresh
+    // (only this drain's new files' footers are read; ZoneMap's
+    // committed-file filter already excludes torn micro-batches), so
+    // the restore-side index is always current without a separate
+    // maintenance pass
+    if (zonemapCols.nonEmpty)
+      graft.engine.ZoneMap.update(spark, dest, zonemapCols)
     Exported(spec.table, rows, dest)
   }
 }

@@ -74,6 +74,38 @@ class StreamingBackupSpec extends SparkTestBase {
     assert(cat.columnDescriptorRows("s_stream", "lineitem").nonEmpty)
   }
 
+  test("zone-map upkeep rides the drain: sidecar stays equal to a " +
+    "full rebuild across incremental drains") {
+    val srcDir = tmpDir("sb-zm-src")
+    val destRoot = tmpDir("sb-zm-dest")
+    val ckpt = tmpDir("sb-zm-ckpt")
+    val cat = new BackupCatalog(spark, tmpDir("sb-zm-cat"))
+    val li = spark.read.parquet(Tables.path(sf0001, "lineitem"))
+    val spec = ExportSpec("lineitem", srcDir, tsCol = Some("l_shipdate"),
+      startMs = winLo, endMs = winHi)
+    val cols = Seq("l_orderkey")
+    stage(li.filter(col("l_orderkey") % 2 === 0), srcDir, "a.parquet")
+    val out1 = StreamingBackup.exportTableStream(spark, cat, spec,
+      "s_zm", destRoot, ckpt, zonemapCols = cols).asInstanceOf[Exported]
+    val sidecar = out1.dest + "/_zonemap"
+    def sidecarRows() = spark.read.parquet(sidecar)
+      .as[graft.engine.ZoneMap.Entry](
+        org.apache.spark.sql.Encoders.product[graft.engine.ZoneMap.Entry])
+      .collect().toSet
+    assert(sidecarRows() ==
+      graft.engine.ZoneMap.entries(spark, out1.dest, cols).toSet)
+    assert(sidecarRows().nonEmpty)
+    // second drain adds files; the sidecar refresh is O(delta) and
+    // must still equal a from-scratch build
+    stage(li.filter(col("l_orderkey") % 2 =!= 0), srcDir, "b.parquet")
+    StreamingBackup.exportTableStream(spark, cat, spec,
+      "s_zm", destRoot, ckpt, zonemapCols = cols)
+    spark.catalog.refreshByPath(sidecar)
+    assert(sidecarRows() ==
+      graft.engine.ZoneMap.entries(spark, out1.dest, cols).toSet,
+      "incremental sidecar diverged from a full rebuild after drain 2")
+  }
+
   test("empty source short-circuits without starting a stream") {
     val srcDir = tmpDir("sb-empty-src")
     val li = spark.read.parquet(Tables.path(sf0001, "lineitem"))
