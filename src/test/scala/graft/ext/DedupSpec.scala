@@ -30,6 +30,29 @@ class DedupSpec extends SparkTestBase {
     assert(banded.except(brute).isEmpty && brute.except(banded).isEmpty)
   }
 
+  test("df cap guards the pair explosion: a stop-shingle in every doc " +
+    "cannot go quadratic") {
+    import spark.implicits._
+    // plant the same 3-token boilerplate prefix on 60 docs: its
+    // shingle has df = 60 — far over the cap — and must be dropped
+    // BEFORE pair generation, not after
+    val base = docs.select("doc_id", "text").limit(60)
+      .as[(Long, String)].collect()
+    val planted = base.map { case (id, t) =>
+      (id, "common boiler prefix " + t) }.toSeq.toDF("doc_id", "text")
+    val nPairsAll = 60L * 59 / 2
+    val capped = Dedup.jaccardPairs(planted, n = 3, threshold = 0.0,
+      maxDf = 10).count()
+    assert(capped < nPairsAll / 4,
+      s"df cap failed to stop the stop-shingle blowup: $capped pairs")
+    // sanity: WITHOUT the cap the boiler shingle really does produce
+    // every pair — the guard above is load-bearing, not vacuous
+    val uncapped = Dedup.jaccardPairs(planted, n = 3, threshold = 0.0,
+      maxDf = 1000).count()
+    assert(uncapped == nPairsAll,
+      s"expected the full $nPairsAll pairs uncapped, got $uncapped")
+  }
+
   test("containment catches a planted excerpt that jaccard misses") {
     import spark.implicits._
     // plant: the first 20 tokens of a long doc become their own doc —
