@@ -74,15 +74,21 @@ object EngineQueries {
 
     /** e05 — A1 + the reference's wished-for integrity metrics
       * (README.textile:189-191): per-table row counts recorded at
-      * export time. Counts are map-side partial aggregates.
+      * export time. ONE lazy plan (union of per-table one-row
+      * aggregates), so a fleet-wide integrity sweep is a single job
+      * whose table scans run in parallel across the cluster — the
+      * previous form ran one serial count action per table, 10 job
+      * waves for 10 numbers.
       */
     "e05_integrity_counts" -> { (s, d) =>
-      import s.implicits._
-      val counts = Seq("lineitem", "orders", "customer", "supplier",
+      val parts = Seq("lineitem", "orders", "customer", "supplier",
         "part", "nation", "region", "documents", "embeddings")
-        .map(t => (t, Tables.load(s, d, t).count())) :+
-        ("events", Tables.eventsTs(s, d).count())
-      counts.toDF("table_name", "n_rows")
+        .map(t => Tables.load(s, d, t)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("table_name"), col("n_rows"))) :+
+        Tables.eventsTs(s, d).agg(count(lit(1)).as("n_rows"))
+          .select(lit("events").as("table_name"), col("n_rows"))
+      parts.reduce(_ unionByName _)
     },
 
     /** e06 — exact NDV integrity probe (the hash-check the reference
