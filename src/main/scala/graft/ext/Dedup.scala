@@ -341,16 +341,20 @@ object Dedup {
     // recomputing shingle → hash → 16-way min agg per side
     val sigs = minhashSignatures(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band key = xxhash64 over (band index, the band's signature
+    // minima): an 8-byte join key instead of a concat string. The key
+    // never surfaces in output — only pair identities — so the oracle
+    // keeps its concat form and agreement is modulo a ~2^-64 collision
+    // (same class as the shingle keys). Band index inside the hash
+    // keeps different bands' buckets disjoint without a second column.
     val bandCols = (0 until NumBands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), concat_ws("_", rows: _*).as("key"))
+      xxhash64(lit(b) +: rows: _*)
     }
     val banded = sigs.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.key").as("key"))
+        explode(array(bandCols: _*)).as("key"))
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
