@@ -90,10 +90,15 @@ final class BackupCatalog(spark: SparkSession, root: String,
 
   private def resolveSessions(rows: Seq[BackupSession]): Seq[BackupSession] =
     rows.groupBy(s => (s.mode, s.session_name)).values.map { g =>
-      val best = g.maxBy(s => (s.ended_at, s.error, s.error_info.nonEmpty))
+      // the final error_info component makes the pick TOTAL: two closes
+      // with identical ended_at/error still resolve identically at any
+      // read order (parquet row order is not deterministic)
+      val best = g.maxBy(s =>
+        (s.ended_at, s.error, s.error_info.nonEmpty, s.error_info))
       best.copy(error = g.exists(_.error),
         error_info = if (best.error_info.nonEmpty) best.error_info
-          else g.map(_.error_info).find(_.nonEmpty).getOrElse(""))
+          else g.map(_.error_info).filter(_.nonEmpty).sorted
+            .lastOption.getOrElse(""))
     }.toSeq
   def tables: Dataset[TableRecord] = synchronized {
     readOrEmpty[TableRecord](tablesDir)
