@@ -77,6 +77,28 @@ object EventQueries {
           .as("total_convert_us"))
     },
 
+    /** ev16 — inter-arrival (dwell-time) distribution per event type:
+      * exact p50/p90 of the gap between a user's consecutive events of
+      * each type. One shuffle for the per-(user, type) lag window;
+      * same-timestamp ties leave the gap MULTISET unchanged, so the
+      * aggregate is deterministic. Exact `percentile` is the checkable
+      * form (quantile_cont parity proven by e09); at 100 TB swap in
+      * `approx_percentile` exactly as e08 does for e09.
+      */
+    "ev16_interarrival" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"))
+      Tables.eventsTs(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(col("gap")).as("n_gaps"),
+          round(expr("percentile(gap, 0.5)"), 1).as("p50_us"),
+          round(expr("percentile(gap, 0.9)"), 1).as("p90_us"))
+    },
+
     /** ev15 — weekly cohort retention: users bucketed by the week of
       * their first event; for each (cohort week, week offset), how
       * many of that cohort were active. The activity set is
@@ -399,6 +421,20 @@ object EventQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "ev16_interarrival" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY us) AS gap
+        |  FROM e)
+        |SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap, 0.5), 1) AS p50_us,
+        |  round(quantile_cont(gap, 0.9), 1) AS p90_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
     "ev15_retention" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us FROM events),

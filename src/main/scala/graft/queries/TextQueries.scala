@@ -92,6 +92,39 @@ object TextQueries {
       TextAnalysis.bigramRepetition(Tables.documents(s, d))
     },
 
+    /** x23 — Zipf slope: least-squares fit of log-frequency against
+      * log-rank over the vocabulary — the corpus-health diagnostic
+      * (natural text ≈ −1; templated/boilerplate corpora deviate).
+      * Determinism discipline: log values round to 6 places, the four
+      * regression sums accumulate as decimal(38,18) (order-free), and
+      * only the final slope arithmetic runs in double with identical
+      * parenthesization to the oracle. The global rank window is
+      * vocabulary-sized by construction (the x11 precedent), never
+      * corpus-sized.
+      */
+    "x23_zipf" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val vf = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val xy = vf
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("f").desc, col("w"))))
+        .select(round(log(col("r").cast("double")), 6).as("x"),
+          round(log(col("f").cast("double")), 6).as("y"))
+      def ds(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,18)")).cast("double")
+      xy.agg(count(lit(1)).as("n"), ds(col("x")).as("sx"),
+          ds(col("y")).as("sy"), ds(col("x") * col("y")).as("sxy"),
+          ds(col("x") * col("x")).as("sxx"))
+        .select(col("n").cast("long").as("n_types"),
+          round((col("n").cast("double") * col("sxy") -
+            col("sx") * col("sy")) /
+            (col("n").cast("double") * col("sxx") -
+              col("sx") * col("sx")), 4).as("zipf_slope"))
+    },
+
     /** x22 — PMI collocations: top bigrams by pointwise mutual
       * information (the collocation signal feeding tokenizer merges /
       * phrase mining). Exact integer counts; the log ratio is rounded
@@ -180,6 +213,28 @@ object TextQueries {
          |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "x23_zipf" ->
+      """WITH vf AS (
+        |  SELECT w, COUNT(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |rk AS (
+        |  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM vf),
+        |xy AS (
+        |  SELECT round(ln(CAST(r AS DOUBLE)), 6) AS x,
+        |    round(ln(CAST(f AS DOUBLE)), 6) AS y FROM rk),
+        |s AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_types,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS zipf_slope
+        |FROM s""".stripMargin,
+
     "x22_pmi_collocations" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
