@@ -360,6 +360,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-document shingle novelty: the fraction of a doc's distinct
+    * shingles whose FIRST owner (minimum doc_id across the corpus) is
+    * the doc itself — the redundancy/memorization signal a curriculum
+    * or dedup-aware sampler keys on (novelty ≈ 1: fresh content;
+    * ≈ 0: restatement of earlier documents). Plan: the cached
+    * shingle table is hash-partitioned on the shingle key, so the
+    * first-owner aggregation and its join back are exchange-free; the
+    * only new shuffle is the per-doc fold. Deterministic by
+    * construction (min-id ownership, the [[exact]]/[[clusters]]
+    * survivor convention).
+    */
+  def noveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
+    val shAll = hashedShingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstOwner = shAll.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    shAll.join(firstOwner, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_sh")).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"),
+        col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles"))
+          .as("novelty"))
+  }
+
   /** Benchmark decontamination [EXT]: flag corpus documents sharing at
     * least `minShared` distinct word n-gram shingles with any document
     * of the eval/benchmark set — the contamination check every training

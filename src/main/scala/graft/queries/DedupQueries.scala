@@ -24,6 +24,15 @@ object DedupQueries {
       Dedup.minhashCandidates(Tables.documents(s, d), n = 3)
     },
 
+    /** d11 — per-doc shingle novelty: fraction of a doc's distinct
+      * shingles first owned (min doc_id) by the doc itself — the
+      * redundancy signal for curriculum/dedup-aware sampling. Docs
+      * shorter than n tokens have no shingles and no row (both sides).
+      */
+    "d11_novelty" -> { (s, d) =>
+      Dedup.noveltyScores(Tables.documents(s, d), n = 3)
+    },
+
     /** d10 — directed containment (asymmetric jaccard): catches a doc
       * whose shingles are mostly a SUBSET of another's (excerpts,
       * quotes, boilerplate inclusion) — low jaccard, high containment.
@@ -218,9 +227,22 @@ object DedupQueries {
        |SELECT doc_b, doc_a, CAST(n_inter AS DOUBLE) / nb
        |FROM sel WHERE CAST(n_inter AS DOUBLE) / nb >= 0.6""".stripMargin
 
+  private val d11Sql =
+    s"""WITH $shinglesCte,
+       |fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+       |SELECT sh.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS novelty
+       |FROM sh JOIN fo USING (s)
+       |GROUP BY sh.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p01_clean_corpus" -> p01Sql,
     "d10_containment" -> d10Sql,
+    "d11_novelty" -> d11Sql,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_docs
