@@ -173,18 +173,27 @@ object Importer {
         //  - stats unknown (-1, pre-stats catalog) → warn, as before.
         if (format == "json") {
           val absentFromSample = expected.fieldNames.toSet -- gotNames.toSet
-          absentFromSample.toSeq.sorted.foreach { c =>
-            val nNulls = descs.find(_.name == c).map(_.n_nulls).getOrElse(-1L)
-            val exportedRows = exportCat
+          // one catalog read for the whole loop — the row count does
+          // not depend on which column is being probed
+          val exportedRows =
+            if (absentFromSample.isEmpty) -1L
+            else exportCat
               .listTableInfo("export", sessionName, table)
               .select("row_count").collect()
               .headOption.map(_.getLong(0)).getOrElse(-1L)
+          absentFromSample.toSeq.sorted.foreach { c =>
+            val nNulls = descs.find(_.name == c).map(_.n_nulls).getOrElse(-1L)
             val allNullAtExport = nNulls >= 0L && nNulls == exportedRows
             if (allNullAtExport) () // null-omitted by the writer; benign
             else {
+              // match the KEY position ("col" followed by a colon),
+              // not a bare substring: the quoted name appearing inside
+              // some string VALUE must not demote data loss to "just
+              // missed the sample"
+              val keyRe = "\"" + java.util.regex.Pattern.quote(c) + "\"\\s*:"
               val foundInFile = !spark.read.text(src)
                 .filter(org.apache.spark.sql.functions.col("value")
-                  .contains("\"" + c + "\""))
+                  .rlike(keyRe))
                 .limit(1).isEmpty
               if (foundInFile) () // just missed the 100-line sample
               else if (nNulls >= 0L)

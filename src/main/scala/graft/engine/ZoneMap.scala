@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   * round trips before the first data byte — per query. The manifest
   * pays them once at export/compaction time and turns every later
   * "which files can contain l_shipdate ≥ X?" into one scan of a
-  * KB-sized parquet sidecar (the same zone-map idea Snowflake
-  * micro-partitions and the Delta/Iceberg file-stats manifests use).
+  * parquet sidecar (the same zone-map idea Snowflake micro-partitions
+  * and the Delta/Iceberg file-stats manifests use). The sidecar is
+  * one row per (file, indexed column): KBs for thousands of files,
+  * but 100s of MBs at millions of files × several columns — so every
+  * driver-side touch of it is either filtered to ONE column before
+  * collecting ([[pruneFiles]], pushed into the parquet scan) or
+  * names/delta-only ([[update]]).
   *
   * Build cost is metadata-only (footers, no row reads). The footer
   * reads run IN EXECUTORS: the driver lists the file names (names are
@@ -83,6 +88,15 @@ object ZoneMap {
     * A column that is entirely null in the file gets the empty-fold
     * identity (+∞, −∞): `v ∈ [lo,hi]` matches no null row, so pruning
     * such a file is exact, not just safe.
+    *
+    * A file that yields NO entries at all (every wanted column absent
+    * or non-numeric) still emits one [[SentinelColumn]] row: without
+    * it the file never joins the manifest's known-file set and
+    * [[update]] re-reads its footer on every invocation — O(delta)
+    * upkeep would silently degrade to O(such files) per call. The
+    * sentinel's column name is reserved-empty, so [[pruneFiles]]'
+    * per-column filter never matches it and the file stays in the
+    * unknown ⇒ must-read bucket, which is exactly its truth.
     */
   private def footerEntries(conf: Configuration, file: String,
                             want: Set[String]): Seq[Entry] = {
@@ -117,11 +131,20 @@ object ZoneMap {
           }
         }
       }
-      acc.toSeq.collect {
+      val out = acc.toSeq.collect {
         case (c, (lo, hi, nn, false)) => Entry(file, rows, c, lo, hi, nn)
       }
+      if (out.nonEmpty) out
+      else Seq(Entry(file, rows, SentinelColumn,
+        Double.PositiveInfinity, Double.NegativeInfinity, 0L))
     } finally rd.close()
   }
+
+  /** Reserved column name marking "footer read, nothing indexable" —
+    * see [[footerEntries]]. Empty string cannot collide with a real
+    * parquet column path.
+    */
+  val SentinelColumn: String = ""
 
   /** A data file: .parquet, and no hidden/underscore path segment
     * BELOW the scan root (excludes _zonemap itself, _spark_metadata,
@@ -212,6 +235,15 @@ object ZoneMap {
     * file paths is exact, and the delta's footer reads distribute over
     * executors exactly like [[entries]]'.
     *
+    * Driver memory: file NAMES only — the known-file set (the same
+    * scale as the directory listing the driver must hold anyway) plus
+    * the delta's entries. Entry VALUES for already-known files are
+    * never collected; the kept ∪ added fold is a distributed
+    * filter-union written to a staging sidecar and renamed into
+    * place. The sidecar itself is one row per (file, indexed column)
+    * — MBs at millions of files, not KBs — which is exactly why the
+    * surviving collects are names-only and delta-only.
+    *
     * The manifest's column set is pinned by the caller (`cols`), same
     * as [[write]] — changing the indexed columns needs a rebuild, and
     * the parity spec would catch a drifted call site.
@@ -223,11 +255,13 @@ object ZoneMap {
       spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(target))) return write(spark, dir, cols)
     import spark.implicits._
-    val existing = spark.read.parquet(target).as[Entry].collect().toSeq
+    val existing = spark.read.parquet(target)
+    val known = existing.select("file").distinct().as[String]
+      .collect().toSet
     val live = listParquet(spark, dir).toSet
-    val kept = existing.filter(e => live(e.file))
-    val known = kept.map(_.file).toSet
+    val dead = (known -- live).toSeq.sorted
     val fresh = (live -- known).toSeq.sorted
+    if (dead.isEmpty && fresh.isEmpty) return target // already current
     val added =
       if (fresh.isEmpty) Seq.empty[Entry]
       else {
@@ -242,20 +276,39 @@ object ZoneMap {
           }
           .collect().toSeq
       }
-    // write-then-swap via a fresh overwrite of the sidecar: the
-    // sidecar is a derived index (KBs), so an overwrite race loses
-    // nothing that a re-update can't restore
-    spark.createDataset(kept ++ added).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(target)
+    // distributed fold: existing minus dead files, plus the delta.
+    // `dead` is bounded by the delete delta (compaction/retention of
+    // a few files per session), so the NOT-IN list stays small.
+    val kept =
+      if (dead.isEmpty) existing
+      else existing.filter(!col("file").isin(dead: _*))
+    // write-then-swap: the source sidecar is part of this plan's
+    // input, so stage the new one next to it (underscore prefix =
+    // invisible to data readers and to listParquet) and rename over.
+    // The sidecar is a derived index — a crash between delete and
+    // rename loses nothing a re-update can't restore.
+    val tmp = new Path(dir + "/_zonemap.staging")
+    kept.unionByName(spark.createDataset(added).toDF).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(new Path(target), true)
+    require(fs.rename(tmp, new Path(target)),
+      s"zonemap swap failed: rename $tmp -> $target")
+    // the swap happened behind Spark's FileStatusCache (a datasource
+    // Overwrite would have refreshed it; a raw FS rename does not) —
+    // without this, the next sidecar read resolves deleted part files
+    spark.catalog.refreshByPath(target)
     target
   }
 
   /** Files whose [min,max] zone for `column` intersects [lo, hi] —
     * plus files with no entry for the column (unknown ⇒ must read:
     * pruning may only ever drop provably-disjoint files). The collect
-    * here is driver-sized BY DESIGN: the manifest is one row per
-    * (file, column) — KBs where the data is TBs — and the file list
-    * it filters already lives on the driver.
+    * here is driver-sized BY DESIGN, and bounded: the per-column
+    * filter runs BEFORE the collect, so when `index` is the sidecar
+    * read it pushes into the parquet scan and the driver receives one
+    * row per FILE (for one column), never the full file × column
+    * matrix — the same order as the `allFiles` list it is filtering,
+    * which already lives on the driver.
     */
   def pruneFiles(index: DataFrame, allFiles: Seq[String], column: String,
                  lo: Double, hi: Double): Seq[String] = {

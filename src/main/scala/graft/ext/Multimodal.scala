@@ -74,9 +74,14 @@ object Multimodal {
     if (!looksLikeImage(payload)) None
     else {
       javax.imageio.ImageIO.setUseCache(false)
+      // NonFatal, not just IOException: the JPEG/GIF plugins throw
+      // RuntimeExceptions on some corrupt payloads behind valid magic
+      // bytes (CMMException, ArrayIndexOutOfBounds, NegativeArraySize)
+      // — any of those escaping here fails the task and poisons the
+      // whole partition, the exact thing fail-soft promises not to do.
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     }
 
   /** Bytes → (width, height, n_frames). Real pixel dimensions for

@@ -258,6 +258,12 @@ object StreamingOps {
     * stages never move), so a view arriving AFTER a batch that
     * already advanced s2/s3 cannot retro-improve them — the same
     * append-trade as [[asofEnrich]], bounded by source batch skew.
+    * Stage advancement also requires `us >= prior stage`: a click
+    * that straggles into a LATER trigger with a timestamp before the
+    * already-set s1 is dropped, so emitted rows always satisfy
+    * s1 <= s2 <= s3 — the batch contract's invariant, never violated
+    * regardless of trigger boundaries (within a trigger the sorted
+    * fold makes the guard a no-op).
     */
   def funnel(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
@@ -281,8 +287,10 @@ object StreamingOps {
             val us = sorted(i) >> 2
             (sorted(i) & 3L) match {
               case 0L => if (st.s1 < 0) st = st.copy(s1 = us)
-              case 1L => if (st.s2 < 0 && st.s1 >= 0) st = st.copy(s2 = us)
-              case _ => if (st.s3 < 0 && st.s2 >= 0) st = st.copy(s3 = us)
+              case 1L =>
+                if (st.s2 < 0 && st.s1 >= 0 && us >= st.s1) st = st.copy(s2 = us)
+              case _ =>
+                if (st.s3 < 0 && st.s2 >= 0 && us >= st.s2) st = st.copy(s3 = us)
             }
             i += 1
           }

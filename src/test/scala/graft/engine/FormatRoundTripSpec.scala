@@ -61,10 +61,17 @@ class FormatRoundTripSpec extends SparkTestBase {
     val srcDir = tmpDir("src-jloss") + "/t"
     val session = "20240101_000000"
     // `gone` has real values; `ghost` is all-null (json omits it
-    // entirely — legitimate)
+    // entirely — legitimate); `note`'s VALUE is the string "gone" on
+    // every row — after the vandalism each line still contains the
+    // quoted column name, but only in value position
+    // (`"note":"gone"`). A substring probe would read that as "the
+    // column is in the file, the sample just missed it" and demote
+    // data loss to the benign path; the key-position probe
+    // (`"gone"\s*:`) must not be fooled.
     Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L))
       .toDF("id", "gone", "n")
       .withColumn("ghost", lit(null).cast("string"))
+      .withColumn("note", lit("gone"))
       .write.parquet(srcDir)
     Exporter.exportTable(spark, cat,
       Exporter.ExportSpec("t", srcDir, format = "json"), session, root)

@@ -200,6 +200,53 @@ class ZoneMapSpec extends SparkTestBase {
     assert(pr.count() == spark.read.parquet(dir).count())
   }
 
+  test("nothing-indexable files get a sentinel row; update is a no-op " +
+    "when current and stays parity under sentinel growth") {
+    import spark.implicits._
+    val dir = tmpDir("zm-sentinel") + "/t"
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      .coalesce(1).write.parquet(dir)
+    // a file whose only indexed column is string-typed: no numeric
+    // stats → zero real entries → must still join the manifest via
+    // the sentinel, or update() re-reads its footer forever
+    Seq(("a", "x")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val cols = Seq("v")
+    ZoneMap.write(spark, dir, cols)
+    val side = spark.read.parquet(dir + "/_zonemap")
+    val sentinels = side
+      .filter(col("column") === ZoneMap.SentinelColumn).collect()
+    assert(sentinels.length == 1,
+      s"expected exactly one sentinel row: ${side.collect().toSeq}")
+    // an up-to-date manifest must not be rewritten: the sidecar's
+    // part files keep their names (a rewrite would mint new ones)
+    def sidecarParts() = new java.io.File(dir + "/_zonemap").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    val partsBefore = sidecarParts()
+    ZoneMap.update(spark, dir, cols)
+    assert(sidecarParts() == partsBefore,
+      "no-change update rewrote the sidecar (sentinel file treated " +
+        "as fresh — O(delta) degraded)")
+    // grow by another nothing-indexable file: update == rebuild,
+    // sentinels included
+    Seq(("b", "y")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    ZoneMap.update(spark, dir, cols)
+    val updated = spark.read.parquet(dir + "/_zonemap")
+      .as[ZoneMap.Entry](org.apache.spark.sql.Encoders.product[ZoneMap.Entry])
+      .collect().toSet
+    assert(updated == ZoneMap.entries(spark, dir, cols).toSet,
+      "update diverged from rebuild once sentinels were involved")
+    // pruning semantics: sentinel files have no stats for v — they
+    // must stay in the must-read set no matter the range
+    val all = updated.map(_.file).toSeq.sorted
+    val kept = ZoneMap.pruneFiles(
+      spark.read.parquet(dir + "/_zonemap"), all, "v", 100.0, 200.0)
+    assert(kept.toSet == updated
+      .filter(_.column == ZoneMap.SentinelColumn).map(_.file),
+      "sentinel files must remain unknown ⇒ must-read for real columns")
+  }
+
   test("sidecar write round-trips and is invisible to data readers") {
     val dir = tmpDir("zm") + "/t4"
     writeSorted(dir)

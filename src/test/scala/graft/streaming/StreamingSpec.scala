@@ -213,6 +213,64 @@ class StreamingSpec extends SparkTestBase {
       s"stream=${got.collect().toSeq} batch=${expected.collect().toSeq}")
   }
 
+  test("funnel never emits negative stage latency across triggers") {
+    import spark.implicits._
+    // Two files = two micro-batches (maxFilesPerTrigger=1). A click
+    // (user 7) / purchase (user 9) straggling into trigger 2 with a
+    // timestamp BEFORE the already-set prior stage must be dropped —
+    // the batch contract ("first click at-or-after first view") can
+    // never produce s2 < s1 or s3 < s2, so neither may the stream.
+    // User 8's later click is the control: legitimate advancement
+    // across triggers still works.
+    val dir = tmpDir("stream-funnel-late")
+    def rows(xs: (Long, Long, Long, String)*) =
+      xs.map { case (id, us, u, t) => (id, us * 1000L, u, t, 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows((1L, 100L, 7L, "view"), (2L, 100L, 8L, "view"),
+        (3L, 10L, 9L, "view"), (4L, 20L, 9L, "click"))
+      .coalesce(1).write.parquet(dir + "/batch1")
+    rows((5L, 50L, 7L, "click"), (6L, 150L, 8L, "click"),
+        (7L, 15L, 9L, "purchase"))
+      .coalesce(1).write.parquet(dir + "/batch2")
+    // the file source does not recurse: flatten the two batches into
+    // one listing (copy order fixes modification-time order, so
+    // batch1 IS trigger 1)
+    val flat = tmpDir("stream-funnel-late-flat")
+    Seq("batch1", "batch2").zipWithIndex.foreach { case (b, i) =>
+      val f = new java.io.File(dir + "/" + b).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val copied = java.nio.file.Paths.get(flat, f"part-$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, copied)
+      // the source orders files by modification time — make it
+      // unambiguous (copies can land in the same clock tick)
+      copied.toFile.setLastModified(System.currentTimeMillis()
+        - 60000L + i * 30000L)
+    }
+    val q = StreamingOps.runToCompletion(spark,
+      StreamingOps.funnel(spark, StreamingOps.readEvents(spark, flat)),
+      "stream_funnel_late",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    q.stop()
+    val emitted = spark.table("stream_funnel_late")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+    info(s"emitted: ${emitted.toSeq.sortBy(_._1)}")
+    emitted.foreach { case (u, s1, s2, s3) =>
+      for (a <- s1; b <- s2) assert(b >= a, s"user $u: s2 $b < s1 $a")
+      for (b <- s2; c <- s3) assert(c >= b, s"user $u: s3 $c < s2 $b")
+    }
+    def finalOf(u: Long) = {
+      val e = emitted.filter(_._1 == u)
+      (e.flatMap(_._2).maxOption, e.flatMap(_._3).maxOption,
+        e.flatMap(_._4).maxOption)
+    }
+    assert(finalOf(7L) == (Some(100L), None, None),
+      "user 7's pre-view click must be dropped")
+    assert(finalOf(8L) == (Some(100L), Some(150L), None),
+      "user 8's later click must still advance")
+    assert(finalOf(9L) == (Some(10L), Some(20L), None),
+      "user 9's pre-click purchase must be dropped")
+  }
+
   test("sharded streaming KMV sketches merge to exactly the batch sketch") {
     import spark.implicits._
     val stream = StreamingOps.readEvents(spark, eventsDir)
