@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.functions.col
 
 /** As-of join as a WHOLE-OPERATOR extension — tier (c) of SURVEY.md
@@ -77,6 +78,17 @@ final case class AsofJoinExec(leftKeys: Seq[Expression],
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  // built-in joins surface numOutputRows in the SQL UI; a custom
+  // operator that doesn't is invisible in exactly the tool an engineer
+  // debugs a slow 100 TB join with. numMatchedRows additionally
+  // separates "joined" from "left row passed through with nulls" — the
+  // match-rate is the first question an as-of enrichment audit asks.
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of matched left rows"))
+
   // co-clustering contract, verbatim from ShuffledJoin: two
   // ClusteredDistributions that EnsureRequirements reconciles into
   // compatible HashPartitionings (and AQE may re-plan)
@@ -101,6 +113,8 @@ final case class AsofJoinExec(leftKeys: Seq[Expression],
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val rightWidth = right.output.size
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
@@ -116,6 +130,7 @@ final case class AsofJoinExec(leftKeys: Seq[Expression],
       var lastMatch: InternalRow = null
       var lastMatchKey: UnsafeRow = null
       lIter.map { l =>
+        numOutputRows += 1
         val lk = lKeyProj(l)
         val lt = lTimeProj(l)
         if (lk.anyNull || lt.isNullAt(0)) resultProj(joined(l, nullRight))
@@ -142,6 +157,7 @@ final case class AsofJoinExec(leftKeys: Seq[Expression],
           }
           val matched = lastMatch != null &&
             keyOrd.compare(lastMatchKey, lk) == 0
+          if (matched) numMatchedRows += 1
           resultProj(joined(l, if (matched) lastMatch else nullRight))
         }
       }

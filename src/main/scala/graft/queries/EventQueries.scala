@@ -39,8 +39,12 @@ object EventQueries {
       * shuffle (groupBy user) — each user's events are collected,
       * sorted by (ts, stage) so a same-microsecond later stage still
       * qualifies (ties resolve stage-ascending, matching the oracle's
-      * `>=`), and folded by a codegen'd `aggregate` lambda with O(1)
-      * state. No self-joins: the composed-SQL form needs three (one
+      * `>=`), and folded by an `aggregate` lambda with O(1) state.
+      * The lambda runs INTERPRETED — Spark 4 does not codegen
+      * higher-order-function lambdas (DESIGN.md's HOF cost model) —
+      * but stays cheap because every term is a bound struct-field
+      * reference (no re-evaluated subexpressions) and the fold's
+      * state is four longs. No self-joins: the composed-SQL form needs three (one
       * per stage), each a shuffle at 100 TB. Per-user memory is that
       * user's funnel-event list — the same bound as any
       * sessionization — and sums stay in exact integer micros (no

@@ -29,6 +29,30 @@ class AsofJoinSpec extends SparkTestBase {
     assert(got("t5") == ((None, None))) // key absent on the right
   }
 
+  test("exec node reports numOutputRows / numMatchedRows SQL metrics") {
+    val df = Asof.join(trades, quotes, Seq("sym"), Seq("qsym"), "t", "qt")
+    df.collect()
+    // AQE hides its final plan behind leaf wrapper nodes — unwrap them
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[AsofJoinExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        find(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(s.plan)
+      case e: AsofJoinExec => e +: p.children.flatMap(find)
+      case _ => p.children.flatMap(find)
+    }
+    val execs = find(df.queryExecution.executedPlan)
+    assert(execs.nonEmpty, "AsofJoinExec missing from the executed plan")
+    val m = execs.head.metrics
+    // 5 left rows pass through; 3 find a match (t1, t2, t3) — t4's
+    // quote is later, t5's key never quotes
+    assert(m("numOutputRows").value == 5L,
+      s"numOutputRows = ${m("numOutputRows").value}")
+    assert(m("numMatchedRows").value == 3L,
+      s"numMatchedRows = ${m("numMatchedRows").value}")
+  }
+
   test("null keys and null times never match, on either side") {
     val l = Seq((Some("k"), Some(10L), "a"), (None, Some(10L), "b"),
       (Some("k"), None, "c")).toDF("k", "t", "row")
