@@ -10,15 +10,18 @@ import org.apache.spark.sql.functions._
   * The IMAGE path is a real decode: payloads whose magic bytes say
   * PNG/BMP/JPEG/GIF go through `javax.imageio` (pure JDK, headless),
   * so width/height are genuine pixel dimensions and resize genuinely
-  * rescales pixels. Non-image payloads (the text corpus posing as
-  * media, audio/video containers this JDK can't demux) fall back to
-  * deterministic byte-derived features — that fallback, and the
-  * fixed-stride pseudo-frame splitter in [[sampleFrames]] (a real
-  * demuxer finds frame boundaries), are the only remaining stand-ins,
-  * and both are labeled at their definition. The schema, the typed
-  * Dataset boundary, the batched partition iteration, and the
-  * partitioning story are identical for both paths: swapping the
-  * fallback for a JNI/ffmpeg call changes no plan shape.
+  * rescales pixels. The AUDIO path is real too: WAV/AIFF/AU payloads
+  * go through `javax.sound.sampled` (also pure JDK), so sample rate,
+  * channel count, PCM frame count and duration are genuine, and
+  * [[sampleFrames]] splits the DECODED PCM stream at true frame
+  * boundaries. Remaining stand-ins — the byte-derived fallback for
+  * payloads that are neither (the text corpus posing as media, video
+  * containers this JDK can't demux) and the fixed-stride pseudo-frame
+  * splitter for those same opaque payloads — are labeled at their
+  * definition. The schema, the typed Dataset boundary, the batched
+  * partition iteration, and the partitioning story are identical for
+  * every path: swapping the fallback for a JNI/ffmpeg call changes no
+  * plan shape.
   *
   * Scale notes: feature extraction is a narrow map (no shuffle); the
   * batch loop amortizes per-batch setup (a real decoder's native
@@ -33,9 +36,16 @@ object Multimodal {
 
   final case class MediaAsset(doc_id: Long, mime: String,
                               payload: Array[Byte])
+  /** Per-modality features; fields outside a payload's modality are 0
+    * (width/height for audio, sample_rate/n_channels/duration_ms for
+    * images and opaque payloads) — a sparse-but-flat schema, so
+    * modality predicates (`sample_rate > 0`) stay pushdown-able
+    * columns instead of a map lookup.
+    */
   final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
                                  digest: String, width: Int, height: Int,
-                                 n_frames: Int)
+                                 n_frames: Int, sample_rate: Int,
+                                 n_channels: Int, duration_ms: Long)
 
   /** Wrap documents as binary media assets (text bytes standing in for
     * encoded media — the corpus has no real images; the binary column
@@ -84,20 +94,74 @@ object Multimodal {
       catch { case scala.util.control.NonFatal(_) => None }
     }
 
-  /** Bytes → (width, height, n_frames). Real pixel dimensions for
-    * image payloads via `javax.imageio`; for opaque payloads a
-    * deterministic byte-derived stand-in (===== STUB for non-image
-    * media =====: a real pipeline demuxes audio/video here — this
-    * container has no such codecs, images are the real path).
+  /** Magic-byte sniff: is this an audio container the JDK's sampled
+    * API can decode? (WAV `RIFF…WAVE`, AIFF/AIFC `FORM…AIF?`, and Sun
+    * AU `.snd` ship with every JDK.) Same rationale as
+    * [[looksLikeImage]]: dispatch on magic, not mime, and the sniff
+    * is a 12-byte look, not a failed decode.
     */
-  def decode(payload: Array[Byte]): (Int, Int, Int) =
+  def looksLikeAudio(payload: Array[Byte]): Boolean =
+    payload.length >= 12 && {
+      def at(i: Int, s: String): Boolean =
+        s.indices.forall(k => (payload(i + k) & 0xff) == s.charAt(k))
+      (at(0, "RIFF") && at(8, "WAVE")) ||
+      (at(0, "FORM") && at(8, "AIF")) || // AIFF and AIFC
+      at(0, ".snd")
+    }
+
+  /** Decoded audio: genuine container-header facts plus the raw PCM
+    * stream. `frames` is the PCM frame count (one frame = one sample
+    * across all channels), `frameSize` its byte width — the real
+    * frame boundary [[sampleFrames]] splits at.
+    */
+  final case class AudioMeta(sampleRate: Int, channels: Int, frames: Long,
+                             frameSize: Int, durationMs: Long,
+                             pcm: Array[Byte])
+
+  /** Decode a payload via `javax.sound.sampled` when it IS audio;
+    * None otherwise. Fail-soft like [[decodeImage]]: corrupt bytes
+    * behind a valid audio magic fall back rather than poisoning the
+    * partition. The whole payload is already in memory, so reading
+    * the PCM out is a copy, not I/O.
+    */
+  private def decodeAudio(payload: Array[Byte]): Option[AudioMeta] =
+    if (!looksLikeAudio(payload)) None
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = ais.getFormat
+          val frames = ais.getFrameLength
+          val rate = math.round(f.getSampleRate)
+          val durationMs =
+            if (rate <= 0 || frames < 0) 0L else frames * 1000L / rate
+          Some(AudioMeta(rate, f.getChannels, math.max(frames, 0L),
+            math.max(f.getFrameSize, 1), durationMs, ais.readAllBytes()))
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Bytes → (width, height, n_frames, sample_rate, n_channels,
+    * duration_ms). Real pixel dimensions for image payloads
+    * (`javax.imageio`), real sample rate / channels / PCM frame count
+    * for audio payloads (`javax.sound.sampled`); for opaque payloads
+    * a deterministic byte-derived stand-in (===== STUB for non-image,
+    * non-audio media =====: a real pipeline demuxes video here — this
+    * container has no video codecs; images and audio are real paths).
+    */
+  def decode(payload: Array[Byte]): (Int, Int, Int, Int, Int, Long) =
     decodeImage(payload) match {
-      case Some(img) => (img.getWidth, img.getHeight, 1)
-      case None =>
-        val n = payload.length.toLong
-        val width = (64 + n % 960).toInt
-        val height = (64 + (n * 31) % 960).toInt
-        (width, height, 1)
+      case Some(img) => (img.getWidth, img.getHeight, 1, 0, 0, 0L)
+      case None => decodeAudio(payload) match {
+        case Some(a) =>
+          (0, 0, a.frames.min(Int.MaxValue).toInt, a.sampleRate,
+            a.channels, a.durationMs)
+        case None =>
+          val n = payload.length.toLong
+          val width = (64 + n % 960).toInt
+          val height = (64 + (n * 31) % 960).toInt
+          (width, height, 1, 0, 0, 0L)
+      }
     }
 
   private def md5Hex(bytes: Array[Byte]): String = {
@@ -108,13 +172,17 @@ object Multimodal {
   final case class FrameSample(doc_id: Long, frame_idx: Int,
                                n_frame_bytes: Long, frame_digest: String)
 
-  /** Frame sampling for "video" payloads: split the byte stream into
-    * fixed-size pseudo-frames (===== STUB =====: a real demuxer finds
-    * frame boundaries; the fake uses fixed strides) and keep every
-    * k-th frame. Same batched-partition shape as [[extractFeatures]] —
-    * at scale each task samples its own partition's payloads, no
-    * shuffle, and the sampled frames are a `sampleEvery`-fold
-    * reduction before anything heavy (a model, a resize) runs.
+  /** Frame sampling: keep every k-th frame of the payload's stream.
+    * AUDIO payloads split for real — the DECODED PCM stream is chunked
+    * at true frame boundaries (the largest multiple of the format's
+    * frame size ≤ `frameBytes`, so a chunk never bisects a sample
+    * across channels). Opaque "video" payloads split at fixed byte
+    * strides (===== STUB for video =====: a real demuxer finds frame
+    * boundaries; this JDK has no video codecs). Same batched-partition
+    * shape as [[extractFeatures]] — at scale each task samples its own
+    * partition's payloads, no shuffle, and the sampled frames are a
+    * `sampleEvery`-fold reduction before anything heavy (a model, a
+    * resize) runs.
     */
   def sampleFrames(spark: SparkSession, assets: DataFrame,
                    frameBytes: Int = 64,
@@ -122,8 +190,12 @@ object Multimodal {
     import spark.implicits._
     assets.as[MediaAsset].mapPartitions { it =>
       it.flatMap { a =>
-        val frames = a.payload.grouped(frameBytes).zipWithIndex
-        frames.collect {
+        val (stream, chunk) = decodeAudio(a.payload) match {
+          case Some(au) =>
+            (au.pcm, math.max(frameBytes / au.frameSize, 1) * au.frameSize)
+          case None => (a.payload, frameBytes)
+        }
+        stream.grouped(chunk).zipWithIndex.collect {
           case (bytes, idx) if idx % sampleEvery == 0 =>
             FrameSample(a.doc_id, idx, bytes.length.toLong, md5Hex(bytes))
         }
@@ -202,9 +274,9 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         // per-batch decoder setup would go here (native context, model)
         batch.iterator.map { a =>
-          val (w, h, f) = decode(a.payload)
+          val (w, h, f, rate, ch, ms) = decode(a.payload)
           MediaFeatures(a.doc_id, a.mime, a.payload.length.toLong,
-            md5Hex(a.payload), w, h, f)
+            md5Hex(a.payload), w, h, f, rate, ch, ms)
         }
       }
     }

@@ -375,6 +375,9 @@ object SimilarityQueries {
         |  md5(text) AS digest,
         |  CAST(64 + octet_length(encode(text)) % 960 AS INT) AS width,
         |  CAST(64 + (octet_length(encode(text)) * 31) % 960 AS INT) AS height,
-        |  1 AS n_frames
+        |  1 AS n_frames,
+        |  CAST(0 AS INT) AS sample_rate,
+        |  CAST(0 AS INT) AS n_channels,
+        |  CAST(0 AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin)
 }

@@ -311,6 +311,71 @@ class SimilaritySpec extends SparkTestBase {
       "local edit should stay within a few dHash bits")
   }
 
+  test("real audio payloads decode genuinely: WAV/AIFF rate, channels, " +
+    "duration, PCM-frame-aligned sampling") {
+    import spark.implicits._
+    def pcmBytes(nFrames: Int, frameSize: Int): Array[Byte] =
+      Array.tabulate(nFrames * frameSize)(i => (i * 31 % 251).toByte)
+    def enc(tpe: javax.sound.sampled.AudioFileFormat.Type, rate: Float,
+            bits: Int, channels: Int, nFrames: Int,
+            bigEndian: Boolean): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, bits, channels,
+        true, bigEndian)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmBytes(nFrames, fmt.getFrameSize)),
+        fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    import javax.sound.sampled.AudioFileFormat.Type.{AIFF, WAVE}
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "audio/wav",
+        enc(WAVE, 8000f, 16, 2, 1024, bigEndian = false)),
+      Multimodal.MediaAsset(2L, "audio/aiff",
+        enc(AIFF, 44100f, 16, 1, 4410, bigEndian = true)),
+      Multimodal.MediaAsset(3L, "audio/wav", // odd frame size: 24-bit mono
+        enc(WAVE, 16000f, 24, 1, 300, bigEndian = false)),
+      Multimodal.MediaAsset(4L, "application/octet-stream",
+        "not audio".getBytes("UTF-8"))).toDS().toDF()
+    val feats = Multimodal.extractFeatures(spark, assets).collect()
+      .map(f => f.doc_id -> f).toMap
+    // genuine container-header facts, not byte-derived stand-ins
+    assert(feats(1L).sample_rate == 8000 && feats(1L).n_channels == 2 &&
+      feats(1L).n_frames == 1024 &&
+      feats(1L).duration_ms == 1024L * 1000 / 8000, s"${feats(1L)}")
+    assert(feats(2L).sample_rate == 44100 && feats(2L).n_channels == 1 &&
+      feats(2L).n_frames == 4410 && feats(2L).duration_ms == 100L,
+      s"${feats(2L)}")
+    assert(feats(3L).sample_rate == 16000 && feats(3L).n_frames == 300,
+      s"${feats(3L)}")
+    // audio has no pixel dims; opaque payloads keep the old fallback
+    assert(feats(1L).width == 0 && feats(1L).height == 0)
+    assert(feats(4L).sample_rate == 0 && feats(4L).n_frames == 1 &&
+      feats(4L).width == (64 + 9 % 960))
+
+    // frame sampling splits the DECODED PCM at true frame boundaries:
+    // 16-bit stereo → frameSize 4, so 64-byte chunks hold exactly 16
+    // PCM frames; 1024 frames → 64 chunks, every 4th kept → 16 rows
+    val stereo = Multimodal.sampleFrames(spark,
+      assets.filter($"doc_id" === 1L)).collect().sortBy(_.frame_idx)
+    assert(stereo.length == 16, s"${stereo.length}")
+    assert(stereo.forall(_.n_frame_bytes == 64))
+    // digest of chunk 0 == md5 of the first 64 PCM bytes — the WAV
+    // container header must NOT leak into frame data
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val exp = md.digest(pcmBytes(1024, 4).take(64))
+      .map("%02x".format(_)).mkString
+    assert(stereo.head.frame_digest == exp, "frame 0 is not pure PCM")
+    // 24-bit mono → frameSize 3: chunks shrink to 63 bytes (21 frames)
+    // so no chunk ever bisects a sample; 900 PCM bytes → 15 chunks,
+    // idx 0,4,8,12 kept
+    val mono24 = Multimodal.sampleFrames(spark,
+      assets.filter($"doc_id" === 3L)).collect().sortBy(_.frame_idx)
+    assert(mono24.map(_.frame_idx).toSeq == Seq(0, 4, 8, 12), s"${mono24.toSeq}")
+    assert(mono24.take(3).forall(_.n_frame_bytes == 63))
+  }
+
   test("multimodal resize bounds output size and is deterministic") {
     val docs = Tables.documents(spark, sf0001)
     val assets = Multimodal.asAssets(docs)
