@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   *  - simhash: one 60-bit fingerprint per doc; banded self-join is
   *    EXACT for Hamming ≤ 3 (pigeonhole over 4 bands) — no verify
   *    pass needed at that radius.
+  *
+  * Corpus growth is O(delta), not a recompute: see the incremental
+  * signature-maintenance block ([[writeSignatures]] /
+  * [[updateSignatures]] / [[updatePairs]]).
   */
 object Dedup {
 
@@ -341,22 +345,93 @@ object Dedup {
     // recomputing shingle → hash → 16-way min agg per side
     val sigs = minhashSignatures(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band key = xxhash64 over (band index, the band's signature
-    // minima): an 8-byte join key instead of a concat string. The key
-    // never surfaces in output — only pair identities — so the oracle
-    // keeps its concat form and agreement is modulo a ~2^-64 collision
-    // (same class as the shingle keys). Band index inside the hash
-    // keeps different bands' buckets disjoint without a second column.
-    val bandCols = (0 until NumBands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-      xxhash64(lit(b) +: rows: _*)
-    }
-    val banded = sigs.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("key"))
+    val banded = bandedKeys(sigs)
     banded.as("a").join(banded.as("b"),
         col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** `(doc_id, key)` banding rows of a signature table. Band key =
+    * xxhash64 over (band index, the band's signature minima): an
+    * 8-byte join key instead of a concat string. The key never
+    * surfaces in output — only pair identities — so the d03 oracle
+    * keeps its concat form and agreement is modulo a ~2^-64 collision
+    * (same class as the shingle keys). Band index inside the hash
+    * keeps different bands' buckets disjoint without a second column.
+    */
+  private def bandedKeys(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until NumBands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      xxhash64(lit(b) +: rows: _*)
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("key"))
+  }
+
+  // ---- incremental signature maintenance ----------------------------
+  //
+  // The export side of the pipeline is O(delta) (StreamingBackup,
+  // ZoneMap.update, Rollup); these three members make the dedup side
+  // match: signatures persist as an ordinary parquet table, corpus
+  // growth computes signatures for the NEW documents only, and the
+  // candidate join emits only pairs with a new member — never
+  // re-pairing the old corpus against itself. A signature row is a
+  // pure function of its document (k universal-hash minima), so
+  // delta-computed rows are identical to what a full rebuild would
+  // produce — the ZoneMap.update == rebuild contract, spec-pinned in
+  // DedupSpec. At 100 TB the store is k longs per doc (~128 B), read
+  // once per delta; the delta side is small, so AQE turns the
+  // new-vs-all band join into a broadcast join automatically.
+
+  /** Bootstrap the persisted signature store: full-corpus signatures,
+    * overwriting anything at `path`.
+    */
+  def writeSignatures(docs: DataFrame, path: String, n: Int = 3): Unit =
+    minhashSignatures(docs, n).write.mode("overwrite").parquet(path)
+
+  /** Read the signature store. Appends are made idempotent HERE, not
+    * at write time: a retried [[updateSignatures]] may leave duplicate
+    * rows (parquet append has no cross-attempt atomicity), but a doc's
+    * signature is a pure function of its text, so duplicates are
+    * bit-identical and a keyed drop restores exactly-once semantics —
+    * the append-log + fold-at-read idiom of BackupCatalog, with a
+    * trivial fold.
+    */
+  def readSignatures(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    spark.read.parquet(path).dropDuplicates("doc_id")
+
+  /** O(delta) signature upkeep: compute signatures for `newDocs` ONLY
+    * and append them to the store. The old corpus is never re-read,
+    * let alone re-shingled.
+    */
+  def updateSignatures(newDocs: DataFrame, path: String, n: Int = 3): Unit =
+    minhashSignatures(newDocs, n).write.mode("append").parquet(path)
+
+  /** Candidate pairs introduced by a corpus delta: appends `newDocs`'
+    * signatures to the store ([[updateSignatures]]), then bands the
+    * delta against the WHOLE store (old ∪ new) and emits pairs with at
+    * least one new member. Old-vs-old pairs were emitted by earlier
+    * invocations and never recompute; new-vs-new pairs orient through
+    * least/greatest so each surfaces once. Union of this result over
+    * every delta == [[minhashCandidates]] of the grown corpus
+    * (spec-pinned), assuming doc_ids never recur across deltas.
+    */
+  def updatePairs(newDocs: DataFrame, path: String, n: Int = 3): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSigs = minhashSignatures(newDocs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newSigs.write.mode("append").parquet(path)
+    // the store read includes the rows just appended — banding the
+    // delta against it covers new-vs-old AND new-vs-new in one join
+    val allBanded = bandedKeys(readSignatures(spark, path))
+    val newBanded = bandedKeys(newSigs)
+    allBanded.as("a").join(newBanded.as("b"),
+        col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
   }
 

@@ -125,6 +125,53 @@ class DedupSpec extends SparkTestBase {
     assert(dupGroups.filter($"keep_id" >= 1000).isEmpty)
   }
 
+  test("incremental signatures: delta-maintained pairs == full recompute " +
+    "on a grown corpus") {
+    import spark.implicits._
+    // base corpus = first 200 docs; delta = the rest PLUS planted
+    // near-copies of base docs (tail-token edit), so the delta's new
+    // pairs genuinely cross the base/delta boundary
+    val all = docs.select("doc_id", "text")
+    val base = all.filter($"doc_id" < 200)
+    val planted = base.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"),
+        concat($"text", lit(" tail")).as("text"))
+    val delta = all.filter($"doc_id" >= 200).unionByName(planted)
+    val grown = base.unionByName(delta)
+
+    val store = tmpDir("sigstore")
+    Dedup.writeSignatures(base, store)
+    val basePairs = Dedup.minhashCandidates(base)
+      .as[(Long, Long)].collect().toSet
+    val deltaPairs = Dedup.updatePairs(delta, store)
+      .as[(Long, Long)].collect().toSet
+    val fullPairs = Dedup.minhashCandidates(grown)
+      .as[(Long, Long)].collect().toSet
+
+    // the delta path found the planted cross-boundary dups at all
+    assert(deltaPairs.exists { case (a, b) => b - a == 100000L },
+      "no planted base-vs-delta pair surfaced")
+    // old pairs never recompute; delta emits ONLY pairs with a new member
+    val newIds = delta.select("doc_id").as[Long].collect().toSet
+    assert(deltaPairs.forall { case (a, b) =>
+      newIds.contains(a) || newIds.contains(b) },
+      "delta emitted an old-vs-old pair")
+    // THE contract: union over deltas == full recompute
+    assert((basePairs ++ deltaPairs) == fullPairs,
+      s"delta-maintained ${basePairs.size}+${deltaPairs.size} != " +
+        s"full ${fullPairs.size}")
+
+    // store contents == full-rebuild signatures (ZoneMap.update ==
+    // rebuild, applied to d03), and a RETRIED append folds away at read
+    Dedup.updateSignatures(planted, store) // duplicate append
+    val viaStore = Dedup.readSignatures(spark, store)
+      .collect().map(_.toSeq).toSet
+    val rebuild = Dedup.minhashSignatures(grown)
+      .collect().map(_.toSeq).toSet
+    assert(viaStore == rebuild,
+      "incrementally-maintained store diverged from a full rebuild")
+  }
+
   test("rolling hash is stable and order-sensitive") {
     val h1 = TextAnalysis.rollingHash("the quick brown fox")
     assert(h1 == TextAnalysis.rollingHash("the quick brown fox"))
