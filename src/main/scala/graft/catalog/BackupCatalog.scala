@@ -62,16 +62,20 @@ final class BackupCatalog(spark: SparkSession, root: String,
     spark.createDataset(rows)
   }
 
-  /** Crash recovery for the endInfo swap: if a crash left the catalog
-    * with sessions__old (the previous copy) but no sessions dir, the
-    * old copy is the truth — restore it before any read or write.
+  /** Crash recovery for a compaction swap: if a crash left a store
+    * with `<dir>__old` (the previous copy) but no live dir, the old
+    * copy is the truth — restore it before any read or write. All
+    * three append logs compact through the same swap, so all three
+    * are checked.
     */
   private def recoverIfNeeded(): Unit = {
     val f = fs(root)
-    val (pSess, pOld) = (new Path(sessionsDir), new Path(s"$root/sessions__old"))
-    if (!f.exists(pSess) && f.exists(pOld)) {
-      require(f.rename(pOld, pSess),
-        s"catalog recovery failed: cannot restore $pOld to $pSess")
+    Seq(sessionsDir, tablesDir, descsDir).foreach { dir =>
+      val (p, pOld) = (new Path(dir), new Path(dir + "__old"))
+      if (!f.exists(p) && f.exists(pOld)) {
+        require(f.rename(pOld, p),
+          s"catalog recovery failed: cannot restore $pOld to $p")
+      }
     }
   }
 
@@ -154,33 +158,61 @@ final class BackupCatalog(spark: SparkSession, root: String,
     }
   }
 
-  /** Fold the append log back to one row per session. The rewrite goes
+  /** Fold a compacted copy of a store into place. The rewrite goes
     * through a temp dir + two renames so a crash can lose at most the
     * in-flight fold, never the existing catalog (a plain Overwrite
-    * deletes-then-writes, leaving a destroyed sessions dir if killed
+    * deletes-then-writes, leaving a destroyed store dir if killed
     * mid-way — fatal for a catalog whose whole job is surviving
-    * crashed runs).
+    * crashed runs). `writeCompacted` receives the temp path; every
+    * rename is checked, and [[recoverIfNeeded]] restores `<dir>__old`
+    * if a crash lands between the renames.
     */
-  private def compactSessions(): Unit = {
-    val resolved = resolveSessions(
-      readOrEmpty[BackupSession](sessionsDir).collect().toSeq)
-    val tmp = s"$root/sessions__tmp"
-    val old = s"$root/sessions__old"
-    resolved.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+  private def swapCompacted(dir: String)(
+      writeCompacted: String => Unit): Unit = {
+    val tmp = dir + "__tmp"
+    writeCompacted(tmp)
     val f = fs(root)
-    val (pSess, pTmp, pOld) = (new Path(sessionsDir), new Path(tmp), new Path(old))
-    // swap protocol, every rename checked; recovery (recoverIfNeeded)
-    // restores sessions__old if a crash lands between the renames
+    val (pDir, pTmp, pOld) =
+      (new Path(dir), new Path(tmp), new Path(dir + "__old"))
     if (f.exists(pOld)) require(f.delete(pOld, true), s"cannot clear $pOld")
-    if (f.exists(pSess))
-      require(f.rename(pSess, pOld), s"cannot stage $pSess to $pOld")
-    if (!f.rename(pTmp, pSess)) {
-      // roll back so the catalog is never left without a sessions dir
-      if (f.exists(pOld)) f.rename(pOld, pSess)
-      throw new IllegalStateException(s"cannot swap $pTmp into $pSess")
+    if (f.exists(pDir))
+      require(f.rename(pDir, pOld), s"cannot stage $pDir to $pOld")
+    if (!f.rename(pTmp, pDir)) {
+      // roll back so the catalog is never left without a live dir
+      if (f.exists(pOld)) f.rename(pOld, pDir)
+      throw new IllegalStateException(s"cannot swap $pTmp into $pDir")
     }
     f.delete(pOld, true) // old copy only removed after a complete swap
   }
+
+  /** Fold the sessions log back to one row per session. */
+  private def compactSessions(): Unit =
+    swapCompacted(sessionsDir) { tmp =>
+      resolveSessions(readOrEmpty[BackupSession](sessionsDir)
+          .collect().toSeq)
+        .toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+
+  /** Fold the tables/descriptors logs to one part file each, dropping
+    * the bit-identical duplicate rows a retried record op can append
+    * (the keyed dedup [[columnDescriptorRows]] does at read, applied
+    * once at rest). Unlike sessions there is no LWW resolution —
+    * table records are immutable facts — so the fold is distinct +
+    * coalesce; the win is small-file accretion: without it a
+    * high-session-count catalog accretes one part-file set per
+    * recorded table forever.
+    */
+  private def compactTables(): Unit =
+    swapCompacted(tablesDir) { tmp =>
+      readOrEmpty[TableRecord](tablesDir).collect().toSeq.distinct
+        .toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+
+  private def compactDescriptors(): Unit =
+    swapCompacted(descsDir) { tmp =>
+      readOrEmpty[ColumnDescriptor](descsDir).collect().toSeq.distinct
+        .toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
 
   /** Per-table record, export side (mysql.rb:154-190). Descriptors
     * land FIRST and the table row — the row `exists()` and every
@@ -195,12 +227,24 @@ final class BackupCatalog(spark: SparkSession, root: String,
     if (descs.nonEmpty)
       descs.toDS().write.mode(SaveMode.Append).parquet(descsDir)
     Seq(t).toDS().write.mode(SaveMode.Append).parquet(tablesDir)
+    compactIfAccreted()
   }
 
   /** Per-table record, import side (mysql.rb:200-215). */
   def importedTableInfo(t: TableRecord): Unit = synchronized {
     require(t.mode == "import", s"mode=${t.mode}")
     Seq(t).toDS().write.mode(SaveMode.Append).parquet(tablesDir)
+    compactIfAccreted()
+  }
+
+  /** Threshold compaction for the append-only record logs — the same
+    * upkeep [[endInfo]] runs for sessions, so tables/descriptors reads
+    * stay bounded at high session counts instead of listing one
+    * part-file set per recorded table forever.
+    */
+  private def compactIfAccreted(): Unit = {
+    if (dataFileCount(tablesDir) > compactAfterFiles) compactTables()
+    if (dataFileCount(descsDir) > compactAfterFiles) compactDescriptors()
   }
 
   // ---- reads: delegate to the shared CatalogOps logic ----

@@ -143,6 +143,50 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.sessions.collect().head.ended_at == 99L)
   }
 
+  test("tables/descriptors logs fold at the file threshold; duplicate " +
+    "descriptor appends dedupe at rest; reads identical") {
+    val root = tmpDir("graft-cat")
+    val cat = new BackupCatalog(spark, root, compactAfterFiles = 4)
+    def dataFiles(sub: String): Int = {
+      val d = new java.io.File(root, sub)
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    }
+    def desc(table: String, ord: Int) =
+      ColumnDescriptor("20240101_000000", table, ord, s"c$ord", "bigint",
+        nullable = true, 3, "SNAPPY", in_memory = false, block_cache = true,
+        ttl = 100L, blocksize = 65536L, bloomfilter = "NONE")
+    // a retried record op re-appends the SAME descriptor rows (the
+    // documented failure mode): compaction must fold them away at rest
+    cat.exportedTableInfo(rec("t0"), Seq(desc("t0", 0)))
+    cat.exportedTableInfo(rec("t0"), Seq(desc("t0", 0))) // retry
+    (1 to 10).foreach(i =>
+      cat.exportedTableInfo(rec(s"t$i"), Seq(desc(s"t$i", 0))))
+    cat.importedTableInfo(rec("t0").copy(mode = "import"))
+    // both logs stay BOUNDED by the threshold instead of accreting one
+    // part-file set per record (13 appends each would otherwise leave
+    // 13+ files); the fold runs as soon as a write crosses it
+    assert(dataFiles("tables") <= 4,
+      s"tables log not compacted: ${dataFiles("tables")} files")
+    assert(dataFiles("descriptors") <= 4,
+      s"descriptors log not compacted: ${dataFiles("descriptors")} files")
+    // reads identical after the fold: 11 distinct export records + the
+    // import record; the retried t0 append folded to one row
+    assert(cat.tables.count() == 12)
+    assert(cat.tables.filter(_.table_name == "t0").count() == 2) // exp+imp
+    assert(cat.descriptors.count() == 11)
+    assert(cat.columnDescriptorRows("20240101_000000", "t3") ==
+      Seq(desc("t3", 0)))
+    // crash between the two renames of the TABLES swap: recovery
+    // restores the old copy exactly like sessions
+    val f = new java.io.File(root)
+    assert(new java.io.File(f, "tables")
+      .renameTo(new java.io.File(f, "tables__old")))
+    assert(cat.tables.count() == 12)
+    assert(new java.io.File(f, "tables").exists())
+  }
+
   test("lastEndTime ignores error rows (A2)") {
     val cat = freshCat()
     cat.exportedTableInfo(rec("lineitem").copy(end_time = 500L), Nil)
