@@ -168,6 +168,30 @@ object Similarity {
       kSum.toDouble / LshPrime - 2.0
     }
 
+  /** Auto-sizing for the banding width: smallest `bits` ≥ 6 with
+    * 2^bits ≥ ⌈n / occupancy⌉, capped at 20 — the standard LSH sizing
+    * rule that holds expected bucket occupancy CONSTANT as the corpus
+    * grows. With fixed bits the in-bucket pair work of a self-join is
+    * O(n²/2^bits): the r6 scaling sweep measured d07 at 30× cost for
+    * 10× rows under fixed 6-bit buckets, vs ~linear once bits scale.
+    * Exact integer arithmetic (ceil-div then bit length), NOT float
+    * log2 — the oracle recomputes the same rule in SQL and a one-ulp
+    * disagreement at a power-of-two boundary would change the whole
+    * signature table.
+    */
+  private[graft] val LshTargetOccupancy = 32L
+  private[graft] val LshMaxBits = 20
+  private[graft] def autoBits(n: Long): Int = {
+    // overflow-free ceil-div (n + occ - 1 wraps negative at n near
+    // Long.MaxValue and would silently size a huge corpus at 6 bits)
+    val groups = math.max(1L, n / LshTargetOccupancy +
+      (if (n % LshTargetOccupancy > 0) 1L else 0L))
+    val width =
+      if (groups <= 1L) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(groups - 1)
+    math.min(LshMaxBits, math.max(6, width))
+  }
+
   /** (id, table, bucket) signature rows via a tight per-partition
     * loop. Expressing the L·m plane dot products as column expressions
     * plants thousands of literal nodes in the plan and chokes
@@ -207,8 +231,8 @@ object Similarity {
     * counterpart to sign-bit LSH: assign every vector to its nearest
     * coarse centroid once (narrow map over a broadcast centroid list),
     * then each query probes only the `nprobe` nearest centroids'
-    * posting lists. Centroids here are deterministic seeds (every
-    * (N/nlist)-th vector by id) — no RNG, no k-means iterations, so
+    * posting lists. Centroids here are deterministic seeds (a
+    * universal-hash sample by id) — no RNG, no k-means iterations, so
     * results are stable across runs and topologies. At 100 TB the
     * posting lists are a partitioned table bucketed by centroid id;
     * candidate generation is a bucket-pruned scan, not a join of the
@@ -216,15 +240,20 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
     // deterministic pseudo-random centroid sample: nlist smallest by
-    // (xxhash64(id), id) — a TakeOrdered (heap of nlist per partition,
-    // no global sort, no eager count), total-ordered so it is stable
-    // across runs, and independent of the id distribution (a modulo
-    // scheme returns zero centroids for e.g. all-odd snowflake ids)
+    // ([[centroidKey]], id) — a TakeOrdered (heap of nlist per
+    // partition, no global sort, no eager count), total-ordered so it
+    // is stable across runs, sensitive to all id bits (the mod-prime
+    // multiply, not a power-of-two modulus — a modulo scheme returns
+    // zero centroids for e.g. all-odd snowflake ids), and the SAME
+    // engine-portable arithmetic d09 shares with its oracle — which is
+    // what lets s03 be oracle-checked like d09/d07/s02
     val centroids = e
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(((col("vec_id") % CentroidPrime) * CentroidMult)
+          % CentroidPrime,
+        col("vec_id"))
       .limit(nlist)
       .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
 
@@ -289,7 +318,16 @@ object Similarity {
     * pairs sit at much higher cosine than top-k neighbors, so shorter
     * bucket keys with more independent tables drive the miss
     * probability of a true near-dup pair to ~0 (at cosine ≥ 0.99 a
-    * pair collides in ≥1 of 12 6-bit tables with p > 1 − 1e-7).
+    * pair collides in ≥1 of 12 6-bit tables with p > 1 − 1e-7; even
+    * at 20 bits the miss stays < 1e-3, so the auto-sizing below never
+    * trades recall for speed on true near-dups).
+    *
+    * `bits = 0` (the default) auto-sizes the banding width from a
+    * corpus count via [[autoBits]] — one metadata-cheap count job —
+    * so bucket occupancy stays constant as the corpus grows and the
+    * self-join's in-bucket pair work scales linearly instead of
+    * O(n²/2^bits). The oracle reproduces the same integer sizing
+    * rule, so the contract query stays oracle-checked at any sf.
     *
     * Cache lifetime: the signature table backs both self-join sides,
     * so it is persisted for the candidate join and unpersisted HERE —
@@ -301,11 +339,12 @@ object Similarity {
     * the CacheManager's sameResult plan matching.
     */
   def cosineDupPairsLsh(embeddings: DataFrame, threshold: Double,
-                        tables: Int = 12, bits: Int = 6,
+                        tables: Int = 12, bits: Int = 0,
                         dim: Int = 64): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
-    val sig = signatures(e, "vec_id", tables, bits, dim)
+    val b = if (bits > 0) bits else autoBits(e.count())
+    val sig = signatures(e, "vec_id", tables, b, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = sig.as("x").join(sig.as("y"),
         col("x.tbl") === col("y.tbl") &&
@@ -337,8 +376,8 @@ object Similarity {
     *  - centroid sample: the `nlist` rows ranked smallest by the
     *    universal-hash key ((vec_id mod p)·40503 mod p, vec_id) with
     *    p = 999983 prime — pure integer arithmetic any SQL engine
-    *    reproduces, unlike xxhash64 ([[ivfTopK]] can afford the better
-    *    hash because it is engine-only). Reducing mod an odd prime
+    *    reproduces, unlike xxhash64 ([[ivfTopK]] adopted the same key
+    *    in r6 for the same reason). Reducing mod an odd prime
     *    FIRST keeps the key sensitive to all id bits (a power-of-two
     *    modulus sees only low bits — constant across a snowflake id
     *    stream) and bounds the product at ~4·10¹⁰, so the arithmetic

@@ -73,9 +73,11 @@ object SimilarityQueries {
         Multimodal.asAssets(Tables.documents(s, d))).toDF()
     },
 
-    /** s03 — IVF ANN (engine-only): deterministic coarse centroids,
-      * nprobe-cell probing, exact re-rank. Recall/selectivity
-      * spec-tested; the scale story is the bucketed posting-list scan.
+    /** s03 — IVF ANN: deterministic coarse centroids (the d09
+      * mod-prime sample, so the oracle reproduces them), nprobe-cell
+      * probing, exact re-rank. Oracle-checked since r6;
+      * recall/selectivity stay spec-tested; the scale story is the
+      * bucketed posting-list scan.
       */
     "s03_ann_ivf" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -197,18 +199,25 @@ object SimilarityQueries {
     * each plane component as (Σk)/p − 2.0 (one exact integer sum, two
     * IEEE ops — bit-identical to the Scala side), then fold sign bits
     * into per-(vec, table) buckets. Assumes a CTE `e(vec_id, emb)`
-    * with emb already DOUBLE[].
+    * with emb already DOUBLE[]. `bitsSql` is any scalar expression —
+    * a literal for s02's fixed width, the [[Similarity.autoBits]]
+    * integer sizing rule (ceil-div to groups, bit length via bin(),
+    * clamp to [6,20] — range() can't take a subquery bound, so bits
+    * generate to the cap and filter) for d07's occupancy-constant
+    * banding.
     */
-  private def sigCtes(tables: Int, bits: Int): String =
-    s"""dims AS (
+  private def sigCtes(tables: Int, bitsSql: String): String =
+    s"""nb AS (SELECT ($bitsSql) AS bits),
+       |dims AS (
        |  SELECT vec_id, i AS j, emb[i+1] AS v
        |  FROM (SELECT vec_id, emb,
        |          unnest(range(0, least(len(emb), 64))) AS i FROM e)),
        |seeds AS (
        |  SELECT t, b, j,
        |    ((t * 1099511627776 + b * 4294967296 + j) * 4 + s) AS x
-       |  FROM range(0,$tables) r1(t), range(0,$bits) r2(b),
-       |       range(0,64) r3(j), range(0,4) r4(s)),
+       |  FROM range(0,$tables) r1(t), range(0,20) r2(b),
+       |       range(0,64) r3(j), range(0,4) r4(s), nb
+       |  WHERE b < nb.bits),
        |h1 AS (SELECT t, b, j,
        |  ((x % 2147483647) * (x % 2147483647) + 12345) % 2147483647 AS k
        |  FROM seeds),
@@ -234,7 +243,9 @@ object SimilarityQueries {
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |         CAST(embedding AS DOUBLE[]) AS emb
          |  FROM embeddings),
-         |${sigCtes(tables = 12, bits = 6)},
+         |${sigCtes(tables = 12, bitsSql =
+             "SELECT LEAST(20, GREATEST(6, length(bin(" +
+               "GREATEST(1, (count(*) + 31) // 32) - 1)))) FROM e")},
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
          |  FROM sig x JOIN sig y
@@ -251,7 +262,7 @@ object SimilarityQueries {
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |         CAST(embedding AS DOUBLE[]) AS emb
          |  FROM embeddings),
-         |${sigCtes(tables = 8, bits = 8)},
+         |${sigCtes(tables = 8, bitsSql = "8")},
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, s.vec_id
          |  FROM sig s JOIN (SELECT * FROM sig WHERE vec_id < $NumQueries) q
@@ -319,6 +330,38 @@ object SimilarityQueries {
          |WHERE vec_id != query_id
          |WINDOW w AS (PARTITION BY query_id
          |  ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id)
+         |QUALIFY rank <= $K""".stripMargin,
+
+    "s03_ann_ivf" ->
+      s"""WITH e AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |         CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY ((vec_id % 999983) * 40503) % 999983, vec_id) <= 16),
+         |post AS (
+         |  SELECT vec_id, emb, centroid_id
+         |  FROM e CROSS JOIN cent
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY round(list_cosine_similarity(emb, c_emb), 6) DESC,
+         |             centroid_id) = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, emb AS q_emb, centroid_id
+         |  FROM e CROSS JOIN cent
+         |  WHERE vec_id < $NumQueries
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY round(list_cosine_similarity(emb, c_emb), 6) DESC,
+         |             centroid_id) <= 4)
+         |SELECT p.query_id, o.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(o.emb, p.q_emb), 4) AS sim,
+         |  CAST(row_number() OVER w AS INT) AS rank
+         |FROM post o JOIN probes p ON o.centroid_id = p.centroid_id
+         |WHERE o.vec_id != p.query_id
+         |WINDOW w AS (PARTITION BY p.query_id
+         |  ORDER BY round(list_cosine_similarity(o.emb, p.q_emb), 4) DESC,
+         |           o.vec_id)
          |QUALIFY rank <= $K""".stripMargin,
 
     "d09_semdedup" ->

@@ -120,6 +120,21 @@ class SimilaritySpec extends SparkTestBase {
       "banding missed a true near-dup pair (recall < 1)")
   }
 
+  test("autoBits: constant occupancy, floor 6, cap 20, exact power " +
+    "boundaries") {
+    // groups = ceil(n/32); bits = bit length of groups-1, clamped
+    assert(Similarity.autoBits(0) == 6 && Similarity.autoBits(1) == 6)
+    assert(Similarity.autoBits(500) == 6)   // sf0.01 contract: unchanged
+    assert(Similarity.autoBits(2048) == 6)  // groups=64 exactly -> 6
+    assert(Similarity.autoBits(2080) == 7)  // groups=65 -> 7
+    assert(Similarity.autoBits(20000) == 10)
+    assert(Similarity.autoBits(Long.MaxValue) == 20)
+    // occupancy 2^bits covers groups: 2^autoBits(n) >= ceil(n/32)
+    for (n <- Seq(100L, 999L, 4097L, 123457L, 10000000L))
+      assert((1L << Similarity.autoBits(n)) >= (n + 31) / 32 ||
+        Similarity.autoBits(n) == 20)
+  }
+
   test("LSH near-dup pairs are a subset of brute force on the corpus") {
     // exact verification makes precision 1.0 by construction, at any
     // threshold, even where banding recall is partial (isotropic data)
