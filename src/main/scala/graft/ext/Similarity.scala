@@ -368,9 +368,17 @@ object Similarity {
     * arXiv:2303.09540): cluster the corpus around coarse centroids,
     * then drop any vector that has a smaller-id near-duplicate
     * (cosine ≥ `threshold`) WITHIN ITS CLUSTER — the quadratic pair
-    * check never crosses cluster boundaries, which is the whole trick:
-    * with nlist ≈ √N clusters the expected per-cluster population is
-    * √N, so intra-cluster pairing is O(N) total instead of O(N²).
+    * check never crosses cluster boundaries, which is the whole trick.
+    * With `nlist = 0` (the default) the cluster count auto-sizes to
+    * ⌈N/128⌉ (floor 16), holding expected per-cluster population
+    * CONSTANT: intra-cluster pairing is then O(N·128) — linear —
+    * instead of the O(N²/nlist) a fixed nlist degrades to (the same
+    * failure mode the r6 scaling sweep caught in d07's fixed banding).
+    * The price is the assignment term, N·nlist broadcast dot products
+    * — a narrow shuffle-free map, the trade IVF and the SemDeDup paper
+    * itself (fixed cluster-size k-means) both make. 128 is a power of
+    * two, so the oracle's float division ⌈count/128.0⌉ is EXACT and
+    * agrees with the integer ceil-div here at every N.
     *
     * Engine-portable determinism (this query is oracle-checked):
     *  - centroid sample: the `nlist` rows ranked smallest by the
@@ -413,15 +421,23 @@ object Similarity {
   private[graft] def centroidKey(id: Long): Long =
     ((id % CentroidPrime) * CentroidMult) % CentroidPrime
 
+  private[graft] val SemDedupOccupancy = 128L
+  private[graft] def autoNlist(n: Long): Int = {
+    val groups = n / SemDedupOccupancy +
+      (if (n % SemDedupOccupancy > 0) 1L else 0L) // overflow-free ceil
+    math.max(16L, groups).min(Int.MaxValue).toInt
+  }
+
   def semDedup(embeddings: DataFrame, threshold: Double,
-               nlist: Int = 16): DataFrame = {
+               nlist: Int = 0): DataFrame = {
     val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
+    val k = if (nlist > 0) nlist else autoNlist(e.count())
     val centroids = e
       .orderBy(((col("vec_id") % CentroidPrime) * CentroidMult)
           % CentroidPrime,
         col("vec_id"))
-      .limit(nlist)
+      .limit(k)
       .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
     // materialize the assignment once: its three consumers (both pair
     // sides, the anti-join left) would otherwise each replay the

@@ -125,10 +125,13 @@ object SimilarityQueries {
         Multimodal.asAssets(docs.unionByName(near)), maxDist = 3).toDF()
     },
 
-    /** s04 — int8-quantized ANN (engine-only like s03: replicating
-      * Spark's double→int8 rounding plus the rescaled integer dot in
-      * SQL buys nothing the exact-equality and recall specs don't
-      * already pin).
+    /** s04 — int8-quantized ANN. Oracle-checked since r6: x19 already
+      * proved the double→int8 rounding portable, and the candidate
+      * score is an EXACT integer dot rescaled by two multiplies whose
+      * order the oracle mirrors parenthesis-for-parenthesis (IEEE
+      * multiplication is not associative; a reordered rescale would
+      * perturb the unrounded ranking key). Exact-equality-at-full-
+      * rerank and recall stay spec-pinned.
       */
     "s04_ann_int8" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -364,6 +367,55 @@ object SimilarityQueries {
          |           o.vec_id)
          |QUALIFY rank <= $K""".stripMargin,
 
+    /** The int8 pipeline in SQL: q1/q8 mirror x19's quantization; the
+      * candidate score keeps Spark's exact multiply order
+      * ((intdot·sa)·sb)/denom and the raw-double ranking key (no
+      * round — the doubles are bit-identical, so the order is too).
+      */
+    "s04_ann_int8" ->
+      s"""WITH e AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |         CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |q1 AS (
+         |  SELECT vec_id, emb,
+         |    CAST(list_max(list_transform(emb, x -> abs(x))) AS DOUBLE)
+         |      / 127.0 AS s
+         |  FROM e),
+         |q8 AS (
+         |  SELECT vec_id, s,
+         |    CASE WHEN s = 0.0
+         |      THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+         |      ELSE list_transform(emb, x -> CAST(round(x / s) AS BIGINT))
+         |    END AS qv
+         |  FROM q1),
+         |qn AS (
+         |  SELECT vec_id, s, qv,
+         |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+         |      * s AS nrm
+         |  FROM q8),
+         |cand AS (
+         |  SELECT qr.vec_id AS query_id, ce.vec_id,
+         |    CASE WHEN ce.nrm * qr.nrm = 0.0 THEN -1.0
+         |      ELSE ((CAST(list_sum(list_transform(
+         |               range(1, len(ce.qv) + 1), i -> ce.qv[i] * qr.qv[i]))
+         |             AS DOUBLE) * ce.s) * qr.s) / (ce.nrm * qr.nrm)
+         |    END AS q_sim
+         |  FROM qn ce CROSS JOIN (SELECT * FROM qn WHERE vec_id < $NumQueries) qr
+         |  WHERE ce.vec_id != qr.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY qr.vec_id
+         |    ORDER BY q_sim DESC, ce.vec_id) <= ${K * 4})
+         |SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(ce.emb, qe.emb), 4) AS sim,
+         |  CAST(row_number() OVER w AS INT) AS rank
+         |FROM cand c
+         |JOIN e ce ON ce.vec_id = c.vec_id
+         |JOIN e qe ON qe.vec_id = c.query_id
+         |WINDOW w AS (PARTITION BY c.query_id
+         |  ORDER BY round(list_cosine_similarity(ce.emb, qe.emb), 4) DESC,
+         |           c.vec_id)
+         |QUALIFY rank <= $K""".stripMargin,
+
     "d09_semdedup" ->
       """WITH e AS (
         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -372,7 +424,9 @@ object SimilarityQueries {
         |cent AS (
         |  SELECT vec_id AS centroid_id, emb AS c_emb FROM e
         |  QUALIFY row_number() OVER (
-        |    ORDER BY ((vec_id % 999983) * 40503) % 999983, vec_id) <= 16),
+        |    ORDER BY ((vec_id % 999983) * 40503) % 999983, vec_id) <=
+        |    (SELECT GREATEST(16, CAST(ceil(count(*) / 128.0) AS BIGINT))
+        |     FROM e)),
         |assigned AS (
         |  SELECT vec_id, emb, centroid_id AS cluster_id
         |  FROM e CROSS JOIN cent
