@@ -96,13 +96,58 @@ object Cli {
       case Some("db") => dbCmd(spark, parseOpts(args.tail))
       case Some("compact") => compactCmd(spark, parseOpts(args.tail))
       case Some("zonemap") => zonemapCmd(spark, parseOpts(args.tail))
+      case Some("dedup") => dedupCmd(spark, parseOpts(args.tail))
       case Some(other) => throw CliError(
         s"unknown command: $other " +
-          "(expected export | import | db | compact | zonemap)")
+          "(expected export | import | db | compact | zonemap | dedup)")
       case None =>
         throw CliError(
-          "usage: graft.Cli <export|import|db|compact|zonemap> [--options]")
+          "usage: graft.Cli <export|import|db|compact|zonemap|dedup> " +
+            "[--options]")
     }
+
+  /** `dedup` — [EXT] maintenance for the incremental minhash store
+    * (ext.Dedup): `--init` bootstraps `--store` from the full corpus
+    * at `--docs`; without it, `--docs` is a DELTA — signatures are
+    * computed for those documents only, appended to the store, and
+    * the NEW candidate pairs (≥ 1 new member; old-vs-old never
+    * recomputes) are written to `--out` (or just counted). `--n` is
+    * the shingle width (default 3).
+    */
+  private def dedupCmd(spark: SparkSession,
+                       opts: Map[String, String]): String = {
+    val docsPath = required(opts, "docs")
+    val store = required(opts, "store")
+    val n = opts.get("n").map(_.toInt).getOrElse(3)
+    if (n < 1) throw CliError(s"--n must be positive, got $n")
+    val docs = spark.read.parquet(docsPath)
+    if (!docs.columns.contains("doc_id") || !docs.columns.contains("text"))
+      throw CliError(s"--docs needs doc_id and text columns, " +
+        s"found ${docs.columns.mkString(",")}")
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (opts.get("init").contains("true")) {
+      graft.ext.Dedup.writeSignatures(docs, store, n)
+      val count = graft.ext.Dedup.readSignatures(spark, store).count()
+      s"initialized $store: $count signatures"
+    } else {
+      // a missing store on the update path is a mistyped path or a
+      // forgotten --init, never a valid request: appending the delta
+      // would silently found a NEW store that thinks the old corpus
+      // doesn't exist, and every old-vs-new pair would be lost
+      if (!fs.exists(storePath))
+        throw CliError(s"no signature store at $store (run --init first)")
+      val pairs = graft.ext.Dedup.updatePairs(docs, store, n)
+      opts.get("out") match {
+        case Some(out) =>
+          pairs.write.mode("overwrite").parquet(out)
+          val k = spark.read.parquet(out).count()
+          s"updated $store; $k new candidate pairs -> $out"
+        case None =>
+          s"updated $store; ${pairs.count()} new candidate pairs"
+      }
+    }
+  }
 
   /** `zonemap` — [EXT] maintenance: build or incrementally refresh the
     * per-table `_zonemap` sidecars (engine.ZoneMap) for a session's

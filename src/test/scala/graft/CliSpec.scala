@@ -205,6 +205,40 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("dedup initializes a signature store, then updates with a delta") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val store = tmpDir("cli-sigs") + "/store"
+    val base = tmpDir("cli-docs-base")
+    val delta = tmpDir("cli-docs-delta")
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    docs.filter(col("doc_id") < 200).write.mode("overwrite").parquet(base)
+    // delta = the rest plus a planted near-copy of a base doc, so the
+    // update path genuinely finds a cross-boundary pair
+    docs.filter(col("doc_id") >= 200)
+      .unionByName(docs.filter(col("doc_id") === 7L)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text")))
+      .write.mode("overwrite").parquet(delta)
+
+    // update before init fails loudly (a silent fresh store would lose
+    // every old-vs-new pair)
+    val e = intercept[CliError](Cli.run(spark,
+      Seq("dedup", "--docs", delta, "--store", store), now))
+    assert(e.message.contains("--init"))
+
+    val init = Cli.run(spark,
+      Seq("dedup", "--docs", base, "--store", store, "--init"), now)
+    assert(init.contains("signatures"))
+    val out = tmpDir("cli-pairs") + "/pairs"
+    val upd = Cli.run(spark, Seq("dedup",
+      "--docs", delta, "--store", store, "--out", out), now)
+    assert(upd.contains("new candidate pairs"))
+    val pairs = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 100007L)),
+      s"planted cross-boundary pair missing from ${pairs.take(5)}")
+  }
+
   test("compact validation: a missing session dir fails loudly") {
     val e = intercept[CliError](Cli.run(spark, Seq("compact",
       "--dest-root", tmpDir("cli-ghost"), "--session-name", "nope"), now))
