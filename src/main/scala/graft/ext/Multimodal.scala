@@ -286,14 +286,65 @@ object Multimodal {
     * downscale to a 9×8 grayscale grid (bilinear), bit (x,y) compares
     * horizontal neighbor luminances — the standard difference-hash,
     * robust to re-encoding and small edits because downscaling
-    * integrates them away. Opaque payloads fall back to
-    * [[pHashStub]]'s byte-chunk analogue.
+    * integrates them away. Audio payloads hash their DECODED PCM with
+    * frame-aligned chunking ([[audioHash64]]) — a function of the
+    * samples, not the container, so the same audio as WAV and AIFF
+    * (even with opposite sample endianness) fingerprints identically.
+    * Only opaque payloads fall back to [[pHashStub]]'s raw-byte-chunk
+    * analogue.
     */
   def pHash(payload: Array[Byte]): Long =
     decodeImage(payload) match {
       case Some(img) => dHash64(img)
-      case None => pHashStub(payload)
+      case None => decodeAudio(payload) match {
+        case Some(a) => audioHash64(a)
+        case None => pHashStub(payload)
+      }
     }
+
+  /** dHash over the audio's energy envelope: the PCM frames split into
+    * 65 FRAME-ALIGNED chunks (a frame is never bisected, so a chunk's
+    * byte multiset — hence its sum — is identical under either sample
+    * endianness: per-sample byte order doesn't change a sum), bit i
+    * compares neighbor chunk MEANS. Means, not sums: 65 rarely divides
+    * the frame count, so chunk sizes alternate (e.g. 31/32 frames) and
+    * raw sums of ANY flat-envelope signal would inherit that size
+    * pattern — unrelated audio would fingerprint alike. The mean
+    * comparison is exact integer cross-multiplication (sums < 2²⁰ ·
+    * bytes, counts < 2³¹ — no overflow, no float). This is the same
+    * normalization the image dHash gets from resampling to a fixed
+    * grid. Locality contract as [[pHashStub]]: a local edit moves one
+    * or two chunk means, so near-identical audio lands within a few
+    * bits.
+    */
+  private[ext] def audioHash64(a: AudioMeta): Long = {
+    val pcm = a.pcm
+    val nFrames = pcm.length / a.frameSize
+    val sums = new Array[Long](65)
+    val counts = new Array[Long](65)
+    if (nFrames > 0) {
+      var f = 0
+      while (f < nFrames) {
+        val c = (f.toLong * 65 / nFrames).toInt
+        var b = f * a.frameSize
+        val end = b + a.frameSize
+        while (b < end) { sums(c) += (pcm(b) & 0xff).toLong; b += 1 }
+        counts(c) += a.frameSize
+        f += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      // mean(b) > mean(b+1), cross-multiplied; empty chunks mean 0
+      val l = if (counts(b) == 0) 0L else sums(b) * math.max(counts(b + 1), 1L)
+      val r = if (counts(b + 1) == 0) 0L
+        else sums(b + 1) * math.max(counts(b), 1L)
+      if (l > r) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
 
   private def dHash64(img: java.awt.image.BufferedImage): Long = {
     val small = new java.awt.image.BufferedImage(9, 8,

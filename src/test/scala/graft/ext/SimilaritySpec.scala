@@ -391,6 +391,55 @@ class SimilaritySpec extends SparkTestBase {
     assert(mono24.take(3).forall(_.n_frame_bytes == 63))
   }
 
+  test("audio pHash sees samples, not containers: WAV == AIFF, edits local") {
+    def pcm(n: Int, fs: Int, f: Int => Int): Array[Byte] =
+      Array.tabulate(n * fs)(i => f(i).toByte)
+    def enc(tpe: javax.sound.sampled.AudioFileFormat.Type, bytes: Array[Byte],
+            channels: Int, bigEndian: Boolean): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels,
+        true, bigEndian)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt,
+        bytes.length / fmt.getFrameSize)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    import javax.sound.sampled.AudioFileFormat.Type.{AIFF, WAVE}
+    // WAV stores the samples little-endian, AIFF big-endian. The
+    // fingerprint must depend on the SAMPLES, so encode the same
+    // stereo signal both ways — with the sample bytes swapped to
+    // match each container's native order — and demand equality.
+    val n = 2048
+    val le = pcm(n, 4, i => (i * 31) % 251)
+    val be = {
+      val b = le.clone()
+      var i = 0
+      while (i < b.length) { // swap each 16-bit sample's bytes
+        val t = b(i); b(i) = b(i + 1); b(i + 1) = t; i += 2
+      }
+      b
+    }
+    val hWav = Multimodal.pHash(enc(WAVE, le, 2, bigEndian = false))
+    val hAiff = Multimodal.pHash(enc(AIFF, be, 2, bigEndian = true))
+    assert(hWav == hAiff,
+      "audio pHash must fingerprint PCM samples, not container bytes")
+    // a tail edit moves only the final chunks' sums → a few bits
+    val edited = le.clone()
+    for (i <- (edited.length - 16) until edited.length) edited(i) = 0
+    val hEdit = Multimodal.pHash(enc(WAVE, edited, 2, bigEndian = false))
+    assert(java.lang.Long.bitCount(hWav ^ hEdit) <= 3,
+      "local audio edit should stay within a few fingerprint bits")
+    // structurally different audio lands far away (a rising step
+    // envelope vs the flat noise ramp — flat-vs-flat signals can
+    // legitimately share many envelope bits, so the contrast case
+    // must differ in STRUCTURE, not just in sample values)
+    val other = pcm(n, 4, i => if (i < n * 2) (i % 7) else 180 + (i % 13))
+    val hOther = Multimodal.pHash(enc(WAVE, other, 2, bigEndian = false))
+    assert(java.lang.Long.bitCount(hWav ^ hOther) > 16,
+      "unrelated audio should be far in fingerprint space")
+  }
+
   test("multimodal resize bounds output size and is deterministic") {
     val docs = Tables.documents(spark, sf0001)
     val assets = Multimodal.asAssets(docs)
