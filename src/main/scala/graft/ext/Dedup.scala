@@ -427,12 +427,20 @@ object Dedup {
     // delta against it covers new-vs-old AND new-vs-new in one join
     val allBanded = bandedKeys(readSignatures(spark, path))
     val newBanded = bandedKeys(newSigs)
-    allBanded.as("a").join(newBanded.as("b"),
+    val pairs = allBanded.as("a").join(newBanded.as("b"),
         col("a.key") === col("b.key") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
+      // eager: the pair set (far below corpus size) materializes while
+      // newSigs is still cached, and the cache entry is released HERE
+      // rather than accreting one entry per delta in a long-lived
+      // session (the cosineDupPairsLsh candidate-table idiom — a
+      // streaming drain calls this once per micro-batch)
+      .localCheckpoint(true)
+    newSigs.unpersist()
+    pairs
   }
 
   /** Per-document shingle novelty: the fraction of a doc's distinct

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import graft.ext.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The streaming maintenance drain must agree with a full batch
+  * recompute (whose candidates feed the oracle-checked d03 family),
+  * drain only the delta on restart, and tolerate replayed appends.
+  */
+class StreamingDedupSpec extends SparkTestBase {
+
+  private def stage(df: DataFrame, dir: String, name: String): Unit = {
+    val tmp = tmpDir("sd-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, name))
+  }
+
+  test("streaming drains maintain signatures + pairs == full recompute; " +
+    "no-op re-drain; replayed appends fold at read") {
+    val srcDir = tmpDir("sd-src")
+    val store = tmpDir("sd-store") + "/sigs"
+    val pairsOut = tmpDir("sd-pairs") + "/pairs"
+    val ckpt = tmpDir("sd-ckpt")
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") < 200)
+    // the delta plants near-copies of BASE docs, so its pairs cross
+    // the drain boundary — the case that breaks a naive "dedup each
+    // batch independently" implementation
+    val delta = docs.filter(col("doc_id") >= 200)
+      .unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text")))
+
+    // drain 1 = bootstrap (empty store)
+    stage(base, srcDir, "a.parquet")
+    StreamingDedup.maintainStream(spark, srcDir, store, pairsOut, ckpt)
+
+    // drain 2 (restart from checkpoint): only the new file is read
+    stage(delta, srcDir, "b.parquet")
+    val total = StreamingDedup.maintainStream(
+      spark, srcDir, store, pairsOut, ckpt)
+
+    val grown = base.unionByName(delta)
+    val full = Dedup.minhashCandidates(grown)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = StreamingDedup.readPairs(spark, pairsOut)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == full,
+      s"streamed ${streamed.size} != full recompute ${full.size}")
+    assert(total == full.size.toLong)
+    assert(streamed.exists { case (a, b) => b - a == 100000L },
+      "cross-drain planted pair missing")
+    // store == full-rebuild signatures (the ZoneMap contract)
+    val viaStore = Dedup.readSignatures(spark, store)
+      .collect().map(_.toSeq).toSet
+    val rebuild = Dedup.minhashSignatures(grown)
+      .collect().map(_.toSeq).toSet
+    assert(viaStore == rebuild)
+
+    // re-drain with nothing new: a no-op (checkpoint already covers
+    // every file), count unchanged
+    val again = StreamingDedup.maintainStream(
+      spark, srcDir, store, pairsOut, ckpt)
+    assert(again == total, "no-op re-drain changed the pair set")
+
+    // a replayed micro-batch (at-least-once) re-appends the same pair
+    // rows; readPairs' distinct folds them
+    StreamingDedup.readPairs(spark, pairsOut).limit(5)
+      .write.mode("append").parquet(pairsOut)
+    assert(StreamingDedup.readPairs(spark, pairsOut).count() == total)
+  }
+
+  test("readPairs on a store that never materialized is empty, not an error") {
+    assert(StreamingDedup.readPairs(spark,
+      tmpDir("sd-none") + "/nope").isEmpty)
+  }
+}
