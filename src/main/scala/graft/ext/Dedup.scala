@@ -443,6 +443,90 @@ object Dedup {
     pairs
   }
 
+  // ---- incremental jaccard maintenance ------------------------------
+  //
+  // The exact-jaccard sibling of the minhash store: the EXPLODED
+  // shingle table (doc_id, n_sh, shingle-hash — ~1-2% of corpus bytes,
+  // the same table jaccardPairs materializes transiently) persists as
+  // parquet, and a corpus delta shingles ONLY the new documents. The
+  // key property making delta pairs EXACT: every shingle of a pair
+  // involving a new doc is, by definition, one of the new doc's own
+  // shingles — so aggregating just the store groups TOUCHED by the
+  // delta yields complete intersection counts for every new-member
+  // pair. Old-vs-old pairs appearing in touched groups carry partial
+  // counts and are filtered out by the new-member test.
+  //
+  // One honest semantic difference from a full recompute, documented
+  // rather than papered over: the df cap is evaluated at UPDATE time.
+  // A pair emitted while its witness shingle had df ≤ maxDf is not
+  // retroactively revoked when later growth pushes that shingle over
+  // the cap (a full recompute would never see the pair). That matches
+  // operational reality — emitted pairs have been consumed — and the
+  // cap is a performance valve, not a semantic contract. With a
+  // non-binding cap the union over deltas equals the full recompute
+  // exactly (spec-pinned, including the divergence case).
+
+  /** Bootstrap the persisted shingle store (overwrites `path`). */
+  def writeShingleStore(docs: DataFrame, path: String, n: Int = 3): Unit =
+    hashedShingles(docs, n).write.mode("overwrite").parquet(path)
+
+  /** Read the store; retried appends fold on the (shingle, doc_id)
+    * key exactly as [[readSignatures]] folds on doc_id.
+    */
+  def readShingleStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    spark.read.parquet(path).dropDuplicates("shingle", "doc_id")
+
+  /** O(delta) jaccard upkeep: shingle `newDocs` only, append to the
+    * store, and emit the exact jaccard pairs (≥ threshold) with at
+    * least one new member. The store is scanned once (a semi-join on
+    * the delta's distinct shingles prunes to touched groups before
+    * any aggregation); the old corpus is never re-shingled.
+    */
+  def updateJaccardPairs(newDocs: DataFrame, path: String, n: Int = 3,
+                         threshold: Double = 0.5,
+                         maxDf: Int = 50): DataFrame = {
+    val spark = newDocs.sparkSession
+    val deltaSh = hashedShingles(newDocs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deltaSh.write.mode("append").parquet(path)
+    val store = readShingleStore(spark, path) // includes the delta rows
+    val touched = deltaSh.select("shingle").distinct()
+    val groups = store.join(touched, "shingle")
+    val freq = groups.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select("shingle")
+    val docLists = groups.join(freq, "shingle")
+      .groupBy(col("shingle"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("docs"))
+    val counted = inter_pairs(docLists, size(col("docs")))
+      .groupBy(col("p.a.doc_id").as("doc_a"),
+        col("p.b.doc_id").as("doc_b"),
+        col("p.a.n_sh").as("na"), col("p.b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("n_inter"))
+    // keep only new-member pairs: old-vs-old pairs in touched groups
+    // have PARTIAL intersections (delta shingles only) and were
+    // emitted by earlier invocations anyway. The delta id list is
+    // delta-sized, so AQE broadcasts these joins.
+    val newIds = newDocs.select(col("doc_id")).distinct()
+    val pairs = counted
+      .join(newIds.select(col("doc_id").as("doc_a"),
+        lit(true).as("a_new")), Seq("doc_a"), "left")
+      .join(newIds.select(col("doc_id").as("doc_b"),
+        lit(true).as("b_new")), Seq("doc_b"), "left")
+      .filter(coalesce(col("a_new"), lit(false)) ||
+        coalesce(col("b_new"), lit(false)))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true) // as updatePairs: release the cache below
+    deltaSh.unpersist()
+    pairs
+  }
+
   /** Per-document shingle novelty: the fraction of a doc's distinct
     * shingles whose FIRST owner (minimum doc_id across the corpus) is
     * the doc itself — the redundancy/memorization signal a curriculum

@@ -172,6 +172,63 @@ class DedupSpec extends SparkTestBase {
       "incrementally-maintained store diverged from a full rebuild")
   }
 
+  test("incremental jaccard: delta-maintained pairs == full recompute " +
+    "when the df cap doesn't bind, with exact jaccard values") {
+    import spark.implicits._
+    val all = docs.select("doc_id", "text")
+    val base = all.filter($"doc_id" < 200)
+    val planted = base.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"),
+        concat($"text", lit(" tail")).as("text"))
+    val delta = all.filter($"doc_id" >= 200).unionByName(planted)
+    val grown = base.unionByName(delta)
+    val (th, cap) = (0.3, 100000) // non-binding cap → exact equivalence
+
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val store = tmpDir("shstore") + "/sh"
+    Dedup.writeShingleStore(base, store)
+    val p1 = toMap(Dedup.jaccardPairs(base, 3, th, cap))
+    val p2 = toMap(Dedup.updateJaccardPairs(delta, store, 3, th, cap))
+    val full = toMap(Dedup.jaccardPairs(grown, 3, th, cap))
+    // delta emits only new-member pairs, including cross-boundary ones
+    val newIds = delta.select("doc_id").as[Long].collect().toSet
+    assert(p2.keys.forall { case (a, b) =>
+      newIds.contains(a) || newIds.contains(b) })
+    assert(p2.keys.exists { case (a, b) => b - a == 100000L })
+    // union == full recompute, with identical jaccard VALUES (same
+    // counting arithmetic on both paths, so exact double equality)
+    assert(p1 ++ p2 == full,
+      s"delta ${p1.size}+${p2.size} != full ${full.size}")
+  }
+
+  test("incremental jaccard: df-cap timing is the documented divergence " +
+    "(emitted pairs are not retroactively revoked)") {
+    import spark.implicits._
+    // 4 docs sharing one boilerplate shingle; cap 3. At bootstrap the
+    // shingle has df 2 → pair (1,2) emitted. The delta pushes df to 4
+    // (> cap): a FULL recompute now drops every pair, but the
+    // maintained union keeps the already-emitted (1,2).
+    val base = Seq((1L, "common boiler phrase uniqa"),
+      (2L, "common boiler phrase uniqb")).toDF("doc_id", "text")
+    val delta = Seq((3L, "common boiler phrase uniqc"),
+      (4L, "common boiler phrase uniqd")).toDF("doc_id", "text")
+    val store = tmpDir("shstore-cap") + "/sh"
+    Dedup.writeShingleStore(base, store)
+    val p1 = Dedup.jaccardPairs(base, 3, 0.3, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val p2 = Dedup.updateJaccardPairs(delta, store, 3, 0.3, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.jaccardPairs(base.unionByName(delta), 3, 0.3, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(p1 == Set((1L, 2L)), s"bootstrap pair missing: $p1")
+    assert(p2.isEmpty, s"capped shingle must emit nothing: $p2")
+    assert(full.isEmpty, "full recompute should cap the pair away")
+    // the union keeps history the recompute cannot see — by design
+    assert((p1 ++ p2) != full)
+  }
+
   test("rolling hash is stable and order-sensitive") {
     val h1 = TextAnalysis.rollingHash("the quick brown fox")
     assert(h1 == TextAnalysis.rollingHash("the quick brown fox"))
