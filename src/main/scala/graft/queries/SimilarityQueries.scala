@@ -271,7 +271,7 @@ object SimilarityQueries {
          |  FROM sig s JOIN (SELECT * FROM sig WHERE vec_id < $NumQueries) q
          |    ON s.t = q.t AND s.bucket = q.bucket AND s.vec_id != q.vec_id)
          |SELECT c.query_id, c.vec_id AS neighbor_id,
-         |  round(list_cosine_similarity(ce.emb, qe.emb), 4) AS sim,
+         |  round(list_cosine_similarity(ce.emb, qe.emb), 4) + 0.0 AS sim,
          |  CAST(row_number() OVER w AS INT) AS rank
          |FROM cand c
          |JOIN e ce ON ce.vec_id = c.vec_id
@@ -302,6 +302,15 @@ object SimilarityQueries {
         |  CAST(list_max(qv) AS BIGINT) AS q_max
         |FROM qq""".stripMargin,
 
+    /** `+ 0.0` on rounded double outputs (here and in the s01–s04
+      * sims): DuckDB's float-path round() PRESERVES -0.0 for tiny
+      * negatives where Spark's BigDecimal HALF_UP cannot represent it
+      * (always +0.0), and the driver compares float repr()s — so a
+      * centroid_sim in (-5e-5, 0) differs as '-0.0' vs '0.0' even
+      * though the values are SQL-equal. Adding positive zero maps
+      * -0.0 → +0.0 (IEEE) and is a no-op on every other value. Found
+      * by the r6 10×-corpus oracle stress run (one such row in 20k).
+      */
     "x05_label_centroid_sim" ->
       """WITH byd AS (
         |  SELECT vec_id, label, i AS dim, emb[i+1] AS v
@@ -316,7 +325,7 @@ object SimilarityQueries {
         |  round(CAST(SUM(CAST(b.v * c.c AS DECIMAL(38,18))) AS DOUBLE) /
         |    (sqrt(CAST(SUM(CAST(b.v * b.v AS DECIMAL(38,18))) AS DOUBLE)) *
         |     sqrt(CAST(SUM(CAST(c.c * c.c AS DECIMAL(38,18))) AS DOUBLE))), 4)
-        |    AS centroid_sim
+        |    + 0.0 AS centroid_sim
         |FROM byd b JOIN cent c ON b.label = c.label AND b.dim = c.dim
         |GROUP BY b.vec_id, b.label""".stripMargin,
 
@@ -327,7 +336,7 @@ object SimilarityQueries {
          |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
          |      WHERE vec_id < $NumQueries)
          |SELECT query_id, vec_id AS neighbor_id,
-         |  round(list_cosine_similarity(emb, q_emb), 4) AS sim,
+         |  round(list_cosine_similarity(emb, q_emb), 4) + 0.0 AS sim,
          |  CAST(row_number() OVER w AS INT) AS rank
          |FROM e, q
          |WHERE vec_id != query_id
@@ -358,7 +367,7 @@ object SimilarityQueries {
          |    ORDER BY round(list_cosine_similarity(emb, c_emb), 6) DESC,
          |             centroid_id) <= 4)
          |SELECT p.query_id, o.vec_id AS neighbor_id,
-         |  round(list_cosine_similarity(o.emb, p.q_emb), 4) AS sim,
+         |  round(list_cosine_similarity(o.emb, p.q_emb), 4) + 0.0 AS sim,
          |  CAST(row_number() OVER w AS INT) AS rank
          |FROM post o JOIN probes p ON o.centroid_id = p.centroid_id
          |WHERE o.vec_id != p.query_id
@@ -406,7 +415,7 @@ object SimilarityQueries {
          |  QUALIFY row_number() OVER (PARTITION BY qr.vec_id
          |    ORDER BY q_sim DESC, ce.vec_id) <= ${K * 4})
          |SELECT c.query_id, c.vec_id AS neighbor_id,
-         |  round(list_cosine_similarity(ce.emb, qe.emb), 4) AS sim,
+         |  round(list_cosine_similarity(ce.emb, qe.emb), 4) + 0.0 AS sim,
          |  CAST(row_number() OVER w AS INT) AS rank
          |FROM cand c
          |JOIN e ce ON ce.vec_id = c.vec_id

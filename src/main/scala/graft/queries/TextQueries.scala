@@ -232,7 +232,7 @@ object TextQueries {
         |  FROM xy)
         |SELECT CAST(n AS BIGINT) AS n_types,
         |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
-        |    (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS zipf_slope
+        |    (CAST(n AS DOUBLE) * sxx - sx * sx), 4) + 0.0 AS zipf_slope
         |FROM s""".stripMargin,
 
     "x22_pmi_collocations" ->
