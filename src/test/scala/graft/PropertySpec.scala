@@ -65,6 +65,38 @@ object PropertySpec extends Properties("graft") {
       p1.sameElements(p2)
     }
 
+  property("autoBits: monotone, clamped, occupancy-covering") =
+    forAll(Gen.chooseNum(0L, 1L << 50), Gen.chooseNum(0L, 1L << 50)) {
+      (a, b) =>
+        import graft.ext.Similarity.autoBits
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        val (bl, bh) = (autoBits(lo), autoBits(hi))
+        val groups = (hi / 32) + (if (hi % 32 > 0) 1 else 0)
+        (bl <= bh) :| s"monotone: $lo->$bl vs $hi->$bh" &&
+        (bh >= 6 && bh <= 20) :| s"clamp: $bh" &&
+        (bh == 20 || (1L << bh) >= groups) :| s"coverage at $hi"
+    }
+
+  property("autoNlist: monotone, floored, occupancy-covering") =
+    forAll(Gen.chooseNum(0L, 1L << 50), Gen.chooseNum(0L, 1L << 50)) {
+      (a, b) =>
+        import graft.ext.Similarity.autoNlist
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        val (nl, nh) = (autoNlist(lo), autoNlist(hi))
+        (nl <= nh) :| s"monotone: $lo->$nl vs $hi->$nh" &&
+        (nl >= 16) :| s"floor: $nl" &&
+        (nh == Int.MaxValue || nh.toLong * 128 >= hi) :|
+          s"coverage: $nh clusters for $hi"
+    }
+
+  property("lshMix stays in [0, 2^31-1) and is deterministic") =
+    forAll(Gen.chooseNum(0L, Long.MaxValue / 8)) { x =>
+      import graft.ext.Similarity.lshMix
+      val k = lshMix(x)
+      (k >= 0 && k < 2147483647L) :| s"range: $k" &&
+      (k == lshMix(x)) :| "deterministic"
+    }
+
   property("pHash locality: a single in-place byte edit flips <= 2 bits") =
     forAll(Gen.listOfN(260, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)),
       Gen.choose(0, 259), Gen.chooseNum(Byte.MinValue, Byte.MaxValue)) {
