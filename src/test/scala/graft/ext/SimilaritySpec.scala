@@ -369,6 +369,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(feats(4L).sample_rate == 0 && feats(4L).n_frames == 1 &&
       feats(4L).width == (64 + 9 % 960))
 
+    // fail-soft: corrupt bytes behind a valid RIFF/WAVE magic fall
+    // back to byte-derived features instead of poisoning the partition
+    val corrupt = "RIFF    WAVEgarbage-not-a-header"
+      .getBytes("ISO-8859-1")
+    assert(Multimodal.looksLikeAudio(corrupt))
+    val cf = Multimodal.extractFeatures(spark,
+      Seq(Multimodal.MediaAsset(9L, "audio/wav", corrupt)).toDS().toDF())
+      .collect().head
+    assert(cf.sample_rate == 0 && cf.width == (64 + corrupt.length % 960),
+      s"corrupt audio must fall back, got $cf")
+
     // frame sampling splits the DECODED PCM at true frame boundaries:
     // 16-bit stereo → frameSize 4, so 64-byte chunks hold exactly 16
     // PCM frames; 1024 frames → 64 chunks, every 4th kept → 16 rows
