@@ -106,13 +106,17 @@ object Cli {
             "[--options]")
     }
 
-  /** `dedup` — [EXT] maintenance for the incremental minhash store
-    * (ext.Dedup): `--init` bootstraps `--store` from the full corpus
-    * at `--docs`; without it, `--docs` is a DELTA — signatures are
-    * computed for those documents only, appended to the store, and
-    * the NEW candidate pairs (≥ 1 new member; old-vs-old never
-    * recomputes) are written to `--out` (or just counted). `--n` is
-    * the shingle width (default 3).
+  /** `dedup` — [EXT] maintenance for the incremental dedup stores
+    * (ext.Dedup). `--mode minhash` (default) keeps the signature
+    * store and emits LSH candidate pairs; `--mode jaccard` keeps the
+    * exploded shingle store and emits exact jaccard pairs (with
+    * `--threshold` and `--max-df`, update-time cap semantics as
+    * documented on updateJaccardPairs). Either way: `--init`
+    * bootstraps `--store` from the full corpus at `--docs`; without
+    * it, `--docs` is a DELTA — only those documents are shingled,
+    * the store is appended, and the NEW pairs (≥ 1 new member;
+    * old-vs-old never recomputes) are written to `--out` (or just
+    * counted). `--n` is the shingle width (default 3).
     */
   private def dedupCmd(spark: SparkSession,
                        opts: Map[String, String]): String = {
@@ -120,6 +124,9 @@ object Cli {
     val store = required(opts, "store")
     val n = opts.get("n").map(_.toInt).getOrElse(3)
     if (n < 1) throw CliError(s"--n must be positive, got $n")
+    val mode = opts.getOrElse("mode", "minhash")
+    if (mode != "minhash" && mode != "jaccard")
+      throw CliError(s"unknown --mode $mode (expected minhash|jaccard)")
     val docs = spark.read.parquet(docsPath)
     if (!docs.columns.contains("doc_id") || !docs.columns.contains("text"))
       throw CliError(s"--docs needs doc_id and text columns, " +
@@ -127,24 +134,36 @@ object Cli {
     val storePath = new org.apache.hadoop.fs.Path(store)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (opts.get("init").contains("true")) {
-      graft.ext.Dedup.writeSignatures(docs, store, n)
-      val count = graft.ext.Dedup.readSignatures(spark, store).count()
-      s"initialized $store: $count signatures"
+      if (mode == "minhash") {
+        graft.ext.Dedup.writeSignatures(docs, store, n)
+        val count = graft.ext.Dedup.readSignatures(spark, store).count()
+        s"initialized $store: $count signatures"
+      } else {
+        graft.ext.Dedup.writeShingleStore(docs, store, n)
+        val count = graft.ext.Dedup.readShingleStore(spark, store).count()
+        s"initialized $store: $count shingle rows"
+      }
     } else {
       // a missing store on the update path is a mistyped path or a
       // forgotten --init, never a valid request: appending the delta
       // would silently found a NEW store that thinks the old corpus
       // doesn't exist, and every old-vs-new pair would be lost
       if (!fs.exists(storePath))
-        throw CliError(s"no signature store at $store (run --init first)")
-      val pairs = graft.ext.Dedup.updatePairs(docs, store, n)
+        throw CliError(s"no dedup store at $store (run --init first)")
+      val pairs =
+        if (mode == "minhash") graft.ext.Dedup.updatePairs(docs, store, n)
+        else graft.ext.Dedup.updateJaccardPairs(docs, store, n,
+          threshold = opts.get("threshold").map(_.toDouble).getOrElse(0.5),
+          maxDf = opts.get("max_df").map(_.toInt).getOrElse(50))
+      val what =
+        if (mode == "minhash") "new candidate pairs" else "new jaccard pairs"
       opts.get("out") match {
         case Some(out) =>
           pairs.write.mode("overwrite").parquet(out)
           val k = spark.read.parquet(out).count()
-          s"updated $store; $k new candidate pairs -> $out"
+          s"updated $store; $k $what -> $out"
         case None =>
-          s"updated $store; ${pairs.count()} new candidate pairs"
+          s"updated $store; ${pairs.count()} $what"
       }
     }
   }

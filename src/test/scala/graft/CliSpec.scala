@@ -237,6 +237,29 @@ class CliSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((7L, 100007L)),
       s"planted cross-boundary pair missing from ${pairs.take(5)}")
+
+    // jaccard mode over the same corpora: exact pairs with values
+    val jstore = tmpDir("cli-jsigs") + "/store"
+    assert(intercept[CliError](Cli.run(spark, Seq("dedup",
+      "--mode", "jaccard", "--docs", delta, "--store", jstore), now))
+      .message.contains("--init"))
+    Cli.run(spark, Seq("dedup", "--mode", "jaccard",
+      "--docs", base, "--store", jstore, "--init"), now)
+    val jout = tmpDir("cli-jpairs") + "/pairs"
+    val jupd = Cli.run(spark, Seq("dedup", "--mode", "jaccard",
+      "--docs", delta, "--store", jstore, "--threshold", "0.3",
+      "--out", jout), now)
+    assert(jupd.contains("new jaccard pairs"))
+    val jrows = spark.read.parquet(jout).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jrows.keys.exists { case (a, b) => b - a == 100000L },
+      s"planted jaccard pair missing from ${jrows.keys.take(5)}")
+    assert(jrows.values.forall(j => j >= 0.3 && j <= 1.0))
+
+    // unknown mode fails at parse
+    assert(intercept[CliError](Cli.run(spark, Seq("dedup",
+      "--mode", "simhash", "--docs", base, "--store", jstore), now))
+      .message.contains("minhash|jaccard"))
   }
 
   test("compact validation: a missing session dir fails loudly") {
