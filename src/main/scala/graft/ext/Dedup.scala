@@ -133,6 +133,7 @@ object Dedup {
     hashedShingles(docs, n).unpersist()
     minhashSignatures(docs, n).unpersist()
     simhashFingerprints(docs).unpersist()
+    positionedWindows(docs, n).unpersist()
   }
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
@@ -552,6 +553,72 @@ object Dedup {
         col("n_novel"),
         (col("n_novel").cast("double") / col("n_shingles"))
           .as("novelty"))
+  }
+
+  /** Positioned n-token window-hash rows `(doc_id, pos, wk)` for
+    * [[dupSpans]], hash-partitioned on the window key. Unlike
+    * [[hashedShingles]] the window array keeps duplicates and arrives
+    * via posexplode, so `pos` is the window's 0-based start token index
+    * (window `pos` covers tokens `[pos, pos+n-1]`).
+    */
+  private[ext] def positionedWindows(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), transform(tokens, t => xxhash64(t)).as("th"))
+      // distinctWindows = false: positions must stay index-aligned with
+      // token offsets. Same explode_outer rationale as
+      // [[hashedShingles]] (posexplode_outer here).
+      .select(col("doc_id"),
+        posexplode_outer(windowHashArr(n, distinctWindows = false)))
+      .filter(col("col").isNotNull)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("wk"))
+      .repartition(col("wk"))
+
+  /** Maximal duplicated token spans [EXT] — substring-level dedup in
+    * the style of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., 2021, arXiv:2107.06499): every n-token
+    * window occurring in ≥ `minDocs` DISTINCT documents is a
+    * duplicated window; runs of consecutive duplicated window
+    * positions inside a doc merge into one maximal span
+    * `[span_start, span_end]` (0-based inclusive token indices — a
+    * shared L-token paragraph surfaces as ONE row spanning L tokens,
+    * not L−n+1 window rows). Doc-level (d01/d02) and chunk-level (d06)
+    * dedup miss a copied paragraph inside an otherwise-unique page;
+    * this finds it, and the spans are exactly what a span-removal
+    * cleaning pass cuts.
+    *
+    * Scale: the positioned window table is ~20 bytes/token (doc_id,
+    * pos, wk) — narrow, linear in corpus tokens. It is persisted
+    * hash-partitioned on the window key, so the ≥minDocs
+    * document-frequency aggregation and the duplicated-window
+    * semi-join both run exchange-free on cache-local partitions (the
+    * [[jaccardPairs]] trick); the only other shuffle is the per-doc
+    * island window on doc_id, and by then the data is duplicated
+    * positions only. No self-join, no pair explosion. Windows key on
+    * xxhash64 as in [[hashedShingles]] (the oracle joins raw window
+    * strings; a 2^-64 collision is ignorable).
+    */
+  def dupSpans(docs: DataFrame, n: Int = 3, minDocs: Int = 2): DataFrame = {
+    val wins = positionedWindows(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupKeys = wins.groupBy(col("wk"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("wk")
+    val dupPos = wins.join(dupKeys, "wk")
+      .select(col("doc_id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      // island trick: consecutive positions share (pos − row_number)
+      .withColumn("g", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
   }
 
   /** Benchmark decontamination [EXT]: flag corpus documents sharing at

@@ -45,6 +45,15 @@ object DedupQueries {
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 3)
     },
 
+    /** d12 — maximal duplicated token spans (substring-level dedup,
+      * Lee et al. 2021): runs of 3-token windows shared by ≥2 distinct
+      * docs, merged per doc into maximal `[span_start, span_end]`
+      * token ranges — the spans a span-removal cleaning pass cuts.
+      */
+    "d12_dup_spans" -> { (s, d) =>
+      Dedup.dupSpans(Tables.documents(s, d), n = 3, minDocs = 2)
+    },
+
     /** p01 — the composed cleaning pipeline: quality gate → near-dup
       * removal (lower-id survivor) → fingerprint. One Catalyst plan.
       */
@@ -227,6 +236,33 @@ object DedupQueries {
        |SELECT doc_b, doc_a, CAST(n_inter AS DOUBLE) / nb
        |FROM sel WHERE CAST(n_inter AS DOUBLE) / nb >= 0.6""".stripMargin
 
+  // d12: positioned windows keep duplicates (no array_distinct) so the
+  // island merge sees every duplicated position; the Spark side keys on
+  // the window hash, the oracle on the raw window string (same
+  // collision note as d02).
+  private val d12Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(ts[i+1:i+3], ' ') AS w
+      |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 2)) AS i
+      |        FROM tok)),
+      |freq AS (
+      |  SELECT w FROM wins GROUP BY w
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |dup AS (SELECT doc_id, pos FROM wins JOIN freq USING (w)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      |  FROM dup)
+      |SELECT doc_id,
+      |  MIN(pos) AS span_start,
+      |  MAX(pos) + 2 AS span_end,
+      |  MAX(pos) + 2 - MIN(pos) + 1 AS span_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_windows
+      |FROM isl GROUP BY doc_id, g""".stripMargin
+
   private val d11Sql =
     s"""WITH $shinglesCte,
        |fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
@@ -251,6 +287,7 @@ object DedupQueries {
     "d08_dup_clusters" -> d08Sql,
     "d03_minhash_lsh" -> d03Sql,
     "d04_simhash_pairs" -> d04Sql,
+    "d12_dup_spans" -> d12Sql,
 
     "d06_chunk_dedup" ->
       """WITH chunks AS (

@@ -229,6 +229,33 @@ class DedupSpec extends SparkTestBase {
     assert((p1 ++ p2) != full)
   }
 
+  test("dupSpans merges duplicated windows into maximal spans and " +
+    "keeps disjoint shared paragraphs as separate spans") {
+    import spark.implicits._
+    val para = (0 until 12).map(i => s"shared$i").mkString(" ")
+    val p2 = (0 until 6).map(i => s"twin$i").mkString(" ")
+    val planted = Seq(
+      // para at tokens 3..14 → windows 3..12
+      (1L, "alpha beta gamma " + para + " delta epsilon"),
+      // para at tokens 5..16 → windows 5..14
+      (2L, "one two three four five " + para),
+      (3L, "totally unrelated text with no duplicate windows at all"),
+      // TWO disjoint shared regions: para at 0..11, p2 at 16..21 —
+      // the island merge must NOT bridge the unique middle
+      (4L, para + " unique middle tokens here " + p2),
+      // p2 at tokens 3..8 → windows 3..6
+      (5L, "x y z " + p2)).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(planted, n = 3, minDocs = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(x => (x._1, x._2))
+    assert(spans.toSeq == Seq(
+      (1L, 3L, 14L, 12L, 10L),
+      (2L, 5L, 16L, 12L, 10L),
+      (4L, 0L, 11L, 12L, 10L),
+      (4L, 16L, 21L, 6L, 4L),
+      (5L, 3L, 8L, 6L, 4L)),
+      s"unexpected span set: ${spans.toSeq}")
+  }
+
   test("rolling hash is stable and order-sensitive") {
     val h1 = TextAnalysis.rollingHash("the quick brown fox")
     assert(h1 == TextAnalysis.rollingHash("the quick brown fox"))
