@@ -94,6 +94,68 @@ object Multimodal {
       catch { case scala.util.control.NonFatal(_) => None }
     }
 
+  private def looksLikeGif(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' &&
+      payload(2) == 'F'
+
+  /** Count the frames of a GIF payload WITHOUT decoding pixels:
+    * `getNumImages(allowSearch = true)` walks the animation stream's
+    * block structure only — cheap enough for the per-asset metadata
+    * path. None for non-GIF or corrupt payloads (fail-soft as
+    * everywhere in this file).
+    */
+  private def gifFrameCount(payload: Array[Byte]): Option[Int] =
+    withGifReader(payload)(r => r.getNumImages(true))
+      .filter(_ > 0)
+
+  /** Decode EVERY frame of an animated GIF — the JDK's GIF reader
+    * genuinely demuxes the animation stream, so these are real frames
+    * (as stored: GIF inter-frame disposal/compositing is a render
+    * concern, not a sampling one). None for non-GIF/corrupt payloads.
+    */
+  private def decodeGifFrames(payload: Array[Byte])
+      : Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    withGifReader(payload) { r =>
+      val n = r.getNumImages(true)
+      (0 until n).map(r.read)
+    }.filter(_.nonEmpty)
+
+  private def withGifReader[A](payload: Array[Byte])(
+      f: javax.imageio.ImageReader => A): Option[A] =
+    if (!looksLikeGif(payload)) None
+    else
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            // seekForwardOnly = false: getNumImages(true) must search
+            try { r.setInput(iis, false, true); Some(f(r)) }
+            finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic raw-pixel dump (ARGB ints, row-major) — the digest
+    * substrate for real frames: identical pixels hash identically
+    * regardless of how the container encoded them.
+    */
+  private def pixelBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = java.nio.ByteBuffer.allocate(w * h * 4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out.putInt(img.getRGB(x, y)); x += 1 }
+      y += 1
+    }
+    out.array()
+  }
+
   /** Magic-byte sniff: is this an audio container the JDK's sampled
     * API can decode? (WAV `RIFF…WAVE`, AIFF/AIFC `FORM…AIF?`, and Sun
     * AU `.snd` ship with every JDK.) Same rationale as
@@ -151,7 +213,11 @@ object Multimodal {
     */
   def decode(payload: Array[Byte]): (Int, Int, Int, Int, Int, Long) =
     decodeImage(payload) match {
-      case Some(img) => (img.getWidth, img.getHeight, 1, 0, 0, 0L)
+      case Some(img) =>
+        // animated GIF: n_frames is the REAL frame count (block-walk
+        // only, no pixel decode); every other image format is 1 frame
+        val frames = gifFrameCount(payload).getOrElse(1)
+        (img.getWidth, img.getHeight, frames, 0, 0, 0L)
       case None => decodeAudio(payload) match {
         case Some(a) =>
           (0, 0, a.frames.min(Int.MaxValue).toInt, a.sampleRate,
@@ -173,16 +239,19 @@ object Multimodal {
                                n_frame_bytes: Long, frame_digest: String)
 
   /** Frame sampling: keep every k-th frame of the payload's stream.
-    * AUDIO payloads split for real — the DECODED PCM stream is chunked
-    * at true frame boundaries (the largest multiple of the format's
-    * frame size ≤ `frameBytes`, so a chunk never bisects a sample
-    * across channels). Opaque "video" payloads split at fixed byte
-    * strides (===== STUB for video =====: a real demuxer finds frame
-    * boundaries; this JDK has no video codecs). Same batched-partition
-    * shape as [[extractFeatures]] — at scale each task samples its own
-    * partition's payloads, no shuffle, and the sampled frames are a
-    * `sampleEvery`-fold reduction before anything heavy (a model, a
-    * resize) runs.
+    * ANIMATION payloads (GIF) sample for real — the demuxed frames ARE
+    * the stream, each sampled frame digested over its decoded pixels.
+    * AUDIO payloads split for real too — the DECODED PCM stream is
+    * chunked at true frame boundaries (the largest multiple of the
+    * format's frame size ≤ `frameBytes`, so a chunk never bisects a
+    * sample across channels). Remaining opaque "video" payloads split
+    * at fixed byte strides (===== STUB for video =====: a real demuxer
+    * finds frame boundaries; this JDK has no MP4/WebM codecs — GIF is
+    * the animation container it CAN demux, and that path is real).
+    * Same batched-partition shape as [[extractFeatures]] — at scale
+    * each task samples its own partition's payloads, no shuffle, and
+    * the sampled frames are a `sampleEvery`-fold reduction before
+    * anything heavy (a model, a resize) runs.
     */
   def sampleFrames(spark: SparkSession, assets: DataFrame,
                    frameBytes: Int = 64,
@@ -190,14 +259,25 @@ object Multimodal {
     import spark.implicits._
     assets.as[MediaAsset].mapPartitions { it =>
       it.flatMap { a =>
-        val (stream, chunk) = decodeAudio(a.payload) match {
-          case Some(au) =>
-            (au.pcm, math.max(frameBytes / au.frameSize, 1) * au.frameSize)
-          case None => (a.payload, frameBytes)
-        }
-        stream.grouped(chunk).zipWithIndex.collect {
-          case (bytes, idx) if idx % sampleEvery == 0 =>
-            FrameSample(a.doc_id, idx, bytes.length.toLong, md5Hex(bytes))
+        decodeGifFrames(a.payload) match {
+          case Some(frames) =>
+            frames.zipWithIndex.collect {
+              case (img, idx) if idx % sampleEvery == 0 =>
+                val px = pixelBytes(img)
+                FrameSample(a.doc_id, idx, px.length.toLong, md5Hex(px))
+            }
+          case None =>
+            val (stream, chunk) = decodeAudio(a.payload) match {
+              case Some(au) =>
+                (au.pcm,
+                  math.max(frameBytes / au.frameSize, 1) * au.frameSize)
+              case None => (a.payload, frameBytes)
+            }
+            stream.grouped(chunk).zipWithIndex.collect {
+              case (bytes, idx) if idx % sampleEvery == 0 =>
+                FrameSample(a.doc_id, idx, bytes.length.toLong,
+                  md5Hex(bytes))
+            }
         }
       }
     }

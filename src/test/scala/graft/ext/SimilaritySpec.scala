@@ -451,6 +451,51 @@ class SimilaritySpec extends SparkTestBase {
       "unrelated audio should be far in fingerprint space")
   }
 
+  test("animated GIF demuxes for real: true frame count in features, " +
+    "frame sampling at real frame boundaries") {
+    import spark.implicits._
+    // 5 solid-color 16x16 frames, colors far enough apart to survive
+    // GIF palette quantization distinctly
+    val frames = (0 until 5).map { i =>
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(i * 40, 255 - i * 40, 128))
+      g.fillRect(0, 0, 16, 16); g.dispose(); img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(
+      new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+
+    // decode() reports the REAL frame count (and real pixel dims)
+    val (w, h, n, _, _, _) = Multimodal.decode(gif)
+    assert((w, h, n) == (16, 16, 5), s"decode said ($w,$h,$n)")
+
+    // sampling every 2nd REAL frame: indices 0,2,4; each digest is over
+    // the frame's decoded pixels (w*h*4 bytes), distinct per color
+    val assets = Seq(Multimodal.MediaAsset(1L, "image/gif", gif)).toDS()
+      .toDF()
+    val fs = Multimodal.sampleFrames(spark, assets, sampleEvery = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(fs.map(_.frame_idx).toSeq == Seq(0, 2, 4), fs.mkString(","))
+    assert(fs.forall(_.n_frame_bytes == 16L * 16 * 4))
+    assert(fs.map(_.frame_digest).distinct.length == 3,
+      "distinct solid-color frames must digest distinctly")
+
+    // a single-frame (static) GIF stays a 1-frame stream
+    val bos1 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(frames.head, "gif", bos1)
+    val (_, _, n1, _, _, _) = Multimodal.decode(bos1.toByteArray)
+    assert(n1 == 1)
+  }
+
   test("multimodal resize bounds output size and is deterministic") {
     val docs = Tables.documents(spark, sf0001)
     val assets = Multimodal.asAssets(docs)
