@@ -621,6 +621,76 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** Span-REMOVAL cleaning [EXT] — the transform [[dupSpans]]'s
+    * detection feeds: cut redundant duplicated spans out of the corpus
+    * with the min-id survivor rule used everywhere in this engine
+    * (d01/p01). A window is redundant in a doc when it occurs in
+    * ≥ `minDocs` distinct docs and this doc is NOT the window's first
+    * owner (min doc_id); a token is cut when EVERY window covering it
+    * is redundant — the first owner keeps its copy verbatim, and
+    * non-owners keep the n−1 ragged boundary tokens whose covering
+    * windows straddle unique context (the Lee et al. 2021 cut rule).
+    * Runs of redundant windows convert to token intervals in closed
+    * form: a run `[a,b]` over the doc's W = L−n+1 windows cuts tokens
+    * `[if a=0 then 0 else a+n−1, if b=W−1 then L−1 else b]` — interval
+    * containment of the covering-window range, no per-token membership
+    * scan against the run set.
+    *
+    * Output: EVERY doc — `text` despanned (original when nothing cut),
+    * `n_tokens` the original count, `n_removed` the cut count.
+    *
+    * Scale: the positioned-window subplan is plan-identical to
+    * [[dupSpans]]'s, so a session running both shares one cache entry;
+    * ownership + redundancy run exchange-free on the window-key
+    * partitioning; cut intervals per doc are few and small, so the
+    * text rebuild is a narrow per-doc HOF over the bound token array.
+    */
+  def removeDupSpans(docs: DataFrame, n: Int = 3,
+                     minDocs: Int = 2): DataFrame = {
+    val wins = positionedWindows(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val owners = wins.groupBy(col("wk"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("wk", "first_doc")
+    val red = wins.join(owners, "wk")
+      .filter(col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cuts = red
+      .withColumn("g", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("a"), max(col("pos")).as("b"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("a"), col("b"))).as("runs"))
+    docs
+      .select(col("doc_id"), tokens.as("tk"))
+      .join(cuts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("tk"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        coalesce(col("runs"),
+          array().cast("array<struct<a:bigint,b:bigint>>")).as("runs"))
+      // redundant-window runs → cut token intervals (closed form above)
+      .select(col("doc_id"), col("tk"), col("n_tokens"),
+        transform(col("runs"), c => struct(
+          when(c.getField("a") === 0, lit(0L))
+            .otherwise(c.getField("a") + (n - 1)).as("s"),
+          when(c.getField("b") === col("n_tokens") - n,
+            col("n_tokens") - 1).otherwise(c.getField("b")).as("e")))
+          .as("iv"))
+      .select(col("doc_id"), col("tk"), col("n_tokens"),
+        filter(sequence(lit(0L), col("n_tokens") - 1), j =>
+          !exists(col("iv"), c =>
+            j >= c.getField("s") && j <= c.getField("e"))).as("keep"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("keep"),
+          j => element_at(col("tk"), (j + 1).cast("int")))).as("text"),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("keep"))).as("n_removed"))
+  }
+
   /** Benchmark decontamination [EXT]: flag corpus documents sharing at
     * least `minShared` distinct word n-gram shingles with any document
     * of the eval/benchmark set — the contamination check every training

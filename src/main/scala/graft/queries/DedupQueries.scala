@@ -54,6 +54,14 @@ object DedupQueries {
       Dedup.dupSpans(Tables.documents(s, d), n = 3, minDocs = 2)
     },
 
+    /** p02 — span-removal cleaning: cut d12's duplicated spans from
+      * every non-first-owner doc (min-id survivor, ragged n−1
+      * boundaries kept) — the transform span detection feeds.
+      */
+    "p02_despanned_corpus" -> { (s, d) =>
+      Dedup.removeDupSpans(Tables.documents(s, d), n = 3, minDocs = 2)
+    },
+
     /** p01 — the composed cleaning pipeline: quality gate → near-dup
       * removal (lower-id survivor) → fingerprint. One Catalyst plan.
       */
@@ -263,6 +271,55 @@ object DedupQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_windows
       |FROM isl GROUP BY doc_id, g""".stripMargin
 
+  // p02: the d12 window chain plus ownership; runs of redundant
+  // windows become cut token intervals in the same closed form the
+  // Spark side uses, and the text rebuild is an anti-exists over
+  // positions + ordered string_agg.
+  private val p02Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(ts[i+1:i+3], ' ') AS w
+      |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 2)) AS i
+      |        FROM tok)),
+      |fo AS (
+      |  SELECT w, MIN(doc_id) AS first_doc FROM wins GROUP BY w
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |red AS (
+      |  SELECT doc_id, pos FROM wins JOIN fo USING (w)
+      |  WHERE doc_id <> first_doc),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      |  FROM red),
+      |runs AS (
+      |  SELECT doc_id, MIN(pos) AS a, MAX(pos) AS b
+      |  FROM isl GROUP BY doc_id, g),
+      |meta AS (SELECT doc_id, ts, len(ts) AS L FROM tok),
+      |cuts AS (
+      |  SELECT r.doc_id,
+      |    CASE WHEN r.a = 0 THEN 0 ELSE r.a + 2 END AS s,
+      |    CASE WHEN r.b = m.L - 3 THEN m.L - 1 ELSE r.b END AS e
+      |  FROM runs r JOIN meta m USING (doc_id)),
+      |posn AS (SELECT doc_id, unnest(range(L)) AS j FROM meta),
+      |kept AS (
+      |  SELECT p.doc_id, p.j FROM posn p
+      |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+      |    WHERE c.doc_id = p.doc_id AND p.j >= c.s AND p.j <= c.e)),
+      |agg AS (
+      |  SELECT k.doc_id,
+      |    string_agg(m.ts[CAST(k.j AS INT) + 1], ' ' ORDER BY k.j)
+      |      AS text,
+      |    COUNT(*) AS n_kept
+      |  FROM kept k JOIN meta m USING (doc_id)
+      |  GROUP BY k.doc_id)
+      |SELECT m.doc_id,
+      |  COALESCE(a.text, '') AS text,
+      |  CAST(m.L AS BIGINT) AS n_tokens,
+      |  CAST(m.L - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM meta m LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   private val d11Sql =
     s"""WITH $shinglesCte,
        |fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
@@ -288,6 +345,7 @@ object DedupQueries {
     "d03_minhash_lsh" -> d03Sql,
     "d04_simhash_pairs" -> d04Sql,
     "d12_dup_spans" -> d12Sql,
+    "p02_despanned_corpus" -> p02Sql,
 
     "d06_chunk_dedup" ->
       """WITH chunks AS (

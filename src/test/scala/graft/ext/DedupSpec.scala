@@ -256,6 +256,36 @@ class DedupSpec extends SparkTestBase {
       s"unexpected span set: ${spans.toSeq}")
   }
 
+  test("removeDupSpans cuts redundant spans with min-id survivors and " +
+    "ragged n-1 boundaries, keeping owners verbatim") {
+    import spark.implicits._
+    val para = (0 until 12).map(i => s"shared$i").mkString(" ")
+    val p2 = (0 until 6).map(i => s"twin$i").mkString(" ")
+    val d1 = "alpha beta gamma " + para + " delta epsilon"
+    val d3 = "totally unrelated text with no duplicate windows at all"
+    val planted = Seq(
+      (1L, d1),
+      (2L, "one two three four five " + para),
+      (3L, d3),
+      (4L, para + " unique middle tokens here " + p2),
+      (5L, "x y z " + p2)).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(planted, n = 3, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      // doc 1 owns every shared window (min id) → verbatim
+      (1L, d1, 17L, 0L),
+      // doc 2: run [5,14] hits the doc end → cut tokens 7..16, keep the
+      // ragged boundary shared0/shared1
+      (2L, "one two three four five shared0 shared1", 17L, 10L),
+      (3L, d3, 9L, 0L),
+      // doc 4: para's run [0,9] starts at the doc start → cut 0..9;
+      // doc 4 OWNS the twin windows (min id vs doc 5) so p2 stays
+      (4L, "shared10 shared11 unique middle tokens here " + p2, 22L, 10L),
+      // doc 5: twin run [3,6] hits the doc end → cut 5..8
+      (5L, "x y z twin0 twin1", 9L, 4L)),
+      s"unexpected despan output: ${out.toSeq}")
+  }
+
   test("rolling hash is stable and order-sensitive") {
     val h1 = TextAnalysis.rollingHash("the quick brown fox")
     assert(h1 == TextAnalysis.rollingHash("the quick brown fox"))
