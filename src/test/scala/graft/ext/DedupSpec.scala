@@ -286,6 +286,68 @@ class DedupSpec extends SparkTestBase {
       s"unexpected despan output: ${out.toSeq}")
   }
 
+  test("dupSpans/removeDupSpans agree with a brute-force reference on " +
+    "random collision-heavy corpora") {
+    import spark.implicits._
+    val n = 3
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    // tiny vocab → dense window collisions: islands, doc-edge runs,
+    // whole-doc removal, and sub-n docs all occur organically
+    val corpus = (0 until 30).map(id => (id.toLong,
+      Vector.fill(rnd.nextInt(12) + 1)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toVector }
+      .toMap
+    val winsOf = toks.map { case (id, ts) =>
+      id -> (if (ts.length >= n)
+        (0 to ts.length - n).map(p => ts.slice(p, p + n).mkString(" "))
+      else IndexedSeq.empty[String])
+    }
+    val docsOf = winsOf.toSeq
+      .flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).toSet }
+
+    // brute spans: islands of positions whose window is in >=2 docs
+    def runs(ps: Seq[Int]): Seq[(Int, Int)] =
+      ps.sorted.foldLeft(List.empty[(Int, Int)]) {
+        case ((a, b) :: rest, p) if p == b + 1 => (a, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+    val expectSpans = (for {
+      (id, ws) <- winsOf.toSeq
+      dup = ws.zipWithIndex.collect {
+        case (w, p) if docsOf(w).size >= 2 => p }
+      (a, b) <- runs(dup)
+    } yield (id, a.toLong, (b + n - 1).toLong, (b + n - a).toLong,
+      (b - a + 1).toLong)).toSet
+    val gotSpans = Dedup.dupSpans(corpus.toDF("doc_id", "text"), n, 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(gotSpans == expectSpans,
+      s"spans diverge: extra=${gotSpans -- expectSpans} " +
+        s"missing=${expectSpans -- gotSpans}")
+
+    // brute removal: token j cut iff EVERY covering window is
+    // redundant (>=2 docs and this doc is not the min-id owner) —
+    // the defining rule, no interval closed form
+    val expectClean = corpus.map { case (id, _) =>
+      val ts = toks(id); val w = winsOf(id)
+      def redundant(p: Int) =
+        docsOf(w(p)).size >= 2 && docsOf(w(p)).min != id
+      val kept = ts.indices.filter { j =>
+        val lo = math.max(0, j - n + 1); val hi = math.min(j, w.size - 1)
+        lo > hi || (lo to hi).exists(!redundant(_))
+      }
+      (id, kept.map(ts).mkString(" "), ts.size.toLong,
+        (ts.size - kept.size).toLong)
+    }.toSet
+    val gotClean = Dedup.removeDupSpans(corpus.toDF("doc_id", "text"), n, 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(gotClean == expectClean,
+      s"despan diverges: extra=${gotClean -- expectClean} " +
+        s"missing=${expectClean -- gotClean}")
+  }
+
   test("rolling hash is stable and order-sensitive") {
     val h1 = TextAnalysis.rollingHash("the quick brown fox")
     assert(h1 == TextAnalysis.rollingHash("the quick brown fox"))
