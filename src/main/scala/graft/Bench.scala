@@ -3,6 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Force FULL evaluation of every output column via the `noop` sink
+    * — `count()` is NOT a benchmark executor: Catalyst prunes any
+    * computation the row count doesn't need (a per-row feature map
+    * collapses to a zero-column scan; a left-outer join against a
+    * per-key aggregate is eliminated outright), so a counted "run" of
+    * a map-shaped query times the parquet footer read, not the query.
+    * The noop sink consumes every row of every column with zero write
+    * cost, which is what the verify path (a real parquet write) pays
+    * minus the I/O.
+    */
+  private def runFully(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,7 +47,7 @@ object Bench {
       }
     }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, warmDir).count()
+      try runFully(fn(spark, warmDir))
       catch { case e: Throwable =>
         System.err.println(s"warmup $name failed: ${e.getMessage}") }
     }
@@ -70,7 +84,7 @@ object Bench {
       rotated.foreach { case (name, fn) =>
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { runFully(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }
         // a failed rep's (usually tiny) duration must not enter the
         // min/median — a fast crash would masquerade as a fast query
