@@ -657,6 +657,28 @@ object Dedup {
     val red = wins.join(owners, "wk")
       .filter(col("doc_id") =!= col("first_doc"))
       .select(col("doc_id"), col("pos"))
+    cutSpans(docs, red, n, coverAll = false)
+  }
+
+  /** Shared rebuild for the span cutters ([[removeDupSpans]],
+    * [[despanContaminated]]): given the redundant window positions
+    * `(doc_id, pos)`, merge them into runs (island trick), convert
+    * each run `[a,b]` to its cut token interval, and re-emit EVERY doc
+    * with the cut tokens removed. Two cut semantics:
+    *  - `coverAll = false` (dedup): a token is cut only when EVERY
+    *    covering window is redundant — closed form
+    *    `[if a=0 then 0 else a+n−1, if b=W−1 then L−1 else b]`; keeps
+    *    the n−1 ragged boundary tokens (and cuts nothing for overlaps
+    *    shorter than 2n−1 — conservative, context-preserving).
+    *  - `coverAll = true` (decontamination): a token is cut when ANY
+    *    covering window is redundant — `[a, b+n−1]`; every token of a
+    *    shared window goes, no fragment of the protected set survives.
+    * The only shuffle here is the per-doc island window; the rebuild
+    * is a narrow per-doc HOF over the bound token array (cut intervals
+    * per doc are few and small).
+    */
+  private def cutSpans(docs: DataFrame, red: DataFrame,
+                       n: Int, coverAll: Boolean): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val cuts = red
@@ -672,13 +694,17 @@ object Dedup {
         size(col("tk")).cast("long").as("n_tokens"),
         coalesce(col("runs"),
           array().cast("array<struct<a:bigint,b:bigint>>")).as("runs"))
-      // redundant-window runs → cut token intervals (closed form above)
+      // redundant-window runs → cut token intervals (see scaladoc)
       .select(col("doc_id"), col("tk"), col("n_tokens"),
-        transform(col("runs"), c => struct(
-          when(c.getField("a") === 0, lit(0L))
-            .otherwise(c.getField("a") + (n - 1)).as("s"),
-          when(c.getField("b") === col("n_tokens") - n,
-            col("n_tokens") - 1).otherwise(c.getField("b")).as("e")))
+        transform(col("runs"), c =>
+          if (coverAll) struct(
+            c.getField("a").as("s"),
+            (c.getField("b") + (n - 1)).as("e"))
+          else struct(
+            when(c.getField("a") === 0, lit(0L))
+              .otherwise(c.getField("a") + (n - 1)).as("s"),
+            when(c.getField("b") === col("n_tokens") - n,
+              col("n_tokens") - 1).otherwise(c.getField("b")).as("e")))
           .as("iv"))
       .select(col("doc_id"), col("tk"), col("n_tokens"),
         filter(sequence(lit(0L), col("n_tokens") - 1), j =>
@@ -689,6 +715,39 @@ object Dedup {
           j => element_at(col("tk"), (j + 1).cast("int")))).as("text"),
         col("n_tokens"),
         (col("n_tokens") - size(col("keep"))).as("n_removed"))
+  }
+
+  /** Span-level benchmark DECONTAMINATION [EXT] — the surgical twin of
+    * [[contamination]] (x08): x08 flags and drops whole docs sharing
+    * eval shingles; this cuts ONLY the overlapping spans and keeps the
+    * rest of each doc — what a pipeline does when contaminated docs
+    * are too valuable to drop wholesale. A corpus window is redundant
+    * when it occurs ANYWHERE in the eval set (the eval side always
+    * "owns"), and the cut uses [[cutSpans]]' `coverAll` semantics:
+    * every token of a shared window is removed — decontamination must
+    * leave NO fragment of an eval n-gram behind, unlike the
+    * context-preserving dedup cut of [[removeDupSpans]].
+    *
+    * Scale: the eval window set is tiny and broadcasts — the corpus
+    * side is NEVER shuffled for the probe (no repartition, unlike the
+    * intra-corpus [[dupSpans]]); the only shuffle is the per-doc
+    * island window over redundant positions, which contamination
+    * keeps rare.
+    */
+  def despanContaminated(corpus: DataFrame, eval_ : DataFrame,
+                         n: Int = 5): DataFrame = {
+    val evalWins = shingleHashRows(eval_, n, withDocId = false)
+      .distinct().withColumnRenamed("sh", "wk")
+    val wins = corpus
+      .select(col("doc_id"), transform(tokens, t => xxhash64(t)).as("th"))
+      .select(col("doc_id"),
+        posexplode_outer(windowHashArr(n, distinctWindows = false)))
+      .filter(col("col").isNotNull)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("wk"))
+    val red = wins.join(broadcast(evalWins), "wk")
+      .select(col("doc_id"), col("pos"))
+    cutSpans(corpus, red, n, coverAll = true)
   }
 
   /** Benchmark decontamination [EXT]: flag corpus documents sharing at

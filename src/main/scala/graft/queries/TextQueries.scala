@@ -61,6 +61,17 @@ object TextQueries {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"), n = 5)
     },
+    /** x24 — span-level decontamination, x08's surgical twin: instead
+      * of dropping a contaminated doc wholesale, cut ONLY the spans
+      * overlapping the 'src0' eval slice's 5-grams and keep the rest.
+      */
+    "x24_despan_decontaminate" -> { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      graft.ext.Dedup.despanContaminated(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), n = 5)
+    },
     "x09_hash_split" -> { (s, d) =>
       TextAnalysis.hashSplit(Tables.documents(s, d))
     },
@@ -354,6 +365,54 @@ object TextQueries {
         |FROM tr JOIN ev USING (s)
         |GROUP BY doc_id
         |HAVING COUNT(DISTINCT s) >= 1""".stripMargin,
+
+    // x24: same window chain as p02's oracle, with redundancy =
+    // "window occurs anywhere in the src0 eval slice" and the
+    // cover-all cut [a, b+4]: EVERY token of a shared 5-gram is
+    // removed (decontamination leaves no eval fragment), unlike p02's
+    // context-preserving all-covering-windows rule
+    "x24_despan_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |ev AS (
+        |  SELECT DISTINCT array_to_string(ts[i+1:i+5], ' ') AS w
+        |  FROM (SELECT ts, unnest(range(len(ts) - 4)) AS i
+        |        FROM tok WHERE source = 'src0')),
+        |cwins AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(ts[i+1:i+5], ' ') AS w
+        |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 4)) AS i
+        |        FROM tok WHERE source <> 'src0')),
+        |red AS (SELECT doc_id, pos FROM cwins JOIN ev USING (w)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM red),
+        |runs AS (
+        |  SELECT doc_id, MIN(pos) AS a, MAX(pos) AS b
+        |  FROM isl GROUP BY doc_id, g),
+        |meta AS (SELECT doc_id, ts, len(ts) AS L FROM tok
+        |         WHERE source <> 'src0'),
+        |cuts AS (
+        |  SELECT doc_id, a AS s, b + 4 AS e FROM runs),
+        |posn AS (SELECT doc_id, unnest(range(L)) AS j FROM meta),
+        |kept AS (
+        |  SELECT p.doc_id, p.j FROM posn p
+        |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+        |    WHERE c.doc_id = p.doc_id AND p.j >= c.s AND p.j <= c.e)),
+        |agg AS (
+        |  SELECT k.doc_id,
+        |    string_agg(m.ts[CAST(k.j AS INT) + 1], ' ' ORDER BY k.j)
+        |      AS text,
+        |    COUNT(*) AS n_kept
+        |  FROM kept k JOIN meta m USING (doc_id)
+        |  GROUP BY k.doc_id)
+        |SELECT m.doc_id,
+        |  COALESCE(a.text, '') AS text,
+        |  CAST(m.L AS BIGINT) AS n_tokens,
+        |  CAST(m.L - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM meta m LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "x09_hash_split" ->
       s"""SELECT doc_id,

@@ -54,6 +54,32 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(hits == Map(1L -> 2L))
   }
 
+  test("despanContaminated cuts every token of a shared eval 5-gram, " +
+    "keeps the rest, and never emits eval docs") {
+    import spark.implicits._
+    val phrase = (0 until 8).map(i => s"bench$i").mkString(" ")
+    val eval = Seq((100L, "intro words " + phrase + " outro"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // phrase at tokens 3..10: shared 5-gram windows are 3..6, so the
+      // cover-all cut [3, 6+4] removes exactly the phrase — no ragged
+      // leftover fragment of any eval n-gram
+      (1L, "aaa bbb ccc " + phrase + " ddd eee fff"),
+      (2L, "clean document with nothing shared at all here okay"))
+      .toDF("doc_id", "text")
+    val out = Dedup.despanContaminated(corpus, eval, n = 5)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "aaa bbb ccc ddd eee fff", 14L, 8L),
+      (2L, "clean document with nothing shared at all here okay", 9L, 0L)),
+      s"unexpected despan-decontaminate output: ${out.toSeq}")
+    // no 5-gram of the cleaned corpus may appear in the eval set
+    val residual = Dedup.contamination(
+      out.map(r => (r._1, r._2)).toSeq.toDF("doc_id", "text"),
+      eval, n = 5, minShared = 1)
+    assert(residual.isEmpty, "cleaned corpus still contaminated")
+  }
+
   test("contamination counts distinct shared shingles, not occurrences") {
     import spark.implicits._
     // the shared 5-gram appears twice in the corpus doc; still counts once
