@@ -236,6 +236,39 @@ class PlanSpec extends SparkTestBase {
       "corpus⋈eval degraded to a corpus-wide shuffle join")
   }
 
+  test("x24 span decontamination: eval windows broadcast, corpus side " +
+    "never shuffled for the probe") {
+    val df = SparkEntry.queries("x24_despan_decontaminate")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "eval-side window set should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus⋈eval degraded to a corpus-wide shuffle join")
+  }
+
+  test("d12 dup spans: the executed plan inserts at most two shuffles " +
+    "beyond the deliberate window-key repartition — the df agg and dup " +
+    "join ride the cached partitioning, the span agg rides the island " +
+    "window's doc_id clustering") {
+    val df = SparkEntry.queries("d12_dup_spans")(spark, sf0001)
+    df.collect()
+    // count only the FINAL adaptive plan (toString appends the
+    // pre-runtime '== Initial Plan ==' which double-counts), and only
+    // ENSURE_REQUIREMENTS exchanges: the REPARTITION_BY_COL inside the
+    // cached window table is the deliberate partitioning itself, and
+    // broadcasts are not shuffles
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val shuffles = finalSection.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        l.contains("ENSURE_REQUIREMENTS"))
+    assert(shuffles <= 2,
+      s"d12's final plan inserted $shuffles shuffles — the window-key " +
+        s"partitioning or the doc_id clustering stopped being reused:\n" +
+        finalSection)
+  }
+
   test("d07 candidate near-dup: no all-pairs join anywhere in the plan") {
     // d05 (the exact twin) is intentionally a nested-loop all-pairs
     // join; d07 is the scale path and must never degrade to one —
