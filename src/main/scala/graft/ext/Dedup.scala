@@ -370,6 +370,36 @@ object Dedup {
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("key"))
   }
 
+  /** LSH candidates scored by their SIGNATURE-estimated jaccard [EXT]
+    * — the pairing you actually threshold at 100 TB: exact jaccard
+    * (d02) re-touches shingle sets; the minhash estimator touches only
+    * the k-long signatures already in hand (E[matches/k] = J(A,B), the
+    * MinHash identity). Banding already guarantees ≥ RowsPerBand
+    * matching components per candidate, so a meaningful `minEst` sits
+    * above RowsPerBand/k (0.5 here = ≥8 of 16, the LSH analog of
+    * d02's 0.5 exact threshold). Estimates are exact multiples of
+    * 1/16 — a power of two, so the double division has no ulp hazard
+    * and the oracle reproduces it bit-for-bit.
+    *
+    * Scale: candidates join the cached signature table (plan-shared
+    * with [[minhashCandidates]]' internal cache) twice on doc ids —
+    * shuffles move only (pair, signature) rows, never shingles.
+    */
+  def minhashEstimatedPairs(docs: DataFrame, n: Int = 3,
+                            minEst: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matches = (0 until K).map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    minhashCandidates(docs, n)
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches / lit(K.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+  }
+
   // ---- incremental signature maintenance ----------------------------
   //
   // The export side of the pipeline is O(delta) (StreamingBackup,

@@ -24,6 +24,16 @@ object DedupQueries {
       Dedup.minhashCandidates(Tables.documents(s, d), n = 3)
     },
 
+    /** d13 — LSH candidates scored by signature-estimated jaccard
+      * (matches/k over the minhash components): the constant-cost
+      * similarity threshold the 100 TB path applies instead of d02's
+      * exact shingle-set jaccard.
+      */
+    "d13_minhash_estimate" -> { (s, d) =>
+      Dedup.minhashEstimatedPairs(Tables.documents(s, d), n = 3,
+        minEst = 0.5)
+    },
+
     /** d11 — per-doc shingle novelty: fraction of a doc's distinct
       * shingles first owned (min doc_id) by the doc itself — the
       * redundancy signal for curriculum/dedup-aware sampling. Docs
@@ -171,6 +181,39 @@ object DedupQueries {
        |FROM banded a
        |JOIN banded b ON a.band = b.band AND a.key = b.key
        |  AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  // d13: d03's CTE chain plus the per-candidate component-match count;
+  // 16 is a power of two so /16.0 is exact on both engines
+  private val d13Sql = {
+    val minhashCols = (0 until K).map(i =>
+      s"MIN(${minhashTermSql(i, "h")}) AS mh$i").mkString(",\n    ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val keyParts = (0 until RowsPerBand)
+        .map(r => s"mh${b * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $keyParts) AS key FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    val matchSum = (0 until K).map(i =>
+      s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $shinglesCte,
+       |hashed AS (
+       |  SELECT doc_id, ${base60Sql("s")} AS h FROM sh),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $minhashCols
+       |  FROM hashed GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a
+       |  JOIN banded b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, ($matchSum) / 16.0 AS est_jaccard
+       |FROM cand
+       |JOIN sigs sa ON sa.doc_id = doc_a
+       |JOIN sigs sb ON sb.doc_id = doc_b
+       |WHERE ($matchSum) / 16.0 >= 0.5""".stripMargin
   }
 
   private val d04Sql = {
@@ -343,6 +386,7 @@ object DedupQueries {
     "d02_jaccard_pairs" -> d02Sql,
     "d08_dup_clusters" -> d08Sql,
     "d03_minhash_lsh" -> d03Sql,
+    "d13_minhash_estimate" -> d13Sql,
     "d04_simhash_pairs" -> d04Sql,
     "d12_dup_spans" -> d12Sql,
     "p02_despanned_corpus" -> p02Sql,

@@ -348,6 +348,30 @@ class DedupSpec extends SparkTestBase {
         s"missing=${expectClean -- gotClean}")
   }
 
+  test("minhash estimated jaccard: exact duplicates score 1.0, every " +
+    "estimate is a k-th, and estimates track exact jaccard on candidates") {
+    import spark.implicits._
+    val base = docs.select("doc_id", "text").limit(40)
+      .as[(Long, String)].collect()
+    // plant an exact duplicate of doc 0 under a fresh id
+    val dupId = base.head._1 + 9000000L
+    val planted = (base :+ ((dupId, base.head._2))).toSeq
+      .toDF("doc_id", "text")
+    val est = Dedup.minhashEstimatedPairs(planted, n = 3, minEst = 0.0)
+      .as[(Long, Long, Double)].collect()
+    val exactDup = est.filter(p =>
+      (p._1 == base.head._1 && p._2 == dupId) ||
+        (p._1 == dupId && p._2 == base.head._1))
+    assert(exactDup.length == 1 && exactDup.head._3 == 1.0,
+      s"exact duplicate should estimate 1.0: ${exactDup.toSeq}")
+    // every estimate is an exact multiple of 1/16 (k = 16)
+    assert(est.forall(p => (p._3 * 16) == math.rint(p._3 * 16)),
+      "estimates must be exact sixteenths")
+    // banding floor: every candidate agrees on >=1 full band of 4
+    assert(est.forall(_._3 >= 4.0 / 16),
+      "a candidate cannot match fewer components than one band")
+  }
+
   test("rolling hash is stable and order-sensitive") {
     val h1 = TextAnalysis.rollingHash("the quick brown fox")
     assert(h1 == TextAnalysis.rollingHash("the quick brown fox"))
