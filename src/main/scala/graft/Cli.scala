@@ -97,14 +97,54 @@ object Cli {
       case Some("compact") => compactCmd(spark, parseOpts(args.tail))
       case Some("zonemap") => zonemapCmd(spark, parseOpts(args.tail))
       case Some("dedup") => dedupCmd(spark, parseOpts(args.tail))
+      case Some("despan") => despanCmd(spark, parseOpts(args.tail))
       case Some(other) => throw CliError(
         s"unknown command: $other " +
-          "(expected export | import | db | compact | zonemap | dedup)")
+          "(expected export | import | db | compact | zonemap | dedup " +
+          "| despan)")
       case None =>
         throw CliError(
-          "usage: graft.Cli <export|import|db|compact|zonemap|dedup> " +
-            "[--options]")
+          "usage: graft.Cli <export|import|db|compact|zonemap|dedup" +
+            "|despan> [--options]")
     }
+
+  /** `despan` — [EXT] one-shot span-level cleaning (ext.Dedup): cut
+    * duplicated spans out of the corpus at `--docs` and write the
+    * cleaned corpus (doc_id, text, n_tokens, n_removed) to `--out`.
+    * Without `--eval`, intra-corpus dedup (removeDupSpans: min-id
+    * survivor, context-preserving ragged boundaries); with `--eval
+    * PATH`, benchmark decontamination against that slice
+    * (despanContaminated: cover-all cut — no eval n-gram fragment
+    * survives). `--n` is the window width (default 3 for dedup, 5
+    * for decontamination, overridable).
+    */
+  private def despanCmd(spark: SparkSession,
+                        opts: Map[String, String]): String = {
+    val docsPath = required(opts, "docs")
+    val out = required(opts, "out")
+    val docs = spark.read.parquet(docsPath)
+    if (!docs.columns.contains("doc_id") || !docs.columns.contains("text"))
+      throw CliError(s"--docs needs doc_id and text columns, " +
+        s"found ${docs.columns.mkString(",")}")
+    val cleaned = opts.get("eval") match {
+      case Some(evalPath) =>
+        val n = opts.get("n").map(_.toInt).getOrElse(5)
+        if (n < 1) throw CliError(s"--n must be positive, got $n")
+        graft.ext.Dedup.despanContaminated(
+          docs, spark.read.parquet(evalPath), n)
+      case None =>
+        val n = opts.get("n").map(_.toInt).getOrElse(3)
+        if (n < 1) throw CliError(s"--n must be positive, got $n")
+        graft.ext.Dedup.removeDupSpans(docs, n)
+    }
+    cleaned.write.mode("overwrite").parquet(out)
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+    val stats = spark.read.parquet(out)
+      .agg(count(lit(1)), coalesce(sum("n_removed"), lit(0L))).head()
+    val mode = if (opts.contains("eval")) "decontaminated" else "despanned"
+    s"$mode ${stats.getLong(0)} docs; ${stats.getLong(1)} tokens cut " +
+      s"-> $out"
+  }
 
   /** `dedup` — [EXT] maintenance for the incremental dedup stores
     * (ext.Dedup). `--mode minhash` (default) keeps the signature

@@ -262,6 +262,54 @@ class CliSpec extends SparkTestBase {
       .message.contains("minhash|jaccard"))
   }
 
+  test("despan cleans duplicated spans; --eval switches to " +
+    "decontamination with the cover-all cut") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val para = (0 until 12).map(i => s"shared$i").mkString(" ")
+    val corpusDir = tmpDir("cli-despan-docs")
+    val evalDir = tmpDir("cli-despan-eval")
+    Seq(
+      (1L, "alpha beta gamma " + para + " delta epsilon"),
+      (2L, "one two three four five " + para),
+      (3L, "totally unrelated text with no duplicate windows at all"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    Seq((100L, para)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(evalDir)
+
+    // intra-corpus dedup: doc 1 owns the para (min id), doc 2 loses
+    // its interior
+    val out1 = tmpDir("cli-despan-out1")
+    val msg1 = Cli.run(spark, Seq("despan",
+      "--docs", corpusDir, "--out", out1), now)
+    assert(msg1.contains("despanned 3 docs") &&
+      msg1.contains("10 tokens cut"), msg1)
+    val d2 = spark.read.parquet(out1).filter(col("doc_id") === 2L)
+      .select("text").head().getString(0)
+    assert(d2 == "one two three four five shared0 shared1", d2)
+
+    // decontamination: BOTH docs holding the eval para lose it whole
+    // (no min-id owner exemption, no ragged leftovers)
+    val out2 = tmpDir("cli-despan-out2")
+    val msg2 = Cli.run(spark, Seq("despan",
+      "--docs", corpusDir, "--out", out2, "--eval", evalDir, "--n", "3"),
+      now)
+    assert(msg2.contains("decontaminated 3 docs") &&
+      msg2.contains("24 tokens cut"), msg2)
+    val texts = spark.read.parquet(out2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(1L) == "alpha beta gamma delta epsilon", texts(1L))
+    assert(texts(2L) == "one two three four five", texts(2L))
+
+    // validations: schema and missing options fail loudly
+    val bad = tmpDir("cli-despan-bad")
+    Seq((1L, "x")).toDF("id", "body").write.mode("overwrite").parquet(bad)
+    assert(intercept[CliError](Cli.run(spark, Seq("despan",
+      "--docs", bad, "--out", out1), now)).message.contains("doc_id"))
+    assert(intercept[CliError](Cli.run(spark, Seq("despan",
+      "--docs", corpusDir), now)).message.contains("--out"))
+  }
+
   test("compact validation: a missing session dir fails loudly") {
     val e = intercept[CliError](Cli.run(spark, Seq("compact",
       "--dest-root", tmpDir("cli-ghost"), "--session-name", "nope"), now))
