@@ -400,6 +400,57 @@ object Dedup {
       .filter(col("est_jaccard") >= minEst)
   }
 
+  /** Zero-shuffle twin of [[despanContaminated]] for STREAMS (and for
+    * batch callers that want the narrowest possible plan): the eval
+    * window-hash set collects to the driver (tiny by the same contract
+    * that lets x08/x24 broadcast it) and ships as a broadcast
+    * variable; each doc's cut is then computed locally from its own
+    * window-hash array — one projection, no explode, no join, no
+    * island window, so the transform is STATELESS and applies to a
+    * streaming DataFrame unchanged (windows/joins on streams would
+    * need watermarks; a narrow map needs nothing). The udf is the
+    * engine's one justified udf class — a broadcast set probe with no
+    * built-in equivalent — and its per-doc work is O(tokens·n).
+    * Output rows are bit-identical to [[despanContaminated]]
+    * (spec-pinned): same window hashes, same cover-all cut.
+    */
+  def despanContaminatedMap(spark: org.apache.spark.sql.SparkSession,
+                            corpus: DataFrame, eval_ : DataFrame,
+                            n: Int = 5): DataFrame = {
+    val evalHashes: Set[Long] = shingleHashRows(eval_, n, withDocId = false)
+      .distinct().collect().map(_.getLong(0)).toSet
+    val bc = spark.sparkContext.broadcast(evalHashes)
+    val cut = udf { (toks: Seq[String], whs: Seq[Long]) =>
+      val set = bc.value
+      val flags = new Array[Boolean](toks.size)
+      var any = false
+      var p = 0
+      while (p < whs.size) {
+        if (set.contains(whs(p))) {
+          any = true
+          var j = p
+          while (j <= p + n - 1) { flags(j) = true; j += 1 }
+        }
+        p += 1
+      }
+      if (!any) (toks.mkString(" "), toks.size.toLong, 0L)
+      else {
+        val kept = toks.indices.collect { case j if !flags(j) => toks(j) }
+        (kept.mkString(" "), toks.size.toLong,
+          (toks.size - kept.size).toLong)
+      }
+    }
+    corpus
+      .select(col("doc_id"), tokens.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        transform(col("tk"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), col("tk"),
+        windowHashArr(n, distinctWindows = false).as("wh"))
+      .select(col("doc_id"), cut(col("tk"), col("wh")).as("r"))
+      .select(col("doc_id"), col("r._1").as("text"),
+        col("r._2").as("n_tokens"), col("r._3").as("n_removed"))
+  }
+
   // ---- incremental signature maintenance ----------------------------
   //
   // The export side of the pipeline is O(delta) (StreamingBackup,

@@ -75,6 +75,43 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(StreamingDedup.readPairs(spark, pairsOut).count() == total)
   }
 
+  test("narrow decontamination map: bit-identical to the declarative " +
+    "x24 plan, and runs unchanged on a document STREAM") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("source") =!= "src0")
+      .select("doc_id", "text")
+    val eval_ = docs.filter(col("source") === "src0")
+      .select("doc_id", "text")
+
+    // batch parity: same window hashes, same cover-all cut → equal sets
+    val declarative = Dedup.despanContaminated(corpus, eval_, n = 5)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val narrow = Dedup.despanContaminatedMap(spark, corpus, eval_, n = 5)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(narrow == declarative,
+      s"narrow map diverged: extra=${(narrow -- declarative).take(3)} " +
+        s"missing=${(declarative -- narrow).take(3)}")
+
+    // the same transform applies to a streaming frame (stateless
+    // narrow map: no watermark, no stateful operator needed)
+    val srcDir = tmpDir("despan-stream-src")
+    stage(corpus, srcDir, "docs.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val cleaned = Dedup.despanContaminatedMap(spark, stream, eval_, n = 5)
+    assert(cleaned.isStreaming, "transform must preserve streaming-ness")
+    StreamingOps.runToCompletion(spark, cleaned, "despan_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("despan_stream")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == declarative, "streamed despan diverged from batch")
+  }
+
   test("readPairs on a store that never materialized is empty, not an error") {
     assert(StreamingDedup.readPairs(spark,
       tmpDir("sd-none") + "/nope").isEmpty)
