@@ -219,32 +219,39 @@ object EngineQueries {
 
   /** Exact interpolated quantiles (`quantile_cont` / Spark
     * `percentile` semantics: rank r = (n−1)·p, linear interpolation
-    * between the r-th order statistics) WITHOUT buffering raw values:
-    * built-in `percentile` is a TypedImperativeAggregate that updates
-    * a per-row value→count hashmap outside codegen and merges every
-    * partition's map in one reducer. This plan gets the same numbers
-    * from codegen operators: (1) `groupBy(v).count()` — map-side
-    * combined, the ONLY full-data shuffle moves NDV rows, not raw
-    * rows; (2) a running-sum window over the distinct-value table
-    * (single partition BY DESIGN: the table is NDV-sized — bounded by
-    * the value domain, not the corpus; same final-merge shape as the
-    * built-in but over counted groups); (3) one conditional-min
-    * aggregate picks the bracketing order statistics x[k] = min v
-    * with cum ≥ k+1 for every requested rank, and the final select
-    * interpolates. Measured 2.8 s → 0.6 s vs the array-form
-    * `percentile` at sf0.1 (noop-sink bench).
+    * between the r-th order statistics), optionally PER GROUP, WITHOUT
+    * buffering raw values: built-in `percentile` is a
+    * TypedImperativeAggregate that updates a per-row value→count
+    * hashmap outside codegen and merges every partition's map in one
+    * reducer. This plan gets the same numbers from codegen operators:
+    * (1) `groupBy(groups :+ v).count()` — map-side combined, the ONLY
+    * full-data shuffle moves NDV rows, not raw rows; (2) a
+    * running-sum window over the distinct-value table (per group;
+    * NDV-sized — bounded by the value domain, not the corpus; same
+    * final-merge shape as the built-in but over counted groups);
+    * (3) one conditional-min aggregate per group picks the bracketing
+    * order statistics x[k] = min v with cum ≥ k+1 for every requested
+    * rank, and the final select interpolates. Measured 2.8 s → 0.6 s
+    * vs the array-form `percentile` at sf0.1 (noop-sink bench).
+    *
+    * Input: a frame with the value in column `v` plus the group
+    * columns. Output: `groupCols ++ (n, q0..q_{k-1})` — `n` is the
+    * group's value count, `qi` the i-th requested quantile.
     */
   private[queries] def exactQuantiles(
       values: org.apache.spark.sql.DataFrame,
-      ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
-    val wRun = Window.orderBy(col("v"))
+      ps: Seq[Double],
+      groupCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val g = groupCols.map(col)
+    val wRun = Window.partitionBy(g: _*).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col("v"))
+    val wAll = Window.partitionBy(g: _*).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = values.groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .select(col("v"), sum(col("c")).over(wRun).as("cum"),
-        sum(col("c")).over(wAll).as("n"))
-    // rank of percentile p (same for every row: n is constant)
+    val cum = values.groupBy((g :+ col("v")): _*)
+      .agg(count(lit(1)).as("c"))
+      .select((g :+ col("v") :+ sum(col("c")).over(wRun).as("cum") :+
+        sum(col("c")).over(wAll).as("n")): _*)
+    // rank of percentile p (constant within a group: n is per-group)
     def r(p: Double) = (col("n") - 1) * p
     val picks = ps.zipWithIndex.flatMap { case (p, i) => Seq(
       min(when(col("cum") >= floor(r(p)) + 1, col("v"))).as(s"lo$i"),
@@ -255,7 +262,9 @@ object EngineQueries {
       (col(s"lo$i") + (col(s"hi$i") - col(s"lo$i")) *
         ((col("n") - 1) * p - floor((col("n") - 1) * p))).as(s"q$i")
     }
-    cum.agg(first(col("n")).as("n"), picks: _*).select(outs: _*)
+    cum.groupBy(g: _*)
+      .agg(first(col("n")).as("n"), picks: _*)
+      .select((g :+ col("n") :+ outs.head) ++ outs.tail: _*)
   }
 
   val oracles: Map[String, String] = Map(

@@ -97,13 +97,16 @@ object EventQueries {
           expr("ts_ns div 1000").as("us"))
         .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
         .filter(col("gap").isNotNull)
-        .groupBy(col("event_type"))
-        // one percentile buffer per group via the array form (see e09)
-        .agg(count(col("gap")).as("n_gaps"),
-          expr("percentile(gap, array(0.5D, 0.9D))").as("ps"))
-        .select(col("event_type"), col("n_gaps"),
-          round(element_at(col("ps"), 1), 1).as("p50_us"),
-          round(element_at(col("ps"), 2), 1).as("p90_us"))
+        .transform(gaps =>
+          // grouped counted-quantiles plan (see EngineQueries
+          // .exactQuantiles): no per-group value buffering, and the
+          // group's value count IS n_gaps
+          EngineQueries.exactQuantiles(
+            gaps.select(col("event_type"), col("gap").cast("double").as("v")),
+            Seq(0.5, 0.9), groupCols = Seq("event_type")))
+        .select(col("event_type"), col("n").as("n_gaps"),
+          round(col("q0"), 1).as("p50_us"),
+          round(col("q1"), 1).as("p90_us"))
     },
 
     /** ev15 — weekly cohort retention: users bucketed by the week of

@@ -23,9 +23,10 @@ class ExactQuantilesSpec extends SparkTestBase {
 
   private def counted(vals: Seq[Double]): Seq[Double] = {
     import spark.implicits._
+    // output layout is (n, q0..q_{k-1}) for the ungrouped case
     val row = EngineQuantilesAccess.exactQuantiles(vals.toDF("v"), ps)
       .head()
-    ps.indices.map(row.getDouble)
+    ps.indices.map(i => row.getDouble(1 + i))
   }
 
   test("counted-groups quantiles == built-in percentile on random, " +
@@ -43,11 +44,37 @@ class ExactQuantilesSpec extends SparkTestBase {
       assert(b == c, s"case $i diverged: builtin=$b counted=$c")
     }
   }
+
+  test("grouped counted quantiles == built-in percentile per group, " +
+    "with the group's value count riding along") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map { _ =>
+      val grp = s"g${rnd.nextInt(4)}"
+      (grp, math.floor(rnd.nextDouble() * 50) / 2)
+    }
+    val df = rows.toDF("grp", "v")
+    val arr = ps.map(p => s"${p}D").mkString(", ")
+    val expected = df.groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile(v, array($arr))").as("qs"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Double](2).toList))).toMap
+    val got = EngineQuantilesAccess
+      .exactQuantiles(df.select(col("grp"), col("v")), ps, Seq("grp"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), ps.indices.map(i => r.getDouble(2 + i)).toList)))
+      .toMap
+    assert(got == expected, s"grouped quantiles diverged:\n$got\n$expected")
+  }
 }
 
 /** Test-package bridge to the private[queries] helper. */
 private object EngineQuantilesAccess {
-  def exactQuantiles(df: org.apache.spark.sql.DataFrame,
-                     ps: Seq[Double]): org.apache.spark.sql.DataFrame =
-    EngineQueries.exactQuantiles(df, ps)
+  def exactQuantiles(df: org.apache.spark.sql.DataFrame, ps: Seq[Double],
+                     groupCols: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame =
+    EngineQueries.exactQuantiles(df, ps, groupCols)
 }
