@@ -24,6 +24,24 @@ import org.apache.spark.sql.functions._
   * K-sized duplicate clique and quadratically inflate the true pair
   * set, invalidating the comparison.)
   *
+  * The relational side scales the same way so the WHOLE query suite
+  * can be swept, not just the dedup/ANN family:
+  *  - orders/lineitem/customer/supplier/part: replica r shifts every
+  *    key (primary and foreign) by r·10⁹, so FK joins stay 1:N with
+  *    the original fan-out and replicas never cross-join; entity
+  *    names get a `~r` suffix (names are group-by columns — reused
+  *    names would merge replica groups and break output linearity).
+  *    Small-domain attributes (status, priority, brand, type, dates)
+  *    are kept verbatim: their group COUNT stays fixed and per-group
+  *    size grows K× — the realistic shape of a business growing K×.
+  *  - events: event_id/user_id shift by r·10⁹ (users are disjoint, so
+  *    per-user windows/sessions/funnels scale linearly); timestamps
+  *    are kept, so per-hour volume grows K×. `ts` is TIMESTAMP(NANOS)
+  *    in the source, which Spark can only read as long
+  *    (nanosAsLong) — the replica is written as a plain BIGINT of the
+  *    same nanos value, which `Tables.eventsTs` reads identically.
+  *  - region/nation: fixed dimension tables, copied verbatim.
+  *
   * Usage: UpscaleCorpus <srcSfDir> <dstDir> <K>
   */
 object UpscaleCorpus {
@@ -68,6 +86,51 @@ object UpscaleCorpus {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
+
+    // --- relational side -------------------------------------------------
+    import org.apache.spark.sql.{Column, DataFrame}
+    // key shift for replica r; r=0 must be the identity (bit-exact
+    // originals in shard 0, same as the documents path)
+    def shifted(c: String, r: Int): Column =
+      if (r == 0) col(c) else (col(c) + lit(r.toLong * Shard)).as(c)
+    def tagged(c: String, r: Int): Column =
+      if (r == 0) col(c) else concat(col(c), lit(s"~$r")).as(c)
+    def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val src = spark.read.parquet(s"$srcDir/$name.parquet")
+      (0 until k).map(r => f(src, r)).reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+    }
+
+    replicate("customer", (df, r) => df.select(
+      shifted("c_custkey", r), tagged("c_name", r), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment")))
+    replicate("supplier", (df, r) => df.select(
+      shifted("s_suppkey", r), tagged("s_name", r), col("s_nationkey"),
+      col("s_acctbal")))
+    replicate("part", (df, r) => df.select(
+      shifted("p_partkey", r), tagged("p_name", r), col("p_brand"),
+      col("p_type"), col("p_size"), col("p_retailprice")))
+    replicate("orders", (df, r) => df.select(
+      shifted("o_orderkey", r), shifted("o_custkey", r),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")))
+    replicate("lineitem", (df, r) => df.select(
+      shifted("l_orderkey", r), shifted("l_partkey", r),
+      shifted("l_suppkey", r), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
+
+    // events: must be read with nanosAsLong (TIMESTAMP(NANOS) source);
+    // the output keeps `ts` as the same nanos value in a plain BIGINT
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    replicate("events", (df, r) => df.select(
+      shifted("event_id", r), col("ts"), shifted("user_id", r),
+      col("event_type"), col("value"), col("props")))
+
+    for (dim <- Seq("region", "nation"))
+      spark.read.parquet(s"$srcDir/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$dstDir/$dim.parquet")
 
     println(s"upscaled $srcDir x$k -> $dstDir")
     spark.stop()
