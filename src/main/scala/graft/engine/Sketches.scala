@@ -18,6 +18,68 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  import graft.ext.Hashing
+
+  /** Bloom sizing is INTEGER-ONLY by contract: `m = n·bitsPerKey`
+    * bits and a fixed hash count, instead of the textbook
+    * `⌈−n·ln p / ln²2⌉` — a float formula whose `ceil` could disagree
+    * across engines by one ulp and silently shear every position.
+    * 10 bits/key with 7 hashes realizes fpp ≈ 0.0082 (< the 1%
+    * design point). m is capped at P−1 (2³¹−2 bits = 256 MB): beyond
+    * that, shard keys by hash into independent sub-filters each under
+    * the cap (a blocked Bloom) — the build below is a commutative
+    * OR-merge either way, so sharding composes without new machinery.
+    */
+  val BloomBitsPerKey = 10
+  val BloomHashes = 7
+
+  /** The i-th bit position of hash h in an m-bit filter: the portable
+    * universal family `(a_i·(h mod P) + b_i) mod P mod m` — every
+    * intermediate < 2⁶², exact in any 64-bit engine, and the SAME
+    * family the minhash operators share with their oracles.
+    */
+  @inline private[graft] def bloomPos(i: Int, h: Long, m: Int): Int =
+    (((Hashing.As(i) * (h % Hashing.P) + Hashing.Bs(i)) % Hashing.P)
+      % m).toInt
+
+  /** DuckDB text of [[bloomPos]] with position params inlined —
+    * `hExpr` a BIGINT hash expression, `mExpr` the filter width. */
+  private[graft] def bloomPosSql(i: Int, hExpr: String,
+                                 mExpr: String): String =
+    s"(((${Hashing.As(i)} * ($hExpr % ${Hashing.P}) + ${Hashing.Bs(i)})" +
+      s" % ${Hashing.P}) % $mExpr)"
+
+  /** Distributed bitmap build: per-partition Array[Long] partials,
+    * OR-merged (commutative ⇒ deterministic under any partitioning —
+    * the same argument as the KMV set-minima). The buffer is the
+    * filter itself, m/64 words, independent of input size.
+    */
+  private def bloomAgg(m: Int, k: Int): org.apache.spark.sql.expressions
+      .Aggregator[Long, Array[Long], Array[Long]] =
+    new org.apache.spark.sql.expressions
+        .Aggregator[Long, Array[Long], Array[Long]] {
+      def zero: Array[Long] = new Array[Long]((m + 63) >>> 6)
+      def reduce(b: Array[Long], h: Long): Array[Long] = {
+        var i = 0
+        while (i < k) {
+          val pos = bloomPos(i, h, m)
+          b(pos >>> 6) |= 1L << (pos & 63)
+          i += 1
+        }
+        b
+      }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < a.length) { a(i) |= b(i); i += 1 }
+        a
+      }
+      def finish(r: Array[Long]): Array[Long] = r
+      def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+
   /** Build a Bloom filter over `keys.keyCol` and probe every
     * `candidates.candCol`: returns `candidates` with a `might_contain`
     * verdict column appended (all other candidate columns pass
@@ -25,21 +87,26 @@ object Sketches {
     *
     * Integral, string, boolean, date, timestamp and binary keys are
     * supported: both sides are normalized to their canonical string
-    * form and xxhash64'd, so the filter and the probes always hash the
-    * same representation even when the two columns have different
-    * integer widths (int keys vs bigint probes). Fractional types
-    * (float/double/decimal) are REJECTED rather than silently
+    * form and hashed with the portable base60 family, so the filter
+    * and the probes always hash the same representation even when the
+    * two columns have different integer widths (int keys vs bigint
+    * probes) — and an oracle can recompute every bit position (e10 is
+    * a green CORRECTNESS row, not an engine-only claim). Fractional
+    * types (float/double/decimal) are REJECTED rather than silently
     * mis-normalized — double 5.0 renders "5.0" while a bigint probe
     * renders "5", a guaranteed false negative that would violate the
     * no-false-negative integrity contract; pre-normalize such keys to
-    * a single type on both sides before calling. The 64-bit pre-hash
-    * adds ~n²/2⁶⁴ collision probability — noise next to fpp. Null keys
-    * probe as non-members.
+    * a single type on both sides before calling. The 60-bit pre-hash
+    * adds ~n²/2⁶⁰ collision probability — noise next to fpp. Null
+    * keys probe as non-members.
+    *
+    * The filter materializes on the driver (one `head()` action, the
+    * same lifecycle Spark's own `stat.bloomFilter` has) and
+    * broadcasts once per executor; the probe is a narrow map.
     */
   def bloomMembership(spark: SparkSession, keys: DataFrame, keyCol: String,
                       candidates: DataFrame, candCol: String,
-                      expectedItems: Long,
-                      fpp: Double = 0.01): DataFrame = {
+                      expectedItems: Long): DataFrame = {
     def rejectFractional(df: DataFrame, c: String): Unit = {
       import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
       df.schema(c).dataType match {
@@ -54,19 +121,32 @@ object Sketches {
     }
     rejectFractional(keys, keyCol)
     rejectFractional(candidates, candCol)
-    // xxhash64 maps null to the seed value, which would make null keys
-    // "members" — null-gate both sides instead. xxhash64 is also
-    // TYPE-sensitive (int 5, bigint 5, '5' hash differently), hence
-    // the canonical string cast on both sides.
-    val bf = keys.filter(col(keyCol).isNotNull)
-      .select(xxhash64(col(keyCol).cast("string")).as("k64"))
-      .stat.bloomFilter("k64", expectedItems, fpp)
-    val bc = spark.sparkContext.broadcast(bf)
-    val might = udf((k64: java.lang.Long) =>
-      k64 != null && bc.value.mightContain(k64.longValue))
+    import spark.implicits._
+    val m = math.min(math.max(expectedItems, 1L) * BloomBitsPerKey,
+      (Hashing.P - 1).toLong).toInt
+    val k = BloomHashes
+    // md5(null) is null, so null keys drop out of the build and probe
+    // as non-members — no special casing beyond the null gate.
+    val words = keys.filter(col(keyCol).isNotNull)
+      .select(Hashing.base60(col(keyCol).cast("string")).as("h"))
+      .as[Long]
+      .select(bloomAgg(m, k).toColumn)
+      .head()
+    val bc = spark.sparkContext.broadcast(words)
+    val might = udf((h: java.lang.Long) => h != null && {
+      val w = bc.value
+      var i = 0
+      var ok = true
+      while (ok && i < k) {
+        val pos = bloomPos(i, h.longValue, m)
+        ok = (w(pos >>> 6) & (1L << (pos & 63))) != 0
+        i += 1
+      }
+      ok
+    })
     candidates.withColumn("might_contain",
       might(when(col(candCol).isNotNull,
-        xxhash64(col(candCol).cast("string")))))
+        Hashing.base60(col(candCol).cast("string")))))
   }
 
   /** Heavy hitters via Count-Min-Sketch candidate pruning + exact
@@ -127,6 +207,66 @@ object Sketches {
   }
 
   // ---------------------------------------------------------------
+  // Portable HyperLogLog — Flajolet et al. 2007 with the standard
+  // small-range (linear-counting) correction, over the base60 hash
+  // family. The POINT vs approx_count_distinct: Spark's HLL++ bias
+  // tables are engine-private, so its estimates can never be
+  // oracle-checked; this one is arithmetic all the way down —
+  // register index = top HllP hash bits, rho via the bin()-string
+  // length (exact integer ops in both engines), and the harmonic sum
+  // kept as a SCALED BIGINT (Σ 2^(L−ρ_j)) so no float summation
+  // order exists to disagree about. Only the final two IEEE ops and
+  // ln() touch doubles, and the result is rounded to a long, which
+  // absorbs any last-ulp libm skew.
+  // ---------------------------------------------------------------
+
+  /** Register-index bits: m = 2^12 = 4096 registers → rsd ≈ 1.6%. */
+  val HllP = 12
+  val HllM: Int = 1 << HllP
+  /** Max rho: 60−p zero bits + 1. */
+  val HllL: Int = 60 - HllP + 1
+  /** alpha_m · m² (m ≥ 128 form), one double whose decimal repr the
+    * oracle re-parses to the identical bits. */
+  val HllAlphaMM: Double = 0.7213 / (1 + 1.079 / HllM) * HllM * HllM
+  /** 2^L as an exact double (power of two). */
+  val HllTwoL: Double = (1L << HllL).toDouble
+
+  /** One-pass mergeable NDV estimates for several columns of `df` at
+    * once: returns one row per (tag, column) with the exact scanned
+    * row count and the rounded HLL estimate. Scale shape: the only
+    * exchanges are a (tag, idx) hash aggregate bounded by tags·4096
+    * rows and its tag-level fold — nothing keyed by the data's values
+    * is ever shuffled, and partial registers MAX-merge commutatively
+    * (deterministic under any partitioning, like the KMV minima).
+    */
+  def hllEstimates(df: DataFrame,
+                   cols: Seq[(String, String)]): DataFrame = {
+    val mask = (1L << (60 - HllP)) - 1
+    val hs = cols.map { case (tag, c) =>
+      df.filter(col(c).isNotNull)
+        .select(lit(tag).as("c"),
+          Hashing.base60(col(c).cast("string")).as("h"))
+    }.reduce(_ unionAll _)
+    val rr = hs.select(col("c"), shiftright(col("h"), 60 - HllP).as("idx"),
+      col("h").bitwiseAND(lit(mask)).as("rest"))
+    val reg = rr.groupBy(col("c"), col("idx"))
+      .agg(max(when(col("rest") === 0, HllL)
+        .otherwise(lit(HllL) - length(bin(col("rest"))))).as("r"),
+        count(lit(1)).as("cnt"))
+    val ag = reg.groupBy(col("c"))
+      .agg(count(lit(1)).as("nreg"), sum(col("cnt")).as("nrows"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllL - r)")).as("s1"))
+    val v = lit(HllM) - col("nreg")
+    val s = col("s1") + v.cast("long") * lit(1L << HllL)
+    val raw = lit(HllAlphaMM) * (lit(HllTwoL) / s.cast("double"))
+    val est = when(v > 0 && raw <= lit(2.5 * HllM),
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / v.cast("double")))
+      .otherwise(raw)
+    ag.select(col("c"), col("nrows"),
+      round(est).cast("long").as("est"))
+  }
+
+  // ---------------------------------------------------------------
   // KMV (k-minimum-values) distinct-value sketch — the cardinality
   // op HLL cannot answer: the NDV of an INTERSECTION (user overlap
   // between two event streams, key overlap between two backup
@@ -170,25 +310,31 @@ object Sketches {
     }
   }
 
-  /** The KMV input projection — the ONE place that encodes the
-    * sign-flip contract ([[kmvPair]] orders signed longs, so hashes
-    * must be xxhash64 ^ Long.MinValue for signed order to equal
-    * unsigned hash order): (flipped hash of `keyCol`, in-A?, in-B?).
+  /** The KMV input projection — the ONE place that encodes the hash
+    * family: the engine-portable [[graft.ext.Hashing.base60]] (top 60
+    * md5 bits of the key's canonical string form, a positive long, so
+    * signed ordering IS hash ordering with no sign-flip gymnastics).
+    * Portability is the point: DuckDB recomputes the identical hashes
+    * with `md5()` + `substr()`, so the k-minima — and therefore every
+    * estimate derived from them — are oracle-checkable (ev13), the
+    * same trade d03 makes for its minhash family. md5's mixing is
+    * cryptographic, strictly stronger than the xxhash64 this family
+    * replaced.
     */
   def kmvInput(df: DataFrame, keyCol: String, isA: Column,
                isB: Column): Dataset[(Long, Boolean, Boolean)] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(
-        xxhash64(col(keyCol)).bitwiseXOR(lit(Long.MinValue)).as("h"),
+        graft.ext.Hashing.base60(col(keyCol).cast("string")).as("h"),
         isA.as("ia"), isB.as("ib"))
       .as[(Long, Boolean, Boolean)]
   }
 
   /** One-pass paired KMV: input rows are (hash, inA, inB); the two
     * sketches build side by side so overlap queries scan the stream
-    * once. Hashes must be sign-flipped xxhash64 (`x ^ Long.MinValue`)
-    * so signed ordering equals unsigned hash ordering.
+    * once. Hashes are [[kmvInput]]'s positive 60-bit values, so plain
+    * signed ordering is hash ordering.
     */
   def kmvPair(k: Int): org.apache.spark.sql.expressions.Aggregator[
       (Long, Boolean, Boolean), (List[Long], List[Long]),
@@ -214,9 +360,12 @@ object Sketches {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }
 
-  /** Fraction of the 2⁶⁴ hash space at or below sign-flipped hash x. */
-  private def hashFraction(x: Long): Double =
-    x.toDouble / 1.8446744073709552e19 + 0.5
+  /** Fraction of the 2⁶⁰ base60 hash space at or below hash x — ONE
+    * IEEE division on exact inputs, mirrored verbatim by the ev13
+    * oracle so estimates agree bit-for-bit.
+    */
+  val HashSpace: Double = 1.152921504606846976e18 // 2^60, exact
+  private def hashFraction(x: Long): Double = x.toDouble / HashSpace
 
   /** NDV estimate from a k-sketch: exact when the sketch never filled
     * (it then holds EVERY distinct hash); (k−1)/F(x_k) otherwise.

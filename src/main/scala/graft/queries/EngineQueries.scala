@@ -105,16 +105,22 @@ object EngineQueries {
 
     /** e07 — HLL sketch NDV: the scale form of e06 (constant memory,
       * one pass, mergeable across partitions/tables — what a 100 TB
-      * integrity pass actually runs). No oracle: sketch estimates are
-      * engine-specific; e06 pins exact semantics, the spec pins the
-      * error bound.
+      * integrity pass actually runs). Oracle-checked since r6: the
+      * portable HLL ([[Sketches.hllEstimates]]) replaces
+      * approx_count_distinct, whose HLL++ bias tables are
+      * engine-private — register indices, rhos and the scaled-integer
+      * harmonic sum are exact arithmetic DuckDB replays verbatim
+      * (m=4096 → rsd 1.6%, matching the old 0.02 setting); the spec
+      * pins the error bound and partition invariance.
       */
     "e07_integrity_hll" -> { (s, d) =>
-      Tables.lineitem(s, d).agg(
-        count(lit(1)).as("n_rows"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("hll_orderkey"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("hll_partkey"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("hll_suppkey"))
+      val ests = Sketches.hllEstimates(Tables.lineitem(s, d),
+        Seq("ok" -> "l_orderkey", "pk" -> "l_partkey", "sk" -> "l_suppkey"))
+      ests.groupBy()
+        .agg(max(when(col("c") === "ok", col("nrows"))).as("n_rows"),
+          max(when(col("c") === "ok", col("est"))).as("hll_orderkey"),
+          max(when(col("c") === "pk", col("est"))).as("hll_partkey"),
+          max(when(col("c") === "sk", col("est"))).as("hll_suppkey"))
     },
 
     /** e08 — distribution integrity via quantile sketch
@@ -133,11 +139,14 @@ object EngineQueries {
           .as("p99_approx"))
     },
 
-    /** e10 — Bloom-filter membership integrity (engine-only: the filter
-      * is a Spark-side sketch): every order key that appears in
-      * lineitem must test positive (false negatives are impossible);
-      * shifted absent keys measure the realized false-positive rate.
-      * Deterministic: partial filters OR-merge commutatively.
+    /** e10 — Bloom-filter membership integrity: every order key that
+      * appears in lineitem must test positive (false negatives are
+      * impossible); shifted absent keys measure the realized
+      * false-positive rate. Deterministic: partial filters OR-merge
+      * commutatively. Oracle-checked since r6 — the portable-family
+      * rebuild (integer-only sizing, base60 + universal-hash bit
+      * positions) lets DuckDB recompute every bit and every verdict,
+      * so even the false positives match exactly.
       */
     "e10_bloom_membership" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
@@ -161,7 +170,7 @@ object EngineQueries {
         s, graft.Tables.path(d, "orders"))
       Sketches.bloomMembership(s, li, "l_orderkey",
           present.unionAll(absent), "k",
-          expectedItems = math.max(2 * nKeys, 1000L), fpp = 0.01)
+          expectedItems = math.max(2 * nKeys, 1000L))
         .groupBy(col("present"))
         .agg(count(lit(1)).as("n_tested"),
           sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_positive"))
@@ -268,6 +277,94 @@ object EngineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    /** The Bloom filter replayed relationally: `bits` is the exact
+      * set of positions the build sets (DISTINCT — OR-ing a bit twice
+      * is one bit), a probe is a member iff none of its k positions
+      * misses, and the sizing arithmetic is the engine's integer
+      * formula verbatim — so n_positive matches even on the false
+      * positives.
+      */
+    "e10_bloom_membership" -> {
+      import graft.ext.Hashing
+      val P = Hashing.P
+      val hf = (0 until Sketches.BloomHashes)
+        .map(i => s"(${Hashing.As(i)}, ${Hashing.Bs(i)})").mkString(", ")
+      val b60k = Hashing.base60Sql("CAST(k AS VARCHAR)")
+      s"""WITH prm AS (
+         |  SELECT CAST(LEAST(GREATEST(2 * (SELECT COUNT(*) FROM orders),
+         |    1000) * ${Sketches.BloomBitsPerKey}, ${P - 1}) AS BIGINT) AS m),
+         |hf(a, b) AS (VALUES $hf),
+         |mk AS (
+         |  SELECT DISTINCT
+         |    ${Hashing.base60Sql("CAST(l_orderkey AS VARCHAR)")} AS h
+         |  FROM lineitem),
+         |bits AS (
+         |  SELECT DISTINCT ((a * (h % $P) + b) % $P) % m AS pos
+         |  FROM mk, hf, prm),
+         |cand AS (
+         |  SELECT o_orderkey AS k, TRUE AS present FROM orders
+         |  WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         |  UNION ALL
+         |  SELECT -o_orderkey - 1, FALSE FROM orders),
+         |probes AS (
+         |  SELECT k, present, ((a * ($b60k % $P) + b) % $P) % m AS pos
+         |  FROM cand, hf, prm),
+         |miss AS (
+         |  SELECT DISTINCT p.k FROM probes p
+         |  LEFT JOIN bits bt ON p.pos = bt.pos WHERE bt.pos IS NULL)
+         |SELECT present, CAST(COUNT(*) AS BIGINT) AS n_tested,
+         |  CAST(SUM(CASE WHEN k IN (SELECT k FROM miss) THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_positive
+         |FROM cand GROUP BY present""".stripMargin
+    },
+
+    /** The HLL replayed relationally: same hashes → same registers →
+      * same scaled-integer harmonic sum; `ln` vs Java's `Math.log`
+      * may differ in the last ulp, which the round-to-long absorbs
+      * (a mismatch would need an estimate within ~1e-10 of a .5
+      * boundary). NB DuckDB `log` is base-10 — `ln` here.
+      */
+    "e07_integrity_hll" -> {
+      import graft.engine.Sketches._
+      val mask = (1L << (60 - HllP)) - 1
+      def tag(t: String, c: String) =
+        s"SELECT '$t' AS c, ${graft.ext.Hashing.base60Sql(
+          s"CAST($c AS VARCHAR)")} AS h FROM lineitem WHERE $c IS NOT NULL"
+      s"""WITH hs AS (
+         |  ${tag("ok", "l_orderkey")}
+         |  UNION ALL ${tag("pk", "l_partkey")}
+         |  UNION ALL ${tag("sk", "l_suppkey")}),
+         |rr AS (SELECT c, h >> ${60 - HllP} AS idx, h & $mask AS rest
+         |       FROM hs),
+         |reg AS (SELECT c, idx,
+         |    MAX(CASE WHEN rest = 0 THEN $HllL
+         |        ELSE $HllL - length(bin(rest)) END) AS r,
+         |    COUNT(*) AS cnt
+         |  FROM rr GROUP BY c, idx),
+         |ag AS (SELECT c, COUNT(*) AS nreg,
+         |    CAST(SUM(cnt) AS BIGINT) AS nrows,
+         |    CAST(SUM(CAST(1 AS BIGINT) << ($HllL - r)) AS BIGINT) AS s1
+         |  FROM reg GROUP BY c),
+         |es AS (SELECT c, nrows,
+         |    CAST(round(CASE
+         |      WHEN ($HllM - nreg) > 0
+         |        AND ($HllAlphaMM * ($HllTwoL /
+         |          CAST(s1 + ($HllM - nreg) * ${1L << HllL} AS DOUBLE)))
+         |          <= ${2.5 * HllM}
+         |      THEN ${HllM.toDouble} *
+         |        ln(${HllM.toDouble} / CAST($HllM - nreg AS DOUBLE))
+         |      ELSE $HllAlphaMM * ($HllTwoL /
+         |        CAST(s1 + ($HllM - nreg) * ${1L << HllL} AS DOUBLE))
+         |    END) AS BIGINT) AS est
+         |  FROM ag)
+         |SELECT
+         |  MAX(CASE WHEN c = 'ok' THEN nrows END) AS n_rows,
+         |  MAX(CASE WHEN c = 'ok' THEN est END) AS hll_orderkey,
+         |  MAX(CASE WHEN c = 'pk' THEN est END) AS hll_partkey,
+         |  MAX(CASE WHEN c = 'sk' THEN est END) AS hll_suppkey
+         |FROM es""".stripMargin
+    },
+
     "e01_export_scan" ->
       s"""SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms, l_quantity
          |FROM lineitem

@@ -148,14 +148,19 @@ object EventQueries {
         .agg(count(lit(1)).cast("long").as("n_overlap"))
     },
 
-    /** ev13 — audience overlap via paired KMV sketches (engine-only:
-      * the sketch is not SQL-expressible; exactness below sketch
-      * capacity and estimator error are pinned in SketchesSpec). ONE
-      * narrow pass over events with k-bounded map-side partials —
-      * unlike ev12, nothing keyed by user is ever shuffled, which is
-      * the 100 TB form when the user population itself is huge. The
+    /** ev13 — audience overlap via paired KMV sketches. ONE narrow
+      * pass over events with k-bounded map-side partials — unlike
+      * ev12, nothing keyed by user is ever shuffled, which is the
+      * 100 TB form when the user population itself is huge. The
       * sketch is deterministic under any partitioning (set minima),
       * so the output is stable across runs/topologies.
+      *
+      * Oracle-checked since r6: the hash family is the portable
+      * base60 (md5 top bits — the d03 trade), so DuckDB recomputes
+      * the exact k-minima with `ORDER BY h LIMIT k` and replays the
+      * estimator arithmetic division-for-division; exactness below
+      * sketch capacity and estimator error stay pinned in
+      * SketchesSpec.
       */
     "ev13_user_overlap_kmv" -> { (s, d) =>
       val k = 256
@@ -171,7 +176,7 @@ object EventQueries {
       // construction time. Mirrors Sketches.kmvNdv/kmvOverlap exactly
       // (parity asserted in SketchesSpec).
       def fr(x: Column): Column =
-        x.cast("double") / lit(1.8446744073709552e19) + lit(0.5)
+        x.cast("double") / lit(graft.engine.Sketches.HashSpace)
       def ndv(a: Column): Column =
         when(size(a) < k, size(a).cast("double"))
           .otherwise(lit((k - 1).toDouble) / fr(element_at(a, -1)))
@@ -485,6 +490,44 @@ object EventQueries {
         |  SELECT user_id FROM events GROUP BY user_id
         |  HAVING MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
         |     AND MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1)""".stripMargin,
+
+    /** The KMV sketch replayed relationally: the k smallest DISTINCT
+      * portable hashes per side are literally `ORDER BY h LIMIT k`,
+      * the union sketch is the k smallest of the merged minima, and
+      * the estimator repeats the engine's arithmetic
+      * division-for-division ((k−1)/F(x_k), ρ/|u|·NDV(u)) on exact
+      * integer inputs — so the rounded longs agree bit-for-bit.
+      */
+    "ev13_user_overlap_kmv" -> {
+      val b60 = graft.ext.Hashing.base60Sql("CAST(user_id AS VARCHAR)")
+      val sp = graft.engine.Sketches.HashSpace
+      def ndv(n: String, x: String) =
+        s"CASE WHEN $n < 256 THEN CAST($n AS DOUBLE) " +
+          s"ELSE 255.0 / (CAST($x AS DOUBLE) / $sp) END"
+      s"""WITH ca AS (
+         |  SELECT DISTINCT $b60 AS h FROM events
+         |  WHERE event_type = 'click' ORDER BY h LIMIT 256),
+         |va AS (
+         |  SELECT DISTINCT $b60 AS h FROM events
+         |  WHERE event_type = 'view' ORDER BY h LIMIT 256),
+         |un AS (
+         |  SELECT DISTINCT h FROM (SELECT h FROM ca UNION ALL SELECT h FROM va)
+         |  ORDER BY h LIMIT 256),
+         |m AS (SELECT
+         |  (SELECT COUNT(*) FROM ca) AS nca, (SELECT MAX(h) FROM ca) AS xca,
+         |  (SELECT COUNT(*) FROM va) AS nva, (SELECT MAX(h) FROM va) AS xva,
+         |  (SELECT COUNT(*) FROM un) AS nun, (SELECT MAX(h) FROM un) AS xun,
+         |  (SELECT COUNT(*) FROM un u
+         |     WHERE EXISTS (SELECT 1 FROM ca WHERE ca.h = u.h)
+         |       AND EXISTS (SELECT 1 FROM va WHERE va.h = u.h)) AS rho)
+         |SELECT
+         |  CAST(round(${ndv("nca", "xca")}) AS BIGINT) AS ndv_click_est,
+         |  CAST(round(${ndv("nva", "xva")}) AS BIGINT) AS ndv_view_est,
+         |  CAST(round(CASE WHEN nun = 0 THEN 0.0
+         |    ELSE (CAST(rho AS DOUBLE) / nun) * (${ndv("nun", "xun")}) END)
+         |    AS BIGINT) AS n_overlap_est
+         |FROM m""".stripMargin
+    },
 
     "ev09_salted_join" ->
       """WITH dim AS (

@@ -9,9 +9,9 @@ class SketchesSpec extends SparkTestBase {
     val li = Tables.lineitem(spark, sf0001)
     val present = li.select(col("l_orderkey").as("k")).distinct()
     val absent = present.select((col("k") + 1000000000L).as("k"))
-    val fpp = 0.01
+    val fpp = 0.01 // the 10-bits/7-hashes design point (~0.0082 realized)
     val verdicts = Sketches.bloomMembership(spark, li, "l_orderkey",
-      present.unionAll(absent), "k", expectedItems = 10000L, fpp = fpp)
+      present.unionAll(absent), "k", expectedItems = 10000L)
 
     val nPresent = present.count()
     val presentHits = verdicts
@@ -74,6 +74,31 @@ class SketchesSpec extends SparkTestBase {
       Sketches.bloomMembership(spark, src, "l_orderkey", cands, "k", 10000L)
         .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(run(li) == run(li.repartition(7)))
+  }
+
+  test("portable HLL: estimates inside the m=4096 error envelope and " +
+    "invariant under repartitioning") {
+    val li = Tables.lineitem(spark, sf0001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllEstimates(df,
+        Seq("ok" -> "l_orderkey", "pk" -> "l_partkey", "sk" -> "l_suppkey"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val est = run(li)
+    val exact = Map(
+      "ok" -> li.select("l_orderkey").distinct().count(),
+      "pk" -> li.select("l_partkey").distinct().count(),
+      "sk" -> li.select("l_suppkey").distinct().count())
+    val nRows = li.count()
+    exact.foreach { case (tag, ex) =>
+      assert(est(tag)._1 == nRows, s"$tag scanned-row count")
+      val rel = math.abs(est(tag)._2 - ex).toDouble / ex
+      // 3·rsd of 1.04/√4096 ≈ 4.9%; the small-NDV columns sit in the
+      // linear-counting regime and come out near-exact
+      assert(rel < 0.05, s"$tag est=${est(tag)._2} exact=$ex rel=$rel")
+    }
+    assert(est == run(li.repartition(13)),
+      "register MAX-merge must be partition-invariant")
   }
 
   test("KMV below capacity is EXACT: sketch overlap equals true overlap " +

@@ -287,13 +287,15 @@ class StreamingSpec extends SparkTestBase {
       xs.flatten.foldLeft(List.empty[Long])(
         graft.engine.Sketches.kmvInsert(_, _, k))
     val (mc, mv) = (mergeAll(shards.map(_._1)), mergeAll(shards.map(_._2)))
-    // batch twin on the same rows
-    val in = Tables.eventsTs(spark, sf0001)
-      .filter(col("event_type").isin("click", "view"))
-      .select(xxhash64(col("user_id")).bitwiseXOR(lit(Long.MinValue)).as("h"),
-        (col("event_type") === "click").as("ia"),
-        (col("event_type") === "view").as("ib"))
-      .as[(Long, Boolean, Boolean)]
+    // batch twin on the same rows — through kmvInput, so the spec pins
+    // shard-merge == batch for WHATEVER hash family the engine uses
+    // (base60 since r6; the family itself is pinned by ev13's oracle)
+    val in = graft.engine.Sketches.kmvInput(
+      Tables.eventsTs(spark, sf0001)
+        .filter(col("event_type").isin("click", "view")),
+      "user_id",
+      col("event_type") === "click",
+      col("event_type") === "view")
     val (bc, bv) = in.select(
       graft.engine.Sketches.kmvPair(k).toColumn).head()
     assert(mc == bc.toList && mv == bv.toList,
