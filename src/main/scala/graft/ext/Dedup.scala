@@ -400,6 +400,48 @@ object Dedup {
       .filter(col("est_jaccard") >= minEst)
   }
 
+  /** Fuzzy decontamination [EXT] — the NEAR-dup upgrade of
+    * [[contamination]]'s exact n-gram overlap (the GPT-3/Pile
+    * protocol: eval leakage hides behind small edits that exact
+    * n-gram matching misses): training docs whose minhash signature
+    * estimates jaccard ≥ `minEst` against ANY eval doc, found by
+    * cross-split LSH banding — train band keys join eval band keys,
+    * so candidate work is bucket-bounded exactly as in d03's
+    * self-join form, never |train|×|eval|.
+    *
+    * Scale shape: the eval split is the small side by construction
+    * (benchmarks are MBs, the corpus is TBs) — its banded keys and
+    * its signatures are broadcast, so the train side is never
+    * shuffled at all: band-probe and signature-score are both
+    * map-side, and the only exchange is the final per-train-doc
+    * aggregate over the (tiny) flagged set. Returns one row per
+    * contaminated train doc: (doc_id, n_eval_dups, max_est_jaccard).
+    */
+  def crossContamination(train: DataFrame, eval_ : DataFrame,
+                         n: Int = 3, minEst: Double = 0.5): DataFrame = {
+    val st = minhashSignatures(train, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val se = minhashSignatures(eval_, n)
+    val cand = bandedKeys(st).as("ta")
+      .join(broadcast(bandedKeys(se).as("eb")),
+        col("ta.key") === col("eb.key"))
+      .select(col("ta.doc_id").as("train_doc"),
+        col("eb.doc_id").as("eval_doc"))
+      .distinct()
+    val matches = (0 until K).map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    // est is an exact multiple of 1/16 (power of two) — no ulp hazard
+    cand.join(st.as("a"), col("train_doc") === col("a.doc_id"))
+      .join(broadcast(se.as("b")), col("eval_doc") === col("b.doc_id"))
+      .select(col("train_doc"), col("eval_doc"),
+        (matches / lit(K.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+      .groupBy(col("train_doc"))
+      .agg(count(lit(1)).as("n_eval_dups"),
+        max(col("est_jaccard")).as("max_est_jaccard"))
+  }
+
   /** Zero-shuffle twin of [[despanContaminated]] for STREAMS (and for
     * batch callers that want the narrowest possible plan): the eval
     * window-hash set collects to the driver (tiny by the same contract

@@ -466,6 +466,71 @@ object Similarity {
       .select(col("vec_id"), col("cluster_id"))
   }
 
+  /** Deterministic spherical k-means [EXT] — document clustering for
+    * mixture balancing / topic-sliced curation (the "cluster, then
+    * sample per cluster" step of a curation pipeline; SemDeDup's
+    * paper uses exactly this as its coarse structure): Lloyd's
+    * algorithm, UNROLLED to a fixed `iters` so the whole run is one
+    * lazy Catalyst plan with no driver-side convergence loop.
+    *
+    * Engine-portable by construction (s05 is oracle-checked):
+    *  - init: the d09/s03 mod-prime sample — k seed vectors, their
+    *    vec_ids become the (stable) cluster ids;
+    *  - assign: argmax of 4-decimal-rounded cosine with a cluster_id
+    *    tiebreak (the d09 `max_by` shape — partial-aggregable, one
+    *    shuffle on vec_id, no window sort);
+    *  - update: per-dimension mean through DECIMAL sums (exact,
+    *    order-free — the x05 centroid contract), so the next
+    *    iteration's centroids are bit-identical across engines, and
+    *    a cluster that captures no vectors simply has no mean (it
+    *    drops out, the standard empty-cluster policy).
+    *
+    * At 100 TB: per iteration, centroids (k·dim doubles) broadcast;
+    * assignment is map-side + one vec_id shuffle; the mean update
+    * shuffles (cluster, dim) pairs — k·dim rows of output, input-
+    * bounded exchange. Cost is the canonical n·d·k per iteration;
+    * raising k moves work into the broadcast, which holds to k ~ 10⁶
+    * before you'd shard the centroid table.
+    */
+  def kmeansClusters(embeddings: DataFrame, k: Int = 8,
+                     iters: Int = 2): DataFrame = {
+    require(iters >= 1, "kmeans needs at least one assignment pass")
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cent = e
+      .orderBy(((col("vec_id") % CentroidPrime) * CentroidMult)
+          % CentroidPrime,
+        col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cluster_id"), col("emb").as("c_emb"))
+    def assign(c: DataFrame): DataFrame =
+      e.crossJoin(broadcast(c))
+        .withColumn("c_sim", round(cosine(col("emb"), col("c_emb")), 4))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cluster_id"),
+            struct(col("c_sim"), (-col("cluster_id")).as("neg")))
+            .as("cluster_id"),
+          max(col("c_sim")).as("sim"))
+    var it = 1
+    while (it < iters) {
+      val byDim = assign(cent).select(col("vec_id"), col("cluster_id"))
+        .join(e, "vec_id")
+        .select(col("cluster_id"),
+          posexplode(col("emb")).as(Seq("dim", "v")))
+      cent = byDim.groupBy(col("cluster_id"), col("dim"))
+        .agg((sum(col("v").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy(col("cluster_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("c_emb"))
+      it += 1
+    }
+    assign(cent).select(col("vec_id"), col("cluster_id"), col("sim"))
+  }
+
   /** ANN via L hash tables of `bits` sign-bits: bucket-equality join
     * for candidates, then exact cosine re-rank of candidates only.
     */

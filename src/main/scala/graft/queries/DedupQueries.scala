@@ -34,6 +34,20 @@ object DedupQueries {
         minEst = 0.5)
     },
 
+    /** d14 — fuzzy decontamination: train docs (source != src0) that
+      * are NEAR-dups of any eval doc (source = src0) by cross-split
+      * minhash LSH + signature-estimated jaccard ≥ 0.5 — the leakage
+      * x08's exact 5-gram match misses when the copy has small edits.
+      * Eval side broadcast; train side never shuffles.
+      */
+    "d14_cross_contamination" -> { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.crossContamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), n = 3, minEst = 0.5)
+    },
+
     /** d11 — per-doc shingle novelty: fraction of a doc's distinct
       * shingles first owned (min doc_id) by the doc itself — the
       * redundancy signal for curriculum/dedup-aware sampling. Docs
@@ -216,6 +230,50 @@ object DedupQueries {
        |WHERE ($matchSum) / 16.0 >= 0.5""".stripMargin
   }
 
+  // d14: d03's signature chain split by source; the band probe keeps
+  // the train/eval sides disjoint, the estimate is d13's matches/16
+  private val d14Sql = {
+    val minhashCols = (0 until K).map(i =>
+      s"MIN(${minhashTermSql(i, "h")}) AS mh$i").mkString(",\n    ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val keyParts = (0 until RowsPerBand)
+        .map(r => s"mh${b * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, ev, $b AS band, concat_ws('_', $keyParts) AS key" +
+        " FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    val matchSum = (0 until K).map(i =>
+      s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, ev, s FROM (
+       |    SELECT doc_id, source = 'src0' AS ev,
+       |      unnest(list_transform(range(len(string_split(text, ' ')) - 2),
+       |        i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))
+       |        AS s
+       |    FROM documents)),
+       |hashed AS (
+       |  SELECT doc_id, ev, ${base60Sql("s")} AS h FROM sh),
+       |sigs AS (
+       |  SELECT doc_id, ev,
+       |    $minhashCols
+       |  FROM hashed GROUP BY doc_id, ev),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS eval_doc
+       |  FROM banded a
+       |  JOIN banded b ON a.band = b.band AND a.key = b.key
+       |  WHERE NOT a.ev AND b.ev),
+       |scored AS (
+       |  SELECT train_doc, eval_doc, ($matchSum) / 16.0 AS est
+       |  FROM cand
+       |  JOIN sigs sa ON sa.doc_id = train_doc AND NOT sa.ev
+       |  JOIN sigs sb ON sb.doc_id = eval_doc AND sb.ev
+       |  WHERE ($matchSum) / 16.0 >= 0.5)
+       |SELECT train_doc, CAST(COUNT(*) AS BIGINT) AS n_eval_dups,
+       |  MAX(est) AS max_est_jaccard
+       |FROM scored GROUP BY train_doc""".stripMargin
+  }
+
   private val d04Sql = {
     val votes = (0 until SimBits).map(b =>
       s"SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
@@ -387,6 +445,7 @@ object DedupQueries {
     "d08_dup_clusters" -> d08Sql,
     "d03_minhash_lsh" -> d03Sql,
     "d13_minhash_estimate" -> d13Sql,
+    "d14_cross_contamination" -> d14Sql,
     "d04_simhash_pairs" -> d04Sql,
     "d12_dup_spans" -> d12Sql,
     "p02_despanned_corpus" -> p02Sql,

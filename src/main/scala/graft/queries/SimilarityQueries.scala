@@ -65,6 +65,17 @@ object SimilarityQueries {
       Similarity.semDedup(Tables.embeddings(s, d), 0.4)
     },
 
+    /** s05 — deterministic spherical k-means over the embedding
+      * corpus (2 unrolled Lloyd iterations, mod-prime init): the
+      * "cluster, then curate per cluster" structure of a mixture-
+      * balancing pipeline. Oracle-checked — init, argmax assignment
+      * and decimal-mean updates are all engine-portable arithmetic
+      * (see [[graft.ext.Similarity.kmeansClusters]]).
+      */
+    "s05_kmeans" -> { (s, d) =>
+      Similarity.kmeansClusters(Tables.embeddings(s, d), k = 8, iters = 2)
+    },
+
     /** m01 — multimodal feature extraction through the binary-column
       * pipeline (typed Dataset + batched mapPartitions decode stub).
       */
@@ -424,6 +435,43 @@ object SimilarityQueries {
          |  ORDER BY round(list_cosine_similarity(ce.emb, qe.emb), 4) DESC,
          |           c.vec_id)
          |QUALIFY rank <= $K""".stripMargin,
+
+    /** The two Lloyd iterations as a CTE chain: assignment is the
+      * d09 QUALIFY-argmax, centroid means are x05's decimal-sum
+      * contract (`list(c ORDER BY dim)` rebuilds the vector), so the
+      * doubles entering iteration 2 are bit-identical to the
+      * engine's.
+      */
+    "s05_kmeans" ->
+      """WITH e AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT vec_id AS cluster_id, emb AS c_emb FROM e
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY ((vec_id % 999983) * 40503) % 999983, vec_id) <= 8),
+        |a1 AS (
+        |  SELECT vec_id, emb, cluster_id
+        |  FROM e CROSS JOIN c0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY round(list_cosine_similarity(emb, c_emb), 4) DESC,
+        |             cluster_id) = 1),
+        |byd AS (
+        |  SELECT cluster_id, i AS dim, emb[i+1] AS v
+        |  FROM (SELECT cluster_id, emb, unnest(range(0, len(emb))) AS i
+        |        FROM a1)),
+        |c1 AS (
+        |  SELECT cluster_id, list(c ORDER BY dim) AS c_emb FROM (
+        |    SELECT cluster_id, dim,
+        |      CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+        |    FROM byd GROUP BY cluster_id, dim) GROUP BY cluster_id)
+        |SELECT vec_id, cluster_id,
+        |  round(list_cosine_similarity(emb, c_emb), 4) + 0.0 AS sim
+        |FROM e CROSS JOIN c1
+        |QUALIFY row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY round(list_cosine_similarity(emb, c_emb), 4) DESC,
+        |           cluster_id) = 1""".stripMargin,
 
     "d09_semdedup" ->
       """WITH e AS (

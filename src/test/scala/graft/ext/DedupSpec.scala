@@ -377,4 +377,32 @@ class DedupSpec extends SparkTestBase {
     assert(h1 == TextAnalysis.rollingHash("the quick brown fox"))
     assert(h1 != TextAnalysis.rollingHash("quick the brown fox"))
   }
+
+  test("crossContamination flags a lightly-edited eval copy that exact " +
+    "n-gram containment would need every gram to catch") {
+    import spark.implicits._
+    // eval doc + a train copy with ONE token changed mid-doc: jaccard
+    // of 3-gram shingle sets stays far above 0.5 (only 3 of ~30
+    // shingles differ), while a verbatim-copy detector keyed on any
+    // single edited gram can miss. An unrelated train doc must not
+    // flag.
+    val evalText = (1 to 30).map(i => s"w$i").mkString(" ")
+    val editedCopy = (1 to 30)
+      .map(i => if (i == 15) "EDITED" else s"w$i").mkString(" ")
+    val unrelated = (1 to 30).map(i => s"z$i").mkString(" ")
+    val train = Seq((100L, editedCopy), (101L, unrelated)).toDF("doc_id", "text")
+    val eval_ = Seq((1L, evalText)).toDF("doc_id", "text")
+    val flagged = Dedup.crossContamination(train, eval_, n = 3, minEst = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(flagged.contains(100L), s"edited copy must flag: $flagged")
+    assert(flagged(100L) >= 0.5 && flagged(100L) <= 1.0)
+    assert(!flagged.contains(101L), "unrelated doc must not flag")
+  }
+
+  test("crossContamination is empty when the splits share nothing") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val eval_ = Seq((2L, "q r s t u v")).toDF("doc_id", "text")
+    assert(Dedup.crossContamination(train, eval_, n = 3).isEmpty)
+  }
 }

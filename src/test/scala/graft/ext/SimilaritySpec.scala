@@ -509,4 +509,36 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => r.doc_id -> r).toMap
     assert(r1 == r2)
   }
+  test("kmeans separates two orthogonal blobs and is partition-invariant") {
+    import spark.implicits._
+    // choose blob membership AFTER the init ranking: the two smallest
+    // mod-prime keys among ids 1..40 become the seeds, one per blob,
+    // so two Lloyd iterations must separate the blobs exactly
+    val ids = (1L to 40L)
+    val ranked = ids.sortBy(id => (Similarity.centroidKey(id), id))
+    val (seedA, seedB) = (ranked(0), ranked(1))
+    def blobA(id: Long) = id == seedA || (id != seedB && id % 2 == 0)
+    def vecOf(id: Long): Seq[Float] = {
+      val v = Array.fill(8)(0.001f * (id % 7).toInt)
+      if (blobA(id)) v(0) = 1f else v(4) = 1f
+      v.toSeq
+    }
+    val emb = ids.map(id => (id, vecOf(id), "b")).toDF("vec_id", "embedding", "label")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansClusters(df, k = 2, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val out = run(emb)
+    assert(out.size == 40, "every vector assigned exactly once")
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.keySet == Set(seedA, seedB),
+      s"cluster ids must be the seed ids, got ${byCluster.keySet}")
+    ids.foreach { id =>
+      val cl = out.find(_._1 == id).get._2
+      assert(cl == (if (blobA(id)) seedA else seedB),
+        s"vec $id landed in cluster $cl")
+    }
+    // near-axis blobs: final similarity to the blob mean stays high
+    assert(out.forall(_._3 > 0.9))
+    assert(out == run(emb.repartition(7)), "partition invariance")
+  }
 }
