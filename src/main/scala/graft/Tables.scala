@@ -24,20 +24,44 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(path(sfDir, name))
 
-  /** events.parquet carries TIMESTAMP(NANOS), which the Spark parquet reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw Long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong) and expose both the raw value
-    * (`ts_ns`) and a truncated-to-micros proper TimestampType (`ts`). The
-    * session-level flag is set once in GraftSession.
+  /** Normalized events view: whatever physical type `ts` carries in the
+    * parquet, expose BOTH a raw Long-nanos column (`ts_ns`) and a proper
+    * TimestampType column (`ts`), in a fixed column order. The corpus has
+    * shipped two encodings so far:
+    *
+    *   - TIMESTAMP(NANOS), which Spark's reader only accepts as a raw
+    *     Long via spark.sql.legacy.parquet.nanosAsLong → LongType branch;
+    *   - plain timestamp[us], which Spark reads as TIMESTAMP_NTZ
+    *     (inferTimestampNTZ) or TIMESTAMP → timestamp branch.
+    *
+    * Dispatching on the ACTUAL schema keeps both corpora (and any
+    * UpscaleCorpus shards) on the same downstream contract. The NTZ→TZ
+    * cast is safe because every entry point pins the session TZ to UTC,
+    * so the wall-clock reinterpretation is the identity on the stored
+    * micros; `unix_micros` itself rejects NTZ input, hence the cast.
     */
   def eventsTs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      // integer `div`, NOT `/`: double division of ~1.7e18 nanos loses
-      // the low microsecond digits (53-bit mantissa)
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = load(spark, sfDir, "events")
+    val normalized = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          // integer `div`, NOT `/`: double division of ~1.7e18 nanos loses
+          // the low microsecond digits (53-bit mantissa)
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected INT64 nanos or a timestamp)")
+    }
+    // pin the legacy column order (ts_ns in ts's slot, ts appended) so
+    // both branches present an identical schema to every consumer
+    val order = raw.columns.map { c => if (c == "ts") "ts_ns" else c } :+ "ts"
+    normalized.select(order.map(col).toIndexedSeq: _*)
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")

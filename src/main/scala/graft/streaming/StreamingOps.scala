@@ -20,26 +20,51 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Raw event schema as stored (ns timestamps read as Long via
-    * nanosAsLong, matching graft.Tables.eventsTs).
+  /** Raw event schema as stored, parameterized on the on-disk `ts`
+    * type — the corpus has shipped both TIMESTAMP(NANOS)-as-Long
+    * (legacy, via nanosAsLong) and plain timestamp[us] (current), and a
+    * stream reader MUST declare the physical type or the vectorized
+    * reader reinterprets the raw int64 (micros read as "nanos" shrink
+    * every timestamp 1000×).
     */
-  val eventSchema: StructType = StructType(Seq(
+  def eventSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** A streaming reader over a directory of event parquet files. */
+  /** A streaming reader over a directory of event parquet files,
+    * normalized to the same (ts_ns long, ts timestamp) contract as
+    * graft.Tables.eventsTs. The on-disk `ts` type is probed with a
+    * one-off batch read (driver-side footer inspection, no job) so the
+    * declared stream schema matches the files; thereafter both
+    * encodings take the same downstream operators.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventSchema(tsType))
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val normalized = tsType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampNTZType | TimestampType =>
+        // NTZ→TZ is the identity on the stored micros under the UTC
+        // session TZ every entry point pins; unix_micros rejects NTZ,
+        // hence the cast
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other")
+    }
+    normalized.select(col("event_id"), col("ts_ns"), col("user_id"),
+      col("event_type"), col("value"), col("props"), col("ts"))
   }
 
   /** ev01's streaming twin: tumbling 1h counts with a 60 s watermark

@@ -36,10 +36,10 @@ import org.apache.spark.sql.functions._
   *    size grows K× — the realistic shape of a business growing K×.
   *  - events: event_id/user_id shift by r·10⁹ (users are disjoint, so
   *    per-user windows/sessions/funnels scale linearly); timestamps
-  *    are kept, so per-hour volume grows K×. `ts` is TIMESTAMP(NANOS)
-  *    in the source, which Spark can only read as long
-  *    (nanosAsLong) — the replica is written as a plain BIGINT of the
-  *    same nanos value, which `Tables.eventsTs` reads identically.
+  *    are kept, so per-hour volume grows K×. `ts` passes through with
+  *    its SOURCE type (timestamp[us] today; BIGINT nanos for a legacy
+  *    TIMESTAMP(NANOS) source read via nanosAsLong), so the sweep
+  *    exercises the same `Tables.eventsTs` branch as the gate corpus.
   *  - region/nation: fixed dimension tables, copied verbatim.
   *
   * Usage: UpscaleCorpus <srcSfDir> <dstDir> <K>
@@ -121,8 +121,11 @@ object UpscaleCorpus {
       col("l_extendedprice"), col("l_discount"), col("l_tax"),
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
 
-    // events: must be read with nanosAsLong (TIMESTAMP(NANOS) source);
-    // the output keeps `ts` as the same nanos value in a plain BIGINT
+    // events: `ts` passes through AS-TYPED so the upscaled shard takes
+    // the same Tables.eventsTs branch as the source corpus — a
+    // timestamp[us] source stays timestamp[us], a legacy TIMESTAMP(NANOS)
+    // source (readable only via nanosAsLong) comes out as BIGINT nanos,
+    // which the LongType branch handles
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     replicate("events", (df, r) => df.select(
       shifted("event_id", r), col("ts"), shifted("user_id", r),
