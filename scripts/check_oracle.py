@@ -86,8 +86,23 @@ def main():
             continue
         n_pass += 1
         print(f"PASS  {name} ({len(a)} rows)")
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} no-oracle")
-    sys.exit(1 if n_fail else 0)
+    # queries that errored inside graft.Verify never wrote a dir; surface
+    # them as explicit ERR rows (round-6 postmortem: 18 erroring queries
+    # were invisible to anything that read the output dir alone)
+    n_err = 0
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        for name, err in sorted(meta.get("errors", {}).items()):
+            n_err += 1
+            print(f"ERR   {name}: {err[:160]}")
+        declared = meta.get("declared")
+        seen = n_pass + n_fail + n_skip + n_err
+        if declared is not None and declared != seen:
+            n_err += 1
+            print(f"ERR   _meta: declared {declared} queries but {seen} accounted for")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} no-oracle, {n_err} error")
+    sys.exit(1 if (n_fail or n_err) else 0)
 
 
 if __name__ == "__main__":

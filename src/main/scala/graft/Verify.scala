@@ -19,13 +19,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) =>
-        only.forall(_.exists(name.startsWith)) }
-      .foreach { case (name, fn) =>
+    // an erroring query must leave a machine-readable trace in the
+    // artifact, not just a stderr line — otherwise a gate that reads
+    // the output dir alone sees only the surviving queries and a red
+    // round looks green (round-6 postmortem)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").linesIterator.take(1)
+            .mkString.take(300)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -44,6 +51,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // declared-count + per-query error classes, so any consumer can
+    // detect missing rows mechanically (declared != dirs written ⇒ red)
+    val meta = "{" +
+      s"${q("declared")}: ${selected.size}, " +
+      s"${q("written")}: ${selected.size - errors.size}, " +
+      s"${q("errors")}: " + errors
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}") + "}"
+    Files.writeString(Paths.get(s"$outDir/_meta.json"), meta)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size}/${selected.size} queries errored")
     spark.stop()
   }
 }
