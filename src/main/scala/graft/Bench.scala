@@ -115,7 +115,19 @@ object Bench {
     val succeeded = names.filter(k => times(k).nonEmpty)
     val total = succeeded.map(k => times(k).min).sum
     val totalMedian = succeeded.map(k => median(times(k))).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"medians":$medians,"total_median":${fmt(totalMedian)},"reps":$repTimes,"n_reps":$reps,"failed":$failedJson,"sf":"$sfDir"}""")
+    // stdout carries a COMPACT line: a ~15 KB line with per-rep arrays
+    // was truncated mid-JSON by the capture's tail buffer two rounds
+    // running, losing the per-query map. Mins + failed list fit; the
+    // full stall-proofing detail (medians, per-rep times) goes to a
+    // side file so it is never what gets cut.
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"medians":$medians,"total_median":${fmt(totalMedian)},"reps":$repTimes,"n_reps":$reps,"failed":$failedJson,"sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath), detail)
+    catch { case e: Throwable =>
+      System.err.println(s"bench detail write failed: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_reps":$reps,"failed":$failedJson,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
