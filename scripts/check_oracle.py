@@ -44,7 +44,11 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, t + ".parquet")
-        if os.path.exists(p):
+        # driver corpus: single file; Spark-written (upscaled) corpus:
+        # a directory of part files — DuckDB needs the glob form there
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = n_skip = 0

@@ -338,4 +338,20 @@ class PlanSpec extends SparkTestBase {
         assert(p.contains("*("), s"$q has no WholeStageCodegen stage")
       }
   }
+
+  test("x23 zipf: rank is a distributed sort, not a global window") {
+    // a Window with an empty partitionSpec single-partitions its input
+    // — fatal over a web-scale vocabulary (~1e9 types). x23's rank is a
+    // range-partitioned total sort + zipWithIndex instead; pin that the
+    // window operator never reappears in this plan.
+    val p = plan("x23_zipf")
+    assert(!p.contains("Window"),
+      "x23's rank regressed to a window operator — its vocabulary-wide " +
+        "form would single-partition at scale")
+    // the sort itself lives behind the RDD hop (zipWithIndex), so the
+    // visible plan starts at the object scan of the tuple RDD — pin
+    // that boundary (renders as Scan[obj]/ExistingRDD by Spark version)
+    assert(p.contains("Scan[obj") || p.contains("ExistingRDD"),
+      "expected the rank to enter via the zipWithIndex RDD boundary")
+  }
 }
