@@ -389,6 +389,54 @@ object TextAnalysis {
       .filter(col("bucket") < pct)
       .select(col("doc_id"), col("source"))
 
+  /** Deterministic corpus shuffle into N shards — the "globally
+    * shuffle before sequence packing" step every training run needs:
+    * feeding documents in crawl/source order biases every batch, so
+    * the corpus is re-ordered by a content-independent pseudo-random
+    * key first. No RNG: the key is the base-60 hash of the doc id
+    * (same portable family as [[hashSplit]]), so the order is
+    * reproducible across runs, engines, and partitionings — a
+    * restarted job resumes the identical order.
+    *
+    * Scale shape: shard = hash mod nShards is a narrow map; the
+    * per-shard position is a window partitioned BY SHARD — one hash
+    * shuffle on the shard key and a per-shard sort, which is exactly
+    * the work writing a shuffled shard file costs anyway. nShards
+    * scales with the corpus (thousands at 100 TB — a shard is one
+    * writer's worth of data, keeping each sort in-memory); no global
+    * rank, no single-partition stage anywhere.
+    */
+  def corpusShuffle(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val h = Hashing.base60(col("doc_id").cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Per-domain document cap (web-corpus domain balancing: a handful
+    * of boilerplate-heavy domains otherwise dominate the token
+    * budget). Keeps at most `cap` docs per source, picked by the
+    * deterministic hash order of [[corpusShuffle]] — a random-but-
+    * reproducible subset, not "first K by crawl order" (which would
+    * keep whatever the crawler saw first). One shuffle on the source
+    * key; the per-domain ranking window is domain-sized. Skew note:
+    * a mega-domain makes one hot partition — at 100 TB pre-filter
+    * with a counted hash-bucket pass (the x21 CMS shape) so only
+    * domains over the cap enter the window at all.
+    */
+  def domainCap(docs: DataFrame, cap: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        Hashing.base60(col("doc_id").cast("string")).as("h"))
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter(col("pick") <= cap)
+      .select(col("doc_id"), col("source"), col("pick"))
+  }
+
   /** PII patterns (C4/Dolma-style scrubbing): email addresses and
     * international-ish phone numbers. Deliberately RE2-compatible (no
     * backrefs/lookaround; `(?i)` is shared syntax) so the DuckDB

@@ -75,6 +75,22 @@ object TextQueries {
     "x09_hash_split" -> { (s, d) =>
       TextAnalysis.hashSplit(Tables.documents(s, d))
     },
+
+    /** x25 — deterministic corpus shuffle: hash-keyed shard + in-shard
+      * position, the reproducible "global shuffle before packing"
+      * (see TextAnalysis.corpusShuffle's scale notes: one shard-key
+      * shuffle, per-shard sort, no global rank).
+      */
+    "x25_corpus_shuffle" -> { (s, d) =>
+      TextAnalysis.corpusShuffle(Tables.documents(s, d), nShards = 8)
+    },
+
+    /** x26 — per-domain cap: ≤10 docs per source by deterministic hash
+      * order (domain balancing; random-but-reproducible subset).
+      */
+    "x26_domain_cap" -> { (s, d) =>
+      TextAnalysis.domainCap(Tables.documents(s, d), cap = 10)
+    },
     "x10_tfidf" -> { (s, d) =>
       TextAnalysis.tfidfTopK(Tables.documents(s, d), k = 3)
     },
@@ -432,6 +448,27 @@ object TextQueries {
          |       WHEN ${Hashing.base60Sql("text")} % 100 < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    "x25_corpus_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${Hashing.base60Sql("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT doc_id, h % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |    - 1 AS BIGINT) AS pos
+         |FROM h""".stripMargin,
+
+    "x26_domain_cap" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |    ${Hashing.base60Sql("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |    AS BIGINT) AS pick
+         |FROM h
+         |QUALIFY pick <= 10""".stripMargin,
 
     "x10_tfidf" ->
       """WITH tok AS (

@@ -109,6 +109,40 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(both.exists(_.getLong(0) == orig) && both.exists(_.getLong(0) == 99999L))
   }
 
+  test("corpus shuffle: permutation, partitioning-invariant, dense " +
+    "per-shard positions") {
+    val a = TextAnalysis.corpusShuffle(docs, nShards = 4).collect()
+    val b = TextAnalysis.corpusShuffle(docs.repartition(7), nShards = 4)
+      .collect()
+    // a permutation of the corpus, stable under input partitioning
+    assert(a.map(_.getLong(0)).sorted.toSeq ==
+      docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // positions within each shard are dense 0..n-1 (a writer can use
+    // them as in-file offsets directly)
+    a.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (0L until rows.length))
+    }
+  }
+
+  test("domain cap: never more than cap per source, deterministic picks") {
+    val kept = TextAnalysis.domainCap(docs, cap = 3).collect()
+    val bySrc = kept.groupBy(_.getString(1))
+    assert(bySrc.values.forall(_.length <= 3))
+    // every source with >=3 docs is fully used (cap, not undershoot)
+    val srcSizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.length == math.min(3L, srcSizes(src)))
+    }
+    // hash order, not crawl order: re-running on a reshuffled input
+    // keeps the SAME docs
+    val again = TextAnalysis.domainCap(docs.repartition(5), cap = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_.getLong(0)).toSet)
+  }
+
   test("mixture sampling hits token targets, drops unweighted, clamps at 1") {
     val weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 30.0)
     val budget = 2000L
