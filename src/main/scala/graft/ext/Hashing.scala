@@ -20,8 +20,16 @@ object Hashing {
   /** Mersenne prime 2^31-1 — the modulus of the universal hash family. */
   val P: Long = 2147483647L
 
-  /** 60-bit positive base hash of a string expression. */
-  def base60(c: Column): Column =
+  /** 60-bit positive base hash of a string expression — native codegen
+    * Expression (one digest call + shifts; see functions.Base60Hash).
+    */
+  def base60(c: Column): Column = graft.functions.Base60Hash.base60_hash(c)
+
+  /** The composed-builtin form [[base60]] replaced (hex string →
+    * substring → base-16 parse). Kept ONLY as the bit-parity reference
+    * for Base60HashSpec; 2.8× the cost of a raw hash pass at sf0.1.
+    */
+  private[graft] def base60Composed(c: Column): Column =
     conv(substr(md5(c), lit(1), lit(15)), 16, 10).cast("long")
 
   /** DuckDB text of [[base60]]. */
