@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, NfcNormalize}
+import graft.functions.{Base60Hash, Base60HashExpr, CosineSimilarity, NfcNormalize}
 
 /** Session-extension entry point: registers graft's native functions
   * into every session built with
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       NfcNormalize.fromExprs))
+    e.injectFunction((
+      new FunctionIdentifier("base60_hash"),
+      new ExpressionInfo(classOf[Base60HashExpr].getName, "base60_hash"),
+      Base60Hash.fromExprs))
     // whole-operator extension (tier c): the as-of join planner rule
     // plus the optimizer rule that lets column pruning pass through
     // the custom node down to both scans

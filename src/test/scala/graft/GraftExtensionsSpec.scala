@@ -33,6 +33,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // nfc_normalize rides the same extension
       assert(spark.sql("SELECT nfc_normalize('cafe\\u0301')")
         .first().getString(0) == "café")
+      // base60_hash too, and it matches the composed-builtin form
+      val Array(native, composed) = spark.sql(
+        "SELECT base60_hash('probe'), " +
+          "CAST(conv(substr(md5('probe'), 1, 15), 16, 10) AS BIGINT)")
+        .first().toSeq.map(_.asInstanceOf[Long]).toArray
+      assert(native == composed)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
