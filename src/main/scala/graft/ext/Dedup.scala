@@ -44,6 +44,61 @@ object Dedup {
         i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
       .otherwise(array().cast("array<string>"))
 
+  /** Winnowing fingerprints [EXT] — the MOSS local-fingerprint
+    * selection (Schleimer/Wilkerson/Aiken, SIGMOD 2003): slide a
+    * window of `w` consecutive shingle hashes per doc and keep each
+    * window's MINIMUM; the distinct minima are the doc's fingerprint
+    * set. Guarantees: any shared run of w+n-1 tokens contributes at
+    * least one common fingerprint (detection), and density is
+    * ~2/(w+1) of the shingles (compression) — the partial-overlap
+    * primitive that whole-doc digests (x04) miss entirely and that a
+    * copy-detection / cross-corpus attribution pass joins on.
+    *
+    * Emitting the distinct-minima SET (rather than (pos, hash) pairs)
+    * makes the operator tie-free by construction — equal hashes from
+    * repeated shingles can change WHICH position wins a window but
+    * never the winning hash value — so the DuckDB twin reproduces the
+    * output exactly with the same window min, no argmin/tiebreak
+    * hazard. Short docs (fewer than w shingles) contribute their
+    * global min: the frame clamps at the partition end identically in
+    * both engines.
+    *
+    * Scale: positioned shingle hashes are linear in corpus tokens; the
+    * ONLY shuffle is the per-doc window partition (doc-sized frames),
+    * then a distinct on (doc_id, fp) that AQE coalesces. Hashes are
+    * the portable base60 (shingle strings, not xxhash), because the
+    * fingerprint VALUES are the output and the oracle must rebuild
+    * them.
+    */
+  def winnow(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    // positioned shingle STRINGS over a bound token array (HOF-trap
+    // discipline: materialize tk first, posexplode_outer + null filter
+    // — see hashedShingles)
+    val shArr = when(size(col("tk")) >= n,
+        transform(sequence(lit(0), size(col("tk")) - n),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        w - 1)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    docs.select(col("doc_id"), tokens.as("tk"))
+      .select(col("doc_id"), posexplode_outer(shArr))
+      .filter(col("col").isNotNull)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        Hashing.base60(col("col")).as("h"))
+      .withColumn("wmin", min(col("h")).over(frame))
+      .withColumn("nw", count(lit(1)).over(whole))
+      // full windows only; docs with fewer than w shingles contribute
+      // their global min via the clamped frame at pos 0
+      .filter(col("pos") <= col("nw") - w ||
+        (col("nw") < w && col("pos") === 0))
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+  }
+
   /** Exact dedup: group by content digest, keep the minimum doc_id —
     * deterministic survivor choice (`dropDuplicates` picks an
     * arbitrary row; a reproducible pipeline must not).

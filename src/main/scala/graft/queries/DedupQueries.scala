@@ -34,6 +34,16 @@ object DedupQueries {
         minEst = 0.5)
     },
 
+    /** d15 — winnowing fingerprints (MOSS): each doc's distinct
+      * window-minima over its 3-gram shingle hashes, window w=4 — the
+      * partial-overlap detection primitive (see Dedup.winnow's
+      * guarantee/density notes). Tie-free by emitting the SET of
+      * minima, so the DuckDB window-min twin matches exactly.
+      */
+    "d15_winnow_fp" -> { (s, d) =>
+      Dedup.winnow(Tables.documents(s, d), n = 3, w = 4)
+    },
+
     /** d14 — fuzzy decontamination: train docs (source != src0) that
       * are NEAR-dups of any eval doc (source = src0) by cross-split
       * minhash LSH + signature-estimated jaccard ≥ 0.5 — the leakage
@@ -446,6 +456,27 @@ object DedupQueries {
     "d03_minhash_lsh" -> d03Sql,
     "d13_minhash_estimate" -> d13Sql,
     "d14_cross_contamination" -> d14Sql,
+    // positioned 3-gram shingle hashes (duplicates KEPT — winnowing is
+    // positional), window-min over 4 consecutive, distinct minima;
+    // short docs (<4 shingles) give their global min via the clamped
+    // frame, same as the Spark side
+    "d15_winnow_fp" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |sh AS (
+         |  SELECT doc_id, i AS pos,
+         |    ${base60Sql("array_to_string(ts[i+1:i+3], ' ')")} AS h
+         |  FROM (SELECT doc_id, unnest(range(len(ts) - 2)) AS i, ts
+         |        FROM tok WHERE len(ts) >= 3)),
+         |win AS (
+         |  SELECT doc_id, pos, h,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         |    count(*) OVER (PARTITION BY doc_id) AS nw
+         |  FROM sh)
+         |SELECT DISTINCT doc_id, wmin AS fp
+         |FROM win
+         |WHERE pos <= nw - 4 OR (nw < 4 AND pos = 0)""".stripMargin,
     "d04_simhash_pairs" -> d04Sql,
     "d12_dup_spans" -> d12Sql,
     "p02_despanned_corpus" -> p02Sql,

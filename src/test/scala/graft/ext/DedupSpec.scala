@@ -7,6 +7,39 @@ class DedupSpec extends SparkTestBase {
 
   private lazy val docs = Tables.documents(spark, sf0001)
 
+  test("winnowing: detection guarantee, density bound, short docs") {
+    import spark.implicits._
+    // two docs sharing a (w+n-1)=6-token run amid unrelated text MUST
+    // share at least one fingerprint (the MOSS guarantee)
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val synth = Seq(
+      (1L, s"one two three $shared four five six seven eight nine"),
+      (2L, s"red orange yellow $shared green blue indigo violet pink"),
+      (3L, "totally unrelated words with nothing in common here at all"),
+      (4L, "tiny doc"), // < n tokens: no shingles, no fingerprint
+      (5L, "just four tokens here")) // 2 shingles < w: global min only
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnow(synth, n = 3, w = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fp(1L) intersect fp(2L)).nonEmpty, "shared run undetected")
+    assert((fp(1L) intersect fp(3L)).isEmpty, "false overlap")
+    assert(!fp.contains(4L))
+    assert(fp(5L).size == 1)
+    // density on real corpus: between 1/w and ~3/(w+1) of the shingles
+    val w = 4
+    val nFp = Dedup.winnow(docs, n = 3, w = w).count().toDouble
+    val nSh = docs.select(posexplode_outer(
+        when(size(split(col("text"), " ")) >= 3,
+          sequence(lit(0), size(split(col("text"), " ")) - 3))
+          .otherwise(array().cast("array<int>"))))
+      .filter(col("col").isNotNull).count().toDouble
+    assert(nFp > nSh / (2 * w) && nFp < nSh * 3 / (w + 1),
+      s"fingerprint density $nFp/$nSh outside winnowing bounds")
+    // stable under input repartitioning
+    val again = Dedup.winnow(docs.repartition(7), n = 3, w = w).count()
+    assert(again.toDouble == nFp)
+  }
+
   test("minhash LSH candidates contain every jaccard>=0.5 pair (recall)") {
     val truth = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 50)
       .select("doc_a", "doc_b")
