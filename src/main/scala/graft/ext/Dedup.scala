@@ -99,6 +99,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowed overlap pairs [EXT] — the copy-detection join [[winnow]]
+    * exists for: doc pairs sharing ≥ `minShared` fingerprints. This is
+    * the pairwise-overlap SCALE PATH: the join runs at winnowed
+    * density (~2/(w+1) of the shingle table — 60% smaller at w=4),
+    * with d02's counted-pairs shape (hash-partition once on fp;
+    * df-cap, doc-list collect and pair explosion all exchange-free on
+    * that partitioning; the ONLY shuffle is the final pair-count
+    * aggregation). `maxDf` drops boilerplate fingerprints shared by
+    * more than maxDf docs — same stop-shingle rationale as
+    * [[jaccardPairs]]: a viral snippet's C(df,2) pair explosion buys
+    * no dedup signal.
+    */
+  def winnowOverlapPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
+                         minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    val fp = winnow(docs, n, w).repartition(col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select("fp")
+    val lists = fp.join(rare, "fp")
+      .groupBy(col("fp"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+    val k = size(col("docs"))
+    lists.select(explode(flatten(transform(sequence(lit(0), k - 2),
+        i => transform(slice(col("docs"), i + 2, k - i - 1), b =>
+          struct(element_at(col("docs"), i + 1).as("a"), b.as("b"))))))
+        .as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact dedup: group by content digest, keep the minimum doc_id —
     * deterministic survivor choice (`dropDuplicates` picks an
     * arbitrary row; a reproducible pipeline must not).

@@ -44,6 +44,15 @@ object DedupQueries {
       Dedup.winnow(Tables.documents(s, d), n = 3, w = 4)
     },
 
+    /** d16 — winnowed overlap pairs: doc pairs sharing ≥2 fingerprints
+      * — pairwise copy detection at winnowed (~40%) density instead of
+      * the full shingle table; d02's counted-pairs shuffle shape.
+      */
+    "d16_winnow_pairs" -> { (s, d) =>
+      Dedup.winnowOverlapPairs(Tables.documents(s, d), n = 3, w = 4,
+        minShared = 2, maxDf = 50)
+    },
+
     /** d14 — fuzzy decontamination: train docs (source != src0) that
       * are NEAR-dups of any eval doc (source = src0) by cross-split
       * minhash LSH + signature-estimated jaccard ≥ 0.5 — the leakage
@@ -443,6 +452,28 @@ object DedupQueries {
        |FROM sh JOIN fo USING (s)
        |GROUP BY sh.doc_id""".stripMargin
 
+  /** The d15/d16 winnowed-fingerprint CTE chain (window-min selection
+    * over positioned 3-gram shingle hashes, w=4).
+    */
+  private val winnowFpCte =
+    s"""tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |wsh AS (
+       |  SELECT doc_id, i AS pos,
+       |    ${base60Sql("array_to_string(ts[i+1:i+3], ' ')")} AS h
+       |  FROM (SELECT doc_id, unnest(range(len(ts) - 2)) AS i, ts
+       |        FROM tok WHERE len(ts) >= 3)),
+       |win AS (
+       |  SELECT doc_id, pos, h,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+       |    count(*) OVER (PARTITION BY doc_id) AS nw
+       |  FROM wsh),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, wmin AS fp
+       |  FROM win
+       |  WHERE pos <= nw - 4 OR (nw < 4 AND pos = 0))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p01_clean_corpus" -> p01Sql,
     "d10_containment" -> d10Sql,
@@ -461,22 +492,19 @@ object DedupQueries {
     // short docs (<4 shingles) give their global min via the clamped
     // frame, same as the Spark side
     "d15_winnow_fp" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |sh AS (
-         |  SELECT doc_id, i AS pos,
-         |    ${base60Sql("array_to_string(ts[i+1:i+3], ' ')")} AS h
-         |  FROM (SELECT doc_id, unnest(range(len(ts) - 2)) AS i, ts
-         |        FROM tok WHERE len(ts) >= 3)),
-         |win AS (
-         |  SELECT doc_id, pos, h,
-         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-         |    count(*) OVER (PARTITION BY doc_id) AS nw
-         |  FROM sh)
-         |SELECT DISTINCT doc_id, wmin AS fp
-         |FROM win
-         |WHERE pos <= nw - 4 OR (nw < 4 AND pos = 0)""".stripMargin,
+      s"""WITH $winnowFpCte
+         |SELECT doc_id, fp FROM fps""".stripMargin,
+
+    "d16_winnow_pairs" ->
+      s"""WITH $winnowFpCte,
+         |rare AS (
+         |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50),
+         |kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  COUNT(*) AS n_shared
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 2""".stripMargin,
     "d04_simhash_pairs" -> d04Sql,
     "d12_dup_spans" -> d12Sql,
     "p02_despanned_corpus" -> p02Sql,

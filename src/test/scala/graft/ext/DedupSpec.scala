@@ -40,6 +40,22 @@ class DedupSpec extends SparkTestBase {
     assert(again.toDouble == nFp)
   }
 
+  test("winnowed overlap pairs match a naive fingerprint self-join") {
+    val pairs = Dedup.winnowOverlapPairs(docs, n = 3, w = 4,
+      minShared = 2, maxDf = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fp = Dedup.winnow(docs, n = 3, w = 4)
+    val byDf = fp.groupBy("fp").count().filter(col("count").between(2, 50))
+    val kept = fp.join(byDf.select("fp"), "fp")
+    val naive = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id"), col("b.doc_id")).count()
+      .filter(col("count") >= 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == naive)
+    assert(pairs.nonEmpty) // sf0.001 corpus has seeded near-dups
+  }
+
   test("minhash LSH candidates contain every jaccard>=0.5 pair (recall)") {
     val truth = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 50)
       .select("doc_a", "doc_b")
