@@ -63,40 +63,42 @@ object Dedup {
     * global min: the frame clamps at the partition end identically in
     * both engines.
     *
-    * Scale: positioned shingle hashes are linear in corpus tokens; the
-    * ONLY shuffle is the per-doc window partition (doc-sized frames),
-    * then a distinct on (doc_id, fp) that AQE coalesces. Hashes are
-    * the portable base60 (shingle strings, not xxhash), because the
-    * fingerprint VALUES are the output and the oracle must rebuild
-    * them.
+    * Scale: ZERO SHUFFLE. Winnowing is per-document-local, so the
+    * window minima are computed INSIDE the row with array functions
+    * (least() over w adjacent hashes, then array_distinct) — a narrow
+    * codegen-friendly map over the scan, no doc-keyed exchange, no
+    * skew exposure from giant docs beyond their own row, and
+    * stateless-streaming-capable as-is (`readStream` docs → winnow →
+    * sink needs no watermark or state). Hashes are the portable base60
+    * (shingle strings, not xxhash), because the fingerprint VALUES are
+    * the output and the oracle must rebuild them — the oracle keeps
+    * the equivalent window-min SQL form.
     */
   def winnow(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
-    // positioned shingle STRINGS over a bound token array (HOF-trap
-    // discipline: materialize tk first, posexplode_outer + null filter
-    // — see hashedShingles)
+    // HOF-trap discipline: bind the token array, then the hash array,
+    // each in its OWN projection (interpreted lambdas have no CSE —
+    // an unbound expression re-evaluates per element reference)
     val shArr = when(size(col("tk")) >= n,
         transform(sequence(lit(0), size(col("tk")) - n),
           i => concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    val frame = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-        w - 1)
-    val whole = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
+    val hashArr = transform(col("sh"), s =>
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.Base60HashExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(s))))
+    // minima of every full w-window; docs with 1..w-1 shingles keep
+    // their global min (same clamped-frame semantics as the oracle)
+    val winMins = when(size(col("hs")) >= w,
+        array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
+          i => least((0 until w).map(j =>
+            element_at(col("hs"), i + j + 1)): _*))))
+      .when(size(col("hs")) >= 1, array(array_min(col("hs"))))
+      .otherwise(array().cast("array<long>"))
     docs.select(col("doc_id"), tokens.as("tk"))
-      .select(col("doc_id"), posexplode_outer(shArr))
-      .filter(col("col").isNotNull)
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        Hashing.base60(col("col")).as("h"))
-      .withColumn("wmin", min(col("h")).over(frame))
-      .withColumn("nw", count(lit(1)).over(whole))
-      // full windows only; docs with fewer than w shingles contribute
-      // their global min via the clamped frame at pos 0
-      .filter(col("pos") <= col("nw") - w ||
-        (col("nw") < w && col("pos") === 0))
-      .select(col("doc_id"), col("wmin").as("fp"))
-      .distinct()
+      .select(col("doc_id"), shArr.as("sh"))
+      .select(col("doc_id"), hashArr.as("hs"))
+      .select(col("doc_id"), explode_outer(winMins).as("fp"))
+      .filter(col("fp").isNotNull)
   }
 
   /** Winnowed overlap pairs [EXT] — the copy-detection join [[winnow]]

@@ -339,6 +339,14 @@ class PlanSpec extends SparkTestBase {
       }
   }
 
+  test("d15 winnowing: zero-shuffle narrow map (no Exchange, no Window)") {
+    // winnowing is per-document-local; the in-row array form must not
+    // regress to the doc-keyed window shuffle it replaced
+    val p = plan("d15_winnow_fp")
+    assert(!p.contains("Exchange"), "winnow plan gained a shuffle")
+    assert(!p.contains("Window"), "winnow plan regressed to a window")
+  }
+
   test("x23 zipf: rank is a distributed sort, not a global window") {
     // a Window with an empty partitionSpec single-partitions its input
     // — fatal over a web-scale vocabulary (~1e9 types). x23's rank is a
