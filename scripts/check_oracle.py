@@ -102,9 +102,13 @@ def main():
             print(f"ERR   {name}: {err[:160]}")
         declared = meta.get("declared")
         seen = n_pass + n_fail + n_skip + n_err
-        if declared is not None and declared != seen:
+        # only MISSING rows are an error (declared > seen — a query
+        # vanished without an error record); declared < seen is the
+        # dev-loop case of stale dirs from a previous full run beside a
+        # prefix-filtered re-run, which is benign
+        if declared is not None and declared > seen:
             n_err += 1
-            print(f"ERR   _meta: declared {declared} queries but {seen} accounted for")
+            print(f"ERR   _meta: declared {declared} queries but only {seen} accounted for")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} no-oracle, {n_err} error")
     sys.exit(1 if (n_fail or n_err) else 0)
 

@@ -123,11 +123,20 @@ object Bench {
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"medians":$medians,"total_median":${fmt(totalMedian)},"reps":$repTimes,"n_reps":$reps,"failed":$failedJson,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(detailPath), detail)
-    catch { case e: Throwable =>
-      System.err.println(s"bench detail write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_reps":$reps,"failed":$failedJson,"detail":"$detailPath","sf":"$sfDir"}""")
+    // advertise the path ONLY if the write succeeded — a stdout pointer
+    // to a stale file from a previous run would silently serve wrong
+    // per-rep numbers (ladder runs MUST set SPARK_GRAFT_BENCH_DETAIL
+    // per leg, or each leg overwrites the default path)
+    val detailJson =
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(detailPath), detail)
+        "\"" + detailPath + "\""
+      } catch { case e: Throwable =>
+        System.err.println(s"bench detail write failed: ${e.getMessage}")
+        "null"
+      }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_reps":$reps,"failed":$failedJson,"detail":$detailJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

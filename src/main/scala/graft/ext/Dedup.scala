@@ -219,11 +219,13 @@ object Dedup {
     * [[simhashPairs]] cached — call after consuming their results in a
     * long-lived session (blocking = false: lazy release).
     */
-  def release(docs: DataFrame, n: Int = 3): Unit = {
+  def release(docs: DataFrame, n: Int = 3, w: Int = 4): Unit = {
     hashedShingles(docs, n).unpersist()
     minhashSignatures(docs, n).unpersist()
     simhashFingerprints(docs).unpersist()
     positionedWindows(docs, n).unpersist()
+    // winnowOverlapPairs' fingerprint cache (same plan-keyed re-derive)
+    winnow(docs, n, w).repartition(col("fp")).unpersist()
   }
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).

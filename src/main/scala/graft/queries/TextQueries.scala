@@ -136,6 +136,13 @@ object TextQueries {
       * This is the one deliberate RDD hop in the query surface; the
       * regression sums that follow are orders of magnitude cheaper than
       * the token count above, so the lost codegen is immaterial.
+      *
+      * EAGERNESS CAVEAT: zipWithIndex launches its partition-count job
+      * at CONSTRUCTION, so building this DataFrame (even just to print
+      * its plan) executes the vocabulary sort — unlike every other
+      * query here. The sort's shuffle files are reused by the final
+      * job, so the extra cost is one post-shuffle scan; plan-only
+      * consumers (PlanSpec's audits) pay it at sf0.001 only.
       */
     "x23_zipf" -> { (s, d) =>
       import org.apache.spark.sql.functions._

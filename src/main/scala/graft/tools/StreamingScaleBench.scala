@@ -37,6 +37,10 @@ object StreamingScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // a legacy TIMESTAMP(NANOS) shard is only readable with this flag,
+    // and drain 1's schema peek is the FIRST read — set it before any
+    // parquet touch (readEvents sets it too, but that's drain 2)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def tmp(p: String): String =
       java.nio.file.Files.createTempDirectory(p).toString
