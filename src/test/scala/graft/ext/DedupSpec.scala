@@ -40,6 +40,29 @@ class DedupSpec extends SparkTestBase {
     assert(again.toDouble == nFp)
   }
 
+  test("winnow runs statelessly on a document stream == batch result") {
+    // the zero-shuffle form is a narrow map, so it must run under
+    // Structured Streaming in append mode with NO watermark or state
+    val dir = tmpDir("stream-docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(graft.Tables.path(sf0001, "documents")),
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Dedup.winnow(stream, n = 3, w = 4).writeStream
+      .outputMode("append")
+      .format("memory").queryName("winnow_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not drain in 120s")
+    val streamed = spark.table("winnow_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.winnow(docs, n = 3, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("winnowed overlap pairs match a naive fingerprint self-join") {
     val pairs = Dedup.winnowOverlapPairs(docs, n = 3, w = 4,
       minShared = 2, maxDf = 50).collect()
