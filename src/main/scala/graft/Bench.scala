@@ -115,11 +115,16 @@ object Bench {
     val succeeded = names.filter(k => times(k).nonEmpty)
     val total = succeeded.map(k => times(k).min).sum
     val totalMedian = succeeded.map(k => median(times(k))).sum
-    // stdout carries a COMPACT line: a ~15 KB line with per-rep arrays
-    // was truncated mid-JSON by the capture's tail buffer two rounds
-    // running, losing the per-query map. Mins + failed list fit; the
-    // full stall-proofing detail (medians, per-rep times) goes to a
-    // side file so it is never what gets cut.
+    // stdout carries a COMPACT line: the capture's tail buffer keeps
+    // only the LAST 2000 chars of output, and the trailing sbt
+    // "[success] Total time" line eats ~75 of those. The full-name
+    // per-query map alone is ~3.5 KB, so it was truncated mid-JSON
+    // (→ parsed:null) every round it was printed. The stdout map
+    // therefore uses SHORT query ids (the unique prefix before the
+    // first underscore: q01_pricing_summary → q01) and 2-decimal
+    // values, which fits the whole 128-query map in ~1.6 KB; the
+    // full-name map, medians, and per-rep times go to a side file so
+    // they are never what gets cut.
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"medians":$medians,"total_median":${fmt(totalMedian)},"reps":$repTimes,"n_reps":$reps,"failed":$failedJson,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
@@ -136,7 +141,17 @@ object Bench {
         System.err.println(s"bench detail write failed: ${e.getMessage}")
         "null"
       }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_reps":$reps,"failed":$failedJson,"detail":$detailJson,"sf":"$sfDir"}""")
+    def fmt2(d: Double): String = BigDecimal(d)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val shortQs = names
+      .map(k => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(minOr(times(k))))
+      .mkString("{", ",", "}")
+    val primary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"n_reps":$reps,"failed":$failedJson,"detail":$detailJson,"sf":"$sfDir"}"""
+    // belt-and-braces: if the query list ever grows past what 2000
+    // chars holds, drop the map rather than print a line that will be
+    // truncated into unparseable JSON (the detail file keeps it all)
+    if (primary.length <= 1850) println(primary)
+    else println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_reps":$reps,"failed":$failedJson,"detail":$detailJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

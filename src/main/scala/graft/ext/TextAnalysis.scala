@@ -421,20 +421,30 @@ object TextAnalysis {
     * budget). Keeps at most `cap` docs per source, picked by the
     * deterministic hash order of [[corpusShuffle]] — a random-but-
     * reproducible subset, not "first K by crawl order" (which would
-    * keep whatever the crawler saw first). One shuffle on the source
-    * key; the per-domain ranking window is domain-sized. Skew note:
-    * a mega-domain makes one hot partition — at 100 TB pre-filter
-    * with a counted hash-bucket pass (the x21 CMS shape) so only
-    * domains over the cap enter the window at all.
+    * keep whatever the crawler saw first).
+    *
+    * Skew-safe by construction: NOT a `row_number` window (which
+    * shuffles every row of a domain into one partition and sorts it
+    * in full — a mega-domain holding half the corpus serializes that
+    * stage). Instead a k-bounded grouped bottom-k aggregation
+    * ([[graft.functions.BottomKAggregator]]): the map-side partial
+    * reduces every partition's contribution to ≤ cap rows per domain
+    * BEFORE the exchange, so the shuffle carries at most
+    * (#partitions × cap) rows per domain regardless of domain size,
+    * and the plan contains no Window at all (pinned in PlanSpec).
+    * `pick` = position in the kept ascending (hash, doc_id) order —
+    * bit-identical to the window twin's `row_number`.
     */
   def domainCap(docs: DataFrame, cap: Int = 10): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-    docs.select(col("doc_id"), col("source"),
-        Hashing.base60(col("doc_id").cast("string")).as("h"))
-      .withColumn("pick", row_number().over(w).cast("long"))
-      .filter(col("pick") <= cap)
-      .select(col("doc_id"), col("source"), col("pick"))
+    val bottomK = udaf(graft.functions.BottomKAggregator.bottomK(cap))
+    docs.select(col("source"),
+        Hashing.base60(col("doc_id").cast("string")).as("h"),
+        col("doc_id").cast("long").as("doc_id"))
+      .groupBy(col("source"))
+      .agg(bottomK(col("h"), col("doc_id")).as("picked"))
+      .select(col("source"), posexplode(col("picked")))
+      .select(col("col._2").as("doc_id"), col("source"),
+        (col("pos") + 1).cast("long").as("pick"))
   }
 
   /** PII patterns (C4/Dolma-style scrubbing): email addresses and

@@ -143,6 +143,35 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(again == kept.map(_.getLong(0)).toSet)
   }
 
+  test("domain cap: skew-safe on a mega-domain, bit-identical to the " +
+    "window twin, plans no Window") {
+    import spark.implicits._
+    // one domain holds >50% of the corpus — the shape that makes the
+    // row_number-window form a single hot partition at scale
+    val skewed = (1L to 600L).map(i => (i, "mega.example")) ++
+      (601L to 1000L).map(i => (i, s"site${i % 37}.example"))
+    val sdocs = skewed.toDF("doc_id", "source").repartition(8)
+    assert(skewed.count(_._2 == "mega.example") > skewed.size / 2)
+    val capped = TextAnalysis.domainCap(sdocs, cap = 5)
+    // the aggregation path must never plan a per-domain ranking window
+    assert(!capped.queryExecution.executedPlan.toString.contains("Window"),
+      "domainCap planned a Window — the skew-safe contract is broken")
+    // ground truth: the window twin's semantics, computed directly
+    val truth = sdocs
+      .select(col("doc_id"), col("source"),
+        Hashing.base60(col("doc_id").cast("string")).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).toSeq
+      .flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._1)).take(5).zipWithIndex
+          .map { case ((id, s, _), i) => (id, s, i + 1L) }
+      }.toSet
+    val got = capped.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == truth)
+  }
+
   test("mixture sampling hits token targets, drops unweighted, clamps at 1") {
     val weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 30.0)
     val budget = 2000L

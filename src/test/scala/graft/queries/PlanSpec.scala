@@ -362,4 +362,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Scan[obj") || p.contains("ExistingRDD"),
       "expected the rank to enter via the zipWithIndex RDD boundary")
   }
+
+  test("x26 domain cap: bounded bottom-k aggregation, no Window anywhere") {
+    // a mega-domain (half the corpus behind one source) makes the
+    // row_number-window form one hot partition; the bottom-k
+    // aggregator keeps the plan a partial/final aggregate whose
+    // map-side output is ≤ cap rows per domain per partition. Pin
+    // that the window operator never reappears AND that the
+    // aggregation really does run a map-side partial pass.
+    val p = plan("x26_domain_cap")
+    assert(!p.contains("Window"),
+      "x26 regressed to a per-domain ranking window — skew-unsafe at scale")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "expected the typed bottom-k aggregate in the plan")
+    assert(p.contains("partial_bottomk") ||
+      p.toLowerCase.contains("partial"),
+      "bottom-k lost its map-side partial pass — mega-domains would " +
+        "ship every row through the shuffle")
+  }
 }
