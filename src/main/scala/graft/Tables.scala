@@ -52,6 +52,15 @@ object Tables {
           // the low microsecond digits (53-bit mantissa)
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       case TimestampNTZType | TimestampType =>
+        // the NTZ→TZ cast is the identity on the stored micros ONLY
+        // under a UTC session — checked here, not left to entry-point
+        // discipline: a library consumer with session TZ
+        // Europe/Berlin would otherwise silently shift every event
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: set spark.sql.session.timeZone" +
+            "=UTC before reading events, or the NTZ->TZ normalization " +
+            s"shifts timestamps (session TZ is " +
+            s"'${spark.conf.get("spark.sql.session.timeZone")}')")
         raw.withColumn("ts", col("ts").cast(TimestampType))
           .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
       case other =>

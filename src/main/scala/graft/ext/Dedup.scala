@@ -113,9 +113,19 @@ object Dedup {
     * [[jaccardPairs]]: a viral snippet's C(df,2) pair explosion buys
     * no dedup signal.
     */
+  /** The fp-partitioned fingerprint plan [[winnowOverlapPairs]] caches
+    * and [[release]] uncaches. ONE definition on purpose: CacheManager
+    * matches by canonical plan, so if the two call sites ever derived
+    * it independently a drift (projection, storage level, partition
+    * expression) would silently turn release() into a no-op cache
+    * leak.
+    */
+  private def winnowFp(docs: DataFrame, n: Int, w: Int): DataFrame =
+    winnow(docs, n, w).repartition(col("fp"))
+
   def winnowOverlapPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
                          minShared: Int = 2, maxDf: Int = 50): DataFrame = {
-    val fp = winnow(docs, n, w).repartition(col("fp"))
+    val fp = winnowFp(docs, n, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = fp.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
@@ -224,8 +234,9 @@ object Dedup {
     minhashSignatures(docs, n).unpersist()
     simhashFingerprints(docs).unpersist()
     positionedWindows(docs, n).unpersist()
-    // winnowOverlapPairs' fingerprint cache (same plan-keyed re-derive)
-    winnow(docs, n, w).repartition(col("fp")).unpersist()
+    // winnowOverlapPairs' fingerprint cache: the SAME def builds the
+    // persisted and the unpersisted plan, so they cannot diverge
+    winnowFp(docs, n, w).unpersist()
   }
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
@@ -345,12 +356,15 @@ object Dedup {
     * iteration and by round k the fixed per-round cost is O(k) —
     * quadratic over the loop. Truncating lineage keeps every round's
     * plan three joins deep regardless of iteration count (measured 2×
-    * on the d08 corpus). `localCheckpoint` trades fault tolerance for
-    * speed: an executor loss mid-loop fails the job (Spark cannot
-    * recompute dropped checkpoint blocks). That is the right trade for
-    * a dedup batch job — rounds are seconds long and the driver simply
-    * reruns — but a long multi-tenant pipeline on flaky spot executors
-    * should swap in reliable `checkpoint()` against the cluster FS.
+    * on the d08 corpus). The checkpoint MODE follows the session: when
+    * `SparkContext.setCheckpointDir` is set, rounds use reliable
+    * `checkpoint()` against that (cluster) FS — an executor loss
+    * mid-loop recovers from the written blocks, the right mode for a
+    * long pipeline on flaky spot executors; with no checkpoint dir
+    * they use `localCheckpoint`, which trades fault tolerance for
+    * speed (an executor loss fails the job and the driver reruns —
+    * fine for seconds-long rounds). Same plans, same results either
+    * way (pinned in DedupSpec).
     *
     * Block lifetime: checkpoint blocks cannot be freed through the
     * Dataset API (unpersist only touches CacheManager entries), so
@@ -361,21 +375,24 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, aCol: String = "doc_a",
                bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
+    // eager lineage cut, reliable iff the session has a checkpoint dir
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint() else df.localCheckpoint(true)
     // eager: materializes the (possibly expensive) pair computation
     // once AND cuts its lineage out of every iteration's plan.
     // Partitioned by src so the per-round edges⨝labels join reuses
     // this partitioning every iteration — the edge side (the big side)
     // never re-shuffles inside the loop.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = truncate(pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint(true)
+      .repartition(col("src")))
     // round 1 folded into the init: with identity labels, the min over
     // neighbors' labels IS the min neighbor id, which the symmetric
     // edge list yields in one agg — no join, and one fewer loop round
-    var labels = edges.groupBy(col("src").as("doc_id"))
-      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
-      .localCheckpoint(true)
+    var labels = truncate(edges.groupBy(col("src").as("doc_id"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -393,12 +410,11 @@ object Dedup {
             .as("cluster_id"))
       // pointer jumping: my label's own label is ≤ my label (labels
       // only ever decrease), so following it halves path lengths
-      val next = stepped.as("l")
+      val next = truncate(stepped.as("l")
         .join(stepped.select(col("doc_id").as("cluster_id"),
           col("cluster_id").as("root")).as("r"), Seq("cluster_id"), "left")
         .select(col("doc_id"), col("prev"),
-          coalesce(col("root"), col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
+          coalesce(col("root"), col("cluster_id")).as("cluster_id")))
       converged = next.filter(col("cluster_id") < col("prev"))
         .limit(1).isEmpty
       labels = next

@@ -41,10 +41,26 @@ object StreamingOps {
     * one-off batch read (driver-side footer inspection, no job) so the
     * declared stream schema matches the files; thereafter both
     * encodings take the same downstream operators.
+    *
+    * An EMPTY (or not-yet-populated) directory is a normal
+    * file-stream startup state: the probe then finds no footers and
+    * the reader falls back to the current-corpus encoding,
+    * timestamp[us] (read as TIMESTAMP_NTZ), instead of throwing at
+    * stream definition. The encoding is pinned for the stream's
+    * lifetime — a directory MUST be encoding-homogeneous (all legacy
+    * nanos files or all timestamp[us] files); mixing encodings needs
+    * two streams over two directories.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.toLowerCase.contains("unable to infer") ||
+            e.getMessage.toLowerCase.contains("path does not exist") =>
+          TimestampNTZType
+      }
     val raw = spark.readStream
       .schema(eventSchema(tsType))
       .option("maxFilesPerTrigger", "1")
@@ -54,9 +70,12 @@ object StreamingOps {
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       case TimestampNTZType | TimestampType =>
-        // NTZ→TZ is the identity on the stored micros under the UTC
-        // session TZ every entry point pins; unix_micros rejects NTZ,
-        // hence the cast
+        // NTZ→TZ is the identity on the stored micros ONLY under a
+        // UTC session — checked here (same contract as Tables.eventsTs)
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: set spark.sql.session.timeZone" +
+            "=UTC before streaming events (session TZ is " +
+            s"'${spark.conf.get("spark.sql.session.timeZone")}')")
         raw.withColumn("ts", col("ts").cast(TimestampType))
           .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
       case other =>

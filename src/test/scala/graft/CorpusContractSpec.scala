@@ -103,4 +103,21 @@ class CorpusContractSpec extends SparkTestBase {
       org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000 != ts_ns"))
     assert(bad.isEmpty, "ts_ns and ts disagree")
   }
+
+  test("eventsTs refuses a non-UTC session on the NTZ encoding instead " +
+    "of silently shifting timestamps") {
+    // only meaningful when the corpus is on the timestamp[us] encoding
+    // (the NTZ->TZ cast is TZ-sensitive; the legacy nanos branch is not)
+    val isNtz = spark.read.parquet(Tables.path(sf0001, "events"))
+      .schema("ts").dataType != LongType
+    assume(isNtz, "corpus is on the legacy nanos encoding")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Tables.eventsTs(spark, sf0001)
+      }
+      assert(e.getMessage.contains("session.timeZone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }

@@ -180,6 +180,38 @@ class DedupSpec extends SparkTestBase {
       23L -> (20L, false), 24L -> (20L, false)))
   }
 
+  test("clusters: reliable-checkpoint mode (session checkpoint dir set) " +
+    "produces identical output") {
+    import spark.implicits._
+    // the d08 shape under reliable checkpoint()+cluster-FS semantics
+    // instead of localCheckpoint — the mode a long pipeline on spot
+    // executors runs in. Output must be bit-identical.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = Dedup.clusters(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(reliable == local)
+      // the mode really engaged: checkpoint files were written
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no reliable-checkpoint blocks were written")
+    } finally {
+      // restore localCheckpoint mode for the rest of the suite
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("clusters on an empty pair set is empty, not an error") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

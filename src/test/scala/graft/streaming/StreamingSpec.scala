@@ -341,4 +341,30 @@ class StreamingSpec extends SparkTestBase {
     assert(appended.agg(sum("n")).first().getLong(0) <
       batchAll.agg(sum("n")).first().getLong(0))
   }
+
+  test("readEvents on an empty directory defines the stream instead of " +
+    "throwing, and drains files that arrive later") {
+    // a not-yet-populated landing directory is a normal file-stream
+    // startup state; the encoding probe must fall back to the
+    // current-corpus default (timestamp[us]/NTZ), not fail
+    val dir = tmpDir("stream-empty-start")
+    val stream = StreamingOps.readEvents(spark, dir) // must not throw
+    // files arriving AFTER definition are picked up by the ordinary
+    // file-source listing (encoding matches the fallback)
+    val src = java.nio.file.Paths.get(Tables.path(sf0001, "events"))
+    val isNtz = spark.read.parquet(src.toString)
+      .schema("ts").dataType.typeName != "long"
+    assume(isNtz, "corpus is on the legacy nanos encoding")
+    java.nio.file.Files.copy(src,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val q = StreamingOps.runToCompletion(spark,
+      StreamingOps.tumblingCounts(stream), "stream_empty_start")
+    q.stop()
+    val n = spark.table("stream_empty_start")
+      .agg(sum("n")).first().getLong(0)
+    val batch = graft.queries.EventQueries
+      .defs("ev01_tumbling")(spark, sf0001)
+      .agg(sum("n")).first().getLong(0)
+    assert(n == batch)
+  }
 }
