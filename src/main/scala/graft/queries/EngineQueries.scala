@@ -126,17 +126,41 @@ object EngineQueries {
     /** e08 — distribution integrity via quantile sketch
       * (approx_percentile, single pass, mergeable): the "did the
       * restored table keep its value distribution" check at 100 TB.
-      * Engine-only (sketch internals are engine-specific); exact
-      * min/max ride along as the cross-checkable anchors.
+      *
+      * The sketch VALUE is engine-private, but its CONTRACT is not:
+      * Greenwald-Khanna with accuracy a guarantees the returned value
+      * is a data element whose rank is within ±n/a of the target, so
+      * it must lie between the exact interpolated quantiles at
+      * p ± 2/a (the doubled margin absorbs the rank-convention
+      * off-by-one between "rank within ±n/a" and the (n−1)·p
+      * interpolation grid). The query therefore emits the exact
+      * bound quantiles (oracle-recomputable via quantile_cont) plus
+      * in-bound BOOLEANS evaluated in Spark against unrounded bounds;
+      * DuckDB asserts the booleans are TRUE. A sketch outside its
+      * documented error bound flips a boolean and hash-fails the
+      * oracle — a bounded pass, not a rows-only check. Exact min/max
+      * ride along as anchors.
       */
     "e08_integrity_quantiles" -> { (s, d) =>
-      Tables.lineitem(s, d).agg(
+      val li = Tables.lineitem(s, d)
+      val eps = 2.0 / 1000.0 // 2/accuracy
+      val bounds = exactQuantiles(
+        li.select(col("l_extendedprice").as("v")),
+        Seq(0.5 - eps, 0.5 + eps, 0.99 - eps, 0.99 + eps))
+      val sketch = li.agg(
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("p50_approx"),
+          .as("p50s"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
-          .as("p99_approx"))
+          .as("p99s"))
+      // one-row × one-row scalar join (broadcast; PlanSpec-whitelisted)
+      sketch.crossJoin(bounds).select(
+        col("min_price"), col("max_price"),
+        round(col("q0"), 2).as("p50_lo"), round(col("q1"), 2).as("p50_hi"),
+        col("p50s").between(col("q0"), col("q1")).as("p50_in_bound"),
+        round(col("q2"), 2).as("p99_lo"), round(col("q3"), 2).as("p99_hi"),
+        col("p99s").between(col("q2"), col("q3")).as("p99_in_bound"))
     },
 
     /** e10 — Bloom-filter membership integrity: every order key that
@@ -405,6 +429,22 @@ object EngineQueries {
         |  COUNT(DISTINCT l_orderkey) AS ndv_orderkey,
         |  COUNT(DISTINCT l_partkey) AS ndv_partkey,
         |  COUNT(DISTINCT l_suppkey) AS ndv_suppkey
+        |FROM lineitem""".stripMargin,
+
+    /** e08's bounded oracle: DuckDB recomputes the exact bound
+      * quantiles and asserts the in-bound booleans are TRUE — if the
+      * Spark-side sketch ever lands outside its documented rank-error
+      * bound, the Spark boolean is false and the hash compare fails.
+      */
+    "e08_integrity_quantiles" ->
+      """SELECT min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  round(quantile_cont(l_extendedprice, 0.498), 2) AS p50_lo,
+        |  round(quantile_cont(l_extendedprice, 0.502), 2) AS p50_hi,
+        |  TRUE AS p50_in_bound,
+        |  round(quantile_cont(l_extendedprice, 0.988), 2) AS p99_lo,
+        |  round(quantile_cont(l_extendedprice, 0.992), 2) AS p99_hi,
+        |  TRUE AS p99_in_bound
         |FROM lineitem""".stripMargin,
 
     "e09_quantiles_exact" ->

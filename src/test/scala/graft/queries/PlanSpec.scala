@@ -37,6 +37,7 @@ class PlanSpec extends SparkTestBase {
     */
   private val scalarJoinByDesign = Set(
     "c13_incremental_window", // × max(end_time) watermark scalar
+    "e08_integrity_quantiles", // one-row sketch agg × one-row exact bounds
     "ev03_hot_tail",          // × max(ts) scalar
     "ev06_gapfill",           // hour spine × distinct event types
     "ev10_locf",              // hour spine × distinct event types
