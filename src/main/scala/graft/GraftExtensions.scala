@@ -40,5 +40,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.AsofJoinPlan.getClass.getName,
         "asof_join"),
       (args: Seq[Expression]) => graft.plans.Asof.fromSqlArgs(args)))
+    // dedup operators as table functions (one implementation, two
+    // surfaces: each builder returns the DataFrame operator's own
+    // logical plan — the SQL form cannot drift from the Scala form)
+    e.injectTableFunction((
+      new FunctionIdentifier("winnow"),
+      new ExpressionInfo(graft.ext.DedupSql.getClass.getName, "winnow"),
+      (args: Seq[Expression]) => graft.ext.DedupSql.winnowFromSqlArgs(args)))
+    e.injectTableFunction((
+      new FunctionIdentifier("despan_decontaminate"),
+      new ExpressionInfo(graft.ext.DedupSql.getClass.getName,
+        "despan_decontaminate"),
+      (args: Seq[Expression]) => graft.ext.DedupSql.despanFromSqlArgs(args)))
   }
 }

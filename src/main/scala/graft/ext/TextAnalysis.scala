@@ -406,12 +406,31 @@ object TextAnalysis {
     * writer's worth of data, keeping each sort in-memory); no global
     * rank, no single-partition stage anywhere.
     */
-  def corpusShuffle(docs: DataFrame, nShards: Int = 8): DataFrame = {
-    val h = Hashing.base60(col("doc_id").cast("string"))
+  def corpusShuffle(docs: DataFrame, nShards: Int = 8): DataFrame =
+    shardPositions(shardAssign(docs, nShards))
+
+  /** Stage 1 of [[corpusShuffle]]: the (doc_id, h, shard) assignment.
+    * A narrow STATELESS map — no shuffle, no window, no state — so it
+    * runs unchanged on a streaming frame: a `readStream` ingest can
+    * assign shards online as documents land (proven in
+    * StreamingDedupSpec), with [[shardPositions]] as the batch
+    * finalize over the drained sink.
+    */
+  def shardAssign(docs: DataFrame, nShards: Int = 8): DataFrame =
+    docs.select(col("doc_id"),
+        Hashing.base60(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+
+  /** Stage 2 of [[corpusShuffle]]: dense per-shard positions — the
+    * write-time finalize a shard writer runs over its own (sorted)
+    * slice. One hash shuffle on the shard key + a per-shard sort; the
+    * hash order is content-deterministic, so positions computed over
+    * a streamed-then-drained corpus equal the all-at-once batch ones.
+    */
+  def shardPositions(assigned: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-    docs.select(col("doc_id"), h.as("h"))
-      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+    assigned
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
       .select(col("doc_id"), col("shard"), col("pos"))
   }

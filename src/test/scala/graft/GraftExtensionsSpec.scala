@@ -57,6 +57,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .master("local[2]")
         .appName("graft-ext-asof-test")
         .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .withExtensions(new GraftExtensions)
         .getOrCreate()
@@ -91,6 +92,61 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .collect()
       }
       assert(err.getMessage.contains("asof_join"), err.getMessage)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("winnow and despan_decontaminate table functions run the d15/x24 " +
+    "shapes through pure SQL") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-dedup-test")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      docs.createOrReplaceTempView("docs_v")
+      docs.filter(col("source") =!= "src0")
+        .createOrReplaceTempView("train_v")
+      docs.filter(col("source") === "src0")
+        .createOrReplaceTempView("eval_v")
+
+      // d15 via SQL == the Scala operator
+      val gotW = spark.sql("SELECT * FROM winnow('docs_v')")
+      val expW = graft.ext.Dedup.winnow(docs)
+      assert(gotW.except(expW).isEmpty && expW.except(gotW).isEmpty,
+        "SQL winnow diverged from the Scala-API operator")
+      // explicit n/w arguments reach the operator
+      val gotW25 = spark.sql("SELECT * FROM winnow('docs_v', 2, 5)")
+      val expW25 = graft.ext.Dedup.winnow(docs, n = 2, w = 5)
+      assert(gotW25.except(expW25).isEmpty && expW25.except(gotW25).isEmpty)
+
+      // x24 via SQL == the Scala operator
+      val gotD = spark.sql(
+        "SELECT * FROM despan_decontaminate('train_v', 'eval_v')")
+      val expD = graft.ext.Dedup.despanContaminated(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+      assert(gotD.except(expD).isEmpty && expD.except(gotD).isEmpty,
+        "SQL despan_decontaminate diverged from the Scala-API operator")
+
+      // misuse fails with the usage message, not an obscure crash
+      val err = intercept[Exception] {
+        spark.sql("SELECT * FROM despan_decontaminate('train_v')").collect()
+      }
+      assert(err.getMessage.contains("despan_decontaminate"), err.getMessage)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

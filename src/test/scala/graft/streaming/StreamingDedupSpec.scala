@@ -112,6 +112,37 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(streamed == declarative, "streamed despan diverged from batch")
   }
 
+  test("x25 corpus shuffle: stateless streaming shard assignment; " +
+    "drain + batch finalize == all-at-once batch") {
+    import graft.ext.TextAnalysis
+    // the production shape: a readStream ingest assigns shards online
+    // (stage 1, stateless narrow map), per-shard dense positions are
+    // the write-time finalize over the drained sink (stage 2)
+    val docs = Tables.documents(spark, sf0001).select("doc_id")
+    val srcDir = tmpDir("shuffle-stream-src")
+    // two files = two micro-batches: the assignment must not depend
+    // on batch boundaries
+    stage(docs.filter(col("doc_id") % 2 === 0), srcDir, "a.parquet")
+    stage(docs.filter(col("doc_id") % 2 === 1), srcDir, "b.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val assigned = TextAnalysis.shardAssign(stream, nShards = 4)
+    assert(assigned.isStreaming,
+      "shard assignment must stay a stateless streaming transform")
+    StreamingOps.runToCompletion(spark, assigned, "shuffle_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val finalized = TextAnalysis
+      .shardPositions(spark.table("shuffle_stream")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = TextAnalysis.corpusShuffle(docs, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(finalized == batch,
+      "streamed shard/pos assignment diverged from the batch shuffle")
+  }
+
   test("readPairs on a store that never materialized is empty, not an error") {
     assert(StreamingDedup.readPairs(spark,
       tmpDir("sd-none") + "/nope").isEmpty)
