@@ -203,13 +203,79 @@ object Multimodal {
         } finally ais.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** A demuxed AVI: real per-frame payloads plus the main-header
+    * facts (dimensions, frame interval) the container records.
+    */
+  final case class AviMeta(width: Int, height: Int, usPerFrame: Long,
+                           frames: IndexedSeq[Array[Byte]])
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL container-level video demux for AVI (RIFF): walk the chunk
+    * tree (`LIST` recursion, even-byte chunk padding per the RIFF
+    * spec), read the `avih` main header's width/height/frame-interval,
+    * and return every `##dc`/`##db` video-frame payload in stream
+    * order. This is the genuine demux step of a video pipeline — frame
+    * BOUNDARIES and timing come from the container, not from a byte
+    * stride. Codec decode is a separate concern: MJPEG-in-AVI frames
+    * are plain JPEGs this JDK decodes for real ([[decodeImage]]);
+    * other codecs' frames stay opaque payloads (no MP4/WebM/H.264
+    * codec ships with the JDK). None for non-AVI or corrupt payloads
+    * (fail-soft, as everywhere in this file).
+    */
+  private[ext] def demuxAvi(payload: Array[Byte]): Option[AviMeta] =
+    if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
+        fourcc(payload, 8) != "AVI ") None
+    else
+      try {
+        var width = 0; var height = 0; var usPerFrame = 0L
+        val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          var ok = true
+          while (ok && off + 8 <= end) {
+            val id = fourcc(payload, off)
+            val sz = le32(payload, off + 4)
+            val dataStart = off + 8
+            // a size past the buffer marks a truncated/corrupt chunk —
+            // stop walking rather than mis-slice
+            if (sz < 0 || dataStart + sz > end) ok = false
+            else {
+              val dataEnd = dataStart + sz.toInt
+              if (id == "LIST" && sz >= 4) walk(dataStart + 4, dataEnd)
+              else if (id == "avih" && sz >= 40) {
+                usPerFrame = le32(payload, dataStart)
+                width = le32(payload, dataStart + 32).toInt
+                height = le32(payload, dataStart + 36).toInt
+              } else if (id(0).isDigit && id(1).isDigit && id(2) == 'd' &&
+                  (id(3) == 'c' || id(3) == 'b')) {
+                frames += java.util.Arrays.copyOfRange(
+                  payload, dataStart, dataEnd)
+              }
+              off = dataEnd + (sz.toInt & 1) // chunks pad to even
+            }
+          }
+        }
+        walk(12, payload.length)
+        if (frames.isEmpty) None
+        else Some(AviMeta(width, height, usPerFrame, frames.toIndexedSeq))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Bytes → (width, height, n_frames, sample_rate, n_channels,
     * duration_ms). Real pixel dimensions for image payloads
     * (`javax.imageio`), real sample rate / channels / PCM frame count
-    * for audio payloads (`javax.sound.sampled`); for opaque payloads
-    * a deterministic byte-derived stand-in (===== STUB for non-image,
-    * non-audio media =====: a real pipeline demuxes video here — this
-    * container has no video codecs; images and audio are real paths).
+    * for audio payloads (`javax.sound.sampled`), real container
+    * header + frame count for AVI video ([[demuxAvi]] — with an MJPEG
+    * pixel-decode fallback for dimensions when the header omits
+    * them); for the remaining opaque payloads a deterministic
+    * byte-derived stand-in (===== STUB for undecodable media =====:
+    * no MP4/WebM codec ships with this JDK — AVI is the video
+    * container it CAN demux, and that path is real).
     */
   def decode(payload: Array[Byte]): (Int, Int, Int, Int, Int, Long) =
     decodeImage(payload) match {
@@ -222,11 +288,21 @@ object Multimodal {
         case Some(a) =>
           (0, 0, a.frames.min(Int.MaxValue).toInt, a.sampleRate,
             a.channels, a.durationMs)
-        case None =>
-          val n = payload.length.toLong
-          val width = (64 + n % 960).toInt
-          val height = (64 + (n * 31) % 960).toInt
-          (width, height, 1, 0, 0, 0L)
+        case None => demuxAvi(payload) match {
+          case Some(avi) =>
+            // header dims when recorded; else decode frame 1 (MJPEG)
+            val (w, h) =
+              if (avi.width > 0) (avi.width, avi.height)
+              else avi.frames.headOption.flatMap(decodeImage)
+                .map(i => (i.getWidth, i.getHeight)).getOrElse((0, 0))
+            (w, h, avi.frames.length, 0, 0,
+              avi.usPerFrame * avi.frames.length / 1000L)
+          case None =>
+            val n = payload.length.toLong
+            val width = (64 + n % 960).toInt
+            val height = (64 + (n * 31) % 960).toInt
+            (width, height, 1, 0, 0, 0L)
+        }
       }
     }
 
@@ -241,17 +317,22 @@ object Multimodal {
   /** Frame sampling: keep every k-th frame of the payload's stream.
     * ANIMATION payloads (GIF) sample for real — the demuxed frames ARE
     * the stream, each sampled frame digested over its decoded pixels.
-    * AUDIO payloads split for real too — the DECODED PCM stream is
-    * chunked at true frame boundaries (the largest multiple of the
-    * format's frame size ≤ `frameBytes`, so a chunk never bisects a
-    * sample across channels). Remaining opaque "video" payloads split
-    * at fixed byte strides (===== STUB for video =====: a real demuxer
-    * finds frame boundaries; this JDK has no MP4/WebM codecs — GIF is
-    * the animation container it CAN demux, and that path is real).
-    * Same batched-partition shape as [[extractFeatures]] — at scale
-    * each task samples its own partition's payloads, no shuffle, and
-    * the sampled frames are a `sampleEvery`-fold reduction before
-    * anything heavy (a model, a resize) runs.
+    * VIDEO payloads in an AVI container sample for real too
+    * ([[demuxAvi]]): frame boundaries come from the RIFF chunk walk,
+    * and a frame that decodes as an image (MJPEG-in-AVI is plain
+    * JPEGs) is digested over its decoded pixels — re-encoding
+    * invariant like the GIF path — while other codecs' frames digest
+    * their stored bytes. AUDIO payloads split for real as well — the
+    * DECODED PCM stream is chunked at true frame boundaries (the
+    * largest multiple of the format's frame size ≤ `frameBytes`, so a
+    * chunk never bisects a sample across channels). Remaining opaque
+    * payloads split at fixed byte strides (===== STUB for
+    * undecodable media =====: no MP4/WebM codec ships with this JDK —
+    * GIF and AVI are the containers it CAN demux, and those paths are
+    * real). Same batched-partition shape as [[extractFeatures]] — at
+    * scale each task samples its own partition's payloads, no
+    * shuffle, and the sampled frames are a `sampleEvery`-fold
+    * reduction before anything heavy (a model, a resize) runs.
     */
   def sampleFrames(spark: SparkSession, assets: DataFrame,
                    frameBytes: Int = 64,
@@ -266,18 +347,27 @@ object Multimodal {
                 val px = pixelBytes(img)
                 FrameSample(a.doc_id, idx, px.length.toLong, md5Hex(px))
             }
-          case None =>
-            val (stream, chunk) = decodeAudio(a.payload) match {
-              case Some(au) =>
-                (au.pcm,
-                  math.max(frameBytes / au.frameSize, 1) * au.frameSize)
-              case None => (a.payload, frameBytes)
-            }
-            stream.grouped(chunk).zipWithIndex.collect {
-              case (bytes, idx) if idx % sampleEvery == 0 =>
-                FrameSample(a.doc_id, idx, bytes.length.toLong,
-                  md5Hex(bytes))
-            }
+          case None => demuxAvi(a.payload) match {
+            case Some(avi) =>
+              avi.frames.zipWithIndex.collect {
+                case (fb, idx) if idx % sampleEvery == 0 =>
+                  val bytes = decodeImage(fb).map(pixelBytes).getOrElse(fb)
+                  FrameSample(a.doc_id, idx, bytes.length.toLong,
+                    md5Hex(bytes))
+              }
+            case None =>
+              val (stream, chunk) = decodeAudio(a.payload) match {
+                case Some(au) =>
+                  (au.pcm,
+                    math.max(frameBytes / au.frameSize, 1) * au.frameSize)
+                case None => (a.payload, frameBytes)
+              }
+              stream.grouped(chunk).zipWithIndex.collect {
+                case (bytes, idx) if idx % sampleEvery == 0 =>
+                  FrameSample(a.doc_id, idx, bytes.length.toLong,
+                    md5Hex(bytes))
+              }
+          }
         }
       }
     }
