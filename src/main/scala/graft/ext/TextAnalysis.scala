@@ -64,6 +64,45 @@ object TextAnalysis {
           col("repetition_ratio") < 0.7)
   }
 
+  /** Gopher's "must contain 2 of these" stopword list (Rae et al.
+    * 2021, appendix A1.1 — public). Distinct from [[StopWords]] (the
+    * langid marker list): this one gates document quality.
+    */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality rules (Rae et al. 2021, table A1 — public): the
+    * word-level document filters of the MassiveText pipeline. Each
+    * rule is emitted as its own feature + boolean so a pipeline can
+    * audit WHICH gate dropped a document, plus the conjunctive `keep`.
+    * Rules: 50 ≤ word count ≤ 100k; 3 ≤ mean word length ≤ 10;
+    * symbol-to-word ratio (# and …) ≤ 0.1; ≥ 80% of words contain an
+    * alphabetic character; ≥ 2 of the required stopwords present.
+    * (The line-shape rules — bullet/ellipsis line fractions — are the
+    * line-level siblings and live in [[c4Clean]]'s domain.)
+    * Pure narrow projection over the scan: zero shuffles at any scale.
+    */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    docs.select(col("doc_id"), col("source"),
+        size(tk).cast("long").as("n_words"),
+        // single-space joined ⇒ word chars = len - (n-1)
+        ((length(col("text")) - (size(tk) - lit(1))).cast("double") /
+          size(tk)).as("mean_word_len"),
+        (size(filter(tk, w => w.contains("#") || w.contains("…")))
+          .cast("double") / size(tk)).as("symbol_ratio"),
+        (size(filter(tk, _.rlike("[a-zA-Z]"))).cast("double") /
+          size(tk)).as("alpha_frac"),
+        size(array_intersect(array_distinct(tk),
+          typedLit(GopherRequiredWords))).cast("long").as("n_req_stop"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("alpha_frac") >= 0.8 &&
+          col("n_req_stop") >= 2)
+  }
+
   /** Language ID: score each candidate language by marker-token count
     * (zh by CJK codepoints), pick the argmax with (score desc, lang
     * asc) total order. Relational argmax — explode scores, rank,
@@ -493,6 +532,42 @@ object TextAnalysis {
           .cast("long"))
       .withColumn("clean_text",
         regexp_replace(deEmailed, PhonePattern, "<PHONE>"))
+  }
+
+  /** C4's terminal-punctuation line gate (Raffel et al. 2020 §2.2 —
+    * public): a line survives iff it ends in . ! ? or closing quote.
+    */
+  val TerminalPunctPattern = "[.!?\"]$"
+
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2 — public): the
+    * canonical web-corpus scrub between the crawl and every other
+    * operator in this file. Line rules: keep only lines that end in
+    * terminal punctuation, have ≥ `minLineWords` words, and do not
+    * mention javascript. Document rules: ≥ `minKeptLines` surviving
+    * lines, no "lorem ipsum", no `{` (code in prose). Emits per-rule
+    * line counts (the removal audit), the document verdict, and the
+    * reassembled `clean_text` of surviving lines in original order.
+    *
+    * Implementation is pure higher-order column expressions
+    * (`filter`/`array_join` over the line array) — a narrow,
+    * whole-stage-codegen map over the scan with zero shuffles, so it
+    * runs at full scan speed over 100 TB exactly like [[redactPii]].
+    */
+  def c4Clean(docs: DataFrame, textCol: String = "text",
+              minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      l.rlike(TerminalPunctPattern) &&
+        size(split(l, " ")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    docs.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept_lines", size(kept).cast("long"))
+      .withColumn("keep_doc",
+        size(kept) >= minKeptLines &&
+          !lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{"))
+      .withColumn("clean_text", array_join(kept, "\n"))
+      .drop(textCol)
   }
 
   /** Document fingerprints: content digest (md5) + 60-bit integer

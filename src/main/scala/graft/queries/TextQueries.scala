@@ -91,6 +91,57 @@ object TextQueries {
     "x26_domain_cap" -> { (s, d) =>
       TextAnalysis.domainCap(Tables.documents(s, d), cap = 10)
     },
+    /** x27 — Gopher word-level quality rules (Rae et al. 2021): every
+      * gate as an auditable feature + the conjunctive keep. The
+      * synthetic vocabulary contains only one of Gopher's required
+      * stopwords ("the") so the raw gate would be constant-false;
+      * the query therefore appends a deterministic stopword suffix by
+      * doc_id residue (the x14/x16 augmentation pattern) so keep
+      * varies and every rule path is oracle-checked.
+      */
+    "x27_gopher_quality" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val aug = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, " of and that have")
+            .when(col("doc_id") % 3 === 1, " to the")
+            .otherwise("")).as("text"))
+      TextAnalysis.gopherQuality(aug)
+    },
+
+    /** x28 — C4 line-level cleaning. The corpus is single-line
+      * (space-joined tokens), so the query runs the operator on a
+      * deterministically LINE-STRUCTURED text (same pattern as
+      * x14/x16's augmentation): tokens regrouped 8 per line, terminal
+      * punctuation assigned by line length mod 3, plus planted
+      * code/lorem-ipsum/javascript lines on doc_id multiples so every
+      * C4 rule actually fires and is oracle-checked. Cleaned text
+      * crosses the oracle boundary as an md5 digest.
+      */
+    "x28_c4_line_filter" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tk = split(col("text"), " ")
+      val body = array_join(
+        transform(sequence(lit(0), ((size(tk) - 1) / 8).cast("int")), i => {
+          val line = array_join(slice(tk, i * 8 + 1, lit(8)), " ")
+          concat(line,
+            when(length(line) % 3 === 0, ".")
+              .when(length(line) % 3 === 1, "").otherwise("?"))
+        }), "\n")
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(body,
+          when(col("doc_id") % 7 === 0, "\nfunction() { return 1; }")
+            .otherwise(""),
+          when(col("doc_id") % 11 === 0,
+            "\nlorem ipsum dolor sit amet consectetur adipiscing elit.")
+            .otherwise(""),
+          when(col("doc_id") % 13 === 0,
+            "\nplease enable javascript to view the comments.")
+            .otherwise("")).as("text"))
+      TextAnalysis.c4Clean(aug)
+        .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+          col("keep_doc"), md5(col("clean_text")).as("clean_digest"))
+    },
     "x10_tfidf" -> { (s, d) =>
       TextAnalysis.tfidfTopK(Tables.documents(s, d), k = 3)
     },
@@ -229,6 +280,12 @@ object TextQueries {
 
   private val stopList =
     TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+
+  /** x27's required-stopword list — generated from the same Scala
+    * constant the operator reads so the two sides can't drift.
+    */
+  private val gopherReqList =
+    TextAnalysis.GopherRequiredWords.map(w => s"'$w'").mkString(", ")
 
   /** x17's mixture — ONE definition feeding both engines. */
   val MixtureWeights: Map[String, Double] =
@@ -508,6 +565,80 @@ object TextQueries {
 
     "x20_heavy_hitters" -> HeavyHittersSql,
     "x21_heavy_hitters_cms" -> HeavyHittersSql,
+
+    // feature arithmetic mirrors the Spark side op-for-op (same
+    // count/size double divisions) so the doubles are bit-identical
+    "x27_gopher_quality" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, source, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' of and that have'
+         |         WHEN doc_id % 3 = 1 THEN ' to the'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(t) AS BIGINT) AS n_words,
+         |    CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t)
+         |      AS mean_word_len,
+         |    CAST(len(list_filter(t, w -> contains(w, '#')
+         |      OR contains(w, '…'))) AS DOUBLE) / len(t) AS symbol_ratio,
+         |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
+         |      AS DOUBLE) / len(t) AS alpha_frac,
+         |    CAST(len(list_intersect(list_distinct(t), [$gopherReqList]))
+         |      AS BIGINT) AS n_req_stop
+         |  FROM (SELECT doc_id, source, text,
+         |          string_split(text, ' ') AS t FROM aug))
+         |SELECT doc_id, source, n_words, mean_word_len, symbol_ratio,
+         |  alpha_frac, n_req_stop,
+         |  (n_words BETWEEN 50 AND 100000
+         |    AND mean_word_len BETWEEN 3.0 AND 10.0
+         |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+         |    AND n_req_stop >= 2) AS keep
+         |FROM f""".stripMargin,
+
+    // augmentation (8-token lines, punct by length mod 3, planted
+    // rule-trigger lines) is repeated verbatim from the query side
+    "x28_c4_line_filter" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |body AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_transform(range(0, (len(t) - 1) // 8 + 1), i ->
+        |      array_to_string(t[i*8+1:i*8+8], ' ') ||
+        |      CASE WHEN length(array_to_string(t[i*8+1:i*8+8], ' ')) % 3 = 0
+        |             THEN '.'
+        |           WHEN length(array_to_string(t[i*8+1:i*8+8], ' ')) % 3 = 1
+        |             THEN ''
+        |           ELSE '?' END),
+        |    chr(10)) AS b
+        |  FROM t0),
+        |aug AS (
+        |  SELECT doc_id, b ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN chr(10) || 'function() { return 1; }' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+        |      'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+        |      'please enable javascript to view the comments.'
+        |      ELSE '' END AS text
+        |  FROM body),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"]$')
+        |      AND len(string_split(l, ' ')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM aug)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')) AS keep_doc,
+        |  -- array_to_string of an empty list is NULL in DuckDB
+        |  -- (string_agg semantics); Spark's array_join returns ''
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_digest
+        |FROM f""".stripMargin,
 
     "x12_repetition" ->
       """WITH bg AS (

@@ -263,4 +263,69 @@ class CorpusOpsSpec extends SparkTestBase {
     // doc_freq can never exceed occurrences
     assert(v.forall(r => r.getLong(2) <= r.getLong(1)))
   }
+
+  test("gopherQuality: each rule gates independently and keep is their conjunction") {
+    import spark.implicits._
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val rows = Seq(
+      // passes everything: 52 words, all alphabetic, 2 required stops
+      (1L, s"$fifty and with"),
+      // too short: 10 words
+      (2L, "the and short doc with too few words in it"),
+      // symbol-heavy: 20% of words carry '#'
+      (3L, s"$fifty and with ${(1 to 13).map(i => s"#tag$i").mkString(" ")}"),
+      // numeric words: alpha fraction 50/102 < 0.8
+      (4L, s"$fifty and with ${(1 to 50).map(_.toString).mkString(" ")}"),
+      // only one required stopword
+      (5L, s"$fifty the"))
+      .map { case (id, t) => (id, "srcT", t) }
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.gopherQuality(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(got(1L).getAs[Long]("n_words") == 52L)
+    assert(got(1L).getAs[Long]("n_req_stop") == 2L)
+    assert(!got(2L).getAs[Boolean]("keep")) // n_words gate
+    assert(got(2L).getAs[Long]("n_req_stop") == 3L) // the, and, with
+    assert(!got(3L).getAs[Boolean]("keep")) // symbol gate
+    assert(got(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!got(4L).getAs[Boolean]("keep")) // alpha gate
+    assert(got(4L).getAs[Double]("alpha_frac") < 0.8)
+    assert(!got(5L).getAs[Boolean]("keep")) // stopword gate
+    assert(got(5L).getAs[Long]("n_req_stop") == 1L)
+  }
+
+  test("c4Clean: line rules, doc rules, and reassembly order") {
+    import spark.implicits._
+    val keepA = "this line has five good words."
+    val keepB = "another perfectly fine long sentence here!"
+    val keepC = "a third keeper with enough words?"
+    val noPunct = "this line has no terminal punctuation"
+    val short = "too short."
+    val js = "please enable JavaScript to see this page."
+    val rows = Seq(
+      (1L, Seq(keepA, noPunct, keepB, short, js, keepC).mkString("\n")),
+      (2L, Seq(keepA, keepB).mkString("\n")), // only 2 survivors
+      (3L, Seq(keepA, keepB, keepC, "code { display: none; }").mkString("\n")),
+      (4L, Seq(keepA, keepB, keepC, "Lorem Ipsum filler text here.").mkString("\n")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: 6 lines, 3 survive (order preserved), doc kept
+    assert(got(1L).getAs[Long]("n_lines") == 6L)
+    assert(got(1L).getAs[Long]("n_kept_lines") == 3L)
+    assert(got(1L).getAs[Boolean]("keep_doc"))
+    assert(got(1L).getAs[String]("clean_text") ==
+      Seq(keepA, keepB, keepC).mkString("\n"))
+    // doc 2: fewer than 3 surviving lines
+    assert(!got(2L).getAs[Boolean]("keep_doc"))
+    // doc 3: '{' anywhere in the original text drops the doc,
+    // even though 3 lines survive the line gates
+    assert(got(3L).getAs[Long]("n_kept_lines") == 3L)
+    assert(!got(3L).getAs[Boolean]("keep_doc"))
+    // doc 4: lorem ipsum is case-insensitive and doc-fatal; the line
+    // itself passes the line gates and still appears in clean_text
+    assert(got(4L).getAs[Long]("n_kept_lines") == 4L)
+    assert(!got(4L).getAs[Boolean]("keep_doc"))
+  }
 }

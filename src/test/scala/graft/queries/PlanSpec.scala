@@ -348,6 +348,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), "winnow plan regressed to a window")
   }
 
+  test("x27/x28 quality gates: zero-shuffle narrow maps over the scan") {
+    // both cleaning passes are per-document-local (higher-order column
+    // expressions only) — a shuffle appearing here would mean the
+    // scan-speed claim in TextAnalysis's scaladoc stopped being true
+    for (q <- Seq("x27_gopher_quality", "x28_c4_line_filter")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q plan gained a shuffle")
+      assert(!p.contains("Window"), s"$q plan gained a window")
+    }
+  }
+
   test("x23 zipf: rank is a distributed sort, not a global window") {
     // a Window with an empty partitionSpec single-partitions its input
     // — fatal over a web-scale vocabulary (~1e9 types). x23's rank is a
