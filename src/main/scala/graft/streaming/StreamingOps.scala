@@ -384,6 +384,65 @@ object StreamingOps {
       }.toDF()
   }
 
+  final case class DomainCapState(rev: Long, picked: Seq[(Long, Long)])
+  final case class DomainCapPick(doc_id: Long, source: String,
+                                 pick: Long, rev: Long)
+
+  /** x26's streaming twin: maintain the per-domain document cap online
+    * as documents stream in. State per source is the current bottom-k
+    * of (portable hash, doc_id) — the identical total order as the
+    * batch [[graft.ext.TextAnalysis.domainCap]] / BottomKAggregator,
+    * so after a full drain the latest emission per source is
+    * bit-identical to the batch picks (asserted in StreamingDedupSpec).
+    *
+    * State is BOUNDED at `cap` (hash, id) pairs per domain forever —
+    * the eviction IS the bottom-k partial merge, applied per
+    * micro-batch — so like [[overlapSketch]] there is nothing to time
+    * out: a mega-domain streams through a constant-size state cell.
+    * The pre-merge `.distinct` makes a replayed micro-batch (at-least-
+    * once delivery) a no-op rather than a double-insert. Update mode:
+    * each trigger re-emits the current picks (with a monotone state
+    * revision) for the domains it touched; [[domainCapFinalize]]
+    * resolves the drained sink to the latest revision per domain.
+    */
+  def domainCapStream(spark: SparkSession, docs: DataFrame,
+                      cap: Int = 10): DataFrame = {
+    import spark.implicits._
+    val keyed = docs
+      .select(col("source"),
+        graft.ext.Hashing.base60(col("doc_id").cast("string")).as("h"),
+        col("doc_id").cast("long").as("doc_id"))
+      .as[(String, Long, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[DomainCapState, DomainCapPick](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (source, rows, state: GroupState[DomainCapState]) =>
+          val prev = state.getOption.getOrElse(DomainCapState(0L, Nil))
+          val merged = (prev.picked ++ rows.map(r => (r._2, r._3)))
+            .distinct.sorted.take(cap)
+          state.update(DomainCapState(prev.rev + 1, merged))
+          merged.iterator.zipWithIndex.map { case ((_, id), i) =>
+            DomainCapPick(id, source, i + 1L, prev.rev + 1) }
+      }.toDF()
+  }
+
+  /** Batch finalize over [[domainCapStream]]'s drained Update-mode
+    * sink: the latest revision per domain is the answer. The sink is
+    * emissions-sized (≤ batches × domains × cap rows — KB-scale next
+    * to the corpus), so a per-source window here is a few rows per
+    * partition, not the mega-domain hazard the batch operator avoids
+    * (and it sidesteps the self-join ambiguity a max-rev join hits on
+    * memory-sink views).
+    */
+  def domainCapFinalize(emitted: DataFrame): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    emitted
+      .withColumn("max_rev", max(col("rev")).over(bySource))
+      .filter(col("rev") === col("max_rev"))
+      .select("doc_id", "source", "pick")
+  }
+
   /** Stream-stream interval join (the watermarked join shape): each
     * purchase matched to the same user's view events in the preceding
     * hour. Both sides carry watermarks and the join condition bounds

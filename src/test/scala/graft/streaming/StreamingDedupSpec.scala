@@ -143,6 +143,39 @@ class StreamingDedupSpec extends SparkTestBase {
       "streamed shard/pos assignment diverged from the batch shuffle")
   }
 
+  test("x26 domain cap: bounded stateful stream; drain + finalize == batch") {
+    import graft.ext.TextAnalysis
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "source")
+    val srcDir = tmpDir("cap-stream-src")
+    // two files = two micro-batches: picks must converge across batch
+    // boundaries (an early pick can be evicted by a later, smaller hash)
+    stage(docs.filter(col("doc_id") % 2 === 0), srcDir, "a.parquet")
+    stage(docs.filter(col("doc_id") % 2 === 1), srcDir, "b.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val capped = StreamingOps.domainCapStream(spark, stream, cap = 5)
+    assert(capped.isStreaming, "cap maintenance must be a streaming transform")
+    StreamingOps.runToCompletion(spark, capped, "cap_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val emitted = spark.table("cap_stream")
+    // bounded emission: no (source, rev) group ever exceeds cap rows —
+    // the observable face of the bounded state cell
+    assert(emitted.groupBy("source", "rev").count()
+      .filter(col("count") > 5).isEmpty)
+    val finalized = StreamingOps.domainCapFinalize(emitted).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = TextAnalysis.domainCap(
+      Tables.documents(spark, sf0001), cap = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(finalized == batch,
+      "streamed domain cap diverged from the batch bottom-k")
+  }
+
   test("readPairs on a store that never materialized is empty, not an error") {
     assert(StreamingDedup.readPairs(spark,
       tmpDir("sd-none") + "/nope").isEmpty)
