@@ -70,8 +70,14 @@ object Bench {
     // it, so the recorded bench always covers every query
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // exclusion twin of BENCH_ONLY (also driver-unset): the scaling
+    // ladder uses it to drop the two documented all-pairs truth twins
+    // (d05/s01) whose quadratic cost is the point of their existence —
+    // at x30 they alone would dwarf the rest of the suite
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .filter { case (k, _) => only.forall(_.contains(k)) && !skip(k) }
     val n = ordered.size
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)

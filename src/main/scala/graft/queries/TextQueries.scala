@@ -100,13 +100,30 @@ object TextQueries {
       * varies and every rule path is oracle-checked.
       */
     "x27_gopher_quality" -> { (s, d) =>
+      TextAnalysis.gopherQuality(gopherAug(s, d))
+    },
+
+    /** x29 — the removal audit over x27's gates: per-source document
+      * counts, drop count, and per-rule violation counts (which gate
+      * is killing which domain — the first question a curation run
+      * answers). One vocabulary-free groupBy over the narrow x27 map.
+      */
+    "x29_quality_audit" -> { (s, d) =>
       import org.apache.spark.sql.functions._
-      val aug = Tables.documents(s, d).select(col("doc_id"), col("source"),
-        concat(col("text"),
-          when(col("doc_id") % 3 === 0, " of and that have")
-            .when(col("doc_id") % 3 === 1, " to the")
-            .otherwise("")).as("text"))
-      TextAnalysis.gopherQuality(aug)
+      TextAnalysis.gopherQuality(gopherAug(s, d))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(!col("n_words").between(50, 100000), 1L)
+            .otherwise(0L)).as("n_len_fail"),
+          sum(when(!col("mean_word_len").between(3.0, 10.0), 1L)
+            .otherwise(0L)).as("n_meanlen_fail"),
+          sum(when(col("symbol_ratio") > 0.1, 1L)
+            .otherwise(0L)).as("n_symbol_fail"),
+          sum(when(col("alpha_frac") < 0.8, 1L)
+            .otherwise(0L)).as("n_alpha_fail"),
+          sum(when(col("n_req_stop") < 2, 1L)
+            .otherwise(0L)).as("n_stop_fail"))
     },
 
     /** x28 — C4 line-level cleaning. The corpus is single-line
@@ -287,6 +304,21 @@ object TextQueries {
   private val gopherReqList =
     TextAnalysis.GopherRequiredWords.map(w => s"'$w'").mkString(", ")
 
+  /** x27/x29's shared deterministic stopword augmentation (the corpus
+    * vocabulary contains only "the" of Gopher's required list, so the
+    * raw gate would be constant-false). ONE definition for both
+    * queries; [[gopherCte]] is its SQL twin.
+    */
+  private def gopherAug(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, d).select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, " of and that have")
+          .when(col("doc_id") % 3 === 1, " to the")
+          .otherwise("")).as("text"))
+  }
+
   /** x17's mixture — ONE definition feeding both engines. */
   val MixtureWeights: Map[String, Double] =
     Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
@@ -296,6 +328,41 @@ object TextQueries {
   // fraction arithmetic in decimal, diverging from Spark's double
   private val mixtureValuesSql = MixtureWeights.toSeq.sorted
     .map { case (s, w) => s"('$s', CAST($w AS DOUBLE))" }.mkString(", ")
+
+  /** The gopher-feature CTE chain shared by x27 (per-doc rows) and
+    * x29 (per-source audit): augmentation → features → keep verdict.
+    * Feature arithmetic mirrors [[TextAnalysis.gopherQuality]]
+    * op-for-op (same count/size double divisions) so the doubles are
+    * bit-identical across engines.
+    */
+  private val gopherCte: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, source, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' of and that have'
+       |         WHEN doc_id % 3 = 1 THEN ' to the'
+       |         ELSE '' END AS text
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(t) AS BIGINT) AS n_words,
+       |    CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t)
+       |      AS mean_word_len,
+       |    CAST(len(list_filter(t, w -> contains(w, '#')
+       |      OR contains(w, '…'))) AS DOUBLE) / len(t) AS symbol_ratio,
+       |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
+       |      AS DOUBLE) / len(t) AS alpha_frac,
+       |    CAST(len(list_intersect(list_distinct(t), [$gopherReqList]))
+       |      AS BIGINT) AS n_req_stop
+       |  FROM (SELECT doc_id, source, text,
+       |          string_split(text, ' ') AS t FROM aug)),
+       |gq AS (
+       |  SELECT doc_id, source, n_words, mean_word_len, symbol_ratio,
+       |    alpha_frac, n_req_stop,
+       |    (n_words BETWEEN 50 AND 100000
+       |      AND mean_word_len BETWEEN 3.0 AND 10.0
+       |      AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+       |      AND n_req_stop >= 2) AS keep
+       |  FROM f)""".stripMargin
 
   /** zh score in DuckDB's RE2 syntax (Spark uses Java's \uXXXX form —
     * same codepoint class).
@@ -569,32 +636,25 @@ object TextQueries {
     // feature arithmetic mirrors the Spark side op-for-op (same
     // count/size double divisions) so the doubles are bit-identical
     "x27_gopher_quality" ->
-      s"""WITH aug AS (
-         |  SELECT doc_id, source, text ||
-         |    CASE WHEN doc_id % 3 = 0 THEN ' of and that have'
-         |         WHEN doc_id % 3 = 1 THEN ' to the'
-         |         ELSE '' END AS text
-         |  FROM documents),
-         |f AS (
-         |  SELECT doc_id, source,
-         |    CAST(len(t) AS BIGINT) AS n_words,
-         |    CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t)
-         |      AS mean_word_len,
-         |    CAST(len(list_filter(t, w -> contains(w, '#')
-         |      OR contains(w, '…'))) AS DOUBLE) / len(t) AS symbol_ratio,
-         |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
-         |      AS DOUBLE) / len(t) AS alpha_frac,
-         |    CAST(len(list_intersect(list_distinct(t), [$gopherReqList]))
-         |      AS BIGINT) AS n_req_stop
-         |  FROM (SELECT doc_id, source, text,
-         |          string_split(text, ' ') AS t FROM aug))
-         |SELECT doc_id, source, n_words, mean_word_len, symbol_ratio,
-         |  alpha_frac, n_req_stop,
-         |  (n_words BETWEEN 50 AND 100000
-         |    AND mean_word_len BETWEEN 3.0 AND 10.0
-         |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
-         |    AND n_req_stop >= 2) AS keep
-         |FROM f""".stripMargin,
+      s"""$gopherCte
+         |SELECT * FROM gq""".stripMargin,
+
+    "x29_quality_audit" ->
+      s"""$gopherCte
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(SUM(CASE WHEN n_words NOT BETWEEN 50 AND 100000
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_len_fail,
+         |  CAST(SUM(CASE WHEN mean_word_len NOT BETWEEN 3.0 AND 10.0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_meanlen_fail,
+         |  CAST(SUM(CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_symbol_fail,
+         |  CAST(SUM(CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_alpha_fail,
+         |  CAST(SUM(CASE WHEN n_req_stop < 2 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_stop_fail
+         |FROM gq GROUP BY source""".stripMargin,
 
     // augmentation (8-token lines, punct by length mod 3, planted
     // rule-trigger lines) is repeated verbatim from the query side

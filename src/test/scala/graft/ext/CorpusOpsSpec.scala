@@ -295,6 +295,34 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(5L).getAs[Long]("n_req_stop") == 1L)
   }
 
+  test("c4Clean is idempotent: its own output is a fixpoint of the line gates") {
+    import spark.implicits._
+    // pseudo-random line soup from a fixed seed: word counts 1-9,
+    // punctuation present/absent, occasional javascript mentions
+    val rnd = new scala.util.Random(42)
+    val punct = Array(".", "!", "?", "\"", "", "", ")")
+    val rows = (1L to 60L).map { id =>
+      val lines = (0 until (1 + rnd.nextInt(8))).map { _ =>
+        val words = (0 until (1 + rnd.nextInt(9)))
+          .map(_ => s"w${rnd.nextInt(30)}")
+        val tail = if (rnd.nextInt(10) == 0) " javascript" else ""
+        words.mkString(" ") + tail + punct(rnd.nextInt(punct.length))
+      }
+      (id, lines.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val once = TextAnalysis.c4Clean(rows)
+    val again = TextAnalysis.c4Clean(
+      once.select(col("doc_id"), col("clean_text").as("text")))
+    val a = once.select("doc_id", "n_kept_lines", "clean_text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val b = again.select("doc_id", "n_kept_lines", "clean_text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every line that survived once survives again, unchanged, in order
+    (1L to 60L).foreach { id =>
+      if (a(id)._1 > 0) assert(b(id) == a(id), s"doc $id not a fixpoint")
+    }
+  }
+
   test("c4Clean: line rules, doc rules, and reassembly order") {
     import spark.implicits._
     val keepA = "this line has five good words."
