@@ -9,8 +9,13 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
+# snapshot the classes: a concurrent `sbt compile` rewriting
+# target/classes mid-leg makes the running JVM lazy-load torn class
+# files -> spurious per-query failures (bitten in r8)
+rm -rf /tmp/ladder_classes
+cp -r target/scala-2.13/classes /tmp/ladder_classes
 J="java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-   -cp target/scala-2.13/classes:/opt/spark/jars/*"
+   -cp /tmp/ladder_classes:/opt/spark/jars/*"
 export SPARK_GRAFT_CPUS=32
 # the two documented all-pairs truth twins are quadratic BY DESIGN
 # (oracle baselines for d07/s02-s04); at x30 they would dominate the
