@@ -162,6 +162,6 @@ object CatalogOps {
     // fail here, not later with AMBIGUOUS_REFERENCE far from the cause
     require(dupes.isEmpty,
       s"canonicalization collides on: ${dupes.mkString(", ")}")
-    df.toDF(names: _*)
+    df.toDF(names.toIndexedSeq: _*)
   }
 }

@@ -288,7 +288,7 @@ object ZoneMap {
     // The sidecar is a derived index — a crash between delete and
     // rename loses nothing a re-update can't restore.
     val tmp = new Path(dir + "/_zonemap.staging")
-    kept.unionByName(spark.createDataset(added).toDF).coalesce(1)
+    kept.unionByName(spark.createDataset(added).toDF()).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(new Path(target), true)
     require(fs.rename(tmp, new Path(target)),

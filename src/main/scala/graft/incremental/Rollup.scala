@@ -66,7 +66,7 @@ object Rollup {
     */
   def finish(summary: DataFrame): DataFrame =
     summary.select(
-      summary.columns.filterNot(
+      summary.columns.toIndexedSeq.filterNot(
         Set("n", "sum_dec", "min_v", "max_v")).map(col) ++ Seq(
         col("n").cast("long").as("n"),
         col("sum_dec").cast("double").as("sum_v"),
