@@ -52,5 +52,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.ext.DedupSql.getClass.getName,
         "despan_decontaminate"),
       (args: Seq[Expression]) => graft.ext.DedupSql.despanFromSqlArgs(args)))
+    // corpus-quality gates as table functions (x27/x28 shapes)
+    e.injectTableFunction((
+      new FunctionIdentifier("gopher_quality"),
+      new ExpressionInfo(graft.ext.TextSql.getClass.getName,
+        "gopher_quality"),
+      (args: Seq[Expression]) => graft.ext.TextSql.gopherFromSqlArgs(args)))
+    e.injectTableFunction((
+      new FunctionIdentifier("c4_clean"),
+      new ExpressionInfo(graft.ext.TextSql.getClass.getName, "c4_clean"),
+      (args: Seq[Expression]) => graft.ext.TextSql.c4FromSqlArgs(args)))
   }
 }

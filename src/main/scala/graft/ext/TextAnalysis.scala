@@ -171,6 +171,25 @@ object TextAnalysis {
         .otherwise("test").as("split"))
   }
 
+  /** Leakage-safe grouped split: every document sharing a `keyCol`
+    * value (a domain, a repository, a conversation thread) lands in
+    * the SAME split. Near-duplicates cluster within such keys, so a
+    * content-hash split ([[hashSplit]]) can leak train data into test
+    * through near-dup siblings; keying the bucket on the group closes
+    * that channel (the standard web-corpus practice). Same bucket
+    * arithmetic as hashSplit — deterministic, repartition-proof —
+    * and still a pure narrow map: no shuffle, no group materialization.
+    */
+  def groupedSplit(docs: DataFrame, keyCol: String = "source",
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = pmod(Hashing.base60(col(keyCol).cast("string")), lit(100))
+    docs.select(col("doc_id"), col(keyCol).as("group_key"),
+      bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** The exploded (doc_id, token) table shared by [[tfidfTopK]]'s tf
     * and df branches.
     */

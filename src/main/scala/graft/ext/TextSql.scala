@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+/** SQL table-function surface for the corpus-quality operators,
+  * injected by [[graft.GraftExtensions]] — the same bridge
+  * `asof_join`/`winnow`/`despan_decontaminate` use, so SQL-only users
+  * on a shared cluster reach the quality gates without any Scala:
+  *
+  *   SELECT * FROM gopher_quality('docs_v')          -- x27 shape
+  *   SELECT * FROM c4_clean('docs_v')                -- x28 shape
+  *   SELECT * FROM c4_clean('docs_v', 5, 3)
+  *
+  * Each builder resolves its table-name argument against the ACTIVE
+  * session (table functions are expanded during analysis, which always
+  * runs on a session thread) and returns the untouched logical plan of
+  * the ordinary DataFrame operator — one implementation, two surfaces;
+  * the SQL form cannot drift from the Scala form.
+  */
+object TextSql {
+
+  private def strLit(e: Expression, what: String, usage: String): String =
+    e match {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other; $usage")
+    }
+
+  private def intLit(e: Expression, what: String, usage: String): Int =
+    e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other; $usage")
+    }
+
+  /** `gopher_quality(docs_table)` — the Gopher word-level quality
+    * features + keep verdict (x27) of a table/view with
+    * (doc_id, source, text).
+    */
+  def gopherFromSqlArgs(args: Seq[Expression]): LogicalPlan = {
+    val usage =
+      "gopher_quality(docs_table) — table name as a string literal"
+    require(args.length == 1, s"wrong argument count: $usage")
+    val table = strLit(args(0), "gopher_quality: docs_table", usage)
+    val spark = SparkSession.active
+    TextAnalysis.gopherQuality(spark.table(table))
+      .queryExecution.logical
+  }
+
+  /** `c4_clean(docs_table[, min_line_words[, min_kept_lines]])` — C4
+    * line-level cleaning (x28) of a table/view with (doc_id, text).
+    */
+  def c4FromSqlArgs(args: Seq[Expression]): LogicalPlan = {
+    val usage = "c4_clean(docs_table[, min_line_words[, " +
+      "min_kept_lines]]) — table name as a string literal, optional " +
+      "thresholds (defaults 5, 3) as integer literals"
+    require(args.nonEmpty && args.length <= 3,
+      s"wrong argument count: $usage")
+    val table = strLit(args(0), "c4_clean: docs_table", usage)
+    val minWords =
+      if (args.length > 1) intLit(args(1), "c4_clean: min_line_words", usage)
+      else 5
+    val minKept =
+      if (args.length > 2) intLit(args(2), "c4_clean: min_kept_lines", usage)
+      else 3
+    val spark = SparkSession.active
+    TextAnalysis.c4Clean(spark.table(table),
+      minLineWords = minWords, minKeptLines = minKept)
+      .queryExecution.logical
+  }
+}

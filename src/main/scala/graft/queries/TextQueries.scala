@@ -76,6 +76,14 @@ object TextQueries {
       TextAnalysis.hashSplit(Tables.documents(s, d))
     },
 
+    /** x30 — leakage-safe grouped split: whole domains assigned to one
+      * split (near-dups cluster within a domain; a content-hash split
+      * would leak them across train/test).
+      */
+    "x30_grouped_split" -> { (s, d) =>
+      TextAnalysis.groupedSplit(Tables.documents(s, d))
+    },
+
     /** x25 — deterministic corpus shuffle: hash-keyed shard + in-shard
       * position, the reproducible "global shuffle before packing"
       * (see TextAnalysis.corpusShuffle's scale notes: one shard-key
@@ -220,7 +228,7 @@ object TextQueries {
         .groupBy(col("w")).agg(count(lit(1)).as("f"))
       val ranked = vf.select(col("w"), col("f"))
         .orderBy(col("f").desc, col("w"))
-        .rdd.zipWithIndex
+        .rdd.zipWithIndex()
         .map { case (row, i) => (row.getLong(1), i + 1L) }
         .toDF("f", "r")
       val xy = ranked
@@ -577,6 +585,14 @@ object TextQueries {
          |  ${Hashing.base60Sql("text")} % 100 AS bucket,
          |  CASE WHEN ${Hashing.base60Sql("text")} % 100 < 80 THEN 'train'
          |       WHEN ${Hashing.base60Sql("text")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+
+    "x30_grouped_split" ->
+      s"""SELECT doc_id, source AS group_key,
+         |  ${Hashing.base60Sql("source")} % 100 AS bucket,
+         |  CASE WHEN ${Hashing.base60Sql("source")} % 100 < 80 THEN 'train'
+         |       WHEN ${Hashing.base60Sql("source")} % 100 < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
 

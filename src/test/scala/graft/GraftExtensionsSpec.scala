@@ -147,6 +147,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT * FROM despan_decontaminate('train_v')").collect()
       }
       assert(err.getMessage.contains("despan_decontaminate"), err.getMessage)
+
+      // x27/x28 quality gates via SQL == the Scala operators
+      val gotG = spark.sql("SELECT * FROM gopher_quality('docs_v')")
+      val expG = graft.ext.TextAnalysis.gopherQuality(docs)
+      assert(gotG.except(expG).isEmpty && expG.except(gotG).isEmpty,
+        "SQL gopher_quality diverged from the Scala-API operator")
+      val gotC = spark.sql("SELECT * FROM c4_clean('docs_v', 4, 2)")
+      val expC = graft.ext.TextAnalysis.c4Clean(docs,
+        minLineWords = 4, minKeptLines = 2)
+      assert(gotC.except(expC).isEmpty && expC.except(gotC).isEmpty,
+        "SQL c4_clean diverged from the Scala-API operator")
+      val errG = intercept[Exception] {
+        spark.sql("SELECT * FROM gopher_quality('docs_v', 1)").collect()
+      }
+      assert(errG.getMessage.contains("gopher_quality"), errG.getMessage)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

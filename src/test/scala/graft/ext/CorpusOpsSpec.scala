@@ -295,6 +295,27 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(5L).getAs[Long]("n_req_stop") == 1L)
   }
 
+  test("groupedSplit: a group never straddles splits; buckets ignore content") {
+    import spark.implicits._
+    // same source, wildly different texts -> one split; the content
+    // hash must not influence the assignment
+    val rows = (1L to 40L).map(i =>
+      (i, s"dom${i % 4}", s"completely different text number $i"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.groupedSplit(rows).collect()
+    val perGroup = got.groupBy(_.getAs[String]("group_key"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[String]("split")).toSet }
+    assert(perGroup.values.forall(_.size == 1),
+      s"a group straddled splits: $perGroup")
+    // and the assignment matches hashSplit's arithmetic applied to the key
+    val viaHash = TextAnalysis.hashSplit(
+      rows.select(col("doc_id"), col("source").as("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    got.foreach { r =>
+      assert(r.getAs[String]("split") == viaHash(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("c4Clean is idempotent: its own output is a fixpoint of the line gates") {
     import spark.implicits._
     // pseudo-random line soup from a fixed seed: word counts 1-9,
