@@ -265,6 +265,106 @@ object TextAnalysis {
           count(lit(1)), 4).as("avg_logprob"))
   }
 
+  /** DSIR hashed n-gram feature rows (Xie et al., NeurIPS 2023 —
+    * public): each document's unigram+bigram stream bucketed to
+    * `nBuckets` by the portable base-60 hash, tagged with its
+    * target-side membership. One exploded pass, materialized because
+    * BOTH dsir stages consume it (the bucket-count aggregation and the
+    * per-document weight join) — same single-tokenize lever as
+    * [[explodedTokens]]/Dedup's shingle table. Freed via
+    * [[dsirRelease]]; the SAME def builds the persisted and the
+    * released plan so they cannot diverge (the Dedup.release lesson).
+    */
+  private def dsirFeatures(docs: DataFrame, targetCol: Column,
+                           nBuckets: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    // bigrams via indexed transform over the first L-1 tokens — NOT
+    // sequence(0, L-2): Spark's sequence DESCENDS when stop < start,
+    // so a one-token doc would fabricate phantom indices
+    val bigrams = when(size(toks) >= 2,
+      transform(slice(toks, lit(1), size(toks) - 1),
+        (t, i) => concat(t, lit(" "), element_at(toks, i + lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), targetCol.as("is_t"),
+        explode(concat(toks, bigrams)).as("f"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(Hashing.base60(col("f")), lit(nBuckets.toLong)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Free [[dsirFeatures]]' materialized feature table (plan-keyed,
+    * like [[release]]) — pass the same arguments as the weights call.
+    */
+  def dsirRelease(docs: DataFrame, targetCol: Column,
+                  nBuckets: Int = 256): Unit =
+    dsirFeatures(docs, targetCol, nBuckets).unpersist()
+
+  /** DSIR importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023 — public): score every NON-target
+    * document by how target-like its hashed n-gram distribution is,
+    * log w(x) = Σ_features [ln p_target(b) − ln p_raw(b)] with
+    * Laplace-smoothed bucket probabilities estimated from the corpus
+    * itself. The weights drive [[dsirResample]] — the standard
+    * "select web data that looks like the quality target" step.
+    *
+    * Oracle determinism: the per-bucket log-ratio is rounded to 6
+    * decimals, per-doc summed through a decimal cast (exact,
+    * order-free — the dsum contract of [[graft.queries]]).
+    *
+    * Scale shape: the feature table is one exploded pass; bucket
+    * counts are a `nBuckets`-row aggregate (map-side combined); the
+    * log-ratio table is nBuckets rows BROADCAST onto the feature rows
+    * (never a shuffle of the corpus side); the per-doc sum is the one
+    * real shuffle, on doc_id. No driver collect anywhere — the ratio
+    * table stays distributed-broadcast, so the op runs unchanged with
+    * a 2^20-bucket feature space on a 1000-executor cluster.
+    */
+  def dsirWeights(docs: DataFrame, targetCol: Column,
+                  nBuckets: Int = 256): DataFrame = {
+    val feats = dsirFeatures(docs, targetCol, nBuckets)
+    val counts = feats.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+    val tots = counts.agg(sum(col("ct")).as("t_tot"),
+      sum(col("cr")).as("r_tot"))
+    val lr = counts.crossJoin(broadcast(tots))
+      .select(col("b"), round(
+        log((col("ct") + 1).cast("double") / (col("t_tot") + nBuckets)) -
+        log((col("cr") + 1).cast("double") / (col("r_tot") + nBuckets)),
+        6).as("lr"))
+    feats.filter(!col("is_t"))
+      .join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("lr").cast("decimal(38,18)")).cast("double").as("logw"))
+  }
+
+  /** DSIR resampling — Gumbel-top-k over the importance weights, the
+    * paper's own sampling-without-replacement construction, made
+    * reproducible: the Gumbel noise comes from the portable hash of
+    * the doc id (g = −ln(−ln(u)), u ∈ (0,1) from 6 hash digits), not
+    * an RNG, so every run/engine/partitioning selects the identical
+    * k documents. Selection is TakeOrdered (no global sort).
+    */
+  def dsirResample(docs: DataFrame, targetCol: Column, k: Int = 100,
+                   nBuckets: Int = 256): DataFrame = {
+    val u = (pmod(Hashing.base60(concat(col("doc_id").cast("string"),
+      lit(":dsir"))), lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    // key/log_weight round to 6 decimals, NOT fewer: logw and gumbel
+    // are exact 6-decimal grid values (decimal-summed / pre-rounded),
+    // so a 6-decimal round lands ON the grid in every engine — while a
+    // coarser round puts grid points ending in …50 exactly half-way,
+    // where double-rounding is engine-divergent (bitten at sf0.01)
+    dsirWeights(docs, targetCol, nBuckets)
+      .withColumn("gumbel", round(-log(-log(u)), 6))
+      .withColumn("key", round(col("logw") + col("gumbel"), 6))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_features"),
+        round(col("logw"), 6).as("log_weight"), col("gumbel"),
+        col("key"))
+  }
+
   /** Heavy hitters: tokens whose occurrence count exceeds `minShare`
     * of all token occurrences in the corpus — the exact form (full
     * token group-by, then the threshold against the one-row global
@@ -585,6 +685,32 @@ object TextAnalysis {
         size(kept) >= minKeptLines &&
           !lower(col(textCol)).contains("lorem ipsum") &&
           !col(textCol).contains("{"))
+      .withColumn("clean_text", array_join(kept, "\n"))
+      .drop(textCol)
+  }
+
+  /** Intra-document repeated-line removal (the self-repetition trim of
+    * C4/Dolma-style cleaning — public): keep only the FIRST occurrence
+    * of each exact line within a document, preserving original order —
+    * navigation bars, cookie banners and template footers repeat
+    * verbatim inside a crawled page and would otherwise dominate its
+    * token budget. Complements [[c4Clean]] (which gates lines on
+    * content, not repetition) and the CROSS-document span ops in
+    * [[Dedup]] (d12/x24 — this one never leaves the row).
+    *
+    * Implementation is an indexed higher-order filter over the line
+    * split (line i survives iff no identical line precedes it) — a
+    * narrow whole-stage-codegen map, zero shuffles, scan-speed at
+    * 100 TB like [[redactPii]]. The per-doc cost is O(L²) in LINES
+    * (not tokens) with early-exit `array_contains`, negligible against
+    * the tokenize passes every other operator here runs.
+    */
+  def dedupLines(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, (l, i) =>
+      !array_contains(slice(lines, lit(1), i), l))
+    docs.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_dup_lines", (size(lines) - size(kept)).cast("long"))
       .withColumn("clean_text", array_join(kept, "\n"))
       .drop(textCol)
   }

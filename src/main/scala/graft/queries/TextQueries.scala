@@ -84,6 +84,47 @@ object TextQueries {
       TextAnalysis.groupedSplit(Tables.documents(s, d))
     },
 
+    /** x31 — DSIR importance resampling (Xie et al. 2023): select the
+      * 100 non-'src0' documents whose hashed unigram+bigram bucket
+      * distribution is most 'src0'-like (the same target slice as
+      * x08/x24's decontamination), via Gumbel-top-k over Laplace-
+      * smoothed log importance weights. Deterministic end-to-end:
+      * portable hash buckets, hash-derived Gumbel noise, doc_id
+      * tiebreak at the cutoff.
+      */
+    "x31_dsir_resample" -> { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      TextAnalysis.dsirResample(Tables.documents(s, d),
+        col("source") === "src0", k = 100, nBuckets = 256)
+    },
+
+    /** x32 — intra-document repeated-line removal. The corpus is
+      * single-line, so the query runs the operator on deterministically
+      * LINE-STRUCTURED text (the x28 augmentation pattern: tokens
+      * regrouped 8 per line) with the first line re-planted at the end
+      * on doc_id multiples of 2 and 5 — guaranteed non-adjacent
+      * repeats, so first-occurrence keeping, order preservation and
+      * the dup count are all oracle-checked. Cleaned text crosses the
+      * oracle boundary as an md5 digest.
+      */
+    "x32_line_dedup" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tk = split(col("text"), " ")
+      val body = array_join(
+        transform(sequence(lit(0), ((size(tk) - 1) / 8).cast("int")), i =>
+          array_join(slice(tk, i * 8 + 1, lit(8)), " ")), "\n")
+      val first = array_join(slice(tk, 1, 8), " ")
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(body,
+          when(col("doc_id") % 2 === 0, concat(lit("\n"), first))
+            .otherwise(""),
+          when(col("doc_id") % 5 === 0, concat(lit("\n"), first))
+            .otherwise("")).as("text"))
+      TextAnalysis.dedupLines(aug)
+        .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+          md5(col("clean_text")).as("clean_digest"))
+    },
+
     /** x25 — deterministic corpus shuffle: hash-keyed shard + in-shard
       * position, the reproducible "global shuffle before packing"
       * (see TextAnalysis.corpusShuffle's scale notes: one shard-key
@@ -595,6 +636,90 @@ object TextQueries {
          |       WHEN ${Hashing.base60Sql("source")} % 100 < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    // feature stream, smoothing arithmetic and gumbel key mirror the
+    // Spark side op-for-op; ln rounded 6, decimal sum, key rounded 4
+    "x31_dsir_resample" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source = 'src0' AS is_t,
+         |    string_split(text, ' ') AS t
+         |  FROM documents),
+         |feat AS (
+         |  SELECT doc_id, is_t, unnest(t) AS f FROM tok
+         |  UNION ALL
+         |  SELECT doc_id, is_t, unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS f FROM tok),
+         |bk AS (
+         |  SELECT doc_id, is_t, ${Hashing.base60Sql("f")} % 256 AS b
+         |  FROM feat),
+         |counts AS (
+         |  SELECT b,
+         |    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cr
+         |  FROM bk GROUP BY b),
+         |tots AS (
+         |  SELECT CAST(SUM(ct) AS BIGINT) AS t_tot,
+         |    CAST(SUM(cr) AS BIGINT) AS r_tot
+         |  FROM counts),
+         |lr AS (
+         |  SELECT b, round(
+         |    ln(CAST(ct + 1 AS DOUBLE) / (t_tot + 256)) -
+         |    ln(CAST(cr + 1 AS DOUBLE) / (r_tot + 256)), 6) AS lr
+         |  FROM counts CROSS JOIN tots),
+         |w AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+         |    CAST(SUM(CAST(lr AS DECIMAL(38,18))) AS DOUBLE) AS logw
+         |  FROM bk JOIN lr USING (b) WHERE NOT is_t GROUP BY doc_id),
+         |g AS (
+         |  SELECT doc_id, n_features, logw,
+         |    round(-ln(-ln((${Hashing.base60Sql(
+                  "CAST(doc_id AS VARCHAR) || ':dsir'")} % 1000000
+         |      + 0.5) / 1000000.0)), 6) AS gumbel
+         |  FROM w)
+         |SELECT doc_id, n_features, round(logw, 6) AS log_weight,
+         |  gumbel, round(logw + gumbel, 6) AS key
+         |FROM g
+         |ORDER BY key DESC, doc_id
+         |LIMIT 100""".stripMargin,
+
+    // augmentation (8-token lines, first line re-planted on doc_id
+    // multiples of 2 and 5) repeated verbatim from the query side;
+    // first-occurrence keep via min-ordinal grouping
+    "x32_line_dedup" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |body AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_transform(range(0, (len(t) - 1) // 8 + 1), i ->
+        |      array_to_string(t[i*8+1:i*8+8], ' ')), chr(10)) AS b,
+        |    array_to_string(t[1:8], ' ') AS first_line
+        |  FROM t0),
+        |aug AS (
+        |  SELECT doc_id, b ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || first_line
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || first_line
+        |      ELSE '' END AS text
+        |  FROM body),
+        |ls AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+        |e AS (
+        |  SELECT doc_id, unnest(ls) AS line,
+        |    unnest(range(1, len(ls) + 1)) AS ord
+        |  FROM ls),
+        |firsts AS (
+        |  SELECT doc_id, line, MIN(ord) AS ford
+        |  FROM e GROUP BY doc_id, line),
+        |agg AS (
+        |  SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY ford) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM firsts GROUP BY doc_id)
+        |SELECT ls.doc_id, CAST(len(ls.ls) AS BIGINT) AS n_lines,
+        |  CAST(len(ls.ls) - a.n_kept AS BIGINT) AS n_dup_lines,
+        |  md5(a.clean_text) AS clean_digest
+        |FROM ls JOIN agg a USING (doc_id)""".stripMargin,
 
     "x25_corpus_shuffle" ->
       s"""WITH h AS (

@@ -377,4 +377,60 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(4L).getAs[Long]("n_kept_lines") == 4L)
     assert(!got(4L).getAs[Boolean]("keep_doc"))
   }
+
+  test("dedupLines keeps first occurrences in order; clean corpus " +
+    "is untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      // adjacent AND non-adjacent repeats, order must survive
+      (1L, Seq("nav bar", "body one", "nav bar", "body two", "body one",
+        "nav bar").mkString("\n")),
+      (2L, Seq("all", "distinct", "lines").mkString("\n")),
+      (3L, "single line"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLines(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_dup_lines"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(got(1L) == ((6L, 3L,
+      Seq("nav bar", "body one", "body two").mkString("\n"))))
+    assert(got(2L) == ((3L, 0L, Seq("all", "distinct", "lines")
+      .mkString("\n"))))
+    assert(got(3L) == ((1L, 0L, "single line")))
+    // idempotence: a deduped document is a fixpoint
+    val again = TextAnalysis.dedupLines(TextAnalysis.dedupLines(rows)
+      .select(col("doc_id"), col("clean_text").as("text"))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_lines"))
+    assert(again.forall(_._2 == 0L))
+  }
+
+  test("dsir: shared-vocabulary docs outweigh disjoint ones, weights " +
+    "cover exactly the raw side, and resampling is partitioning-" +
+    "invariant") {
+    import spark.implicits._
+    // target speaks "alpha..epsilon"; raw doc 10 shares that
+    // vocabulary, raw doc 11 is disjoint noise — DSIR must rank 10
+    // above 11 by construction, whatever the hash buckets do
+    val rows = Seq(
+      (1L, "tgt", "alpha beta gamma delta epsilon alpha beta gamma"),
+      (2L, "tgt", "beta alpha epsilon delta gamma beta alpha delta"),
+      (10L, "web", "alpha beta gamma delta epsilon beta gamma alpha"),
+      (11L, "web", "zork quux blarg fnord wibble glorp snark blip"))
+      .toDF("doc_id", "source", "text")
+    val target = col("source") === "tgt"
+    val w = TextAnalysis.dsirWeights(rows, target).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
+    assert(w.keySet == Set(10L, 11L), "weights must cover the raw side only")
+    assert(w(10L) > w(11L),
+      s"target-like doc must outweigh disjoint doc: $w")
+    // resample at k=1 picks from the raw side deterministically, and
+    // the choice is invariant to the input partitioning
+    val a = TextAnalysis.dsirResample(rows, target, k = 1).collect()
+    val b = TextAnalysis.dsirResample(rows.repartition(7), target, k = 1)
+      .collect()
+    assert(a.length == 1 && a.map(_.getLong(0)).sameElements(
+      b.map(_.getLong(0))))
+    TextAnalysis.dsirRelease(rows, target)
+    TextAnalysis.dsirRelease(rows.repartition(7), target)
+  }
 }
