@@ -62,5 +62,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("c4_clean"),
       new ExpressionInfo(graft.ext.TextSql.getClass.getName, "c4_clean"),
       (args: Seq[Expression]) => graft.ext.TextSql.c4FromSqlArgs(args)))
+    e.injectTableFunction((
+      new FunctionIdentifier("dedup_lines"),
+      new ExpressionInfo(graft.ext.TextSql.getClass.getName,
+        "dedup_lines"),
+      (args: Seq[Expression]) =>
+        graft.ext.TextSql.dedupLinesFromSqlArgs(args)))
+    e.injectTableFunction((
+      new FunctionIdentifier("dsir_resample"),
+      new ExpressionInfo(graft.ext.TextSql.getClass.getName,
+        "dsir_resample"),
+      (args: Seq[Expression]) => graft.ext.TextSql.dsirFromSqlArgs(args)))
   }
 }

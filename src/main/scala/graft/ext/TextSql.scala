@@ -71,4 +71,39 @@ object TextSql {
       minLineWords = minWords, minKeptLines = minKept)
       .queryExecution.logical
   }
+
+  /** `dedup_lines(docs_table)` — intra-document repeated-line removal
+    * (x32) of a table/view with (doc_id, text).
+    */
+  def dedupLinesFromSqlArgs(args: Seq[Expression]): LogicalPlan = {
+    val usage =
+      "dedup_lines(docs_table) — table name as a string literal"
+    require(args.length == 1, s"wrong argument count: $usage")
+    val table = strLit(args(0), "dedup_lines: docs_table", usage)
+    val spark = SparkSession.active
+    TextAnalysis.dedupLines(spark.table(table))
+      .queryExecution.logical
+  }
+
+  /** `dsir_resample(docs_table, target_source[, k])` — DSIR importance
+    * resampling (x31) of a table/view with (doc_id, source, text):
+    * documents whose `source` equals `target_source` define the target
+    * distribution; the k best-matching OTHER documents are returned.
+    */
+  def dsirFromSqlArgs(args: Seq[Expression]): LogicalPlan = {
+    val usage = "dsir_resample(docs_table, target_source[, k]) — " +
+      "table and target source as string literals, optional k " +
+      "(default 100) as an integer literal"
+    require(args.length == 2 || args.length == 3,
+      s"wrong argument count: $usage")
+    val table = strLit(args(0), "dsir_resample: docs_table", usage)
+    val target = strLit(args(1), "dsir_resample: target_source", usage)
+    val k =
+      if (args.length > 2) intLit(args(2), "dsir_resample: k", usage)
+      else 100
+    val spark = SparkSession.active
+    TextAnalysis.dsirResample(spark.table(table),
+      org.apache.spark.sql.functions.col("source") === target, k = k)
+      .queryExecution.logical
+  }
 }

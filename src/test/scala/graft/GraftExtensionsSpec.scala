@@ -162,6 +162,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT * FROM gopher_quality('docs_v', 1)").collect()
       }
       assert(errG.getMessage.contains("gopher_quality"), errG.getMessage)
+
+      // x32 via SQL == the Scala operator
+      val gotL = spark.sql("SELECT * FROM dedup_lines('docs_v')")
+      val expL = graft.ext.TextAnalysis.dedupLines(docs)
+      assert(gotL.except(expL).isEmpty && expL.except(gotL).isEmpty,
+        "SQL dedup_lines diverged from the Scala-API operator")
+
+      // x31 via SQL == the Scala operator (k reaches the selection)
+      val gotS = spark.sql(
+        "SELECT * FROM dsir_resample('docs_v', 'src0', 3)")
+      val expS = graft.ext.TextAnalysis.dsirResample(docs,
+        col("source") === "src0", k = 3)
+      assert(gotS.except(expS).isEmpty && expS.except(gotS).isEmpty,
+        "SQL dsir_resample diverged from the Scala-API operator")
+      val errS = intercept[Exception] {
+        spark.sql("SELECT * FROM dsir_resample('docs_v')").collect()
+      }
+      assert(errS.getMessage.contains("dsir_resample"), errS.getMessage)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

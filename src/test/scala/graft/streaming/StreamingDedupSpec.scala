@@ -143,6 +143,43 @@ class StreamingDedupSpec extends SparkTestBase {
       "streamed shard/pos assignment diverged from the batch shuffle")
   }
 
+  test("x32 line dedup: stateless streaming map; drain == batch") {
+    import graft.ext.TextAnalysis
+    // intra-doc line dedup never leaves the row, so the operator must
+    // run unchanged on a stream, indifferent to batch boundaries
+    val rows = Seq(
+      (1L, Seq("nav", "body a", "nav", "body b").mkString("\n")),
+      (2L, Seq("x", "y", "z").mkString("\n")),
+      (3L, Seq("r", "r", "r", "s").mkString("\n")),
+      (4L, "solo"))
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val srcDir = tmpDir("linededup-stream-src")
+    stage(docs.filter(col("doc_id") <= 2), srcDir, "a.parquet")
+    stage(docs.filter(col("doc_id") > 2), srcDir, "b.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val deduped = TextAnalysis.dedupLines(stream)
+    assert(deduped.isStreaming,
+      "line dedup must stay a stateless streaming transform")
+    StreamingOps.runToCompletion(spark, deduped, "linededup_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("linededup_stream").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_dup_lines"), r.getAs[String]("clean_text")))
+      .toSet
+    val batch = TextAnalysis.dedupLines(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_dup_lines"), r.getAs[String]("clean_text")))
+      .toSet
+    assert(streamed == batch,
+      "streamed line dedup diverged from the batch operator")
+  }
+
   test("x26 domain cap: bounded stateful stream; drain + finalize == batch") {
     import graft.ext.TextAnalysis
     val docs = Tables.documents(spark, sf0001).select("doc_id", "source")
