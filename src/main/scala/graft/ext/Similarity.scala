@@ -561,4 +561,31 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("sim"), col("rank"))
   }
+
+  /** ANN recall@k — the quality metric every approximate-index
+    * deployment reports: per probe, the fraction of the EXACT top-k
+    * neighbors the LSH index ([[annTopK]]) actually returned. Run on
+    * a probe SAMPLE in production (the exact side is the [[cosineTopK]]
+    * truth twin — quadratic in the corpus, which is the point: this is
+    * an offline evaluation operator, not a serving path; sample size,
+    * not corpus size, bounds its cost). Both sides rank on 4-decimal
+    * rounded similarity with a vec_id tiebreak, so the metric is
+    * deterministic across runs/engines/partitionings.
+    */
+  def annRecallAtK(embeddings: DataFrame, queries: DataFrame,
+                   k: Int): DataFrame = {
+    val exact = cosineTopK(embeddings, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annTopK(embeddings, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k_eval"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k_eval"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("k_eval"), 4).as("recall"))
+  }
 }

@@ -31,6 +31,16 @@ object SimilarityQueries {
       Similarity.annTopK(e, e.filter(col("vec_id") < NumQueries), K)
     },
 
+    /** s06 — ANN recall@k: per-probe fraction of the exact top-k that
+      * the s02 LSH index returned — the offline quality metric of the
+      * ANN family, run on a probe sample (the exact side is s01's
+      * truth twin, quadratic by design; sample size bounds the cost).
+      */
+    "s06_ann_recall" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.annRecallAtK(e, e.filter(col("vec_id") < NumQueries), K)
+    },
+
     /** d05 — embedding-cosine near-dup pairs (threshold tuned to the
       * isotropic corpus: max pairwise cosine ≈ 0.48). Exact all-pairs:
       * the oracle-checkable truth twin of d07, kept at small n only.
@@ -251,6 +261,47 @@ object SimilarityQueries {
        |      AS bucket
        |  FROM dots GROUP BY vec_id, t)""".stripMargin
 
+  /** s01/s02 oracle bodies as standalone vals: the s06 recall oracle
+    * embeds BOTH verbatim (nested WITH subqueries), so the metric's
+    * exact and approximate sides cannot drift from the queries they
+    * grade.
+    */
+  private lazy val S01Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+       |      WHERE vec_id < $NumQueries)
+       |SELECT query_id, vec_id AS neighbor_id,
+       |  round(list_cosine_similarity(emb, q_emb), 4) + 0.0 AS sim,
+       |  CAST(row_number() OVER w AS INT) AS rank
+       |FROM e, q
+       |WHERE vec_id != query_id
+       |WINDOW w AS (PARTITION BY query_id
+       |  ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id)
+       |QUALIFY rank <= $K""".stripMargin
+
+  private lazy val S02Sql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |${sigCtes(tables = 8, bitsSql = "8")},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, s.vec_id
+       |  FROM sig s JOIN (SELECT * FROM sig WHERE vec_id < $NumQueries) q
+       |    ON s.t = q.t AND s.bucket = q.bucket AND s.vec_id != q.vec_id)
+       |SELECT c.query_id, c.vec_id AS neighbor_id,
+       |  round(list_cosine_similarity(ce.emb, qe.emb), 4) + 0.0 AS sim,
+       |  CAST(row_number() OVER w AS INT) AS rank
+       |FROM cand c
+       |JOIN e ce ON ce.vec_id = c.vec_id
+       |JOIN e qe ON qe.vec_id = c.query_id
+       |WINDOW w AS (PARTITION BY c.query_id
+       |  ORDER BY round(list_cosine_similarity(ce.emb, qe.emb), 4) DESC,
+       |           c.vec_id)
+       |QUALIFY rank <= $K""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d07_embedding_dups_lsh" ->
       s"""WITH e AS (
@@ -271,26 +322,26 @@ object SimilarityQueries {
          |JOIN e b ON b.vec_id = c.vec_b
          |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4""".stripMargin,
 
-    "s02_ann_lsh" ->
-      s"""WITH e AS (
-         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-         |         CAST(embedding AS DOUBLE[]) AS emb
-         |  FROM embeddings),
-         |${sigCtes(tables = 8, bitsSql = "8")},
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, s.vec_id
-         |  FROM sig s JOIN (SELECT * FROM sig WHERE vec_id < $NumQueries) q
-         |    ON s.t = q.t AND s.bucket = q.bucket AND s.vec_id != q.vec_id)
-         |SELECT c.query_id, c.vec_id AS neighbor_id,
-         |  round(list_cosine_similarity(ce.emb, qe.emb), 4) + 0.0 AS sim,
-         |  CAST(row_number() OVER w AS INT) AS rank
-         |FROM cand c
-         |JOIN e ce ON ce.vec_id = c.vec_id
-         |JOIN e qe ON qe.vec_id = c.query_id
-         |WINDOW w AS (PARTITION BY c.query_id
-         |  ORDER BY round(list_cosine_similarity(ce.emb, qe.emb), 4) DESC,
-         |           c.vec_id)
-         |QUALIFY rank <= $K""".stripMargin,
+    "s02_ann_lsh" -> S02Sql,
+
+    // recall@k: exact and approximate sides are the s01/s02 oracle
+    // bodies verbatim (nested WITH), graded per probe
+    "s06_ann_recall" ->
+      s"""WITH exact AS ($S01Sql),
+         |approx AS ($S02Sql),
+         |hits AS (
+         |  SELECT e.query_id, COUNT(*) AS n_hits
+         |  FROM exact e JOIN approx a
+         |    USING (query_id, neighbor_id)
+         |  GROUP BY e.query_id),
+         |base AS (
+         |  SELECT query_id, COUNT(*) AS k_eval
+         |  FROM exact GROUP BY query_id)
+         |SELECT b.query_id, CAST(b.k_eval AS BIGINT) AS k_eval,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / b.k_eval, 4)
+         |    AS recall
+         |FROM base b LEFT JOIN hits h USING (query_id)""".stripMargin,
     "x19_quantize_int8" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
@@ -340,20 +391,7 @@ object SimilarityQueries {
         |FROM byd b JOIN cent c ON b.label = c.label AND b.dim = c.dim
         |GROUP BY b.vec_id, b.label""".stripMargin,
 
-    "s01_cosine_topk" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
-         |      WHERE vec_id < $NumQueries)
-         |SELECT query_id, vec_id AS neighbor_id,
-         |  round(list_cosine_similarity(emb, q_emb), 4) + 0.0 AS sim,
-         |  CAST(row_number() OVER w AS INT) AS rank
-         |FROM e, q
-         |WHERE vec_id != query_id
-         |WINDOW w AS (PARTITION BY query_id
-         |  ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id)
-         |QUALIFY rank <= $K""".stripMargin,
+    "s01_cosine_topk" -> S01Sql,
 
     "s03_ann_ivf" ->
       s"""WITH e AS (

@@ -41,6 +41,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"ANN recall $recall < 0.9 on planted pairs")
   }
 
+  test("annRecallAtK equals the hand-computed truth∩ann ratio, " +
+    "bounded and per-probe") {
+    import spark.implicits._
+    def mixD(s: Long, j: Int): Double = {
+      var z = s * 64 + j + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53) - 0.5
+    }
+    val base = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(j => mixD(i, j).toFloat))
+    }
+    val planted = base.flatMap { case (i, v) =>
+      Seq((i, v)) ++ Seq(1, 2).map { c =>
+        (1000L * c + i,
+          v.zipWithIndex.map { case (x, j) =>
+            x + 0.08f * mixD(i * 7919 + c, j).toFloat })
+      }
+    }
+    val df = planted.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" < 10)
+    val got = Similarity.annRecallAtK(df, qs, 2).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("k_eval"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("recall"))).toMap
+    assert(got.keySet == (0L until 10L).toSet, "one row per probe")
+    assert(got.values.forall { case (k, h, r) =>
+      k == 2L && h <= k && r >= 0.0 && r <= 1.0 })
+    // the metric IS the intersect ratio, probe by probe
+    val truth = Similarity.cosineTopK(df, qs, 2)
+      .select("query_id", "neighbor_id")
+    val ann = Similarity.annTopK(df, qs, 2)
+      .select("query_id", "neighbor_id")
+    val hand = truth.intersect(ann).groupBy("query_id").count().collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("count")).toMap
+    got.foreach { case (q, (k, h, r)) =>
+      assert(h == hand.getOrElse(q, 0L), s"probe $q hit count")
+      assert(math.abs(r - h.toDouble / k) < 1e-9, s"probe $q ratio")
+    }
+    // planted corpus: the index should be nearly perfect overall
+    val mean = got.values.map(_._3).sum / got.size
+    assert(mean >= 0.9, s"mean recall $mean < 0.9 on planted pairs")
+  }
+
   test("ANN candidate generation is selective (not a cross join)") {
     // count candidate pairs before re-rank: must be far below Q*N
     val e = Similarity.withNorm(emb).select(col("vec_id"), col("emb"))

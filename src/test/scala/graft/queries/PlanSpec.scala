@@ -25,6 +25,7 @@ class PlanSpec extends SparkTestBase {
     "s03_ann_ivf",          // corpus × broadcast centroid list
     "s04_ann_int8",         // corpus × broadcast quantized probes
     "s05_kmeans",           // corpus × broadcast centroid list, per Lloyd pass
+    "s06_ann_recall",       // runs s01's exact side to grade s02 (eval op)
     "d05_embedding_dups")   // brute-force truth twin of d07
   // (d09's corpus × broadcast-centroid crossJoin sits BEHIND its
   // assignment checkpoint, so the visible plan is all hash joins —
