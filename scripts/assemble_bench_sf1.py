@@ -63,7 +63,9 @@ def main():
         "excluded_by_design": (
             "d05_embedding_dups, s01_cosine_topk: documented all-pairs "
             "truth twins (quadratic oracle baselines); the scale paths are "
-            "d07/s02/s03/s04."),
+            "d07/s02/s03/s04. s06_ann_recall embeds s01's exact side by "
+            "definition (it grades the index against ground truth) and is "
+            "excluded with it."),
         "queries_min_sec": {
             "sf0.1_x1": x1["queries"],
             "sf0.3_x3": x3["queries"],

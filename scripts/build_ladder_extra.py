@@ -17,17 +17,14 @@ prev = json.load(open(sys.argv[1]))
 stress = sys.argv[2]
 out = {k: prev[k] for k in ("event_family_x10", "streaming_x10")
        if k in prev}
-out["x10_leg_note"] = (
-    "The first x10 leg of this ladder hit a sustained host-contention "
-    "window (total 219.6 s, uniformly inflated ~35% vs trend with zero "
-    "failures); the leg was re-run clean (143.8 s) and the re-run is "
-    "the recorded x10 column. Same harness, same snapshot classes, "
-    "min-of-3 — both runs are in git history via this note for "
-    "honesty; the contaminated run's per-query mins are NOT mixed in.")
+# NOTE: the r8-early "x10_leg_note" (host-contention re-run) described
+# THAT recording and is deliberately not carried into a fresh ladder —
+# each record documents only its own run's anomalies.
 out["oracle_stress_x10_r8"] = (
     "Full oracle gate re-run against the x10 disjoint-shard corpus "
     "after the round-8 additions (x27/x28 quality gates, x29 audit, "
-    "skew-safe x26): " + stress + ". Excluded: none — every declared "
-    "query ran; m04 remains the only no-oracle row by design.")
+    "skew-safe x26, DSIR x31, line-dedup x32, ANN-recall s06): "
+    + stress + ". Excluded: none — every declared query ran; m04 "
+    "remains the only no-oracle row by design.")
 json.dump(out, open(sys.argv[3], "w"), indent=1)
 print("wrote", sys.argv[3])
