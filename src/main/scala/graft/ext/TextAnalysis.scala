@@ -339,6 +339,64 @@ object TextAnalysis {
         sum(col("lr").cast("decimal(38,18)")).cast("double").as("logw"))
   }
 
+  /** The trained DSIR model: the per-bucket log-ratio table of
+    * [[dsirWeights]] collected to a plain Map — exactly `nBuckets`
+    * entries, KB scale BY CONSTRUCTION (this is the one deliberate
+    * collect in the dsir family: the model is the artifact you ship
+    * to the scorer, exactly like a broadcast dictionary). Buckets the
+    * training corpus never hashed into get the Laplace-smoothed
+    * zero-count ratio, so a NEW document (e.g. on a stream) hashing
+    * into one scores the principled value, not an arbitrary default.
+    * The driver-side arithmetic (java.lang.Math.log, BigDecimal
+    * HALF_UP round) is the same codepath Spark's `log`/`round`
+    * execute, so the table is bit-identical to [[dsirWeights]]' lr.
+    */
+  def dsirRatios(docs: DataFrame, targetCol: Column,
+                 nBuckets: Int = 256): Map[Long, Double] = {
+    val feats = dsirFeatures(docs, targetCol, nBuckets)
+    val counts = feats.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (tTot, rTot) = counts.values.foldLeft((0L, 0L)) {
+      case ((t, r), (ct, cr)) => (t + ct, r + cr) }
+    (0L until nBuckets.toLong).map { b =>
+      val (ct, cr) = counts.getOrElse(b, (0L, 0L))
+      val lr = math.log((ct + 1).toDouble / (tTot + nBuckets)) -
+        math.log((cr + 1).toDouble / (rTot + nBuckets))
+      b -> BigDecimal(lr)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  /** DSIR deployment scorer — the paper's production shape: ratios
+    * trained offline ([[dsirRatios]]), then every incoming document
+    * scored by a PURE NARROW MAP (featurize in-row, look the buckets
+    * up in a literal map column, sum in-row). No explode, no join, no
+    * shuffle, no state — so it runs unchanged on a `readStream` frame
+    * (spec-pinned) and at scan speed over 100 TB. The in-row double
+    * sum is within float-sum error (~1e-13) of [[dsirWeights]]'
+    * order-free decimal sum; the training path stays the
+    * oracle-checked truth twin.
+    */
+  def dsirScore(docs: DataFrame, ratios: Map[Long, Double],
+                nBuckets: Int = 256): DataFrame = {
+    val lrMap = map(
+      ratios.toSeq.sortBy(_._1).flatMap { case (b, v) =>
+        Seq(lit(b), lit(v)) }: _*)
+    val toks = tokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      transform(slice(toks, lit(1), size(toks) - 1),
+        (t, i) => concat(t, lit(" "), element_at(toks, i + lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val buckets = transform(concat(toks, bigrams),
+      f => pmod(Hashing.base60(f), lit(nBuckets.toLong)))
+    docs.withColumn("n_features", size(buckets).cast("long"))
+      .withColumn("logw", aggregate(buckets, lit(0.0d),
+        (acc, b) => acc + coalesce(element_at(lrMap, b), lit(0.0d))))
+  }
+
   /** DSIR resampling — Gumbel-top-k over the importance weights, the
     * paper's own sampling-without-replacement construction, made
     * reproducible: the Gumbel noise comes from the portable hash of

@@ -433,4 +433,34 @@ class CorpusOpsSpec extends SparkTestBase {
     TextAnalysis.dsirRelease(rows, target)
     TextAnalysis.dsirRelease(rows.repartition(7), target)
   }
+
+  test("dsir deployment scorer: narrow-map logw matches the trained " +
+    "twin within float-sum error; model covers every bucket") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "tgt", "alpha beta gamma delta epsilon alpha beta gamma"),
+      (2L, "tgt", "beta alpha epsilon delta gamma beta alpha delta"),
+      (10L, "web", "alpha beta gamma delta epsilon beta gamma alpha"),
+      (11L, "web", "zork quux blarg fnord wibble glorp snark blip"))
+      .toDF("doc_id", "source", "text")
+    val target = col("source") === "tgt"
+    val ratios = TextAnalysis.dsirRatios(rows, target)
+    // the shipped model is total: every bucket scored, including ones
+    // the training corpus never hashed into (smoothed zero-count)
+    assert(ratios.keySet == (0L until 256L).toSet)
+    val trained = TextAnalysis.dsirWeights(rows, target).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_features"), r.getAs[Double]("logw"))).toMap
+    val scored = TextAnalysis
+      .dsirScore(rows.filter(!target), ratios).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_features"), r.getAs[Double]("logw"))).toMap
+    assert(scored.keySet == trained.keySet)
+    scored.foreach { case (id, (nf, lw)) =>
+      assert(nf == trained(id)._1, s"doc $id n_features")
+      assert(math.abs(lw - trained(id)._2) < 1e-9,
+        s"doc $id logw $lw vs trained ${trained(id)._2}")
+    }
+    TextAnalysis.dsirRelease(rows, target)
+  }
 }

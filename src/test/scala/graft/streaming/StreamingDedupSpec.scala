@@ -180,6 +180,50 @@ class StreamingDedupSpec extends SparkTestBase {
       "streamed line dedup diverged from the batch operator")
   }
 
+  test("dsir scorer: stateless streaming map with an offline-trained " +
+    "model; drain == batch") {
+    import graft.ext.TextAnalysis
+    // the deployment shape: ratios trained offline on a batch corpus,
+    // new documents scored on the stream by the narrow in-row map
+    val corpus = Seq(
+      (1L, "tgt", "alpha beta gamma delta epsilon alpha"),
+      (2L, "web", "alpha beta gamma zork quux delta"),
+      (3L, "web", "blarg fnord wibble glorp snark blip"))
+    val train = spark.createDataFrame(corpus)
+      .toDF("doc_id", "source", "text")
+    val ratios = TextAnalysis.dsirRatios(train,
+      col("source") === "tgt")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon beta"),
+      (11L, "zork quux blarg fnord wibble glorp"),
+      (12L, "epsilon"))
+    val docs = spark.createDataFrame(incoming).toDF("doc_id", "text")
+    val srcDir = tmpDir("dsir-stream-src")
+    stage(docs.filter(col("doc_id") <= 10), srcDir, "a.parquet")
+    stage(docs.filter(col("doc_id") > 10), srcDir, "b.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val scoredStream = TextAnalysis.dsirScore(stream, ratios)
+    assert(scoredStream.isStreaming,
+      "dsir scoring must stay a stateless streaming transform")
+    StreamingOps.runToCompletion(spark, scoredStream, "dsir_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("dsir_stream").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_features"),
+        r.getAs[Double]("logw"))).toSet
+    val batch = TextAnalysis.dsirScore(docs, ratios).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_features"),
+        r.getAs[Double]("logw"))).toSet
+    assert(streamed == batch,
+      "streamed dsir scoring diverged from the batch operator")
+    TextAnalysis.dsirRelease(train, col("source") === "tgt")
+  }
+
   test("x26 domain cap: bounded stateful stream; drain + finalize == batch") {
     import graft.ext.TextAnalysis
     val docs = Tables.documents(spark, sf0001).select("doc_id", "source")
