@@ -404,6 +404,30 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(again.forall(_._2 == 0L))
   }
 
+  test("dedupLines == a reference keep-first fold on random line soup") {
+    import spark.implicits._
+    // pseudo-random multi-line docs from a fixed seed, with a small
+    // line alphabet so repeats are frequent at every distance
+    val rnd = new scala.util.Random(1234)
+    val rows = (1L to 60L).map { id =>
+      val lines = (0 until (1 + rnd.nextInt(12)))
+        .map(_ => s"line ${rnd.nextInt(6)} body ${rnd.nextInt(3)}")
+      (id, lines.mkString("\n"))
+    }
+    val expected = rows.map { case (id, text) =>
+      val ls = text.split("\n", -1)
+      val kept = ls.foldLeft(Vector.empty[String]) { (acc, l) =>
+        if (acc.contains(l)) acc else acc :+ l }
+      id -> (ls.length.toLong, (ls.length - kept.length).toLong,
+        kept.mkString("\n"))
+    }.toMap
+    val got = TextAnalysis.dedupLines(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_dup_lines"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(got == expected)
+  }
+
   test("dsir: shared-vocabulary docs outweigh disjoint ones, weights " +
     "cover exactly the raw side, and resampling is partitioning-" +
     "invariant") {

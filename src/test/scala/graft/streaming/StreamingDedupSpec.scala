@@ -180,6 +180,49 @@ class StreamingDedupSpec extends SparkTestBase {
       "streamed line dedup diverged from the batch operator")
   }
 
+  test("x27/x28 quality gates: stateless streaming maps; drain == batch") {
+    import graft.ext.TextAnalysis
+    // both gates are pure higher-order column maps (DESIGN claims
+    // streaming-capable as-is) — pin it: two-micro-batch drain equals
+    // the batch operator for gopherQuality AND c4Clean
+    val rows = Seq(
+      (1L, "s0", ("the quick brown fox jumps over the lazy dog " * 8)
+        .trim + "."),
+      (2L, "s1", "short."),
+      (3L, "s0", Seq("a good line with enough words here.",
+        "no punct line", "another plenty long line that stays!")
+        .mkString("\n")),
+      (4L, "s1", "lorem ipsum dolor sit amet and then some more."))
+    val docs = spark.createDataFrame(rows)
+      .toDF("doc_id", "source", "text")
+    val srcDir = tmpDir("quality-stream-src")
+    stage(docs.filter(col("doc_id") <= 2), srcDir, "a.parquet")
+    stage(docs.filter(col("doc_id") > 2), srcDir, "b.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    for ((name, op) <- Seq[(String,
+      org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        ("gopher_stream", TextAnalysis.gopherQuality),
+        ("c4_stream", df => TextAnalysis.c4Clean(df)))) {
+      val out = op(stream)
+      assert(out.isStreaming, s"$name must stay a stateless transform")
+      StreamingOps.runToCompletion(spark, out, name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val streamed = spark.table(name).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq.toList).toMap
+      val batch = op(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq.toList).toMap
+      assert(streamed == batch, s"$name diverged from batch")
+    }
+  }
+
   test("dsir scorer: stateless streaming map with an offline-trained " +
     "model; drain == batch") {
     import graft.ext.TextAnalysis
