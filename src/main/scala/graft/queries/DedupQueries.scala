@@ -124,6 +124,27 @@ object DedupQueries {
           maxDf = 50))
     },
 
+    /** d17 — dup-family size distribution over d08's clusters: how
+      * many families of each size, how many docs they hold, and how
+      * many a keep-one-survivor pass removes — the first diagnostic a
+      * dedup run reports (is duplication a few mega-families or a long
+      * tail of pairs?). Two cluster-keyed aggregations over d08's
+      * output — tiny once the clusters exist; singleton docs are not
+      * in any family by construction.
+      */
+    "d17_cluster_sizes" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      Dedup.clusters(
+        Dedup.jaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.5,
+          maxDf = 50))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"),
+          sum(col("cluster_size") - 1).as("n_removable"))
+    },
+
     /** d06 — chunk-level (paragraph/boilerplate) dedup: chunk every
       * doc, find chunk digests shared across >1 document. Composition
       * of x06 chunking + d01 exact-dedup grouping — the pipeline shape
@@ -484,6 +505,19 @@ object DedupQueries {
         |FROM documents GROUP BY 1""".stripMargin,
     "d02_jaccard_pairs" -> d02Sql,
     "d08_dup_clusters" -> d08Sql,
+
+    // d08's recursive-CTE oracle embedded verbatim as a derived table,
+    // then the same two cluster-keyed aggregations
+    "d17_cluster_sizes" ->
+      s"""SELECT cluster_size,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+         |  CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+         |FROM (
+         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM ($d08Sql)
+         |  GROUP BY cluster_id)
+         |GROUP BY cluster_size""".stripMargin,
     "d03_minhash_lsh" -> d03Sql,
     "d13_minhash_estimate" -> d13Sql,
     "d14_cross_contamination" -> d14Sql,

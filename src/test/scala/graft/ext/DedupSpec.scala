@@ -180,6 +180,33 @@ class DedupSpec extends SparkTestBase {
       23L -> (20L, false), 24L -> (20L, false)))
   }
 
+  test("cluster size distribution: planted families of known sizes " +
+    "produce the exact histogram (d17 shape)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // families: one of 3 (chain), one of 2, one of 5 (chain), one of 2
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L),
+      (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - 1).as("n_removable"))
+      .collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_removable"))).toMap
+    assert(got == Map(
+      2L -> (2L, 4L, 2L),   // {10,11}, {30,31}
+      3L -> (1L, 3L, 2L),   // {1,2,3}
+      5L -> (1L, 5L, 4L)))  // {20..24}
+  }
+
   test("clusters: reliable-checkpoint mode (session checkpoint dir set) " +
     "produces identical output") {
     import spark.implicits._
