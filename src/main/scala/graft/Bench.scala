@@ -163,9 +163,12 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$qPart"n_reps":$reps,"failed":$failedJson,"detail":$detailJson,"sf":"$sfDir"}"""
     }
     // the capture's tail buffer keeps 2000 chars and sbt's trailing
-    // "[success]" line eats ~75 — a printed line must stay ≤ ~1850
+    // "[success]" line eats ~75 — a printed line must stay ≤ ~1850.
+    // getOrElse, NOT .get: a systemic failure can inflate failedJson
+    // past the limit in every tier, and the one thing a bench must
+    // never do is crash without printing its summary line
     println(Seq(line(Some(scaled(2))), line(Some(scaled(1))), line(None))
-      .find(_.length <= 1850).get)
+      .find(_.length <= 1850).getOrElse(line(None)))
     spark.stop()
   }
 }

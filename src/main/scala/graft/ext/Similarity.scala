@@ -574,18 +574,30 @@ object Similarity {
     */
   def annRecallAtK(embeddings: DataFrame, queries: DataFrame,
                    k: Int): DataFrame = {
+    // single-consumption shape: the expensive exact side (s01's
+    // quadratic truth twin) feeds ONE left-outer join + ONE grouped
+    // aggregation — not a semi-join branch AND a count branch that
+    // would evaluate the cross-join twice if exchange reuse doesn't
+    // fire. approx is rank-deduped, so the outer join cannot
+    // multiply exact rows.
     val exact = cosineTopK(embeddings, queries, k)
       .select(col("query_id"), col("neighbor_id"))
     val approx = annTopK(embeddings, queries, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val hits = exact
-      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k_eval"))
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), col("k_eval"),
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val perProbe = exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_eval"), count(col("hit")).as("n_hits"))
+    // probe-complete: a probe whose exact top-k is empty (degenerate
+    // corpus) still gets a row — k_eval 0, recall 0.0 — instead of
+    // silently vanishing from the quality report
+    queries.select(col("vec_id").as("query_id")).distinct()
+      .join(perProbe, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("k_eval"), lit(0L)).as("k_eval"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
-          col("k_eval"), 4).as("recall"))
+        when(coalesce(col("k_eval"), lit(0L)) === 0, lit(0.0d))
+          .otherwise(round(coalesce(col("n_hits"), lit(0L))
+            .cast("double") / col("k_eval"), 4)).as("recall"))
   }
 }

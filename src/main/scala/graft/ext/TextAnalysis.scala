@@ -275,8 +275,13 @@ object TextAnalysis {
     * [[dsirRelease]]; the SAME def builds the persisted and the
     * released plan so they cannot diverge (the Dedup.release lesson).
     */
-  private def dsirFeatures(docs: DataFrame, targetCol: Column,
-                           nBuckets: Int): DataFrame = {
+  /** The dsir feature-bucket array of a document's `text` column —
+    * ONE definition shared by the exploded training path
+    * ([[dsirFeatures]]) and the in-row deployment scorer
+    * ([[dsirScore]]), so the two cannot drift (the same
+    * single-definition discipline as Dedup's winnowFp).
+    */
+  private def dsirBuckets(nBuckets: Int): Column = {
     val toks = tokens(col("text"))
     // bigrams via indexed transform over the first L-1 tokens — NOT
     // sequence(0, L-2): Spark's sequence DESCENDS when stop < start,
@@ -285,11 +290,22 @@ object TextAnalysis {
       transform(slice(toks, lit(1), size(toks) - 1),
         (t, i) => concat(t, lit(" "), element_at(toks, i + lit(2)))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), targetCol.as("is_t"),
-        explode(concat(toks, bigrams)).as("f"))
-      .select(col("doc_id"), col("is_t"),
-        pmod(Hashing.base60(col("f")), lit(nBuckets.toLong)).as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    transform(concat(toks, bigrams),
+      f => pmod(Hashing.base60(f), lit(nBuckets.toLong)))
+  }
+
+  private def dsirFeatures(docs: DataFrame, targetCol: Column,
+                           nBuckets: Int,
+                           materialize: Boolean = true): DataFrame = {
+    val feats = docs.select(col("doc_id"), targetCol.as("is_t"),
+      explode(dsirBuckets(nBuckets)).as("b"))
+    // materialize=false is the SQL-surface path: a table function has
+    // no release hook, so persisting there would leak a cache entry
+    // per invocation for the session lifetime — the two consumers
+    // re-derive the explode instead (one extra tokenize pass)
+    if (materialize)
+      feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else feats
   }
 
   /** Free [[dsirFeatures]]' materialized feature table (plan-keyed,
@@ -320,8 +336,9 @@ object TextAnalysis {
     * a 2^20-bucket feature space on a 1000-executor cluster.
     */
   def dsirWeights(docs: DataFrame, targetCol: Column,
-                  nBuckets: Int = 256): DataFrame = {
-    val feats = dsirFeatures(docs, targetCol, nBuckets)
+                  nBuckets: Int = 256,
+                  materialize: Boolean = true): DataFrame = {
+    val feats = dsirFeatures(docs, targetCol, nBuckets, materialize)
     val counts = feats.groupBy(col("b")).agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
@@ -385,13 +402,7 @@ object TextAnalysis {
     val lrMap = map(
       ratios.toSeq.sortBy(_._1).flatMap { case (b, v) =>
         Seq(lit(b), lit(v)) }: _*)
-    val toks = tokens(col("text"))
-    val bigrams = when(size(toks) >= 2,
-      transform(slice(toks, lit(1), size(toks) - 1),
-        (t, i) => concat(t, lit(" "), element_at(toks, i + lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    val buckets = transform(concat(toks, bigrams),
-      f => pmod(Hashing.base60(f), lit(nBuckets.toLong)))
+    val buckets = dsirBuckets(nBuckets)
     docs.withColumn("n_features", size(buckets).cast("long"))
       .withColumn("logw", aggregate(buckets, lit(0.0d),
         (acc, b) => acc + coalesce(element_at(lrMap, b), lit(0.0d))))
@@ -405,7 +416,8 @@ object TextAnalysis {
     * k documents. Selection is TakeOrdered (no global sort).
     */
   def dsirResample(docs: DataFrame, targetCol: Column, k: Int = 100,
-                   nBuckets: Int = 256): DataFrame = {
+                   nBuckets: Int = 256,
+                   materialize: Boolean = true): DataFrame = {
     val u = (pmod(Hashing.base60(concat(col("doc_id").cast("string"),
       lit(":dsir"))), lit(1000000L)).cast("double") + 0.5) / 1000000.0
     // key/log_weight round to 6 decimals, NOT fewer: logw and gumbel
@@ -413,7 +425,7 @@ object TextAnalysis {
     // so a 6-decimal round lands ON the grid in every engine — while a
     // coarser round puts grid points ending in …50 exactly half-way,
     // where double-rounding is engine-divergent (bitten at sf0.01)
-    dsirWeights(docs, targetCol, nBuckets)
+    dsirWeights(docs, targetCol, nBuckets, materialize)
       .withColumn("gumbel", round(-log(-log(u)), 6))
       .withColumn("key", round(col("logw") + col("gumbel"), 6))
       .orderBy(col("key").desc, col("doc_id"))
@@ -756,17 +768,22 @@ object TextAnalysis {
     * content, not repetition) and the CROSS-document span ops in
     * [[Dedup]] (d12/x24 — this one never leaves the row).
     *
+    * EMPTY lines are never treated as repeats: blank lines are
+    * paragraph separators, not content — deduping them would silently
+    * merge paragraph structure on every multi-paragraph document
+    * (found in review; the trim targets repeated CONTENT lines).
+    *
     * Implementation is an indexed higher-order filter over the line
-    * split (line i survives iff no identical line precedes it) — a
-    * narrow whole-stage-codegen map, zero shuffles, scan-speed at
-    * 100 TB like [[redactPii]]. The per-doc cost is O(L²) in LINES
+    * split (line i survives iff empty, or no identical line precedes
+    * it) — a narrow whole-stage-codegen map, zero shuffles, scan-speed
+    * at 100 TB like [[redactPii]]. The per-doc cost is O(L²) in LINES
     * (not tokens) with early-exit `array_contains`, negligible against
     * the tokenize passes every other operator here runs.
     */
   def dedupLines(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val lines = split(col(textCol), "\n")
     val kept = filter(lines, (l, i) =>
-      !array_contains(slice(lines, lit(1), i), l))
+      l === lit("") || !array_contains(slice(lines, lit(1), i), l))
     docs.withColumn("n_lines", size(lines).cast("long"))
       .withColumn("n_dup_lines", (size(lines) - size(kept)).cast("long"))
       .withColumn("clean_text", array_join(kept, "\n"))

@@ -102,8 +102,13 @@ object TextSql {
       if (args.length > 2) intLit(args(2), "dsir_resample: k", usage)
       else 100
     val spark = SparkSession.active
+    // materialize=false: a table function has no release hook, so the
+    // persisted feature table would leak a cache entry per invocation
+    // for the session lifetime (Scala callers pair the default
+    // materialized path with dsirRelease instead)
     TextAnalysis.dsirResample(spark.table(table),
-      org.apache.spark.sql.functions.col("source") === target, k = k)
+      org.apache.spark.sql.functions.col("source") === target, k = k,
+      materialize = false)
       .queryExecution.logical
   }
 }

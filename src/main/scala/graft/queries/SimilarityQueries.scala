@@ -325,23 +325,27 @@ object SimilarityQueries {
     "s02_ann_lsh" -> S02Sql,
 
     // recall@k: exact and approximate sides are the s01/s02 oracle
-    // bodies verbatim (nested WITH), graded per probe
+    // bodies verbatim (nested WITH), graded per probe; probe-complete
+    // (a degenerate probe rows out as k_eval 0 / recall 0.0)
     "s06_ann_recall" ->
       s"""WITH exact AS ($S01Sql),
          |approx AS ($S02Sql),
-         |hits AS (
-         |  SELECT e.query_id, COUNT(*) AS n_hits
-         |  FROM exact e JOIN approx a
-         |    USING (query_id, neighbor_id)
+         |per_probe AS (
+         |  SELECT e.query_id, COUNT(*) AS k_eval,
+         |    COUNT(a.neighbor_id) AS n_hits
+         |  FROM exact e LEFT JOIN approx a
+         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
          |  GROUP BY e.query_id),
-         |base AS (
-         |  SELECT query_id, COUNT(*) AS k_eval
-         |  FROM exact GROUP BY query_id)
-         |SELECT b.query_id, CAST(b.k_eval AS BIGINT) AS k_eval,
-         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-         |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / b.k_eval, 4)
+         |probes AS (
+         |  SELECT DISTINCT vec_id AS query_id FROM embeddings
+         |  WHERE vec_id < $NumQueries)
+         |SELECT p.query_id,
+         |  CAST(COALESCE(k_eval, 0) AS BIGINT) AS k_eval,
+         |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CASE WHEN COALESCE(k_eval, 0) = 0 THEN 0.0
+         |       ELSE round(CAST(n_hits AS DOUBLE) / k_eval, 4) END
          |    AS recall
-         |FROM base b LEFT JOIN hits h USING (query_id)""".stripMargin,
+         |FROM probes p LEFT JOIN per_probe USING (query_id)""".stripMargin,
     "x19_quantize_int8" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,

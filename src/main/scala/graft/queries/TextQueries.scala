@@ -104,8 +104,11 @@ object TextQueries {
       * regrouped 8 per line) with the first line re-planted at the end
       * on doc_id multiples of 2 and 5 — guaranteed non-adjacent
       * repeats, so first-occurrence keeping, order preservation and
-      * the dup count are all oracle-checked. Cleaned text crosses the
-      * oracle boundary as an md5 digest.
+      * the dup count are all oracle-checked; doc_id multiples of 3
+      * additionally gain TWO consecutive blank lines, pinning the
+      * empty-lines-are-never-repeats rule (paragraph separators
+      * survive). Cleaned text crosses the oracle boundary as an md5
+      * digest.
       */
     "x32_line_dedup" -> { (s, d) =>
       import org.apache.spark.sql.functions._
@@ -118,6 +121,7 @@ object TextQueries {
         concat(body,
           when(col("doc_id") % 2 === 0, concat(lit("\n"), first))
             .otherwise(""),
+          when(col("doc_id") % 3 === 0, "\n\n").otherwise(""),
           when(col("doc_id") % 5 === 0, concat(lit("\n"), first))
             .otherwise("")).as("text"))
       TextAnalysis.dedupLines(aug)
@@ -638,7 +642,9 @@ object TextQueries {
          |FROM documents""".stripMargin,
 
     // feature stream, smoothing arithmetic and gumbel key mirror the
-    // Spark side op-for-op; ln rounded 6, decimal sum, key rounded 4
+    // Spark side op-for-op; ln rounded 6, decimal sum, key rounded 6
+    // (NOT coarser — grid points ending in …50 are half-way at 4
+    // decimals, where double rounding is engine-divergent)
     "x31_dsir_resample" ->
       s"""WITH tok AS (
          |  SELECT doc_id, source = 'src0' AS is_t,
@@ -684,8 +690,9 @@ object TextQueries {
          |LIMIT 100""".stripMargin,
 
     // augmentation (8-token lines, first line re-planted on doc_id
-    // multiples of 2 and 5) repeated verbatim from the query side;
-    // first-occurrence keep via min-ordinal grouping
+    // multiples of 2 and 5, double blank line on multiples of 3)
+    // repeated verbatim from the query side; first-occurrence keep
+    // via min-ordinal window, empty lines always kept
     "x32_line_dedup" ->
       """WITH t0 AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -699,6 +706,8 @@ object TextQueries {
         |  SELECT doc_id, b ||
         |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || first_line
         |      ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10)
+        |      ELSE '' END ||
         |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || first_line
         |      ELSE '' END AS text
         |  FROM body),
@@ -708,14 +717,17 @@ object TextQueries {
         |  SELECT doc_id, unnest(ls) AS line,
         |    unnest(range(1, len(ls) + 1)) AS ord
         |  FROM ls),
-        |firsts AS (
-        |  SELECT doc_id, line, MIN(ord) AS ford
-        |  FROM e GROUP BY doc_id, line),
+        |kept AS (
+        |  SELECT doc_id, line, ord
+        |  FROM (SELECT doc_id, line, ord,
+        |          MIN(ord) OVER (PARTITION BY doc_id, line) AS ford
+        |        FROM e)
+        |  WHERE line = '' OR ord = ford),
         |agg AS (
         |  SELECT doc_id,
-        |    string_agg(line, chr(10) ORDER BY ford) AS clean_text,
+        |    string_agg(line, chr(10) ORDER BY ord) AS clean_text,
         |    COUNT(*) AS n_kept
-        |  FROM firsts GROUP BY doc_id)
+        |  FROM kept GROUP BY doc_id)
         |SELECT ls.doc_id, CAST(len(ls.ls) AS BIGINT) AS n_lines,
         |  CAST(len(ls.ls) - a.n_kept AS BIGINT) AS n_dup_lines,
         |  md5(a.clean_text) AS clean_digest

@@ -386,7 +386,10 @@ class CorpusOpsSpec extends SparkTestBase {
       (1L, Seq("nav bar", "body one", "nav bar", "body two", "body one",
         "nav bar").mkString("\n")),
       (2L, Seq("all", "distinct", "lines").mkString("\n")),
-      (3L, "single line"))
+      (3L, "single line"),
+      // blank lines are paragraph separators, never repeats
+      (4L, Seq("para one", "", "para two", "", "para one")
+        .mkString("\n")))
       .toDF("doc_id", "text")
     val got = TextAnalysis.dedupLines(rows).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -397,6 +400,9 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(2L) == ((3L, 0L, Seq("all", "distinct", "lines")
       .mkString("\n"))))
     assert(got(3L) == ((1L, 0L, "single line")))
+    // both blank separators survive; only the repeated content line goes
+    assert(got(4L) == ((5L, 1L,
+      Seq("para one", "", "para two", "").mkString("\n"))))
     // idempotence: a deduped document is a fixpoint
     val again = TextAnalysis.dedupLines(TextAnalysis.dedupLines(rows)
       .select(col("doc_id"), col("clean_text").as("text"))).collect()
@@ -410,14 +416,16 @@ class CorpusOpsSpec extends SparkTestBase {
     // line alphabet so repeats are frequent at every distance
     val rnd = new scala.util.Random(1234)
     val rows = (1L to 60L).map { id =>
-      val lines = (0 until (1 + rnd.nextInt(12)))
-        .map(_ => s"line ${rnd.nextInt(6)} body ${rnd.nextInt(3)}")
+      // ~1 in 7 lines is blank — the keep-always path must hold too
+      val lines = (0 until (1 + rnd.nextInt(12))).map(_ =>
+        if (rnd.nextInt(7) == 0) ""
+        else s"line ${rnd.nextInt(6)} body ${rnd.nextInt(3)}")
       (id, lines.mkString("\n"))
     }
     val expected = rows.map { case (id, text) =>
       val ls = text.split("\n", -1)
       val kept = ls.foldLeft(Vector.empty[String]) { (acc, l) =>
-        if (acc.contains(l)) acc else acc :+ l }
+        if (l.nonEmpty && acc.contains(l)) acc else acc :+ l }
       id -> (ls.length.toLong, (ls.length - kept.length).toLong,
         kept.mkString("\n"))
     }.toMap

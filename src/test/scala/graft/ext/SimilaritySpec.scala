@@ -83,6 +83,14 @@ class SimilaritySpec extends SparkTestBase {
     // planted corpus: the index should be nearly perfect overall
     val mean = got.values.map(_._3).sum / got.size
     assert(mean >= 0.9, s"mean recall $mean < 0.9 on planted pairs")
+    // probe-complete on the degenerate corpus: a probe that is the
+    // ONLY vector has no exact neighbors, but still gets a row
+    val solo = Seq((0L, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val degenerate = Similarity.annRecallAtK(solo, solo, 2).collect()
+    assert(degenerate.length == 1)
+    assert(degenerate.head.getAs[Long]("k_eval") == 0L &&
+      degenerate.head.getAs[Double]("recall") == 0.0)
   }
 
   test("ANN candidate generation is selective (not a cross join)") {
