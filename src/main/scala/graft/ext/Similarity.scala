@@ -531,6 +531,120 @@ object Similarity {
     assign(cent).select(col("vec_id"), col("cluster_id"), col("sim"))
   }
 
+  /** Squared L2 distance of two double arrays, sequential order (the
+    * PQ codebook-assignment metric; no sqrt — monotone for argmin and
+    * one transcendental cheaper per candidate). The native codegen
+    * expression ([[graft.functions.L2Squared]]) — bit-identical to
+    * `aggregate(zip_with(a, b, (x,y) => (x-y)²), 0.0, _+_)` (same
+    * summation order; asserted in spec), but one fused register loop
+    * instead of an interpreted HOF chain: s07 evaluates this
+    * corpus·m·ksub times per training pass.
+    */
+  private[graft] def l2sq(a: Column, b: Column): Column =
+    graft.functions.L2Squared.l2_squared(a, b)
+
+  /** Product-quantization ANN [EXT] — the Jégou et al. PQ/ADC scheme
+    * that completes the family: exact (s01) → LSH buckets (s02) → IVF
+    * posting lists (s03) → int8 re-rank (s04) → PQ codes (here).
+    *
+    * Train: the embedding is split into `m` subspaces of dim/m dims;
+    * each subspace gets its own `ksub`-cell codebook — the d09/s03
+    * mod-prime seed sample (the SAME ksub seed vectors sliced per
+    * subspace, their vec_ids doubling as stable cell ids) refined by
+    * one Lloyd update (argmin of 4-decimal-rounded squared L2 with a
+    * cell-id tiebreak; per-dim means through DECIMAL sums — the
+    * s05/x05 contract, so the refined codebooks are bit-identical
+    * across engines and the whole operator is oracle-checkable).
+    * Empty cells drop, s05's empty-cluster policy.
+    *
+    * Encode: each vector becomes `m` cell ids — at float32 dim=64
+    * that is a 16–32× compression (m shorts vs 64 floats). THE point
+    * at 100 TB: the codes table is ~3 TB where the raw corpus is
+    * 100 TB, so the candidate scan never touches a float vector.
+    *
+    * Query (ADC — asymmetric distance computation): per probe, a
+    * distance table of round(dot(q_sub, cell), 4) for all m·ksub
+    * cells (tiny, broadcast); approximate inner product is the sum of
+    * m table entries looked up by the vector's codes — a broadcast
+    * hash join on (sub, cell) plus a partially-aggregable DECIMAL sum
+    * (order-free, engine-portable). Rank by rounded approx ip with
+    * the family's vec_id tiebreak.
+    *
+    * At 100 TB: codebooks train on two subvector passes (narrow
+    * explode, broadcast seed join, one shuffle of n·m compact rows
+    * for the argmin, m·ksub·dsub rows out); the ADC scan reads ONLY
+    * the codes table, map-side-combines the per-subspace partials
+    * m→1, and shuffles n·nq skinny rows into the per-probe top-k.
+    * Composition with s03 (coarse IVF cells + per-cell PQ residuals)
+    * is the standard IVF-PQ layout; the pieces here are exactly its
+    * stages. Like s02/s04 this is the candidate generator — chase it
+    * with a s04-style exact re-rank of the top candidates when
+    * serving.
+    */
+  def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    val dsub = dim / m
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    // (id, sub, sv): one narrow map, n·m rows, no join
+    def subvectors(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("emb"), s * dsub + 1, lit(dsub))))
+        .as(Seq("sub", "sv")))
+    val svs = subvectors(e, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ksub seed vectors (mod-prime sample); sliced per subspace their
+    // vec_ids are the cell ids of codebook 0 in EVERY subspace
+    val cb0 = subvectors(
+      e.orderBy(((col("vec_id") % CentroidPrime) * CentroidMult)
+          % CentroidPrime,
+        col("vec_id"))
+        .limit(ksub)
+        .select(col("vec_id").as("cell"), col("emb")), "cell")
+      .select(col("cell"), col("sub"), col("sv").as("c_sv"))
+    def assign(cb: DataFrame): DataFrame =
+      svs.join(broadcast(cb), "sub")
+        .withColumn("d2", round(l2sq(col("sv"), col("c_sv")), 4))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("cell"), struct(col("d2"), col("cell")))
+            .as("cell"),
+          first(col("sv")).as("sv"))
+    // one Lloyd refinement: per-(sub, cell, dim) DECIMAL means
+    val cb1 = assign(cb0)
+      .select(col("sub"), col("cell"), posexplode(col("sv"))
+        .as(Seq("dim", "v")))
+      .groupBy(col("sub"), col("cell"), col("dim"))
+      .agg((sum(col("v").cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("c_sv"))
+    val codes = assign(cb1).select("vec_id", "sub", "cell")
+    // per-probe ADC table: m·ksub rounded partial inner products
+    val dtable = subvectors(
+      queries.select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").cast("array<double>").as("emb")), "query_id")
+      .join(broadcast(cb1), "sub")
+      .select(col("query_id"), col("sub"), col("cell"),
+        round(dot(col("sv"), col("c_sv")), 4).as("pd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_ip").desc, col("vec_id"))
+    codes.join(broadcast(dtable), Seq("sub", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd").cast("decimal(38,18)")).cast("double")
+        .as("approx_ip"))
+      .withColumn("approx_ip", round(col("approx_ip"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("approx_ip"), col("rank"))
+  }
+
   /** ANN via L hash tables of `bits` sign-bits: bucket-equality join
     * for candidates, then exact cosine re-rank of candidates only.
     */

@@ -41,6 +41,19 @@ object SimilarityQueries {
       Similarity.annRecallAtK(e, e.filter(col("vec_id") < NumQueries), K)
     },
 
+    /** s07 — product-quantization ANN (PQ/ADC): per-subspace
+      * codebooks (mod-prime seeds + one DECIMAL-mean Lloyd update —
+      * the s05 contract, so training itself is oracle-replayable),
+      * 16–32× code compression, asymmetric-distance top-k over the
+      * codes table only. The missing member between s03's IVF and
+      * s04's int8 re-rank; composing s03's coarse cells with these
+      * codebooks is the standard IVF-PQ layout.
+      */
+    "s07_ann_pq" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < NumQueries), K)
+    },
+
     /** d05 — embedding-cosine near-dup pairs (threshold tuned to the
       * isotropic corpus: max pairwise cosine ≈ 0.48). Exact all-pairs:
       * the oracle-checkable truth twin of d07, kept at small n only.
@@ -323,6 +336,72 @@ object SimilarityQueries {
          |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4""".stripMargin,
 
     "s02_ann_lsh" -> S02Sql,
+
+    // s07: the full PQ pipeline replayed — seed slice, one Lloyd
+    // update through DECIMAL means (bit-identical codebooks), argmin
+    // encode with the (d2, cell) tiebreak, ADC DECIMAL sum. Slices
+    // are 1-based inclusive in DuckDB: emb[s*dsub+1 : s*dsub+dsub].
+    "s07_ann_pq" ->
+      s"""WITH e AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |         CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |sv AS (
+         |  SELECT vec_id, CAST(s AS INT) AS sub,
+         |         emb[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS sv
+         |  FROM (SELECT vec_id, emb, unnest(range(0, 8)) AS s FROM e)),
+         |seeds AS (
+         |  SELECT vec_id AS cell, emb FROM e
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY ((vec_id % 999983) * 40503) % 999983, vec_id) <= 16),
+         |cb0 AS (
+         |  SELECT cell, CAST(s AS INT) AS sub,
+         |         emb[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS c_sv
+         |  FROM (SELECT cell, emb, unnest(range(0, 8)) AS s FROM seeds)),
+         |a1 AS (
+         |  SELECT vec_id, sub, cell, sv
+         |  FROM sv JOIN cb0 USING (sub)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY round(list_distance(sv, c_sv) *
+         |                   list_distance(sv, c_sv), 4), cell) = 1),
+         |byd AS (
+         |  SELECT sub, cell, CAST(i AS INT) AS dim,
+         |         sv[CAST(i+1 AS INT)] AS v
+         |  FROM (SELECT sub, cell, sv, unnest(range(0, len(sv))) AS i
+         |        FROM a1)),
+         |cb1 AS (
+         |  SELECT sub, cell, list(c ORDER BY dim) AS c_sv FROM (
+         |    SELECT sub, cell, dim,
+         |      CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+         |    FROM byd GROUP BY sub, cell, dim) GROUP BY sub, cell),
+         |codes AS (
+         |  SELECT vec_id, sub, cell
+         |  FROM sv JOIN cb1 USING (sub)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY round(list_distance(sv, c_sv) *
+         |                   list_distance(sv, c_sv), 4), cell) = 1),
+         |qsv AS (
+         |  SELECT query_id, CAST(s AS INT) AS sub,
+         |         emb[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS q_sv
+         |  FROM (SELECT vec_id AS query_id, emb, unnest(range(0, 8)) AS s
+         |        FROM e WHERE vec_id < $NumQueries)),
+         |dt AS (
+         |  SELECT query_id, sub, cell,
+         |         round(list_dot_product(q_sv, c_sv), 4) AS pd
+         |  FROM qsv JOIN cb1 USING (sub)),
+         |adc AS (
+         |  SELECT query_id, vec_id,
+         |    round(CAST(SUM(CAST(pd AS DECIMAL(38,18))) AS DOUBLE), 4)
+         |      AS approx_ip
+         |  FROM codes JOIN dt USING (sub, cell)
+         |  WHERE vec_id != query_id
+         |  GROUP BY query_id, vec_id)
+         |SELECT query_id, vec_id AS neighbor_id, approx_ip + 0.0 AS approx_ip,
+         |  CAST(row_number() OVER w AS INT) AS rank
+         |FROM adc
+         |WINDOW w AS (PARTITION BY query_id
+         |  ORDER BY approx_ip DESC, vec_id)
+         |QUALIFY rank <= $K""".stripMargin,
 
     // recall@k: exact and approximate sides are the s01/s02 oracle
     // bodies verbatim (nested WITH), graded per probe; probe-complete

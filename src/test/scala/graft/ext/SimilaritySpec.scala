@@ -664,4 +664,79 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.forall(_._3 > 0.9))
     assert(out == run(emb.repartition(7)), "partition invariance")
   }
+
+  test("PQ ADC ranks planted near-copies first and is partition-invariant") {
+    import spark.implicits._
+    def mixD(s: Long, j: Int): Double = {
+      var z = s * 64 + j + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53) - 0.5
+    }
+    val base = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(j => mixD(i, j).toFloat))
+    }
+    // planted twin at cosine ≈ 0.99: quantization noise (16 cells per
+    // 8-dim subspace) is far smaller than the twin/stranger gap, so
+    // ADC must put the twin at rank 1 for every probe
+    val planted = base.flatMap { case (i, v) =>
+      Seq((i, v)) ++ (if (i < 10)
+        Seq((1000L + i, v.zipWithIndex.map { case (x, j) =>
+          x + 0.02f * mixD(i * 7919 + 1, j).toFloat }))
+      else Nil)
+    }
+    val df = planted.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" < 10)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(d, qs, k = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val out = run(df)
+    // contract shape: exactly k ranked rows per probe, ranks 1..k
+    (0L until 10L).foreach { q =>
+      val rows = out.filter(_._1 == q)
+      assert(rows.map(_._4) == Set(1, 2, 3), s"probe $q ranks: $rows")
+      val top = rows.find(_._4 == 1).get
+      assert(top._2 == 1000L + q,
+        s"probe $q rank-1 neighbor ${top._2}, expected planted twin")
+    }
+    assert(out == run(df.repartition(7)), "partition invariance")
+  }
+
+  test("PQ with seed-only corpus reproduces exact inner products") {
+    import spark.implicits._
+    // every vector is one of the ksub seeds → after one Lloyd pass
+    // each cell's mean is the seed itself, every subvector encodes to
+    // its own cell, and the ADC sum telescopes to the per-subspace
+    // rounded exact dot products
+    def mixD(s: Long, j: Int): Double = {
+      var z = s * 64 + j + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 31)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 29)) >>> 11).toDouble / (1L << 53) - 0.5
+    }
+    val vecs = (0L until 16L).map { i =>
+      (i, Array.tabulate(64)(j => mixD(i, j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" < 3)
+    val out = Similarity.pqTopK(df, qs, k = 15)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val dvecs = vecs.map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+    def exactSubRounded(a: Array[Double], b: Array[Double]): Double =
+      (0 until 8).map { s =>
+        BigDecimal((s * 8 until s * 8 + 8)
+            .foldLeft(0.0)((acc, j) => acc + a(j) * b(j)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sum
+    assert(out.nonEmpty)
+    out.foreach { case ((q, n), ip) =>
+      val want = BigDecimal(exactSubRounded(dvecs(q), dvecs(n)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(ip - want) < 1e-9,
+        s"probe $q neighbor $n: adc $ip != exact-by-subspace $want")
+    }
+  }
 }
