@@ -581,38 +581,45 @@ object Similarity {
     * with a s04-style exact re-rank of the top candidates when
     * serving.
     */
-  def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-             m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
-    require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
-    val dsub = dim / m
-    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
-      col("embedding").cast("array<double>").as("emb"))
-    // (id, sub, sv): one narrow map, n·m rows, no join
-    def subvectors(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("emb"), s * dsub + 1, lit(dsub))))
-        .as(Seq("sub", "sv")))
-    val svs = subvectors(e, "vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** (id, sub, sv): one narrow map, n·m rows, no join. Expects an
+    * `emb` array<double> column alongside `idCol`.
+    */
+  private def pqSubvectors(df: DataFrame, idCol: String, m: Int,
+                           dsub: Int): DataFrame =
+    df.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("emb"), s * dsub + 1, lit(dsub))))
+      .as(Seq("sub", "sv")))
+
+  /** Argmin codebook assignment of every subvector: broadcast hash
+    * join on `sub`, 4-decimal-rounded squared L2, cell-id tiebreak —
+    * one shuffle of n·m compact rows.
+    */
+  private def pqAssign(svs: DataFrame, cb: DataFrame): DataFrame =
+    svs.join(broadcast(cb), "sub")
+      .withColumn("d2", round(l2sq(col("sv"), col("c_sv")), 4))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell")))
+          .as("cell"),
+        first(col("sv")).as("sv"))
+
+  /** The refined per-subspace codebooks (sub, cell, c_sv): mod-prime
+    * seed sample + one Lloyd update through DECIMAL means. `svs` must
+    * be `pqSubvectors(e, "vec_id", ...)` over the same `e`.
+    */
+  private def pqTrainOn(e: DataFrame, svs: DataFrame, ksub: Int,
+                        m: Int, dsub: Int): DataFrame = {
     // ksub seed vectors (mod-prime sample); sliced per subspace their
     // vec_ids are the cell ids of codebook 0 in EVERY subspace
-    val cb0 = subvectors(
+    val cb0 = pqSubvectors(
       e.orderBy(((col("vec_id") % CentroidPrime) * CentroidMult)
           % CentroidPrime,
         col("vec_id"))
         .limit(ksub)
-        .select(col("vec_id").as("cell"), col("emb")), "cell")
+        .select(col("vec_id").as("cell"), col("emb")), "cell", m, dsub)
       .select(col("cell"), col("sub"), col("sv").as("c_sv"))
-    def assign(cb: DataFrame): DataFrame =
-      svs.join(broadcast(cb), "sub")
-        .withColumn("d2", round(l2sq(col("sv"), col("c_sv")), 4))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min_by(col("cell"), struct(col("d2"), col("cell")))
-            .as("cell"),
-          first(col("sv")).as("sv"))
     // one Lloyd refinement: per-(sub, cell, dim) DECIMAL means
-    val cb1 = assign(cb0)
+    pqAssign(svs, cb0)
       .select(col("sub"), col("cell"), posexplode(col("sv"))
         .as(Seq("dim", "v")))
       .groupBy(col("sub"), col("cell"), col("dim"))
@@ -622,11 +629,23 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("c")))),
         s => s.getField("c")).as("c_sv"))
-    val codes = assign(cb1).select("vec_id", "sub", "cell")
+  }
+
+  def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    val dsub = dim / m
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val svs = pqSubvectors(e, "vec_id", m, dsub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb1 = pqTrainOn(e, svs, ksub, m, dsub)
+    val codes = pqAssign(svs, cb1).select("vec_id", "sub", "cell")
     // per-probe ADC table: m·ksub rounded partial inner products
-    val dtable = subvectors(
+    val dtable = pqSubvectors(
       queries.select(col("vec_id").cast("long").as("query_id"),
-        col("embedding").cast("array<double>").as("emb")), "query_id")
+        col("embedding").cast("array<double>").as("emb")),
+      "query_id", m, dsub)
       .join(broadcast(cb1), "sub")
       .select(col("query_id"), col("sub"), col("cell"),
         round(dot(col("sv"), col("c_sv")), 4).as("pd"))
@@ -643,6 +662,70 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("approx_ip"), col("rank"))
+  }
+
+  /** The distributed (vec_id, sub, cell) encoding under a fresh
+    * training run — the exact codes [[pqTopK]] scans. Exposed for the
+    * spec that pins [[pqEncode]]'s in-row path to it.
+    */
+  private[graft] def pqCodesDistributed(embeddings: DataFrame,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    val dsub = dim / m
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val svs = pqSubvectors(e, "vec_id", m, dsub)
+    pqAssign(svs, pqTrainOn(e, svs, ksub, m, dsub))
+      .select("vec_id", "sub", "cell")
+  }
+
+  /** The trained PQ model: [[pqTopK]]'s refined codebooks collected
+    * to ((sub, cell) → subvector) — at most m·ksub entries, KB scale
+    * BY CONSTRUCTION (the dsirRatios idiom: this is the one
+    * deliberate collect in the PQ family; the model is the artifact
+    * you ship to the encoder, exactly like a broadcast dictionary).
+    */
+  def pqCodebook(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+                 dim: Int = 64): Map[(Int, Long), Array[Double]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    val dsub = dim / m
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val svs = pqSubvectors(e, "vec_id", m, dsub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = pqTrainOn(e, svs, ksub, m, dsub).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        r.getSeq[Double](2).toArray).toMap
+    svs.unpersist()
+    model
+  }
+
+  /** PQ deployment encoder — the index-maintenance shape: codebooks
+    * trained offline ([[pqCodebook]]), then every incoming vector
+    * encoded by a PURE NARROW MAP (slice in-row, argmin over the
+    * literal cells via an array_min of (d2, cell) structs — the same
+    * 4-decimal round and cell-id tiebreak as the distributed
+    * assignment, so codes are IDENTICAL, spec-pinned). No explode, no
+    * join, no shuffle, no state — it runs unchanged on a `readStream`
+    * frame (spec-pinned) and at scan speed over 100 TB: this is how a
+    * PQ index ingests new embeddings without retraining.
+    */
+  def pqEncode(df: DataFrame, model: Map[(Int, Long), Array[Double]],
+               m: Int = 8, dim: Int = 64,
+               embCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    val dsub = dim / m
+    val emb = col(embCol).cast("array<double>")
+    val codes = array((0 until m).map { s =>
+      val cells = model.collect { case ((`s`, cell), c_sv) =>
+        (cell, c_sv) }.toSeq.sortBy(_._1)
+      require(cells.nonEmpty, s"codebook has no cells for subspace $s")
+      val sv = slice(emb, s * dsub + 1, dsub)
+      array_min(array(cells.map { case (cell, c_sv) =>
+        struct(round(l2sq(sv, typedLit(c_sv)), 4).as("d2"),
+          lit(cell).as("cell"))
+      }: _*)).getField("cell")
+    }: _*)
+    df.withColumn("codes", codes)
   }
 
   /** ANN via L hash tables of `bits` sign-bits: bucket-equality join

@@ -704,6 +704,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(out == run(df.repartition(7)), "partition invariance")
   }
 
+  test("PQ deployment encoder: in-row codes == distributed assignment") {
+    val model = Similarity.pqCodebook(emb)
+    assert(model.nonEmpty && model.size <= 8 * 16,
+      s"model size ${model.size} out of bounds")
+    assert(model.keys.map(_._1).toSet == (0 until 8).toSet,
+      "every subspace must keep at least one cell")
+    val inRow = Similarity.pqEncode(emb, model)
+      .select(col("vec_id").cast("long"), col("codes"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val distributed = Similarity.pqCodesDistributed(emb)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cell")))),
+        s => s.getField("cell")).as("codes"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(inRow.keySet == distributed.keySet)
+    val diverged = inRow.keys.filter(k => inRow(k) != distributed(k))
+    assert(diverged.isEmpty,
+      s"codes diverged for vec_ids ${diverged.take(5).toList}")
+    // and the encoder stays a narrow map: no exchange in its plan
+    val plan = Similarity.pqEncode(emb, model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"pqEncode must plan no shuffle:\n$plan")
+  }
+
   test("PQ with seed-only corpus reproduces exact inner products") {
     import spark.implicits._
     // every vector is one of the ksub seeds → after one Lloyd pass

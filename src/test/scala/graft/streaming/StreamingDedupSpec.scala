@@ -267,6 +267,36 @@ class StreamingDedupSpec extends SparkTestBase {
     TextAnalysis.dsirRelease(train, col("source") === "tgt")
   }
 
+  test("pq encoder: stateless streaming map with an offline-trained " +
+    "codebook; drain == batch") {
+    import graft.ext.Similarity
+    // the index-maintenance shape: codebooks trained offline on the
+    // existing corpus, NEW embeddings encoded on the stream by the
+    // narrow in-row argmin — no retrain, no shuffle, no state
+    val corpus = Tables.embeddings(spark, sf0001)
+    val model = Similarity.pqCodebook(corpus)
+    val incoming = corpus.filter(col("vec_id") >= 400)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val srcDir = tmpDir("pq-stream-src")
+    stage(incoming.filter(col("vec_id") % 2 === 0), srcDir, "a.parquet")
+    stage(incoming.filter(col("vec_id") % 2 === 1), srcDir, "b.parquet")
+    val stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val encodedStream = Similarity.pqEncode(stream, model)
+    assert(encodedStream.isStreaming,
+      "pq encoding must stay a stateless streaming transform")
+    StreamingOps.runToCompletion(spark, encodedStream, "pq_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("pq_stream").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Long]]("codes").toList).toMap
+    val batch = Similarity.pqEncode(incoming, model).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Long]]("codes").toList).toMap
+    assert(streamed == batch,
+      "streamed pq encoding diverged from the batch operator")
+  }
+
   test("x26 domain cap: bounded stateful stream; drain + finalize == batch") {
     import graft.ext.TextAnalysis
     val docs = Tables.documents(spark, sf0001).select("doc_id", "source")
