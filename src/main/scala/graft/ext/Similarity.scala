@@ -728,6 +728,104 @@ object Similarity {
     df.withColumn("codes", codes)
   }
 
+  /** IVF-PQ ANN [EXT] — the composed layout the Faiss default index
+    * family is built on, assembled from this file's own stages: s03's
+    * coarse quantizer prunes the search to `nprobe` cells, s07's
+    * product quantizer compresses what is left — trained on the
+    * RESIDUALS (x − coarse centroid), the standard trick that makes
+    * the codebooks spend their 4 bits/subspace on the within-cell
+    * noise instead of re-encoding the cell mean.
+    *
+    * All arithmetic is the engine-portable kind the family already
+    * uses, so the WHOLE composition is oracle-checkable:
+    *  - coarse: the d09/s03 mod-prime centroid sample; assignment is
+    *    the rounded-6 cosine argmax with a centroid-id tiebreak;
+    *  - residuals: exact element-wise double subtraction;
+    *  - PQ on residuals: [[pqTrainOn]] verbatim (mod-prime seeds over
+    *    residual vectors, one DECIMAL-mean Lloyd update, rounded-4
+    *    argmin encode);
+    *  - query: approx ip = round(dot(q, coarse) + Σ_sub ADC, 4) —
+    *    the coarse term is the probe table's rounded-4 dot, the
+    *    residual term the s07 DECIMAL ADC sum.
+    *
+    * At 100 TB: the codes table (m cell ids + one coarse id per
+    * vector, ~3 TB for a 100 TB float corpus) is stored clustered by
+    * coarse cell; a probe reads nprobe/nlist of it — the broadcast
+    * probe join here IS that pruning (codes rows for unprobed cells
+    * never leave the scan). Centroids and both codebooks stay
+    * KB-scale broadcasts. The ADC partials combine map-side m→1 and
+    * only (probe, candidate) skinny rows shuffle into the top-k
+    * window. Raising nlist tightens residuals AND sharpens pruning;
+    * the recall dial is (nlist, nprobe, m, ksub) exactly as in the
+    * published scheme.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    val dsub = dim / m
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val centroids = e
+      .orderBy(((col("vec_id") % CentroidPrime) * CentroidMult)
+          % CentroidPrime,
+        col("vec_id"))
+      .limit(nlist)
+      .select(col("vec_id").as("coarse_id"), col("emb").as("c_emb"))
+    // coarse argmax (the d09 max_by shape — partial-aggregable, one
+    // shuffle, no window), residual computed in the same pass
+    val er = e.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", round(cosine(col("emb"), col("c_emb")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("coarse_id"), col("c_emb")),
+          struct(col("c_sim"), (-col("coarse_id")).as("neg"))).as("cc"),
+        first(col("emb")).as("x"))
+      .select(col("vec_id"), col("cc.coarse_id").as("coarse_id"),
+        zip_with(col("x"), col("cc.c_emb"), _ - _).as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val svs = pqSubvectors(er, "vec_id", m, dsub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed the residual codebooks from NON-centroid vectors: the
+    // mod-prime seed order is the same one that picked the coarse
+    // centroids, and a centroid's residual is exactly zero — seeding
+    // from them collapses every subspace codebook to one zero cell
+    // (all-equal d2, min-cell tiebreak) and ADC scores go constant.
+    // A vector is its own coarse centroid iff vec_id == coarse_id.
+    val cb1 = pqTrainOn(er.filter(col("vec_id") =!= col("coarse_id")),
+      svs, ksub, m, dsub)
+    val codes = pqAssign(svs, cb1).select("vec_id", "sub", "cell")
+      .join(er.select("vec_id", "coarse_id"), "vec_id")
+    val q = queries.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("coarse_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", round(cosine(col("emb"), col("c_emb")), 6))
+      .withColumn("c_rank", row_number().over(wp))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("coarse_id"),
+        round(dot(col("emb"), col("c_emb")), 4).as("qc"))
+    val dtable = pqSubvectors(q, "query_id", m, dsub)
+      .join(broadcast(cb1), "sub")
+      .select(col("query_id"), col("sub"), col("cell"),
+        round(dot(col("sv"), col("c_sv")), 4).as("pd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_ip").desc, col("vec_id"))
+    codes.join(broadcast(probes), Seq("coarse_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(dtable), Seq("query_id", "sub", "cell"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("qc")).as("qc"),
+        sum(col("pd").cast("decimal(38,18)")).cast("double").as("r_ip"))
+      .withColumn("approx_ip", round(col("qc") + col("r_ip"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("approx_ip"), col("rank"))
+  }
+
   /** ANN via L hash tables of `bits` sign-bits: bucket-equality join
     * for candidates, then exact cosine re-rank of candidates only.
     */

@@ -54,6 +54,17 @@ object SimilarityQueries {
       Similarity.pqTopK(e, e.filter(col("vec_id") < NumQueries), K)
     },
 
+    /** s08 — IVF-PQ: s03's coarse cells pruning the probe + s07's
+      * product quantizer on the RESIDUALS — the composed Faiss-style
+      * index layout, fully oracle-replayed (coarse argmax, exact
+      * residual subtraction, residual codebook training, coarse-dot +
+      * ADC scoring).
+      */
+    "s08_ann_ivfpq" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < NumQueries), K)
+    },
+
     /** d05 — embedding-cosine near-dup pairs (threshold tuned to the
       * isotropic corpus: max pairwise cosine ≈ 0.48). Exact all-pairs:
       * the oracle-checkable truth twin of d07, kept at small n only.
@@ -336,6 +347,105 @@ object SimilarityQueries {
          |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4""".stripMargin,
 
     "s02_ann_lsh" -> S02Sql,
+
+    // s08: the composed IVF-PQ replayed end-to-end — s03's coarse
+    // argmax (rounded-6 cosine, centroid-id tiebreak), exact
+    // element-wise residuals, then the s07 pipeline verbatim over the
+    // residual vectors, scored as round(coarse_dot + ADC, 4).
+    "s08_ann_ivfpq" ->
+      s"""WITH e AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |         CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS coarse_id, emb AS c_emb FROM e
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY ((vec_id % 999983) * 40503) % 999983, vec_id) <= 16),
+         |post0 AS (
+         |  SELECT vec_id, emb, coarse_id, c_emb
+         |  FROM e CROSS JOIN cent
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY round(list_cosine_similarity(emb, c_emb), 6) DESC,
+         |             coarse_id) = 1),
+         |rbyd AS (
+         |  SELECT vec_id, coarse_id, CAST(i AS INT) AS i,
+         |         emb[CAST(i+1 AS INT)] - c_emb[CAST(i+1 AS INT)] AS v
+         |  FROM (SELECT vec_id, coarse_id, emb, c_emb,
+         |          unnest(range(0, len(emb))) AS i FROM post0)),
+         |er AS (
+         |  SELECT vec_id, coarse_id, list(v ORDER BY i) AS emb
+         |  FROM rbyd GROUP BY vec_id, coarse_id),
+         |sv AS (
+         |  SELECT vec_id, CAST(s AS INT) AS sub,
+         |         emb[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS sv
+         |  FROM (SELECT vec_id, emb, unnest(range(0, 8)) AS s FROM er)),
+         |seeds AS (
+         |  SELECT vec_id AS cell, emb FROM er
+         |  WHERE vec_id != coarse_id
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY ((vec_id % 999983) * 40503) % 999983, vec_id) <= 16),
+         |cb0 AS (
+         |  SELECT cell, CAST(s AS INT) AS sub,
+         |         emb[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS c_sv
+         |  FROM (SELECT cell, emb, unnest(range(0, 8)) AS s FROM seeds)),
+         |a1 AS (
+         |  SELECT vec_id, sub, cell, sv
+         |  FROM sv JOIN cb0 USING (sub)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY round(list_distance(sv, c_sv) *
+         |                   list_distance(sv, c_sv), 4), cell) = 1),
+         |byd AS (
+         |  SELECT sub, cell, CAST(i AS INT) AS dim,
+         |         sv[CAST(i+1 AS INT)] AS v
+         |  FROM (SELECT sub, cell, sv, unnest(range(0, len(sv))) AS i
+         |        FROM a1)),
+         |cb1 AS (
+         |  SELECT sub, cell, list(c ORDER BY dim) AS c_sv FROM (
+         |    SELECT sub, cell, dim,
+         |      CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+         |    FROM byd GROUP BY sub, cell, dim) GROUP BY sub, cell),
+         |codes AS (
+         |  SELECT vec_id, sub, cell
+         |  FROM sv JOIN cb1 USING (sub)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY round(list_distance(sv, c_sv) *
+         |                   list_distance(sv, c_sv), 4), cell) = 1),
+         |codesc AS (
+         |  SELECT c.vec_id, c.sub, c.cell, r.coarse_id
+         |  FROM codes c JOIN er r USING (vec_id)),
+         |probes AS (
+         |  SELECT vec_id AS query_id, coarse_id,
+         |         round(list_dot_product(emb, c_emb), 4) AS qc
+         |  FROM e CROSS JOIN cent
+         |  WHERE vec_id < $NumQueries
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY round(list_cosine_similarity(emb, c_emb), 6) DESC,
+         |             coarse_id) <= 4),
+         |qsv AS (
+         |  SELECT query_id, CAST(s AS INT) AS sub,
+         |         emb[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS q_sv
+         |  FROM (SELECT vec_id AS query_id, emb, unnest(range(0, 8)) AS s
+         |        FROM e WHERE vec_id < $NumQueries)),
+         |dt AS (
+         |  SELECT query_id, sub, cell,
+         |         round(list_dot_product(q_sv, c_sv), 4) AS pd
+         |  FROM qsv JOIN cb1 USING (sub)),
+         |adc AS (
+         |  SELECT p.query_id, cc.vec_id, p.qc,
+         |    CAST(SUM(CAST(dt.pd AS DECIMAL(38,18))) AS DOUBLE) AS r_ip
+         |  FROM codesc cc
+         |  JOIN probes p ON p.coarse_id = cc.coarse_id
+         |    AND cc.vec_id != p.query_id
+         |  JOIN dt ON dt.query_id = p.query_id AND dt.sub = cc.sub
+         |    AND dt.cell = cc.cell
+         |  GROUP BY p.query_id, cc.vec_id, p.qc)
+         |SELECT query_id, vec_id AS neighbor_id,
+         |  round(qc + r_ip, 4) + 0.0 AS approx_ip,
+         |  CAST(row_number() OVER w AS INT) AS rank
+         |FROM adc
+         |WINDOW w AS (PARTITION BY query_id
+         |  ORDER BY round(qc + r_ip, 4) DESC, vec_id)
+         |QUALIFY rank <= $K""".stripMargin,
 
     // s07: the full PQ pipeline replayed — seed slice, one Lloyd
     // update through DECIMAL means (bit-identical codebooks), argmin

@@ -732,6 +732,46 @@ class SimilaritySpec extends SparkTestBase {
       s"pqEncode must plan no shuffle:\n$plan")
   }
 
+  test("IVF-PQ ranks planted near-copies first; degenerates to PQ at " +
+    "full probe width") {
+    import spark.implicits._
+    def mixD(s: Long, j: Int): Double = {
+      var z = s * 64 + j + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53) - 0.5
+    }
+    val base = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(j => mixD(i, j).toFloat))
+    }
+    val planted = base.flatMap { case (i, v) =>
+      Seq((i, v)) ++ (if (i < 10)
+        Seq((1000L + i, v.zipWithIndex.map { case (x, j) =>
+          x + 0.02f * mixD(i * 7919 + 1, j).toFloat }))
+      else Nil)
+    }
+    val df = planted.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" < 10)
+    val out = Similarity.ivfPqTopK(df, qs, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // a twin at cosine ≈ 0.99 lands in the probe's own coarse cell and
+    // survives residual quantization: rank 1 for every probe
+    (0L until 10L).foreach { q =>
+      val top = out.find(t => t._1 == q && t._3 == 1).get
+      assert(top._2 == 1000L + q,
+        s"probe $q rank-1 neighbor ${top._2}, expected planted twin")
+    }
+    // probing EVERY cell removes the coarse pruning: the ranking must
+    // then agree with plain PQ on what the top neighbor is (residual
+    // coding refines, never loses, the in-cell candidates)
+    val full = Similarity.ivfPqTopK(df, qs, k = 1, nlist = 4, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { q =>
+      assert(full(q) == 1000L + q, s"full-probe top for $q: ${full(q)}")
+    }
+  }
+
   test("PQ with seed-only corpus reproduces exact inner products") {
     import spark.implicits._
     // every vector is one of the ksub seeds → after one Lloyd pass

@@ -26,6 +26,7 @@ class PlanSpec extends SparkTestBase {
     "s04_ann_int8",         // corpus × broadcast quantized probes
     "s05_kmeans",           // corpus × broadcast centroid list, per Lloyd pass
     "s06_ann_recall",       // runs s01's exact side to grade s02 (eval op)
+    "s08_ann_ivfpq",        // corpus × broadcast centroid list (coarse assign)
     "d05_embedding_dups")   // brute-force truth twin of d07
   // (d09's corpus × broadcast-centroid crossJoin sits BEHIND its
   // assignment checkpoint, so the visible plan is all hash joins —
