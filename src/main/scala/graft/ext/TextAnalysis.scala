@@ -435,6 +435,61 @@ object TextAnalysis {
         col("key"))
   }
 
+  /** Data-constrained epoch budgeting [EXT] — the "how many epochs of
+    * each domain fit the token budget" allocator of a mixture plan
+    * (the data-constrained scaling setup: repeating a domain beyond a
+    * few epochs stops paying, so allocation is capped per domain and
+    * the budget is spent by temperature-weighted preference):
+    *  - per-domain token supply T_d (the x07 BPE-ish count);
+    *  - temperature weights w_d = √T_d / Σ√T_d. τ = 0.5 is FIXED:
+    *    sqrt is the one power IEEE requires correctly rounded, so the
+    *    weights are bit-portable across engines where a general
+    *    pow(x, τ) is not (libm pow differs engine-to-engine);
+    *  - budget B = round(budgetFrac · ΣT_d) tokens, requested_d =
+    *    round(w_d · B), allocated_d = min(requested_d, round(
+    *    maxEpochs · T_d)) — the cap is the repetition budget;
+    *  - epochs_d = allocated_d / T_d, and `capped` marks domains
+    *    whose request the cap truncated. Surplus (budget the caps
+    *    released) is REPORTED by difference, never silently
+    *    re-spread: redistribution is a policy choice — iterate the
+    *    operator over the uncapped remainder if waterfilling is
+    *    wanted.
+    *
+    * Scale: one narrow scan → |domains|-row aggregate → one-row
+    * totals broadcast back. Nothing corpus-sized shuffles; the
+    * whole plan after the scan is KB-scale.
+    */
+  def epochBudget(docs: DataFrame, budgetFrac: Double = 0.6,
+                  maxEpochs: Double = 0.6): DataFrame = {
+    val perDomain = docs.groupBy(col("source"))
+      .agg(sum(bpeTokenCount(col("text")).cast("long"))
+        .as("domain_tokens"))
+    // Σ√T through the dsum contract (scale 12: √T needs fractional
+    // precision a revenue-style scale-2 sum would destroy)
+    val tots = perDomain.agg(
+      sum(col("domain_tokens")).as("t_tot"),
+      sum(sqrt(col("domain_tokens")).cast("decimal(18,12)"))
+        .cast("double").as("wsum"))
+    perDomain.crossJoin(broadcast(tots))
+      .withColumn("weight",
+        round(sqrt(col("domain_tokens")) / col("wsum"), 6))
+      .withColumn("budget_tokens",
+        round(lit(budgetFrac) * col("t_tot"), 0).cast("long"))
+      .withColumn("requested_tokens",
+        round(col("weight") * col("budget_tokens"), 0).cast("long"))
+      .withColumn("cap_tokens",
+        round(lit(maxEpochs) * col("domain_tokens"), 0).cast("long"))
+      .withColumn("allocated_tokens",
+        least(col("requested_tokens"), col("cap_tokens")))
+      .withColumn("capped",
+        col("requested_tokens") > col("cap_tokens"))
+      .withColumn("epochs", round(col("allocated_tokens").cast("double")
+        / col("domain_tokens"), 4))
+      .select(col("source"), col("domain_tokens"), col("weight"),
+        col("requested_tokens"), col("allocated_tokens"),
+        col("epochs"), col("capped"))
+  }
+
   /** Heavy hitters: tokens whose occurrence count exceeds `minShare`
     * of all token occurrences in the corpus — the exact form (full
     * token group-by, then the threshold against the one-row global

@@ -98,6 +98,18 @@ object TextQueries {
         col("source") === "src0", k = 100, nBuckets = 256)
     },
 
+    /** x33 — data-constrained epoch budgeting: per-domain token
+      * supply → √-temperature weights → budget split with a
+      * repetition cap (maxEpochs), surplus reported by difference.
+      * budgetFrac/maxEpochs chosen so the corpus's ±15% domain-size
+      * spread puts domains on BOTH sides of the cap (small domains
+      * cap, large ones don't) at every scale factor — the allocation
+      * arithmetic is all integer/grid, so the split is deterministic.
+      */
+    "x33_epoch_budget" -> { (s, d) =>
+      TextAnalysis.epochBudget(Tables.documents(s, d))
+    },
+
     /** x32 — intra-document repeated-line removal. The corpus is
       * single-line, so the query runs the operator on deterministically
       * LINE-STRUCTURED text (the x28 augmentation pattern: tokens
@@ -559,6 +571,42 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))
          |    AS INT) AS n_bpe_tokens
          |FROM documents""".stripMargin,
+
+    // allocation arithmetic mirrored op-for-op: sqrt (correctly
+    // rounded IEEE, portable), decimal-12 weight-sum, rounded-6
+    // weight, integer token quantities, one double division for
+    // epochs
+    "x33_epoch_budget" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST(SUM(len(regexp_extract_all(text,
+         |      '${TextAnalysis.BpeishPattern}'))) AS BIGINT)
+         |      AS domain_tokens
+         |  FROM documents GROUP BY source),
+         |tots AS (
+         |  SELECT CAST(SUM(domain_tokens) AS BIGINT) AS t_tot,
+         |    CAST(SUM(CAST(sqrt(domain_tokens) AS DECIMAL(18,12)))
+         |      AS DOUBLE) AS wsum
+         |  FROM d),
+         |a AS (
+         |  SELECT source, domain_tokens,
+         |    round(sqrt(domain_tokens) / wsum, 6) AS weight,
+         |    CAST(round(CAST(0.6 AS DOUBLE) * t_tot, 0) AS BIGINT)
+         |      AS budget_tokens,
+         |    CAST(round(CAST(0.6 AS DOUBLE) * domain_tokens, 0) AS BIGINT)
+         |      AS cap_tokens
+         |  FROM d CROSS JOIN tots),
+         |b AS (
+         |  SELECT source, domain_tokens, weight, cap_tokens,
+         |    CAST(round(weight * budget_tokens, 0) AS BIGINT)
+         |      AS requested_tokens
+         |  FROM a)
+         |SELECT source, domain_tokens, weight, requested_tokens,
+         |  LEAST(requested_tokens, cap_tokens) AS allocated_tokens,
+         |  round(CAST(LEAST(requested_tokens, cap_tokens) AS DOUBLE)
+         |    / domain_tokens, 4) AS epochs,
+         |  requested_tokens > cap_tokens AS capped
+         |FROM b""".stripMargin,
 
     // the Spark side joins on xxhash64 of the shingle (internal key
     // only); the oracle joins the raw 5-gram strings

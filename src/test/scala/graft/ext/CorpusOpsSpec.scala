@@ -495,4 +495,47 @@ class CorpusOpsSpec extends SparkTestBase {
     }
     TextAnalysis.dsirRelease(rows, target)
   }
+
+  test("epochBudget: caps bind on small domains, budget covers the " +
+    "uncapped ones, invariants hold at any partitioning") {
+    import spark.implicits._
+    // three domains, 10:4:1 token supply — with √-temperature the
+    // smallest domain requests the most epochs, so a 0.6-epoch cap
+    // must bind there first
+    val mk = (src: String, n: Int) => (1 to n).map(i =>
+      (src.hashCode.toLong * 1000 + i, src,
+        "alpha beta gamma delta epsilon zeta eta theta"))
+    val rows = (mk("big", 100) ++ mk("mid", 40) ++ mk("tiny", 10))
+      .toDF("doc_id", "source", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.epochBudget(df).collect().map { r =>
+        (r.getAs[String]("source"),
+          (r.getAs[Long]("domain_tokens"), r.getAs[Double]("weight"),
+            r.getAs[Long]("requested_tokens"),
+            r.getAs[Long]("allocated_tokens"),
+            r.getAs[Double]("epochs"), r.getAs[Boolean]("capped")))
+      }.toMap
+    val out = run(rows)
+    assert(out.keySet == Set("big", "mid", "tiny"))
+    // structural invariants
+    out.values.foreach { case (t, w, req, alloc, ep, capped) =>
+      assert(alloc <= req, "allocation never exceeds the request")
+      assert(!capped || alloc < req, "capped implies truncation")
+      assert(capped || alloc == req, "uncapped means fully granted")
+      assert(ep <= 0.6 + 1e-9, s"epochs $ep exceed the cap")
+      assert(w > 0 && t > 0)
+    }
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-4,
+      "weights must sum to ~1")
+    // √-temperature: epochs requested grow as supply shrinks; the cap
+    // binds on the smallest domain and not the largest
+    val reqEpochs = out.map { case (s, v) =>
+      s -> v._3.toDouble / v._1 }
+    assert(reqEpochs("tiny") > reqEpochs("mid") &&
+      reqEpochs("mid") > reqEpochs("big"),
+      s"requested epochs must fall with supply: $reqEpochs")
+    assert(out("tiny")._6, "smallest domain must be capped")
+    assert(!out("big")._6, "largest domain must be uncapped")
+    assert(out == run(rows.repartition(7)), "partition invariance")
+  }
 }
