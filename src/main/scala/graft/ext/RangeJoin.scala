@@ -56,4 +56,56 @@ object RangeJoin {
           pb(pointCol) >= ib(startCol) && pb(pointCol) <= ib(endCol))
       .drop("_rj_bucket")
   }
+
+  /** Interval-overlap join without a nested loop [EXT] — the
+    * interval×interval sibling of [[pointInInterval]] (timeline
+    * intersection: sessions × outages, spans × spans). Endpoints are
+    * inclusive: touching intervals (lEnd == rStart) DO overlap.
+    *
+    * Both sides explode onto the same fixed-width bucket grid and the
+    * join runs on (keys, bucket) — a real equi-join even with NO keys
+    * (the bucket is the equi component), where the naive predicate
+    * join is a BroadcastNestedLoopJoin. An overlapping pair shares
+    * every bucket its intersection covers, so a post-join `distinct`
+    * would be the easy-but-wrong dedup (an extra corpus-sized
+    * shuffle); instead each pair is emitted EXACTLY ONCE by the
+    * responsibility rule — only the bucket containing the overlap's
+    * start (`greatest(lStart, rStart) div width`) emits. That bucket
+    * is covered by both intervals by construction, so nothing is
+    * lost.
+    *
+    * Scale: one shuffle per side on (keys, bucket), AQE-splittable;
+    * `bucketWidth` trades replication for selectivity exactly as in
+    * [[pointInInterval]]; empty intervals (end < start) are dropped
+    * for the same sequence()-counts-backwards reason. Column-name
+    * collisions between the two sides must be renamed away by the
+    * caller.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      leftKeys: Seq[String], rightKeys: Seq[String],
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(leftKeys.length == rightKeys.length,
+      s"key lists differ in arity: $leftKeys vs $rightKeys")
+    def buckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) >= col(s))
+        .withColumn("_rj_bucket",
+          explode(sequence(expr(s"`$s` div ${bucketWidth}L"),
+            expr(s"`$e` div ${bucketWidth}L"))))
+    val lb = buckets(left, lStart, lEnd)
+    val rb = buckets(right, rStart, rEnd)
+    val keyCond = leftKeys.zip(rightKeys)
+      .map { case (a, b) => lb(a) === rb(b) }
+      .foldLeft(lit(true))(_ && _)
+    lb.join(rb,
+        keyCond && lb("_rj_bucket") === rb("_rj_bucket") &&
+          lb(lStart) <= rb(rEnd) && rb(rStart) <= lb(lEnd) &&
+          // exactly-once responsibility: names are distinct across
+          // sides (caller contract), so the expr is unambiguous
+          expr(s"greatest(`$lStart`, `$rStart`) div ${bucketWidth}L") ===
+            lb("_rj_bucket"))
+      .drop("_rj_bucket")
+  }
 }

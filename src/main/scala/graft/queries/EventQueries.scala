@@ -399,6 +399,46 @@ object EventQueries {
           col("start_us"), col("end_us"), col("n_sess_events"))
     },
 
+    /** ev17 — interval-overlap join (the interval×interval sibling of
+      * ev08): user sessions × severe-error incident windows (±15 min
+      * around each error with value > 300), UNKEYED — any user's
+      * session against any incident, the shape a naive join plans as
+      * a BroadcastNestedLoopJoin; the bucket grid keeps it an
+      * equi-join with the exactly-once responsibility rule (see
+      * [[graft.ext.RangeJoin.intervalOverlap]]).
+      */
+    "ev17_interval_overlap" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables.eventsTs(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val sess = ev
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id").as("s_user"), col("sess_id"))
+        .agg(min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+      val inc = ev
+        .filter(col("event_type") === "error" && col("value") > 300.0)
+        .select(col("event_id").as("incident_id"),
+          (col("ts_us") - 900000000L).as("i_start"),
+          (col("ts_us") + 900000000L).as("i_end"))
+      graft.ext.RangeJoin.intervalOverlap(sess, inc, Nil, Nil,
+          "start_us", "end_us", "i_start", "i_end",
+          bucketWidth = SessionGapUs)
+        .select(col("s_user").as("user_id"), col("sess_id"),
+          col("incident_id"),
+          greatest(col("start_us"), col("i_start"))
+            .as("overlap_start_us"),
+          least(col("end_us"), col("i_end")).as("overlap_end_us"),
+          (least(col("end_us"), col("i_end")) -
+            greatest(col("start_us"), col("i_start"))).as("overlap_us"))
+    },
+
     /** ev04 — F9-adjacent: JSON prop extraction from the event payload
       * (`props` is a JSON string) + per-type value stats.
       */
@@ -629,6 +669,39 @@ object EventQueries {
         |          ROWS UNBOUNDED PRECEDING) AS last_view_us
         |  FROM ev)
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    // sessionize exactly as ev02/ev08, then the plain non-equi overlap
+    // join DuckDB can afford at oracle scale (the Spark side's bucket
+    // grid + responsibility rule must produce exactly this pair set)
+    "ev17_interval_overlap" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |), tagged AS (
+         |  SELECT user_id, ts_us,
+         |    SUM(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM flagged
+         |), sess AS (
+         |  SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+         |    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+         |  FROM tagged GROUP BY user_id, sess_id
+         |), inc AS (
+         |  SELECT event_id AS incident_id,
+         |    epoch_us(ts) - 900000000 AS i_start,
+         |    epoch_us(ts) + 900000000 AS i_end
+         |  FROM events WHERE event_type = 'error' AND value > 300.0)
+         |SELECT s.user_id, s.sess_id, i.incident_id,
+         |  GREATEST(s.start_us, i.i_start) AS overlap_start_us,
+         |  LEAST(s.end_us, i.i_end) AS overlap_end_us,
+         |  LEAST(s.end_us, i.i_end) - GREATEST(s.start_us, i.i_start)
+         |    AS overlap_us
+         |FROM sess s JOIN inc i
+         |  ON s.start_us <= i.i_end AND i.i_start <= s.end_us""".stripMargin,
 
     // sessionize exactly as ev02, aggregate to intervals, then the
     // non-equi containment join DuckDB can afford at oracle scale
