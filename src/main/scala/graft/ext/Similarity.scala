@@ -581,27 +581,34 @@ object Similarity {
     * with a s04-style exact re-rank of the top candidates when
     * serving.
     */
-  /** (id, sub, sv): one narrow map, n·m rows, no join. Expects an
-    * `emb` array<double> column alongside `idCol`.
+  /** (id, [extra...], sub, sv): one narrow map, n·m rows, no join.
+    * Expects an `emb` array<double> column alongside `idCol`; `extra`
+    * columns ride along (IVF-PQ's coarse cell id).
     */
   private def pqSubvectors(df: DataFrame, idCol: String, m: Int,
-                           dsub: Int): DataFrame =
-    df.select(col(idCol), posexplode(
+                           dsub: Int,
+                           extra: Seq[String] = Nil): DataFrame =
+    df.select((col(idCol) +: extra.map(col)) :+ posexplode(
       transform(sequence(lit(0), lit(m - 1)),
         s => slice(col("emb"), s * dsub + 1, lit(dsub))))
-      .as(Seq("sub", "sv")))
+      .as(Seq("sub", "sv")): _*)
 
   /** Argmin codebook assignment of every subvector: broadcast hash
     * join on `sub`, 4-decimal-rounded squared L2, cell-id tiebreak —
-    * one shuffle of n·m compact rows.
+    * one shuffle of n·m compact rows. `carry` names extra
+    * functionally-dependent-on-vec_id columns to keep (the subvector
+    * for a training pass, a coarse cell id for IVF-PQ) — the encode
+    * pass carries nothing, so its shuffle rows are three scalars, not
+    * the subvector arrays.
     */
-  private def pqAssign(svs: DataFrame, cb: DataFrame): DataFrame =
+  private def pqAssign(svs: DataFrame, cb: DataFrame,
+                       carry: Seq[String] = Seq("sv")): DataFrame =
     svs.join(broadcast(cb), "sub")
       .withColumn("d2", round(l2sq(col("sv"), col("c_sv")), 4))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("cell"), struct(col("d2"), col("cell")))
           .as("cell"),
-        first(col("sv")).as("sv"))
+        carry.map(c => first(col(c)).as(c)): _*)
 
   /** The refined per-subspace codebooks (sub, cell, c_sv): mod-prime
     * seed sample + one Lloyd update through DECIMAL means. `svs` must
@@ -640,7 +647,7 @@ object Similarity {
     val svs = pqSubvectors(e, "vec_id", m, dsub)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cb1 = pqTrainOn(e, svs, ksub, m, dsub)
-    val codes = pqAssign(svs, cb1).select("vec_id", "sub", "cell")
+    val codes = pqAssign(svs, cb1, carry = Nil)
     // per-probe ADC table: m·ksub rounded partial inner products
     val dtable = pqSubvectors(
       queries.select(col("vec_id").cast("long").as("query_id"),
@@ -674,8 +681,7 @@ object Similarity {
     val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
     val svs = pqSubvectors(e, "vec_id", m, dsub)
-    pqAssign(svs, pqTrainOn(e, svs, ksub, m, dsub))
-      .select("vec_id", "sub", "cell")
+    pqAssign(svs, pqTrainOn(e, svs, ksub, m, dsub), carry = Nil)
   }
 
   /** The trained PQ model: [[pqTopK]]'s refined codebooks collected
@@ -783,7 +789,8 @@ object Similarity {
       .select(col("vec_id"), col("cc.coarse_id").as("coarse_id"),
         zip_with(col("x"), col("cc.c_emb"), _ - _).as("emb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val svs = pqSubvectors(er, "vec_id", m, dsub)
+    val svs = pqSubvectors(er, "vec_id", m, dsub,
+        extra = Seq("coarse_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed the residual codebooks from NON-centroid vectors: the
     // mod-prime seed order is the same one that picked the coarse
@@ -793,8 +800,9 @@ object Similarity {
     // A vector is its own coarse centroid iff vec_id == coarse_id.
     val cb1 = pqTrainOn(er.filter(col("vec_id") =!= col("coarse_id")),
       svs, ksub, m, dsub)
-    val codes = pqAssign(svs, cb1).select("vec_id", "sub", "cell")
-      .join(er.select("vec_id", "coarse_id"), "vec_id")
+    // coarse_id rides the encode aggregation (functionally dependent
+    // on vec_id) instead of a post-hoc n·m ⋈ n join
+    val codes = pqAssign(svs, cb1, carry = Seq("coarse_id"))
     val q = queries.select(col("vec_id").cast("long").as("query_id"),
       col("embedding").cast("array<double>").as("emb"))
     val wp = org.apache.spark.sql.expressions.Window
