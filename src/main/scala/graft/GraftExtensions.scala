@@ -73,5 +73,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.ext.TextSql.getClass.getName,
         "dsir_resample"),
       (args: Seq[Expression]) => graft.ext.TextSql.dsirFromSqlArgs(args)))
+    e.injectTableFunction((
+      new FunctionIdentifier("epoch_budget"),
+      new ExpressionInfo(graft.ext.TextSql.getClass.getName,
+        "epoch_budget"),
+      (args: Seq[Expression]) =>
+        graft.ext.TextSql.epochBudgetFromSqlArgs(args)))
   }
 }

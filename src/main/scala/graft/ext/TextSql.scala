@@ -85,6 +85,20 @@ object TextSql {
       .queryExecution.logical
   }
 
+  /** `epoch_budget(docs_table)` — data-constrained epoch budgeting
+    * (x33) of a table/view with (source, text): per-domain token
+    * supply → √-temperature weights → capped allocation.
+    */
+  def epochBudgetFromSqlArgs(args: Seq[Expression]): LogicalPlan = {
+    val usage =
+      "epoch_budget(docs_table) — table name as a string literal"
+    require(args.length == 1, s"wrong argument count: $usage")
+    val table = strLit(args(0), "epoch_budget: docs_table", usage)
+    val spark = SparkSession.active
+    TextAnalysis.epochBudget(spark.table(table))
+      .queryExecution.logical
+  }
+
   /** `dsir_resample(docs_table, target_source[, k])` — DSIR importance
     * resampling (x31) of a table/view with (doc_id, source, text):
     * documents whose `source` equals `target_source` define the target

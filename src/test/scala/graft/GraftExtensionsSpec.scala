@@ -180,6 +180,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT * FROM dsir_resample('docs_v')").collect()
       }
       assert(errS.getMessage.contains("dsir_resample"), errS.getMessage)
+
+      // x33 via SQL == the Scala operator
+      val gotE = spark.sql("SELECT * FROM epoch_budget('docs_v')")
+      val expE = graft.ext.TextAnalysis.epochBudget(docs)
+      assert(gotE.except(expE).isEmpty && expE.except(gotE).isEmpty,
+        "SQL epoch_budget diverged from the Scala-API operator")
+      val errE = intercept[Exception] {
+        spark.sql("SELECT * FROM epoch_budget('docs_v', 1)").collect()
+      }
+      assert(errE.getMessage.contains("epoch_budget"), errE.getMessage)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
