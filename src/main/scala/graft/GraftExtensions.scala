@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Base60Hash, Base60HashExpr, CosineSimilarity, NfcNormalize}
+import graft.functions.{Base60Hash, Base60HashExpr, CosineSimilarity, L2Squared, NfcNormalize}
 
 /** Session-extension entry point: registers graft's native functions
   * into every session built with
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         "cosine_similarity"),
       CosineSimilarity.fromExprs))
+    e.injectFunction((
+      new FunctionIdentifier("l2_squared"),
+      new ExpressionInfo(classOf[L2Squared].getName, "l2_squared"),
+      L2Squared.fromExprs))
     e.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
