@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Multimodal, Quantize, Similarity}
+import graft.ext.{Multimodal, Quantize, Retrieval, Similarity}
 import org.apache.spark.sql.functions._
 
 /** [EXT] similarity-search and multimodal surface.
@@ -19,6 +19,11 @@ object SimilarityQueries {
 
   private val NumQueries = 5
   private val K = 3
+
+  /** s09's query bag: chosen to span the corpus df spectrum (`dup`
+    * appears in ~5% of documents, the others in ~77%).
+    */
+  private val Bm25Terms = Seq("dup", "merge", "spark")
 
   val defs: Map[String, QueryFn] = Map(
     "s01_cosine_topk" -> { (s, d) =>
@@ -63,6 +68,18 @@ object SimilarityQueries {
     "s08_ann_ivfpq" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < NumQueries), K)
+    },
+
+    /** s09 — Okapi BM25 lexical top-k: the retrieval family's text
+      * side (the ANN family covers embeddings). One exploded scan
+      * filtered to query terms inside the generate stage; df derived
+      * from the tf table, never a second corpus pass; stats broadcast.
+      * Query terms span the df spectrum of the synthetic vocabulary
+      * (`dup` is ~15× rarer than `merge`/`spark`), so idf genuinely
+      * reorders tf ties. See [[graft.ext.Retrieval.bm25TopK]].
+      */
+    "s09_bm25_topk" -> { (s, d) =>
+      Retrieval.bm25TopK(Tables.documents(s, d), Bm25Terms, k = 10)
     },
 
     /** d05 — embedding-cosine near-dup pairs (threshold tuned to the
@@ -327,6 +344,40 @@ object SimilarityQueries {
        |QUALIFY rank <= $K""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // arithmetic mirrors Retrieval.termWeight parenthesis-for-
+    // parenthesis (IEEE double ops are order-sensitive); per-term
+    // weights round to 6 and decimal-sum per doc — the dsum contract
+    "s09_bm25_topk" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |         unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, dl, token, COUNT(*) AS tf
+         |  FROM tok WHERE token IN ($termList)
+         |  GROUP BY doc_id, dl, token),
+         |dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |stats AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+         |      / COUNT(*) AS avgdl
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |      ((tf * (1.2 + 1.0)) /
+         |       (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))),
+         |      6) AS w
+         |  FROM tf JOIN dft USING (token) CROSS JOIN stats)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  round(CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE), 4)
+         |    AS score
+         |FROM w GROUP BY doc_id
+         |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin
+    },
+
     "d07_embedding_dups_lsh" ->
       s"""WITH e AS (
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,

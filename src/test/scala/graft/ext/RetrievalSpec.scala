@@ -1,0 +1,140 @@
+package graft.ext
+
+import graft.{SparkTestBase, Tables}
+import graft.ext.Retrieval.Bm25Model
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Contracts of the BM25 retrieval family (s09 + the deployment
+  * scorer): formula correctness from first principles, batch-vs-scorer
+  * agreement, streaming statelessness, and the narrow-plan claim.
+  */
+class RetrievalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def tiny: DataFrame = Seq(
+    (1L, "rare common common"),
+    (2L, "common common common common"),
+    (3L, "other words only here")).toDF("doc_id", "text")
+
+  /** Scalar BM25 recomputed from first principles — plain Scala, no
+    * Spark — so the distributed assembly (tf, df, dl, avgdl, idf) is
+    * checked against an independent derivation, not against itself.
+    */
+  private def scalarBm25(tf: Long, df: Long, dl: Long, nDocs: Long,
+                         avgdl: Double, k1: Double = 1.2,
+                         b: Double = 0.75): Double = {
+    val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    val w = idf * ((tf * (k1 + 1.0)) /
+      (tf + k1 * ((1.0 - b) + (b * dl) / avgdl)))
+    BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("bm25TopK matches a hand derivation and ranks rarity over " +
+    "repetition") {
+    val got = Retrieval.bm25TopK(tiny, Seq("rare", "common"), k = 10)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("score"))).toMap
+    // corpus stats: N=3, dl = 3/4/4, avgdl = 11/3
+    val avgdl = 11.0 / 3.0
+    val d1 = BigDecimal(scalarBm25(1, 1, 3, 3, avgdl) +
+        scalarBm25(2, 2, 3, 3, avgdl))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d2 = BigDecimal(scalarBm25(4, 2, 4, 3, avgdl))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L), s"hit set: ${got.keySet}")
+    assert(got(1L) == ((2L, d1)), s"doc 1: ${got(1L)} vs $d1")
+    assert(got(2L) == ((1L, d2)), s"doc 2: ${got(2L)} vs $d2")
+    // the rare term beats four repetitions of the common one — tf
+    // saturation plus idf, the two properties BM25 exists to encode
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
+  test("bm25Score agrees with the oracle-checked batch ranker") {
+    val docs = Tables.documents(spark, sf0001)
+    val terms = Seq("dup", "merge", "spark")
+    val model = Retrieval.bm25Model(docs, terms)
+    val batch = Retrieval.bm25TopK(docs, terms, k = 1000)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("score"))).toMap
+    val scored = Retrieval.bm25Score(docs, model)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("score"))).toMap
+    assert(batch.nonEmpty, "sf0.001 corpus produced no BM25 hits")
+    // every batch hit must be scored identically up to the round-4
+    // grid (in-row double sum vs order-free decimal sum — adjacent
+    // grid points possible only at exact half-way doubles)
+    for ((id, (n, s)) <- batch) {
+      val (gn, gs) = scored(id)
+      assert(gn == n, s"doc $id n_terms: scorer $gn vs batch $n")
+      assert(math.abs(gs - s) <= 2e-4 + 1e-12,
+        s"doc $id score: scorer $gs vs batch $s")
+    }
+    // and every zero-hit document scores exactly zero
+    val zero = scored.filter(_._2._1 == 0L)
+    assert(zero.forall(_._2._2 == 0.0),
+      "zero-hit document with nonzero score")
+    assert(zero.keySet == scored.keySet -- batch.keySet)
+  }
+
+  test("bm25Score is a stateless streaming transform; drain == batch") {
+    val model = Retrieval.bm25Model(tiny, Seq("rare", "common"))
+    def stage(df: DataFrame, dir: String, name: String): Unit = {
+      val tmp = tmpDir("bm25-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(dir, name))
+    }
+    val srcDir = tmpDir("bm25-stream-src")
+    stage(tiny.filter(col("doc_id") <= 1), srcDir, "a.parquet")
+    stage(tiny.filter(col("doc_id") > 1), srcDir, "b.parquet")
+    val stream = spark.readStream.schema(tiny.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val scoredStream = Retrieval.bm25Score(stream, model)
+    assert(scoredStream.isStreaming,
+      "bm25 scoring must stay a stateless streaming transform")
+    graft.streaming.StreamingOps.runToCompletion(spark, scoredStream,
+      "bm25_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("bm25_stream")
+      .select("doc_id", "n_terms", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Retrieval.bm25Score(tiny, model)
+      .select("doc_id", "n_terms", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch,
+      "streamed bm25 scoring diverged from the batch operator")
+  }
+
+  test("bm25Score plans a single narrow stage — no shuffle, no " +
+    "generate") {
+    val model = Bm25Model(nDocs = 100L, avgdl = 25.0,
+      df = Map("alpha" -> 10L, "beta" -> 3L), k1 = 1.2, b = 0.75)
+    val plan = Retrieval.bm25Score(tiny, model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scorer shuffles:\n$plan")
+    assert(!plan.contains("Generate"), s"scorer explodes:\n$plan")
+  }
+
+  test("absent and unknown terms: df=0 terms never score, empty text " +
+    "is safe") {
+    val docs = Seq((1L, "common common"), (2L, "")).toDF("doc_id", "text")
+    val model = Retrieval.bm25Model(docs, Seq("common", "ghost"))
+    assert(model.df == Map("common" -> 1L, "ghost" -> 0L))
+    val got = Retrieval.bm25Score(docs, model).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("score"))).toMap
+    assert(got(1L)._1 == 1L && got(1L)._2 > 0.0)
+    assert(got(2L) == ((0L, 0.0)))
+    // the batch ranker agrees: only doc 1 retrieved
+    val top = Retrieval.bm25TopK(docs, Seq("common", "ghost"), k = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(top == Seq(1L))
+  }
+}

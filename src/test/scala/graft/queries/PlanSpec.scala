@@ -44,6 +44,7 @@ class PlanSpec extends SparkTestBase {
     "ev06_gapfill",           // hour spine × distinct event types
     "ev10_locf",              // hour spine × distinct event types
     "q11_brand_share",        // × total-revenue scalar
+    "s09_bm25_topk",          // × corpus (n_docs, avgdl) scalar
     "x10_tfidf",              // × corpus doc-count scalar
     "x15_unigram_loglik",     // × total-token-count scalar
     "x20_heavy_hitters",      // × total-count threshold scalar
