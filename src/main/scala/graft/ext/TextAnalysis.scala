@@ -749,6 +749,45 @@ object TextAnalysis {
         (col("pos") + 1).cast("long").as("pick"))
   }
 
+  /** Weighted sampling without replacement, exact k per stratum —
+    * Efraimidis–Spirakis A-ES (Inf. Process. Lett. 2006 — public):
+    * item i with weight w_i gets key u_i^(1/w_i), the k largest keys
+    * per stratum are the sample, and the inclusion probabilities are
+    * exactly proportional-to-weight without replacement. The missing
+    * member between [[stratifiedSample]] (uniform Bernoulli — no
+    * exact k, no weights) and [[domainCap]] (exact k — but uniform):
+    * "k docs per source, longer docs proportionally likelier" is the
+    * standard length-weighted curation draw.
+    *
+    * Deterministic, no RNG: u comes from the portable base-60 hash of
+    * the doc id (the x31 Gumbel construction — A-ES IS Gumbel-top-k
+    * in log space). Keys are compared as −ln(u)/w ASCENDING (the
+    * monotone log transform of u^(1/w) descending), 6-decimal-rounded
+    * and scaled to an exact integer grid so the oracle replays the
+    * selection bit-for-bit.
+    *
+    * Skew-safe like [[domainCap]]: a k-bounded grouped bottom-k
+    * aggregation, map-side partials ≤ k rows per stratum per
+    * partition, no Window anywhere (pinned in PlanSpec).
+    */
+  def weightedSample(docs: DataFrame, k: Int = 5): DataFrame = {
+    val bottomK = udaf(graft.functions.BottomKAggregator.bottomK(k))
+    val w = size(tokens(col("text"))).cast("double")
+    val u = (pmod(Hashing.base60(concat(col("doc_id").cast("string"),
+      lit(":ws"))), lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    // round-6 lands on a decimal grid; ×1e6 + round-0 is then an
+    // exact integer in every engine (the x31 grid discipline)
+    val lk = round(round(-log(u) / w, 6) * lit(1000000.0), 0)
+      .cast("long")
+    docs.select(col("source"), lk.as("lk"),
+        col("doc_id").cast("long").as("doc_id"))
+      .groupBy(col("source"))
+      .agg(bottomK(col("lk"), col("doc_id")).as("picked"))
+      .select(col("source"), posexplode(col("picked")))
+      .select(col("col._2").as("doc_id"), col("source"),
+        (col("pos") + 1).cast("long").as("pick"))
+  }
+
   /** PII patterns (C4/Dolma-style scrubbing): email addresses and
     * international-ish phone numbers. Deliberately RE2-compatible (no
     * backrefs/lookaround; `(?i)` is shared syntax) so the DuckDB

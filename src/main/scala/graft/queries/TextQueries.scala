@@ -316,6 +316,15 @@ object TextQueries {
       TextAnalysis.stratifiedSample(Tables.documents(s, d), pct = 10)
     },
 
+    /** x34 — exact-k-per-stratum weighted sampling without
+      * replacement (A-ES): longer documents proportionally likelier,
+      * deterministic via the hash-derived uniform, selected by the
+      * skew-safe bottom-k aggregation (no Window — PlanSpec).
+      */
+    "x34_weighted_sample" -> { (s, d) =>
+      TextAnalysis.weightedSample(Tables.documents(s, d), k = 5)
+    },
+
     /** x15 — unigram log-likelihood (CCNet-style perplexity stand-in):
       * mean ln p(token) per doc under the corpus's own unigram model.
       */
@@ -780,6 +789,28 @@ object TextQueries {
         |  CAST(len(ls.ls) - a.n_kept AS BIGINT) AS n_dup_lines,
         |  md5(a.clean_text) AS clean_digest
         |FROM ls JOIN agg a USING (doc_id)""".stripMargin,
+
+    // A-ES selection replayed on the integer key grid: u from the
+    // shared hash, key = round(round(-ln(u)/w, 6) * 1e6) — exact in
+    // both engines; the window twin IS the bottom-k semantics
+    "x34_weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |    len(string_split(text, ' ')) AS w,
+         |    (${Hashing.base60Sql(
+                "CAST(doc_id AS VARCHAR) || ':ws'")} % 1000000
+         |      + 0.5) / 1000000.0 AS u
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, source,
+         |    CAST(round(round(-ln(u) / w, 6) * 1000000.0, 0) AS BIGINT)
+         |      AS lk
+         |  FROM h)
+         |SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY lk, doc_id) AS BIGINT) AS pick
+         |FROM k
+         |QUALIFY pick <= 5""".stripMargin,
 
     "x25_corpus_shuffle" ->
       s"""WITH h AS (

@@ -172,6 +172,48 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got == truth)
   }
 
+  test("weighted sample: exact k per stratum, weight-biased, " +
+    "bit-identical to the window twin, plans no Window") {
+    import spark.implicits._
+    // one 400-token doc among 1-token docs: its A-ES key is ~400×
+    // smaller than any competitor's, so it MUST be in the sample
+    val rows = (1L to 200L).map { i =>
+      val src = s"src${i % 4}"
+      val text = if (i == 7L) Seq.fill(400)("tok").mkString(" ")
+                 else "tok"
+      (i, src, text)
+    }
+    val docs = rows.toDF("doc_id", "source", "text").repartition(8)
+    val got = TextAnalysis.weightedSample(docs, k = 3)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "weightedSample planned a Window — the skew-safe contract is broken")
+    val picked = got.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(picked.groupBy(_._2).values.forall(_.length == 3),
+      "every 50-doc stratum must yield exactly k picks")
+    assert(picked.exists(_._1 == 7L),
+      "the 400x-weight document missed the sample")
+    // ground truth: the A-ES window twin recomputed from scratch
+    val truth = rows.map { case (id, src, text) =>
+      val w = text.split(" ").length.toDouble
+      val h = graft.functions.Base60Hash.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$id:ws"))
+      val u = (h % 1000000L + 0.5) / 1000000.0
+      val e = BigDecimal(-math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val lk = math.round(e * 1000000.0)
+      (id, src, lk)
+    }.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      g.sortBy(r => (r._3, r._1)).take(3).zipWithIndex
+        .map { case ((id, s, _), i) => (id, s, i + 1L) }
+    }.toSet
+    assert(picked.toSet == truth)
+    // deterministic under reshuffling
+    val again = TextAnalysis.weightedSample(docs.repartition(3), k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSet == picked.toSet)
+  }
+
   test("mixture sampling hits token targets, drops unweighted, clamps at 1") {
     val weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 30.0)
     val budget = 2000L

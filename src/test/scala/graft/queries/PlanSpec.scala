@@ -397,4 +397,20 @@ class PlanSpec extends SparkTestBase {
       "bottom-k lost its map-side partial pass — mega-domains would " +
         "ship every row through the shuffle")
   }
+
+  test("x34 weighted sample: bounded bottom-k aggregation, no Window " +
+    "anywhere") {
+    // same skew contract as x26: the A-ES selection must stay a
+    // k-bounded partial/final aggregate, never a per-stratum ranking
+    // window
+    val p = plan("x34_weighted_sample")
+    assert(!p.contains("Window"),
+      "x34 regressed to a per-stratum ranking window — skew-unsafe at scale")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "expected the typed bottom-k aggregate in the plan")
+    assert(p.contains("partial_bottomk") ||
+      p.toLowerCase.contains("partial"),
+      "bottom-k lost its map-side partial pass — mega-strata would " +
+        "ship every row through the shuffle")
+  }
 }
