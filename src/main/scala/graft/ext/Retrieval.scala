@@ -155,4 +155,66 @@ object Retrieval {
     docs.withColumn("n_terms", nTerms)
       .withColumn("score", round(score, 4))
   }
+
+  // ---- persisted index stores (streaming / incremental maintenance)
+
+  /** Append one batch of documents to the persisted index stores:
+    * distinct (doc_id, token) postings and (doc_id, dl) lengths.
+    * Tokenization happens HERE, once, for the batch only — the point
+    * of incremental maintenance is that the existing corpus is never
+    * re-tokenized. Both stores are APPEND-ONLY sets of pure facts:
+    * a replayed batch (at-least-once foreachBatch) appends
+    * bit-identical rows that fold at read ([[modelFromIndex]]'
+    * distinct) — the same idempotence contract as
+    * [[graft.streaming.StreamingDedup]]'s signature store, chosen
+    * over transactional sinks for the same reason. Long-lived stores
+    * compact with the engine's Compactor like any other append log.
+    */
+  def updateIndex(batch: DataFrame, indexStore: String): Unit = {
+    val toks = TextAnalysis.tokens(col("text"))
+    batch.select(col("doc_id"), explode(toks).as("token")).distinct()
+      .write.mode("append").parquet(s"$indexStore/postings")
+    batch.select(col("doc_id"), size(toks).cast("long").as("dl"))
+      .distinct()
+      .write.mode("append").parquet(s"$indexStore/lengths")
+  }
+
+  private def readStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String, schema: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) spark.emptyDataFrame.selectExpr(
+      schema.split(",").map(_.trim): _*).limit(0)
+    else spark.read.parquet(path).distinct()
+  }
+
+  /** Rebuild a deployable [[Bm25Model]] from the persisted stores —
+    * no corpus scan, no re-tokenization: df aggregates the postings
+    * rows of the query terms, stats aggregate the lengths store.
+    * Bit-identical to [[bm25Model]] over the same document set (df
+    * and stats are exact integers; avgdl is the same single double
+    * division — spec-pinned).
+    */
+  def modelFromIndex(spark: org.apache.spark.sql.SparkSession,
+                     indexStore: String, terms: Seq[String],
+                     k1: Double = 1.2, b: Double = 0.75): Bm25Model = {
+    require(terms.nonEmpty, "modelFromIndex needs at least one query term")
+    val lengths = readStore(spark, s"$indexStore/lengths",
+      "CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS dl")
+    val statsRow = lengths
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_tot"))
+      .collect()(0)
+    val nDocs = statsRow.getAs[Long]("n_docs")
+    require(nDocs > 0, s"empty index store at $indexStore")
+    val avgdl = statsRow.getAs[Long]("dl_tot").toDouble / nDocs
+    val dfRows = readStore(spark, s"$indexStore/postings",
+      "CAST(0 AS BIGINT) AS doc_id, CAST('' AS STRING) AS token")
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("df"))
+      .toMap
+    Bm25Model(nDocs, avgdl,
+      terms.map(t => t -> dfRows.getOrElse(t, 0L)).toMap, k1, b)
+  }
 }

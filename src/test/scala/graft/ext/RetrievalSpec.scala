@@ -122,6 +122,58 @@ class RetrievalSpec extends SparkTestBase {
     assert(!plan.contains("Generate"), s"scorer explodes:\n$plan")
   }
 
+  test("streaming index maintenance: drain == batch model, second " +
+    "drain is a no-op, delta-only growth, replayed append folds") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val terms = Seq("dup", "merge", "spark")
+    val srcDir = tmpDir("bm25-idx-src")
+    val store = tmpDir("bm25-idx-store") + "/idx"
+    val ckpt = tmpDir("bm25-idx-ckpt")
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = tmpDir("bm25-idx-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, name))
+    }
+    val base = docs.filter(col("doc_id") < 60)
+    val delta = docs.filter(col("doc_id") >= 60 && col("doc_id") < 90)
+    stage(base, "base.parquet")
+    // bootstrap drain: model from the store == the batch model
+    val n1 = graft.streaming.StreamingRetrieval
+      .maintainStream(spark, srcDir, store, ckpt)
+    assert(n1 == base.count())
+    val m1 = Retrieval.modelFromIndex(spark, store, terms)
+    assert(m1 == Retrieval.bm25Model(base, terms),
+      "bootstrap-drain model diverged from the batch model")
+    // no-op re-drain: nothing new behind the checkpoint
+    val postingsBefore = spark.read.parquet(s"$store/postings").count()
+    val n2 = graft.streaming.StreamingRetrieval
+      .maintainStream(spark, srcDir, store, ckpt)
+    assert(n2 == n1)
+    assert(spark.read.parquet(s"$store/postings").count()
+      == postingsBefore, "a no-op drain grew the postings store")
+    // incremental drain: only the delta is tokenized/appended, and
+    // the grown model equals the batch model over the full corpus
+    stage(delta, "delta.parquet")
+    graft.streaming.StreamingRetrieval
+      .maintainStream(spark, srcDir, store, ckpt)
+    val grown = spark.read.parquet(s"$store/postings")
+    assert(grown.count() - postingsBefore
+      == grown.filter(col("doc_id") >= 60).count(),
+      "incremental drain re-appended pre-existing documents")
+    val m2 = Retrieval.modelFromIndex(spark, store, terms)
+    assert(m2 == Retrieval.bm25Model(base.unionByName(delta), terms),
+      "grown model diverged from the batch model over the full corpus")
+    // at-least-once replay: re-appending an already-indexed batch
+    // changes nothing at read (bit-identical rows fold in distinct)
+    Retrieval.updateIndex(delta, store)
+    assert(Retrieval.modelFromIndex(spark, store, terms) == m2,
+      "replayed append leaked duplicate counts into the model")
+  }
+
   test("absent and unknown terms: df=0 terms never score, empty text " +
     "is safe") {
     val docs = Seq((1L, "common common"), (2L, "")).toDF("doc_id", "text")
