@@ -83,5 +83,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "epoch_budget"),
       (args: Seq[Expression]) =>
         graft.ext.TextSql.epochBudgetFromSqlArgs(args)))
+    e.injectTableFunction((
+      new FunctionIdentifier("weighted_sample"),
+      new ExpressionInfo(graft.ext.TextSql.getClass.getName,
+        "weighted_sample"),
+      (args: Seq[Expression]) =>
+        graft.ext.TextSql.weightedSampleFromSqlArgs(args)))
+    e.injectTableFunction((
+      new FunctionIdentifier("bm25_topk"),
+      new ExpressionInfo(graft.ext.TextSql.getClass.getName,
+        "bm25_topk"),
+      (args: Seq[Expression]) => graft.ext.TextSql.bm25FromSqlArgs(args)))
   }
 }

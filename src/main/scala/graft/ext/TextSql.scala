@@ -125,4 +125,44 @@ object TextSql {
       materialize = false)
       .queryExecution.logical
   }
+
+  /** `weighted_sample(docs_table[, k])` — exact-k-per-stratum
+    * weighted sampling without replacement (x34) of a table/view with
+    * (doc_id, source, text).
+    */
+  def weightedSampleFromSqlArgs(args: Seq[Expression]): LogicalPlan = {
+    val usage = "weighted_sample(docs_table[, k]) — table name as a " +
+      "string literal, optional k (default 5) as an integer literal"
+    require(args.nonEmpty && args.length <= 2,
+      s"wrong argument count: $usage")
+    val table = strLit(args(0), "weighted_sample: docs_table", usage)
+    val k =
+      if (args.length > 1) intLit(args(1), "weighted_sample: k", usage)
+      else 5
+    val spark = SparkSession.active
+    TextAnalysis.weightedSample(spark.table(table), k = k)
+      .queryExecution.logical
+  }
+
+  /** `bm25_topk(docs_table, terms[, k])` — Okapi BM25 lexical top-k
+    * (s09) of a table/view with (doc_id, text); `terms` is a
+    * space-separated bag of query terms.
+    */
+  def bm25FromSqlArgs(args: Seq[Expression]): LogicalPlan = {
+    val usage = "bm25_topk(docs_table, terms[, k]) — table name and " +
+      "space-separated query terms as string literals, optional k " +
+      "(default 10) as an integer literal"
+    require(args.length == 2 || args.length == 3,
+      s"wrong argument count: $usage")
+    val table = strLit(args(0), "bm25_topk: docs_table", usage)
+    val terms = strLit(args(1), "bm25_topk: terms", usage)
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, s"empty query-term bag; $usage")
+    val k =
+      if (args.length > 2) intLit(args(2), "bm25_topk: k", usage)
+      else 10
+    val spark = SparkSession.active
+    Retrieval.bm25TopK(spark.table(table), terms, k = k)
+      .queryExecution.logical
+  }
 }

@@ -196,6 +196,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT * FROM epoch_budget('docs_v', 1)").collect()
       }
       assert(errE.getMessage.contains("epoch_budget"), errE.getMessage)
+
+      // x34 via SQL == the Scala operator (k reaches the selection)
+      val gotWs = spark.sql("SELECT * FROM weighted_sample('docs_v', 2)")
+      val expWs = graft.ext.TextAnalysis.weightedSample(docs, k = 2)
+      assert(gotWs.except(expWs).isEmpty && expWs.except(gotWs).isEmpty,
+        "SQL weighted_sample diverged from the Scala-API operator")
+
+      // s09 via SQL == the Scala operator (terms bag + k reach it)
+      val gotB = spark.sql(
+        "SELECT * FROM bm25_topk('docs_v', 'dup merge spark', 5)")
+      val expB = graft.ext.Retrieval.bm25TopK(docs,
+        Seq("dup", "merge", "spark"), k = 5)
+      assert(gotB.except(expB).isEmpty && expB.except(gotB).isEmpty,
+        "SQL bm25_topk diverged from the Scala-API operator")
+      val errB = intercept[Exception] {
+        spark.sql("SELECT * FROM bm25_topk('docs_v')").collect()
+      }
+      assert(errB.getMessage.contains("bm25_topk"), errB.getMessage)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
