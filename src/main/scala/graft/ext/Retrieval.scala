@@ -82,7 +82,14 @@ object Retrieval {
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // the tf >= 1 guard is always true (a group exists only with at
+    // least one row) — its job is to keep the tf column REFERENCED in
+    // this branch, so the optimizer cannot prune count(1) out of the
+    // shared aggregate and fork two different subtrees: with both
+    // branches bit-identical, exchange reuse collapses them and the
+    // corpus is tokenized exactly once (PlanSpec pins ReusedExchange)
+    val dfT = tf.filter(col("tf") >= 1)
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfT), "token")
       .crossJoin(broadcast(stats))
       .withColumn("w", termWeight(col("tf"), col("dl"),

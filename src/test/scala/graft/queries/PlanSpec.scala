@@ -398,6 +398,19 @@ class PlanSpec extends SparkTestBase {
         "ship every row through the shuffle")
   }
 
+  test("s09 bm25: the df branch reuses the tf exchange — the corpus " +
+    "is tokenized once, not twice") {
+    // tf and df are two consumers of the same (doc, dl, token)
+    // aggregation; Catalyst clones the subtree, and it is exchange
+    // reuse that collapses the clone at execution. If that stops
+    // firing, BM25 silently tokenizes 100 TB twice.
+    val df = SparkEntry.queries("s09_bm25_topk")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"s09 lost exchange reuse — double corpus tokenize:\n$p")
+  }
+
   test("x34 weighted sample: bounded bottom-k aggregation, no Window " +
     "anywhere") {
     // same skew contract as x26: the A-ES selection must stay a
