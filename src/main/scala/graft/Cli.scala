@@ -98,14 +98,15 @@ object Cli {
       case Some("zonemap") => zonemapCmd(spark, parseOpts(args.tail))
       case Some("dedup") => dedupCmd(spark, parseOpts(args.tail))
       case Some("despan") => despanCmd(spark, parseOpts(args.tail))
+      case Some("index") => indexCmd(spark, parseOpts(args.tail))
       case Some(other) => throw CliError(
         s"unknown command: $other " +
           "(expected export | import | db | compact | zonemap | dedup " +
-          "| despan)")
+          "| despan | index)")
       case None =>
         throw CliError(
           "usage: graft.Cli <export|import|db|compact|zonemap|dedup" +
-            "|despan> [--options]")
+            "|despan|index> [--options]")
     }
 
   /** `despan` — [EXT] one-shot span-level cleaning (ext.Dedup): cut
@@ -205,6 +206,63 @@ object Cli {
         case None =>
           s"updated $store; ${pairs.count()} $what"
       }
+    }
+  }
+
+  /** `index` — [EXT] maintenance + query for the incremental BM25
+    * retrieval index (ext.Retrieval). `--init` bootstraps `--store`
+    * from the full corpus at `--docs` (refused if the store exists —
+    * appending a full corpus onto live stores would double-count
+    * nothing but re-tokenize everything); without it, `--docs` is a
+    * DELTA appended to the stores (the old corpus is never
+    * re-tokenized). `--query "terms"` ranks from the stores alone —
+    * the corpus is not read — with `--k` results (default 10) to
+    * stdout or `--out`.
+    */
+  private def indexCmd(spark: SparkSession,
+                       opts: Map[String, String]): String = {
+    val store = required(opts, "store")
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    opts.get("query") match {
+      case Some(q) =>
+        val terms = q.split("\\s+").filter(_.nonEmpty).toSeq
+        if (terms.isEmpty) throw CliError("--query must name at least one term")
+        if (!fs.exists(storePath))
+          throw CliError(s"no index store at $store (run --init first)")
+        val k = opts.get("k").map(_.toInt).getOrElse(10)
+        if (k < 1) throw CliError(s"--k must be positive, got $k")
+        val hits = graft.ext.Retrieval.queryIndex(spark, store, terms, k)
+        opts.get("out") match {
+          case Some(out) =>
+            hits.write.mode("overwrite").parquet(out)
+            s"${spark.read.parquet(out).count()} hits -> $out"
+          case None =>
+            hits.collect().map(r =>
+              f"${r.getLong(0)}%12d  ${r.getLong(1)}%2d  ${r.getDouble(2)}%9.4f")
+              .mkString(s"      doc_id  terms     score\n", "\n", "")
+        }
+      case None =>
+        val docsPath = required(opts, "docs")
+        val docs = spark.read.parquet(docsPath)
+        if (!docs.columns.contains("doc_id") ||
+            !docs.columns.contains("text"))
+          throw CliError(s"--docs needs doc_id and text columns, " +
+            s"found ${docs.columns.mkString(",")}")
+        if (opts.get("init").contains("true")) {
+          if (fs.exists(storePath))
+            throw CliError(s"index store already exists at $store " +
+              "(drop it or update without --init)")
+          graft.ext.Retrieval.updateIndex(docs, store)
+          val n = spark.read.parquet(s"$store/lengths").distinct().count()
+          s"initialized $store: $n documents indexed"
+        } else {
+          if (!fs.exists(storePath))
+            throw CliError(s"no index store at $store (run --init first)")
+          graft.ext.Retrieval.updateIndex(docs, store)
+          val n = spark.read.parquet(s"$store/lengths").distinct().count()
+          s"updated $store: $n documents indexed"
+        }
     }
   }
 

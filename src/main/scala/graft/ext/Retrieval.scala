@@ -165,21 +165,27 @@ object Retrieval {
 
   // ---- persisted index stores (streaming / incremental maintenance)
 
-  /** Append one batch of documents to the persisted index stores:
-    * distinct (doc_id, token) postings and (doc_id, dl) lengths.
-    * Tokenization happens HERE, once, for the batch only — the point
-    * of incremental maintenance is that the existing corpus is never
-    * re-tokenized. Both stores are APPEND-ONLY sets of pure facts:
-    * a replayed batch (at-least-once foreachBatch) appends
-    * bit-identical rows that fold at read ([[modelFromIndex]]'
-    * distinct) — the same idempotence contract as
-    * [[graft.streaming.StreamingDedup]]'s signature store, chosen
-    * over transactional sinks for the same reason. Long-lived stores
-    * compact with the engine's Compactor like any other append log.
+  /** Append one batch of documents to the persisted index stores: a
+    * full inverted index — (doc_id, dl, token, tf) postings — plus
+    * (doc_id, dl) lengths for the corpus stats. Tokenization happens
+    * HERE, once, for the batch only — the point of incremental
+    * maintenance is that the existing corpus is never re-tokenized,
+    * and with tf and dl IN the posting row, [[queryIndex]] answers
+    * ranked queries without ever touching the corpus again. Both
+    * stores are APPEND-ONLY sets of pure facts: a replayed batch
+    * (at-least-once foreachBatch) appends bit-identical rows that
+    * fold at read (the consumers' distinct) — the same idempotence
+    * contract as [[graft.streaming.StreamingDedup]]'s signature
+    * store, chosen over transactional sinks for the same reason.
+    * Long-lived stores compact with the engine's Compactor like any
+    * other append log.
     */
   def updateIndex(batch: DataFrame, indexStore: String): Unit = {
     val toks = TextAnalysis.tokens(col("text"))
-    batch.select(col("doc_id"), explode(toks).as("token")).distinct()
+    batch.select(col("doc_id"), size(toks).as("dl"),
+        explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
       .write.mode("append").parquet(s"$indexStore/postings")
     batch.select(col("doc_id"), size(toks).cast("long").as("dl"))
       .distinct()
@@ -215,7 +221,8 @@ object Retrieval {
     require(nDocs > 0, s"empty index store at $indexStore")
     val avgdl = statsRow.getAs[Long]("dl_tot").toDouble / nDocs
     val dfRows = readStore(spark, s"$indexStore/postings",
-      "CAST(0 AS BIGINT) AS doc_id, CAST('' AS STRING) AS token")
+      "CAST(0 AS BIGINT) AS doc_id, CAST(0 AS INT) AS dl, " +
+        "CAST('' AS STRING) AS token, CAST(0 AS BIGINT) AS tf")
       .filter(col("token").isin(terms: _*))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
       .collect()
@@ -223,5 +230,43 @@ object Retrieval {
       .toMap
     Bm25Model(nDocs, avgdl,
       terms.map(t => t -> dfRows.getOrElse(t, 0L)).toMap, k1, b)
+  }
+
+  /** Index-backed BM25 top-k — the production query shape: rank from
+    * the persisted inverted index WITHOUT touching the corpus. The
+    * token `isin` filter pushes into the postings parquet scan
+    * (PushedFilters — spec-pinned), so query cost is proportional to
+    * the query terms' posting lists, not the corpus; df is a
+    * |terms|-row aggregate of those postings; stats aggregate the
+    * lengths store; scoring and selection are [[bm25TopK]]'s exact
+    * tail, so the two surfaces return identical rankings over the
+    * same document set (spec-pinned).
+    */
+  def queryIndex(spark: org.apache.spark.sql.SparkSession,
+                 indexStore: String, terms: Seq[String], k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "queryIndex needs at least one query term")
+    val stats = readStore(spark, s"$indexStore/lengths",
+      "CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS dl")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_tot"))
+      .select(col("n_docs"),
+        (col("dl_tot").cast("double") / col("n_docs")).as("avgdl"))
+    val tf = readStore(spark, s"$indexStore/postings",
+      "CAST(0 AS BIGINT) AS doc_id, CAST(0 AS INT) AS dl, " +
+        "CAST('' AS STRING) AS token, CAST(0 AS BIGINT) AS tf")
+      .filter(col("token").isin(terms: _*))
+    val dfT = tf.filter(col("tf") >= 1)
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", termWeight(col("tf"), col("dl"),
+        idf(col("n_docs"), col("df")), col("avgdl"), k1, b))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("w").cast("decimal(38,18)")).cast("double"), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_terms"), col("score"))
   }
 }

@@ -310,6 +310,52 @@ class CliSpec extends SparkTestBase {
       "--docs", corpusDir), now)).message.contains("--out"))
   }
 
+  test("index initializes a BM25 store, updates with a delta, and " +
+    "answers ranked queries from the store alone") {
+    import org.apache.spark.sql.functions.col
+    val store = tmpDir("cli-bm25") + "/idx"
+    val base = tmpDir("cli-idx-base")
+    val delta = tmpDir("cli-idx-delta")
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    docs.filter(col("doc_id") < 200).write.mode("overwrite").parquet(base)
+    docs.filter(col("doc_id") >= 200).write.mode("overwrite").parquet(delta)
+
+    // update or query before init fails loudly
+    val e = intercept[CliError](Cli.run(spark,
+      Seq("index", "--docs", delta, "--store", store), now))
+    assert(e.message.contains("--init"))
+    val eq = intercept[CliError](Cli.run(spark,
+      Seq("index", "--store", store, "--query", "dup"), now))
+    assert(eq.message.contains("--init"))
+
+    val init = Cli.run(spark,
+      Seq("index", "--docs", base, "--store", store, "--init"), now)
+    assert(init.contains("initialized") && init.contains("documents"))
+    // double-init refused: it would re-tokenize the world
+    val e2 = intercept[CliError](Cli.run(spark,
+      Seq("index", "--docs", base, "--store", store, "--init"), now))
+    assert(e2.message.contains("already exists"))
+
+    val upd = Cli.run(spark,
+      Seq("index", "--docs", delta, "--store", store), now)
+    assert(upd.contains("updated"))
+
+    // ranked query from the store == the corpus-scan ranker
+    val out = tmpDir("cli-idx-hits") + "/hits"
+    val q = Cli.run(spark, Seq("index", "--store", store,
+      "--query", "dup merge spark", "--k", "7", "--out", out), now)
+    assert(q.contains("7 hits"))
+    val got = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    val exp = graft.ext.Retrieval.bm25TopK(docs,
+      Seq("dup", "merge", "spark"), k = 7).collect().map(_.toSeq).toSet
+    assert(got == exp,
+      "CLI index query diverged from the corpus-scan ranker")
+    // stdout mode prints a ranked table
+    val txt = Cli.run(spark, Seq("index", "--store", store,
+      "--query", "dup", "--k", "2"), now)
+    assert(txt.contains("doc_id") && txt.linesIterator.size == 3, txt)
+  }
+
   test("compact validation: a missing session dir fails loudly") {
     val e = intercept[CliError](Cli.run(spark, Seq("compact",
       "--dest-root", tmpDir("cli-ghost"), "--session-name", "nope"), now))

@@ -174,6 +174,26 @@ class RetrievalSpec extends SparkTestBase {
       "replayed append leaked duplicate counts into the model")
   }
 
+  test("index-backed query == corpus-scan ranker; the term filter " +
+    "pushes into the postings scan") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val terms = Seq("dup", "merge", "spark")
+    val store = tmpDir("bm25-qidx") + "/idx"
+    Retrieval.updateIndex(docs, store)
+    val got = Retrieval.queryIndex(spark, store, terms, k = 50)
+    // same integers (tf, df, dl, N, dl_tot) through the same
+    // arithmetic: the two surfaces must agree EXACTLY, row for row
+    val exp = Retrieval.bm25TopK(docs, terms, k = 50)
+    assert(got.collect().toSeq.map(_.toSeq)
+      == exp.collect().toSeq.map(_.toSeq),
+      "index-backed ranking diverged from the corpus-scan ranker")
+    // the whole point of the index: query cost ∝ posting lists of
+    // the query terms — the isin must reach the parquet scan
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(token"),
+      s"token filter not pushed into the postings scan:\n$p")
+  }
+
   test("absent and unknown terms: df=0 terms never score, empty text " +
     "is safe") {
     val docs = Seq((1L, "common common"), (2L, "")).toDF("doc_id", "text")
