@@ -876,16 +876,46 @@ object Similarity {
     * deterministic across runs/engines/partitionings.
     */
   def annRecallAtK(embeddings: DataFrame, queries: DataFrame,
-                   k: Int): DataFrame = {
-    // single-consumption shape: the expensive exact side (s01's
-    // quadratic truth twin) feeds ONE left-outer join + ONE grouped
-    // aggregation — not a semi-join branch AND a count branch that
-    // would evaluate the cross-join twice if exchange reuse doesn't
-    // fire. approx is rank-deduped, so the outer join cannot
-    // multiply exact rows.
-    val exact = cosineTopK(embeddings, queries, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = annTopK(embeddings, queries, k)
+                   k: Int): DataFrame =
+    recallAtK(cosineTopK(embeddings, queries, k),
+      annTopK(embeddings, queries, k),
+      queries.select(col("vec_id").as("query_id")))
+
+  /** PQ/ADC index graded against the exact ranking — [[annRecallAtK]]
+    * with s07's index under evaluation.
+    */
+  def pqRecallAtK(embeddings: DataFrame, queries: DataFrame,
+                  k: Int): DataFrame =
+    recallAtK(cosineTopK(embeddings, queries, k),
+      pqTopK(embeddings, queries, k),
+      queries.select(col("vec_id").as("query_id")))
+
+  /** IVF-PQ index graded against the exact ranking — [[annRecallAtK]]
+    * with s08's composed index under evaluation.
+    */
+  def ivfPqRecallAtK(embeddings: DataFrame, queries: DataFrame,
+                     k: Int): DataFrame =
+    recallAtK(cosineTopK(embeddings, queries, k),
+      ivfPqTopK(embeddings, queries, k),
+      queries.select(col("vec_id").as("query_id")))
+
+  /** The metric itself, index-agnostic: per-probe fraction of the
+    * `exact` top-k that `approx` returned — any two (query_id,
+    * neighbor_id) rankings compare, so every index family (s02 LSH,
+    * s07 PQ, s08 IVF-PQ, or an external one) grades through ONE
+    * definition that cannot drift per family.
+    *
+    * Single-consumption shape: the expensive exact side (s01's
+    * quadratic truth twin) feeds ONE left-outer join + ONE grouped
+    * aggregation — not a semi-join branch AND a count branch that
+    * would evaluate the cross-join twice if exchange reuse doesn't
+    * fire. approx is rank-deduped, so the outer join cannot
+    * multiply exact rows.
+    */
+  def recallAtK(exactTopK: DataFrame, approxTopK: DataFrame,
+                probes: DataFrame): DataFrame = {
+    val exact = exactTopK.select(col("query_id"), col("neighbor_id"))
+    val approx = approxTopK
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     val perProbe = exact
       .join(approx, Seq("query_id", "neighbor_id"), "left_outer")
@@ -894,7 +924,7 @@ object Similarity {
     // probe-complete: a probe whose exact top-k is empty (degenerate
     // corpus) still gets a row — k_eval 0, recall 0.0 — instead of
     // silently vanishing from the quality report
-    queries.select(col("vec_id").as("query_id")).distinct()
+    probes.select(col("query_id")).distinct()
       .join(perProbe, Seq("query_id"), "left_outer")
       .select(col("query_id"),
         coalesce(col("k_eval"), lit(0L)).as("k_eval"),

@@ -93,6 +93,48 @@ class SimilaritySpec extends SparkTestBase {
       degenerate.head.getAs[Double]("recall") == 0.0)
   }
 
+  test("recallAtK is index-agnostic: PQ and IVF-PQ grade through the " +
+    "same definition, metric == hand intersect") {
+    import spark.implicits._
+    def mixD(s: Long, j: Int): Double = {
+      var z = s * 64 + j + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53) - 0.5
+    }
+    val df = (0L until 120L).map { i =>
+      (i, Array.tabulate(64)(j => mixD(i, j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" < 6)
+    for ((name, graded, index) <- Seq(
+      ("pq", Similarity.pqRecallAtK(df, qs, 3),
+        Similarity.pqTopK(df, qs, 3)),
+      ("ivfpq", Similarity.ivfPqRecallAtK(df, qs, 3),
+        Similarity.ivfPqTopK(df, qs, 3)))) {
+      val got = graded.collect()
+        .map(r => r.getAs[Long]("query_id") ->
+          (r.getAs[Long]("k_eval"), r.getAs[Long]("n_hits"),
+            r.getAs[Double]("recall"))).toMap
+      assert(got.keySet == (0L until 6L).toSet, s"$name: a row per probe")
+      assert(got.values.forall { case (k, h, r) =>
+        k == 3L && h <= k && r >= 0.0 && r <= 1.0 }, s"$name: bounds")
+      // the metric is the intersect ratio whatever the index is
+      val hand = Similarity.cosineTopK(df, qs, 3)
+        .select("query_id", "neighbor_id")
+        .intersect(index.select("query_id", "neighbor_id"))
+        .groupBy("query_id").count().collect()
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("count"))
+        .toMap
+      got.foreach { case (q, (k, h, r)) =>
+        assert(h == hand.getOrElse(q, 0L), s"$name probe $q hit count")
+        // the operator reports on the 4-decimal grid (k=3 → 1/3)
+        val want = BigDecimal(h.toDouble / k)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r == want, s"$name probe $q ratio: $r vs $want")
+      }
+    }
+  }
+
   test("ANN candidate generation is selective (not a cross join)") {
     // count candidate pairs before re-rank: must be far below Q*N
     val e = Similarity.withNorm(emb).select(col("vec_id"), col("emb"))
