@@ -226,6 +226,12 @@ object Cli {
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     opts.get("query") match {
       case Some(q) =>
+        // refuse the mixed form: silently skipping the update half of
+        // "index --docs delta --query ..." would rank against a stale
+        // store with no warning
+        if (opts.contains("docs") || opts.contains("init"))
+          throw CliError("--query cannot combine with --docs/--init " +
+            "(update the store first, then query)")
         val terms = q.split("\\s+").filter(_.nonEmpty).toSeq
         if (terms.isEmpty) throw CliError("--query must name at least one term")
         if (!fs.exists(storePath))

@@ -90,6 +90,18 @@ object Retrieval {
     // corpus is tokenized exactly once (PlanSpec pins ReusedExchange)
     val dfT = tf.filter(col("tf") >= 1)
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    scoreAndSelect(tf, dfT, stats, k, k1, b)
+  }
+
+  /** The shared scoring/selection tail of [[bm25TopK]] and
+    * [[queryIndex]] — ONE definition (the winnowFp discipline), so
+    * the spec-pinned "index query == corpus-scan ranker exactly"
+    * contract cannot drift: `tf` is (doc_id, dl, token, tf), `dfT`
+    * is (token, df), `stats` is the one-row (n_docs, avgdl).
+    */
+  private def scoreAndSelect(tf: DataFrame, dfT: DataFrame,
+                             stats: DataFrame, k: Int,
+                             k1: Double, b: Double): DataFrame =
     tf.join(broadcast(dfT), "token")
       .crossJoin(broadcast(stats))
       .withColumn("w", termWeight(col("tf"), col("dl"),
@@ -101,7 +113,6 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("n_terms"), col("score"))
-  }
 
   /** Train the deployable model: query-term df + corpus stats. The
     * one deliberate collect of the family — |terms| + 2 scalars, the
@@ -117,6 +128,10 @@ object Retrieval {
         sum(size(toks).cast("long")).as("dl_tot"))
       .collect()(0)
     val nDocs = statsRow.getAs[Long]("n_docs")
+    // same loud-failure contract as modelFromIndex: an empty corpus
+    // would otherwise yield avgdl = NaN and a model that silently
+    // scores NaN on every matching document downstream
+    require(nDocs > 0, "bm25Model: empty corpus")
     val avgdl = statsRow.getAs[Long]("dl_tot").toDouble / nDocs
     val dfRows = docs
       .select(col("doc_id"), explode(toks).as("token"))
@@ -182,14 +197,23 @@ object Retrieval {
     */
   def updateIndex(batch: DataFrame, indexStore: String): Unit = {
     val toks = TextAnalysis.tokens(col("text"))
-    batch.select(col("doc_id"), size(toks).as("dl"),
-        explode(toks).as("token"))
-      .groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .write.mode("append").parquet(s"$indexStore/postings")
-    batch.select(col("doc_id"), size(toks).cast("long").as("dl"))
-      .distinct()
-      .write.mode("append").parquet(s"$indexStore/lengths")
+    // distinct first: an exactly-duplicated document row inside one
+    // batch must not double its tf counts (the lengths distinct alone
+    // would mask it — one dl row, 2x tf — a silent score corruption);
+    // persisted so the two store writes share one source scan +
+    // tokenize instead of re-reading the batch per action
+    val b = batch.select(col("doc_id"), col("text")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      b.select(col("doc_id"), size(toks).as("dl"),
+          explode(toks).as("token"))
+        .groupBy(col("doc_id"), col("dl"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .write.mode("append").parquet(s"$indexStore/postings")
+      b.select(col("doc_id"), size(toks).cast("long").as("dl"))
+        .distinct()
+        .write.mode("append").parquet(s"$indexStore/lengths")
+    } finally b.unpersist()
   }
 
   private def readStore(spark: org.apache.spark.sql.SparkSession,
@@ -255,18 +279,9 @@ object Retrieval {
       "CAST(0 AS BIGINT) AS doc_id, CAST(0 AS INT) AS dl, " +
         "CAST('' AS STRING) AS token, CAST(0 AS BIGINT) AS tf")
       .filter(col("token").isin(terms: _*))
-    val dfT = tf.filter(col("tf") >= 1)
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfT), "token")
-      .crossJoin(broadcast(stats))
-      .withColumn("w", termWeight(col("tf"), col("dl"),
-        idf(col("n_docs"), col("df")), col("avgdl"), k1, b))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"),
-        round(sum(col("w").cast("decimal(38,18)")).cast("double"), 4)
-          .as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
-      .select(col("doc_id"), col("n_terms"), col("score"))
+    // no reuse guard needed here: tf comes straight from the store
+    // scan (no shared aggregate subtree to keep bit-identical)
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    scoreAndSelect(tf, dfT, stats, k, k1, b)
   }
 }

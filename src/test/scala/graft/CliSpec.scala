@@ -354,6 +354,10 @@ class CliSpec extends SparkTestBase {
     val txt = Cli.run(spark, Seq("index", "--store", store,
       "--query", "dup", "--k", "2"), now)
     assert(txt.contains("doc_id") && txt.linesIterator.size == 3, txt)
+    // mixed update+query is refused, not silently half-executed
+    val em = intercept[CliError](Cli.run(spark, Seq("index",
+      "--store", store, "--docs", delta, "--query", "dup"), now))
+    assert(em.message.contains("cannot combine"))
   }
 
   test("compact validation: a missing session dir fails loudly") {

@@ -181,13 +181,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
       assert(errS.getMessage.contains("dsir_resample"), errS.getMessage)
 
-      // x33 via SQL == the Scala operator
       // l2_squared scalar through the extension registration
       val l2 = spark.sql(
         "SELECT l2_squared(array(3.0d, 0.0d), array(0.0d, 4.0d))")
         .first().getDouble(0)
       assert(l2 == 25.0, s"l2_squared via extensions: $l2")
 
+      // x33 via SQL == the Scala operator
       val gotE = spark.sql("SELECT * FROM epoch_budget('docs_v')")
       val expE = graft.ext.TextAnalysis.epochBudget(docs)
       assert(gotE.except(expE).isEmpty && expE.except(gotE).isEmpty,

@@ -174,6 +174,18 @@ class RetrievalSpec extends SparkTestBase {
       "replayed append leaked duplicate counts into the model")
   }
 
+  test("updateIndex: an exactly-duplicated doc row in one batch does " +
+    "not inflate tf") {
+    import spark.implicits._
+    val doc = Seq((1L, "dup dup merge")).toDF("doc_id", "text")
+    val store = tmpDir("bm25-dupbatch") + "/idx"
+    Retrieval.updateIndex(doc.unionByName(doc), store)
+    val tf = spark.read.parquet(s"$store/postings").collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("tf")).toMap
+    assert(tf == Map("dup" -> 2L, "merge" -> 1L),
+      s"duplicated batch row corrupted tf: $tf")
+  }
+
   test("index-backed query == corpus-scan ranker; the term filter " +
     "pushes into the postings scan") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
