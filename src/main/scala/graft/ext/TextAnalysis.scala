@@ -770,16 +770,23 @@ object TextAnalysis {
     * aggregation, map-side partials ≤ k rows per stratum per
     * partition, no Window anywhere (pinned in PlanSpec).
     */
-  def weightedSample(docs: DataFrame, k: Int = 5): DataFrame = {
-    val bottomK = udaf(graft.functions.BottomKAggregator.bottomK(k))
+  /** The A-ES integer selection key of [[weightedSample]] — ONE
+    * definition shared with the streaming twin
+    * ([[graft.streaming.StreamingOps.weightedSampleStream]]), so the
+    * two surfaces cannot drift (the winnowFp discipline). round-6
+    * lands on a decimal grid; ×1e6 + round-0 is then an exact integer
+    * in every engine (the x31 grid discipline).
+    */
+  private[graft] def aesKey: Column = {
     val w = size(tokens(col("text"))).cast("double")
     val u = (pmod(Hashing.base60(concat(col("doc_id").cast("string"),
       lit(":ws"))), lit(1000000L)).cast("double") + 0.5) / 1000000.0
-    // round-6 lands on a decimal grid; ×1e6 + round-0 is then an
-    // exact integer in every engine (the x31 grid discipline)
-    val lk = round(round(-log(u) / w, 6) * lit(1000000.0), 0)
-      .cast("long")
-    docs.select(col("source"), lk.as("lk"),
+    round(round(-log(u) / w, 6) * lit(1000000.0), 0).cast("long")
+  }
+
+  def weightedSample(docs: DataFrame, k: Int = 5): DataFrame = {
+    val bottomK = udaf(graft.functions.BottomKAggregator.bottomK(k))
+    docs.select(col("source"), aesKey.as("lk"),
         col("doc_id").cast("long").as("doc_id"))
       .groupBy(col("source"))
       .agg(bottomK(col("lk"), col("doc_id")).as("picked"))

@@ -426,6 +426,35 @@ object StreamingOps {
       }.toDF()
   }
 
+  /** x34's streaming twin: maintain the per-stratum weighted sample
+    * (A-ES) online — the [[domainCapStream]] shape with the selection
+    * key swapped from the uniform hash to the shared A-ES key
+    * ([[graft.ext.TextAnalysis.aesKey]] — ONE definition with the
+    * batch operator, so the two cannot drift). State per source stays
+    * BOUNDED at k (key, doc_id) pairs forever; replays fold via the
+    * pre-merge distinct; drain + [[domainCapFinalize]] == the batch
+    * [[graft.ext.TextAnalysis.weightedSample]] (spec-pinned).
+    */
+  def weightedSampleStream(spark: SparkSession, docs: DataFrame,
+                           k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val keyed = docs
+      .select(col("source"), graft.ext.TextAnalysis.aesKey.as("lk"),
+        col("doc_id").cast("long").as("doc_id"))
+      .as[(String, Long, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[DomainCapState, DomainCapPick](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (source, rows, state: GroupState[DomainCapState]) =>
+          val prev = state.getOption.getOrElse(DomainCapState(0L, Nil))
+          val merged = (prev.picked ++ rows.map(r => (r._2, r._3)))
+            .distinct.sorted.take(k)
+          state.update(DomainCapState(prev.rev + 1, merged))
+          merged.iterator.zipWithIndex.map { case ((_, id), i) =>
+            DomainCapPick(id, source, i + 1L, prev.rev + 1) }
+      }.toDF()
+  }
+
   /** Batch finalize over [[domainCapStream]]'s drained Update-mode
     * sink: the latest revision per domain is the answer. The sink is
     * emissions-sized (≤ batches × domains × cap rows — KB-scale next

@@ -330,6 +330,40 @@ class StreamingDedupSpec extends SparkTestBase {
       "streamed domain cap diverged from the batch bottom-k")
   }
 
+  test("x34 weighted sample: bounded stateful stream; drain + " +
+    "finalize == batch") {
+    import graft.ext.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text")
+    val srcDir = tmpDir("ws-stream-src")
+    stage(docs.filter(col("doc_id") % 2 === 0), srcDir, "a.parquet")
+    stage(docs.filter(col("doc_id") % 2 === 1), srcDir, "b.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val sampled = StreamingOps.weightedSampleStream(spark, stream, k = 3)
+    assert(sampled.isStreaming,
+      "weighted-sample maintenance must be a streaming transform")
+    StreamingOps.runToCompletion(spark, sampled, "ws_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val emitted = spark.table("ws_stream")
+    assert(emitted.groupBy("source", "rev").count()
+      .filter(col("count") > 3).isEmpty)
+    val finalized = StreamingOps.domainCapFinalize(emitted).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = TextAnalysis.weightedSample(
+      Tables.documents(spark, sf0001), k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(finalized == batch,
+      "streamed weighted sample diverged from the batch bottom-k")
+  }
+
   test("readPairs on a store that never materialized is empty, not an error") {
     assert(StreamingDedup.readPairs(spark,
       tmpDir("sd-none") + "/nope").isEmpty)
