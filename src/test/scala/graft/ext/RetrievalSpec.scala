@@ -174,6 +174,29 @@ class RetrievalSpec extends SparkTestBase {
       "replayed append leaked duplicate counts into the model")
   }
 
+  test("index stores compact like any other append log: fewer files, " +
+    "identical query results") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val terms = Seq("dup", "merge", "spark")
+    val store = tmpDir("bm25-compact") + "/idx"
+    // ten tiny appends = the fragmentation a drain-per-delta run accrues
+    for (i <- 0 until 10)
+      Retrieval.updateIndex(
+        docs.filter(col("doc_id") % 10 === i), store)
+    val before = Retrieval.queryIndex(spark, store, terms, k = 30)
+      .collect().toSeq.map(_.toSeq)
+    val rep = graft.engine.Compactor.compact(spark,
+      s"$store/postings", targetBytes = 512L << 20)
+    assert(rep.compacted && rep.filesAfter < rep.filesBefore,
+      s"postings store did not compact: $rep")
+    graft.engine.Compactor.compact(spark, s"$store/lengths")
+    val after = Retrieval.queryIndex(spark, store, terms, k = 30)
+      .collect().toSeq.map(_.toSeq)
+    assert(after == before,
+      "compaction changed index-backed query results")
+  }
+
   test("updateIndex: an exactly-duplicated doc row in one batch does " +
     "not inflate tf") {
     import spark.implicits._
