@@ -132,21 +132,14 @@ object Sketches {
       .as[Long]
       .select(bloomAgg(m, k).toColumn)
       .head()
-    val bc = spark.sparkContext.broadcast(words)
-    val might = udf((h: java.lang.Long) => h != null && {
-      val w = bc.value
-      var i = 0
-      var ok = true
-      while (ok && i < k) {
-        val pos = bloomPos(i, h.longValue, m)
-        ok = (w(pos >>> 6) & (1L << (pos & 63))) != 0
-        i += 1
-      }
-      ok
-    })
+    // native codegen probe (graft.functions.BloomMightContain): the
+    // bitmap rides in the plan's reference array — distributed with
+    // the task binary's broadcast, and the scan → hash → probe path
+    // stays inside one whole-stage loop (a UDF would break it)
     candidates.withColumn("might_contain",
-      might(when(col(candCol).isNotNull,
-        Hashing.base60(col(candCol).cast("string")))))
+      graft.functions.SketchProbes.bloom_might_contain(
+        when(col(candCol).isNotNull,
+          Hashing.base60(col(candCol).cast("string"))), words, k, m))
   }
 
   /** Heavy hitters via Count-Min-Sketch candidate pruning + exact
@@ -170,9 +163,11 @@ object Sketches {
     * probes each scanned item against the broadcast sketch BEFORE the
     * group-by, so only occurrences of near-heavy tokens ever reach an
     * exchange — the exact re-count falls out of the same aggregation.
-    * The probe is a broadcast-handle UDF (no public
-    * built-in probes a CountMinSketch), same pattern as the bloom
-    * probe above — narrow, no shuffle.
+    * The probe is a native codegen expression
+    * ([[graft.functions.CmsEstimate]] — no public built-in probes a
+    * CountMinSketch, and a Scala UDF would break the whole-stage
+    * pipeline), same pattern as the bloom probe above — narrow, no
+    * shuffle.
     *
     * `eps` trades sketch memory for candidate precision: estimates
     * exceed truth by at most eps·total with prob ≥ confidence, so the
@@ -188,17 +183,18 @@ object Sketches {
       .select(col(itemCol).cast("string").as("token"))
     val cms = stream.stat.countMinSketch("token", eps, confidence, seed)
     val total = cms.totalCount // exact: CMS tracks the true add count
-    val bc = spark.sparkContext.broadcast(cms)
     // floor(minShare·total) is a safe candidate bar: a true hitter has
     // n > minShare·total ⇒ n ≥ floor+1 > floor, and est ≥ n.
     val bar = (minShare * total).toLong
-    val est = udf((t: String) => bc.value.estimateCount(t))
+    // native codegen probe (graft.functions.CmsEstimate) — same
+    // plan-reference distribution as the bloom probe above
+    val est = graft.functions.SketchProbes.cms_estimate(col("token"), cms)
     // est is deterministic per token, so filtering the stream IS the
     // candidate selection: every occurrence of a surviving token
     // passes, so the group-by after the filter re-counts candidates
     // exactly — no separate distinct + semi-join pass (which would
     // cost a third full scan) needed.
-    stream.filter(est(col("token")) > lit(bar))
+    stream.filter(est > lit(bar))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") > lit(total) * lit(minShare))
