@@ -79,6 +79,37 @@ object Cli {
     f
   }
 
+  /** Numeric options fail at parse time under the CliError contract
+    * (the `--format` rationale above): a typo'd `--k abc` is a usage
+    * error, not a raw NumberFormatException halfway into a session.
+    */
+  private def intOpt(opts: Map[String, String], key: String,
+                     default: Int): Int =
+    opts.get(key).map(v => v.toIntOption.getOrElse(throw CliError(
+      s"--${key.replace('_', '-')} must be an integer, got '$v'")))
+      .getOrElse(default)
+
+  private def doubleOpt(opts: Map[String, String], key: String,
+                        default: Double): Double =
+    opts.get(key).map(v => v.toDoubleOption.getOrElse(throw CliError(
+      s"--${key.replace('_', '-')} must be a number, got '$v'")))
+      .getOrElse(default)
+
+  /** Boolean flags: bare presence (parses as "true") or an explicit
+    * true/false. Anything else fails loudly — `--init yes` silently
+    * reading as false would fall through to exactly the
+    * full-corpus-reprocess path the flag exists to refuse.
+    */
+  private def boolFlag(opts: Map[String, String], key: String): Boolean =
+    opts.get(key) match {
+      case None          => false
+      case Some("true")  => true
+      case Some("false") => false
+      case Some(v) => throw CliError(
+        s"--${key.replace('_', '-')} takes no value (or true|false), " +
+          s"got '$v'")
+    }
+
   /** F1 — session names are formatted startup timestamps (cli.rb:30-32). */
   def defaultSessionName(nowMs: Long): String =
     java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
@@ -129,12 +160,12 @@ object Cli {
         s"found ${docs.columns.mkString(",")}")
     val cleaned = opts.get("eval") match {
       case Some(evalPath) =>
-        val n = opts.get("n").map(_.toInt).getOrElse(5)
+        val n = intOpt(opts, "n", 5)
         if (n < 1) throw CliError(s"--n must be positive, got $n")
         graft.ext.Dedup.despanContaminated(
           docs, spark.read.parquet(evalPath), n)
       case None =>
-        val n = opts.get("n").map(_.toInt).getOrElse(3)
+        val n = intOpt(opts, "n", 3)
         if (n < 1) throw CliError(s"--n must be positive, got $n")
         graft.ext.Dedup.removeDupSpans(docs, n)
     }
@@ -163,7 +194,7 @@ object Cli {
                        opts: Map[String, String]): String = {
     val docsPath = required(opts, "docs")
     val store = required(opts, "store")
-    val n = opts.get("n").map(_.toInt).getOrElse(3)
+    val n = intOpt(opts, "n", 3)
     if (n < 1) throw CliError(s"--n must be positive, got $n")
     val mode = opts.getOrElse("mode", "minhash")
     if (mode != "minhash" && mode != "jaccard")
@@ -174,7 +205,7 @@ object Cli {
         s"found ${docs.columns.mkString(",")}")
     val storePath = new org.apache.hadoop.fs.Path(store)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (opts.get("init").contains("true")) {
+    if (boolFlag(opts, "init")) {
       if (mode == "minhash") {
         graft.ext.Dedup.writeSignatures(docs, store, n)
         val count = graft.ext.Dedup.readSignatures(spark, store).count()
@@ -194,8 +225,8 @@ object Cli {
       val pairs =
         if (mode == "minhash") graft.ext.Dedup.updatePairs(docs, store, n)
         else graft.ext.Dedup.updateJaccardPairs(docs, store, n,
-          threshold = opts.get("threshold").map(_.toDouble).getOrElse(0.5),
-          maxDf = opts.get("max_df").map(_.toInt).getOrElse(50))
+          threshold = doubleOpt(opts, "threshold", 0.5),
+          maxDf = intOpt(opts, "max_df", 50))
       val what =
         if (mode == "minhash") "new candidate pairs" else "new jaccard pairs"
       opts.get("out") match {
@@ -236,7 +267,7 @@ object Cli {
         if (terms.isEmpty) throw CliError("--query must name at least one term")
         if (!fs.exists(storePath))
           throw CliError(s"no index store at $store (run --init first)")
-        val k = opts.get("k").map(_.toInt).getOrElse(10)
+        val k = intOpt(opts, "k", 10)
         if (k < 1) throw CliError(s"--k must be positive, got $k")
         val hits = graft.ext.Retrieval.queryIndex(spark, store, terms, k)
         opts.get("out") match {
@@ -255,7 +286,7 @@ object Cli {
             !docs.columns.contains("text"))
           throw CliError(s"--docs needs doc_id and text columns, " +
             s"found ${docs.columns.mkString(",")}")
-        if (opts.get("init").contains("true")) {
+        if (boolFlag(opts, "init")) {
           if (fs.exists(storePath))
             throw CliError(s"index store already exists at $store " +
               "(drop it or update without --init)")
@@ -298,7 +329,7 @@ object Cli {
       }
     if (tables.isEmpty)
       throw CliError(s"nothing to index under $destRoot/$sessionName")
-    val rebuild = opts.get("rebuild").contains("true")
+    val rebuild = boolFlag(opts, "rebuild")
     tables.map { t =>
       val dir = engine.Exporter.destPath(destRoot, sessionName, t)
       val target =
@@ -383,7 +414,7 @@ object Cli {
     // later incremental into an empty window (start > end) forever.
     val endMs = opts.get("end_time").map(_.toLong)
       .getOrElse(nowMs - Incremental.HotTailGuardMs)
-    val versions = opts.get("versions").map(_.toInt).getOrElse(100000)
+    val versions = intOpt(opts, "versions", 100000)
     val format = formatOpt(opts)
     val specs = tables.map { t =>
       ExportSpec(t, Tables.path(sourceDir, t), tsCol = tsCol,
@@ -393,7 +424,7 @@ object Cli {
     val cat = new BackupCatalog(spark,
       opts.getOrElse("catalog_root", s"$destRoot/_catalog"))
     val runner = new BackupRunner(spark, cat,
-      maxConcurrent = opts.get("max_jobs").map(_.toInt).getOrElse(6))
+      maxConcurrent = intOpt(opts, "max_jobs", 6))
     val summary = runner.exportAll(specs,
       opts.getOrElse("cluster_name", sourceDir), sessionName, destRoot,
       nowMs, specifiedStart = startMs, specifiedEnd = endMs)
@@ -444,7 +475,7 @@ object Cli {
     val importCat = new BackupCatalog(spark,
       opts.getOrElse("import_catalog_root", s"$targetRoot/_catalog"))
     val runner = new BackupRunner(spark, importCat,
-      maxConcurrent = opts.get("max_jobs").map(_.toInt).getOrElse(6))
+      maxConcurrent = intOpt(opts, "max_jobs", 6))
     val importSession = opts.getOrElse("import_session_name",
       defaultSessionName(nowMs))
     val outcomes = runner.importAll(exportCat, requested,

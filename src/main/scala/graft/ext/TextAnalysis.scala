@@ -465,10 +465,14 @@ object TextAnalysis {
       .agg(sum(bpeTokenCount(col("text")).cast("long"))
         .as("domain_tokens"))
     // Σ√T through the dsum contract (scale 12: √T needs fractional
-    // precision a revenue-style scale-2 sum would destroy)
+    // precision a revenue-style scale-2 sum would destroy; precision
+    // 38, not 18: √T for a 10^12-token domain is 10^6, and an
+    // 18-digit cast would overflow to NULL at exactly the corpus
+    // sizes this operator budgets for, silently dropping the domain
+    // from the weight denominator)
     val tots = perDomain.agg(
       sum(col("domain_tokens")).as("t_tot"),
-      sum(sqrt(col("domain_tokens")).cast("decimal(18,12)"))
+      sum(sqrt(col("domain_tokens")).cast("decimal(38,12)"))
         .cast("double").as("wsum"))
     perDomain.crossJoin(broadcast(tots))
       .withColumn("weight",

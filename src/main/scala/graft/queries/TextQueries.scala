@@ -594,7 +594,7 @@ object TextQueries {
          |  FROM documents GROUP BY source),
          |tots AS (
          |  SELECT CAST(SUM(domain_tokens) AS BIGINT) AS t_tot,
-         |    CAST(SUM(CAST(sqrt(domain_tokens) AS DECIMAL(18,12)))
+         |    CAST(SUM(CAST(sqrt(domain_tokens) AS DECIMAL(38,12)))
          |      AS DOUBLE) AS wsum
          |  FROM d),
          |a AS (

@@ -360,6 +360,31 @@ class CliSpec extends SparkTestBase {
     assert(em.message.contains("cannot combine"))
   }
 
+  test("option hygiene: malformed --init and non-numeric --k fail at " +
+    "parse time, not by silent fallthrough or a raw exception") {
+    val store = tmpDir("cli-bm25-hygiene") + "/idx"
+    val base = tmpDir("cli-idx-hyg")
+    Tables.documents(spark, sf0001).select("doc_id", "text")
+      .limit(20).write.mode("overwrite").parquet(base)
+    // `--init yes` must NOT silently parse as false and take the
+    // delta-append path (the full-corpus-retokenize hazard the
+    // init/exists guard refuses)
+    val ei = intercept[CliError](Cli.run(spark, Seq("index",
+      "--docs", base, "--store", store, "--init", "yes"), now))
+    assert(ei.message.contains("--init") && ei.message.contains("yes"))
+    Cli.run(spark,
+      Seq("index", "--docs", base, "--store", store, "--init"), now)
+    // non-numeric --k is a CliError, per the --format parse contract
+    val ek = intercept[CliError](Cli.run(spark, Seq("index",
+      "--store", store, "--query", "dup", "--k", "lots"), now))
+    assert(ek.message.contains("--k") && ek.message.contains("lots"))
+    // same contract for the despan command's numeric knob
+    val en = intercept[CliError](Cli.run(spark, Seq("despan",
+      "--docs", base, "--out", tmpDir("cli-despan-hyg") + "/o",
+      "--n", "three"), now))
+    assert(en.message.contains("--n") && en.message.contains("three"))
+  }
+
   test("compact validation: a missing session dir fails loudly") {
     val e = intercept[CliError](Cli.run(spark, Seq("compact",
       "--dest-root", tmpDir("cli-ghost"), "--session-name", "nope"), now))

@@ -580,4 +580,27 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!out("big")._6, "largest domain must be uncapped")
     assert(out == run(rows.repartition(7)), "partition invariance")
   }
+
+  test("epochBudget: the √T weight-sum decimal holds trillion-token " +
+    "domains (the 100 TB design point) where an 18-digit cast nulls") {
+    import org.apache.spark.sql.functions._
+    // √(10^12) = 10^6 needs 7 integer digits at scale 12 — beyond
+    // DECIMAL(18,12)'s 6. The operator must use (38,12) so a domain
+    // at the operator's own design scale can't silently vanish from
+    // the weight denominator (non-ANSI cast overflow → NULL → domain
+    // dropped → weights sum > 1 → budget overshoot).
+    // (under this session's ANSI default the narrow cast throws
+    // instead — either failure mode breaks the operator at scale)
+    val t = spark.range(1).select(lit(1000L * 1000 * 1000 * 1000)
+      .as("domain_tokens"))
+    val narrowBreaks =
+      try t.select(sqrt(col("domain_tokens"))
+        .cast("decimal(18,12)").as("w")).head.isNullAt(0)
+      catch { case _: ArithmeticException => true }
+    val wide = t.select(sqrt(col("domain_tokens"))
+      .cast("decimal(38,12)").as("w")).head.getDecimal(0)
+    assert(narrowBreaks,
+      "if (18,12) ever starts holding 10^6 this pin is stale")
+    assert(wide != null && math.abs(wide.doubleValue - 1e6) < 1e-6)
+  }
 }
