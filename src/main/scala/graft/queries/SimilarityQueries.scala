@@ -365,9 +365,13 @@ object SimilarityQueries {
          |  FROM documents),
          |w AS (
          |  SELECT doc_id,
-         |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-         |      ((tf * (1.2 + 1.0)) /
-         |       (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))),
+         |    round(ln(CAST(1.0 AS DOUBLE) +
+         |        (n_docs - df + CAST(0.5 AS DOUBLE)) /
+         |        (df + CAST(0.5 AS DOUBLE))) *
+         |      ((tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+         |       (tf + CAST(1.2 AS DOUBLE) *
+         |        ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+         |         (CAST(0.75 AS DOUBLE) * dl) / avgdl))),
          |      6) AS w
          |  FROM tf JOIN dft USING (token) CROSS JOIN stats)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
@@ -443,8 +447,8 @@ object SimilarityQueries {
          |  SELECT vec_id, sub, cell, sv
          |  FROM sv JOIN cb0 USING (sub)
          |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
-         |    ORDER BY round(list_distance(sv, c_sv) *
-         |                   list_distance(sv, c_sv), 4), cell) = 1),
+         |    ORDER BY round(list_sum(list_transform(range(1, len(sv)+1),
+         |      i -> (sv[i]-c_sv[i])*(sv[i]-c_sv[i]))), 4), cell) = 1),
          |byd AS (
          |  SELECT sub, cell, CAST(i AS INT) AS dim,
          |         sv[CAST(i+1 AS INT)] AS v
@@ -459,8 +463,8 @@ object SimilarityQueries {
          |  SELECT vec_id, sub, cell
          |  FROM sv JOIN cb1 USING (sub)
          |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
-         |    ORDER BY round(list_distance(sv, c_sv) *
-         |                   list_distance(sv, c_sv), 4), cell) = 1),
+         |    ORDER BY round(list_sum(list_transform(range(1, len(sv)+1),
+         |      i -> (sv[i]-c_sv[i])*(sv[i]-c_sv[i]))), 4), cell) = 1),
          |codesc AS (
          |  SELECT c.vec_id, c.sub, c.cell, r.coarse_id
          |  FROM codes c JOIN er r USING (vec_id)),
@@ -523,8 +527,8 @@ object SimilarityQueries {
          |  SELECT vec_id, sub, cell, sv
          |  FROM sv JOIN cb0 USING (sub)
          |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
-         |    ORDER BY round(list_distance(sv, c_sv) *
-         |                   list_distance(sv, c_sv), 4), cell) = 1),
+         |    ORDER BY round(list_sum(list_transform(range(1, len(sv)+1),
+         |      i -> (sv[i]-c_sv[i])*(sv[i]-c_sv[i]))), 4), cell) = 1),
          |byd AS (
          |  SELECT sub, cell, CAST(i AS INT) AS dim,
          |         sv[CAST(i+1 AS INT)] AS v
@@ -539,8 +543,8 @@ object SimilarityQueries {
          |  SELECT vec_id, sub, cell
          |  FROM sv JOIN cb1 USING (sub)
          |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
-         |    ORDER BY round(list_distance(sv, c_sv) *
-         |                   list_distance(sv, c_sv), 4), cell) = 1),
+         |    ORDER BY round(list_sum(list_transform(range(1, len(sv)+1),
+         |      i -> (sv[i]-c_sv[i])*(sv[i]-c_sv[i]))), 4), cell) = 1),
          |qsv AS (
          |  SELECT query_id, CAST(s AS INT) AS sub,
          |         emb[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS q_sv
