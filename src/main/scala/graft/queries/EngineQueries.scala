@@ -267,6 +267,24 @@ object EngineQueries {
     * rank, and the final select interpolates. Measured 2.8 s → 0.6 s
     * vs the array-form `percentile` at sf0.1 (noop-sink bench).
     *
+    * The running sum in step (2) takes two shapes:
+    *  - WITH group columns, a per-group Window over the counted table
+    *    — partition count bounded by the group domain, each partition
+    *    NDV-of-one-group sized;
+    *  - WITHOUT groups, the same Window would be an UNPARTITIONED
+    *    global sort into one task ("Moving all data to a single
+    *    partition") — a scale-killer on near-continuous columns whose
+    *    NDV grows with the data. Instead: the x23 idiom — distributed
+    *    range-sort of the counted table, per-partition subtotals
+    *    collected (one row per partition, KB scale), broadcast back as
+    *    prefix offsets, and the cumulative count emitted by a narrow
+    *    per-partition pass. Same numbers, every stage distributed; the
+    *    sort's shuffle files are reused by the final job.
+    *
+    * EAGERNESS CAVEAT (ungrouped form only, as at x23): collecting the
+    * per-partition subtotals launches the sort at CONSTRUCTION time;
+    * plan-only consumers pay it at their own SF.
+    *
     * Input: a frame with the value in column `v` plus the group
     * columns. Output: `groupCols ++ (n, q0..q_{k-1})` — `n` is the
     * group's value count, `qi` the i-th requested quantile.
@@ -276,14 +294,39 @@ object EngineQueries {
       ps: Seq[Double],
       groupCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val g = groupCols.map(col)
-    val wRun = Window.partitionBy(g: _*).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(g: _*).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = values.groupBy((g :+ col("v")): _*)
+    val counted = values.groupBy((g :+ col("v")): _*)
       .agg(count(lit(1)).as("c"))
-      .select((g :+ col("v") :+ sum(col("c")).over(wRun).as("cum") :+
-        sum(col("c")).over(wAll).as("n")): _*)
+    val cum = if (groupCols.nonEmpty) {
+      val wRun = Window.partitionBy(g: _*).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(g: _*).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      counted
+        .select((g :+ col("v") :+ sum(col("c")).over(wRun).as("cum") :+
+          sum(col("c")).over(wAll).as("n")): _*)
+    } else {
+      val spark = values.sparkSession
+      val sorted = counted.orderBy(col("v"))
+      val rdd = sorted.rdd // shared lineage: the sort shuffle runs once
+      val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = partSums.scanLeft(0L)(_ + _)
+      val total = offsets.last
+      val cumRdd = rdd.mapPartitionsWithIndex { (i, it) =>
+        var run = offsets(i)
+        it.map { r =>
+          run += r.getLong(1)
+          org.apache.spark.sql.Row(r.get(0), run)
+        }
+      }
+      spark.createDataFrame(cumRdd, org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("v",
+              sorted.schema("v").dataType),
+            org.apache.spark.sql.types.StructField("cum",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        .withColumn("n", lit(total))
+    }
     // rank of percentile p (constant within a group: n is per-group)
     def r(p: Double) = (col("n") - 1) * p
     val picks = ps.zipWithIndex.flatMap { case (p, i) => Seq(

@@ -79,6 +79,30 @@ class PlanSpec extends SparkTestBase {
         s"(remove from the list): ${stale.mkString(", ")}")
   }
 
+  test("global audit: no UNPARTITIONED window in any contract query — " +
+    "an empty partitionSpec is a one-task global sort at any SF") {
+    // The shape Spark itself warns about ("Window operation! Moving
+    // all data to a single partition"): every row shuffles into ONE
+    // task to sort. Grouped windows (bounded partition domains) pass;
+    // global running sums/ranks must use the distributed idioms this
+    // repo already carries (x23's sort + zipWithIndex rank,
+    // exactQuantiles' prefix-sum offsets). Whitelist: currently empty
+    // — nothing in the contract needs a global window; keep it that
+    // way, or justify an entry the way allPairsByDesign does.
+    val globalWindowByDesign = Set.empty[String]
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(globalWindowByDesign)
+      .filter { name =>
+        SparkEntry.queries(name)(spark, sf0001)
+          .queryExecution.sparkPlan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty => w
+          }.nonEmpty
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned global window in: ${offenders.mkString(", ")}")
+  }
+
   test("global audit: checkpointing queries have no all-pairs join in " +
     "ANY executed stage, including pre-checkpoint ones") {
     // d07/d08/d09 eagerly execute+checkpoint candidate/label/assignment
