@@ -109,6 +109,46 @@ object EventQueries {
           round(col("q1"), 1).as("p90_us"))
     },
 
+    /** ev18 — ev16's 100 TB serving path, made real: per-type
+      * inter-arrival quantiles from a SINGLE-PASS mergeable sketch
+      * (approx_percentile, accuracy 1000) instead of exact per-group
+      * counted quantiles. Same e08 bounded-oracle scheme: the query
+      * emits the exact interpolated quantiles at p ± 2/accuracy (the
+      * GK rank guarantee, doubled margin for the rank-convention
+      * off-by-one) plus in-bound BOOLEANS evaluated in Spark against
+      * the unrounded bounds; DuckDB recomputes the bounds and asserts
+      * the booleans TRUE. A sketch outside its documented error flips
+      * a boolean and hash-fails — a bounded pass, not rows-only. At
+      * scale the bound columns (the expensive exact side) drop and
+      * the sketch stands alone; here they ARE the oracle check.
+      */
+    "ev18_interarrival_sketch" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"))
+      val gaps = Tables.eventsTs(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("us"))
+        .withColumn("gap",
+          (col("us") - lag(col("us"), 1).over(w)).cast("double"))
+        .filter(col("gap").isNotNull)
+        .select(col("event_type"), col("gap"))
+      val eps = 2.0 / 1000.0
+      val bounds = EngineQueries.exactQuantiles(
+        gaps.select(col("event_type"), col("gap").as("v")),
+        Seq(0.5 - eps, 0.5 + eps, 0.9 - eps, 0.9 + eps),
+        groupCols = Seq("event_type"))
+      val sketch = gaps.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_gaps"),
+        percentile_approx(col("gap"), lit(0.5), lit(1000)).as("p50s"),
+        percentile_approx(col("gap"), lit(0.9), lit(1000)).as("p90s"))
+      sketch.join(bounds, "event_type").select(
+        col("event_type"), col("n_gaps"),
+        round(col("q0"), 1).as("p50_lo"), round(col("q1"), 1).as("p50_hi"),
+        col("p50s").between(col("q0"), col("q1")).as("p50_in_bound"),
+        round(col("q2"), 1).as("p90_lo"), round(col("q3"), 1).as("p90_hi"),
+        col("p90s").between(col("q2"), col("q3")).as("p90_in_bound"))
+    },
+
     /** ev15 — weekly cohort retention: users bucketed by the week of
       * their first event; for each (cohort week, week offset), how
       * many of that cohort were active. The activity set is
@@ -476,6 +516,24 @@ object EventQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "ev18_interarrival_sketch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(us - lag(us) OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY us) AS DOUBLE) AS gap
+        |  FROM e)
+        |SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap, 0.498), 1) AS p50_lo,
+        |  round(quantile_cont(gap, 0.502), 1) AS p50_hi,
+        |  TRUE AS p50_in_bound,
+        |  round(quantile_cont(gap, 0.898), 1) AS p90_lo,
+        |  round(quantile_cont(gap, 0.902), 1) AS p90_hi,
+        |  TRUE AS p90_in_bound
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
     "ev16_interarrival" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
