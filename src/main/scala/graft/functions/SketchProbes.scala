@@ -46,17 +46,38 @@ object SketchProbes {
   def cmsEstimate(cms: CountMinSketch, s: UTF8String): Long =
     cms.estimateCount(s.toString)
 
+  /** Above this many bytes a sketch stops riding `addReferenceObj`
+    * (which serializes it INTO every task binary — fine at the
+    * KB–1 MiB sketches the queries build, where it broadcasts once
+    * per stage with the closure) and ships as an explicit
+    * TorrentBroadcast instead: chunked, fetched once per EXECUTOR,
+    * reused across stages, and the task binary stays small. The gate
+    * is in the factories, so call sites never choose wrong as
+    * sketches grow.
+    */
+  val InlineSketchMaxBytes: Long = 4L << 20
+
   def bloom_might_contain(h: Column, words: Array[Long], k: Int,
                           m: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge
-    GraftColumnBridge.column(BloomMightContain(
-      GraftColumnBridge.expression(h), words, k, m))
+    val e = GraftColumnBridge.expression(h)
+    GraftColumnBridge.column(
+      if (words.length.toLong * 8 <= InlineSketchMaxBytes)
+        BloomMightContain(e, words, k, m)
+      else BloomMightContainBroadcast(e,
+        org.apache.spark.sql.SparkSession.active.sparkContext
+          .broadcast(words), k, m))
   }
 
   def cms_estimate(token: Column, cms: CountMinSketch): Column = {
     import org.apache.spark.sql.GraftColumnBridge
-    GraftColumnBridge.column(CmsEstimate(
-      GraftColumnBridge.expression(token), cms))
+    val e = GraftColumnBridge.expression(token)
+    GraftColumnBridge.column(
+      if (cms.depth.toLong * cms.width * 8 <= InlineSketchMaxBytes)
+        CmsEstimate(e, cms)
+      else CmsEstimateBroadcast(e,
+        org.apache.spark.sql.SparkSession.active.sparkContext
+          .broadcast(cms)))
   }
 }
 
@@ -101,6 +122,53 @@ case class BloomMightContain(child: Expression, words: Array[Long],
       newChild: Expression): BloomMightContain = copy(child = newChild)
 }
 
+/** [[BloomMightContain]] over an explicit TorrentBroadcast handle —
+  * the >[[SketchProbes.InlineSketchMaxBytes]] form the factory picks:
+  * only the handle rides the task binary; the bitmap is fetched once
+  * per executor and hoisted into generated-class state (one `.value`
+  * per task, not per row). Semantics identical: NULL probes false.
+  */
+case class BloomMightContainBroadcast(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+    k: Int, m: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain expects the bigint base60 hash, got " +
+          dt.simpleString)
+    }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    v != null &&
+      SketchProbes.bloomMight(bc.value, v.asInstanceOf[Long], k, m)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val w = ctx.addMutableState("long[]", "bloomWords",
+      v => s"$v = (long[]) $bcRef.value();")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.value} = !${c.isNull} &&
+        graft.functions.SketchProbes.bloomMight($w, ${c.value}, $k, $m);
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContainBroadcast =
+    copy(child = newChild)
+}
+
 /** `estimate_count` against a driver-built CountMinSketch. Standard
   * null propagation (the UDF's callers pre-filtered nulls; the
   * expression doesn't need them to).
@@ -130,4 +198,41 @@ case class CmsEstimate(child: Expression, cms: CountMinSketch)
 
   override protected def withNewChildInternal(
       newChild: Expression): CmsEstimate = copy(child = newChild)
+}
+
+/** [[CmsEstimate]] over an explicit TorrentBroadcast handle — the
+  * >[[SketchProbes.InlineSketchMaxBytes]] form (depth·width·8 bytes):
+  * handle in the task binary, sketch fetched once per executor and
+  * hoisted into generated-class state.
+  */
+case class CmsEstimateBroadcast(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[CountMinSketch])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate expects string, got ${dt.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(s: Any): Any =
+    SketchProbes.cmsEstimate(bc.value, s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("cmsBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val sketch = ctx.addMutableState(classOf[CountMinSketch].getName,
+      "cmsSketch",
+      v => s"$v = (${classOf[CountMinSketch].getName}) $bcRef.value();")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchProbes.cmsEstimate($sketch, $c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CmsEstimateBroadcast = copy(child = newChild)
 }

@@ -87,4 +87,76 @@ class SketchProbesSpec extends SparkTestBase {
         s"$t: CMS under-estimated — impossible by construction")
     }
   }
+
+  test("size gate: a >InlineSketchMaxBytes bloom ships as an explicit " +
+    "broadcast handle (small task binary), same answers, still codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    // 16 MiB of bitmap (2^21 longs) — 4x the inline ceiling; with
+    // addReferenceObj this would serialize 16 MiB into EVERY task
+    // binary (the DAGScheduler 'broadcasting large task binary'
+    // warning the round-8 bench tail carried at 1 MiB)
+    val bigM = 1 << 27
+    val members = (1L to 500L).map(_ * 7919L)
+    val bigWords = {
+      val w = new Array[Long]((bigM + 63) >>> 6)
+      for (h <- members; i <- 0 until k) {
+        val pos = graft.engine.Sketches.bloomPos(i, h, bigM)
+        w(pos >>> 6) |= 1L << (pos & 63)
+      }
+      w
+    }
+    assert(bigWords.length.toLong * 8 > SketchProbes.InlineSketchMaxBytes)
+    val probeCol = SketchProbes
+      .bloom_might_contain(col("h"), bigWords, k, bigM)
+    // the factory must have picked the broadcast-backed expression…
+    assert(GraftColumnBridge.expression(probeCol)
+      .isInstanceOf[BloomMightContainBroadcast],
+      "factory inlined a sketch above the task-binary ceiling")
+    // …and a small sketch must stay inline (no broadcast round-trips
+    // for the KB-scale sketches every query builds)
+    assert(GraftColumnBridge.expression(SketchProbes
+        .bloom_might_contain(col("h"), builtWords(members), k, m))
+      .isInstanceOf[BloomMightContain])
+    // answers: members all hit, codegen == scalar, null probes false
+    val probes: Seq[Option[Long]] = members.take(60).map(Some(_)) ++
+      (1L to 60L).map(i => Some(i * 104729L + 13L)) ++ Seq(None)
+    val dir = tmpDir("bloom-bcast") + "/h"
+    probes.toDF("h").write.parquet(dir)
+    val scanned = spark.read.parquet(dir)
+      .select(col("h"), probeCol.as("might"))
+    val got = scanned.collect().map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getBoolean(1)))
+    got.foreach { case (h, might) =>
+      val want = h.exists(SketchProbes.bloomMight(bigWords, _, k, bigM))
+      assert(might == want, s"probe $h: broadcast path $might vs $want")
+    }
+    assert(got.filter(_._1.exists(members.contains)).forall(_._2))
+    assert(got.find(_._1.isEmpty).exists(_._2 == false))
+    // the broadcast form keeps the whole-stage-codegen contract
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[h#""".r.findFirstIn(plan).isDefined ||
+      """\*\(\d+\) Project \[""".r.findFirstIn(plan).isDefined,
+      s"broadcast bloom probe fell out of whole-stage codegen:\n$plan")
+    // CMS gate: same rule through the cms_estimate factory
+    val tokens = (1 to 100).map(i => s"tok${i % 10}")
+    val smallCms = tokens.toDF("token")
+      .stat.countMinSketch("token", 1e-3, 0.99, 42)
+    assert(GraftColumnBridge.expression(
+        SketchProbes.cms_estimate(col("token"), smallCms))
+      .isInstanceOf[CmsEstimate])
+    val bigCms = tokens.toDF("token")
+      .stat.countMinSketch("token", 1e-5, 0.99, 42) // ~8 MiB of counters
+    assert(bigCms.depth.toLong * bigCms.width * 8 >
+      SketchProbes.InlineSketchMaxBytes)
+    val bigCol = SketchProbes.cms_estimate(col("token"), bigCms)
+    assert(GraftColumnBridge.expression(bigCol)
+      .isInstanceOf[CmsEstimateBroadcast])
+    val est = Seq("tok1", "ghost").toDF("token")
+      .select(col("token"), bigCol.as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("tok1") == bigCms.estimateCount("tok1") &&
+      est("ghost") == bigCms.estimateCount("ghost"),
+      "broadcast CMS path diverged from the direct sketch")
+  }
 }
