@@ -167,8 +167,13 @@ object Bench {
     // getOrElse, NOT .get: a systemic failure can inflate failedJson
     // past the limit in every tier, and the one thing a bench must
     // never do is crash without printing its summary line
+    // stop Spark BEFORE printing: the summary line must be the very
+    // last bytes on stdout — shutdown logging (or a misrouted
+    // appender) trailing it is exactly what pushes the JSON out of a
+    // tail-buffered capture
+    spark.stop()
     println(Seq(line(Some(scaled(2))), line(Some(scaled(1))), line(None))
       .find(_.length <= 1850).getOrElse(line(None)))
-    spark.stop()
+    System.out.flush()
   }
 }

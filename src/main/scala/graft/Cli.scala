@@ -130,15 +130,172 @@ object Cli {
       case Some("dedup") => dedupCmd(spark, parseOpts(args.tail))
       case Some("despan") => despanCmd(spark, parseOpts(args.tail))
       case Some("index") => indexCmd(spark, parseOpts(args.tail))
+      case Some("bm25") => bm25Cmd(spark, parseOpts(args.tail))
+      case Some("dsir") => dsirCmd(spark, parseOpts(args.tail))
+      case Some("epoch-budget") | Some("epoch_budget") =>
+        epochBudgetCmd(spark, parseOpts(args.tail))
       case Some(other) => throw CliError(
         s"unknown command: $other " +
           "(expected export | import | db | compact | zonemap | dedup " +
-          "| despan | index)")
+          "| despan | index | bm25 | dsir | epoch-budget)")
       case None =>
         throw CliError(
           "usage: graft.Cli <export|import|db|compact|zonemap|dedup" +
-            "|despan|index> [--options]")
+            "|despan|index|bm25|dsir|epoch-budget> [--options]")
     }
+
+  /** Read a corpus parquet and insist on the (doc_id, text) contract
+    * every text command shares — one loud message, not a Spark
+    * resolution error mid-plan.
+    */
+  private def readDocs(spark: SparkSession, path: String,
+                       extra: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = spark.read.parquet(path)
+    val needed = Seq("doc_id", "text") ++ extra
+    val missing = needed.filterNot(docs.columns.contains)
+    if (missing.nonEmpty)
+      throw CliError(s"--docs needs ${needed.mkString(", ")} columns, " +
+        s"found ${docs.columns.mkString(",")}")
+    docs
+  }
+
+  /** `bm25` — [EXT] ad-hoc ranked retrieval straight off the corpus
+    * at `--docs` (ext.Retrieval.bm25TopK: two corpus passes, no
+    * stored index — the one-shot form; keep a persisted store with
+    * `index` when the same corpus serves many queries). `--query
+    * "terms"`, `--k` results (default 10), `--out` parquet or a
+    * printed ranking.
+    */
+  private def bm25Cmd(spark: SparkSession,
+                      opts: Map[String, String]): String = {
+    val docs = readDocs(spark, required(opts, "docs"))
+    val terms = required(opts, "query").split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    if (terms.isEmpty) throw CliError("--query must name at least one term")
+    val k = intOpt(opts, "k", 10)
+    if (k < 1) throw CliError(s"--k must be positive, got $k")
+    val hits = graft.ext.Retrieval.bm25TopK(
+      docs.select("doc_id", "text"), terms, k)
+    opts.get("out") match {
+      case Some(out) =>
+        hits.write.mode("overwrite").parquet(out)
+        s"${spark.read.parquet(out).count()} hits -> $out"
+      case None =>
+        hits.collect().map(r =>
+          f"${r.getLong(0)}%12d  ${r.getLong(1)}%2d  ${r.getDouble(2)}%9.4f")
+          .mkString(s"      doc_id  terms     score\n", "\n", "")
+    }
+  }
+
+  /** `dsir` — [EXT] importance resampling in its deployment split
+    * (ext.TextAnalysis):
+    *
+    *   - TRAIN (`--target-expr` present): fit the per-bucket
+    *     log-ratio table against the target slice defined by the SQL
+    *     boolean (e.g. `--target-expr "source = 'wiki'"`), write it
+    *     to `--model` as (b, lr) parquet — the KB-scale artifact the
+    *     scorer ships with.
+    *   - SCORE (`--model` without `--target-expr`): read the model,
+    *     score `--docs` with the pure narrow-map scorer (dsirScore),
+    *     write (…, n_features, logw) to `--out`.
+    *
+    * The split mirrors `dedup`/`index`: train rarely, score at scan
+    * speed; mixing both flags in one invocation is refused.
+    */
+  private def dsirCmd(spark: SparkSession,
+                      opts: Map[String, String]): String = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val model = required(opts, "model")
+    val nBuckets = intOpt(opts, "n_buckets", 256)
+    if (nBuckets < 2) throw CliError(
+      s"--n-buckets must be at least 2, got $nBuckets")
+    opts.get("target_expr") match {
+      case Some(te) =>
+        val docs = readDocs(spark, required(opts, "docs"))
+        if (opts.contains("out"))
+          throw CliError("--out is a SCORE option; training writes " +
+            "only --model (score in a second invocation)")
+        val target =
+          try {
+            val t = docs.select(expr(te).as("t"))
+            if (t.schema.head.dataType !=
+                org.apache.spark.sql.types.BooleanType)
+              throw CliError(s"--target-expr must be a boolean " +
+                s"predicate, '$te' is ${t.schema.head.dataType.simpleString}")
+            expr(te)
+          } catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw CliError(s"--target-expr does not resolve against " +
+                s"the corpus: ${e.getMessage.linesIterator.next()}")
+          }
+        val ratios = graft.ext.TextAnalysis
+          .dsirRatios(docs, target, nBuckets)
+        import spark.implicits._
+        ratios.toSeq.sortBy(_._1).toDF("b", "lr")
+          .coalesce(1).write.mode("overwrite").parquet(model)
+        s"trained dsir model: ${ratios.size} buckets -> $model"
+      case None =>
+        val modelPath = new org.apache.hadoop.fs.Path(model)
+        val fs = modelPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(modelPath))
+          throw CliError(s"no dsir model at $model " +
+            "(train first: --docs ... --target-expr ... --model ...)")
+        val rows = spark.read.parquet(model)
+        if (!rows.columns.contains("b") || !rows.columns.contains("lr"))
+          throw CliError(s"$model is not a dsir model " +
+            s"(expected b, lr columns, found ${rows.columns.mkString(",")})")
+        val ratios = rows.collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        if (ratios.keySet != (0L until ratios.size.toLong).toSet)
+          throw CliError(s"$model bucket domain is not contiguous " +
+            s"0..${ratios.size - 1} — wrong or truncated model")
+        val out = required(opts, "out")
+        val docs = readDocs(spark, required(opts, "docs"))
+        graft.ext.TextAnalysis.dsirScore(docs, ratios, ratios.size)
+          .write.mode("overwrite").parquet(out)
+        s"scored ${spark.read.parquet(out).count()} documents " +
+          s"(${ratios.size}-bucket model) -> $out"
+    }
+  }
+
+  /** `epoch-budget` — [EXT] data-constrained epoch allocation over
+    * the corpus at `--docs` (ext.TextAnalysis.epochBudget):
+    * √-temperature weights, `--budget-frac` of total supply
+    * (default 0.6), per-domain repetition cap `--max-epochs`
+    * (default 0.6). `--out` parquet, or the per-domain table printed
+    * (domains are few by construction).
+    */
+  private def epochBudgetCmd(spark: SparkSession,
+                             opts: Map[String, String]): String = {
+    val docs = readDocs(spark, required(opts, "docs"),
+      extra = Seq("source"))
+    val budgetFrac = doubleOpt(opts, "budget_frac", 0.6)
+    if (budgetFrac <= 0 || budgetFrac > 1) throw CliError(
+      s"--budget-frac must be in (0, 1], got $budgetFrac")
+    val maxEpochs = doubleOpt(opts, "max_epochs", 0.6)
+    if (maxEpochs <= 0) throw CliError(
+      s"--max-epochs must be positive, got $maxEpochs")
+    val alloc = graft.ext.TextAnalysis
+      .epochBudget(docs, budgetFrac, maxEpochs)
+    opts.get("out") match {
+      case Some(out) =>
+        alloc.write.mode("overwrite").parquet(out)
+        s"${spark.read.parquet(out).count()} domains -> $out"
+      case None =>
+        alloc.orderBy(org.apache.spark.sql.functions.col("source"))
+          .collect().map { r =>
+            f"${r.getAs[String]("source")}%-20s " +
+              f"${r.getAs[Long]("domain_tokens")}%12d " +
+              f"${r.getAs[Long]("allocated_tokens")}%12d " +
+              f"${r.getAs[Double]("epochs")}%7.4f " +
+              (if (r.getAs[Boolean]("capped")) "capped" else "")
+          }.mkString(
+            f"${"source"}%-20s ${"tokens"}%12s ${"allocated"}%12s " +
+              f"${"epochs"}%7s\n", "\n", "")
+    }
+  }
 
   /** `despan` — [EXT] one-shot span-level cleaning (ext.Dedup): cut
     * duplicated spans out of the corpus at `--docs` and write the

@@ -385,6 +385,106 @@ class CliSpec extends SparkTestBase {
     assert(en.message.contains("--n") && en.message.contains("three"))
   }
 
+  test("bm25 command: ad-hoc corpus ranking matches the library ranker") {
+    val base = tmpDir("cli-bm25adhoc")
+    val docs = Tables.documents(spark, sf0001)
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(base)
+    val out = tmpDir("cli-bm25adhoc-hits") + "/hits"
+    val msg = Cli.run(spark, Seq("bm25", "--docs", base,
+      "--query", "dup merge spark", "--k", "7", "--out", out), now)
+    assert(msg.contains("7 hits"))
+    val got = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    val exp = graft.ext.Retrieval.bm25TopK(
+      docs.select("doc_id", "text"), Seq("dup", "merge", "spark"), 7)
+      .collect().map(_.toSeq).toSet
+    assert(got == exp, "CLI bm25 diverged from Retrieval.bm25TopK")
+    // stdout mode prints a ranked table
+    val txt = Cli.run(spark, Seq("bm25", "--docs", base,
+      "--query", "dup", "--k", "2"), now)
+    assert(txt.contains("doc_id") && txt.linesIterator.size == 3, txt)
+    assert(intercept[CliError](Cli.run(spark, Seq("bm25",
+      "--docs", base, "--query", "  "), now))
+      .message.contains("at least one term"))
+  }
+
+  test("dsir command: train writes the bucket model, score round-trips " +
+    "it through the narrow-map scorer, malformed invocations refused") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = tmpDir("cli-dsir-docs")
+    val docs = Tables.documents(spark, sf0001)
+    docs.write.mode("overwrite").parquet(base)
+    val model = tmpDir("cli-dsir") + "/model"
+    // score before train fails loudly
+    assert(intercept[CliError](Cli.run(spark, Seq("dsir",
+      "--docs", base, "--model", model,
+      "--out", tmpDir("cli-dsir-pre") + "/o"), now))
+      .message.contains("no dsir model"))
+    // non-boolean / non-resolving target expressions are usage errors
+    assert(intercept[CliError](Cli.run(spark, Seq("dsir", "--docs", base,
+      "--model", model, "--target-expr", "n_chars + 1"), now))
+      .message.contains("boolean"))
+    assert(intercept[CliError](Cli.run(spark, Seq("dsir", "--docs", base,
+      "--model", model, "--target-expr", "ghost_col = 1"), now))
+      .message.contains("resolve"))
+    // train against a real slice
+    val tr = Cli.run(spark, Seq("dsir", "--docs", base,
+      "--target-expr", "source = 'src1'", "--model", model), now)
+    assert(tr.contains("256 buckets"))
+    // the written model IS dsirRatios
+    val stored = spark.read.parquet(model).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = graft.ext.TextAnalysis
+      .dsirRatios(docs, expr("source = 'src1'"))
+    assert(stored == direct, "stored model diverged from dsirRatios")
+    // score: the narrow-map scorer over the stored model
+    val out = tmpDir("cli-dsir-scored") + "/o"
+    val sc = Cli.run(spark, Seq("dsir", "--docs", base,
+      "--model", model, "--out", out), now)
+    assert(sc.contains("scored") && sc.contains("256-bucket"))
+    val scored = spark.read.parquet(out)
+      .select(col("doc_id"), col("logw")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = graft.ext.TextAnalysis.dsirScore(docs, direct)
+      .select(col("doc_id"), col("logw")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored == want, "CLI score diverged from dsirScore")
+    assert(scored.size == docs.count())
+  }
+
+  test("epoch-budget command: allocation invariants hold, bad knobs " +
+    "fail at parse time") {
+    val base = tmpDir("cli-epoch-docs")
+    Tables.documents(spark, sf0001).write.mode("overwrite").parquet(base)
+    val out = tmpDir("cli-epoch") + "/alloc"
+    val msg = Cli.run(spark, Seq("epoch-budget", "--docs", base,
+      "--budget-frac", "0.5", "--max-epochs", "0.8",
+      "--out", out), now)
+    assert(msg.contains("20 domains"))
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("allocated_tokens") <=
+        r.getAs[Long]("requested_tokens"))
+      assert(r.getAs[Double]("epochs") <= 0.8 + 1e-9)
+    }
+    // printed form carries every domain
+    val txt = Cli.run(spark,
+      Seq("epoch-budget", "--docs", base), now)
+    assert(txt.linesIterator.size == 21 && txt.contains("src1"), txt)
+    assert(intercept[CliError](Cli.run(spark, Seq("epoch-budget",
+      "--docs", base, "--budget-frac", "1.5"), now))
+      .message.contains("budget-frac"))
+    assert(intercept[CliError](Cli.run(spark, Seq("epoch-budget",
+      "--docs", base, "--max-epochs", "-1"), now))
+      .message.contains("max-epochs"))
+    // a corpus without source cannot be budgeted by domain
+    val noSrc = tmpDir("cli-epoch-nosrc")
+    Tables.documents(spark, sf0001).select("doc_id", "text")
+      .write.mode("overwrite").parquet(noSrc)
+    assert(intercept[CliError](Cli.run(spark, Seq("epoch-budget",
+      "--docs", noSrc), now)).message.contains("source"))
+  }
+
   test("compact validation: a missing session dir fails loudly") {
     val e = intercept[CliError](Cli.run(spark, Seq("compact",
       "--dest-root", tmpDir("cli-ghost"), "--session-name", "nope"), now))
