@@ -435,6 +435,171 @@ object TextAnalysis {
         col("key"))
   }
 
+  // ───────────────────────── quality probe ─────────────────────────
+
+  /** The algebraic sigmoid σ̃(z) = ½(1 + z/(1+|z|)) — the quality
+    * probe's link function. NOT exp-based: IEEE requires correct
+    * rounding for +,·,/,|·| but NOT for exp, so a logistic link would
+    * make training engine-divergent in the last ulp; this rational
+    * squash is monotone, (0,1)-bounded, symmetric, and bit-identical
+    * in every engine (DuckDB replays it verbatim).
+    */
+  private def squash(z: Column): Column =
+    lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+
+  /** Per-document hashed-feature counts for the quality probe —
+    * (doc_id, y, b, tf) over the [[dsirBuckets]] unigram+bigram space
+    * PLUS a constant bias feature at b = nBuckets with tf = 1 for
+    * every document (so the bias trains and scores through the same
+    * pipeline as every other bucket — no special-casing, and
+    * zero-token documents still carry a row).
+    */
+  private def qualityFeatures(docs: DataFrame, targetCol: Column,
+                              nBuckets: Int): DataFrame = {
+    val y = when(targetCol, lit(1.0d)).otherwise(lit(0.0d))
+    docs.select(col("doc_id"), y.as("y"),
+        explode(dsirBuckets(nBuckets)).as("b"))
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .unionByName(docs.select(col("doc_id"), y.as("y"),
+        lit(nBuckets.toLong).as("b"), lit(1L).as("tf")))
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** One full-batch gradient pass under the CURRENT weights (shipped
+    * as a literal map — KB scale, the dsirScore idiom): margin z per
+    * doc (decimal-summed, rounded to the 6-grid), residual
+    * r = round(y − σ̃(z), 6), then per-bucket gradients
+    * g_b = Σ_docs tf·r (decimal, order-free). Returns the gradients
+    * collected — nBuckets+1 rows max, KB BY CONSTRUCTION (the
+    * pqLocal/dsirRatios contract).
+    */
+  private def qualityGrads(tfb: DataFrame, w: Array[Double],
+                           nBuckets: Int): Map[Long, Double] = {
+    val wMap = map((0 to nBuckets).flatMap(b =>
+      Seq(lit(b.toLong), lit(w(b)))): _*)
+    val r = tfb.withColumn("wb", element_at(wMap, col("b")))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(round(sum((col("tf") * col("wb")).cast("decimal(38,18)"))
+        .cast("double"), 6).as("z"))
+      .select(col("doc_id"),
+        round(col("y") - squash(col("z")), 6).as("r"))
+    tfb.join(r, "doc_id")
+      .groupBy(col("b"))
+      .agg(sum((col("tf") * col("r")).cast("decimal(38,18)"))
+        .cast("double").as("g"))
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+  }
+
+  /** Trainable quality probe [EXT] — the fastText/WebText-classifier
+    * shape every production corpus pipeline runs ("train a classifier
+    * on a quality slice, score the web crawl with it"), built so the
+    * WHOLE training run replays bit-for-bit in the oracle:
+    *
+    *  - features: the [[dsirBuckets]] hashed unigram+bigram counts
+    *    (shared definition — the probe and DSIR read the same space),
+    *    plus the bias-as-bucket-`nBuckets` trick;
+    *  - model: a linear scorer under the algebraic sigmoid
+    *    ([[squash]] — exp is not IEEE-correctly-rounded, this is),
+    *    trained by `epochs` rounds of deterministic FULL-BATCH
+    *    gradient descent from w₀ = 0:
+    *    w ← round(w + lr·(Σ tf·round(y−σ̃(z),6))/n_docs, 6) —
+    *    every intermediate lands on the 6-decimal grid, every sum is
+    *    an order-free DECIMAL sum, so engines cannot drift;
+    *  - EAGER per epoch (the pqTrainOn discipline): each pass
+    *    collects the KB-scale gradient vector and updates driver-side
+    *    (BigDecimal HALF_UP — the same rounding Spark's `round`
+    *    executes), so plans stay shallow at any epoch count and no
+    *    cached intermediate rides a returned plan.
+    *
+    * Scale: per epoch, one doc_id-keyed aggregation over the feature
+    * table (compact (doc_id, b, tf) ints), one doc_id-co-keyed join
+    * shipping one double per doc back onto it, one nBuckets-row
+    * gradient aggregation (map-side combined). Epochs are a small
+    * constant; the weight vector is KB and rides literal maps — at
+    * 100 TB nothing but the feature table ever shuffles, and it
+    * shuffles on the same key every epoch.
+    *
+    * Returns bucket → weight with the bias at key `nBuckets`.
+    */
+  def qualityProbeModel(docs: DataFrame, targetCol: Column,
+                        nBuckets: Int = 256, epochs: Int = 3,
+                        lr: Double = 0.5): Map[Long, Double] = {
+    require(nBuckets >= 2, s"nBuckets must be at least 2, got $nBuckets")
+    require(epochs >= 1, s"training needs at least one epoch, got $epochs")
+    val tfb = qualityFeatures(docs, targetCol, nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = docs.count()
+      require(nDocs > 0, "cannot train a quality probe on an empty corpus")
+      val w = Array.fill(nBuckets + 1)(0.0d)
+      for (_ <- 1 to epochs) {
+        val g = qualityGrads(tfb, w, nBuckets)
+        var b = 0
+        while (b <= nBuckets) {
+          w(b) = round6(w(b) + (lr * g.getOrElse(b.toLong, 0.0d)) / nDocs)
+          b += 1
+        }
+      }
+      (0L to nBuckets.toLong).map(b => b -> w(b.toInt)).toMap
+    } finally tfb.unpersist()
+  }
+
+  /** Score a corpus under a trained probe — the exact (decimal-sum)
+    * form the oracle replays: per doc, margin = round(Σ tf·w, 6)
+    * (bias included via its bucket row), quality = round(σ̃, 6),
+    * predicted = margin ≥ 0. `n_features` counts the doc's distinct
+    * live buckets (bias included). The `+ 0.0` on margin normalizes
+    * a possible −0.0 (engines disagree on rounding it).
+    */
+  def qualityProbeScore(docs: DataFrame,
+                        model: Map[Long, Double]): DataFrame = {
+    val nBuckets = model.size - 1
+    require(nBuckets >= 2 &&
+      model.keySet == (0L to nBuckets.toLong).toSet,
+      s"model must map buckets 0..n contiguously, got ${model.size} keys")
+    val wMap = map(model.toSeq.sortBy(_._1).flatMap { case (b, v) =>
+      Seq(lit(b), lit(v)) }: _*)
+    docs.select(col("doc_id"), explode(dsirBuckets(nBuckets)).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .unionByName(docs.select(col("doc_id"),
+        lit(nBuckets.toLong).as("b"), lit(1L).as("tf")))
+      .withColumn("wb", element_at(wMap, col("b")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"),
+        (round(sum((col("tf") * col("wb")).cast("decimal(38,18)"))
+          .cast("double"), 6) + lit(0.0d)).as("margin"))
+      .withColumn("quality", round(squash(col("margin")), 6))
+      .withColumn("predicted", col("margin") >= 0)
+  }
+
+  /** The probe's DEPLOYMENT scorer — a PURE NARROW MAP (the dsirScore
+    * idiom): featurize in-row, sum weight lookups in-row, no explode,
+    * no join, no shuffle, no state — runs unchanged on a `readStream`
+    * frame and at scan speed over 100 TB. The in-row double sum is
+    * within float-sum error of [[qualityProbeScore]]'s order-free
+    * decimal sum (spec-pinned); the decimal form stays the
+    * oracle-checked truth twin.
+    */
+  def qualityProbeScoreMap(docs: DataFrame,
+                           model: Map[Long, Double]): DataFrame = {
+    val nBuckets = model.size - 1
+    require(nBuckets >= 2 &&
+      model.keySet == (0L to nBuckets.toLong).toSet,
+      s"model must map buckets 0..n contiguously, got ${model.size} keys")
+    val wMap = map(model.toSeq.sortBy(_._1).flatMap { case (b, v) =>
+      Seq(lit(b), lit(v)) }: _*)
+    docs
+      .withColumn("margin",
+        round(aggregate(dsirBuckets(nBuckets), lit(model(nBuckets.toLong)),
+          (acc, b) => acc + element_at(wMap, b)), 6) + lit(0.0d))
+      .withColumn("quality", round(squash(col("margin")), 6))
+      .withColumn("predicted", col("margin") >= 0)
+  }
+
   /** Data-constrained epoch budgeting [EXT] — the "how many epochs of
     * each domain fit the token budget" allocator of a mixture plan
     * (the data-constrained scaling setup: repeating a domain beyond a

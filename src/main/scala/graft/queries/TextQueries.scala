@@ -98,6 +98,25 @@ object TextQueries {
         col("source") === "src0", k = 100, nBuckets = 256)
     },
 
+    /** x35 — trainable quality probe (fastText/WebText-classifier
+      * shape): 3 epochs of deterministic full-batch gradient descent
+      * over hashed unigram+bigram counts against the src0 target
+      * slice, then the whole corpus scored under the trained weights.
+      * The ORACLE REPLAYS THE TRAINING — three unrolled epoch CTEs of
+      * decimal-summed gradients on the 6-decimal grid under the
+      * algebraic sigmoid (exp is not IEEE-correctly-rounded; ½(1 +
+      * z/(1+|z|)) is pure +,·,/,|·| and bit-portable) — so margins
+      * match hash-exactly, not just directionally. EAGER: training
+      * collects a KB-scale gradient per epoch at construction (the
+      * pqTrainOn/x23 caveat).
+      */
+    "x35_quality_probe" -> { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      TextAnalysis.qualityProbeScore(docs,
+        TextAnalysis.qualityProbeModel(docs, col("source") === "src0"))
+    },
+
     /** x33 — data-constrained epoch budgeting: per-domain token
       * supply → √-temperature weights → budget split with a
       * repetition cap (maxEpochs), surplus reported by difference.
@@ -702,6 +721,83 @@ object TextQueries {
     // Spark side op-for-op; ln rounded 6, decimal sum, key rounded 6
     // (NOT coarser — grid points ending in …50 are half-way at 4
     // decimals, where double rounding is engine-divergent)
+    // the x35 oracle REPLAYS THE TRAINING: three unrolled epoch CTEs
+    // (decimal-summed gradients, 6-grid rounds, the algebraic sigmoid
+    // ½(1+z/(1+|z|)) — pure +,·,/,|·|, bit-portable where exp is not),
+    // then scores under w3 — margins hash-match, not just directions.
+    // Epoch 1 is closed-form (w₀ = 0 ⇒ z = 0, σ̃ = 0.5 exactly).
+    "x35_quality_probe" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source = 'src0' AS is_t,
+         |    string_split(text, ' ') AS t
+         |  FROM documents),
+         |feat AS (
+         |  SELECT doc_id, is_t, unnest(t) AS f FROM tok
+         |  UNION ALL
+         |  SELECT doc_id, is_t, unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS f FROM tok),
+         |tfb AS (
+         |  SELECT doc_id,
+         |    CASE WHEN is_t THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST(0.0 AS DOUBLE) END AS y,
+         |    ${Hashing.base60Sql("f")} % 256 AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM feat GROUP BY 1, 2, 3
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    CASE WHEN source = 'src0' THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST(0.0 AS DOUBLE) END AS y,
+         |    256 AS b, CAST(1 AS BIGINT) AS tf
+         |  FROM documents),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |r1 AS (
+         |  SELECT doc_id, round(y - CAST(0.5 AS DOUBLE), 6) AS r
+         |  FROM (SELECT DISTINCT doc_id, y FROM tfb)),
+         |w1 AS (
+         |  SELECT b, round((CAST(0.5 AS DOUBLE) * g) / n, 6) AS w
+         |  FROM (SELECT b,
+         |          CAST(SUM(CAST(tf * r AS DECIMAL(38,18))) AS DOUBLE)
+         |            AS g
+         |        FROM tfb JOIN r1 USING (doc_id) GROUP BY b)
+         |  CROSS JOIN nd),
+         |z2 AS (
+         |  SELECT doc_id, y,
+         |    round(CAST(SUM(CAST(tf * w AS DECIMAL(38,18))) AS DOUBLE),
+         |      6) AS z
+         |  FROM tfb JOIN w1 USING (b) GROUP BY doc_id, y),
+         |r2 AS (
+         |  SELECT doc_id, round(y - (CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + z / (CAST(1.0 AS DOUBLE) + abs(z)))), 6) AS r FROM z2),
+         |w2 AS (
+         |  SELECT b, round(w + (CAST(0.5 AS DOUBLE) * g) / n, 6) AS w
+         |  FROM (SELECT b,
+         |          CAST(SUM(CAST(tf * r AS DECIMAL(38,18))) AS DOUBLE)
+         |            AS g
+         |        FROM tfb JOIN r2 USING (doc_id) GROUP BY b)
+         |  JOIN w1 USING (b) CROSS JOIN nd),
+         |z3 AS (
+         |  SELECT doc_id, y,
+         |    round(CAST(SUM(CAST(tf * w AS DECIMAL(38,18))) AS DOUBLE),
+         |      6) AS z
+         |  FROM tfb JOIN w2 USING (b) GROUP BY doc_id, y),
+         |r3 AS (
+         |  SELECT doc_id, round(y - (CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + z / (CAST(1.0 AS DOUBLE) + abs(z)))), 6) AS r FROM z3),
+         |w3 AS (
+         |  SELECT b, round(w + (CAST(0.5 AS DOUBLE) * g) / n, 6) AS w
+         |  FROM (SELECT b,
+         |          CAST(SUM(CAST(tf * r AS DECIMAL(38,18))) AS DOUBLE)
+         |            AS g
+         |        FROM tfb JOIN r3 USING (doc_id) GROUP BY b)
+         |  JOIN w2 USING (b) CROSS JOIN nd),
+         |scored AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+         |    round(CAST(SUM(CAST(tf * w AS DECIMAL(38,18))) AS DOUBLE),
+         |      6) + CAST(0.0 AS DOUBLE) AS margin
+         |  FROM tfb JOIN w3 USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_features, margin,
+         |  round((CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + margin / (CAST(1.0 AS DOUBLE) + abs(margin)))), 6) AS quality,
+         |  margin >= 0 AS predicted
+         |FROM scored""".stripMargin,
+
     "x31_dsir_resample" ->
       s"""WITH tok AS (
          |  SELECT doc_id, source = 'src0' AS is_t,

@@ -538,6 +538,63 @@ class CorpusOpsSpec extends SparkTestBase {
     TextAnalysis.dsirRelease(rows, target)
   }
 
+  test("quality probe: separable corpus classified exactly, more " +
+    "epochs widen the margin gap, scorers agree, nothing stays cached") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{avg, col, when}
+    // two disjoint vocabularies — linearly separable in bucket space
+    val good = (1 to 60).map(i => (i.toLong, "good",
+      s"alpha bravo charlie delta echo tok${i % 7} foxtrot golf"))
+    val junk = (101 to 160).map(i => (i.toLong, "junk",
+      s"zulu yankee xray whiskey victor spam${i % 7} uniform tango"))
+    val corpus = (good ++ junk).toDF("doc_id", "source", "text")
+    val isGood = col("source") === "good"
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    def model(epochs: Int, df: org.apache.spark.sql.DataFrame = corpus) =
+      TextAnalysis.qualityProbeModel(df, isGood, epochs = epochs)
+    val m3 = model(3)
+    // deterministic + partition-invariant training
+    assert(m3 == model(3, corpus.repartition(7)),
+      "training must not depend on partitioning")
+    // the probe separates the vocabularies perfectly
+    val scored = TextAnalysis.qualityProbeScore(corpus, m3)
+      .join(corpus.select(col("doc_id"), isGood.as("is_good")), "doc_id")
+    val wrong = scored
+      .filter(col("predicted") =!= col("is_good")).count()
+    assert(wrong == 0, s"$wrong misclassified on a separable corpus")
+    // training converges: the mean margin gap (good − junk) widens
+    // with epochs
+    def gap(epochs: Int): Double =
+      TextAnalysis.qualityProbeScore(corpus, model(epochs))
+        .join(corpus.select(col("doc_id"), isGood.as("g")), "doc_id")
+        .agg(avg(when(col("g"), col("margin")))
+          .minus(avg(when(!col("g"), col("margin")))))
+        .head.getDouble(0)
+    val (g1, g3, g6) = (gap(1), gap(3), gap(6))
+    assert(g1 > 0 && g3 > g1 && g6 > g3,
+      s"margin gap must widen with training: $g1, $g3, $g6")
+    // the in-row deployment scorer agrees with the decimal truth twin
+    // (same predictions; margins within float-sum error)
+    val inRow = TextAnalysis.qualityProbeScoreMap(corpus, m3)
+      .select(col("doc_id"), col("margin"), col("predicted")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    val agg = scored.select(col("doc_id"), col("margin"),
+      col("predicted")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(inRow.keySet == agg.keySet)
+    agg.foreach { case (id, (m, p)) =>
+      assert(math.abs(inRow(id)._1 - m) < 1e-9, s"doc $id margin")
+      assert(inRow(id)._2 == p, s"doc $id prediction")
+    }
+    // the training cache is released (the pqTopK discipline): the
+    // model calls above must not have accumulated persistent RDDs
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "qualityProbeModel left cached intermediates behind")
+    // malformed models are refused
+    intercept[IllegalArgumentException](
+      TextAnalysis.qualityProbeScore(corpus, Map(0L -> 1.0, 5L -> 2.0)))
+  }
+
   test("epochBudget: caps bind on small domains, budget covers the " +
     "uncapped ones, invariants hold at any partitioning") {
     import spark.implicits._

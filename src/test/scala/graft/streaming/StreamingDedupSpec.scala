@@ -223,6 +223,51 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("quality-probe scorer: stateless streaming map with an " +
+    "offline-trained model; drain == batch predictions") {
+    import graft.ext.TextAnalysis
+    val corpus = Seq(
+      (1L, "good", "alpha beta gamma delta alpha beta"),
+      (2L, "good", "alpha gamma delta epsilon beta alpha"),
+      (3L, "junk", "zork quux blarg fnord wibble glorp"),
+      (4L, "junk", "fnord zork glorp quux blarg snark"))
+    val train = spark.createDataFrame(corpus)
+      .toDF("doc_id", "source", "text")
+    val model = TextAnalysis.qualityProbeModel(train,
+      col("source") === "good", epochs = 3)
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "zork quux fnord glorp"))
+    val docs = spark.createDataFrame(incoming).toDF("doc_id", "text")
+    val srcDir = tmpDir("qprobe-stream-src")
+    stage(docs.filter(col("doc_id") <= 10), srcDir, "a.parquet")
+    stage(docs.filter(col("doc_id") > 10), srcDir, "b.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val scoredStream = TextAnalysis.qualityProbeScoreMap(stream, model)
+    assert(scoredStream.isStreaming,
+      "probe scoring must stay a stateless streaming transform")
+    StreamingOps.runToCompletion(spark, scoredStream, "qprobe_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("qprobe_stream").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("margin"),
+        r.getAs[Boolean]("predicted"))).toSet
+    val batch = TextAnalysis.qualityProbeScoreMap(docs, model).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("margin"),
+        r.getAs[Boolean]("predicted"))).toSet
+    assert(streamed == batch,
+      "streamed probe scoring diverged from the batch operator")
+    // the good-vocabulary doc is accepted, the junk one rejected
+    val byId = streamed.map(t => t._1 -> t._3).toMap
+    assert(byId(10L) && !byId(11L),
+      s"probe predictions wrong on held-out docs: $byId")
+  }
+
   test("dsir scorer: stateless streaming map with an offline-trained " +
     "model; drain == batch") {
     import graft.ext.TextAnalysis
