@@ -132,16 +132,17 @@ object Cli {
       case Some("index") => indexCmd(spark, parseOpts(args.tail))
       case Some("bm25") => bm25Cmd(spark, parseOpts(args.tail))
       case Some("dsir") => dsirCmd(spark, parseOpts(args.tail))
+      case Some("probe") => probeCmd(spark, parseOpts(args.tail))
       case Some("epoch-budget") | Some("epoch_budget") =>
         epochBudgetCmd(spark, parseOpts(args.tail))
       case Some(other) => throw CliError(
         s"unknown command: $other " +
           "(expected export | import | db | compact | zonemap | dedup " +
-          "| despan | index | bm25 | dsir | epoch-budget)")
+          "| despan | index | bm25 | dsir | probe | epoch-budget)")
       case None =>
         throw CliError(
           "usage: graft.Cli <export|import|db|compact|zonemap|dedup" +
-            "|despan|index|bm25|dsir|epoch-budget> [--options]")
+            "|despan|index|bm25|dsir|probe|epoch-budget> [--options]")
     }
 
   /** Read a corpus parquet and insist on the (doc_id, text) contract
@@ -257,6 +258,79 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         s"scored ${spark.read.parquet(out).count()} documents " +
           s"(${ratios.size}-bucket model) -> $out"
+    }
+  }
+
+  /** `probe` — [EXT] the trainable quality classifier in its
+    * deployment split (ext.TextAnalysis, the `dsir` pattern):
+    *
+    *   - TRAIN (`--target-expr` present): fit the linear probe
+    *     against the SQL-boolean target slice (deterministic
+    *     full-batch GD, `--epochs` default 3, `--n-buckets` default
+    *     256), write the weight table to `--model` as (b, w) parquet
+    *     (bias at b = n-buckets).
+    *   - SCORE (`--model` without `--target-expr`): read the model,
+    *     score `--docs` (margin / quality / predicted) to `--out`.
+    */
+  private def probeCmd(spark: SparkSession,
+                       opts: Map[String, String]): String = {
+    import org.apache.spark.sql.functions.expr
+    val model = required(opts, "model")
+    val nBuckets = intOpt(opts, "n_buckets", 256)
+    if (nBuckets < 2) throw CliError(
+      s"--n-buckets must be at least 2, got $nBuckets")
+    opts.get("target_expr") match {
+      case Some(te) =>
+        val docs = readDocs(spark, required(opts, "docs"))
+        if (opts.contains("out"))
+          throw CliError("--out is a SCORE option; training writes " +
+            "only --model (score in a second invocation)")
+        val epochs = intOpt(opts, "epochs", 3)
+        if (epochs < 1) throw CliError(
+          s"--epochs must be positive, got $epochs")
+        val target =
+          try {
+            val t = docs.select(expr(te).as("t"))
+            if (t.schema.head.dataType !=
+                org.apache.spark.sql.types.BooleanType)
+              throw CliError(s"--target-expr must be a boolean " +
+                s"predicate, '$te' is " +
+                t.schema.head.dataType.simpleString)
+            expr(te)
+          } catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw CliError(s"--target-expr does not resolve against " +
+                s"the corpus: ${e.getMessage.linesIterator.next()}")
+          }
+        val weights = graft.ext.TextAnalysis
+          .qualityProbeModel(docs, target, nBuckets, epochs)
+        import spark.implicits._
+        weights.toSeq.sortBy(_._1).toDF("b", "w")
+          .coalesce(1).write.mode("overwrite").parquet(model)
+        s"trained quality probe: ${weights.size - 1} buckets + bias " +
+          s"($epochs epochs) -> $model"
+      case None =>
+        val modelPath = new org.apache.hadoop.fs.Path(model)
+        val fs = modelPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(modelPath))
+          throw CliError(s"no probe model at $model " +
+            "(train first: --docs ... --target-expr ... --model ...)")
+        val rows = spark.read.parquet(model)
+        if (!rows.columns.contains("b") || !rows.columns.contains("w"))
+          throw CliError(s"$model is not a probe model " +
+            s"(expected b, w columns, found ${rows.columns.mkString(",")})")
+        val weights = rows.collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        if (weights.keySet != (0L until weights.size.toLong).toSet)
+          throw CliError(s"$model bucket domain is not contiguous " +
+            s"0..${weights.size - 1} — wrong or truncated model")
+        val out = required(opts, "out")
+        val docs = readDocs(spark, required(opts, "docs"))
+        graft.ext.TextAnalysis.qualityProbeScore(docs, weights)
+          .write.mode("overwrite").parquet(out)
+        s"scored ${spark.read.parquet(out).count()} documents " +
+          s"(${weights.size - 1}-bucket probe) -> $out"
     }
   }
 

@@ -78,6 +78,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "dsir_resample"),
       (args: Seq[Expression]) => graft.ext.TextSql.dsirFromSqlArgs(args)))
     e.injectTableFunction((
+      new FunctionIdentifier("quality_probe"),
+      new ExpressionInfo(graft.ext.TextSql.getClass.getName,
+        "quality_probe"),
+      (args: Seq[Expression]) =>
+        graft.ext.TextSql.qualityProbeFromSqlArgs(args)))
+    e.injectTableFunction((
       new FunctionIdentifier("epoch_budget"),
       new ExpressionInfo(graft.ext.TextSql.getClass.getName,
         "epoch_budget"),

@@ -99,6 +99,35 @@ object TextSql {
       .queryExecution.logical
   }
 
+  /** `quality_probe(docs_table, target_source[, epochs])` — trainable
+    * quality probe (x35) over a table/view with (doc_id, source,
+    * text): train a linear scorer against the docs whose `source`
+    * equals `target_source` (deterministic full-batch GD, default 3
+    * epochs), then score the WHOLE table. Training runs EAGERLY at
+    * plan time (the pqTrainOn discipline — KB-scale gradient collects;
+    * the feature cache is released before this returns, so the SQL
+    * surface leaks nothing).
+    */
+  def qualityProbeFromSqlArgs(args: Seq[Expression]): LogicalPlan = {
+    val usage = "quality_probe(docs_table, target_source[, epochs]) — " +
+      "table and target source as string literals, optional epochs " +
+      "(default 3) as an integer literal"
+    require(args.length == 2 || args.length == 3,
+      s"wrong argument count: $usage")
+    val table = strLit(args(0), "quality_probe: docs_table", usage)
+    val target = strLit(args(1), "quality_probe: target_source", usage)
+    val epochs =
+      if (args.length > 2) intLit(args(2), "quality_probe: epochs", usage)
+      else 3
+    val spark = SparkSession.active
+    val docs = spark.table(table)
+    TextAnalysis.qualityProbeScore(docs,
+      TextAnalysis.qualityProbeModel(docs,
+        org.apache.spark.sql.functions.col("source") === target,
+        epochs = epochs))
+      .queryExecution.logical
+  }
+
   /** `dsir_resample(docs_table, target_source[, k])` — DSIR importance
     * resampling (x31) of a table/view with (doc_id, source, text):
     * documents whose `source` equals `target_source` define the target

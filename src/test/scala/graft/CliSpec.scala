@@ -451,6 +451,52 @@ class CliSpec extends SparkTestBase {
     assert(scored.size == docs.count())
   }
 
+  test("probe command: train writes the weight table, score " +
+    "round-trips it, malformed invocations refused") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = tmpDir("cli-probe-docs")
+    val docs = Tables.documents(spark, sf0001)
+    docs.write.mode("overwrite").parquet(base)
+    val model = tmpDir("cli-probe") + "/model"
+    // score before train fails loudly
+    assert(intercept[CliError](Cli.run(spark, Seq("probe",
+      "--docs", base, "--model", model,
+      "--out", tmpDir("cli-probe-pre") + "/o"), now))
+      .message.contains("no probe model"))
+    // train against a real slice with explicit epochs
+    val tr = Cli.run(spark, Seq("probe", "--docs", base,
+      "--target-expr", "source = 'src1'", "--model", model,
+      "--epochs", "2"), now)
+    assert(tr.contains("256 buckets") && tr.contains("2 epochs"))
+    // the written model IS qualityProbeModel
+    val stored = spark.read.parquet(model).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = graft.ext.TextAnalysis.qualityProbeModel(docs,
+      expr("source = 'src1'"), epochs = 2)
+    assert(stored == direct, "stored model diverged from training")
+    // score: margins/predictions match the library scorer
+    val out = tmpDir("cli-probe-scored") + "/o"
+    val sc = Cli.run(spark, Seq("probe", "--docs", base,
+      "--model", model, "--out", out), now)
+    assert(sc.contains("scored") && sc.contains("256-bucket"))
+    val scored = spark.read.parquet(out)
+      .select(col("doc_id"), col("margin"), col("predicted")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val want = graft.ext.TextAnalysis.qualityProbeScore(docs, direct)
+      .select(col("doc_id"), col("margin"), col("predicted")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(scored == want, "CLI score diverged from qualityProbeScore")
+    // bad epochs fails at parse time; mixed train+score refused
+    assert(intercept[CliError](Cli.run(spark, Seq("probe",
+      "--docs", base, "--target-expr", "source = 'src1'",
+      "--model", model, "--epochs", "0"), now))
+      .message.contains("--epochs"))
+    assert(intercept[CliError](Cli.run(spark, Seq("probe",
+      "--docs", base, "--target-expr", "source = 'src1'",
+      "--model", model, "--out", out), now))
+      .message.contains("SCORE option"))
+  }
+
   test("epoch-budget command: allocation invariants hold, bad knobs " +
     "fail at parse time") {
     val base = tmpDir("cli-epoch-docs")

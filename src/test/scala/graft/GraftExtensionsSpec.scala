@@ -187,6 +187,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .first().getDouble(0)
       assert(l2 == 25.0, s"l2_squared via extensions: $l2")
 
+      // x35 via SQL == the Scala operator (training replayed at plan
+      // time; 2 epochs to pin the optional-arg path)
+      val gotQ = spark.sql(
+        "SELECT * FROM quality_probe('docs_v', 'src0', 2)")
+      val expQ = graft.ext.TextAnalysis.qualityProbeScore(docs,
+        graft.ext.TextAnalysis.qualityProbeModel(docs,
+          col("source") === "src0", epochs = 2))
+      assert(gotQ.except(expQ).isEmpty && expQ.except(gotQ).isEmpty,
+        "SQL quality_probe diverged from the Scala-API operator")
+      val errQ = intercept[Exception] {
+        spark.sql("SELECT * FROM quality_probe('docs_v')").collect()
+      }
+      assert(errQ.getMessage.contains("quality_probe"), errQ.getMessage)
+
       // x33 via SQL == the Scala operator
       val gotE = spark.sql("SELECT * FROM epoch_budget('docs_v')")
       val expE = graft.ext.TextAnalysis.epochBudget(docs)
