@@ -498,12 +498,6 @@ object Similarity {
     val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cent = e
-      .orderBy(((col("vec_id") % CentroidPrime) * CentroidMult)
-          % CentroidPrime,
-        col("vec_id"))
-      .limit(k)
-      .select(col("vec_id").as("cluster_id"), col("emb").as("c_emb"))
     def assign(c: DataFrame): DataFrame =
       e.crossJoin(broadcast(c))
         .withColumn("c_sim", round(cosine(col("emb"), col("c_emb")), 4))
@@ -513,22 +507,69 @@ object Similarity {
             struct(col("c_sim"), (-col("cluster_id")).as("neg")))
             .as("cluster_id"),
           max(col("c_sim")).as("sim"))
-    var it = 1
-    while (it < iters) {
-      val byDim = assign(cent).select(col("vec_id"), col("cluster_id"))
-        .join(e, "vec_id")
-        .select(col("cluster_id"),
-          posexplode(col("emb")).as(Seq("dim", "v")))
-      cent = byDim.groupBy(col("cluster_id"), col("dim"))
-        .agg((sum(col("v").cast("decimal(38,18)")).cast("double") /
-          count(lit(1))).as("c"))
-        .groupBy(col("cluster_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("c")))),
-          s => s.getField("c")).as("c_emb"))
-      it += 1
-    }
+    // refinement passes are EAGER (the pqTrainOn discipline): each
+    // collects the k·dim-double centroid table — KB by construction —
+    // into a literal local relation, so the cache serves every pass
+    // and is dropped before the lazy plan returns (no CacheManager
+    // entry outlives the call); the final assignment recomputes the
+    // narrow cast map once.
+    val cent =
+      try {
+        var c = e
+          .orderBy(((col("vec_id") % CentroidPrime) * CentroidMult)
+              % CentroidPrime,
+            col("vec_id"))
+          .limit(k)
+          .select(col("vec_id").as("cluster_id"), col("emb").as("c_emb"))
+        var it = 1
+        while (it < iters) {
+          val byDim = assign(c).select(col("vec_id"), col("cluster_id"))
+            .join(e, "vec_id")
+            .select(col("cluster_id"),
+              posexplode(col("emb")).as(Seq("dim", "v")))
+          val spark = embeddings.sparkSession
+          import spark.implicits._
+          c = byDim.groupBy(col("cluster_id"), col("dim"))
+            .agg((sum(col("v").cast("decimal(38,18)")).cast("double") /
+              count(lit(1))).as("c"))
+            .groupBy(col("cluster_id"))
+            .agg(transform(
+              array_sort(collect_list(struct(col("dim"), col("c")))),
+              s => s.getField("c")).as("c_emb"))
+            .collect().toSeq
+            .map(r => (r.getLong(0), r.getSeq[Double](1)))
+            .toDF("cluster_id", "c_emb")
+          it += 1
+        }
+        c
+      } finally e.unpersist()
     assign(cent).select(col("vec_id"), col("cluster_id"), col("sim"))
+  }
+
+  /** Cluster-balanced corpus sample [EXT] — semantic diversity
+    * sampling (the "cluster, then cap per cluster" curation draw —
+    * the embedding-space sibling of [[TextAnalysis.domainCap]]'s
+    * domain balancing): assign every vector to a [[kmeansClusters]]
+    * cluster, then keep at most `cap` per cluster in the
+    * deterministic hash order of vec_id. A topic that dominates the
+    * crawl contributes at most cap vectors; small topics keep
+    * everything. Skew-safe like domainCap: a cap-bounded per-cluster
+    * bottom-k AGGREGATION (map-side partials ≤ cap rows per cluster
+    * per partition) — no Window, no hot partition when one cluster
+    * holds half the corpus.
+    */
+  def clusterBalancedSample(embeddings: DataFrame, k: Int = 8,
+                            cap: Int = 10, iters: Int = 2): DataFrame = {
+    val bottomK = udaf(graft.functions.BottomKAggregator.bottomK(cap))
+    kmeansClusters(embeddings, k, iters)
+      .select(col("cluster_id"),
+        graft.ext.Hashing.base60(col("vec_id").cast("string")).as("h"),
+        col("vec_id"))
+      .groupBy(col("cluster_id"))
+      .agg(bottomK(col("h"), col("vec_id")).as("picked"))
+      .select(col("cluster_id"), posexplode(col("picked")))
+      .select(col("col._2").as("vec_id"), col("cluster_id"),
+        (col("pos") + 1).cast("long").as("pick"))
   }
 
   /** Squared L2 distance of two double arrays, sequential order (the

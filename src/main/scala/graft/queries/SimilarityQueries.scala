@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Multimodal, Quantize, Retrieval, Similarity}
+import graft.ext.{Hashing, Multimodal, Quantize, Retrieval, Similarity}
 import org.apache.spark.sql.functions._
 
 /** [EXT] similarity-search and multimodal surface.
@@ -125,6 +125,18 @@ object SimilarityQueries {
       */
     "s05_kmeans" -> { (s, d) =>
       Similarity.kmeansClusters(Tables.embeddings(s, d), k = 8, iters = 2)
+    },
+
+    /** s10 — cluster-balanced sample: s05's assignment + a
+      * deterministic hash-order cap per cluster (the x26 domainCap
+      * rule on SEMANTIC strata — diversity-preserving downsampling).
+      * Skew-safe on the Spark side (cap-bounded bottom-k aggregation,
+      * no Window); the oracle replays s05's assignment verbatim and
+      * windows over it.
+      */
+    "s10_cluster_sample" -> { (s, d) =>
+      Similarity.clusterBalancedSample(Tables.embeddings(s, d),
+        k = 8, cap = 10, iters = 2)
     },
 
     /** m01 — multimodal feature extraction through the binary-column
@@ -758,6 +770,47 @@ object SimilarityQueries {
         |QUALIFY row_number() OVER (PARTITION BY vec_id
         |  ORDER BY round(list_cosine_similarity(emb, c_emb), 4) DESC,
         |           cluster_id) = 1""".stripMargin,
+
+    "s10_cluster_sample" ->
+      s"""WITH e AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT vec_id AS cluster_id, emb AS c_emb FROM e
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY ((vec_id % 999983) * 40503) % 999983, vec_id) <= 8),
+        |a1 AS (
+        |  SELECT vec_id, emb, cluster_id
+        |  FROM e CROSS JOIN c0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY round(list_cosine_similarity(emb, c_emb), 4) DESC,
+        |             cluster_id) = 1),
+        |byd AS (
+        |  SELECT cluster_id, i AS dim, emb[i+1] AS v
+        |  FROM (SELECT cluster_id, emb, unnest(range(0, len(emb))) AS i
+        |        FROM a1)),
+        |c1 AS (
+        |  SELECT cluster_id, list(c ORDER BY dim) AS c_emb FROM (
+        |    SELECT cluster_id, dim,
+        |      CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+        |    FROM byd GROUP BY cluster_id, dim) GROUP BY cluster_id),
+        |assign AS (
+        |  SELECT vec_id, cluster_id,
+        |  round(list_cosine_similarity(emb, c_emb), 4) + 0.0 AS sim
+        |FROM e CROSS JOIN c1
+        |QUALIFY row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY round(list_cosine_similarity(emb, c_emb), 4) DESC,
+        |           cluster_id) = 1),
+        |h AS (
+        |  SELECT vec_id, cluster_id,
+        |    ${Hashing.base60Sql("CAST(vec_id AS VARCHAR)")} AS h
+        |  FROM assign)
+        |SELECT vec_id, cluster_id,
+        |  CAST(row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY h, vec_id) AS BIGINT) AS pick
+        |FROM h
+        |QUALIFY pick <= 10""".stripMargin,
 
     "d09_semdedup" ->
       """WITH e AS (

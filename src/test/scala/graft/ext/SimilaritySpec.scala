@@ -728,6 +728,47 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => r.doc_id -> r).toMap
     assert(r1 == r2)
   }
+  test("cluster-balanced sample: dominant cluster capped, small one " +
+    "kept whole, reshuffle-stable, no Window, kmeans leaves no cache") {
+    import spark.implicits._
+    // two orthogonal blobs, one 5x the other — the semantic-skew shape
+    val mk = (ids: Range, dim: Int) => ids.map { i =>
+      val v = Array.fill(64)(0.001f * (i % 7))
+      v(dim) = 1.0f
+      (i.toLong, v)
+    }
+    val df = (mk(0 until 100, 0) ++ mk(1000 until 1020, 40))
+      .toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = Similarity.clusterBalancedSample(df, k = 4, cap = 8)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "cluster cap planned a Window — the skew-safe contract is broken")
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "kmeansClusters left cached intermediates behind")
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.values.forall(_.length <= 8), "cap exceeded")
+    // truth assignment from the oracle-checked operator: every cluster
+    // with >= cap members is fully used; smaller ones kept whole
+    val sizes = Similarity.kmeansClusters(df, k = 4)
+      .groupBy("cluster_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.foreach { case (c, picked) =>
+      assert(picked.length == math.min(8L, sizes(c)),
+        s"cluster $c: picked ${picked.length} of ${sizes(c)}")
+    }
+    // the small blob's cluster(s) survive the cap intact
+    val smallIds = rows.filter(_._1 >= 1000L).map(_._1).toSet
+    assert(smallIds.size >= 8,
+      s"minority topic underrepresented: $smallIds")
+    // deterministic hash order: a reshuffled input picks the SAME rows
+    val again = Similarity.clusterBalancedSample(df.repartition(7),
+      k = 4, cap = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.toSet, "picks must not depend on partitioning")
+  }
+
   test("kmeans separates two orthogonal blobs and is partition-invariant") {
     import spark.implicits._
     // choose blob membership AFTER the init ranking: the two smallest
