@@ -284,4 +284,116 @@ object Retrieval {
     val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     scoreAndSelect(tf, dfT, stats, k, k1, b)
   }
+
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher 2009, "Reciprocal Rank Fusion outperforms Condorcet and
+    * individual Rank Learning Methods" — public) of the engine's two
+    * ranking families: BM25 over `docs.text` ([[bm25TopK]]'s scoring)
+    * and cosine similarity over `embeddings` (s01's metric), the
+    * standard first-stage retriever shape (lexical ∪ dense → fuse).
+    * Each query is (id, term bag); its dense side is the embedding
+    * whose `vec_id` equals the query id. Per system, the top-`depth`
+    * candidates are kept; fused score = Σ 1/(c + rank) over the
+    * systems that returned the doc (0 from a system that did not).
+    *
+    * Scale shape: the lexical branch is [[bm25TopK]]'s — ONE exploded
+    * corpus scan filtered to the UNION of all query terms inside the
+    * generate stage, fanned out to queries by a broadcast of the tiny
+    * (query, term) table; the dense branch is a narrow map against
+    * the broadcast query vectors. Per-query ranking on BOTH branches
+    * is a depth-bounded [[graft.functions.BottomKAggregator]] — the
+    * domainCap discipline: map-side partials cap each partition's
+    * contribution at `depth` rows per query BEFORE the exchange, so a
+    * query matching half the corpus (a stopword bag) never serializes
+    * into one hot partition, and no Window touches corpus-sized
+    * input. The fusion join and final rank see ≤ 2·depth rows per
+    * query by construction.
+    *
+    * Cross-engine determinism: both per-system ranks order by
+    * (rounded-4 score DESC, doc_id ASC) — the rounded score scales
+    * exactly to a long (×10⁴), so the aggregator's integer key is the
+    * oracle's ORDER BY; the fused sum is lex + dense in that fixed
+    * order, rounded to 6. Ranks of 0 mean "absent from that system's
+    * top-depth" (COALESCE'd, never NULL — null ints round-trip
+    * differently across engines).
+    */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame,
+                 queries: Seq[(Long, Seq[String])], k: Int = 10,
+                 depth: Int = 20, c: Int = 60,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "hybridTopK needs at least one query")
+    require(queries.forall(_._2.nonEmpty),
+      "every hybrid query needs at least one term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qt = broadcast(queries.flatMap { case (qid, ts) =>
+      ts.distinct.map(qid -> _)
+    }.toDF("query_id", "token"))
+    val bottomK = udaf(graft.functions.BottomKAggregator.bottomK(depth))
+
+    // lexical branch: bm25TopK's corpus tables verbatim (union terms)
+    val toks = TextAnalysis.tokens(col("text"))
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("dl_tot"))
+      .select(col("n_docs"),
+        (col("dl_tot").cast("double") / col("n_docs")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), size(toks).as("dl"),
+        explode(toks).as("token"))
+      .filter(col("token").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // the always-true guard keeps both consumers of the shared tf
+    // aggregate bit-identical so exchange reuse collapses them — see
+    // bm25TopK (PlanSpec pins the single tokenization there)
+    val dfT = tf.filter(col("tf") >= 1)
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val lexRank = tf.join(qt, "token")
+      .join(broadcast(dfT), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", termWeight(col("tf"), col("dl"),
+        idf(col("n_docs"), col("df")), col("avgdl"), k1, b))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("w").cast("decimal(38,18)")).cast("double"), 4)
+        .as("s"))
+      .groupBy(col("query_id"))
+      .agg(bottomK((-round(col("s") * 1e4)).cast("long"),
+        col("doc_id")).as("picked"))
+      .select(col("query_id"), posexplode(col("picked")))
+      .select(col("query_id"), col("col._2").as("doc_id"),
+        (col("pos") + 1).cast("int").as("lex_rank"))
+
+    // dense branch: corpus × broadcast query vectors, s01's metric
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val qv = e.filter(col("vec_id").isin(queries.map(_._1): _*))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val denseRank = e.crossJoin(broadcast(qv))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.cosine(col("emb"), col("q_emb")), 4).as("s"))
+      .groupBy(col("query_id"))
+      .agg(bottomK((-round(col("s") * 1e4)).cast("long"),
+        col("vec_id")).as("picked"))
+      .select(col("query_id"), posexplode(col("picked")))
+      .select(col("query_id"), col("col._2").as("doc_id"),
+        (col("pos") + 1).cast("int").as("dense_rank"))
+
+    // fusion: ≤ 2·depth rows per query from here on
+    val contrib = (r: Column) => when(r.isNotNull,
+      lit(1.0) / (lit(c) + r)).otherwise(lit(0.0))
+    lexRank.join(denseRank, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("fused",
+        round(contrib(col("lex_rank")) + contrib(col("dense_rank")), 6))
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
+        col("fused"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("fused").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
 }

@@ -1060,6 +1060,155 @@ object TextAnalysis {
       .drop(textCol)
   }
 
+  // ───────────────────────────── BPE ─────────────────────────────
+
+  /** Symbol delimiter for the BPE working representation: the ASCII
+    * unit separator, which whitespace tokenization can never emit.
+    * A word is held as "␟c₁␟ ␟c₂␟ …"; wrapping every symbol keeps a
+    * literal find-and-replace of "␟a␟ ␟b␟" from matching across a
+    * symbol boundary (" a b" inside "aa b"), and leftmost
+    * non-overlapping `replace` semantics — identical in Spark and
+    * DuckDB — are exactly BPE's left-to-right merge sweep.
+    */
+  private[graft] val BpeSep = "\u001f"
+
+  /** word → delimited character-symbol string. */
+  private[graft] def bpeInit(word: Column): Column =
+    rtrim(regexp_replace(word, "(.)", BpeSep + "$1" + BpeSep + " "))
+
+  /** One learned merge: `pair`/`merged` carry the delimited working
+    * form (what [[bpeEncode]] replaces); rank is 1-based merge order.
+    */
+  final case class BpeMerge(rank: Int, pair: String, merged: String,
+                            freq: Long)
+
+  /** Byte-pair-encoding merge training (Sennrich, Haddow & Birch 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units" —
+    * public): the subword tokenizer trainer a 100 TB pipeline runs
+    * before token counting or packing. Classic dictionary form: the
+    * corpus collapses ONCE to the (word, freq) vocabulary — the only
+    * corpus-sized shuffle — and every merge iteration is a
+    * vocab-bounded pair-count aggregate (map-side combined) plus a
+    * one-row argmax collect (freq DESC, pair ASC — fully
+    * deterministic), then a narrow literal-replace over the cached
+    * dictionary. nMerges iterations ⇒ nMerges single-row collects:
+    * the trained artifact is KB-scale by construction, the exact
+    * discipline of [[dsirRatios]] and the PQ codebook. Merges never
+    * cross a word boundary (no end-of-word marker — the whitespace
+    * pre-tokenizer already owns boundaries). Stops early if every
+    * word is fully merged.
+    *
+    * A realistic vocabulary is 30k+ merges: replaying the whole
+    * replace chain from the cached base every iteration would make
+    * iteration i cost O(i) replaces — quadratic over the run. Every
+    * [[BpeRematerializeEvery]] merges the working dictionary is
+    * re-persisted (applied replaces collapse into the cached rows)
+    * and the stale cache dropped, so each iteration evaluates a
+    * bounded-length chain regardless of nMerges.
+    */
+  private[graft] val BpeRematerializeEvery = 16
+
+  def bpeTrain(docs: DataFrame, nMerges: Int): Seq[BpeMerge] = {
+    require(nMerges >= 1, "bpeTrain needs nMerges >= 1")
+    val dict = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(bpeInit(col("word")).as("s"), col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cached = dict
+    try {
+      val out = Seq.newBuilder[BpeMerge]
+      var cur = dict
+      var i = 0
+      var exhausted = false
+      while (i < nMerges && !exhausted) {
+        if (i > 0 && i % BpeRematerializeEvery == 0) {
+          val next = cur
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before releasing the parent
+          cached.unpersist()
+          cached = next
+          cur = next
+        }
+        val syms = split(col("s"), " ")
+        val best = cur
+          .filter(size(syms) >= 2)
+          .select(col("freq"), explode(zip_with(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
+          .orderBy(col("f").desc, col("pair"))
+          .limit(1)
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val pair = best(0).getAs[String]("pair")
+          val merged = pair.replace(BpeSep + " " + BpeSep, "")
+          out += BpeMerge(i + 1, pair, merged,
+            best(0).getAs[Long]("f"))
+          cur = cur.withColumn("s",
+            replace(col("s"), lit(pair), lit(merged)))
+          i += 1
+        }
+      }
+      out.result()
+    } finally { dict.unpersist(); cached.unpersist() }
+  }
+
+  /** The merge table as a relational artifact (the exportable model,
+    * the [[graft.ext.Similarity]] pqCodebook shape): 1-based rank,
+    * the pair's two symbols and the merged symbol in display form
+    * (delimiters stripped), and the pair's corpus frequency at merge
+    * time.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, nMerges).map { m =>
+      val parts = m.pair.split(" ")
+      (m.rank.toLong, parts(0).replace(BpeSep, ""),
+        parts(1).replace(BpeSep, ""), m.merged.replace(BpeSep, ""),
+        m.freq)
+    }.toDF("merge_rank", "lhs", "rhs", "merged", "freq")
+  }
+
+  /** Apply a trained merge list to one word column — the deployment
+    * encoder: nMerges chained literal replaces over the delimited
+    * form, a pure in-row expression (codegen'd, no explode/join/
+    * shuffle/state — streaming-capable like [[dsirScore]]). Returns
+    * the delimited symbol string; split on ' ' for the subwords.
+    */
+  private[graft] def bpeEncode(word: Column,
+                               merges: Seq[BpeMerge]): Column =
+    merges.foldLeft(bpeInit(word))((s, m) =>
+      replace(s, lit(m.pair), lit(m.merged)))
+
+  /** Per-word subword tokens under a trained merge list (display
+    * form).
+    */
+  def bpeSubwords(word: Column, merges: Seq[BpeMerge]): Column =
+    transform(split(bpeEncode(word, merges), " "),
+      t => replace(t, lit(BpeSep), lit("")))
+
+  /** Per-document token count under TRAINED merges — THE pipeline
+    * number (epoch budgeting, packing, and billing all count subword
+    * tokens, not words). Distinct from the x07 [[bpeTokenCount]]
+    * regex heuristic, which estimates without a trained model. A
+    * stateless narrow map over the corpus: per word, count the
+    * symbols the encoder leaves. Words that vanish under tokenization
+    * (empty strings from doubled spaces) count zero.
+    */
+  def bpeTokenCounts(docs: DataFrame,
+                     merges: Seq[BpeMerge]): DataFrame =
+    docs.select(col("doc_id"),
+      aggregate(filter(tokens(col("text")), w => length(w) > 0),
+        lit(0L),
+        (acc, w) => acc +
+          size(split(bpeEncode(w, merges), " ")).cast("long"))
+        .as("n_tokens"))
+
   /** Document fingerprints: content digest (md5) + 60-bit integer
     * fingerprint for compact joins.
     */

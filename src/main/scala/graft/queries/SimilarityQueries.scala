@@ -25,6 +25,18 @@ object SimilarityQueries {
     */
   private val Bm25Terms = Seq("dup", "merge", "spark")
 
+  /** s11's hybrid queries: id = the probe embedding's vec_id, bag =
+    * the lexical side. Two bags carry the rare `dup` so idf genuinely
+    * separates the lexical rankings; the rest are common terms where
+    * the dense side decides the fusion.
+    */
+  private val HybridQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("dup", "merge"),
+    1L -> Seq("spark", "window"),
+    2L -> Seq("scan", "filter", "key"),
+    3L -> Seq("dup", "vector"),
+    4L -> Seq("stream", "sort"))
+
   val defs: Map[String, QueryFn] = Map(
     "s01_cosine_topk" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -80,6 +92,20 @@ object SimilarityQueries {
       */
     "s09_bm25_topk" -> { (s, d) =>
       Retrieval.bm25TopK(Tables.documents(s, d), Bm25Terms, k = 10)
+    },
+
+    /** s11 — hybrid retrieval by reciprocal-rank fusion: the BM25
+      * lexical ranking (s09's scoring) and the dense cosine ranking
+      * (s01's metric) fused as Σ 1/(60 + rank) over each system's
+      * top-`depth`, the standard first-stage retriever composition.
+      * Both per-system ranks are depth-bounded bottom-k AGGREGATIONS
+      * (the domainCap discipline — no Window over corpus-sized
+      * input); the fusion sees ≤ 2·depth rows per query. See
+      * [[graft.ext.Retrieval.hybridTopK]].
+      */
+    "s11_hybrid_rrf" -> { (s, d) =>
+      Retrieval.hybridTopK(Tables.documents(s, d), Tables.embeddings(s, d),
+        HybridQueries, k = 10, depth = 20)
     },
 
     /** d05 — embedding-cosine near-dup pairs (threshold tuned to the
@@ -392,6 +418,90 @@ object SimilarityQueries {
          |FROM w GROUP BY doc_id
          |ORDER BY score DESC, doc_id
          |LIMIT 10""".stripMargin
+    },
+
+    // s11: both system rankings replayed verbatim (the s09 weight tree
+    // and the s01 rounded cosine), fused in the same fixed lex+dense
+    // IEEE addition order; ranks COALESCE to 0, never NULL
+    "s11_hybrid_rrf" -> {
+      val allTerms = HybridQueries.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")
+      val qtRows = HybridQueries.flatMap { case (qid, ts) =>
+        ts.distinct.map(t => s"($qid, '$t')")
+      }.mkString(", ")
+      val qIds = HybridQueries.map(_._1).mkString(", ")
+      s"""WITH qt AS (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, token
+         |  FROM (VALUES $qtRows) t(query_id, token)),
+         |tok AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |         unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, dl, token, COUNT(*) AS tf
+         |  FROM tok WHERE token IN ($allTerms)
+         |  GROUP BY doc_id, dl, token),
+         |dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |stats AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+         |      / COUNT(*) AS avgdl
+         |  FROM documents),
+         |w AS (
+         |  SELECT query_id, doc_id,
+         |    round(ln(CAST(1.0 AS DOUBLE) +
+         |        (n_docs - df + CAST(0.5 AS DOUBLE)) /
+         |        (df + CAST(0.5 AS DOUBLE))) *
+         |      ((tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+         |       (tf + CAST(1.2 AS DOUBLE) *
+         |        ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+         |         (CAST(0.75 AS DOUBLE) * dl) / avgdl))),
+         |      6) AS w
+         |  FROM tf JOIN qt USING (token) JOIN dft USING (token)
+         |  CROSS JOIN stats),
+         |lex AS (
+         |  SELECT query_id, doc_id,
+         |    round(CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE), 4)
+         |      AS s
+         |  FROM w GROUP BY query_id, doc_id),
+         |lexr AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY s DESC, doc_id) AS INT) AS lex_rank
+         |  FROM lex
+         |  QUALIFY lex_rank <= 20),
+         |e AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |         CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+         |       WHERE vec_id IN ($qIds)),
+         |denser AS (
+         |  SELECT query_id, vec_id AS doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(list_cosine_similarity(emb, q_emb), 4)
+         |        DESC, vec_id) AS INT) AS dense_rank
+         |  FROM e CROSS JOIN qv
+         |  QUALIFY dense_rank <= 20),
+         |f AS (
+         |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         |         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         |         COALESCE(l.lex_rank, 0) AS lex_rank,
+         |         COALESCE(d.dense_rank, 0) AS dense_rank,
+         |         round(
+         |           (CASE WHEN l.lex_rank IS NULL THEN CAST(0 AS DOUBLE)
+         |             ELSE CAST(1.0 AS DOUBLE) / (60 + l.lex_rank) END)
+         |         + (CASE WHEN d.dense_rank IS NULL
+         |             THEN CAST(0 AS DOUBLE)
+         |             ELSE CAST(1.0 AS DOUBLE) / (60 + d.dense_rank)
+         |           END), 6) AS fused
+         |  FROM lexr l FULL OUTER JOIN denser d
+         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+         |SELECT query_id, doc_id, lex_rank, dense_rank,
+         |  fused + 0.0 AS fused,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY fused DESC, doc_id) AS INT) AS rank
+         |FROM f QUALIFY rank <= 10""".stripMargin
     },
 
     "d07_embedding_dups_lsh" ->

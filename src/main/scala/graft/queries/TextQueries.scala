@@ -10,6 +10,12 @@ import graft.ext.{Hashing, TextAnalysis}
   */
 object TextQueries {
 
+  /** x36/x37's merge budget — pinned once, shared by the Spark query
+    * and the oracle's unrolled replay (training is deterministic, so
+    * the oracle must unroll the SAME number of rounds).
+    */
+  private val BpeNMerges = 8
+
   val defs: Map[String, QueryFn] = Map(
     "x01_token_stats" -> { (s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d))
@@ -115,6 +121,32 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       TextAnalysis.qualityProbeScore(docs,
         TextAnalysis.qualityProbeModel(docs, col("source") === "src0"))
+    },
+
+    /** x36 — BPE merge training (Sennrich et al. 2016): 8 merges
+      * learned from the corpus's word-frequency dictionary — one
+      * corpus shuffle, then vocab-bounded pair-count aggregates with
+      * a 1-row argmax collect per merge. The ORACLE REPLAYS THE
+      * TRAINING (the x35 discipline): 8 unrolled pair-count/argmax/
+      * replace CTE rounds over the identical delimited representation,
+      * so every learned pair, its merge order, AND its frequency must
+      * match exactly.
+      */
+    "x36_bpe_merges" -> { (s, d) =>
+      TextAnalysis.bpeMerges(Tables.documents(s, d), BpeNMerges)
+    },
+
+    /** x37 — BPE token counting under the trained merges: THE number
+      * a data pipeline bills by (budgeting/packing count subwords,
+      * not words). Training is x36's (eager, KB-scale artifact);
+      * counting is a stateless narrow in-row map (chained literal
+      * replaces — no explode, no join, streaming-capable). Oracle:
+      * x36's training replay feeding the same nested replaces.
+      */
+    "x37_bpe_tokens" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bpeTokenCounts(docs,
+        TextAnalysis.bpeTrain(docs, BpeNMerges))
     },
 
     /** x33 — data-constrained epoch budgeting: per-domain token
@@ -474,7 +506,79 @@ object TextQueries {
          |  CAST($cjkSql AS BIGINT) AS score
          |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
 
+  /** The x36/x37 BPE training replay as unrolled CTE rounds (the x35
+    * discipline — the oracle re-runs the TRAINING, not just the
+    * scoring). Round i: adjacent-pair counts over the delimited
+    * dictionary w(i−1), argmax (freq DESC, pair ASC — binary string
+    * order, identical in both engines), literal leftmost
+    * non-overlapping replace. chr(31) is [[TextAnalysis.BpeSep]].
+    */
+  private def bpeReplayCtes(n: Int): String = {
+    val sep = "chr(31)"
+    val init = "rtrim(regexp_replace(word, '(.)', " +
+      s"$sep || '\\1' || $sep || ' ', 'g'))"
+    val rounds = (1 to n).map { i =>
+      val p = i - 1
+      s"""p$i AS (
+         |  SELECT pair, SUM(freq) AS f FROM (
+         |    SELECT l[j] || ' ' || l[j+1] AS pair, freq FROM (
+         |      SELECT l, freq, unnest(range(1, len(l))) AS j FROM (
+         |        SELECT string_split(s, ' ') AS l, freq FROM w$p)))
+         |  GROUP BY pair),
+         |b$i AS (
+         |  SELECT pair, replace(pair, $sep || ' ' || $sep, '') AS merged,
+         |         f
+         |  FROM p$i ORDER BY f DESC, pair LIMIT 1),
+         |w$i AS (
+         |  SELECT replace(w.s, b.pair, b.merged) AS s, w.freq
+         |  FROM w$p w CROSS JOIN b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""dict AS (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word
+       |    FROM documents)
+       |  WHERE len(word) > 0 GROUP BY word),
+       |w0 AS (SELECT $init AS s, freq FROM dict),
+       |$rounds""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x36_bpe_merges" -> {
+      val sep = "chr(31)"
+      val rows = (1 to BpeNMerges).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS merge_rank,
+           |  replace(string_split(pair, ' ')[1], $sep, '') AS lhs,
+           |  replace(string_split(pair, ' ')[2], $sep, '') AS rhs,
+           |  replace(merged, $sep, '') AS merged,
+           |  CAST(f AS BIGINT) AS freq
+           |FROM b$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${bpeReplayCtes(BpeNMerges)}
+         |$rows""".stripMargin
+    },
+
+    "x37_bpe_tokens" -> {
+      val sep = "chr(31)"
+      val init = "rtrim(regexp_replace(word, '(.)', " +
+        s"$sep || '\\1' || $sep || ' ', 'g'))"
+      val encoded = (1 to BpeNMerges).foldLeft(init)((e, i) =>
+        s"replace($e, b$i.pair, b$i.merged)")
+      val joins = (1 to BpeNMerges).map(i => s"CROSS JOIN b$i")
+        .mkString(" ")
+      s"""WITH ${bpeReplayCtes(BpeNMerges)},
+         |docw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |enc AS (
+         |  SELECT doc_id, len(string_split($encoded, ' ')) AS n
+         |  FROM docw $joins
+         |  WHERE len(word) > 0)
+         |SELECT d.doc_id, CAST(COALESCE(SUM(e.n), 0) AS BIGINT)
+         |  AS n_tokens
+         |FROM documents d LEFT JOIN enc e USING (doc_id)
+         |GROUP BY d.doc_id""".stripMargin
+    },
+
     "x23_zipf" ->
       """WITH vf AS (
         |  SELECT w, COUNT(*) AS f FROM (

@@ -660,4 +660,81 @@ class CorpusOpsSpec extends SparkTestBase {
       "if (18,12) ever starts holding 10^6 this pin is stale")
     assert(wide != null && math.abs(wide.doubleValue - 1e6) < 1e-6)
   }
+
+  test("bpeTrain learns the hand-derived merge sequence (Sennrich's " +
+    "corpus shape), counts subwords right, and is partition-invariant") {
+    import spark.implicits._
+    // dict: low×3 lower×2 newest×2.
+    // round 1: lo=ow=5, tie broken by pair string → lo.
+    // round 2: (lo,w)=5 wins. round 3: everything ties at 2 →
+    // pair-ascending picks (e,r).
+    val docs = Seq(
+      (1L, "low low lower"),
+      (2L, "low lower newest newest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, 3)
+    val display = merges.map(m =>
+      (m.rank, m.merged.replace(TextAnalysis.BpeSep, ""), m.freq))
+    assert(display == Seq((1, "lo", 5L), (2, "low", 5L), (3, "er", 2L)),
+      s"got $display")
+    // token counts under those merges: low→[low]=1,
+    // lower→[low,e,r]→[low,er]=2, newest→6 raw symbols
+    val counts = TextAnalysis.bpeTokenCounts(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 4L, 2L -> 15L), s"got $counts")
+    // the trained artifact must not depend on input partitioning
+    val again = TextAnalysis.bpeTrain(docs.repartition(7), 3)
+    assert(again == merges, "merges depend on partitioning")
+    // training leaves no cached intermediates behind
+    val before = spark.sparkContext.getPersistentRDDs.size
+    TextAnalysis.bpeTrain(docs, 1)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
+  test("bpeTrain re-materializes past BpeRematerializeEvery merges " +
+    "without leaking cache or changing results") {
+    import spark.implicits._
+    // one 26-char word: 20 merges cross the remat boundary at 16
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val merges = TextAnalysis.bpeTrain(docs, 20)
+    assert(merges.size == 20 && merges.map(_.rank) == (1 to 20),
+      s"got ${merges.size} merges")
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "re-materialization leaked cached partitions")
+    // determinism across the boundary: partitioning must not matter
+    assert(TextAnalysis.bpeTrain(docs.repartition(5), 20) == merges)
+  }
+
+  test("bpe merge replace cannot cross a symbol boundary, and the " +
+    "left-to-right sweep merges non-overlapping occurrences") {
+    import spark.implicits._
+    // 'aaa': adjacent pairs (a,a)×2 → merge (a,a); the sweep must
+    // yield [aa, a], NOT [a, aa] and NOT a boundary-crossing 'aab'
+    val docs = Seq((1L, "aaa aab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, 1)
+    assert(merges.map(_.merged.replace(TextAnalysis.BpeSep, "")) ==
+      Seq("aa"), s"got $merges")
+    val sub = docs.select(
+      TextAnalysis.bpeSubwords(lit("aaa"), merges).as("a"),
+      TextAnalysis.bpeSubwords(lit("aab"), merges).as("b"))
+      .head
+    assert(sub.getSeq[String](0) == Seq("aa", "a"))
+    // 'aab' contains the UNdelimited text 'a a' across the aa|b
+    // boundary only if delimiters are broken — it must merge to aa,b
+    assert(sub.getSeq[String](1) == Seq("aa", "b"))
+  }
+
+  test("bpeTrain stops early when every word is fully merged; the " +
+    "encoder is a single narrow stage (no shuffle)") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, 5)
+    assert(merges.map(_.merged.replace(TextAnalysis.BpeSep, "")) ==
+      Seq("ab"), "should learn exactly one merge then exhaust")
+    val plan = TextAnalysis.bpeTokenCounts(docs, merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bpeTokenCounts must be a narrow map, got:\n$plan")
+  }
 }

@@ -229,6 +229,54 @@ class RetrievalSpec extends SparkTestBase {
       s"token filter not pushed into the postings scan:\n$p")
   }
 
+  test("hybridTopK fuses the two rankings by RRF: hand-derived fused " +
+    "scores, absent-system rank 0, depth truncation, doc_id tiebreak, " +
+    "partition invariance") {
+    val docs = Seq(
+      (0L, "rare alpha alpha"),
+      (1L, "rare rare beta"),
+      (2L, "alpha beta gamma"),
+      (3L, "rare beta gamma gamma"),
+      (4L, "gamma gamma gamma")).toDF("doc_id", "text")
+    // q_emb = vec 1; vec 4 duplicates it so the dense top-2 is {1, 4}
+    // while the lexical top-2 is {1, 0} — each system contributes one
+    // exclusive candidate and they tie on fused score
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.1f, 0.9f)),
+      (4L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val q = Seq(1L -> Seq("rare"))
+    // expected lexical order from the oracle-checked ranker itself
+    val lexTop = Retrieval.bm25TopK(docs, Seq("rare"), k = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(lexTop == Seq(1L, 0L), s"fixture drifted: $lexTop")
+    val got = Retrieval.hybridTopK(docs, embs, q, k = 10, depth = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("lex_rank"), r.getAs[Int]("dense_rank"),
+        r.getAs[Double]("fused"), r.getAs[Int]("rank")))
+      .sortBy(_._6)
+    val both = BigDecimal(1.0 / 61 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val one = BigDecimal(1.0 / 62)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (1L, 1L, 1, 1, both, 1),  // in both systems at rank 1
+      (1L, 0L, 2, 0, one, 2),   // lexical-only; doc_id breaks the tie
+      (1L, 4L, 0, 2, one, 3)),  // dense-only
+      s"got: ${got.mkString("; ")}")
+    // partitioning must not change picks, ranks, or scores
+    val again = Retrieval.hybridTopK(docs.repartition(7),
+        embs.repartition(5), q, k = 10, depth = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("lex_rank"), r.getAs[Int]("dense_rank"),
+        r.getAs[Double]("fused"), r.getAs[Int]("rank"))).toSet
+    assert(again == got.toSet)
+  }
+
   test("absent and unknown terms: df=0 terms never score, empty text " +
     "is safe") {
     val docs = Seq((1L, "common common"), (2L, "")).toDF("doc_id", "text")

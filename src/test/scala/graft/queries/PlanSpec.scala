@@ -28,6 +28,7 @@ class PlanSpec extends SparkTestBase {
     "s06_ann_recall",       // runs s01's exact side to grade s02 (eval op)
     "s08_ann_ivfpq",        // corpus × broadcast centroid list (coarse assign)
     "s10_cluster_sample",   // s05's final assignment pass (same crossJoin)
+    "s11_hybrid_rrf",       // dense branch: corpus × broadcast query vectors
     "d05_embedding_dups")   // brute-force truth twin of d07
   // (d09's corpus × broadcast-centroid crossJoin sits BEHIND its
   // assignment checkpoint, so the visible plan is all hash joins —
