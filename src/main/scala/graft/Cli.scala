@@ -135,14 +135,15 @@ object Cli {
       case Some("probe") => probeCmd(spark, parseOpts(args.tail))
       case Some("epoch-budget") | Some("epoch_budget") =>
         epochBudgetCmd(spark, parseOpts(args.tail))
+      case Some("bpe") => bpeCmd(spark, parseOpts(args.tail))
       case Some(other) => throw CliError(
         s"unknown command: $other " +
           "(expected export | import | db | compact | zonemap | dedup " +
-          "| despan | index | bm25 | dsir | probe | epoch-budget)")
+          "| despan | index | bm25 | dsir | probe | epoch-budget | bpe)")
       case None =>
         throw CliError(
           "usage: graft.Cli <export|import|db|compact|zonemap|dedup" +
-            "|despan|index|bm25|dsir|probe|epoch-budget> [--options]")
+            "|despan|index|bm25|dsir|probe|epoch-budget|bpe> [--options]")
     }
 
   /** Read a corpus parquet and insist on the (doc_id, text) contract
@@ -331,6 +332,72 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         s"scored ${spark.read.parquet(out).count()} documents " +
           s"(${weights.size - 1}-bucket probe) -> $out"
+    }
+  }
+
+  /** `bpe` — [EXT] the subword tokenizer in its deployment split
+    * (ext.TextAnalysis, the `dsir`/`probe` pattern):
+    *
+    *   - TRAIN (`--n-merges` present): learn that many BPE merges
+    *     from the corpus's word-frequency dictionary, write the
+    *     display-form merge table to `--model` as
+    *     (merge_rank, lhs, rhs, merged, freq) parquet — the KB-scale
+    *     artifact the counter ships with.
+    *   - COUNT (`--model` without `--n-merges`): read the model,
+    *     count per-document subword tokens with the pure narrow-map
+    *     encoder (bpeTokenCounts), write (doc_id, n_tokens) to
+    *     `--out`.
+    *
+    * Train rarely, count at scan speed; a malformed or truncated
+    * model is refused loudly (contiguous 1..n ranks) rather than
+    * silently under-merging.
+    */
+  private def bpeCmd(spark: SparkSession,
+                     opts: Map[String, String]): String = {
+    val model = required(opts, "model")
+    opts.get("n_merges") match {
+      case Some(_) =>
+        val n = intOpt(opts, "n_merges", 0)
+        if (n < 1) throw CliError(s"--n-merges must be positive, got $n")
+        if (opts.contains("out"))
+          throw CliError("--out is a COUNT option; training writes " +
+            "only --model (count in a second invocation)")
+        val docs = readDocs(spark, required(opts, "docs"))
+        val merges = graft.ext.TextAnalysis.bpeTrain(
+          docs.select("doc_id", "text"), n)
+        graft.ext.TextAnalysis.bpeMergesTable(spark, merges)
+          .coalesce(1).write.mode("overwrite").parquet(model)
+        s"trained bpe model: ${merges.size} merges" +
+          (if (merges.size < n) s" (exhausted before $n)" else "") +
+          s" -> $model"
+      case None =>
+        val modelPath = new org.apache.hadoop.fs.Path(model)
+        val fs = modelPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(modelPath))
+          throw CliError(s"no bpe model at $model " +
+            "(train first: --docs ... --n-merges ... --model ...)")
+        val rows = spark.read.parquet(model)
+        val needed = Seq("merge_rank", "lhs", "rhs", "merged", "freq")
+        val missing = needed.filterNot(rows.columns.contains)
+        if (missing.nonEmpty)
+          throw CliError(s"$model is not a bpe model (missing " +
+            s"${missing.mkString(", ")}; found ${rows.columns.mkString(",")})")
+        val merges = rows.collect()
+          .map(r => graft.ext.TextAnalysis.bpeMergeOf(
+            r.getAs[Long]("merge_rank").toInt, r.getAs[String]("lhs"),
+            r.getAs[String]("rhs"), r.getAs[Long]("freq")))
+          .sortBy(_.rank).toSeq
+        if (merges.map(_.rank) != (1 to merges.size))
+          throw CliError(s"$model merge ranks are not contiguous " +
+            s"1..${merges.size} — wrong or truncated model")
+        val out = required(opts, "out")
+        val docs = readDocs(spark, required(opts, "docs"))
+        graft.ext.TextAnalysis.bpeTokenCounts(
+          docs.select("doc_id", "text"), merges)
+          .write.mode("overwrite").parquet(out)
+        s"counted ${spark.read.parquet(out).count()} documents " +
+          s"(${merges.size}-merge model) -> $out"
     }
   }
 

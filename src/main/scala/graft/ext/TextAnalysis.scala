@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline [EXT]:
@@ -1163,16 +1163,33 @@ object TextAnalysis {
     * (delimiters stripped), and the pair's corpus frequency at merge
     * time.
     */
-  def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
-    val spark = docs.sparkSession
+  def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame =
+    bpeMergesTable(docs.sparkSession, bpeTrain(docs, nMerges))
+
+  /** A trained merge list as the display-form table (what [[bpeMerges]]
+    * returns; what the CLI persists — [[bpeMergeOf]] round-trips it).
+    */
+  def bpeMergesTable(spark: SparkSession,
+                     merges: Seq[BpeMerge]): DataFrame = {
     import spark.implicits._
-    bpeTrain(docs, nMerges).map { m =>
+    merges.map { m =>
       val parts = m.pair.split(" ")
       (m.rank.toLong, parts(0).replace(BpeSep, ""),
         parts(1).replace(BpeSep, ""), m.merged.replace(BpeSep, ""),
         m.freq)
     }.toDF("merge_rank", "lhs", "rhs", "merged", "freq")
   }
+
+  /** Rebuild a [[BpeMerge]] from its display form (the [[bpeMerges]]
+    * table row / the CLI's persisted model): working forms are the
+    * display symbols re-wrapped in [[BpeSep]], so a parquet model
+    * round-trips losslessly.
+    */
+  private[graft] def bpeMergeOf(rank: Int, lhs: String, rhs: String,
+                                freq: Long): BpeMerge =
+    BpeMerge(rank,
+      BpeSep + lhs + BpeSep + " " + BpeSep + rhs + BpeSep,
+      BpeSep + lhs + rhs + BpeSep, freq)
 
   /** Apply a trained merge list to one word column — the deployment
     * encoder: nMerges chained literal replaces over the delimited

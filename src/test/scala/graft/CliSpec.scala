@@ -580,4 +580,60 @@ class CliSpec extends SparkTestBase {
       "all" -> "true"))
     assert(Cli.defaultSessionName(now) == "20240101_000000")
   }
+
+  test("bpe command: train writes the merge table, count round-trips " +
+    "it through the narrow-map encoder, malformed invocations refused") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("cli-bpe-docs")
+    val docs = Tables.documents(spark, sf0001)
+    docs.write.mode("overwrite").parquet(base)
+    val model = tmpDir("cli-bpe") + "/model"
+    // count before train fails loudly
+    assert(intercept[CliError](Cli.run(spark, Seq("bpe",
+      "--docs", base, "--model", model,
+      "--out", tmpDir("cli-bpe-pre") + "/o"), now))
+      .message.contains("no bpe model"))
+    // bad merge budget fails at parse time; mixed train+count refused
+    assert(intercept[CliError](Cli.run(spark, Seq("bpe", "--docs", base,
+      "--model", model, "--n-merges", "0"), now))
+      .message.contains("--n-merges"))
+    assert(intercept[CliError](Cli.run(spark, Seq("bpe", "--docs", base,
+      "--model", model, "--n-merges", "4",
+      "--out", tmpDir("cli-bpe-mixed") + "/o"), now))
+      .message.contains("COUNT option"))
+    // train: the written table IS bpeMerges
+    val tr = Cli.run(spark, Seq("bpe", "--docs", base,
+      "--n-merges", "4", "--model", model), now)
+    assert(tr.contains("4 merges"), tr)
+    val direct = graft.ext.TextAnalysis.bpeTrain(docs, 4)
+    val stored = spark.read.parquet(model).collect()
+      .map(r => graft.ext.TextAnalysis.bpeMergeOf(
+        r.getAs[Long]("merge_rank").toInt, r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("freq")))
+      .sortBy(_.rank).toSeq
+    assert(stored == direct, "stored model diverged from bpeTrain")
+    // count: the narrow-map encoder over the stored model
+    val out = tmpDir("cli-bpe-counted") + "/o"
+    val sc = Cli.run(spark, Seq("bpe", "--docs", base,
+      "--model", model, "--out", out), now)
+    assert(sc.contains("counted") && sc.contains("4-merge"), sc)
+    val counted = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.ext.TextAnalysis.bpeTokenCounts(docs, direct)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counted == want, "CLI count diverged from bpeTokenCounts")
+    assert(counted.size == docs.count())
+    // a truncated model (missing rank 1) is refused, not under-merged
+    val bad = tmpDir("cli-bpe-bad") + "/model"
+    spark.read.parquet(model)
+      .filter(col("merge_rank") =!= 1L)
+      .write.mode("overwrite").parquet(bad)
+    assert(intercept[CliError](Cli.run(spark, Seq("bpe", "--docs", base,
+      "--model", bad, "--out", tmpDir("cli-bpe-bad-out") + "/o"), now))
+      .message.contains("not contiguous"))
+    // a parquet that is not a merge table at all is refused by schema
+    assert(intercept[CliError](Cli.run(spark, Seq("bpe", "--docs", base,
+      "--model", base, "--out", tmpDir("cli-bpe-bad2-out") + "/o"), now))
+      .message.contains("not a bpe model"))
+  }
 }

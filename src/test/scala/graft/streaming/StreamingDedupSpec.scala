@@ -312,6 +312,46 @@ class StreamingDedupSpec extends SparkTestBase {
     TextAnalysis.dsirRelease(train, col("source") === "tgt")
   }
 
+  test("bpe token counter: stateless streaming map with an " +
+    "offline-trained merge list; drain == batch") {
+    import graft.ext.TextAnalysis
+    // the deployment shape: merges trained offline on the existing
+    // corpus, NEW documents token-counted on the stream by the
+    // chained-replace narrow map — no retrain, no shuffle, no state
+    val corpus = Seq(
+      (1L, "low low low lower lower newest newest"))
+    val train = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(train, 3)
+    val incoming = Seq(
+      (10L, "low lower"),
+      (11L, "newest low low"),
+      (12L, ""))
+    val docs = spark.createDataFrame(incoming).toDF("doc_id", "text")
+    val srcDir = tmpDir("bpe-stream-src")
+    stage(docs.filter(col("doc_id") <= 10), srcDir, "a.parquet")
+    stage(docs.filter(col("doc_id") > 10), srcDir, "b.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val countedStream = TextAnalysis.bpeTokenCounts(stream, merges)
+    assert(countedStream.isStreaming,
+      "bpe counting must stay a stateless streaming transform")
+    StreamingOps.runToCompletion(spark, countedStream, "bpe_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("bpe_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens"))
+      .toSet
+    val batch = TextAnalysis.bpeTokenCounts(docs, merges).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens"))
+      .toSet
+    assert(streamed == batch,
+      "streamed bpe counting diverged from the batch operator")
+  }
+
   test("pq encoder: stateless streaming map with an offline-trained " +
     "codebook; drain == batch") {
     import graft.ext.Similarity
