@@ -265,6 +265,69 @@ object TextAnalysis {
           count(lit(1)), 4).as("avg_logprob"))
   }
 
+  /** Perplexity-bucket cutoffs (CCNet, Wenzek et al. 2020 —
+    * "Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", public): the nBuckets−1 score values that split the
+    * corpus's [[unigramLogLik]] distribution into equal-rank tertiles
+    * (or n-tiles). Non-interpolated `quantile_disc` semantics — each
+    * cutoff is a value PRESENT in the data, the one at integer rank
+    * ceil(b·n/nBuckets) — so bucket assignment compares exact rounded
+    * grid values, never a fresh IEEE interpolation that could drift a
+    * ulp across engines and flip a boundary doc.
+    *
+    * Scale shape: the per-doc score table collapses to distinct
+    * rounded-4 values with counts (grid-BOUNDED — ≤ 10⁴ cells per
+    * unit of score range regardless of corpus size, unlike the raw
+    * column e08 bins), then the ungrouped running rank uses the
+    * exactQuantiles/x23 idiom — distributed range-sort, per-partition
+    * subtotals collected (one row per partition), prefix offsets
+    * broadcast back, cutoffs emitted by a narrow pass that collects
+    * ONLY the ≤ nBuckets−1 matched rows. No Window anywhere. EAGER at
+    * construction (the exactQuantiles caveat): the cutoff artifact is
+    * KB-scale, the dsir/PQ/BPE model discipline.
+    */
+  def perplexityCutoffs(docs: DataFrame, nBuckets: Int = 3): Seq[Double] = {
+    require(nBuckets >= 2, "perplexityCutoffs needs nBuckets >= 2")
+    val sorted = unigramLogLik(docs).select(col("avg_logprob").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .orderBy(col("v"))
+    val rdd = sorted.rdd // shared lineage: the sort shuffle runs once
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    require(n > 0, "perplexityCutoffs needs a non-empty corpus")
+    val ks = (1 until nBuckets)
+      .map(b => (b.toLong * n + nBuckets - 1) / nBuckets)
+    val found = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.flatMap { r =>
+        val lo = run; run += r.getLong(1)
+        val v = r.getDouble(0)
+        ks.filter(k => k > lo && k <= run).map(k => (k, v))
+      }
+    }.collect().toMap
+    ks.map(found)
+  }
+
+  /** Per-document perplexity buckets under trained cutoffs — CCNet's
+    * head/middle/tail split, the step between LM scoring and corpus
+    * composition (head trains first, tail is candidate-dropped).
+    * Bucket 1 = lowest avg_logprob (highest perplexity, the tail);
+    * bucket nBuckets = head. Docs tied AT a cutoff value all land in
+    * the lower bucket (the cutoff rank's own bucket) — value-based
+    * assignment, so ties never straddle. The assignment itself is a
+    * literal-comparison narrow map over the score table.
+    */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
+    val cuts = perplexityCutoffs(docs, nBuckets)
+    unigramLogLik(docs).withColumn("ppl_bucket",
+      cuts.foldLeft(lit(1))((b, c) =>
+        b + when(col("avg_logprob") > lit(c), 1).otherwise(0))
+        .cast("int"))
+  }
+
   /** DSIR hashed n-gram feature rows (Xie et al., NeurIPS 2023 —
     * public): each document's unigram+bigram stream bucketed to
     * `nBuckets` by the portable base-60 hash, tagged with its

@@ -149,6 +149,19 @@ object TextQueries {
         TextAnalysis.bpeTrain(docs, BpeNMerges))
     },
 
+    /** x38 — CCNet perplexity buckets: the corpus split head/middle/
+      * tail by exact-rank tertiles of the x15 unigram log-likelihood.
+      * Cutoffs are non-interpolated order statistics (values present
+      * in the data at integer ranks ceil(b·n/3)), so the oracle
+      * compares exact rounded grid values — no fresh IEEE
+      * interpolation to drift a boundary doc across engines. The
+      * Spark side ranks by the distributed-cumsum idiom (no Window);
+      * assignment is a literal-comparison narrow map.
+      */
+    "x38_perplexity_buckets" -> { (s, d) =>
+      TextAnalysis.perplexityBuckets(Tables.documents(s, d), 3)
+    },
+
     /** x33 — data-constrained epoch budgeting: per-domain token
       * supply → √-temperature weights → budget split with a
       * repetition cap (maxEpochs), surplus reported by difference.
@@ -1154,6 +1167,35 @@ object TextQueries {
 
     // per-token ln rounded to 6 decimals, summed through a decimal
     // cast (order-free) — both engines then divide identical doubles
+    // x38: x15's score CTE, then DISC cutoffs at integer ranks
+    // ceil(b*n/3) = (b*n + 2) // 3 (same integer tree as the Scala
+    // side), picked as MIN v with running rank >= k; ties at a cutoff
+    // land in the lower bucket on both engines by the same > compare
+    "x38_perplexity_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM freq),
+        |ll AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    round(CAST(SUM(CAST(round(ln(CAST(tf AS DOUBLE) / n_total), 6)
+        |        AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+        |  FROM tok JOIN freq USING (token) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |cnt AS (SELECT avg_logprob AS v, COUNT(*) AS c FROM ll GROUP BY 1),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM cnt),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+        |cuts AS (
+        |  SELECT MIN(CASE WHEN cum >= (1 * n + 2) // 3 THEN v END) AS c1,
+        |         MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS c2
+        |  FROM cum CROSS JOIN nn)
+        |SELECT doc_id, n_tokens, avg_logprob,
+        |  CAST(1 + (CASE WHEN avg_logprob > c1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN avg_logprob > c2 THEN 1 ELSE 0 END)
+        |    AS INT) AS ppl_bucket
+        |FROM ll CROSS JOIN cuts""".stripMargin,
+
     "x15_unigram_loglik" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -661,6 +661,37 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(wide != null && math.abs(wide.doubleValue - 1e6) < 1e-6)
   }
 
+  test("perplexityBuckets: hand-derived tertiles, cutoff ties land in " +
+    "the lower bucket, partition invariance, degenerate buckets safe") {
+    import spark.implicits._
+    // 6 docs over a tiny vocab: common tokens score high (head),
+    // rare-heavy docs low (tail). Scores are distinct by design.
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "a a a b"), (3L, "a a b b"),
+      (4L, "a b b c"), (5L, "b b c c"), (6L, "c c d d"))
+      .toDF("doc_id", "text")
+    val cuts = TextAnalysis.perplexityCutoffs(docs, 3)
+    assert(cuts.size == 2 && cuts(0) < cuts(1), s"got $cuts")
+    val got = TextAnalysis.perplexityBuckets(docs, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("ppl_bucket"))
+      .toMap
+    // n=6, k1=ceil(6/3)=2, k2=ceil(12/3)=4 → exactly 2 docs per bucket
+    assert(got.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(1 -> 2, 2 -> 2, 3 -> 2), s"got $got")
+    // ordering: doc 1 (all-common) is head, doc 6 (all-rare) is tail
+    assert(got(1L) == 3 && got(6L) == 1, s"got $got")
+    // partition invariance of the eager cutoff path
+    assert(TextAnalysis.perplexityCutoffs(docs.repartition(7), 3) == cuts)
+    // ties: every doc identical → one distinct score; all ranks hit
+    // the same value, every doc in bucket 1, no crash
+    val flat = Seq((1L, "x x"), (2L, "x x"), (3L, "x x"))
+      .toDF("doc_id", "text")
+    val fb = TextAnalysis.perplexityBuckets(flat, 3).collect()
+      .map(_.getAs[Int]("ppl_bucket")).toSet
+    assert(fb == Set(1), s"tied corpus must collapse to bucket 1: $fb")
+    TextAnalysis.release(docs); TextAnalysis.release(flat)
+  }
+
   test("bpeTrain learns the hand-derived merge sequence (Sennrich's " +
     "corpus shape), counts subwords right, and is partition-invariant") {
     import spark.implicits._

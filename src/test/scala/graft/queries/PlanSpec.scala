@@ -52,7 +52,8 @@ class PlanSpec extends SparkTestBase {
     "x20_heavy_hitters",      // × total-count threshold scalar
     "x22_pmi_collocations",   // × unigram/bigram total scalars
     "x31_dsir_resample",      // × smoothing-total scalar (t_tot/r_tot)
-    "x33_epoch_budget")       // domain rows × one-row budget/weight-sum
+    "x33_epoch_budget",       // domain rows × one-row budget/weight-sum
+    "x38_perplexity_buckets") // x15's total-token-count scalar
 
   private def hasAllPairsJoin(p: String): Boolean =
     p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
