@@ -100,5 +100,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.ext.TextSql.getClass.getName,
         "bm25_topk"),
       (args: Seq[Expression]) => graft.ext.TextSql.bm25FromSqlArgs(args)))
+    e.injectTableFunction((
+      new FunctionIdentifier("bpe_merges"),
+      new ExpressionInfo(graft.ext.TextSql.getClass.getName,
+        "bpe_merges"),
+      (args: Seq[Expression]) =>
+        graft.ext.TextSql.bpeMergesFromSqlArgs(args)))
+    e.injectTableFunction((
+      new FunctionIdentifier("perplexity_buckets"),
+      new ExpressionInfo(graft.ext.TextSql.getClass.getName,
+        "perplexity_buckets"),
+      (args: Seq[Expression]) =>
+        graft.ext.TextSql.perplexityBucketsFromSqlArgs(args)))
   }
 }

@@ -177,6 +177,50 @@ object TextSql {
     * (s09) of a table/view with (doc_id, text); `terms` is a
     * space-separated bag of query terms.
     */
+  /** `bpe_merges(docs_table[, n_merges])` — BPE merge training (x36)
+    * over a table/view with (doc_id, text); returns the display-form
+    * merge table. EAGER: training runs while the function expands
+    * (analysis time) — the qualityProbe/dsir model discipline, the
+    * artifact is KB-scale by construction.
+    */
+  def bpeMergesFromSqlArgs(args: Seq[Expression]): LogicalPlan = {
+    val usage = "bpe_merges(docs_table[, n_merges]) — table name as " +
+      "a string literal, optional merge budget (default 8) as an " +
+      "integer literal"
+    require(args.nonEmpty && args.length <= 2,
+      s"wrong argument count: $usage")
+    val table = strLit(args(0), "bpe_merges: docs_table", usage)
+    val n =
+      if (args.length > 1) intLit(args(1), "bpe_merges: n_merges", usage)
+      else 8
+    require(n >= 1, s"n_merges must be positive; $usage")
+    val spark = SparkSession.active
+    TextAnalysis.bpeMerges(spark.table(table), n)
+      .queryExecution.logical
+  }
+
+  /** `perplexity_buckets(docs_table[, n_buckets])` — CCNet
+    * head/middle/tail bucketing (x38) of a table/view with
+    * (doc_id, text). EAGER: the cutoff artifact (≤ n_buckets−1
+    * values) is collected while the function expands.
+    */
+  def perplexityBucketsFromSqlArgs(args: Seq[Expression]): LogicalPlan = {
+    val usage = "perplexity_buckets(docs_table[, n_buckets]) — table " +
+      "name as a string literal, optional bucket count (default 3) " +
+      "as an integer literal"
+    require(args.nonEmpty && args.length <= 2,
+      s"wrong argument count: $usage")
+    val table = strLit(args(0), "perplexity_buckets: docs_table", usage)
+    val n =
+      if (args.length > 1)
+        intLit(args(1), "perplexity_buckets: n_buckets", usage)
+      else 3
+    require(n >= 2, s"n_buckets must be at least 2; $usage")
+    val spark = SparkSession.active
+    TextAnalysis.perplexityBuckets(spark.table(table), n)
+      .queryExecution.logical
+  }
+
   def bm25FromSqlArgs(args: Seq[Expression]): LogicalPlan = {
     val usage = "bm25_topk(docs_table, terms[, k]) — table name and " +
       "space-separated query terms as string literals, optional k " +

@@ -228,6 +228,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT * FROM bm25_topk('docs_v')").collect()
       }
       assert(errB.getMessage.contains("bm25_topk"), errB.getMessage)
+
+      // x36 via SQL == the Scala operator (n_merges reaches training)
+      val gotM = spark.sql("SELECT * FROM bpe_merges('docs_v', 4)")
+      val expM = graft.ext.TextAnalysis.bpeMerges(docs, 4)
+      assert(gotM.except(expM).isEmpty && expM.except(gotM).isEmpty,
+        "SQL bpe_merges diverged from the Scala-API operator")
+      val errM = intercept[Exception] {
+        spark.sql("SELECT * FROM bpe_merges('docs_v', 0)").collect()
+      }
+      assert(errM.getMessage.contains("n_merges"), errM.getMessage)
+
+      // x38 via SQL == the Scala operator
+      val gotP = spark.sql("SELECT * FROM perplexity_buckets('docs_v')")
+      val expP = graft.ext.TextAnalysis.perplexityBuckets(docs, 3)
+      assert(gotP.except(expP).isEmpty && expP.except(gotP).isEmpty,
+        "SQL perplexity_buckets diverged from the Scala-API operator")
+      val errP = intercept[Exception] {
+        spark.sql("SELECT * FROM perplexity_buckets('docs_v', 1)")
+          .collect()
+      }
+      assert(errP.getMessage.contains("n_buckets"), errP.getMessage)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
