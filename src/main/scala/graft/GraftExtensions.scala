@@ -112,5 +112,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "perplexity_buckets"),
       (args: Seq[Expression]) =>
         graft.ext.TextSql.perplexityBucketsFromSqlArgs(args)))
+    e.injectTableFunction((
+      new FunctionIdentifier("keyword_tags"),
+      new ExpressionInfo(graft.ext.TextSql.getClass.getName,
+        "keyword_tags"),
+      (args: Seq[Expression]) =>
+        graft.ext.TextSql.keywordTagsFromSqlArgs(args)))
+    e.injectTableFunction((
+      new FunctionIdentifier("bigram_loglik"),
+      new ExpressionInfo(graft.ext.TextSql.getClass.getName,
+        "bigram_loglik"),
+      (args: Seq[Expression]) =>
+        graft.ext.TextSql.bigramLogLikFromSqlArgs(args)))
   }
 }

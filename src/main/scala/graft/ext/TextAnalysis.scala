@@ -265,6 +265,72 @@ object TextAnalysis {
           count(lit(1)), 4).as("avg_logprob"))
   }
 
+  /** Adjacent-pair (w1,w2) projection over a bound token-array column
+    * — the bigram stream [[pmiCollocations]] and [[bigramLogLik]]
+    * share. The array column must be materialized (aliased) BEFORE
+    * this lambda: referencing the split() expression inside
+    * element_at re-evaluates it per reference on the interpreted HOF
+    * path (no CSE) — O(len²) per doc (see Dedup.windowHashArr).
+    */
+  private def adjacentPairs(tk: Column): Column =
+    when(size(tk) >= 2,
+      transform(sequence(lit(0), size(tk) - 2),
+        i => struct(element_at(tk, i + 1).as("w1"),
+          element_at(tk, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** Bigram LM scoring with add-k (Lidstone) smoothing — one model
+    * order up from [[unigramLogLik]], the shape CCNet's KenLM filter
+    * takes (Wenzek et al. 2020 score with a 5-gram model; the
+    * conditional-probability + smoothing mechanics are identical at
+    * order 2): mean ln p(w2|w1) per document under the corpus's own
+    * bigram counts,
+    *
+    *   p(w2|w1) = (c(w1,w2) + a) / (c(w1·) + a·V)
+    *
+    * with c(w1·) the HISTORY count (Σ_w2 c(w1,w2), so rows sum to
+    * exactly 1 over the smoothed vocab) and V the full unigram vocab.
+    * Unlike the unigram score, smoothing is load-bearing even
+    * self-trained: most of the V² bigram grid is unseen, and a
+    * document reusing rare-but-seen transitions scores measurably
+    * higher than one crossing unseen ones. Documents with < 2 tokens
+    * have no bigrams and drop out (no rows, not NULL scores).
+    *
+    * Oracle determinism: the x15 recipe — per-bigram ln rounded to 6
+    * decimals, decimal(38,18) order-free sum, one fresh IEEE divide
+    * rounded to 4; the smoothed ratio is computed double-for-double
+    * in both engines (a and a·V as DOUBLE casts, never DECIMAL
+    * literals). Scale: the bigram stream is projected twice (both
+    * narrow in-row passes — the pmi trade: recompute beats a
+    * corpus-sized cache); counts are corpus-bounded aggregates, the
+    * history table is an aggregate OF the bigram-count table (no
+    * third scan), and the model join keys on (w1,w2) — AQE broadcasts
+    * while the model fits, shuffle-joins beyond. The vocab scalar
+    * rides one broadcast cross join.
+    */
+  def bigramLogLik(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val tk = tokens(col("text"))
+    def bigrams = docs.select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), explode_outer(adjacentPairs(col("tk"))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bc = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val hist = bc.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val vocab = docs.select(explode(tk).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bigrams.join(bc.join(hist, "w1"), Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("c_ab").cast("double") + lit(alpha)) /
+          (col("c_a").cast("double") + lit(alpha) * col("v"))), 6)
+          .as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("logp").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 4).as("avg_logprob"))
+  }
+
   /** Perplexity-bucket cutoffs (CCNet, Wenzek et al. 2020 —
     * "Extracting High Quality Monolingual Datasets from Web Crawl
     * Data", public): the nBuckets−1 score values that split the
@@ -769,15 +835,7 @@ object TextAnalysis {
   def pmiCollocations(docs: DataFrame, minCount: Int = 5,
                       topK: Int = 30): DataFrame = {
     val tk = tokens(col("text"))
-    // `tk` is materialized as a bound column BEFORE the window lambda:
-    // referencing the split() expression inside element_at re-evaluates
-    // it per reference on the interpreted HOF path (no CSE) — O(len²)
-    // per doc (see Dedup.windowHashArr)
-    val pairs = when(size(col("tk")) >= 2,
-      transform(sequence(lit(0), size(col("tk")) - 2),
-        i => struct(element_at(col("tk"), i + 1).as("w1"),
-          element_at(col("tk"), i + 2).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairs = adjacentPairs(col("tk"))
     val uni = docs.select(explode(tk).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
     val bic = docs.select(tk.as("tk"))
@@ -1055,6 +1113,26 @@ object TextAnalysis {
       .withColumn("clean_text",
         regexp_replace(deEmailed, PhonePattern, "<PHONE>"))
   }
+
+  /** Blocklist/lexicon tagging via one Aho–Corasick walk
+    * ([[graft.functions.KeywordMatch]]): every document tagged with
+    * the sorted set of patterns occurring in it — the C4 "bad words"
+    * / UT1 blocklist gate and the topic-lexicon labeler in one
+    * operator. `hit` is the blocklist verdict. Narrow codegen'd map,
+    * zero shuffles; ONE corpus walk for the whole pattern set, where
+    * per-pattern `contains` would scan the corpus |patterns| times.
+    * The matched SET equals per-pattern substring containment (AC
+    * finds every occurrence, including fail-link suffix overlaps) —
+    * the property the DuckDB oracle checks pattern by pattern.
+    */
+  def keywordTags(docs: DataFrame, patterns: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.KeywordMatch
+          .keyword_matches(col("text"), patterns).as("ta"))
+      .select(col("doc_id"),
+        array_join(col("ta"), ",").as("tags"),
+        size(col("ta")).as("n_tags"),
+        (size(col("ta")) > 0).as("hit"))
 
   /** C4's terminal-punctuation line gate (Raffel et al. 2020 §2.2 —
     * public): a line survives iff it ends in . ! ? or closing quote.

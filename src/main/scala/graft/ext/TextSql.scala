@@ -221,6 +221,37 @@ object TextSql {
       .queryExecution.logical
   }
 
+  /** `keyword_tags(docs_table, patterns_csv)` — Aho–Corasick
+    * blocklist tagging (x40) of a table/view with (doc_id, text);
+    * `patterns_csv` is a comma-separated pattern list (whitespace
+    * around commas trimmed). One automaton walk per document.
+    */
+  def keywordTagsFromSqlArgs(args: Seq[Expression]): LogicalPlan = {
+    val usage = "keyword_tags(docs_table, patterns_csv) — table name " +
+      "and a comma-separated pattern list as string literals"
+    require(args.length == 2, s"wrong argument count: $usage")
+    val table = strLit(args(0), "keyword_tags: docs_table", usage)
+    val pats = strLit(args(1), "keyword_tags: patterns_csv", usage)
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(pats.nonEmpty, s"empty pattern list; $usage")
+    val spark = SparkSession.active
+    TextAnalysis.keywordTags(spark.table(table), pats)
+      .queryExecution.logical
+  }
+
+  /** `bigram_loglik(docs_table)` — add-½ smoothed bigram-LM scoring
+    * (x39) of a table/view with (doc_id, text).
+    */
+  def bigramLogLikFromSqlArgs(args: Seq[Expression]): LogicalPlan = {
+    val usage =
+      "bigram_loglik(docs_table) — table name as a string literal"
+    require(args.length == 1, s"wrong argument count: $usage")
+    val table = strLit(args(0), "bigram_loglik: docs_table", usage)
+    val spark = SparkSession.active
+    TextAnalysis.bigramLogLik(spark.table(table))
+      .queryExecution.logical
+  }
+
   def bm25FromSqlArgs(args: Seq[Expression]): LogicalPlan = {
     val usage = "bm25_topk(docs_table, terms[, k]) — table name and " +
       "space-separated query terms as string literals, optional k " +

@@ -16,6 +16,16 @@ object TextQueries {
     */
   private val BpeNMerges = 8
 
+  /** x40's blocklist — shared by the Spark automaton and the
+    * oracle's per-pattern containment CTE. Deliberately overlapping
+    * ('able' occurs inside the corpus word 'table') so suffix
+    * matches via fail links are exercised, and multi-word phrases so
+    * matches cross token boundaries.
+    */
+  private val BlockPhrases = Seq(
+    "fast merge", "merge batch", "able", "key agg", "agg row",
+    "spark", "slow scan")
+
   val defs: Map[String, QueryFn] = Map(
     "x01_token_stats" -> { (s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d))
@@ -160,6 +170,29 @@ object TextQueries {
       */
     "x38_perplexity_buckets" -> { (s, d) =>
       TextAnalysis.perplexityBuckets(Tables.documents(s, d), 3)
+    },
+
+    /** x39 — bigram-LM scoring with add-½ Lidstone smoothing: mean
+      * ln p(w2|w1) per doc under the corpus's own bigram counts, one
+      * model order up from x15 and the mechanics of CCNet's KenLM
+      * filter. Oracle: the x15 recipe (round-6 per-bigram logs,
+      * decimal order-free sum, one final IEEE divide) over the same
+      * smoothed-ratio double arithmetic — history counts, the vocab
+      * scalar, and every division replayed op-for-op.
+      */
+    "x39_bigram_loglik" -> { (s, d) =>
+      TextAnalysis.bigramLogLik(Tables.documents(s, d), alpha = 0.5)
+    },
+
+    /** x40 — Aho–Corasick blocklist tagging: one automaton walk tags
+      * every doc with its sorted matched-pattern set (the C4
+      * bad-words / UT1 gate). The pattern list overlaps on purpose
+      * ('able' is a suffix of 'table…' phrases) so the fail-link path
+      * is load-bearing, not just trie descent. Oracle: per-pattern
+      * substring containment — the exact set AC must reproduce.
+      */
+    "x40_keyword_tags" -> { (s, d) =>
+      TextAnalysis.keywordTags(Tables.documents(s, d), BlockPhrases)
     },
 
     /** x33 — data-constrained epoch budgeting: per-domain token
@@ -1207,6 +1240,45 @@ object TextQueries {
         |      AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    // the x15 recipe one model order up: parallel-unnest bigrams,
+    // history counts as an aggregate OF the bigram-count table, and
+    // the add-½ ratio in pure DOUBLE casts (never DECIMAL literals)
+    "x39_bigram_loglik" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+        |  FROM tok),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY w1, w2),
+        |hist AS (
+        |  SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a
+        |  FROM bc GROUP BY w1),
+        |voc AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+        |        FROM (SELECT unnest(t) AS token FROM tok))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(CAST(round(ln(
+        |      (CAST(c_ab AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |      (CAST(c_a AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(v AS DOUBLE))),
+        |      6) AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 4)
+        |    AS avg_logprob
+        |FROM bg JOIN bc USING (w1, w2) JOIN hist USING (w1)
+        |  CROSS JOIN voc
+        |GROUP BY doc_id""".stripMargin,
+
+    // the automaton's matched SET == per-pattern substring
+    // containment; sorted tag order via string_agg ORDER BY
+    "x40_keyword_tags" ->
+      s"""WITH kw(k) AS (VALUES ${
+            BlockPhrases.sorted.map(p => s"('$p')").mkString(", ")})
+         |SELECT d.doc_id,
+         |  COALESCE(string_agg(kw.k, ',' ORDER BY kw.k), '') AS tags,
+         |  CAST(COUNT(kw.k) AS INT) AS n_tags,
+         |  COUNT(kw.k) > 0 AS hit
+         |FROM documents d LEFT JOIN kw ON contains(d.text, kw.k)
+         |GROUP BY d.doc_id""".stripMargin,
 
     // exclusive running sum per bucket; integer div/mod only
     "x18_pack_sequences" ->

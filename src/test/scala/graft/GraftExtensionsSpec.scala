@@ -249,6 +249,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .collect()
       }
       assert(errP.getMessage.contains("n_buckets"), errP.getMessage)
+
+      // x40 via SQL == the Scala operator (patterns reach the automaton)
+      val gotK = spark.sql(
+        "SELECT * FROM keyword_tags('docs_v', 'able, spark,fast merge')")
+      val expK = graft.ext.TextAnalysis.keywordTags(docs,
+        Seq("able", "spark", "fast merge"))
+      assert(gotK.except(expK).isEmpty && expK.except(gotK).isEmpty,
+        "SQL keyword_tags diverged from the Scala-API operator")
+      val errK = intercept[Exception] {
+        spark.sql("SELECT * FROM keyword_tags('docs_v', ' , ')").collect()
+      }
+      assert(errK.getMessage.contains("pattern"), errK.getMessage)
+
+      // x39 via SQL == the Scala operator
+      val gotBg = spark.sql("SELECT * FROM bigram_loglik('docs_v')")
+      val expBg = graft.ext.TextAnalysis.bigramLogLik(docs)
+      assert(gotBg.except(expBg).isEmpty && expBg.except(gotBg).isEmpty,
+        "SQL bigram_loglik diverged from the Scala-API operator")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

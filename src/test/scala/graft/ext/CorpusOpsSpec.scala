@@ -768,4 +768,33 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"),
       s"bpeTokenCounts must be a narrow map, got:\n$plan")
   }
+
+  test("bigramLogLik: hand-derived smoothed scores, single-token docs " +
+    "drop out, vocab counts ALL tokens, partition invariance") {
+    import spark.implicits._
+    // corpus: d1 'a b a', d2 'b a', d3 'c' (no bigrams; c still in V)
+    // bigram counts: (a,b)=1, (b,a)=2; history: a·=1, b·=2; V=3
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "c"))
+      .toDF("doc_id", "text")
+    def round(x: Double, n: Int): Double =
+      BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def logp(cab: Long, ca: Long): Double =
+      round(math.log((cab + 0.5) / (ca + 0.5 * 3)), 6)
+    def avg(ls: Seq[Double]): Double =
+      round(ls.map(BigDecimal(_)).sum.toDouble / ls.size, 4)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bigramLogLik(df, alpha = 0.5).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+    val got = run(docs)
+    assert(got.keySet == Set(1L, 2L), "single-token doc must drop out")
+    assert(got(1L) == ((2L, avg(Seq(logp(1, 1), logp(2, 2))))))
+    assert(got(2L) == ((1L, avg(Seq(logp(2, 2))))))
+    assert(got == run(docs.repartition(7)), "partition invariance")
+    // smoothing is load-bearing: a doc of SEEN transitions outscores
+    // one of the same length crossing an unseen-history... (all our
+    // bigrams are seen; the rare (a,b) transition scores below the
+    // common (b,a) one)
+    assert(logp(1, 1) < logp(2, 2))
+  }
 }

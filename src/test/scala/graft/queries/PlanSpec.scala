@@ -53,7 +53,8 @@ class PlanSpec extends SparkTestBase {
     "x22_pmi_collocations",   // × unigram/bigram total scalars
     "x31_dsir_resample",      // × smoothing-total scalar (t_tot/r_tot)
     "x33_epoch_budget",       // domain rows × one-row budget/weight-sum
-    "x38_perplexity_buckets") // x15's total-token-count scalar
+    "x38_perplexity_buckets", // x15's total-token-count scalar
+    "x39_bigram_loglik")      // × vocab-size scalar (the |V| in add-k)
 
   private def hasAllPairsJoin(p: String): Boolean =
     p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
@@ -389,6 +390,17 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("Exchange"), s"$q plan gained a shuffle")
       assert(!p.contains("Window"), s"$q plan gained a window")
     }
+  }
+
+  test("x40 keyword tagging: zero-shuffle narrow map; the automaton " +
+    "walk stays inside whole-stage codegen") {
+    // one AC walk per document is the whole point — a shuffle or a
+    // codegen fallback here would undo the |patterns|× scan saving
+    val p = plan("x40_keyword_tags")
+    assert(!p.contains("Exchange"), s"x40 plan gained a shuffle:\n$p")
+    assert("""\*\(\d+\) Project \[""".r.findFirstIn(p).isDefined &&
+      p.contains("keywordmatches"),
+      s"x40 automaton walk fell out of whole-stage codegen:\n$p")
   }
 
   test("x23 zipf: rank is a distributed sort, not a global window") {
