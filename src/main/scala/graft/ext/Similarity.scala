@@ -67,6 +67,42 @@ object Similarity {
         col("sim"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive retriever training (DPR,
+    * Karpukhin et al. 2020 §4.2 — public): for each query vector, the
+    * top-k most-similar corpus vectors OUTSIDE its positive class —
+    * the near-misses a bi-encoder must learn to push away, far more
+    * informative than random negatives. The positive class is the
+    * `label` column (the same proxy [[annRecallAtK]]'s ground truth
+    * uses); excluding the whole class also excludes self.
+    *
+    * Plan shape is [[cosineTopK]]'s by design — corpus × broadcast
+    * query set (O(Q·N), Q small by construction: mining runs per
+    * training batch, not per corpus) with the class anti-predicate
+    * BEFORE the similarity so positive-class rows never pay the
+    * cosine; the per-query top-k window partitions on query_id. At
+    * larger Q, mine through an index instead ([[ivfTopK]]/[[pqTopK]]
+    * feeding the same anti-predicate) — this exact form is also the
+    * oracle-checkable truth twin for that swap.
+    */
+  def hardNegatives(embeddings: DataFrame, queries: DataFrame,
+                    k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("sim", round(cosine(col("emb"), col("q_emb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("negative_id"),
+        col("sim"), col("rank"))
+  }
+
   /** Quantized-candidate top-k: the int8 fast path in front of an
     * exact re-rank. Corpus and queries are quantized once (narrow
     * maps, [[Quantize.int8]]); candidate scoring touches ONLY the

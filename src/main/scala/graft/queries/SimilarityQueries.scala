@@ -48,6 +48,17 @@ object SimilarityQueries {
       Similarity.annTopK(e, e.filter(col("vec_id") < NumQueries), K)
     },
 
+    /** s12 — hard-negative mining (DPR shape): per query, the top-k
+      * most-similar vectors OUTSIDE its `label` class — the
+      * contrastive-training negatives a random sampler would miss.
+      * s01's exact plan with the positive-class anti-predicate; the
+      * oracle is S01Sql's with the same predicate swap.
+      */
+    "s12_hard_negatives" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < NumQueries), K)
+    },
+
     /** s06 — ANN recall@k: per-probe fraction of the exact top-k that
       * the s02 LSH index returned — the offline quality metric of the
       * ANN family, run on a probe sample (the exact side is s01's
@@ -356,6 +367,24 @@ object SimilarityQueries {
        |  CAST(row_number() OVER w AS INT) AS rank
        |FROM e, q
        |WHERE vec_id != query_id
+       |WINDOW w AS (PARTITION BY query_id
+       |  ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id)
+       |QUALIFY rank <= $K""".stripMargin
+
+  // S01Sql with the positive-class anti-predicate: the class filter
+  // replaces the self-exclusion (different label implies different id)
+  private lazy val S12Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS q_label,
+       |             emb AS q_emb
+       |      FROM e WHERE vec_id < $NumQueries)
+       |SELECT query_id, vec_id AS negative_id,
+       |  round(list_cosine_similarity(emb, q_emb), 4) + 0.0 AS sim,
+       |  CAST(row_number() OVER w AS INT) AS rank
+       |FROM e, q
+       |WHERE label != q_label
        |WINDOW w AS (PARTITION BY query_id
        |  ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, vec_id)
        |QUALIFY rank <= $K""".stripMargin
@@ -762,6 +791,7 @@ object SimilarityQueries {
         |GROUP BY b.vec_id, b.label""".stripMargin,
 
     "s01_cosine_topk" -> S01Sql,
+    "s12_hard_negatives" -> S12Sql,
 
     "s03_ann_ivf" ->
       s"""WITH e AS (

@@ -347,6 +347,43 @@ class SimilaritySpec extends SparkTestBase {
         s"missing=${(expectKept -- assignedKept).take(5)}")
   }
 
+  test("hardNegatives: positive class excluded even when it holds the " +
+    "nearest vector; ranks = cosineTopK over the other-label corpus") {
+    import spark.implicits._
+    // planted geometry around query 0 (label 0, along e1):
+    //   id 1 label 0 — nearest overall (cos≈0.995) but POSITIVE class
+    //   id 2 label 1 — nearest admissible (cos≈0.95)      → rank 1
+    //   id 3 label 2 — orthogonal (cos 0)                 → rank 2
+    //   id 4 label 1 — antipodal (cos −1)                 → k=2 cuts
+    val df = Seq(
+      (0L, 0, Array(1f, 0f, 0f, 0f)),
+      (1L, 0, Array(0.99f, 0.1f, 0f, 0f)),
+      (2L, 1, Array(0.9f, 0.3f, 0f, 0f)),
+      (3L, 2, Array(0f, 1f, 0f, 0f)),
+      (4L, 1, Array(-1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val qs = df.filter($"vec_id" === 0L)
+    val got = Similarity.hardNegatives(df, qs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toList
+      .sortBy(_._3)
+    assert(got == List((0L, 2L, 1), (0L, 3L, 2)),
+      s"wrong negatives: $got")
+    // the mined set IS exact top-k over the label-excluded corpus
+    val twin = Similarity.cosineTopK(df.filter($"label" =!= 0), qs, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .toList.sortBy(_._3)
+    assert(got == twin, "diverged from the filtered cosineTopK twin")
+    // on the corpus table: never self, never same-label
+    val mined = Similarity.hardNegatives(emb, queries, 3)
+      .join(emb.select($"vec_id", $"label".as("n_label")),
+        col("negative_id") === col("vec_id"))
+      .join(emb.select($"vec_id".as("query_id"), $"label".as("q_label")),
+        "query_id")
+    assert(mined.filter($"negative_id" === $"query_id" ||
+      $"n_label" === $"q_label").isEmpty,
+      "a positive-class vector leaked into the negatives")
+  }
+
   test("top-k ranking is deterministic across runs") {
     val a = Similarity.cosineTopK(emb, queries, 3).collect().toSeq
     val b = Similarity.cosineTopK(emb, queries, 3).collect().toSeq

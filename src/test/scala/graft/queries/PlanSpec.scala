@@ -29,6 +29,7 @@ class PlanSpec extends SparkTestBase {
     "s08_ann_ivfpq",        // corpus × broadcast centroid list (coarse assign)
     "s10_cluster_sample",   // s05's final assignment pass (same crossJoin)
     "s11_hybrid_rrf",       // dense branch: corpus × broadcast query vectors
+    "s12_hard_negatives",   // s01's corpus × broadcast probe set
     "d05_embedding_dups")   // brute-force truth twin of d07
   // (d09's corpus × broadcast-centroid crossJoin sits BEHIND its
   // assignment checkpoint, so the visible plan is all hash joins —

@@ -352,6 +352,45 @@ class StreamingDedupSpec extends SparkTestBase {
       "streamed bpe counting diverged from the batch operator")
   }
 
+  test("keyword tagger: stateless streaming map (broadcast automaton); " +
+    "drain == batch") {
+    import graft.ext.TextAnalysis
+    // the blocklist deployment shape: the automaton is built once on
+    // the driver, NEW documents are tagged on the stream by the same
+    // narrow codegen walk — no shuffle, no state
+    val patterns = Seq("fast merge", "able", "spark")
+    val incoming = Seq(
+      (10L, "the fast merge runs"),
+      (11L, "a table and spark"),
+      (12L, "nothing here"))
+    val docs = spark.createDataFrame(incoming).toDF("doc_id", "text")
+    val srcDir = tmpDir("kw-stream-src")
+    stage(docs.filter(col("doc_id") <= 10), srcDir, "a.parquet")
+    stage(docs.filter(col("doc_id") > 10), srcDir, "b.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val taggedStream = TextAnalysis.keywordTags(stream, patterns)
+    assert(taggedStream.isStreaming,
+      "keyword tagging must stay a stateless streaming transform")
+    StreamingOps.runToCompletion(spark, taggedStream, "kw_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("tags"),
+        r.getAs[Int]("n_tags"), r.getAs[Boolean]("hit"))
+    val streamed = spark.table("kw_stream").collect().map(key).toSet
+    val batch = TextAnalysis.keywordTags(docs, patterns)
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      "streamed keyword tagging diverged from the batch operator")
+    assert(streamed == Set((10L, "fast merge", 1, true),
+      (11L, "able,spark", 2, true), (12L, "", 0, false)))
+  }
+
   test("pq encoder: stateless streaming map with an offline-trained " +
     "codebook; drain == batch") {
     import graft.ext.Similarity
