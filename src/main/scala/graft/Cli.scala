@@ -136,14 +136,17 @@ object Cli {
       case Some("epoch-budget") | Some("epoch_budget") =>
         epochBudgetCmd(spark, parseOpts(args.tail))
       case Some("bpe") => bpeCmd(spark, parseOpts(args.tail))
+      case Some("tag") => tagCmd(spark, parseOpts(args.tail))
       case Some(other) => throw CliError(
         s"unknown command: $other " +
           "(expected export | import | db | compact | zonemap | dedup " +
-          "| despan | index | bm25 | dsir | probe | epoch-budget | bpe)")
+          "| despan | index | bm25 | dsir | probe | epoch-budget | bpe " +
+          "| tag)")
       case None =>
         throw CliError(
           "usage: graft.Cli <export|import|db|compact|zonemap|dedup" +
-            "|despan|index|bm25|dsir|probe|epoch-budget|bpe> [--options]")
+            "|despan|index|bm25|dsir|probe|epoch-budget|bpe|tag> " +
+            "[--options]")
     }
 
   /** Read a corpus parquet and insist on the (doc_id, text) contract
@@ -187,6 +190,58 @@ object Cli {
         hits.collect().map(r =>
           f"${r.getLong(0)}%12d  ${r.getLong(1)}%2d  ${r.getDouble(2)}%9.4f")
           .mkString(s"      doc_id  terms     score\n", "\n", "")
+    }
+  }
+
+  /** `tag` — [EXT] blocklist/lexicon tagging
+    * (ext.TextAnalysis.keywordTags, the x40 shape): one Aho–Corasick
+    * walk tags `--docs` with the patterns from `--patterns "a,b,…"`
+    * or `--patterns-file` (one per line; blank lines and `#` comments
+    * skipped — the UT1-blocklist file shape). With `--out` the tagged
+    * table is written; without it the command prints the per-pattern
+    * hit audit an operator wants BEFORE deploying a blocklist —
+    * including zero-hit patterns, the usual sign of a typo.
+    */
+  private def tagCmd(spark: SparkSession,
+                     opts: Map[String, String]): String = {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val docs = readDocs(spark, required(opts, "docs"))
+    val pats = (opts.get("patterns"), opts.get("patterns_file")) match {
+      case (Some(csv), None) =>
+        csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case (None, Some(pf)) =>
+        if (!new java.io.File(pf).isFile)
+          throw CliError(s"--patterns-file not found: $pf")
+        val src = scala.io.Source.fromFile(pf, "UTF-8")
+        try src.getLines().map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+        finally src.close()
+      case (None, None) => throw CliError(
+        "tag needs --patterns \"a,b,…\" or --patterns-file <path>")
+      case _ => throw CliError(
+        "--patterns and --patterns-file are mutually exclusive")
+    }
+    if (pats.isEmpty)
+      throw CliError("empty pattern list (nothing to tag with)")
+    val tagged = graft.ext.TextAnalysis.keywordTags(docs, pats)
+    opts.get("out") match {
+      case Some(out) =>
+        tagged.write.mode("overwrite").parquet(out)
+        val written = spark.read.parquet(out)
+        val n = written.count()
+        val hit = written.filter(col("hit")).count()
+        s"$n docs tagged ($hit hit) -> $out"
+      case None =>
+        val counts = tagged.filter(col("n_tags") > 0)
+          .select(explode(split(col("tags"), ",")).as("p"))
+          .groupBy(col("p")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val total = tagged.count()
+        val hits = tagged.filter(col("hit")).count()
+        pats.distinct.sorted
+          .map(p => f"${counts.getOrElse(p, 0L)}%8d  $p")
+          .mkString(s"$total docs, $hits hit\n    docs  pattern\n",
+            "\n", "")
     }
   }
 

@@ -407,6 +407,47 @@ class CliSpec extends SparkTestBase {
       .message.contains("at least one term"))
   }
 
+  test("tag command: csv and file pattern sources agree with the " +
+    "library tagger; audit lists zero-hit patterns; loud failures") {
+    val base = tmpDir("cli-tag")
+    val docs = Tables.documents(spark, sf0001)
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(base)
+    val out = tmpDir("cli-tag-out") + "/tags"
+    val msg = Cli.run(spark, Seq("tag", "--docs", base,
+      "--patterns", "able, spark,fast merge", "--out", out), now)
+    assert(msg.contains("docs tagged") && msg.contains("hit"), msg)
+    val got = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    val exp = graft.ext.TextAnalysis.keywordTags(docs,
+      Seq("able", "spark", "fast merge")).collect().map(_.toSeq).toSet
+    assert(got == exp, "CLI tag diverged from TextAnalysis.keywordTags")
+    // file form (blanks + comments skipped) == csv form
+    val pf = tmpDir("cli-tag-pats") + "/block.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pf),
+      "# blocklist\nable\n\nspark\nfast merge\n".getBytes("UTF-8"))
+    val out2 = tmpDir("cli-tag-out2") + "/tags"
+    Cli.run(spark, Seq("tag", "--docs", base,
+      "--patterns-file", pf, "--out", out2), now)
+    assert(spark.read.parquet(out2).collect().map(_.toSeq).toSet == got,
+      "pattern-file form diverged from the csv form")
+    // audit mode: every pattern listed, zero-hit ones included
+    val audit = Cli.run(spark, Seq("tag", "--docs", base,
+      "--patterns", "spark,zz-never-matches"), now)
+    assert(audit.contains("zz-never-matches") &&
+      audit.linesIterator.exists(l =>
+        l.trim.startsWith("0") && l.contains("zz-never-matches")), audit)
+    // loud failures: neither source, both sources, empty list, bad file
+    assert(intercept[CliError](Cli.run(spark,
+      Seq("tag", "--docs", base), now)).message.contains("--patterns"))
+    assert(intercept[CliError](Cli.run(spark, Seq("tag", "--docs", base,
+      "--patterns", "a", "--patterns-file", pf), now))
+      .message.contains("mutually exclusive"))
+    assert(intercept[CliError](Cli.run(spark, Seq("tag", "--docs", base,
+      "--patterns", " , "), now)).message.contains("empty pattern"))
+    assert(intercept[CliError](Cli.run(spark, Seq("tag", "--docs", base,
+      "--patterns-file", pf + ".missing"), now))
+      .message.contains("not found"))
+  }
+
   test("dsir command: train writes the bucket model, score round-trips " +
     "it through the narrow-map scorer, malformed invocations refused") {
     import org.apache.spark.sql.functions.{col, expr}
