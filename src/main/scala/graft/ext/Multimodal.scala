@@ -56,6 +56,45 @@ object Multimodal {
       lit("application/octet-stream").as("mime"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** Wrap documents as REAL WAV containers: text bytes as 8-bit
+    * unsigned mono PCM at `rate` Hz, written through the JDK's own
+    * RIFF writer ([[wavBytes]]). Unlike [[asAssets]]'s opaque
+    * payloads, these exercise the genuine audio decode path — the
+    * m05 query round-trips synth → container → [[extractFeatures]]
+    * and its oracle checks the decoded header facts arithmetically
+    * (canonical PCM WAV header = 44 bytes; frames = byte count at
+    * 8-bit mono; duration = frames·1000/rate in integer math).
+    * Narrow typed mapPartitions, the [[extractFeatures]] boundary.
+    */
+  def asWavAssets(spark: SparkSession, docs: DataFrame,
+                  rate: Int = 8000): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          MediaAsset(id, "audio/wav", wavBytes(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            rate))
+        }
+      }.toDF()
+  }
+
+  /** A real WAV container around raw 8-bit unsigned mono PCM — the
+    * JDK's `AudioSystem.write` emits the canonical 44-byte-header
+    * RIFF/WAVE form for PCM.
+    */
+  private[ext] def wavBytes(pcm: Array[Byte], rate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      rate.toFloat, 8, 1, 1, rate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream(pcm.length + 64)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Magic-byte sniff: is this payload an image format the JDK's
     * ImageIO can decode? (PNG, BMP, JPEG, GIF ship with every JDK.)
     * Dispatching on magic — not mime — means a mislabeled asset still

@@ -184,6 +184,21 @@ object SimilarityQueries {
         Multimodal.asAssets(Tables.documents(s, d))).toDF()
     },
 
+    /** m05 — REAL audio round-trip: documents become genuine WAV
+      * containers (8-bit mono PCM at 8 kHz through the JDK's RIFF
+      * writer), then the real javax.sound decode path reads the
+      * header facts back. The oracle is arithmetic over the
+      * container contract: 44-byte canonical PCM header, one frame
+      * per text byte, integer-division duration — if the decoder or
+      * writer drifted from the WAV spec, every row would mismatch.
+      */
+    "m05_audio_features" -> { (s, d) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.asWavAssets(s, Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+          col("sample_rate"), col("n_channels"), col("duration_ms"))
+    },
+
     /** s03 — IVF ANN: deterministic coarse centroids (the d09
       * mod-prime sample, so the oracle reproduces them), nprobe-cell
       * probing, exact re-rank. Oracle-checked since r6;
@@ -1012,5 +1027,17 @@ object SimilarityQueries {
         |  CAST(0 AS INT) AS sample_rate,
         |  CAST(0 AS INT) AS n_channels,
         |  CAST(0 AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    // the WAV container contract in arithmetic: canonical 44-byte
+    // PCM header, one frame per byte at 8-bit mono, integer duration
+    "m05_audio_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) + 44 AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_frames,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS n_channels,
+        |  CAST(octet_length(encode(text)) * 1000 // 8000 AS BIGINT)
+        |    AS duration_ms
         |FROM documents""".stripMargin)
 }

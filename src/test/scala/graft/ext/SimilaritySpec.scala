@@ -587,6 +587,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(mono24.take(3).forall(_.n_frame_bytes == 63))
   }
 
+  test("asWavAssets: the JDK-written container round-trips through the " +
+    "real decoder with exact header facts; magic damage goes opaque") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello wav"), (2L, "x" * 8000), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.asWavAssets(spark, docs)).collect()
+      .map(f => f.doc_id -> f).toMap
+    for ((id, n) <- Seq(1L -> 9, 2L -> 8000, 3L -> 2)) {
+      val f = feats(id)
+      assert(f.sample_rate == 8000 && f.n_channels == 1 &&
+        f.n_frames == n && f.n_bytes == n + 44 &&
+        f.duration_ms == n * 1000L / 8000,
+        s"doc $id decoded wrong: $f")
+    }
+    // a one-second clip really reports one second
+    assert(feats(2L).duration_ms == 1000L)
+    // the decode is container-parsing, not arithmetic: breaking the
+    // RIFF magic makes the same bytes opaque (rate 0), it doesn't
+    // "remember" the synth parameters
+    val wav = Multimodal.wavBytes("hello wav".getBytes("UTF-8"), 8000)
+    val broken = wav.clone(); broken(0) = 'X'.toByte
+    val d = Multimodal.decode(broken)
+    assert(d._4 == 0, s"corrupt magic still decoded as audio: $d")
+    assert(Multimodal.decode(wav)._4 == 8000)
+  }
+
   test("audio pHash sees samples, not containers: WAV == AIFF, edits local") {
     def pcm(n: Int, fs: Int, f: Int => Int): Array[Byte] =
       Array.tabulate(n * fs)(i => f(i).toByte)
