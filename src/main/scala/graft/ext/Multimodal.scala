@@ -95,6 +95,49 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Wrap documents as REAL BMP images — [[asWavAssets]]'s image
+    * twin: deterministic per-doc dimensions (w = 4 + n mod 29,
+    * h = 3 + 7n mod 23 over the text byte count n) and a pixel
+    * gradient seeded by n, encoded through the JDK's own BMP writer.
+    * The m06 query decodes them back with the real ImageIO path; its
+    * oracle replays the dimension formulas and the 24-bit BMP size
+    * contract (54-byte headers + 4-byte-aligned BGR rows) — header
+    * facts the decode must READ, since the payload boundary strips
+    * everything else.
+    */
+  def asBmpAssets(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val n = text.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8).length
+          MediaAsset(id, "image/bmp",
+            bmpBytes(4 + n % 29, 3 + (7 * n) % 23, n))
+        }
+      }.toDF()
+  }
+
+  /** A real 24-bit BMP of a deterministic gradient, via ImageIO. */
+  private[ext] def bmpBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 37 + y * 101 + seed) & 0xff) << 16 |
+          ((x * 13 + y * 7 + seed) & 0xff) << 8 |
+          ((x + y + seed) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(54 + 4 * w * h)
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
   /** Magic-byte sniff: is this payload an image format the JDK's
     * ImageIO can decode? (PNG, BMP, JPEG, GIF ship with every JDK.)
     * Dispatching on magic — not mime — means a mislabeled asset still

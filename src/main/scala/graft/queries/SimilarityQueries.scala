@@ -199,6 +199,21 @@ object SimilarityQueries {
           col("sample_rate"), col("n_channels"), col("duration_ms"))
     },
 
+    /** m06 — REAL image round-trip, m05's visual twin: documents
+      * become genuine 24-bit BMPs (JDK BMP writer, deterministic
+      * dims + gradient), then the real ImageIO decode reads pixel
+      * dimensions back. The oracle replays the dimension formulas
+      * and the BMP size contract (54-byte headers, 4-byte-aligned
+      * BGR rows) — the decoder must parse the real container to
+      * match, since the payload boundary strips the synth params.
+      */
+    "m06_image_features" -> { (s, d) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.asBmpAssets(s, Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"),
+          col("height"), col("n_frames"))
+    },
+
     /** s03 — IVF ANN: deterministic coarse centroids (the d09
       * mod-prime sample, so the oracle reproduces them), nprobe-cell
       * probing, exact re-rank. Oracle-checked since r6;
@@ -1028,6 +1043,23 @@ object SimilarityQueries {
         |  CAST(0 AS INT) AS n_channels,
         |  CAST(0 AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+
+    // the BMP container contract in arithmetic: the synth dimension
+    // formulas + 54-byte headers + 4-byte-aligned 24-bit rows
+    "m06_image_features" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS INT) AS nb
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, 4 + nb % 29 AS w, 3 + (7 * nb) % 23 AS h
+        |  FROM n)
+        |SELECT doc_id,
+        |  CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+        |  CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  1 AS n_frames
+        |FROM d""".stripMargin,
 
     // the WAV container contract in arithmetic: canonical 44-byte
     // PCM header, one frame per byte at 8-bit mono, integer duration

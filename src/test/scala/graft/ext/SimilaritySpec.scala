@@ -614,6 +614,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(Multimodal.decode(wav)._4 == 8000)
   }
 
+  test("asBmpAssets: the JDK-written BMP round-trips through the real " +
+    "ImageIO decoder with exact dims and the 24-bit size contract") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, "x" * 29), (3L, "y" * 100))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.asBmpAssets(spark, docs)).collect()
+      .map(f => f.doc_id -> f).toMap
+    for ((id, n) <- Seq(1L -> 2, 2L -> 29, 3L -> 100)) {
+      val (w, h) = (4 + n % 29, 3 + (7 * n) % 23)
+      val f = feats(id)
+      assert(f.width == w && f.height == h && f.n_frames == 1 &&
+        f.n_bytes == 54L + h * ((3 * w + 3) / 4 * 4),
+        s"doc $id (n=$n, expect ${w}x$h): $f")
+    }
+    // dimension wraparound: n=29 maps to the minimum width again
+    assert(feats(2L).width == 4)
+  }
+
   test("audio pHash sees samples, not containers: WAV == AIFF, edits local") {
     def pcm(n: Int, fs: Int, f: Int => Int): Array[Byte] =
       Array.tabulate(n * fs)(i => f(i).toByte)
