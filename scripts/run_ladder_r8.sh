@@ -17,10 +17,11 @@ cp -r target/scala-2.13/classes /tmp/ladder_classes
 J="java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
    -cp /tmp/ladder_classes:/opt/spark/jars/*"
 export SPARK_GRAFT_CPUS=32
-# the two documented all-pairs truth twins are quadratic BY DESIGN
-# (oracle baselines for d07/s02-s04); at x30 they would dominate the
-# whole ladder — same exclusion the r7 ladder recorded
-export SPARK_GRAFT_BENCH_SKIP=d05_embedding_dups,s01_cosine_topk,s06_ann_recall
+# the documented all-pairs truth twins are quadratic BY DESIGN
+# (oracle baselines for d07/s02-s04, and s12's mining twin); at x30
+# they would dominate the whole ladder — same exclusion the r7
+# ladder recorded
+export SPARK_GRAFT_BENCH_SKIP=d05_embedding_dups,s01_cosine_topk,s06_ann_recall,s12_hard_negatives
 
 for k in 3 10 30; do
   if [ ! -d /tmp/upscale_x$k/documents.parquet ]; then
