@@ -581,17 +581,29 @@ object TextAnalysis {
     * PLUS a constant bias feature at b = nBuckets with tf = 1 for
     * every document (so the bias trains and scores through the same
     * pipeline as every other bucket — no special-casing, and
-    * zero-token documents still carry a row).
+    * zero-token documents still carry a row; tf = 1 falls out because
+    * the bias rides the token stream as one in-row pseudo-token —
+    * `dsirBuckets` lands in [0, nBuckets), so it cannot collide).
+    *
+    * Partitioned by doc_id BEFORE the explode (the docs table moves,
+    * not the token stream) so every downstream per-doc aggregation
+    * and the per-epoch gradient join run exchange-free on the
+    * persisted table — HashPartitioning(doc_id) satisfies every
+    * (doc_id, …) clustering the training loop asks for. Without this
+    * the epoch loop re-shuffled the feature table twice per epoch.
     */
   private def qualityFeatures(docs: DataFrame, targetCol: Column,
                               nBuckets: Int): DataFrame = {
     val y = when(targetCol, lit(1.0d)).otherwise(lit(0.0d))
-    docs.select(col("doc_id"), y.as("y"),
-        explode(dsirBuckets(nBuckets)).as("b"))
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), y.as("y"),
+        // coalesce: a NULL text still carries its bias pseudo-token
+        // (concat(NULL, …) is NULL and explode would drop the doc)
+        explode(concat(
+          coalesce(dsirBuckets(nBuckets), array().cast("array<bigint>")),
+          array(lit(nBuckets.toLong)))).as("b"))
       .groupBy(col("doc_id"), col("y"), col("b"))
       .agg(count(lit(1)).as("tf"))
-      .unionByName(docs.select(col("doc_id"), y.as("y"),
-        lit(nBuckets.toLong).as("b"), lit(1L).as("tf")))
   }
 
   private def round6(d: Double): Double =
@@ -691,11 +703,16 @@ object TextAnalysis {
       s"model must map buckets 0..n contiguously, got ${model.size} keys")
     val wMap = map(model.toSeq.sortBy(_._1).flatMap { case (b, v) =>
       Seq(lit(b), lit(v)) }: _*)
-    docs.select(col("doc_id"), explode(dsirBuckets(nBuckets)).as("b"))
+    // bias as an in-row pseudo-token + partition-by-doc before the
+    // explode (the qualityFeatures idiom): both per-doc aggregations
+    // below share the ONE docs-sized exchange instead of re-shuffling
+    // the exploded token stream twice
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(concat(
+        coalesce(dsirBuckets(nBuckets), array().cast("array<bigint>")),
+        array(lit(nBuckets.toLong)))).as("b"))
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("tf"))
-      .unionByName(docs.select(col("doc_id"),
-        lit(nBuckets.toLong).as("b"), lit(1L).as("tf")))
       .withColumn("wb", element_at(wMap, col("b")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_features"),
