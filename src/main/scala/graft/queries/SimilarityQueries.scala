@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Hashing, Multimodal, Quantize, Retrieval, Similarity}
+import graft.ext.{Hashing, Multimodal, Pca, Quantize, Retrieval, Similarity}
 import org.apache.spark.sql.functions._
 
 /** [EXT] similarity-search and multimodal surface.
@@ -19,6 +19,11 @@ object SimilarityQueries {
 
   private val NumQueries = 5
   private val K = 3
+
+  /** s13's unrolled power-iteration count — shared by the query and
+    * the oracle generator so the two cannot drift.
+    */
+  private val PcaIters = 4
 
   /** s09's query bag: chosen to span the corpus df spectrum (`dup`
     * appears in ~5% of documents, the others in ~77%).
@@ -57,6 +62,20 @@ object SimilarityQueries {
     "s12_hard_negatives" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       Similarity.hardNegatives(e, e.filter(col("vec_id") < NumQueries), K)
+    },
+
+    /** s13 — top-principal-component projection (deterministic PCA
+      * by unrolled ∞-norm power iteration): the embedding-whitening /
+      * drift-axis step of a curation pipeline. The ORACLE REPLAYS THE
+      * TRAINING (the s05/x35 discipline): mean, covariance and all
+      * four iterations re-derive in unrolled CTEs, so the learned
+      * direction AND every projection must match hash-exactly.
+      * EAGER: training collects the KB-scale model at construction
+      * (the pqTrainOn caveat); the projection itself is a zero-
+      * shuffle narrow map.
+      */
+    "s13_pca_project" -> { (s, d) =>
+      Pca.pcaProject(Tables.embeddings(s, d), iters = PcaIters)
     },
 
     /** s06 — ANN recall@k: per-probe fraction of the exact top-k that
@@ -440,6 +459,64 @@ object SimilarityQueries {
        |           c.vec_id)
        |QUALIFY rank <= $K""".stripMargin
 
+  /** s13's full training replay: mean → centering → covariance →
+    * `PcaIters` unrolled ∞-norm power iterations → sign canon →
+    * projection. Every sum is order-free EXACT on the 6-grid — the
+    * covariance through 1e-6-quantized BIGINT sums (integer addition,
+    * the engine's codegen-fast form), everything else through
+    * DECIMAL(38,18) (the s05 vector contract); normalisation divides
+    * by MAX(ABS(w)) — exact operations an engine cannot drift on —
+    * and v₀ = 1⃗ enters as literal arithmetic. Generated by a loop
+    * over the SAME iteration count the query uses.
+    */
+  private lazy val S13Sql: String = {
+    val iterCtes = (1 to PcaIters).map { k =>
+      s"""w$k AS (
+         |  SELECT c.i,
+         |    round(CAST(SUM(CAST(c.m * v.v AS DECIMAL(38,18))) AS DOUBLE),
+         |          6) AS w
+         |  FROM cov c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
+         |v$k AS (
+         |  SELECT i, round(w / (SELECT MAX(ABS(w)) FROM w$k), 6) AS v
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |byd AS (
+       |  SELECT vec_id, i AS dim, emb[i+1] AS x
+       |  FROM (SELECT vec_id, emb, unnest(range(0, len(emb))) AS i
+       |        FROM e)),
+       |mu AS (
+       |  SELECT dim,
+       |    round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+       |      / COUNT(*), 6) AS m
+       |  FROM byd GROUP BY dim),
+       |cen AS (
+       |  SELECT b.vec_id, b.dim, b.x - mu.m AS c
+       |  FROM byd b JOIN mu ON mu.dim = b.dim),
+       |cov AS (
+       |  SELECT a.dim AS i, b.dim AS j,
+       |    round(CAST(SUM(CAST(round((a.c * b.c) * 1e6, 0) AS BIGINT))
+       |      AS DOUBLE) / 1e6, 6) AS m
+       |  FROM cen a JOIN cen b ON a.vec_id = b.vec_id
+       |  GROUP BY a.dim, b.dim),
+       |v0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS v FROM cov),
+       |$iterCtes,
+       |sgn AS (
+       |  SELECT CASE WHEN (SELECT v FROM v$PcaIters
+       |                    WHERE ABS(v) = CAST(1.0 AS DOUBLE)
+       |                    ORDER BY i LIMIT 1) < CAST(0.0 AS DOUBLE)
+       |    THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s),
+       |vf AS (SELECT i, v * (SELECT s FROM sgn) AS v FROM v$PcaIters)
+       |SELECT c.vec_id,
+       |  round(CAST(SUM(CAST(c.c * f.v AS DECIMAL(38,18))) AS DOUBLE), 6)
+       |    + 0.0 AS pc1
+       |FROM cen c JOIN vf f ON f.i = c.dim
+       |GROUP BY c.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // arithmetic mirrors Retrieval.termWeight parenthesis-for-
     // parenthesis (IEEE double ops are order-sensitive); per-term
@@ -822,6 +899,10 @@ object SimilarityQueries {
 
     "s01_cosine_topk" -> S01Sql,
     "s12_hard_negatives" -> S12Sql,
+
+    // the whole PCA training run replayed: mean/covariance decimal
+    // sums, 4 unrolled ∞-norm power iterations, sign canon, projection
+    "s13_pca_project" -> S13Sql,
 
     "s03_ann_ivf" ->
       s"""WITH e AS (
