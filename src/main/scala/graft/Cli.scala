@@ -137,15 +137,16 @@ object Cli {
         epochBudgetCmd(spark, parseOpts(args.tail))
       case Some("bpe") => bpeCmd(spark, parseOpts(args.tail))
       case Some("tag") => tagCmd(spark, parseOpts(args.tail))
+      case Some("pca") => pcaCmd(spark, parseOpts(args.tail))
       case Some(other) => throw CliError(
         s"unknown command: $other " +
           "(expected export | import | db | compact | zonemap | dedup " +
           "| despan | index | bm25 | dsir | probe | epoch-budget | bpe " +
-          "| tag)")
+          "| tag | pca)")
       case None =>
         throw CliError(
           "usage: graft.Cli <export|import|db|compact|zonemap|dedup" +
-            "|despan|index|bm25|dsir|probe|epoch-budget|bpe|tag> " +
+            "|despan|index|bm25|dsir|probe|epoch-budget|bpe|tag|pca> " +
             "[--options]")
     }
 
@@ -163,6 +164,19 @@ object Cli {
       throw CliError(s"--docs needs ${needed.mkString(", ")} columns, " +
         s"found ${docs.columns.mkString(",")}")
     docs
+  }
+
+  /** Read an embedding parquet and insist on the (vec_id, embedding)
+    * contract the vector commands share — the readDocs discipline.
+    */
+  private def readEmbeddings(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = spark.read.parquet(path)
+    val missing = Seq("vec_id", "embedding").filterNot(emb.columns.contains)
+    if (missing.nonEmpty)
+      throw CliError(s"--embeddings needs vec_id, embedding columns, " +
+        s"found ${emb.columns.mkString(",")}")
+    emb
   }
 
   /** `bm25` — [EXT] ad-hoc ranked retrieval straight off the corpus
@@ -202,6 +216,65 @@ object Cli {
     * hit audit an operator wants BEFORE deploying a blocklist —
     * including zero-hit patterns, the usual sign of a typo.
     */
+  /** `pca` — [EXT] the top-principal-component model in its
+    * deployment split (ext.Pca, the `dsir` pattern):
+    *
+    *   - TRAIN (`--train`): fit mean + direction by `--iters` power
+    *     iterations (default 4) over `--embeddings`, write the model
+    *     to `--model` as (i, m, v) parquet — d rows, KB-scale.
+    *   - SCORE (no `--train`): read the model, project `--embeddings`
+    *     with the scan-speed narrow-map scorer
+    *     ([[graft.ext.Pca.pcaScoreMap]]) to `--out`.
+    */
+  private def pcaCmd(spark: SparkSession,
+                     opts: Map[String, String]): String = {
+    val model = required(opts, "model")
+    if (boolFlag(opts, "train")) {
+      if (opts.contains("out"))
+        throw CliError("--out is a SCORE option; training writes " +
+          "only --model (score in a second invocation)")
+      val iters = intOpt(opts, "iters", 4)
+      if (iters < 1)
+        throw CliError(s"--iters must be positive, got $iters")
+      val emb = readEmbeddings(spark, required(opts, "embeddings"))
+      val m = graft.ext.Pca.pcaModel(emb, iters)
+      import spark.implicits._
+      m.mu.indices.map(i => (i, m.mu(i), m.v(i))).toDF("i", "m", "v")
+        .coalesce(1).write.mode("overwrite").parquet(model)
+      s"trained pca component: dim ${m.mu.length} -> $model"
+    } else {
+      val modelPath = new org.apache.hadoop.fs.Path(model)
+      val fs = modelPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(modelPath))
+        throw CliError(s"no pca model at $model " +
+          "(train first: --train --embeddings ... --model ...)")
+      val rows = spark.read.parquet(model)
+      val needed = Seq("i", "m", "v")
+      val missing = needed.filterNot(rows.columns.contains)
+      if (missing.nonEmpty)
+        throw CliError(s"$model is not a pca model (missing " +
+          s"${missing.mkString(", ")}; found ${rows.columns.mkString(",")})")
+      val collected = rows.select("i", "m", "v").collect()
+      val dim = collected.length
+      if (collected.map(_.getInt(0)).sorted.toSeq != (0 until dim))
+        throw CliError(s"$model dimension domain is not contiguous " +
+          s"0..${dim - 1} — wrong or truncated model")
+      val mu = new Array[Double](dim)
+      val v = new Array[Double](dim)
+      collected.foreach { r =>
+        mu(r.getInt(0)) = r.getDouble(1)
+        v(r.getInt(0)) = r.getDouble(2)
+      }
+      val out = required(opts, "out")
+      val emb = readEmbeddings(spark, required(opts, "embeddings"))
+      graft.ext.Pca.pcaScoreMap(emb, graft.ext.Pca.PcaModel(mu, v))
+        .write.mode("overwrite").parquet(out)
+      s"projected ${spark.read.parquet(out).count()} vectors " +
+        s"(dim-$dim component) -> $out"
+    }
+  }
+
   private def tagCmd(spark: SparkSession,
                      opts: Map[String, String]): String = {
     import org.apache.spark.sql.functions.{col, explode, split}

@@ -677,4 +677,70 @@ class CliSpec extends SparkTestBase {
       "--model", base, "--out", tmpDir("cli-bpe-bad2-out") + "/o"), now))
       .message.contains("not a bpe model"))
   }
+
+  test("pca command: train writes the component model, score " +
+    "round-trips it through the narrow-map scorer, malformed " +
+    "invocations refused") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("cli-pca-emb")
+    val emb = Tables.embeddings(spark, sf0001)
+    emb.write.mode("overwrite").parquet(base)
+    val model = tmpDir("cli-pca") + "/model"
+    // score before train fails loudly
+    assert(intercept[CliError](Cli.run(spark, Seq("pca",
+      "--embeddings", base, "--model", model,
+      "--out", tmpDir("cli-pca-pre") + "/o"), now))
+      .message.contains("no pca model"))
+    // --out during training, bad --iters, bad --train values refused
+    assert(intercept[CliError](Cli.run(spark, Seq("pca", "--train",
+      "--embeddings", base, "--model", model, "--out", "x"), now))
+      .message.contains("SCORE option"))
+    assert(intercept[CliError](Cli.run(spark, Seq("pca", "--train",
+      "--embeddings", base, "--model", model, "--iters", "0"), now))
+      .message.contains("--iters"))
+    assert(intercept[CliError](Cli.run(spark, Seq("pca", "--train", "yes",
+      "--embeddings", base, "--model", model), now))
+      .message.contains("--train"))
+    // a corpus without the embedding contract is refused
+    val docsPath = tmpDir("cli-pca-docs")
+    Tables.documents(spark, sf0001).write.mode("overwrite").parquet(docsPath)
+    assert(intercept[CliError](Cli.run(spark, Seq("pca", "--train",
+      "--embeddings", docsPath, "--model", model), now))
+      .message.contains("--embeddings needs"))
+    // train
+    val tr = Cli.run(spark, Seq("pca", "--train", "--embeddings", base,
+      "--model", model, "--iters", "2"), now)
+    assert(tr.contains("dim 64"), tr)
+    // the written model IS pcaModel
+    val direct = graft.ext.Pca.pcaModel(emb, iters = 2)
+    val stored = spark.read.parquet(model).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(stored == direct.mu.indices
+      .map(i => i -> (direct.mu(i), direct.v(i))).toMap,
+      "stored model diverged from pcaModel")
+    // score: the narrow-map scorer over the stored model
+    val out = tmpDir("cli-pca-scored") + "/o"
+    val sc = Cli.run(spark, Seq("pca", "--embeddings", base,
+      "--model", model, "--out", out), now)
+    assert(sc.contains("projected") && sc.contains("dim-64"), sc)
+    val scored = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = graft.ext.Pca.pcaScoreMap(emb, direct).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored == want, "CLI score diverged from pcaScoreMap")
+    assert(scored.size == emb.count())
+    // a truncated model (missing dim 0) is refused
+    val bad = tmpDir("cli-pca-bad") + "/model"
+    spark.read.parquet(model).filter(col("i") =!= 0)
+      .write.mode("overwrite").parquet(bad)
+    assert(intercept[CliError](Cli.run(spark, Seq("pca",
+      "--embeddings", base, "--model", bad,
+      "--out", tmpDir("cli-pca-bad-out") + "/o"), now))
+      .message.contains("not contiguous"))
+    // a parquet that is not a component table is refused by schema
+    assert(intercept[CliError](Cli.run(spark, Seq("pca",
+      "--embeddings", base, "--model", base,
+      "--out", tmpDir("cli-pca-bad2-out") + "/o"), now))
+      .message.contains("not a pca model"))
+  }
 }
