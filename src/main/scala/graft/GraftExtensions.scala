@@ -101,6 +101,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bm25_topk"),
       (args: Seq[Expression]) => graft.ext.TextSql.bm25FromSqlArgs(args)))
     e.injectTableFunction((
+      new FunctionIdentifier("pca_project"),
+      new ExpressionInfo(graft.ext.TextSql.getClass.getName,
+        "pca_project"),
+      (args: Seq[Expression]) => graft.ext.TextSql.pcaFromSqlArgs(args)))
+    e.injectTableFunction((
       new FunctionIdentifier("bpe_merges"),
       new ExpressionInfo(graft.ext.TextSql.getClass.getName,
         "bpe_merges"),

@@ -269,4 +269,24 @@ object TextSql {
     Retrieval.bm25TopK(spark.table(table), terms, k = k)
       .queryExecution.logical
   }
+
+  /** `pca_project(emb_table[, iters])` — the s13 shape: train the top
+    * principal component over a table/view with (vec_id, embedding)
+    * and project every vector onto it. Training is EAGER at analysis
+    * time (the quality_probe precedent); the collected model is
+    * KB-scale by construction.
+    */
+  def pcaFromSqlArgs(args: Seq[Expression]): LogicalPlan = {
+    val usage = "pca_project(emb_table[, iters]) — table as a string " +
+      "literal, optional power-iteration count (default 4) as an " +
+      "integer literal"
+    require(args.length == 1 || args.length == 2,
+      s"wrong argument count: $usage")
+    val table = strLit(args(0), "pca_project: emb_table", usage)
+    val iters =
+      if (args.length > 1) intLit(args(1), "pca_project: iters", usage)
+      else 4
+    val spark = SparkSession.active
+    Pca.pcaProject(spark.table(table), iters).queryExecution.logical
+  }
 }

@@ -267,6 +267,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val expBg = graft.ext.TextAnalysis.bigramLogLik(docs)
       assert(gotBg.except(expBg).isEmpty && expBg.except(gotBg).isEmpty,
         "SQL bigram_loglik diverged from the Scala-API operator")
+
+      // s13 via SQL == the Scala operator (training replayed at plan
+      // time; 2 iterations to pin the optional-arg path)
+      Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .createOrReplaceTempView("emb_v")
+      val gotPc = spark.sql("SELECT * FROM pca_project('emb_v', 2)")
+      val expPc = graft.ext.Pca.pcaProject(
+        Tables.embeddings(spark, "/root/testdata/sf0.001"), iters = 2)
+      assert(gotPc.except(expPc).isEmpty && expPc.except(gotPc).isEmpty,
+        "SQL pca_project diverged from the Scala-API operator")
+      val errPc = intercept[Exception] {
+        spark.sql("SELECT * FROM pca_project('emb_v', 2, 3)").collect()
+      }
+      assert(errPc.getMessage.contains("pca_project"), errPc.getMessage)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

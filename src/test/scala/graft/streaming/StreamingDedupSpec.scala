@@ -488,6 +488,32 @@ class StreamingDedupSpec extends SparkTestBase {
       "streamed weighted sample diverged from the batch bottom-k")
   }
 
+  test("pca scorer: stateless streaming map with an offline-trained " +
+    "component; drain == batch") {
+    import graft.ext.Pca
+    // the deployment shape: the component trained offline on a batch
+    // corpus, new vectors projected on the stream by the narrow map
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Pca.pcaModel(emb, iters = 2)
+    val srcDir = tmpDir("pca-stream-src")
+    stage(emb.filter(col("vec_id") % 2 === 0), srcDir, "a.parquet")
+    stage(emb.filter(col("vec_id") % 2 === 1), srcDir, "b.parquet")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val scored = Pca.pcaScoreMap(stream, model)
+    assert(scored.isStreaming,
+      "pca scoring must stay a stateless streaming transform")
+    StreamingOps.runToCompletion(spark, scored, "pca_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("pca_stream").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = Pca.pcaScoreMap(emb, model).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch,
+      "streamed pca projection diverged from the batch operator")
+    assert(streamed.size == emb.count())
+  }
+
   test("readPairs on a store that never materialized is empty, not an error") {
     assert(StreamingDedup.readPairs(spark,
       tmpDir("sd-none") + "/nope").isEmpty)
