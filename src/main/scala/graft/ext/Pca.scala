@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic top-principal-component extraction and projection
@@ -16,15 +16,21 @@ import org.apache.spark.sql.functions._
   * style, so the WHOLE run — mean, covariance, every power-iteration
   * step — replays in the DuckDB oracle (the s05/x35 discipline):
   *
-  *  - per-dimension mean: exact DECIMAL(38,18) sums, double division,
-  *    6-grid round;
-  *  - centering: plain double subtraction (IEEE-exact, portable);
-  *  - covariance: C = Σ (x−μ)(x−μ)ᵀ — un-normalised (the 1/n scalar
-  *    rescales eigenvalues, not eigenvectors). Each product rounds
-  *    onto the 1e-6 grid and sums as a plain LONG (order-free EXACT
-  *    integer addition, replayed verbatim in SQL — and ~4× the
-  *    throughput of a decimal buffer), then the total lands back on
-  *    the 6-grid;
+  *  - sufficient statistics, not passes: training reads the corpus
+  *    exactly twice — per-dimension DECIMAL(38,18) sums (+ counts)
+  *    for the mean, and RAW second moments S = Σ x·xᵀ where each
+  *    product rounds onto the 1e-6 grid and sums as a plain LONG
+  *    (order-free EXACT integer addition, replayed verbatim in SQL —
+  *    and ~4× the throughput of a decimal buffer). Both statistics
+  *    are EXACTLY MERGEABLE, which is what lets the streaming twin
+  *    ([[graft.streaming.StreamingPca]]) grow them drain by drain and
+  *    still derive the bit-identical model;
+  *  - mean: decimal-sum → double division → 6-grid round;
+  *  - covariance by the moment identity C = S/1e6 − n·μμᵀ, every step
+  *    an exact or correctly-rounded double op on 6-grid inputs (the
+  *    classic cancellation caveat applies when |μ| dwarfs the spread —
+  *    embedding corpora are near-centered; pre-shift first if yours
+  *    is not);
   *  - power iteration from v₀ = 1⃗ with INFINITY-norm normalisation:
   *    w = C·v (decimal sums, 6-grid), v ← round(w / max|wᵢ|, 6).
   *    The ∞-norm is the portability choice: max and |·| are exact,
@@ -36,24 +42,24 @@ import org.apache.spark.sql.functions._
   *    this pins one representative, replayable as a CASE in SQL).
   *
   * EAGER (the pqTrainOn discipline): training collects the
-  * per-dimension mean (d doubles), the covariance grid (d² doubles)
-  * and one d-vector per iteration — all KB-scale BY CONSTRUCTION for
+  * per-dimension sums (d rows), the moment grid (d(d+1)/2 longs) and
+  * one d-vector per iteration — all KB-scale BY CONSTRUCTION for
   * embedding-sized d. The iteration's matrix-vector products run as
-  * Spark jobs over a LOCAL RELATION of the collected grid, so every
+  * Spark jobs over a LOCAL RELATION of the covariance grid, so every
   * double→decimal cast in the pipeline is the same already-proven
-  * Spark↔DuckDB contract — the driver never does its own decimal
-  * arithmetic beyond the shared round6.
+  * Spark↔DuckDB contract — the driver's own arithmetic stays within
+  * the proven round6 / IEEE-exact-op set.
   *
-  * At 100 TB: the mean and covariance are the only corpus-sized jobs —
-  * one narrow posexplode² pass whose hash aggregation is d²-bounded
-  * per partition, so the shuffle moves (#partitions · d²) rows, never
-  * the corpus. Everything after is KB-scale model arithmetic; the
-  * oracle-checked projection shuffles one partial per vector
-  * ([[pcaScore]]) and the deployment scorer is a zero-shuffle narrow
-  * map ([[pcaScoreMap]]) that runs unchanged on a stream. For very
-  * large d (≥ 4096) the d² blow-up per row dominates — there you'd
-  * subsample rows for C (standard practice) or band the dimension
-  * pairs; the operator takes the corpus it's given.
+  * At 100 TB: the two statistics jobs are the only corpus-sized work —
+  * narrow posexplode passes whose hash aggregations are d-/d²-bounded
+  * per partition, so the shuffles move (#partitions · d²) rows, never
+  * the corpus. The moment sum stays inside a LONG for any
+  * n·max|xᵢxⱼ| < 9·10¹²; beyond that a corpus would subsample for C
+  * anyway (standard practice — likewise for very large d, where the
+  * per-row d² term blow-up dominates). The oracle-checked projection
+  * shuffles one partial per vector ([[pcaScore]]) and the deployment
+  * scorer is a zero-shuffle narrow map ([[pcaScoreMap]]) that runs
+  * unchanged on a stream.
   */
 object Pca {
 
@@ -67,96 +73,159 @@ object Pca {
 
   private val Dec = "decimal(38,18)"
 
-  /** Train the top component by `iters` unrolled power iterations.
-    * Degenerate input (zero covariance — a constant corpus) keeps the
-    * all-ones start vector: no direction is better than another, and
-    * every projection is 0 (spec-pinned).
+  private def prep(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+
+  /** Per-dimension first-moment statistics: (i, msum, n) — exact
+    * decimal sums, exactly mergeable across batches by re-summing.
+    */
+  private[graft] def dimSums(e: DataFrame): DataFrame =
+    e.select(posexplode(col("emb")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x").cast(Dec)).as("msum"),
+        count(lit(1)).as("n"))
+
+  /** Raw second moments, lower triangle only: (i, j ≤ i, s) with
+    * s = Σ round(xᵢ·xⱼ·1e6) as a LONG — the 1e-6-quantized product
+    * grid (the established HALF_UP round contract; integer sums are
+    * order-free exact and exactly mergeable). Quantizing the RAW
+    * product (not the centered one) is what makes the statistic
+    * incremental: it never depends on the final mean.
+    */
+  private[graft] def rawMoments(e: DataFrame): DataFrame =
+    e.select(col("emb"), posexplode(col("emb")).as(Seq("i", "a")))
+      .select(col("i"), col("a"),
+        posexplode(col("emb")).as(Seq("j", "b")))
+      .filter(col("j") <= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round((col("a") * col("b")) * lit(1e6), 0)
+        .cast("long")).as("s"))
+
+  /** Derive the component from FOLDED statistics — the one
+    * definition shared by the batch trainer and the streaming
+    * store ([[graft.streaming.StreamingPca.modelFromStore]]), so the
+    * two cannot drift: mean, moment-identity covariance, `iters`
+    * ∞-norm power iterations over a KB-scale local relation, sign
+    * canon. Degenerate input (zero covariance — a constant corpus)
+    * keeps the all-ones start vector: no direction is better than
+    * another, and every projection is 0 (spec-pinned).
+    */
+  private[graft] def modelFromStats(spark: SparkSession,
+                                    sums: Map[Int, (java.math.BigDecimal, Long)],
+                                    moments: Map[(Int, Int), Long],
+                                    iters: Int): PcaModel = {
+    require(iters >= 1, s"power iteration needs at least 1 step, got $iters")
+    require(sums.nonEmpty, "cannot fit PCA on an empty corpus")
+    val dim = sums.size
+    require(sums.keySet == (0 until dim).toSet,
+      s"dimension domain is not contiguous 0..${dim - 1}")
+    val ns = sums.values.map(_._2).toSet
+    require(ns.size == 1,
+      s"ragged embedding dimensions: per-dim counts $ns differ")
+    val n = ns.head
+    // mean: decimal→double cast, double division, 6-grid (the same
+    // value Spark's round(sum(dec).cast(double)/count, 6) computes)
+    val mu = Array.tabulate(dim)(i =>
+      round6(sums(i)._1.doubleValue / n))
+    // covariance via the moment identity, mirrored from the lower
+    // triangle (products commute exactly)
+    val covLocal = moments.toSeq.flatMap { case ((i, j), s) =>
+      val c = round6(s.toDouble / 1e6 - n.toDouble * (mu(i) * mu(j)))
+      if (i == j) Seq((i, j, c)) else Seq((i, j, c), (j, i, c))
+    }
+    // KB-scale local relation: every iteration is a tiny Spark job,
+    // so its double→decimal casts follow the engine contract the
+    // oracle replays — not a driver-side re-implementation of it
+    import spark.implicits._
+    val covDf = covLocal.toDF("i", "j", "m").cache()
+    try {
+      var v = Array.fill(dim)(1.0d)
+      var it = 0
+      var degenerate = false
+      while (it < iters && !degenerate) {
+        val vMap = map(v.zipWithIndex.toIndexedSeq.flatMap {
+          case (x, i) => Seq(lit(i), lit(x)) }: _*)
+        val w = new Array[Double](dim)
+        covDf.withColumn("vj", element_at(vMap, col("j")))
+          .groupBy(col("i"))
+          .agg(round(sum((col("m") * col("vj")).cast(Dec))
+            .cast("double"), 6).as("w"))
+          .collect()
+          .foreach(r => w(r.getInt(0)) = r.getDouble(1))
+        val mx = w.map(math.abs).max
+        if (mx == 0.0d) degenerate = true
+        else {
+          var i = 0
+          while (i < dim) { v(i) = round6(w(i) / mx); i += 1 }
+        }
+        it += 1
+      }
+      // sign canon: lowest-indexed dominant component positive
+      // (|v_j| = 1.0 EXACTLY — it is w_argmax / w_argmax rounded)
+      val j = v.indices.find(i => math.abs(v(i)) == 1.0d).getOrElse(0)
+      if (v(j) < 0) v = v.map(x => -x)
+      PcaModel(mu, v)
+    } finally covDf.unpersist()
+  }
+
+  private def foldSums(rows: Array[org.apache.spark.sql.Row])
+      : Map[Int, (java.math.BigDecimal, Long)] =
+    rows.map(r => r.getInt(0) ->
+      (r.getDecimal(1), r.getLong(2))).toMap
+
+  private def foldMoments(rows: Array[org.apache.spark.sql.Row])
+      : Map[(Int, Int), Long] =
+    rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  /** Train the top component by `iters` unrolled power iterations —
+    * the one-pass batch form of the statistics + [[modelFromStats]].
     */
   def pcaModel(embeddings: DataFrame, iters: Int = 4): PcaModel = {
     require(iters >= 1, s"power iteration needs at least 1 step, got $iters")
     val spark = embeddings.sparkSession
-    val e = embeddings
-      .select(col("vec_id").cast("long").as("vec_id"),
-        col("embedding").cast("array<double>").as("emb"))
+    val e = prep(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // per-dimension decimal-exact mean on the 6-grid; d rows, KB
-      val muRows = e.select(posexplode(col("emb")).as(Seq("i", "x")))
-        .groupBy(col("i"))
-        .agg(round(sum(col("x").cast(Dec)).cast("double") /
-          count(lit(1)), 6).as("m"))
-        .collect()
-      require(muRows.nonEmpty, "cannot fit PCA on an empty corpus")
-      val dim = muRows.length
-      val mu = new Array[Double](dim)
-      muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
-      val muArr = array(mu.map(lit).toIndexedSeq: _*)
-
-      // covariance grid: posexplode² with a d²-bounded hash agg —
-      // the shuffle moves (#partitions · d²) rows, not the corpus.
-      // The n·d² product terms sum as QUANTIZED LONGS: each centered
-      // product rounds onto the 1e-6 grid (the established HALF_UP
-      // round contract) and accumulates in a plain BIGINT — codegen
-      // long adds, measured ~4× the throughput of a BigDecimal-backed
-      // DECIMAL(38,18) buffer, at identical portability (integer sums
-      // are order-free exact and the oracle replays the same tree).
-      // |Σ| stays far under 2⁶³ for any n·max|product| < 9·10¹² —
-      // beyond that a corpus would subsample for C anyway. Centering
-      // is element_at over the literal mean (no lambda — the HOF
-      // no-codegen trap). Symmetry halves the aggregation: only
-      // j ≤ i pairs aggregate, the mirror fills in at collect time
-      // (double products commute exactly).
-      val covRows = e
-        .select(col("emb"), posexplode(col("emb")).as(Seq("i", "a")))
-        .select(col("emb"), col("i"),
-          (col("a") - element_at(muArr, col("i") + 1)).as("xi"))
-        .select(col("i"), col("xi"),
-          posexplode(col("emb")).as(Seq("j", "b")))
-        .filter(col("j") <= col("i"))
-        .groupBy(col("i"), col("j"))
-        .agg(round(sum(round((col("xi") *
-            (col("b") - element_at(muArr, col("j") + 1))) * lit(1e6), 0)
-            .cast("long")).cast("double") / lit(1e6), 6).as("m"))
-        .collect()
-        .flatMap { r =>
-          val (i, j, m) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-          if (i == j) Seq((i, j, m)) else Seq((i, j, m), (j, i, m))
-        }
-
-      // KB-scale local relation: every iteration is a tiny Spark job,
-      // so its double→decimal casts follow the engine contract the
-      // oracle replays — not a driver-side re-implementation of it
-      import spark.implicits._
-      val covDf = covRows.toSeq.toDF("i", "j", "m").cache()
-      try {
-        var v = Array.fill(dim)(1.0d)
-        var it = 0
-        var degenerate = false
-        while (it < iters && !degenerate) {
-          val vMap = map(v.zipWithIndex.toIndexedSeq.flatMap {
-            case (x, i) => Seq(lit(i), lit(x)) }: _*)
-          val w = new Array[Double](dim)
-          covDf.withColumn("vj", element_at(vMap, col("j")))
-            .groupBy(col("i"))
-            .agg(round(sum((col("m") * col("vj")).cast(Dec))
-              .cast("double"), 6).as("w"))
-            .collect()
-            .foreach(r => w(r.getInt(0)) = r.getDouble(1))
-          val mx = w.map(math.abs).max
-          if (mx == 0.0d) degenerate = true
-          else {
-            var i = 0
-            while (i < dim) { v(i) = round6(w(i) / mx); i += 1 }
-          }
-          it += 1
-        }
-        // sign canon: lowest-indexed dominant component positive
-        // (|v_j| = 1.0 EXACTLY — it is w_argmax / w_argmax rounded)
-        val j = v.indices.find(i => math.abs(v(i)) == 1.0d).getOrElse(0)
-        if (v(j) < 0) v = v.map(x => -x)
-        PcaModel(mu, v)
-      } finally covDf.unpersist()
+      val sums = foldSums(dimSums(e).collect())
+      val moments = foldMoments(rawMoments(e).collect())
+      modelFromStats(spark, sums, moments, iters)
     } finally e.unpersist()
+  }
+
+  /** Append one batch's statistics to a persistent store — the
+    * streaming maintenance write ([[graft.streaming.StreamingPca]]):
+    * `sums` and `moments` are append-only fact sets that FOLD AT READ
+    * by exact re-summation, so at-least-once replays of a FAILED
+    * batch are harmless and a model derived from the store after any
+    * number of drains is bit-identical to one batch-trained over the
+    * same corpus.
+    */
+  def updateStats(batch: DataFrame, store: String): Unit = {
+    val e = prep(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      dimSums(e).write.mode("append").parquet(s"$store/sums")
+      rawMoments(e).write.mode("append").parquet(s"$store/moments")
+    } finally e.unpersist()
+  }
+
+  /** Fold a statistics store back into a model — [[modelFromStats]]
+    * over the re-summed facts. Decimal, long and count sums are all
+    * EXACT, so this equals the batch [[pcaModel]] over the union of
+    * every drained batch (spec-pinned).
+    */
+  def modelFromStore(spark: SparkSession, store: String,
+                     iters: Int = 4): PcaModel = {
+    val sums = foldSums(spark.read.parquet(s"$store/sums")
+      .groupBy(col("i"))
+      .agg(sum(col("msum").cast(Dec)).as("msum"), sum(col("n")).as("n"))
+      .collect())
+    val moments = foldMoments(spark.read.parquet(s"$store/moments")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("s")).as("s"))
+      .collect())
+    modelFromStats(spark, sums, moments, iters)
   }
 
   /** Project every vector onto a trained component — the ORACLE-
@@ -174,9 +243,7 @@ object Pca {
       "model mean and direction must share a positive dimension")
     val muArr = array(model.mu.map(lit).toIndexedSeq: _*)
     val vArr = array(model.v.map(lit).toIndexedSeq: _*)
-    embeddings
-      .select(col("vec_id").cast("long").as("vec_id"),
-        col("embedding").cast("array<double>").as("emb"))
+    prep(embeddings)
       .select(col("vec_id"),
         explode(zip_with(zip_with(col("emb"), muArr, (x, m) => x - m),
           vArr, (c, vv) => c * vv)).as("t"))
@@ -198,9 +265,7 @@ object Pca {
       "model mean and direction must share a positive dimension")
     val muArr = array(model.mu.map(lit).toIndexedSeq: _*)
     val vArr = array(model.v.map(lit).toIndexedSeq: _*)
-    embeddings
-      .select(col("vec_id").cast("long").as("vec_id"),
-        col("embedding").cast("array<double>").as("emb"))
+    prep(embeddings)
       .select(col("vec_id"),
         (round(aggregate(
           zip_with(zip_with(col("emb"), muArr, (x, m) => x - m), vArr,

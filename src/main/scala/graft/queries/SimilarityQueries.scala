@@ -462,9 +462,11 @@ object SimilarityQueries {
   /** s13's full training replay: mean → centering → covariance →
     * `PcaIters` unrolled ∞-norm power iterations → sign canon →
     * projection. Every sum is order-free EXACT on the 6-grid — the
-    * covariance through 1e-6-quantized BIGINT sums (integer addition,
-    * the engine's codegen-fast form), everything else through
-    * DECIMAL(38,18) (the s05 vector contract); normalisation divides
+    * covariance by the moment identity over 1e-6-quantized BIGINT
+    * raw-product sums (integer addition: the engine's codegen-fast,
+    * exactly-mergeable form — the same statistic its streaming store
+    * folds), everything else through DECIMAL(38,18) (the s05 vector
+    * contract); normalisation divides
     * by MAX(ABS(w)) — exact operations an engine cannot drift on —
     * and v₀ = 1⃗ enters as literal arithmetic. Generated by a loop
     * over the SAME iteration count the query uses.
@@ -498,10 +500,13 @@ object SimilarityQueries {
        |  FROM byd b JOIN mu ON mu.dim = b.dim),
        |cov AS (
        |  SELECT a.dim AS i, b.dim AS j,
-       |    round(CAST(SUM(CAST(round((a.c * b.c) * 1e6, 0) AS BIGINT))
-       |      AS DOUBLE) / 1e6, 6) AS m
-       |  FROM cen a JOIN cen b ON a.vec_id = b.vec_id
-       |  GROUP BY a.dim, b.dim),
+       |    round(CAST(SUM(CAST(round((a.x * b.x) * 1e6, 0) AS BIGINT))
+       |        AS DOUBLE) / 1e6
+       |      - CAST(COUNT(*) AS DOUBLE) * (mi.m * mj.m), 6) AS m
+       |  FROM byd a JOIN byd b ON a.vec_id = b.vec_id
+       |  JOIN mu mi ON mi.dim = a.dim
+       |  JOIN mu mj ON mj.dim = b.dim
+       |  GROUP BY a.dim, b.dim, mi.m, mj.m),
        |v0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS v FROM cov),
        |$iterCtes,
        |sgn AS (

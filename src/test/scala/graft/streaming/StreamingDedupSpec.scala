@@ -514,6 +514,34 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(streamed.size == emb.count())
   }
 
+  test("pca statistics maintenance: drains fold to the exact batch " +
+    "model; delta-only restart; no-op re-drain") {
+    import graft.ext.Pca
+    val srcDir = tmpDir("pca-maint-src")
+    val store = tmpDir("pca-maint-store") + "/stats"
+    val ckpt = tmpDir("pca-maint-ckpt")
+    val emb = Tables.embeddings(spark, sf0001)
+    stage(emb.filter(col("vec_id") < 300), srcDir, "a.parquet")
+    val n1 = StreamingPca.maintainStream(spark, srcDir, store, ckpt)
+    assert(n1 > 0, "bootstrap drain must append moment partials")
+    val m1 = Pca.modelFromStore(spark, store, iters = 2)
+    val b1 = Pca.pcaModel(emb.filter(col("vec_id") < 300), iters = 2)
+    assert(m1.mu.toSeq == b1.mu.toSeq && m1.v.toSeq == b1.v.toSeq,
+      "store model diverged from the batch model after the bootstrap")
+    // delta arrives; the next drain reduces ONLY the new file and the
+    // folded store equals a batch retrain over the full corpus
+    stage(emb.filter(col("vec_id") >= 300), srcDir, "b.parquet")
+    val n2 = StreamingPca.maintainStream(spark, srcDir, store, ckpt)
+    assert(n2 > n1, "incremental drain must append new partials")
+    val m2 = Pca.modelFromStore(spark, store, iters = 2)
+    val b2 = Pca.pcaModel(emb, iters = 2)
+    assert(m2.mu.toSeq == b2.mu.toSeq && m2.v.toSeq == b2.v.toSeq,
+      "store model diverged from the batch model after the delta")
+    // nothing new: the checkpoint short-circuits the re-drain
+    val n3 = StreamingPca.maintainStream(spark, srcDir, store, ckpt)
+    assert(n3 == n2, "a no-op re-drain must append no partials")
+  }
+
   test("readPairs on a store that never materialized is empty, not an error") {
     assert(StreamingDedup.readPairs(spark,
       tmpDir("sd-none") + "/nope").isEmpty)
