@@ -103,6 +103,93 @@ object Similarity {
         col("sim"), col("rank"))
   }
 
+  /** MMR diversified top-k [EXT] (Maximal Marginal Relevance,
+    * Carbonell & Goldstein, SIGIR 1998 — public): greedy reranking
+    * that trades relevance against redundancy — pick_t = argmax of
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s). THE de-duplicating
+    * reranker of retrieval pipelines: over a near-dup-heavy corpus a
+    * raw top-k returns k copies of one document, MMR returns the k
+    * distinct facets.
+    *
+    * This is the RERANKER half: it takes ANY candidate pool
+    * (query_id, vec_id, emb, rel) — at scale the pool comes from an
+    * ANN index (s02 LSH / s03 IVF / s08 IVF-PQ feed it unchanged), so
+    * the pairwise work is |Q|·poolSize² IN-POOL, never corpus-sized.
+    * The greedy unrolls to k−1 stages over the ONE localCheckpointed
+    * pool (EAGER, |Q|·poolSize rows by construction — the semDedup
+    * materialization idiom): every stage is an equi-join plus a
+    * max_by argmax with the vec_id tiebreak — no Window anywhere —
+    * so the whole selection is one lazy plan over KB-scale inputs.
+    *
+    * Engine-portable by construction (s14 is oracle-checked): rel and
+    * pairwise sims live on the round-4 cosine grid (the s01
+    * contract), the MMR score on the round-6 grid; the oracle replays
+    * every greedy round as unrolled CTEs. A pool smaller than k picks
+    * its whole pool and stops (no padding rows).
+    */
+  def mmrRerank(pool: DataFrame, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    val p = pool.select(col("query_id").cast("long").as("query_id"),
+        col("vec_id").cast("long").as("vec_id"),
+        col("emb").cast("array<double>").as("emb"),
+        col("rel").cast("double").as("rel"))
+      .localCheckpoint(true)
+    var all = p.groupBy(col("query_id"))
+      .agg(max_by(col("vec_id"),
+        struct(col("rel"), (-col("vec_id")).as("neg"))).as("vec_id"))
+      .withColumn("pick_rank", lit(1))
+    var t = 2
+    while (t <= k) {
+      val selEmb = all.select(col("query_id"), col("vec_id"))
+        .join(p.select(col("query_id"), col("vec_id"), col("emb")),
+          Seq("query_id", "vec_id"))
+        .select(col("query_id"), col("emb").as("s_emb"))
+      val pick = p
+        .join(all.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(selEmb, Seq("query_id"))
+        .groupBy(col("query_id"), col("vec_id"), col("rel"))
+        .agg(max(round(cosine(col("emb"), col("s_emb")), 4)).as("maxsim"))
+        .withColumn("score", round(lit(lambda) * col("rel") -
+          lit(1.0d - lambda) * col("maxsim"), 6))
+        .groupBy(col("query_id"))
+        .agg(max_by(col("vec_id"),
+          struct(col("score"), (-col("vec_id")).as("neg"))).as("vec_id"))
+        .withColumn("pick_rank", lit(t))
+      all = all.unionByName(pick)
+      t += 1
+    }
+    all.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      col("pick_rank"))
+  }
+
+  /** MMR over the exact candidate pool — [[cosineTopK]]'s plan with
+    * the embedding carried, feeding [[mmrRerank]]. The pool window is
+    * the documented-quadratic truth-twin shape (s01): at scale, swap
+    * the generator for an ANN index and rerank the SAME way — this
+    * form is the oracle-checkable twin for that swap.
+    */
+  def mmrTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 4,
+              poolSize: Int = 12, lambda: Double = 0.7): DataFrame = {
+    require(poolSize >= k, s"pool ($poolSize) must cover k ($k)")
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val pool = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rel", round(cosine(col("emb"), col("q_emb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= poolSize)
+      .select(col("query_id"), col("vec_id"), col("emb"), col("rel"))
+    mmrRerank(pool, k, lambda)
+  }
+
   /** Quantized-candidate top-k: the int8 fast path in front of an
     * exact re-rank. Corpus and queries are quantized once (narrow
     * maps, [[Quantize.int8]]); candidate scoring touches ONLY the

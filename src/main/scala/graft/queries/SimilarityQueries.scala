@@ -25,6 +25,14 @@ object SimilarityQueries {
     */
   private val PcaIters = 4
 
+  /** s14's MMR knobs — shared by the query and the oracle generator
+    * (λ and 1−λ interpolate as Scala-printed doubles, which DuckDB
+    * parses back to the identical bits).
+    */
+  private val MmrK = 4
+  private val MmrPool = 12
+  private val MmrLambda = 0.7
+
   /** s09's query bag: chosen to span the corpus df spectrum (`dup`
     * appears in ~5% of documents, the others in ~77%).
     */
@@ -76,6 +84,20 @@ object SimilarityQueries {
       */
     "s13_pca_project" -> { (s, d) =>
       Pca.pcaProject(Tables.embeddings(s, d), iters = PcaIters)
+    },
+
+    /** s14 — MMR diversified top-k (Carbonell & Goldstein 1998): the
+      * greedy relevance-vs-redundancy reranker over the exact
+      * candidate pool. The ORACLE REPLAYS THE GREEDY: every pick
+      * round re-derives in unrolled CTEs (round-4 sims, round-6
+      * scores, vec_id ties), so selection AND order must match
+      * hash-exactly. EAGER: the pool localCheckpoints at
+      * construction (the semDedup idiom).
+      */
+    "s14_mmr_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.mmrTopK(e, e.filter(col("vec_id") < NumQueries),
+        k = MmrK, poolSize = MmrPool, lambda = MmrLambda)
     },
 
     /** s06 — ANN recall@k: per-probe fraction of the exact top-k that
@@ -522,6 +544,61 @@ object SimilarityQueries {
        |GROUP BY c.vec_id""".stripMargin
   }
 
+  /** s14's greedy replay: the exact pool (s01's window shape capped
+    * at `MmrPool`), then `MmrK − 1` unrolled pick rounds — each a
+    * NOT-EXISTS over the picks so far, a per-candidate MAX of
+    * round-4 sims to the selected set, the round-6 MMR score, and a
+    * vec_id-tiebroken argmax. Generated by a loop over the SAME
+    * constants the query uses.
+    */
+  private lazy val S14Sql: String = {
+    val lam = s"CAST($MmrLambda AS DOUBLE)"
+    val oml = s"CAST(${1.0d - MmrLambda} AS DOUBLE)"
+    val rounds = (2 to MmrK).map { t =>
+      s"""p$t AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    round($lam * c.rel - $oml *
+         |      MAX(round(list_cosine_similarity(ce.emb, se.emb), 4)),
+         |      6) AS score
+         |  FROM cand c
+         |  JOIN e ce ON ce.vec_id = c.vec_id
+         |  JOIN s${t - 1} s ON s.query_id = c.query_id
+         |  JOIN e se ON se.vec_id = s.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM s${t - 1} x
+         |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.query_id, c.vec_id, c.rel),
+         |k$t AS (
+         |  SELECT query_id, vec_id FROM p$t
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, vec_id) = 1),
+         |s$t AS (
+         |  SELECT query_id, vec_id, pick_rank FROM s${t - 1}
+         |  UNION ALL
+         |  SELECT query_id, vec_id, $t AS pick_rank FROM k$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+       |      WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT query_id, vec_id,
+       |    round(list_cosine_similarity(emb, q_emb), 4) AS rel
+       |  FROM e, q
+       |  WHERE vec_id != query_id
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC,
+       |             vec_id) <= $MmrPool),
+       |s1 AS (
+       |  SELECT query_id, vec_id, 1 AS pick_rank FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, vec_id) = 1),
+       |$rounds
+       |SELECT query_id, vec_id AS neighbor_id, pick_rank
+       |FROM s$MmrK""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // arithmetic mirrors Retrieval.termWeight parenthesis-for-
     // parenthesis (IEEE double ops are order-sensitive); per-term
@@ -908,6 +985,9 @@ object SimilarityQueries {
     // the whole PCA training run replayed: mean/covariance decimal
     // sums, 4 unrolled ∞-norm power iterations, sign canon, projection
     "s13_pca_project" -> S13Sql,
+
+    // the whole MMR greedy replayed: pool, then one CTE per pick round
+    "s14_mmr_topk" -> S14Sql,
 
     "s03_ann_ivf" ->
       s"""WITH e AS (

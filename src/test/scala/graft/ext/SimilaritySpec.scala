@@ -1027,4 +1027,98 @@ class SimilaritySpec extends SparkTestBase {
         s"probe $q neighbor $n: adc $ip != exact-by-subspace $want")
     }
   }
+
+  test("mmr: picks the diverse facet a raw top-k would bury under a near-dup") {
+    import spark.implicits._
+    // q = e1; c1/c2 near-copies of each other at rel ~0.9; d the
+    // diverse facet at rel 0.8 (sim to the c-pair only through q);
+    // filler keeps the pool honest. Raw top-2 = {c1, c2}; MMR's
+    // second pick must be d: score(c2) = .7*.9 - .3*1 = .33 <
+    // score(d) = .7*.8 - .3*.72 = .344.
+    def n(v: Array[Double]) = {
+      val s = math.sqrt(v.map(x => x * x).sum); v.map(_ / s)
+    }
+    val rows = Seq(
+      100L -> Array(1.0, 0.0, 0.0, 0.0),
+      201L -> n(Array(0.9, 0.436, 0.0, 0.0)),
+      202L -> n(Array(0.9, 0.4355, 0.0, 0.02)),
+      300L -> n(Array(0.8, 0.0, 0.6, 0.0)),
+      400L -> n(Array(0.3, -0.2, -0.1, 0.9)),
+      401L -> n(Array(0.2, 0.1, -0.5, -0.8)))
+    val df = rows.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(df, df.filter($"vec_id" === 100L),
+        k = 2, poolSize = 5, lambda = 0.7)
+      .orderBy("pick_rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((201L, 1), (300L, 2)),
+      s"mmr picked ${got.toSeq}, want the near-dup once then the facet")
+    // the raw ranking DOES bury the facet behind the second copy
+    val raw = Similarity.cosineTopK(df, df.filter($"vec_id" === 100L), 2)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(raw.toSeq == Seq(201L, 202L))
+  }
+
+  test("mmr greedy == driver reference over the real corpus pool") {
+    val e = Tables.embeddings(spark, sf0001)
+    val probes = e.filter(col("vec_id") < 5)
+    val got = Similarity.mmrTopK(e, probes, k = 4, poolSize = 10,
+        lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // reference: collect the same pool and greedy-select in plain Scala
+    def r4(d: Double) = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = e.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (0L until 5L).flatMap { q =>
+      val pool = emb.keys.filter(_ != q).toSeq
+        .map(id => id -> r4(cos(emb(id), emb(q))))
+        .sortBy { case (id, rel) => (-rel, id) }.take(10)
+      var selected = Vector.empty[Long]
+      (1 to 4).foreach { t =>
+        val remaining = pool.filterNot(p => selected.contains(p._1))
+        if (remaining.nonEmpty) {
+          val pick =
+            if (t == 1) remaining.maxBy { case (id, rel) => (rel, -id) }
+            else remaining.maxBy { case (id, rel) =>
+              val ms = selected.map(s => r4(cos(emb(id), emb(s)))).max
+              (r6(0.7 * rel - 0.30000000000000004 * ms), -id)
+            }
+          selected :+= pick._1
+        }
+      }
+      selected.zipWithIndex.map { case (id, i) => (q, id, i + 1) }
+    }.toSet
+    assert(got == want, "engine mmr diverged from the reference greedy")
+  }
+
+  test("mmr with lambda = 1 degenerates to the relevance ranking") {
+    val e = Tables.embeddings(spark, sf0001)
+    val probes = e.filter(col("vec_id") < 5)
+    val got = Similarity.mmrTopK(e, probes, k = 3, poolSize = 10,
+        lambda = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val raw = Similarity.cosineTopK(e, probes, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(got == raw, "pure-relevance mmr must equal the raw top-k")
+  }
+
+  test("mmr over a pool smaller than k picks the pool and stops") {
+    import spark.implicits._
+    val df = Seq(
+      (100L, Array(1.0, 0.0)), (201L, Array(0.9, 0.1)),
+      (202L, Array(0.5, 0.5))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(df, df.filter($"vec_id" === 100L),
+      k = 4, poolSize = 5, lambda = 0.7).collect()
+    assert(got.length == 2, s"want 2 picks from a 2-candidate pool")
+    assert(got.map(_.getInt(2)).sorted.toSeq == Seq(1, 2))
+  }
 }

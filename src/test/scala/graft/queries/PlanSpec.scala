@@ -121,7 +121,11 @@ class PlanSpec extends SparkTestBase {
     val sweeps = Seq(
       ("d07_embedding_dups_lsh", hasAllPairsJoin _),
       ("d08_dup_clusters", hasAllPairsJoin _),
-      ("d09_semdedup", (p: String) => p.contains("CartesianProduct")))
+      ("d09_semdedup", (p: String) => p.contains("CartesianProduct")),
+      // s14's pool stage is s01's DESIGNED corpus × broadcast probe
+      // cross-join, checkpointed before the greedy; the greedy itself
+      // must stay equi-join-only
+      ("s14_mmr_topk", (p: String) => p.contains("CartesianProduct")))
     for ((name, forbidden) <- sweeps) {
       val before = store.executionsList().map(_.executionId)
         .foldLeft(-1L)(math.max)
