@@ -190,6 +190,49 @@ object Similarity {
     mmrRerank(pool, k, lambda)
   }
 
+  /** Embedding-corpus integrity audit [EXT] — the e05-e11 integrity
+    * family for the VECTOR table: one row of corpus-health facts a
+    * pipeline checks before it trusts an embedding drop (a broken
+    * encoder ships zero vectors; a ragged export ships mixed
+    * dimensions; a numerics bug ships NaN/Inf — each silently
+    * poisons every downstream cosine):
+    *
+    *  - n_vectors, dim (max), dim_consistent (min == max);
+    *  - n_zero: vectors with zero squared norm (cosine undefined);
+    *  - n_nonfinite: vectors carrying any NaN/±Inf element (excluded
+    *    from the norm mass so the stats stay finite);
+    *  - min/max/avg L2 norm on the 6-grid — norms via exact decimal
+    *    sums of squares then sqrt (the one power IEEE requires
+    *    correctly rounded), the average over the 6-grid norms.
+    *
+    * One narrow explode + two aggregations (per-vector, then the
+    * one-row corpus fold) — no joins, no windows; scan-bound at any
+    * SF. Oracle-checked (s15): every stat replays relationally.
+    */
+  def embeddingAudit(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val bad = isnan(col("x")) ||
+      col("x") === lit(Double.PositiveInfinity) ||
+      col("x") === lit(Double.NegativeInfinity)
+    val pv = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("d"),
+        sum(when(bad, lit(0.0d)).otherwise(col("x") * col("x"))
+          .cast("decimal(38,18)")).cast("double").as("nsq"),
+        max(when(bad, 1L).otherwise(0L)).as("bad"))
+    pv.agg(
+      count(lit(1)).as("n_vectors"),
+      max(col("d")).cast("int").as("dim"),
+      (min(col("d")) === max(col("d"))).as("dim_consistent"),
+      sum(when(col("nsq") === 0.0d, 1L).otherwise(0L)).as("n_zero"),
+      sum(col("bad")).as("n_nonfinite"),
+      (round(min(sqrt(col("nsq"))), 6) + lit(0.0d)).as("min_norm"),
+      (round(max(sqrt(col("nsq"))), 6) + lit(0.0d)).as("max_norm"),
+      (round(sum(round(sqrt(col("nsq")), 6).cast("decimal(38,18)"))
+        .cast("double") / count(lit(1)), 6) + lit(0.0d)).as("avg_norm"))
+  }
+
   /** Quantized-candidate top-k: the int8 fast path in front of an
     * exact re-rank. Corpus and queries are quantized once (narrow
     * maps, [[Quantize.int8]]); candidate scoring touches ONLY the

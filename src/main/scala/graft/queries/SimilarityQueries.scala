@@ -100,6 +100,15 @@ object SimilarityQueries {
         k = MmrK, poolSize = MmrPool, lambda = MmrLambda)
     },
 
+    /** s15 — embedding-corpus integrity audit: the e05-e11 family
+      * for the vector table (zero-norm / non-finite / ragged-dim
+      * detection + 6-grid L2 norm stats). One narrow explode + two
+      * aggregations, scan-bound at any SF.
+      */
+    "s15_embedding_audit" -> { (s, d) =>
+      Similarity.embeddingAudit(Tables.embeddings(s, d))
+    },
+
     /** s06 — ANN recall@k: per-probe fraction of the exact top-k that
       * the s02 LSH index returned — the offline quality metric of the
       * ANN family, run on a probe sample (the exact side is s01's
@@ -988,6 +997,36 @@ object SimilarityQueries {
 
     // the whole MMR greedy replayed: pool, then one CTE per pick round
     "s14_mmr_topk" -> S14Sql,
+
+    // every audit stat replayed relationally: per-vector decimal
+    // norm-square sums (non-finite mass excluded), then the one-row
+    // corpus fold; BIGINT casts per the HUGEINT-vs-pandas contract
+    "s15_embedding_audit" ->
+      """WITH e AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |byd AS (
+        |  SELECT vec_id, emb[i+1] AS x
+        |  FROM (SELECT vec_id, emb, unnest(range(0, len(emb))) AS i
+        |        FROM e)),
+        |pv AS (
+        |  SELECT vec_id, COUNT(*) AS d,
+        |    CAST(SUM(CAST(CASE WHEN isnan(x) OR isinf(x) THEN 0.0
+        |      ELSE x * x END AS DECIMAL(38,18))) AS DOUBLE) AS nsq,
+        |    MAX(CASE WHEN isnan(x) OR isinf(x) THEN 1 ELSE 0 END) AS bad
+        |  FROM byd GROUP BY vec_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(MAX(d) AS INT) AS dim,
+        |  MIN(d) = MAX(d) AS dim_consistent,
+        |  CAST(SUM(CASE WHEN nsq = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(SUM(bad) AS BIGINT) AS n_nonfinite,
+        |  round(MIN(sqrt(nsq)), 6) + 0.0 AS min_norm,
+        |  round(MAX(sqrt(nsq)), 6) + 0.0 AS max_norm,
+        |  round(CAST(SUM(CAST(round(sqrt(nsq), 6) AS DECIMAL(38,18)))
+        |    AS DOUBLE) / COUNT(*), 6) + 0.0 AS avg_norm
+        |FROM pv""".stripMargin,
 
     "s03_ann_ivf" ->
       s"""WITH e AS (

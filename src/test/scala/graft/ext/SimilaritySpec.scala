@@ -1121,4 +1121,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.length == 2, s"want 2 picks from a 2-candidate pool")
     assert(got.map(_.getInt(2)).sorted.toSeq == Seq(1, 2))
   }
+
+  test("embedding audit: planted corruption is counted exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(3.0, 4.0)),                    // norm 5
+      (2L, Array(0.6, 0.8)),                    // norm 1
+      (3L, Array(0.0, 0.0)),                    // zero vector
+      (4L, Array(Double.NaN, 1.0)),             // non-finite
+      (5L, Array(1.0, Double.PositiveInfinity)) // non-finite
+    ).toDF("vec_id", "embedding")
+      .unionByName(Seq((6L, Array(2.0, 0.0, 0.0)))  // ragged dim
+        .toDF("vec_id", "embedding"))
+    val a = Similarity.embeddingAudit(rows).collect().head
+    assert(a.getAs[Long]("n_vectors") == 6)
+    assert(a.getAs[Int]("dim") == 3)
+    assert(!a.getAs[Boolean]("dim_consistent"))
+    assert(a.getAs[Long]("n_zero") == 1)
+    assert(a.getAs[Long]("n_nonfinite") == 2)
+    assert(a.getAs[Double]("min_norm") == 0.0)
+    assert(a.getAs[Double]("max_norm") == 5.0)
+    // norms: 5, 1, 0, 1 (NaN masked), 1 (Inf masked), 2 -> avg 10/6
+    assert(a.getAs[Double]("avg_norm") == 1.666667)
+    // audit stats are partitioning-invariant (order-free sums)
+    val b = Similarity.embeddingAudit(rows.repartition(5)).collect().head
+    assert(a == b)
+  }
+
+  test("embedding audit on the corpus: clean, unit-normalized") {
+    val a = Similarity.embeddingAudit(Tables.embeddings(spark, sf0001))
+      .collect().head
+    assert(a.getAs[Long]("n_vectors") == 500)
+    assert(a.getAs[Boolean]("dim_consistent") && a.getAs[Int]("dim") == 64)
+    assert(a.getAs[Long]("n_zero") == 0 && a.getAs[Long]("n_nonfinite") == 0)
+  }
 }
