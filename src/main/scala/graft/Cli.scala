@@ -138,15 +138,16 @@ object Cli {
       case Some("bpe") => bpeCmd(spark, parseOpts(args.tail))
       case Some("tag") => tagCmd(spark, parseOpts(args.tail))
       case Some("pca") => pcaCmd(spark, parseOpts(args.tail))
+      case Some("ann") => annCmd(spark, parseOpts(args.tail))
       case Some(other) => throw CliError(
         s"unknown command: $other " +
           "(expected export | import | db | compact | zonemap | dedup " +
           "| despan | index | bm25 | dsir | probe | epoch-budget | bpe " +
-          "| tag | pca)")
+          "| tag | pca | ann)")
       case None =>
         throw CliError(
           "usage: graft.Cli <export|import|db|compact|zonemap|dedup" +
-            "|despan|index|bm25|dsir|probe|epoch-budget|bpe|tag|pca> " +
+            "|despan|index|bm25|dsir|probe|epoch-budget|bpe|tag|pca|ann> " +
             "[--options]")
     }
 
@@ -216,6 +217,65 @@ object Cli {
     * hit audit an operator wants BEFORE deploying a blocklist —
     * including zero-hit patterns, the usual sign of a typo.
     */
+  /** `ann` — [EXT] ad-hoc nearest-neighbor search over an embedding
+    * parquet (ext.Similarity): exact cosine top-k by default, the
+    * MMR-diversified selection with `--diversify` (`--lambda`,
+    * `--pool` tune it). Probes come from `--query-ids "0,1,…"`
+    * (rows of the corpus itself) or a separate `--queries` parquet —
+    * exactly one of the two. With `--out` the ranking is written;
+    * without it a small ranking prints. The exact scan is the truth
+    * twin of the indexed paths (s02/s03/s07/s08) — the ad-hoc probe
+    * tool, not the bulk path; keep a persisted index for the latter.
+    */
+  private def annCmd(spark: SparkSession,
+                     opts: Map[String, String]): String = {
+    import org.apache.spark.sql.functions.col
+    val emb = readEmbeddings(spark, required(opts, "embeddings"))
+    val k = intOpt(opts, "k", 10)
+    if (k < 1) throw CliError(s"--k must be positive, got $k")
+    val queries = (opts.get("query_ids"), opts.get("queries")) match {
+      case (Some(_), Some(_)) =>
+        throw CliError("--query-ids and --queries are exclusive " +
+          "(corpus rows OR an external probe parquet)")
+      case (Some(ids), None) =>
+        val parsed = ids.split(",").map(_.trim).filter(_.nonEmpty)
+        if (parsed.isEmpty)
+          throw CliError("--query-ids must name at least one vec_id")
+        val vecIds = parsed.map(s => s.toLongOption.getOrElse(
+          throw CliError(s"--query-ids must be integers, got '$s'")))
+        emb.filter(col("vec_id").isin(vecIds.toIndexedSeq: _*))
+      case (None, Some(path)) => readEmbeddings(spark, path)
+      case (None, None) =>
+        throw CliError("name the probes: --query-ids \"0,1\" or " +
+          "--queries <parquet>")
+    }
+    val hits =
+      if (boolFlag(opts, "diversify")) {
+        val lambda = doubleOpt(opts, "lambda", 0.7)
+        if (lambda < 0.0 || lambda > 1.0)
+          throw CliError(s"--lambda must be in [0, 1], got $lambda")
+        val pool = intOpt(opts, "pool", 4 * k)
+        if (pool < k)
+          throw CliError(s"--pool ($pool) must cover --k ($k)")
+        graft.ext.Similarity.mmrTopK(emb, queries, k, pool, lambda)
+      } else graft.ext.Similarity.cosineTopK(emb, queries, k)
+    opts.get("out") match {
+      case Some(out) =>
+        hits.write.mode("overwrite").parquet(out)
+        s"${spark.read.parquet(out).count()} neighbors -> $out"
+      case None =>
+        val header = if (boolFlag(opts, "diversify"))
+          "    query_id  neighbor_id  pick_rank\n"
+        else "    query_id  neighbor_id       sim  rank\n"
+        hits.collect().map { r =>
+          if (boolFlag(opts, "diversify"))
+            f"${r.getLong(0)}%12d  ${r.getLong(1)}%11d  ${r.getInt(2)}%9d"
+          else
+            f"${r.getLong(0)}%12d  ${r.getLong(1)}%11d  ${r.getDouble(2)}%8.4f  ${r.getInt(3)}%4d"
+        }.mkString(header, "\n", "")
+    }
+  }
+
   /** `pca` — [EXT] the top-principal-component model in its
     * deployment split (ext.Pca, the `dsir` pattern):
     *

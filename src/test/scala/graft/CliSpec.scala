@@ -743,4 +743,59 @@ class CliSpec extends SparkTestBase {
       "--out", tmpDir("cli-pca-bad2-out") + "/o"), now))
       .message.contains("not a pca model"))
   }
+
+  test("ann command: exact and diversified rankings match the library, " +
+    "malformed invocations refused") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("cli-ann-emb")
+    val emb = Tables.embeddings(spark, sf0001)
+    emb.write.mode("overwrite").parquet(base)
+    // probes required, exclusivity, numeric validation
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--embeddings", base, "--k", "3"), now))
+      .message.contains("name the probes"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--embeddings", base, "--query-ids", "0", "--queries", base), now))
+      .message.contains("exclusive"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--embeddings", base, "--query-ids", "a,b"), now))
+      .message.contains("--query-ids"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--embeddings", base, "--query-ids", "0", "--k", "0"), now))
+      .message.contains("--k"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--embeddings", base, "--query-ids", "0", "--diversify",
+      "--lambda", "1.5"), now)).message.contains("--lambda"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--embeddings", base, "--query-ids", "0", "--k", "5",
+      "--diversify", "--pool", "3"), now)).message.contains("--pool"))
+    // exact == cosineTopK (ids parse with spaces)
+    val out = tmpDir("cli-ann-out") + "/o"
+    val msg = Cli.run(spark, Seq("ann", "--embeddings", base,
+      "--query-ids", "0, 1", "--k", "3", "--out", out), now)
+    assert(msg.contains("6 neighbors"), msg)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val want = graft.ext.Similarity.cosineTopK(emb,
+      emb.filter(col("vec_id") < 2), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == want, "CLI exact ranking diverged from cosineTopK")
+    // diversified == mmrTopK over the same knobs
+    val out2 = tmpDir("cli-ann-out2") + "/o"
+    val msg2 = Cli.run(spark, Seq("ann", "--embeddings", base,
+      "--query-ids", "0", "--k", "2", "--diversify",
+      "--pool", "8", "--lambda", "0.5", "--out", out2), now)
+    assert(msg2.contains("2 neighbors"), msg2)
+    val got2 = spark.read.parquet(out2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want2 = graft.ext.Similarity.mmrTopK(emb,
+      emb.filter(col("vec_id") === 0L), 2, 8, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got2 == want2, "CLI diversified ranking diverged from mmrTopK")
+    // without --out a small ranking prints (header + k rows)
+    val printed = Cli.run(spark, Seq("ann", "--embeddings", base,
+      "--query-ids", "0", "--k", "2"), now)
+    assert(printed.contains("sim") && printed.linesIterator.size == 3,
+      printed)
+  }
 }
