@@ -18,6 +18,9 @@ object EventQueries {
   private val HourUs = 3600000000L
   private val SessionGapUs = 1800000000L // 30 min
 
+  /** ev19's ranking cut — shared by the query and its oracle. */
+  private val PathTopK = 20
+
   val defs: Map[String, QueryFn] = Map(
     /** ev01 — tumbling 1h window aggregate: Spark's `window()` on the
       * µs-truncated timestamp; one shuffle on (window, event_type),
@@ -339,6 +342,39 @@ object EventQueries {
       ev.groupBy(col("user_id"))
         .agg(max(col("sess_id")).as("n_sessions"),
           count(lit(1)).as("n_events"))
+    },
+
+    /** ev19 — user-journey path mining: the most common event-type
+      * sequences per 30-min session (ev02's sessionization), the
+      * funnel-DISCOVERY twin of ev14's fixed-stage funnel — run it
+      * first to learn WHICH paths deserve a funnel. Per session the
+      * path folds IN-ROW (array_sort over (ts, event_id, type)
+      * structs — event_id makes the order total, so ties cannot
+      * reorder the string), then one count per distinct path and a
+      * deterministic top-k via TakeOrdered (count desc, path asc) —
+      * no global window. Scale: the windows partition per user, the
+      * path agg shuffles one row per session, the ranking is the
+      * distributed top-k.
+      */
+    "ev19_path_mining" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables.eventsTs(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy(col("user_id"), col("sess_id"))
+        .agg(array_join(transform(array_sort(collect_list(struct(
+          col("ts_us"), col("event_id"), col("event_type")))),
+          x => x("event_type")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(PathTopK)
     },
 
     /** ev03 — the hot-tail guard (cli.rb:28-31) made deterministic:
@@ -714,6 +750,30 @@ object EventQueries {
         |  MAX(epoch_us(ts)) AS max_safe_us
         |FROM events
         |WHERE epoch_us(ts) <= (SELECT MAX(epoch_us(ts)) FROM events) - 60000000""".stripMargin,
+
+    // ev02's session CTEs, then the ordered per-session path string
+    // (event_id totalizes the order) and the tie-broken top-k
+    "ev19_path_mining" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |), sess AS (
+         |  SELECT user_id, event_type, ts_us, event_id,
+         |    SUM(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM flagged),
+         |paths AS (
+         |  SELECT user_id, sess_id,
+         |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+         |  FROM sess GROUP BY user_id, sess_id)
+         |SELECT path, COUNT(*) AS n_sessions
+         |FROM paths GROUP BY path
+         |QUALIFY row_number() OVER (ORDER BY COUNT(*) DESC, path)
+         |  <= $PathTopK""".stripMargin,
 
     "ev05_asof_join" ->
       """WITH ev AS (
