@@ -377,6 +377,41 @@ object EventQueries {
         .limit(PathTopK)
     },
 
+    /** ev20 — first-order Markov transitions between event types
+      * WITHIN a session (ev02's sessionization): the transition
+      * matrix behind ev19's raw paths — n and p = round6(n / out-
+      * degree of the source type). Session boundaries break chains
+      * (no cross-session transitions), the lag order is totalized by
+      * event_id, and the probability join is a plain hash equi-join
+      * on the 5-type domain. One user-partitioned window pass + two
+      * tiny aggregations.
+      */
+    "ev20_markov_transitions" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables.eventsTs(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val bySess = Window.partitionBy(col("user_id"), col("sess_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val pairs = ev
+        .withColumn("prev_type", lag(col("event_type"), 1).over(bySess))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("prev_type"))
+        .agg(sum(col("n")).as("tot"))
+      pairs.join(totals, "prev_type")
+        .select(col("prev_type"), col("event_type"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6)
+            .as("p"))
+    },
+
     /** ev03 — the hot-tail guard (cli.rb:28-31) made deterministic:
       * "now" := max(ts), watermark = now − 60 s; scalar broadcast, no
       * second scan shuffle.
@@ -750,6 +785,35 @@ object EventQueries {
         |  MAX(epoch_us(ts)) AS max_safe_us
         |FROM events
         |WHERE epoch_us(ts) <= (SELECT MAX(epoch_us(ts)) FROM events) - 60000000""".stripMargin,
+
+    // ev02's session CTEs, then the within-session lag pairs and the
+    // out-degree-normalized probability
+    "ev20_markov_transitions" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |), sess AS (
+         |  SELECT user_id, event_type, ts_us, event_id,
+         |    SUM(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM flagged),
+         |pairs AS (
+         |  SELECT prev_type, event_type, COUNT(*) AS n FROM (
+         |    SELECT user_id, sess_id, event_type,
+         |      lag(event_type) OVER (PARTITION BY user_id, sess_id
+         |        ORDER BY ts_us, event_id) AS prev_type
+         |    FROM sess)
+         |  WHERE prev_type IS NOT NULL
+         |  GROUP BY prev_type, event_type),
+         |tot AS (
+         |  SELECT prev_type, SUM(n) AS tot FROM pairs GROUP BY prev_type)
+         |SELECT p.prev_type, p.event_type, p.n,
+         |  round(CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+         |FROM pairs p JOIN tot t ON t.prev_type = p.prev_type""".stripMargin,
 
     // ev02's session CTEs, then the ordered per-session path string
     // (event_id totalizes the order) and the tie-broken top-k
