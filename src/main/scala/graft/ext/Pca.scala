@@ -115,7 +115,21 @@ object Pca {
                                     sums: Map[Int, (java.math.BigDecimal, Long)],
                                     moments: Map[(Int, Int), Long],
                                     iters: Int): PcaModel = {
+    val (mu, comps) = componentsFromStats(spark, sums, moments, 1, iters)
+    PcaModel(mu, comps.head)
+  }
+
+  /** [[modelFromStats]] generalised to the top `nComponents`
+    * directions (power iteration + deflation, [[componentsOf]]).
+    */
+  private[graft] def componentsFromStats(
+      spark: SparkSession,
+      sums: Map[Int, (java.math.BigDecimal, Long)],
+      moments: Map[(Int, Int), Long],
+      nComponents: Int,
+      iters: Int): (Array[Double], Seq[Array[Double]]) = {
     require(iters >= 1, s"power iteration needs at least 1 step, got $iters")
+    require(nComponents >= 1, s"need at least 1 component, got $nComponents")
     require(sums.nonEmpty, "cannot fit PCA on an empty corpus")
     val dim = sums.size
     require(sums.keySet == (0 until dim).toSet,
@@ -134,39 +148,75 @@ object Pca {
       val c = round6(s.toDouble / 1e6 - n.toDouble * (mu(i) * mu(j)))
       if (i == j) Seq((i, j, c)) else Seq((i, j, c), (j, i, c))
     }
-    // KB-scale local relation: every iteration is a tiny Spark job,
-    // so its double→decimal casts follow the engine contract the
-    // oracle replays — not a driver-side re-implementation of it
+    (mu, componentsOf(spark, dim, covLocal, nComponents, iters))
+  }
+
+  private def vLitMap(v: Array[Double]) =
+    map(v.zipWithIndex.toIndexedSeq.flatMap {
+      case (x, i) => Seq(lit(i), lit(x)) }: _*)
+
+  /** The top `nComponents` directions of a covariance grid by power
+    * iteration + Hotelling deflation. Every matrix-vector product,
+    * Rayleigh quotient and deflated grid entry is the oracle's own
+    * arithmetic: decimal sums over a KB-scale LOCAL RELATION (tiny
+    * Spark jobs — the proven cast contract, not a driver decimal
+    * re-implementation), exact double ops, 6-grid rounds. Deflation:
+    * C' = round6(C − f·(vᵢvⱼ)) with f = round6(vᵀCv / (vᵀv)²) — the
+    * λ/(vᵀv) projector scale for the ∞-norm (non-unit) v.
+    */
+  private[graft] def componentsOf(spark: SparkSession, dim: Int,
+                                  covLocal: Seq[(Int, Int, Double)],
+                                  nComponents: Int,
+                                  iters: Int): Seq[Array[Double]] = {
     import spark.implicits._
-    val covDf = covLocal.toDF("i", "j", "m").cache()
-    try {
-      var v = Array.fill(dim)(1.0d)
-      var it = 0
-      var degenerate = false
-      while (it < iters && !degenerate) {
-        val vMap = map(v.zipWithIndex.toIndexedSeq.flatMap {
-          case (x, i) => Seq(lit(i), lit(x)) }: _*)
-        val w = new Array[Double](dim)
-        covDf.withColumn("vj", element_at(vMap, col("j")))
-          .groupBy(col("i"))
-          .agg(round(sum((col("m") * col("vj")).cast(Dec))
-            .cast("double"), 6).as("w"))
-          .collect()
-          .foreach(r => w(r.getInt(0)) = r.getDouble(1))
-        val mx = w.map(math.abs).max
-        if (mx == 0.0d) degenerate = true
-        else {
-          var i = 0
-          while (i < dim) { v(i) = round6(w(i) / mx); i += 1 }
+    var grid = covLocal
+    val comps = Seq.newBuilder[Array[Double]]
+    for (c <- 1 to nComponents) {
+      val covDf = grid.toDF("i", "j", "m").cache()
+      try {
+        var v = Array.fill(dim)(1.0d)
+        var it = 0
+        var degenerate = false
+        while (it < iters && !degenerate) {
+          val vMap = vLitMap(v)
+          val w = new Array[Double](dim)
+          covDf.withColumn("vj", element_at(vMap, col("j")))
+            .groupBy(col("i"))
+            .agg(round(sum((col("m") * col("vj")).cast(Dec))
+              .cast("double"), 6).as("w"))
+            .collect()
+            .foreach(r => w(r.getInt(0)) = r.getDouble(1))
+          val mx = w.map(math.abs).max
+          if (mx == 0.0d) degenerate = true
+          else {
+            var i = 0
+            while (i < dim) { v(i) = round6(w(i) / mx); i += 1 }
+          }
+          it += 1
         }
-        it += 1
-      }
-      // sign canon: lowest-indexed dominant component positive
-      // (|v_j| = 1.0 EXACTLY — it is w_argmax / w_argmax rounded)
-      val j = v.indices.find(i => math.abs(v(i)) == 1.0d).getOrElse(0)
-      if (v(j) < 0) v = v.map(x => -x)
-      PcaModel(mu, v)
-    } finally covDf.unpersist()
+        // sign canon: lowest-indexed dominant component positive
+        // (|v_j| = 1.0 EXACTLY — it is w_argmax / w_argmax rounded)
+        val j = v.indices.find(i => math.abs(v(i)) == 1.0d).getOrElse(0)
+        if (v(j) < 0) v = v.map(x => -x)
+        comps += v
+        if (c < nComponents) {
+          val vMap = vLitMap(v)
+          val num = covDf
+            .agg(round(sum((col("m") * element_at(vMap, col("i")) *
+              element_at(vMap, col("j"))).cast(Dec))
+              .cast("double"), 6))
+            .head.getDouble(0)
+          val den = v.indices.map(i => (i, v(i))).toDF("i", "v")
+            .agg(round(sum((col("v") * col("v")).cast(Dec))
+              .cast("double"), 6))
+            .head.getDouble(0)
+          val f = round6(num / (den * den))
+          grid = grid.map { case (i, j, m) =>
+            (i, j, round6(m - f * (v(i) * v(j)))) }
+        }
+      } finally covDf.unpersist()
+    }
+    comps.result()
   }
 
   private def foldSums(rows: Array[org.apache.spark.sql.Row])
@@ -279,4 +329,34 @@ object Pca {
     */
   def pcaProject(embeddings: DataFrame, iters: Int = 4): DataFrame =
     pcaScore(embeddings, pcaModel(embeddings, iters))
+
+  /** Top-TWO-component projection — the s16 query shape: one
+    * statistics pass, two deflated power-iteration runs, then ONE
+    * explode pass projecting onto both directions (a grouped decimal
+    * sum per component — pc2 costs no extra scan). The classic
+    * 2-D embedding-map / drift-plane output.
+    */
+  def pcaProject2(embeddings: DataFrame, iters: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = prep(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (mu, comps) =
+      try {
+        val sums = foldSums(dimSums(e).collect())
+        val moments = foldMoments(rawMoments(e).collect())
+        componentsFromStats(spark, sums, moments, 2, iters)
+      } finally e.unpersist()
+    val muArr = array(mu.map(lit).toIndexedSeq: _*)
+    val aggs = comps.zipWithIndex.map { case (v, ci) =>
+      val vArr = array(v.map(lit).toIndexedSeq: _*)
+      (round(sum((col("c") * element_at(vArr, col("i") + 1)).cast(Dec))
+        .cast("double"), 6) + lit(0.0d)).as(s"pc${ci + 1}")
+    }
+    prep(embeddings)
+      .select(col("vec_id"),
+        posexplode(zip_with(col("emb"), muArr, (x, m) => x - m))
+          .as(Seq("i", "c")))
+      .groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

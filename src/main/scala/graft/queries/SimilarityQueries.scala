@@ -100,6 +100,16 @@ object SimilarityQueries {
         k = MmrK, poolSize = MmrPool, lambda = MmrLambda)
     },
 
+    /** s16 — top-TWO-component PCA projection (power iteration +
+      * Hotelling deflation): the 2-D embedding map / drift plane.
+      * The ORACLE REPLAYS BOTH RUNS — the deflated grid included —
+      * so both learned directions and every (pc1, pc2) pair must
+      * match hash-exactly. EAGER at construction (the s13 caveat).
+      */
+    "s16_pca2_project" -> { (s, d) =>
+      Pca.pcaProject2(Tables.embeddings(s, d), iters = PcaIters)
+    },
+
     /** s15 — embedding-corpus integrity audit: the e05-e11 family
       * for the vector table (zero-norm / non-finite / ragged-dim
       * detection + 6-grid L2 norm stats). One narrow explode + two
@@ -502,56 +512,106 @@ object SimilarityQueries {
     * and v₀ = 1⃗ enters as literal arithmetic. Generated by a loop
     * over the SAME iteration count the query uses.
     */
-  private lazy val S13Sql: String = {
-    val iterCtes = (1 to PcaIters).map { k =>
-      s"""w$k AS (
+  /** Shared PCA oracle prelude: data, per-dim decimal means, centered
+    * values, and the moment-identity covariance over 1e-6-quantized
+    * BIGINT raw-product sums.
+    */
+  private lazy val PcaBaseCtes: String =
+    """e AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |         CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings),
+      |byd AS MATERIALIZED (
+      |  SELECT vec_id, i AS dim, emb[i+1] AS x
+      |  FROM (SELECT vec_id, emb, unnest(range(0, len(emb))) AS i
+      |        FROM e)),
+      |mu AS MATERIALIZED (
+      |  SELECT dim,
+      |    round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+      |      / COUNT(*), 6) AS m
+      |  FROM byd GROUP BY dim),
+      |cen AS MATERIALIZED (
+      |  SELECT b.vec_id, b.dim, b.x - mu.m AS c
+      |  FROM byd b JOIN mu ON mu.dim = b.dim),
+      |cov AS MATERIALIZED (
+      |  SELECT a.dim AS i, b.dim AS j,
+      |    round(CAST(SUM(CAST(round((a.x * b.x) * 1e6, 0) AS BIGINT))
+      |        AS DOUBLE) / 1e6
+      |      - CAST(COUNT(*) AS DOUBLE) * (mi.m * mj.m), 6) AS m
+      |  FROM byd a JOIN byd b ON a.vec_id = b.vec_id
+      |  JOIN mu mi ON mi.dim = a.dim
+      |  JOIN mu mj ON mj.dim = b.dim
+      |  GROUP BY a.dim, b.dim, mi.m, mj.m)""".stripMargin
+
+  /** `PcaIters` power-iteration CTE pairs over matrix `mat`, vectors
+    * named `$vp0..$vp$PcaIters` and work vectors `$wp1..`.
+    */
+  private def pcaIterCtes(mat: String, wp: String, vp: String): String =
+    (1 to PcaIters).map { k =>
+      s"""$wp$k AS MATERIALIZED (
          |  SELECT c.i,
          |    round(CAST(SUM(CAST(c.m * v.v AS DECIMAL(38,18))) AS DOUBLE),
          |          6) AS w
-         |  FROM cov c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
-         |v$k AS (
-         |  SELECT i, round(w / (SELECT MAX(ABS(w)) FROM w$k), 6) AS v
-         |  FROM w$k)""".stripMargin
+         |  FROM $mat c JOIN $vp${k - 1} v ON v.i = c.j GROUP BY c.i),
+         |$vp$k AS MATERIALIZED (
+         |  SELECT i, round(w / (SELECT MAX(ABS(w)) FROM $wp$k), 6) AS v
+         |  FROM $wp$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-       |         CAST(embedding AS DOUBLE[]) AS emb
-       |  FROM embeddings),
-       |byd AS (
-       |  SELECT vec_id, i AS dim, emb[i+1] AS x
-       |  FROM (SELECT vec_id, emb, unnest(range(0, len(emb))) AS i
-       |        FROM e)),
-       |mu AS (
-       |  SELECT dim,
-       |    round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
-       |      / COUNT(*), 6) AS m
-       |  FROM byd GROUP BY dim),
-       |cen AS (
-       |  SELECT b.vec_id, b.dim, b.x - mu.m AS c
-       |  FROM byd b JOIN mu ON mu.dim = b.dim),
-       |cov AS (
-       |  SELECT a.dim AS i, b.dim AS j,
-       |    round(CAST(SUM(CAST(round((a.x * b.x) * 1e6, 0) AS BIGINT))
-       |        AS DOUBLE) / 1e6
-       |      - CAST(COUNT(*) AS DOUBLE) * (mi.m * mj.m), 6) AS m
-       |  FROM byd a JOIN byd b ON a.vec_id = b.vec_id
-       |  JOIN mu mi ON mi.dim = a.dim
-       |  JOIN mu mj ON mj.dim = b.dim
-       |  GROUP BY a.dim, b.dim, mi.m, mj.m),
-       |v0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS v FROM cov),
-       |$iterCtes,
-       |sgn AS (
-       |  SELECT CASE WHEN (SELECT v FROM v$PcaIters
+
+  /** Sign canonicalisation of `$vlast` into `$vf`. */
+  private def pcaSignCtes(vlast: String, sgn: String, vf: String): String =
+    s"""$sgn AS (
+       |  SELECT CASE WHEN (SELECT v FROM $vlast
        |                    WHERE ABS(v) = CAST(1.0 AS DOUBLE)
        |                    ORDER BY i LIMIT 1) < CAST(0.0 AS DOUBLE)
        |    THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s),
-       |vf AS (SELECT i, v * (SELECT s FROM sgn) AS v FROM v$PcaIters)
+       |$vf AS MATERIALIZED (SELECT i, v * (SELECT s FROM $sgn) AS v FROM $vlast)""".stripMargin
+
+  private lazy val S13Sql: String =
+    s"""WITH $PcaBaseCtes,
+       |v0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS v FROM cov),
+       |${pcaIterCtes("cov", "w", "v")},
+       |${pcaSignCtes(s"v$PcaIters", "sgn", "vf")}
        |SELECT c.vec_id,
        |  round(CAST(SUM(CAST(c.c * f.v AS DECIMAL(38,18))) AS DOUBLE), 6)
        |    + 0.0 AS pc1
        |FROM cen c JOIN vf f ON f.i = c.dim
        |GROUP BY c.vec_id""".stripMargin
-  }
+
+  /** s16: s13's chain, then the Hotelling deflation —
+    * f = round6(vᵀCv / (vᵀv)²), C' = round6(C − f·vᵢvⱼ) — and a
+    * second full iteration run over the deflated grid; both
+    * projections come off ONE grouped pass.
+    */
+  private lazy val S16Sql: String =
+    s"""WITH $PcaBaseCtes,
+       |v0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS v FROM cov),
+       |${pcaIterCtes("cov", "w", "v")},
+       |${pcaSignCtes(s"v$PcaIters", "sgn1", "vf1")},
+       |num AS (
+       |  SELECT round(CAST(SUM(CAST(c.m * a.v * b.v AS DECIMAL(38,18)))
+       |    AS DOUBLE), 6) AS num
+       |  FROM cov c JOIN vf1 a ON a.i = c.i JOIN vf1 b ON b.i = c.j),
+       |den AS (
+       |  SELECT round(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE),
+       |    6) AS den FROM vf1),
+       |cov2 AS MATERIALIZED (
+       |  SELECT c.i, c.j,
+       |    round(c.m - round(num / (den * den), 6) * (a.v * b.v), 6) AS m
+       |  FROM cov c JOIN vf1 a ON a.i = c.i JOIN vf1 b ON b.i = c.j,
+       |       num, den),
+       |u0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS v FROM cov2),
+       |${pcaIterCtes("cov2", "x", "u")},
+       |${pcaSignCtes(s"u$PcaIters", "sgn2", "vf2")}
+       |SELECT c.vec_id,
+       |  round(CAST(SUM(CAST(c.c * f1.v AS DECIMAL(38,18))) AS DOUBLE), 6)
+       |    + 0.0 AS pc1,
+       |  round(CAST(SUM(CAST(c.c * f2.v AS DECIMAL(38,18))) AS DOUBLE), 6)
+       |    + 0.0 AS pc2
+       |FROM cen c
+       |JOIN vf1 f1 ON f1.i = c.dim
+       |JOIN vf2 f2 ON f2.i = c.dim
+       |GROUP BY c.vec_id""".stripMargin
 
   /** s14's greedy replay: the exact pool (s01's window shape capped
     * at `MmrPool`), then `MmrK − 1` unrolled pick rounds — each a
@@ -798,7 +858,7 @@ object SimilarityQueries {
          |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
          |    ORDER BY round(list_sum(list_transform(range(1, len(sv)+1),
          |      i -> (sv[i]-c_sv[i])*(sv[i]-c_sv[i]))), 4), cell) = 1),
-         |byd AS (
+         |byd AS MATERIALIZED (
          |  SELECT sub, cell, CAST(i AS INT) AS dim,
          |         sv[CAST(i+1 AS INT)] AS v
          |  FROM (SELECT sub, cell, sv, unnest(range(0, len(sv))) AS i
@@ -878,7 +938,7 @@ object SimilarityQueries {
          |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
          |    ORDER BY round(list_sum(list_transform(range(1, len(sv)+1),
          |      i -> (sv[i]-c_sv[i])*(sv[i]-c_sv[i]))), 4), cell) = 1),
-         |byd AS (
+         |byd AS MATERIALIZED (
          |  SELECT sub, cell, CAST(i AS INT) AS dim,
          |         sv[CAST(i+1 AS INT)] AS v
          |  FROM (SELECT sub, cell, sv, unnest(range(0, len(sv))) AS i
@@ -998,6 +1058,9 @@ object SimilarityQueries {
     // the whole MMR greedy replayed: pool, then one CTE per pick round
     "s14_mmr_topk" -> S14Sql,
 
+    // s13 plus the replayed deflation and the second iteration run
+    "s16_pca2_project" -> S16Sql,
+
     // every audit stat replayed relationally: per-vector decimal
     // norm-square sums (non-finite mass excluded), then the one-row
     // corpus fold; BIGINT casts per the HUGEINT-vs-pandas contract
@@ -1006,7 +1069,7 @@ object SimilarityQueries {
         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |         CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),
-        |byd AS (
+        |byd AS MATERIALIZED (
         |  SELECT vec_id, emb[i+1] AS x
         |  FROM (SELECT vec_id, emb, unnest(range(0, len(emb))) AS i
         |        FROM e)),
@@ -1130,7 +1193,7 @@ object SimilarityQueries {
         |  QUALIFY row_number() OVER (PARTITION BY vec_id
         |    ORDER BY round(list_cosine_similarity(emb, c_emb), 4) DESC,
         |             cluster_id) = 1),
-        |byd AS (
+        |byd AS MATERIALIZED (
         |  SELECT cluster_id, i AS dim, emb[i+1] AS v
         |  FROM (SELECT cluster_id, emb, unnest(range(0, len(emb))) AS i
         |        FROM a1)),
@@ -1161,7 +1224,7 @@ object SimilarityQueries {
         |  QUALIFY row_number() OVER (PARTITION BY vec_id
         |    ORDER BY round(list_cosine_similarity(emb, c_emb), 4) DESC,
         |             cluster_id) = 1),
-        |byd AS (
+        |byd AS MATERIALIZED (
         |  SELECT cluster_id, i AS dim, emb[i+1] AS v
         |  FROM (SELECT cluster_id, emb, unnest(range(0, len(emb))) AS i
         |        FROM a1)),

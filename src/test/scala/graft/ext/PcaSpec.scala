@@ -125,4 +125,43 @@ class PcaSpec extends SparkTestBase {
     assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
       "pcaModel left cached intermediates behind")
   }
+
+  test("deflation: the two-component projection separates two planted " +
+    "orthogonal directions") {
+    val dim = 16
+    val n = 120
+    val d1 = Array.tabulate(dim)(j =>
+      if (j < 8) (if (j % 2 == 0) 1.0 else -1.0) else 0.0)
+    val d2 = Array.tabulate(dim)(j => if (j >= 8 && j < 12) 1.0 else 0.0)
+    val t1 = Array.tabulate(n)(i => (i.toDouble / (n - 1) - 0.5) * 8.0)
+    // a 37-step permutation decorrelates t2 from t1
+    val t2 = Array.tabulate(n)(i =>
+      (((i * 37) % n).toDouble / (n - 1) - 0.5) * 3.0)
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(j =>
+        t1(i) * d1(j) + t2(i) * d2(j) + 0.03 * mixD(i, j)))
+    }
+    val proj = Pca.pcaProject2(rows.toDF("vec_id", "embedding"), iters = 6)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    def corr(a: Array[Double], b: Array[Double]): Double = {
+      val ma = a.sum / a.length
+      val mb = b.sum / b.length
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val va = a.map(x => (x - ma) * (x - ma)).sum
+      val vb = b.map(x => (x - mb) * (x - mb)).sum
+      cov / math.sqrt(va * vb)
+    }
+    val pc1 = Array.tabulate(n)(i => proj(i.toLong)._1)
+    val pc2 = Array.tabulate(n)(i => proj(i.toLong)._2)
+    assert(math.abs(corr(pc1, t1)) > 0.999,
+      s"pc1 must track the dominant coefficient: ${corr(pc1, t1)}")
+    assert(math.abs(corr(pc2, t2)) > 0.95,
+      s"pc2 must track the second coefficient: ${corr(pc2, t2)}")
+    // deflation removed the dominant direction from the second axis
+    assert(math.abs(corr(pc2, t1)) < 0.1,
+      s"pc2 still carries the dominant direction: ${corr(pc2, t1)}")
+    assert(math.abs(corr(pc1, t2)) < 0.1,
+      s"pc1 carries the second direction: ${corr(pc1, t2)}")
+  }
 }
