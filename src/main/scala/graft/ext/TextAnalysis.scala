@@ -250,6 +250,57 @@ object TextAnalysis {
     * the corpus-total scalar is an aggregate OF the vocab table, not
     * a third corpus scan.
     */
+  /** Jensen–Shannon divergence of each source's unigram distribution
+    * against the REST of the corpus [EXT] — the corpus-drift /
+    * mixture-health metric ("which slice stopped looking like the
+    * mixture?"): add-1-smoothed distributions over the JOINT vocab,
+    * JS(p‖q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m), m = (p+q)/2 — symmetric,
+    * bounded by ln 2, defined even on disjoint supports (KL is not).
+    *
+    * Reported in µ-NATS (×1e6): the per-token terms are ~1e-7-scale,
+    * so the portable x15 recipe (round the ln-bearing term to the
+    * 6-grid — absorbing the last-ulp libm drift between engines —
+    * then DECIMAL-sum) would crush them at natural scale; the 1e6
+    * factor moves the grid three orders below the metric instead
+    * (relative grid error ~1e-6 — and both engines land on the SAME
+    * grid values, so the oracle is exact, not approximate).
+    *
+    * Scale shape: ONE corpus tokenize into the (source, token) count
+    * table, localCheckpointed (its three consumers would each replay
+    * the corpus pass); everything after is vocab-bounded — the
+    * source-spine × vocab grid IS the output support (the ev06
+    * dense-spine rationale), and the corpus totals ride one
+    * broadcast scalar.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val bySrc = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_s"))
+      .localCheckpoint(true)
+    val nSrc = bySrc.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+    val all = bySrc.groupBy(col("token")).agg(sum(col("c_s")).as("c_all"))
+    val tot = all.agg(sum(col("c_all")).as("n_all"),
+      count(lit(1)).as("v"))
+    val grid = nSrc.crossJoin(all)
+      .join(bySrc, Seq("source", "token"), "left")
+      .na.fill(0L, Seq("c_s"))
+      .crossJoin(broadcast(tot))
+    val p = (col("c_s") + 1).cast("double") / (col("n_s") + col("v"))
+    val q = (col("c_all") - col("c_s") + 1).cast("double") /
+      (col("n_all") - col("n_s") + col("v"))
+    val m = (p + q) / lit(2.0d)
+    grid.select(col("source"), col("n_s"),
+        round((p * log(p / m)) * lit(1e6), 6).as("tp"),
+        round((q * log(q / m)) * lit(1e6), 6).as("tq"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(round((sum(col("tp").cast("decimal(38,18)")).cast("double") +
+        sum(col("tq").cast("decimal(38,18)")).cast("double")) /
+        lit(2.0d), 4).as("js_unats"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        (col("js_unats") + lit(0.0d)).as("js_unats"))
+  }
+
   def unigramLogLik(docs: DataFrame): DataFrame = {
     val tok = explodedTokens(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

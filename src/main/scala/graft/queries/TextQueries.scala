@@ -429,6 +429,16 @@ object TextQueries {
       TextAnalysis.unigramLogLik(Tables.documents(s, d))
     },
 
+    /** x41 — per-source Jensen–Shannon divergence vs the rest of the
+      * corpus (µ-nats): the mixture-drift monitor. The x15 ln-recipe
+      * on a ×1e6 grid; the source-spine × vocab grid is the output
+      * support. EAGER: the (source, token) count table checkpoints
+      * at construction.
+      */
+    "x41_source_divergence" -> { (s, d) =>
+      TextAnalysis.sourceDivergence(Tables.documents(s, d))
+    },
+
     /** x17 — mixture sampling: compose a 2000-token corpus at
       * 40/30/20/10 weights over four sources, deterministic by content
       * hash. Weights and budget are shared with the oracle below.
@@ -1240,6 +1250,43 @@ object TextQueries {
         |      AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    // the x15 ln-recipe on the µ-nat grid: smoothed source-vs-rest
+    // distributions over the joint vocab, term-rounded, decimal-summed
+    "x41_source_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |bysrc AS MATERIALIZED (
+        |  SELECT source, token, COUNT(*) AS c_s
+        |  FROM tok GROUP BY source, token),
+        |nsrc AS (
+        |  SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s
+        |  FROM bysrc GROUP BY source),
+        |alltok AS MATERIALIZED (
+        |  SELECT token, CAST(SUM(c_s) AS BIGINT) AS c_all
+        |  FROM bysrc GROUP BY token),
+        |tot AS (
+        |  SELECT CAST(SUM(c_all) AS BIGINT) AS n_all, COUNT(*) AS v
+        |  FROM alltok),
+        |pq AS (
+        |  SELECT s.source, s.n_s,
+        |    CAST(COALESCE(b.c_s, 0) + 1 AS DOUBLE) / (s.n_s + t.v) AS p,
+        |    CAST(a.c_all - COALESCE(b.c_s, 0) + 1 AS DOUBLE)
+        |      / (t.n_all - s.n_s + t.v) AS q
+        |  FROM nsrc s CROSS JOIN alltok a
+        |  LEFT JOIN bysrc b ON b.source = s.source AND b.token = a.token
+        |  CROSS JOIN tot t),
+        |terms AS (
+        |  SELECT source, n_s,
+        |    round((p * ln(p / ((p + q) / 2.0))) * 1e6, 6) AS tp,
+        |    round((q * ln(q / ((p + q) / 2.0))) * 1e6, 6) AS tq
+        |  FROM pq)
+        |SELECT source, n_s AS n_tokens,
+        |  round((CAST(SUM(CAST(tp AS DECIMAL(38,18))) AS DOUBLE) +
+        |         CAST(SUM(CAST(tq AS DECIMAL(38,18))) AS DOUBLE)) / 2.0, 4)
+        |    + 0.0 AS js_unats
+        |FROM terms GROUP BY source, n_s""".stripMargin,
 
     // the x15 recipe one model order up: parallel-unnest bigrams,
     // history counts as an aggregate OF the bigram-count table, and

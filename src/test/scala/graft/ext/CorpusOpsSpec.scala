@@ -797,4 +797,33 @@ class CorpusOpsSpec extends SparkTestBase {
     // common (b,a) one)
     assert(logp(1, 1) < logp(2, 2))
   }
+
+  test("source divergence: twin slices score identically, a disjoint " +
+    "slice scores highest, bounds and partition invariance hold") {
+    import spark.implicits._
+    def mk(src: String, n: Int, words: String) =
+      (1 to n).map(i => (src.hashCode.toLong * 1000 + i, src, words))
+    val corpus = (mk("a", 10, "alpha beta gamma delta") ++
+      mk("b", 10, "alpha beta gamma delta") ++
+      mk("c", 10, "zork quux fnord blarg"))
+      .toDF("doc_id", "source", "text")
+    val js = TextAnalysis.sourceDivergence(corpus).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(js.keySet == Set("a", "b", "c"))
+    assert(js("a")._1 == 40L, "n_tokens must count the slice's tokens")
+    // a and b are interchangeable by construction
+    assert(js("a")._2 == js("b")._2)
+    // the fully-disjoint slice diverges far more than the twins
+    assert(js("c")._2 > 2 * js("a")._2,
+      s"disjoint slice must dominate: ${js.view.mapValues(_._2).toMap}")
+    // JS is bounded by ln 2 (1e6 mu-nat scale, + grid slack)
+    js.values.foreach { case (_, v) =>
+      assert(v >= 0.0 && v <= math.log(2.0) * 1e6 + 1.0, s"out of bounds: $v")
+    }
+    // order-free sums: invariant under repartitioning
+    val again = TextAnalysis.sourceDivergence(corpus.repartition(7))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(again == js)
+  }
 }

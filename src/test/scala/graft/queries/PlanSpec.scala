@@ -55,7 +55,10 @@ class PlanSpec extends SparkTestBase {
     "x31_dsir_resample",      // × smoothing-total scalar (t_tot/r_tot)
     "x33_epoch_budget",       // domain rows × one-row budget/weight-sum
     "x38_perplexity_buckets", // x15's total-token-count scalar
-    "x39_bigram_loglik")      // × vocab-size scalar (the |V| in add-k)
+    "x39_bigram_loglik",      // × vocab-size scalar (the |V| in add-k)
+    "x41_source_divergence")  // source-spine × vocab grid (the OUTPUT
+                              // support, ev06's dense-spine rationale)
+                              // + the corpus-totals scalar
 
   private def hasAllPairsJoin(p: String): Boolean =
     p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
