@@ -388,6 +388,25 @@ object Multimodal {
       }
     }
 
+  /** [[decode]] with a MIME routing hint: an audio-MIME asset probes
+    * the audio decoder FIRST, skipping the (measured-expensive)
+    * ImageIO reader scan over bytes that were never an image. The
+    * outcome is identical to [[decode]] for ANY payload — the image
+    * and audio decoders accept DISJOINT container families, so only
+    * the probe ORDER changes (spec-pinned) — and a mislabeled payload
+    * still falls through the full chain.
+    */
+  def decodeHinted(mime: String, payload: Array[Byte])
+      : (Int, Int, Int, Int, Int, Long) =
+    if (mime != null && mime.startsWith("audio/"))
+      decodeAudio(payload) match {
+        case Some(a) =>
+          (0, 0, a.frames.min(Int.MaxValue).toInt, a.sampleRate,
+            a.channels, a.durationMs)
+        case None => decode(payload)
+      }
+    else decode(payload)
+
   private def md5Hex(bytes: Array[Byte]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(bytes).map("%02x".format(_)).mkString
@@ -526,7 +545,7 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         // per-batch decoder setup would go here (native context, model)
         batch.iterator.map { a =>
-          val (w, h, f, rate, ch, ms) = decode(a.payload)
+          val (w, h, f, rate, ch, ms) = decodeHinted(a.mime, a.payload)
           MediaFeatures(a.doc_id, a.mime, a.payload.length.toLong,
             md5Hex(a.payload), w, h, f, rate, ch, ms)
         }

@@ -1155,4 +1155,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.getAs[Boolean]("dim_consistent") && a.getAs[Int]("dim") == 64)
     assert(a.getAs[Long]("n_zero") == 0 && a.getAs[Long]("n_nonfinite") == 0)
   }
+
+  test("decodeHinted: the mime hint changes probe order, never the outcome") {
+    val wav = Multimodal.wavBytes("hello media world".getBytes("UTF-8"), 8000)
+    val bmp = Multimodal.bmpBytes(8, 6, 42)
+    val opaque = Array.tabulate[Byte](97)(i => (i * 37).toByte)
+    for (p <- Seq(wav, bmp, opaque)) {
+      // correct hint, wrong hint, and no-hint all agree with decode()
+      assert(Multimodal.decodeHinted("audio/wav", p) == Multimodal.decode(p))
+      assert(Multimodal.decodeHinted("image/bmp", p) == Multimodal.decode(p))
+      assert(Multimodal.decodeHinted(null, p) == Multimodal.decode(p))
+    }
+  }
 }
