@@ -245,33 +245,45 @@ object Pca {
 
   /** Append one batch's statistics to a persistent store — the
     * streaming maintenance write ([[graft.streaming.StreamingPca]]):
-    * `sums` and `moments` are append-only fact sets that FOLD AT READ
-    * by exact re-summation, so at-least-once replays of a FAILED
-    * batch are harmless and a model derived from the store after any
-    * number of drains is bit-identical to one batch-trained over the
-    * same corpus.
+    * `sums` and `moments` are append-only PARTIALS keyed by the
+    * caller's `batchId` (Structured Streaming's epoch id — STABLE
+    * across retries of the same micro-batch). An at-least-once replay
+    * re-appends BIT-IDENTICAL (batch_id, …) rows, which the
+    * read-side `distinct()` folds away — while two DIFFERENT batches
+    * that happen to produce identical sums stay distinguishable by
+    * their ids. (Unkeyed aggregates could not have both properties:
+    * that is why this store tags rows where the BM25 postings — facts
+    * already keyed by doc_id — do not need to.) A crash between the
+    * two writes is likewise healed by the retry: the sums rows fold,
+    * the missing moments rows land.
     */
-  def updateStats(batch: DataFrame, store: String): Unit = {
+  def updateStats(batch: DataFrame, store: String,
+                  batchId: Long = 0L): Unit = {
     val e = prep(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      dimSums(e).write.mode("append").parquet(s"$store/sums")
-      rawMoments(e).write.mode("append").parquet(s"$store/moments")
+      dimSums(e).withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$store/sums")
+      rawMoments(e).withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$store/moments")
     } finally e.unpersist()
   }
 
   /** Fold a statistics store back into a model — [[modelFromStats]]
-    * over the re-summed facts. Decimal, long and count sums are all
+    * over the re-summed partials (replayed appends dropped by the
+    * keyed distinct first). Decimal, long and count sums are all
     * EXACT, so this equals the batch [[pcaModel]] over the union of
     * every drained batch (spec-pinned).
     */
   def modelFromStore(spark: SparkSession, store: String,
                      iters: Int = 4): PcaModel = {
     val sums = foldSums(spark.read.parquet(s"$store/sums")
+      .distinct()
       .groupBy(col("i"))
       .agg(sum(col("msum").cast(Dec)).as("msum"), sum(col("n")).as("n"))
       .collect())
     val moments = foldMoments(spark.read.parquet(s"$store/moments")
+      .distinct()
       .groupBy(col("i"), col("j"))
       .agg(sum(col("s")).as("s"))
       .collect())

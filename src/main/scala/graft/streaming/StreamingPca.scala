@@ -40,8 +40,10 @@ object StreamingPca {
       .option("maxFilesPerTrigger", "8")
       .parquet(embPath)
     val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Pca.updateStats(batch, store)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the epoch id is stable across retries of the same batch —
+        // it keys the store partials so replays fold at read
+        Pca.updateStats(batch, store, batchId)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -540,6 +540,27 @@ class StreamingDedupSpec extends SparkTestBase {
     // nothing new: the checkpoint short-circuits the re-drain
     val n3 = StreamingPca.maintainStream(spark, srcDir, store, ckpt)
     assert(n3 == n2, "a no-op re-drain must append no partials")
+    // at-least-once replay: the SAME batch appended twice under its
+    // (retry-stable) epoch id folds at read — the partials are keyed,
+    // so the model neither double-counts a replay nor merges two
+    // genuinely distinct batches that happen to share content
+    val store2 = tmpDir("pca-replay-store") + "/stats"
+    graft.ext.Pca.updateStats(emb.filter(col("vec_id") < 300), store2,
+      batchId = 7L)
+    graft.ext.Pca.updateStats(emb.filter(col("vec_id") < 300), store2,
+      batchId = 7L)
+    val mr = graft.ext.Pca.modelFromStore(spark, store2, iters = 2)
+    assert(mr.mu.toSeq == b1.mu.toSeq && mr.v.toSeq == b1.v.toSeq,
+      "a replayed batch append must fold at read, not double-count")
+    // ...while the same content under a NEW id is a real second batch
+    graft.ext.Pca.updateStats(emb.filter(col("vec_id") < 300), store2,
+      batchId = 8L)
+    val m2x = graft.ext.Pca.modelFromStore(spark, store2, iters = 2)
+    val b2x = graft.ext.Pca.pcaModel(
+      emb.filter(col("vec_id") < 300)
+        .unionByName(emb.filter(col("vec_id") < 300)), iters = 2)
+    assert(m2x.mu.toSeq == b2x.mu.toSeq && m2x.v.toSeq == b2x.v.toSeq,
+      "a distinct batch with identical content must still count")
   }
 
   test("readPairs on a store that never materialized is empty, not an error") {
