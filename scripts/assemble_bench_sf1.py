@@ -65,7 +65,10 @@ def main():
             "truth twins (quadratic oracle baselines); the scale paths are "
             "d07/s02/s03/s04. s06_ann_recall embeds s01's exact side by "
             "definition (it grades the index against ground truth) and is "
-            "excluded with it."),
+            "excluded with it. s12_hard_negatives is s01's plan with the "
+            "class anti-predicate — the same documented quadratic mining "
+            "twin (index-fed mining is the scale path) — and is excluded "
+            "with them."),
         "queries_min_sec": {
             "sf0.1_x1": x1["queries"],
             "sf0.3_x3": x3["queries"],

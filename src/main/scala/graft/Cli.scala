@@ -243,7 +243,16 @@ object Cli {
           throw CliError("--query-ids must name at least one vec_id")
         val vecIds = parsed.map(s => s.toLongOption.getOrElse(
           throw CliError(s"--query-ids must be integers, got '$s'")))
-        emb.filter(col("vec_id").isin(vecIds.toIndexedSeq: _*))
+        val probes = emb.filter(col("vec_id").isin(vecIds.toIndexedSeq: _*))
+        // a typo'd id would otherwise filter to an empty probe set and
+        // report "0 neighbors" instead of failing loudly
+        val found = probes.select(col("vec_id").cast("long"))
+          .collect().map(_.getLong(0)).toSet
+        val missing = vecIds.filterNot(found)
+        if (missing.nonEmpty)
+          throw CliError("--query-ids not present in the corpus: " +
+            missing.sorted.mkString(", "))
+        probes
       case (None, Some(path)) => readEmbeddings(spark, path)
       case (None, None) =>
         throw CliError("name the probes: --query-ids \"0,1\" or " +

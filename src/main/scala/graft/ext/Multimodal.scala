@@ -265,10 +265,14 @@ object Multimodal {
   /** Decode a payload via `javax.sound.sampled` when it IS audio;
     * None otherwise. Fail-soft like [[decodeImage]]: corrupt bytes
     * behind a valid audio magic fall back rather than poisoning the
-    * partition. The whole payload is already in memory, so reading
-    * the PCM out is a copy, not I/O.
+    * partition. With `withPcm = false` only the header facts are read
+    * — `getAudioInputStream` parses the container header without
+    * touching the stream body, so the feature path never pays the
+    * PCM copy (`pcm` comes back empty); [[sampleFrames]] and
+    * [[pHash]], which genuinely consume samples, pass true.
     */
-  private def decodeAudio(payload: Array[Byte]): Option[AudioMeta] =
+  private def decodeAudio(payload: Array[Byte],
+                          withPcm: Boolean = true): Option[AudioMeta] =
     if (!looksLikeAudio(payload)) None
     else
       try {
@@ -281,9 +285,74 @@ object Multimodal {
           val durationMs =
             if (rate <= 0 || frames < 0) 0L else frames * 1000L / rate
           Some(AudioMeta(rate, f.getChannels, math.max(frames, 0L),
-            math.max(f.getFrameSize, 1), durationMs, ais.readAllBytes()))
+            math.max(f.getFrameSize, 1), durationMs,
+            if (withPcm) ais.readAllBytes()
+            else Array.emptyByteArray))
         } finally ais.close()
       } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Header-only audio facts for a canonical PCM WAV — (sampleRate,
+    * channels, frames, durationMs) straight from the RIFF chunk walk:
+    * the fmt chunk carries rate/channels/blockAlign, the data chunk's
+    * declared size divided by blockAlign is the frame count (exactly
+    * what the JDK's WaveFileReader computes — it trusts the header
+    * too, so a truncated body reports identically on both paths).
+    * Only format 1 (integer PCM) takes this shortcut: compressed WAVs
+    * fall back to the real decoder, whose provider may re-frame them.
+    * This is the m05 cost fix: the facts the feature path reports
+    * live in the 44-byte header, so decoding (or even copying) the
+    * full PCM body for them made m05 the most expensive ladder query.
+    */
+  private[ext] def wavHeaderFacts(b: Array[Byte])
+      : Option[(Int, Int, Long, Long)] = {
+    def at(i: Int, s: String): Boolean =
+      s.indices.forall(k => (b(i + k) & 0xff) == s.charAt(k))
+    if (b.length < 12 || !(at(0, "RIFF") && at(8, "WAVE"))) None
+    else {
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None
+      var dataSize = -1L
+      var ok = true
+      while (ok && off + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+        val id = fourcc(b, off)
+        val size = le32(b, off + 4)
+        // also guards the off advance against int overflow (a hostile
+        // size field must fail soft into the real decoder, not loop)
+        if (size < 0 || size > Int.MaxValue - 9 - off) ok = false
+        else {
+          if (id == "fmt " && off + 8 + 16 <= b.length)
+            fmt = Some((le16(b, off + 8), le16(b, off + 10),
+              le32(b, off + 12).toInt, le16(b, off + 20)))
+          else if (id == "data") dataSize = size
+          // RIFF chunks are word-aligned: odd sizes carry a pad byte
+          off += 8 + size.toInt + (size.toInt & 1)
+        }
+      }
+      fmt match {
+        case Some((1, ch, rate, ba))
+            if ok && dataSize >= 0 && ch > 0 && ba > 0 =>
+          val frames = dataSize / ba
+          val durationMs =
+            if (rate <= 0) 0L else frames * 1000L / rate
+          Some((rate, ch, frames, durationMs))
+        case _ => None
+      }
+    }
+  }
+
+  /** The feature path's audio facts: the PCM-WAV header walk when the
+    * container is that canonical form, the real javax.sound header
+    * parse (no PCM copy) otherwise. Identical facts to the full
+    * decode on every decodable payload (spec-pinned).
+    */
+  private def audioHeaderFacts(payload: Array[Byte])
+      : Option[(Int, Int, Long, Long)] =
+    wavHeaderFacts(payload).orElse(
+      decodeAudio(payload, withPcm = false)
+        .map(a => (a.sampleRate, a.channels, a.frames, a.durationMs)))
 
   /** A demuxed AVI: real per-frame payloads plus the main-header
     * facts (dimensions, frame interval) the container records.
@@ -366,10 +435,9 @@ object Multimodal {
         // only, no pixel decode); every other image format is 1 frame
         val frames = gifFrameCount(payload).getOrElse(1)
         (img.getWidth, img.getHeight, frames, 0, 0, 0L)
-      case None => decodeAudio(payload) match {
-        case Some(a) =>
-          (0, 0, a.frames.min(Int.MaxValue).toInt, a.sampleRate,
-            a.channels, a.durationMs)
+      case None => audioHeaderFacts(payload) match {
+        case Some((rate, ch, frames, ms)) =>
+          (0, 0, frames.min(Int.MaxValue).toInt, rate, ch, ms)
         case None => demuxAvi(payload) match {
           case Some(avi) =>
             // header dims when recorded; else decode frame 1 (MJPEG)
@@ -399,10 +467,9 @@ object Multimodal {
   def decodeHinted(mime: String, payload: Array[Byte])
       : (Int, Int, Int, Int, Int, Long) =
     if (mime != null && mime.startsWith("audio/"))
-      decodeAudio(payload) match {
-        case Some(a) =>
-          (0, 0, a.frames.min(Int.MaxValue).toInt, a.sampleRate,
-            a.channels, a.durationMs)
+      audioHeaderFacts(payload) match {
+        case Some((rate, ch, frames, ms)) =>
+          (0, 0, frames.min(Int.MaxValue).toInt, rate, ch, ms)
         case None => decode(payload)
       }
     else decode(payload)

@@ -95,9 +95,14 @@ object Pca {
     */
   private[graft] def rawMoments(e: DataFrame): DataFrame =
     e.select(col("emb"), posexplode(col("emb")).as(Seq("i", "a")))
+      // slice to 1..i+1 IN-ROW before the second explode: the generate
+      // stage emits the lower triangle directly (n·d²/2 rows) instead
+      // of the full n·d² grid filtered afterwards, and the second
+      // generate's input carries the (i+1)-prefix — avg d/2 doubles —
+      // not the whole d-array
       .select(col("i"), col("a"),
-        posexplode(col("emb")).as(Seq("j", "b")))
-      .filter(col("j") <= col("i"))
+        posexplode(slice(col("emb"), lit(1), col("i") + lit(1)))
+          .as(Seq("j", "b")))
       .groupBy(col("i"), col("j"))
       .agg(sum(round((col("a") * col("b")) * lit(1e6), 0)
         .cast("long")).as("s"))

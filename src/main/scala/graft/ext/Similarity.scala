@@ -115,31 +115,46 @@ object Similarity {
     * (query_id, vec_id, emb, rel) — at scale the pool comes from an
     * ANN index (s02 LSH / s03 IVF / s08 IVF-PQ feed it unchanged), so
     * the pairwise work is |Q|·poolSize² IN-POOL, never corpus-sized.
-    * The greedy unrolls to k−1 stages over the ONE localCheckpointed
+    * The greedy unrolls to k−1 rounds over the ONE localCheckpointed
     * pool (EAGER, |Q|·poolSize rows by construction — the semDedup
-    * materialization idiom): every stage is an equi-join plus a
-    * max_by argmax with the vec_id tiebreak — no Window anywhere —
-    * so the whole selection is one lazy plan over KB-scale inputs.
+    * materialization idiom): every round is an equi-join plus a
+    * max_by argmax with the vec_id tiebreak — no Window anywhere.
     *
     * Engine-portable by construction (s14 is oracle-checked): rel and
     * pairwise sims live on the round-4 cosine grid (the s01
     * contract), the MMR score on the round-6 grid; the oracle replays
     * every greedy round as unrolled CTEs. A pool smaller than k picks
     * its whole pool and stops (no padding rows).
+    *
+    * The selection-so-far is collected to a LOCAL RELATION after every
+    * round (the pqLocal idiom — |Q|·t integer rows, KB by
+    * construction): round t's plan references the selection twice and
+    * unions it back, so a lazy `all` grows ~3^k analyzer nodes and a
+    * CLI-sized k (15+) would hang the planner; with the per-round
+    * collect the plan depth stays O(1) in k and each round is one tiny
+    * pool-bounded job. Long/int values round-trip collect exactly.
     */
   def mmrRerank(pool: DataFrame, k: Int, lambda: Double): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(lambda >= 0.0 && lambda <= 1.0,
       s"lambda must be in [0, 1], got $lambda")
+    val spark = pool.sparkSession
+    import spark.implicits._
+    def localize(df: DataFrame): DataFrame =
+      df.select(col("query_id").cast("long"), col("vec_id").cast("long"),
+          col("pick_rank").cast("int"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toDF("query_id", "vec_id", "pick_rank")
     val p = pool.select(col("query_id").cast("long").as("query_id"),
         col("vec_id").cast("long").as("vec_id"),
         col("emb").cast("array<double>").as("emb"),
         col("rel").cast("double").as("rel"))
       .localCheckpoint(true)
-    var all = p.groupBy(col("query_id"))
+    var all = localize(p.groupBy(col("query_id"))
       .agg(max_by(col("vec_id"),
         struct(col("rel"), (-col("vec_id")).as("neg"))).as("vec_id"))
-      .withColumn("pick_rank", lit(1))
+      .withColumn("pick_rank", lit(1)))
     var t = 2
     while (t <= k) {
       val selEmb = all.select(col("query_id"), col("vec_id"))
@@ -158,7 +173,7 @@ object Similarity {
         .agg(max_by(col("vec_id"),
           struct(col("score"), (-col("vec_id")).as("neg"))).as("vec_id"))
         .withColumn("pick_rank", lit(t))
-      all = all.unionByName(pick)
+      all = localize(all.unionByName(pick))
       t += 1
     }
     all.select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -206,8 +221,14 @@ object Similarity {
     *    correctly rounded), the average over the 6-grid norms.
     *
     * One narrow explode + two aggregations (per-vector, then the
-    * one-row corpus fold) — no joins, no windows; scan-bound at any
-    * SF. Oracle-checked (s15): every stat replays relationally.
+    * one-row corpus fold), plus a vec_id-keyed left join of the
+    * exploded stats back onto the base table — a NULL or empty
+    * `embedding` emits no exploded rows, and without the join those
+    * vectors would silently vanish from exactly the corruption report
+    * this audit exists for. They count as d = 0 zero-norm finite
+    * vectors (dim_consistent trips, n_zero counts them, min_norm hits
+    * 0.0). Scan-bound at any SF. Oracle-checked (s15): every stat —
+    * including the left-join accounting — replays relationally.
     */
   def embeddingAudit(embeddings: DataFrame): DataFrame = {
     val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
@@ -215,12 +236,19 @@ object Similarity {
     val bad = isnan(col("x")) ||
       col("x") === lit(Double.PositiveInfinity) ||
       col("x") === lit(Double.NegativeInfinity)
-    val pv = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
+    val exploded = e
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("d"),
         sum(when(bad, lit(0.0d)).otherwise(col("x") * col("x"))
           .cast("decimal(38,18)")).cast("double").as("nsq"),
         max(when(bad, 1L).otherwise(0L)).as("bad"))
+    val pv = e.select(col("vec_id"))
+      .join(exploded, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("d"), lit(0L)).as("d"),
+        coalesce(col("nsq"), lit(0.0d)).as("nsq"),
+        coalesce(col("bad"), lit(0L)).as("bad"))
     pv.agg(
       count(lit(1)).as("n_vectors"),
       max(col("d")).cast("int").as("dim"),

@@ -545,6 +545,16 @@ object SimilarityQueries {
 
   /** `PcaIters` power-iteration CTE pairs over matrix `mat`, vectors
     * named `$vp0..$vp$PcaIters` and work vectors `$wp1..`.
+    *
+    * The normalising divisor MAX(ABS(w)) is guarded: on a
+    * zero-covariance (constant) corpus it is 0 and a bare division
+    * would yield NaN v-vectors where the Scala operator stops
+    * iterating and keeps the previous vector (the spec-pinned
+    * degenerate branch — all-ones v, 0.0 projections). The CASE keeps
+    * the previous iterate exactly as the Scala side does; when the
+    * matvec is ever-zero, every later iteration reproduces the same
+    * zero w, so "keep v" and "stop iterating" coincide. Non-degenerate
+    * corpora take the ELSE arm — the identical division as before.
     */
   private def pcaIterCtes(mat: String, wp: String, vp: String): String =
     (1 to PcaIters).map { k =>
@@ -554,8 +564,11 @@ object SimilarityQueries {
          |          6) AS w
          |  FROM $mat c JOIN $vp${k - 1} v ON v.i = c.j GROUP BY c.i),
          |$vp$k AS MATERIALIZED (
-         |  SELECT i, round(w / (SELECT MAX(ABS(w)) FROM $wp$k), 6) AS v
-         |  FROM $wp$k)""".stripMargin
+         |  SELECT w.i,
+         |    CASE WHEN (SELECT MAX(ABS(w)) FROM $wp$k) = CAST(0.0 AS DOUBLE)
+         |      THEN pv.v
+         |      ELSE round(w.w / (SELECT MAX(ABS(w)) FROM $wp$k), 6) END AS v
+         |  FROM $wp$k w JOIN $vp${k - 1} pv ON pv.i = w.i)""".stripMargin
     }.mkString(",\n")
 
   /** Sign canonicalisation of `$vlast` into `$vf`. */
@@ -1063,7 +1076,9 @@ object SimilarityQueries {
 
     // every audit stat replayed relationally: per-vector decimal
     // norm-square sums (non-finite mass excluded), then the one-row
-    // corpus fold; BIGINT casts per the HUGEINT-vs-pandas contract
+    // corpus fold; BIGINT casts per the HUGEINT-vs-pandas contract.
+    // The left join back onto e mirrors the operator's NULL/empty-
+    // embedding accounting (d = 0 zero-norm rows).
     "s15_embedding_audit" ->
       """WITH e AS (
         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -1073,12 +1088,16 @@ object SimilarityQueries {
         |  SELECT vec_id, emb[i+1] AS x
         |  FROM (SELECT vec_id, emb, unnest(range(0, len(emb))) AS i
         |        FROM e)),
-        |pv AS (
+        |pv0 AS (
         |  SELECT vec_id, COUNT(*) AS d,
         |    CAST(SUM(CAST(CASE WHEN isnan(x) OR isinf(x) THEN 0.0
         |      ELSE x * x END AS DECIMAL(38,18))) AS DOUBLE) AS nsq,
         |    MAX(CASE WHEN isnan(x) OR isinf(x) THEN 1 ELSE 0 END) AS bad
-        |  FROM byd GROUP BY vec_id)
+        |  FROM byd GROUP BY vec_id),
+        |pv AS (
+        |  SELECT e.vec_id, COALESCE(p.d, 0) AS d,
+        |    COALESCE(p.nsq, 0.0) AS nsq, COALESCE(p.bad, 0) AS bad
+        |  FROM e LEFT JOIN pv0 p ON p.vec_id = e.vec_id)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
         |  CAST(MAX(d) AS INT) AS dim,
         |  MIN(d) = MAX(d) AS dim_consistent,

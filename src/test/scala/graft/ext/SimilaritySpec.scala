@@ -1148,12 +1148,79 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("embedding audit: NULL and empty embeddings count as d=0 zero-norm") {
+    import spark.implicits._
+    // the corruption class the audit exists for: a broken export ships
+    // rows whose embedding column is NULL or [] — they must appear in
+    // the report, not silently vanish from the explode
+    val rows = Seq(
+      (1L, Some(Array(3.0, 4.0))),
+      (2L, Some(Array.empty[Double])),
+      (3L, Option.empty[Array[Double]])
+    ).toDF("vec_id", "embedding")
+    val a = Similarity.embeddingAudit(rows).collect().head
+    assert(a.getAs[Long]("n_vectors") == 3)
+    assert(!a.getAs[Boolean]("dim_consistent"))
+    assert(a.getAs[Long]("n_zero") == 2, "empty + NULL are zero-norm rows")
+    assert(a.getAs[Long]("n_nonfinite") == 0)
+    assert(a.getAs[Double]("min_norm") == 0.0)
+    assert(a.getAs[Double]("max_norm") == 5.0)
+    assert(a.getAs[Double]("avg_norm") == 1.666667) // (5 + 0 + 0) / 3
+  }
+
   test("embedding audit on the corpus: clean, unit-normalized") {
     val a = Similarity.embeddingAudit(Tables.embeddings(spark, sf0001))
       .collect().head
     assert(a.getAs[Long]("n_vectors") == 500)
     assert(a.getAs[Boolean]("dim_consistent") && a.getAs[Int]("dim") == 64)
     assert(a.getAs[Long]("n_zero") == 0 && a.getAs[Long]("n_nonfinite") == 0)
+  }
+
+  test("wav header walk == the real javax.sound decode, fact for fact") {
+    def enc(rate: Float, bits: Int, channels: Int,
+            nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, bits, channels,
+        true, false)
+      val pcm = Array.tabulate(nFrames * fmt.getFrameSize)(
+        i => (i * 31 % 251).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def viaJdk(b: Array[Byte]): (Int, Int, Long, Long) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val f = ais.getFormat
+        val frames = ais.getFrameLength
+        val rate = math.round(f.getSampleRate)
+        (rate, f.getChannels, frames, frames * 1000L / rate)
+      } finally ais.close()
+    }
+    for (b <- Seq(enc(8000f, 16, 2, 1024), enc(44100f, 8, 1, 4410),
+        enc(16000f, 24, 1, 301), // odd data-chunk size: pad-byte walk
+        Multimodal.wavBytes("hello header".getBytes("UTF-8"), 8000)))
+      assert(Multimodal.wavHeaderFacts(b).contains(viaJdk(b)),
+        s"header walk diverged from javax.sound: " +
+          s"${Multimodal.wavHeaderFacts(b)} vs ${viaJdk(b)}")
+    // non-WAV containers and corrupt chunk walks fall through to the
+    // real decoder (AIFF) or to opaque (hostile size field), never loop
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val aiff = {
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](200)), fmt, 100L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.wavHeaderFacts(aiff).isEmpty)
+    val hostile = ("RIFF    WAVE" + "fmt " + "ÿÿÿ")
+      .getBytes("ISO-8859-1")
+    assert(Multimodal.wavHeaderFacts(hostile).isEmpty)
   }
 
   test("decodeHinted: the mime hint changes probe order, never the outcome") {
