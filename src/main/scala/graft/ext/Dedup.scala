@@ -126,7 +126,7 @@ object Dedup {
   def winnowOverlapPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
                          minShared: Int = 2, maxDf: Int = 50): DataFrame = {
     val fp = winnowFp(docs, n, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(SharedCache.persistShared)
     val rare = fp.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
@@ -273,7 +273,7 @@ object Dedup {
   private def countedPairs(docs: DataFrame, n: Int,
                            maxDf: Int): DataFrame = {
     val shAll = hashedShingles(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(SharedCache.persistShared)
     val freq = shAll.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
@@ -453,7 +453,7 @@ object Dedup {
     // once (k longs per doc — far smaller than the corpus) instead of
     // recomputing shingle → hash → 16-way min agg per side
     val sigs = minhashSignatures(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(SharedCache.persistShared)
     val banded = bandedKeys(sigs)
     banded.as("a").join(banded.as("b"),
         col("a.key") === col("b.key") &&
@@ -496,7 +496,7 @@ object Dedup {
   def minhashEstimatedPairs(docs: DataFrame, n: Int = 3,
                             minEst: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(SharedCache.persistShared)
     val matches = (0 until K).map(i =>
       when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -528,7 +528,7 @@ object Dedup {
   def crossContamination(train: DataFrame, eval_ : DataFrame,
                          n: Int = 3, minEst: Double = 0.5): DataFrame = {
     val st = minhashSignatures(train, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(SharedCache.persistShared)
     val se = minhashSignatures(eval_, n)
     val cand = bandedKeys(st).as("ta")
       .join(broadcast(bandedKeys(se).as("eb")),
@@ -772,7 +772,7 @@ object Dedup {
     */
   def noveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
     val shAll = hashedShingles(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(SharedCache.persistShared)
     val firstOwner = shAll.groupBy(col("shingle"))
       .agg(min(col("doc_id")).as("first_doc"))
     shAll.join(firstOwner, "shingle")
@@ -831,7 +831,7 @@ object Dedup {
     */
   def dupSpans(docs: DataFrame, n: Int = 3, minDocs: Int = 2): DataFrame = {
     val wins = positionedWindows(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(SharedCache.persistShared)
     val dupKeys = wins.groupBy(col("wk"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= minDocs)
@@ -879,7 +879,7 @@ object Dedup {
   def removeDupSpans(docs: DataFrame, n: Int = 3,
                      minDocs: Int = 2): DataFrame = {
     val wins = positionedWindows(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(SharedCache.persistShared)
     val owners = wins.groupBy(col("wk"))
       .agg(min(col("doc_id")).as("first_doc"),
         countDistinct(col("doc_id")).as("ndocs"))
@@ -1029,7 +1029,7 @@ object Dedup {
     // one 8-byte fingerprint per doc, consumed by both self-join
     // sides — materialize instead of recomputing the 60-vote agg twice
     val fps = simhashFingerprints(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(SharedCache.persistShared)
     val banded = fps.select(col("doc_id"), col("fp"),
         explode(array((0 until SimBands).map(b =>
           struct(lit(b).as("band"), simBandKey(col("fp"), b).as("key"))): _*))

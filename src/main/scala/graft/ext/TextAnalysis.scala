@@ -214,7 +214,7 @@ object TextAnalysis {
     // corpus per branch (same lever as Dedup's shingle table). Freed
     // via [[release]].
     val tok = explodedTokens(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(SharedCache.persistShared)
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -303,7 +303,7 @@ object TextAnalysis {
 
   def unigramLogLik(docs: DataFrame): DataFrame = {
     val tok = explodedTokens(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(SharedCache.persistShared)
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
     val tot = freq.agg(sum(col("tf")).as("n_total"))
     tok.join(freq, "token")
@@ -483,8 +483,7 @@ object TextAnalysis {
     // no release hook, so persisting there would leak a cache entry
     // per invocation for the session lifetime — the two consumers
     // re-derive the explode instead (one extra tokenize pass)
-    if (materialize)
-      feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (materialize) SharedCache.persistShared(feats)
     else feats
   }
 
