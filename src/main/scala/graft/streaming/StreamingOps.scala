@@ -194,6 +194,107 @@ object StreamingOps {
       }.toDF()
   }
 
+  final case class OpenPathSession(events: Seq[(Long, Long, String)])
+  final case class ClosedSessionPath(user_id: Long, start_us: Long,
+                                     end_us: Long, path: String)
+
+  /** ev19/ev20's streaming feeder — [[sessionEmit]]'s state machine
+    * with the session's event-type PATH carried: state holds the open
+    * session's (ts_us, event_id, event_type) triples (bounded by the
+    * open session's own event count — the gap closes any pause, and
+    * the event-time timeout GC's abandoned users), and at close the
+    * triples sort on (ts, event_id) — ev19's total order, so an
+    * out-of-order event arriving in a LATER micro-batch (legal within
+    * the watermark) lands in its true position — and join to the
+    * `a>b>c` path string. Append-mode, one open session per user.
+    * [[pathCounts]] / [[pathTransitions]] fold the emitted sessions to
+    * exactly ev19's ranking and ev20's transition matrix
+    * (StreamingSpec pins drain == batch on both).
+    */
+  def sessionPathEmit(spark: SparkSession, events: DataFrame,
+                      gapUs: Long = 1800000000L): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", "60 seconds")
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+    def close(user: Long, s: OpenPathSession): ClosedSessionPath = {
+      val ordered = s.events.sortBy(e => (e._1, e._2))
+      ClosedSessionPath(user, ordered.head._1, ordered.last._1,
+        ordered.map(_._3).mkString(">"))
+    }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenPathSession, ClosedSessionPath](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[OpenPathSession]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(user, s))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSessionPath]
+            sorted.foreach { case (_, ts, eid, tpe, _) =>
+              open match {
+                // bounds are min/max over the kept triples, so the
+                // membership test uses the recorded last event time
+                case Some(s) if ts - s.events.iterator.map(_._1).max
+                    <= gapUs =>
+                  open = Some(OpenPathSession(s.events :+ ((ts, eid, tpe))))
+                case Some(s) =>
+                  closed += close(user, s)
+                  open = Some(OpenPathSession(Seq((ts, eid, tpe))))
+                case None =>
+                  open = Some(OpenPathSession(Seq((ts, eid, tpe))))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              val lastUs = s.events.iterator.map(_._1).max
+              state.setTimeoutTimestamp((lastUs + gapUs + 999L) / 1000)
+            }
+            closed.result().iterator
+          }
+      }.toDF()
+  }
+
+  /** ev19's fold over emitted sessions: count per distinct path,
+    * deterministic top-k (count desc, path asc — the query's exact
+    * TakeOrdered cut). Runs on [[sessionPathEmit]]'s drained output
+    * or any (path) table.
+    */
+  def pathCounts(closed: DataFrame, k: Int = 20): DataFrame =
+    closed.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+
+  /** ev20's fold over emitted sessions: consecutive-type pairs from
+    * each path (zip of the path with itself shifted by one — a
+    * single-event session contributes none), counted and out-degree-
+    * normalized on the round-6 grid exactly as the batch query.
+    */
+  def pathTransitions(closed: DataFrame): DataFrame = {
+    val types = split(col("path"), ">")
+    val pairs = closed
+      .select(explode(zip_with(
+        slice(types, lit(1), size(types) - 1),
+        slice(types, lit(2), size(types) - 1),
+        (a, b) => struct(a.as("prev_type"), b.as("event_type"))))
+        .as("tr"))
+      .select(col("tr.prev_type"), col("tr.event_type"))
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("tot"))
+    pairs.join(totals, "prev_type")
+      .select(col("prev_type"), col("event_type"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("p"))
+  }
+
   /** d01's streaming twin: exact dedup keyed on event_id with state
     * bounded by the watermark — duplicates arriving within the
     * watermark horizon are dropped, and dedup state is GC'd once the

@@ -90,6 +90,59 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("streaming path mining + Markov transitions agree with batch " +
+    "ev19/ev20 exactly") {
+    // stage the events plus ONE far-future sentinel event: the final
+    // watermark then passes every real session's end + gap, so the
+    // drain emits ALL real sessions (the sentinel user's own open
+    // session is the only unclosed one, filtered below) — which makes
+    // the stream folds comparable to the ev19/ev20 contract queries
+    // EXACTLY, not just on the closed subset
+    val dir = tmpDir("stream-paths")
+    val src = java.nio.file.Paths.get(Tables.path(sf0001, "events"))
+    java.nio.file.Files.copy(src,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val orig = spark.read.parquet(src.toString)
+    val sentinelDir = tmpDir("stream-paths-sentinel")
+    orig.orderBy(col("ts").desc).limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_id", lit(Long.MaxValue))
+      .withColumn("ts", col("ts") + expr("INTERVAL 30 DAYS"))
+      .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+    val part = new java.io.File(sentinelDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, "zz_sentinel.parquet"))
+
+    val stream = StreamingOps.readEvents(spark, dir)
+    val q = StreamingOps.runToCompletion(spark,
+      StreamingOps.sessionPathEmit(spark, stream), "stream_paths",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.stop()
+    val got = spark.table("stream_paths").filter(col("user_id") =!= -1L)
+
+    // every real session closed: one emitted row per batch session
+    val nBatchSessions = graft.queries.EventQueries
+      .defs("ev02_sessionize")(spark, sf0001)
+      .agg(sum(col("n_sessions"))).first().getLong(0)
+    assert(got.count() == nBatchSessions,
+      s"${got.count()} emitted vs $nBatchSessions batch sessions")
+
+    val gotTop = StreamingOps.pathCounts(got, 20)
+    val ev19 = graft.queries.EventQueries
+      .defs("ev19_path_mining")(spark, sf0001)
+    assert(gotTop.count() == ev19.count())
+    assert(gotTop.except(ev19).isEmpty && ev19.except(gotTop).isEmpty,
+      "stream path ranking diverged from batch ev19")
+
+    val gotTr = StreamingOps.pathTransitions(got)
+    val ev20 = graft.queries.EventQueries
+      .defs("ev20_markov_transitions")(spark, sf0001)
+    assert(gotTr.count() == ev20.count())
+    assert(gotTr.except(ev20).isEmpty && ev20.except(gotTr).isEmpty,
+      "stream transition matrix diverged from batch ev20")
+  }
+
   test("streaming dedup drops within-watermark duplicates, keeps one row each") {
     // stage the events twice: every event_id arrives exactly twice
     val dir = tmpDir("stream-dup")
