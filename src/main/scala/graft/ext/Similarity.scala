@@ -421,35 +421,79 @@ object Similarity {
       }.toDF(idCol, "tbl", "bucket")
   }
 
-  /** IVF (inverted-file) ANN — the clustered-data scale path, the
-    * counterpart to sign-bit LSH: assign every vector to its nearest
-    * coarse centroid once (narrow map over a broadcast centroid list),
-    * then each query probes only the `nprobe` nearest centroids'
-    * posting lists. Centroids here are deterministic seeds (a
-    * universal-hash sample by id) — no RNG, no k-means iterations, so
-    * results are stable across runs and topologies. At 100 TB the
-    * posting lists are a partitioned table bucketed by centroid id;
-    * candidate generation is a bucket-pruned scan, not a join of the
-    * full corpus.
+  /** Lloyd-trained coarse quantizer for the IVF family [EXT] — the
+    * d09/s03 mod-prime seed sample refined by `iters − 1` Lloyd
+    * passes, [[kmeansClusters]]' exact contract re-expressed for the
+    * coarse level: assignment is the rounded-4 cosine argmax with a
+    * centroid-id tiebreak (partial-aggregable max_by, no window over
+    * the corpus), the update is per-dimension DECIMAL means (exact,
+    * order-free — bit-identical across engines, which is what keeps
+    * s03/s08 oracle-checked with training on), centroid ids stay the
+    * seed vec_ids, and a centroid that captures no vectors drops out
+    * (s05's empty-cluster policy). EAGER per pass (the pqLocal
+    * idiom): each update collects the nlist·dim-double table — KB by
+    * construction — into a literal local relation, so plan depth is
+    * O(1) in the iteration count and no cache outlives the call.
+    * `iters = 1` is the bare seed sample (the untrained baseline the
+    * recall-improvement spec compares against).
     */
-  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
-      col("embedding").cast("array<double>").as("emb"))
-    // deterministic pseudo-random centroid sample: nlist smallest by
-    // ([[centroidKey]], id) — a TakeOrdered (heap of nlist per
-    // partition, no global sort, no eager count), total-ordered so it
-    // is stable across runs, sensitive to all id bits (the mod-prime
-    // multiply, not a power-of-two modulus — a modulo scheme returns
-    // zero centroids for e.g. all-odd snowflake ids), and the SAME
-    // engine-portable arithmetic d09 shares with its oracle — which is
-    // what lets s03 be oracle-checked like d09/d07/s02
-    val centroids = e
+  private[graft] def coarseCentroids(e: DataFrame, nlist: Int,
+                                     iters: Int): DataFrame = {
+    require(iters >= 1,
+      s"coarse training needs at least one pass, got $iters")
+    val spark = e.sparkSession
+    import spark.implicits._
+    var c = e
       .orderBy(((col("vec_id") % CentroidPrime) * CentroidMult)
           % CentroidPrime,
         col("vec_id"))
       .limit(nlist)
       .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
+    for (_ <- 2 to iters) {
+      c = e.crossJoin(broadcast(c))
+        .withColumn("c_sim", round(cosine(col("emb"), col("c_emb")), 4))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("centroid_id"),
+            struct(col("c_sim"), (-col("centroid_id")).as("neg")))
+            .as("centroid_id"),
+          first(col("emb")).as("emb"))
+        .select(col("centroid_id"),
+          posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg((sum(col("v").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("c_emb"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toDF("centroid_id", "c_emb")
+    }
+    c
+  }
+
+  /** IVF (inverted-file) ANN — the clustered-data scale path, the
+    * counterpart to sign-bit LSH: assign every vector to its nearest
+    * coarse centroid once (narrow map over a broadcast centroid list),
+    * then each query probes only the `nprobe` nearest centroids'
+    * posting lists. Centroids are the deterministic mod-prime seed
+    * sample refined by `coarseIters − 1` Lloyd passes
+    * ([[coarseCentroids]] — no RNG anywhere, so results are stable
+    * across runs and topologies AND the whole training replays in the
+    * oracle). Trained centroids sit at cluster means instead of
+    * arbitrary corpus points, so a fixed nprobe captures more of each
+    * probe's true neighborhood (recall-improves spec). At 100 TB the
+    * posting lists are a partitioned table bucketed by centroid id;
+    * candidate generation is a bucket-pruned scan, not a join of the
+    * full corpus.
+    */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              coarseIters: Int = 1): DataFrame = {
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val centroids = coarseCentroids(e, nlist, coarseIters)
 
     def nearestCentroids(df: DataFrame, idCol: String, embCol: String,
                          keep: Int): DataFrame = {
@@ -1025,8 +1069,10 @@ object Similarity {
     *
     * All arithmetic is the engine-portable kind the family already
     * uses, so the WHOLE composition is oracle-checkable:
-    *  - coarse: the d09/s03 mod-prime centroid sample; assignment is
-    *    the rounded-6 cosine argmax with a centroid-id tiebreak;
+    *  - coarse: the d09/s03 mod-prime seed sample, Lloyd-refined by
+    *    `coarseIters − 1` DECIMAL-mean passes ([[coarseCentroids]] —
+    *    the training itself replays in SQL); posting/probe assignment
+    *    is the rounded-6 cosine argmax with a centroid-id tiebreak;
     *  - residuals: exact element-wise double subtraction;
     *  - PQ on residuals: [[pqTrainOn]] verbatim (mod-prime seeds over
     *    residual vectors, one DECIMAL-mean Lloyd update, rounded-4
@@ -1049,17 +1095,13 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, ksub: Int = 16, dim: Int = 64,
-                iters: Int = 1): DataFrame = {
+                iters: Int = 1, coarseIters: Int = 1): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
     val dsub = dim / m
     val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
-    val centroids = e
-      .orderBy(((col("vec_id") % CentroidPrime) * CentroidMult)
-          % CentroidPrime,
-        col("vec_id"))
-      .limit(nlist)
-      .select(col("vec_id").as("coarse_id"), col("emb").as("c_emb"))
+    val centroids = coarseCentroids(e, nlist, coarseIters)
+      .select(col("centroid_id").as("coarse_id"), col("c_emb"))
     // coarse argmax (the d09 max_by shape — partial-aggregable, one
     // shuffle, no window), residual computed in the same pass
     val er = e.crossJoin(broadcast(centroids))
@@ -1076,10 +1118,13 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed the residual codebooks from NON-centroid vectors: the
     // mod-prime seed order is the same one that picked the coarse
-    // centroids, and a centroid's residual is exactly zero — seeding
-    // from them collapses every subspace codebook to one zero cell
-    // (all-equal d2, min-cell tiebreak) and ADC scores go constant.
-    // A vector is its own coarse centroid iff vec_id == coarse_id.
+    // seeds, and an UNTRAINED centroid's residual is exactly zero —
+    // seeding from them collapses every subspace codebook to one zero
+    // cell (all-equal d2, min-cell tiebreak) and ADC scores go
+    // constant. With trained centroids the seed's residual is merely
+    // near-zero; the filter stays (deterministic, oracle-replayed) so
+    // the seeding rule is one rule at every coarseIters.
+    // A vector owns its coarse seed iff vec_id == coarse_id.
     // Training is EAGER (pqTrainOn collects each KB-scale codebook),
     // so both caches serve every Lloyd pass and are dropped before
     // return — nothing cached rides the lazy plan, repeated
@@ -1184,9 +1229,11 @@ object Similarity {
     * with s08's composed index under evaluation.
     */
   def ivfPqRecallAtK(embeddings: DataFrame, queries: DataFrame,
-                     k: Int, iters: Int = 1): DataFrame =
+                     k: Int, iters: Int = 1,
+                     coarseIters: Int = 1): DataFrame =
     recallAtK(cosineTopK(embeddings, queries, k),
-      ivfPqTopK(embeddings, queries, k, iters = iters),
+      ivfPqTopK(embeddings, queries, k, iters = iters,
+        coarseIters = coarseIters),
       queries.select(col("vec_id").as("query_id")))
 
   /** The metric itself, index-agnostic: per-probe fraction of the

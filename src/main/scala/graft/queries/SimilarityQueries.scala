@@ -38,6 +38,47 @@ object SimilarityQueries {
     */
   private val Bm25Terms = Seq("dup", "merge", "spark")
 
+  /** s03/s08's coarse-quantizer training depth (seed sample + one
+    * Lloyd refinement) — shared by the queries and the oracle
+    * generator so the two cannot drift.
+    */
+  private val CoarseIters = 2
+
+  /** Coarse-training replay CTEs ([[graft.ext.Similarity
+    * .coarseCentroids]]): the mod-prime seed sample refined by
+    * `CoarseIters − 1` Lloyd passes — s05's rounded-4 argmax
+    * assignment and DECIMAL-mean update, unrolled — ending in
+    * `cent($idAlias, c_emb)`. Assumes a CTE `e(vec_id, emb)`.
+    */
+  private def coarseCtes(nlist: Int, idAlias: String): String = {
+    val rounds = (2 to CoarseIters).map { t =>
+      s"""ca$t AS (
+         |  SELECT vec_id, emb, centroid_id
+         |  FROM e CROSS JOIN cc${t - 1}
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY round(list_cosine_similarity(emb, c_emb), 4) DESC,
+         |             centroid_id) = 1),
+         |cbyd$t AS MATERIALIZED (
+         |  SELECT centroid_id, i AS dim, emb[i+1] AS v
+         |  FROM (SELECT centroid_id, emb, unnest(range(0, len(emb))) AS i
+         |        FROM ca$t)),
+         |cc$t AS (
+         |  SELECT centroid_id, list(m ORDER BY dim) AS c_emb FROM (
+         |    SELECT centroid_id, dim,
+         |      CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM cbyd$t GROUP BY centroid_id, dim)
+         |  GROUP BY centroid_id)""".stripMargin
+    }.mkString(",\n")
+    s"""cc1 AS (
+       |  SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+       |  QUALIFY row_number() OVER (
+       |    ORDER BY ((vec_id % 999983) * 40503) % 999983, vec_id)
+       |    <= $nlist),
+       |$rounds,
+       |cent AS (SELECT centroid_id AS $idAlias, c_emb
+       |         FROM cc$CoarseIters)""".stripMargin
+  }
+
   /** s11's hybrid queries: id = the probe embedding's vec_id, bag =
     * the lexical side. Two bags carry the rare `dup` so idf genuinely
     * separates the lexical rankings; the rest are common terms where
@@ -150,7 +191,8 @@ object SimilarityQueries {
       */
     "s08_ann_ivfpq" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < NumQueries), K)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < NumQueries), K,
+        coarseIters = CoarseIters)
     },
 
     /** s09 — Okapi BM25 lexical top-k: the retrieval family's text
@@ -274,15 +316,17 @@ object SimilarityQueries {
           col("height"), col("n_frames"))
     },
 
-    /** s03 — IVF ANN: deterministic coarse centroids (the d09
-      * mod-prime sample, so the oracle reproduces them), nprobe-cell
-      * probing, exact re-rank. Oracle-checked since r6;
-      * recall/selectivity stay spec-tested; the scale story is the
-      * bucketed posting-list scan.
+    /** s03 — IVF ANN: Lloyd-trained coarse centroids (the d09
+      * mod-prime seed sample + one DECIMAL-mean refinement — the
+      * oracle replays the TRAINING, r10), nprobe-cell probing, exact
+      * re-rank. Recall improves with training at fixed nprobe
+      * (spec-measured); the scale story is the bucketed posting-list
+      * scan.
       */
     "s03_ann_ivf" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < NumQueries), K)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < NumQueries), K,
+        coarseIters = CoarseIters)
     },
 
     /** m02 — frame sampling through the same binary pipeline: payload
@@ -825,19 +869,18 @@ object SimilarityQueries {
 
     "s02_ann_lsh" -> S02Sql,
 
-    // s08: the composed IVF-PQ replayed end-to-end — s03's coarse
-    // argmax (rounded-6 cosine, centroid-id tiebreak), exact
-    // element-wise residuals, then the s07 pipeline verbatim over the
-    // residual vectors, scored as round(coarse_dot + ADC, 4).
+    // s08: the composed IVF-PQ replayed end-to-end — the TRAINED
+    // coarse quantizer (r10: seed sample + one Lloyd refinement, the
+    // s05 arithmetic), coarse argmax (rounded-6 cosine, centroid-id
+    // tiebreak), exact element-wise residuals, then the s07 pipeline
+    // verbatim over the residual vectors, scored as
+    // round(coarse_dot + ADC, 4).
     "s08_ann_ivfpq" ->
       s"""WITH e AS (
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |         CAST(embedding AS DOUBLE[]) AS emb
          |  FROM embeddings),
-         |cent AS (
-         |  SELECT vec_id AS coarse_id, emb AS c_emb FROM e
-         |  QUALIFY row_number() OVER (
-         |    ORDER BY ((vec_id % 999983) * 40503) % 999983, vec_id) <= 16),
+         |${coarseCtes(nlist = 16, idAlias = "coarse_id")},
          |post0 AS (
          |  SELECT vec_id, emb, coarse_id, c_emb
          |  FROM e CROSS JOIN cent
@@ -1110,15 +1153,16 @@ object SimilarityQueries {
         |    AS DOUBLE) / COUNT(*), 6) + 0.0 AS avg_norm
         |FROM pv""".stripMargin,
 
+    // since r10 the coarse quantizer is TRAINED (seed sample + one
+    // Lloyd refinement): the training CTEs replay s05's
+    // assignment/update arithmetic, then posting/probe assignment
+    // proceeds over the trained cent exactly as before
     "s03_ann_ivf" ->
       s"""WITH e AS (
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |         CAST(embedding AS DOUBLE[]) AS emb
          |  FROM embeddings),
-         |cent AS (
-         |  SELECT vec_id AS centroid_id, emb AS c_emb FROM e
-         |  QUALIFY row_number() OVER (
-         |    ORDER BY ((vec_id % 999983) * 40503) % 999983, vec_id) <= 16),
+         |${coarseCtes(nlist = 16, idAlias = "centroid_id")},
          |post AS (
          |  SELECT vec_id, emb, centroid_id
          |  FROM e CROSS JOIN cent

@@ -885,6 +885,62 @@ class SimilaritySpec extends SparkTestBase {
     assert(out == run(emb.repartition(7)), "partition invariance")
   }
 
+  test("IVF recall improves with a trained coarse quantizer at fixed " +
+    "nprobe") {
+    import spark.implicits._
+    // adversarial seeding: blob membership is chosen AFTER the
+    // mod-prime ranking so BOTH untrained seeds land in blob A — the
+    // untrained quantizer then has two near-identical A-cells, and
+    // blob B's vectors split between them on wobble-noise cosine
+    // differences, so an nprobe=1 probe sees only part of its true
+    // neighborhood. One Lloyd pass (coarseIters = 2, exactly s03/s08's
+    // setting) pulls the means apart: the cell with the larger B mass
+    // attracts ALL of B (|B| is odd, so the split is never even) and
+    // recall recovers.
+    val ids = (1L to 81L)
+    val ranked = ids.sortBy(id => (Similarity.centroidKey(id), id))
+    val seeds = ranked.take(2).toSet
+    val probeIds = Set(3L, 4L, 5L, 6L, 7L)
+    def inBlobA(id: Long): Boolean = seeds(id) || id % 2 == 0
+    def vecOf(id: Long): Seq[Float] = {
+      val v = Array.fill(8)(0f)
+      if (inBlobA(id)) v(0) = 1f else v(4) = 1f
+      // neighbor structure: three subgroups per blob — a probe's true
+      // top-5 are its same-subgroup blob-mates
+      v(if (inBlobA(id)) 1 else 5) = 0.1f * (id % 3).toInt
+      // cell-splitting wobble on a SHARED axis, orthogonal to the
+      // neighbor structure: the two seeds carry opposite large wobble,
+      // every non-probe vector ±0.01 by (id/2)%2 — the untrained cell
+      // choice is sign(w), cutting every subgroup in half. Probes
+      // carry w = 0, so their EXACT top-5 ranking is blind to the
+      // wobble while their own cell choice ties to one cell — the
+      // nprobe=1 scan then sees only ~half the true neighborhood.
+      v(2) =
+        if (seeds(id)) { if (id == ranked(0)) 0.04f else -0.04f }
+        else if (probeIds(id)) 0f
+        else if ((id / 2) % 2 == 0) 0.01f
+        else -0.01f
+      v.toSeq
+    }
+    val emb = ids.map(id => (id, vecOf(id), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val probes = emb.filter(col("vec_id").isin(3L, 5L, 7L, 4L, 6L))
+    def avgRecall(coarseIters: Int): Double =
+      Similarity.recallAtK(
+        Similarity.cosineTopK(emb, probes, 5),
+        Similarity.ivfTopK(emb, probes, 5, nlist = 2, nprobe = 1,
+          coarseIters = coarseIters),
+        probes.select(col("vec_id").as("query_id")))
+        .agg(avg(col("recall"))).first().getDouble(0)
+    val (untrained, trained) = (avgRecall(1), avgRecall(2))
+    assert(untrained < 0.9,
+      s"untrained baseline should miss neighbors, got $untrained")
+    assert(trained > untrained,
+      s"training must improve recall: $untrained -> $trained")
+    assert(trained == 1.0,
+      s"one Lloyd pass separates the blobs, got $trained")
+  }
+
   test("PQ ADC ranks planted near-copies first and is partition-invariant") {
     import spark.implicits._
     def mixD(s: Long, j: Int): Double = {
