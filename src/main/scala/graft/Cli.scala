@@ -230,6 +230,7 @@ object Cli {
   private def annCmd(spark: SparkSession,
                      opts: Map[String, String]): String = {
     import org.apache.spark.sql.functions.col
+    if (opts.contains("index")) return annIndexCmd(spark, opts)
     val emb = readEmbeddings(spark, required(opts, "embeddings"))
     val k = intOpt(opts, "k", 10)
     if (k < 1) throw CliError(s"--k must be positive, got $k")
@@ -282,6 +283,112 @@ object Cli {
           else
             f"${r.getLong(0)}%12d  ${r.getLong(1)}%11d  ${r.getDouble(2)}%8.4f  ${r.getInt(3)}%4d"
         }.mkString(header, "\n", "")
+    }
+  }
+
+  /** `ann --index <store>` — [EXT] the persisted IVF-PQ index
+    * lifecycle (ext.VectorIndex, the BM25 `index` command's shape on
+    * the vector plane):
+    *
+    *   - `--init --embeddings <pq>`: train the coarse quantizer +
+    *     residual codebooks and encode the corpus into a fresh store
+    *     (refuses an existing one — drop it or `--update`); knobs
+    *     `--nlist/--m/--ksub/--dim/--iters/--coarse-iters`.
+    *   - `--update --embeddings <delta>`: encode NEW vectors under the
+    *     store's frozen model (a zero-shuffle narrow map, no retrain)
+    *     and append their codes.
+    *   - query (default): `--query-ids "0,1"` resolved against
+    *     `--embeddings`, or an external `--queries` parquet — ranked
+    *     FROM THE STORE (`--k`, `--nprobe`); the corpus is never read.
+    */
+  private def annIndexCmd(spark: SparkSession,
+                          opts: Map[String, String]): String = {
+    import org.apache.spark.sql.functions.col
+    val store = required(opts, "index")
+    val init = boolFlag(opts, "init")
+    val update = boolFlag(opts, "update")
+    if (init && update)
+      throw CliError("--init and --update are exclusive")
+    val querying = opts.contains("query_ids") || opts.contains("queries")
+    if ((init || update) && querying)
+      throw CliError("--init/--update cannot combine with " +
+        "--query-ids/--queries (maintain the store first, then query)")
+    if (init) {
+      if (graft.ext.VectorIndex.exists(spark, store))
+        throw CliError(s"vector index already exists at $store " +
+          "(drop it or --update)")
+      val emb = readEmbeddings(spark, required(opts, "embeddings"))
+      val (nlist, m, ksub) = (intOpt(opts, "nlist", 16),
+        intOpt(opts, "m", 8), intOpt(opts, "ksub", 16))
+      val (dim, iters, ci) = (intOpt(opts, "dim", 64),
+        intOpt(opts, "iters", 1), intOpt(opts, "coarse_iters", 2))
+      for ((n, v) <- Seq("nlist" -> nlist, "m" -> m, "ksub" -> ksub,
+          "dim" -> dim, "iters" -> iters, "coarse-iters" -> ci))
+        if (v < 1) throw CliError(s"--$n must be positive, got $v")
+      if (dim % m != 0)
+        throw CliError(s"--dim $dim not divisible by --m $m")
+      graft.ext.VectorIndex.init(emb, store, nlist, m, ksub, dim,
+        iters, ci)
+      val n = spark.read.parquet(s"$store/codes")
+        .select("vec_id").distinct().count()
+      s"initialized $store: $n vectors indexed"
+    } else if (update) {
+      val emb = readEmbeddings(spark, required(opts, "embeddings"))
+      if (!graft.ext.VectorIndex.exists(spark, store))
+        throw CliError(s"no vector index store at $store " +
+          "(run --init first)")
+      graft.ext.VectorIndex.update(emb, store)
+      val n = spark.read.parquet(s"$store/codes")
+        .select("vec_id").distinct().count()
+      s"updated $store: $n vectors indexed"
+    } else {
+      if (!querying)
+        throw CliError("name the probes: --query-ids \"0,1\" or " +
+          "--queries <parquet> (or --init/--update to maintain)")
+      if (!graft.ext.VectorIndex.exists(spark, store))
+        throw CliError(s"no vector index store at $store " +
+          "(run --init first)")
+      val k = intOpt(opts, "k", 10)
+      if (k < 1) throw CliError(s"--k must be positive, got $k")
+      val nprobe = intOpt(opts, "nprobe", 4)
+      if (nprobe < 1)
+        throw CliError(s"--nprobe must be positive, got $nprobe")
+      val queries = (opts.get("query_ids"), opts.get("queries")) match {
+        case (Some(_), Some(_)) =>
+          throw CliError("--query-ids and --queries are exclusive " +
+            "(corpus rows OR an external probe parquet)")
+        case (Some(ids), None) =>
+          val parsed = ids.split(",").map(_.trim).filter(_.nonEmpty)
+          if (parsed.isEmpty)
+            throw CliError("--query-ids must name at least one vec_id")
+          val vecIds = parsed.map(s => s.toLongOption.getOrElse(
+            throw CliError(s"--query-ids must be integers, got '$s'")))
+          val emb = readEmbeddings(spark, required(opts, "embeddings"))
+          val probes = emb.filter(
+            col("vec_id").isin(vecIds.toIndexedSeq: _*))
+          val found = probes.select(col("vec_id").cast("long"))
+            .collect().map(_.getLong(0)).toSet
+          val missing = vecIds.filterNot(found)
+          if (missing.nonEmpty)
+            throw CliError("--query-ids not present in the corpus: " +
+              missing.sorted.mkString(", "))
+          probes
+        case (None, Some(path)) => readEmbeddings(spark, path)
+        case (None, None) => throw new IllegalStateException("unreachable")
+      }
+      val hits = graft.ext.VectorIndex.query(spark, store, queries, k,
+        nprobe)
+      opts.get("out") match {
+        case Some(out) =>
+          hits.write.mode("overwrite").parquet(out)
+          s"${spark.read.parquet(out).count()} neighbors -> $out"
+        case None =>
+          hits.collect().map { r =>
+            f"${r.getLong(0)}%12d  ${r.getLong(1)}%11d  " +
+              f"${r.getDouble(2)}%9.4f  ${r.getInt(3)}%4d"
+          }.mkString("    query_id  neighbor_id  approx_ip  rank\n",
+            "\n", "")
+      }
     }
   }
 

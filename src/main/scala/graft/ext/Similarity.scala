@@ -205,6 +205,49 @@ object Similarity {
     mmrRerank(pool, k, lambda)
   }
 
+  /** MMR over an LSH-index-fed candidate pool — the PRODUCTION
+    * diversified retriever ([[mmrTopK]]'s scale form): the pool is
+    * [[annTopK]]'s sign-LSH candidate generation (bucket-equality
+    * join, only in-bucket pairs pay a cosine — never corpus × probes)
+    * capped at `poolSize` per query, and the greedy rerank is
+    * [[mmrRerank]] unchanged — which is the point: the reranker
+    * accepts ANY pool, so swapping the quadratic truth-twin generator
+    * (s14) for an index costs nothing in the selection logic. The
+    * only Window runs over the CANDIDATE set (query-keyed, bucket-
+    * bounded), not the corpus (PlanSpec pins exactly one query-keyed
+    * window in the whole plan). Oracle-checked (s18): the plane
+    * family, the candidate join, the pool cut and every greedy round
+    * replay in SQL.
+    */
+  def mmrTopKLsh(embeddings: DataFrame, queries: DataFrame, k: Int = 4,
+                 poolSize: Int = 12, lambda: Double = 0.7,
+                 tables: Int = 8, bits: Int = 8,
+                 dim: Int = 64): DataFrame = {
+    require(poolSize >= k, s"pool ($poolSize) must cover k ($k)")
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val eSig = signatures(e, "vec_id", tables, bits, dim)
+    val qSig = signatures(q.withColumnRenamed("q_emb", "emb")
+        .withColumnRenamed("query_id", "qid"), "qid", tables, bits, dim)
+    val candidates = eSig.join(broadcast(qSig), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id"))
+      .distinct() // a pair can collide in several tables
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val pool = candidates
+      .join(e, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("rel", round(cosine(col("emb"), col("q_emb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= poolSize)
+      .select(col("query_id"), col("vec_id"), col("emb"), col("rel"))
+    mmrRerank(pool, k, lambda)
+  }
+
   /** Embedding-corpus integrity audit [EXT] — the e05-e11 integrity
     * family for the VECTOR table: one row of corpus-health facts a
     * pipeline checks before it trusts an embedding drop (a broken
@@ -1092,14 +1135,19 @@ object Similarity {
     * the recall dial is (nlist, nprobe, m, ksub) exactly as in the
     * published scheme.
     */
-  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-                nlist: Int = 16, nprobe: Int = 4,
-                m: Int = 8, ksub: Int = 16, dim: Int = 64,
-                iters: Int = 1, coarseIters: Int = 1): DataFrame = {
+  /** The trained IVF-PQ index triple — (centroids (coarse_id, c_emb),
+    * residual codebooks (sub, cell, c_sv), codes (vec_id, sub, cell,
+    * coarse_id)) — ONE definition shared by the in-query [[ivfPqTopK]]
+    * and the persisted [[VectorIndex.init]] (the winnowFp discipline:
+    * the spec-pinned "store query == in-query ranking exactly"
+    * contract cannot drift). `e` is (vec_id long, emb array<double>).
+    */
+  private[ext] def ivfPqIndex(e: DataFrame, nlist: Int, m: Int,
+                              ksub: Int, dim: Int, iters: Int,
+                              coarseIters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
     val dsub = dim / m
-    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
-      col("embedding").cast("array<double>").as("emb"))
     val centroids = coarseCentroids(e, nlist, coarseIters)
       .select(col("centroid_id").as("coarse_id"), col("c_emb"))
     // coarse argmax (the d09 max_by shape — partial-aggregable, one
@@ -1138,21 +1186,41 @@ object Similarity {
     // coarse_id rides the encode aggregation (functionally dependent
     // on vec_id) instead of a post-hoc n·m ⋈ n join
     val codes = pqAssign(svs, cb1, carry = Seq("coarse_id"))
-    val q = queries.select(col("vec_id").cast("long").as("query_id"),
-      col("embedding").cast("array<double>").as("emb"))
+    (centroids, cb1, codes)
+  }
+
+  /** The per-probe coarse pruning table (query_id, coarse_id, qc):
+    * nprobe nearest cells by rounded-6 cosine with the coarse-id
+    * tiebreak, qc = the rounded-4 query·centroid dot the final score
+    * adds back. Shared by [[ivfPqTopK]] and [[VectorIndex.query]].
+    */
+  private[ext] def ivfPqProbes(q: DataFrame, centroids: DataFrame,
+                               nprobe: Int): DataFrame = {
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("coarse_id"))
-    val probes = q.crossJoin(broadcast(centroids))
+    q.crossJoin(broadcast(centroids))
       .withColumn("c_sim", round(cosine(col("emb"), col("c_emb")), 6))
       .withColumn("c_rank", row_number().over(wp))
       .filter(col("c_rank") <= nprobe)
       .select(col("query_id"), col("coarse_id"),
         round(dot(col("emb"), col("c_emb")), 4).as("qc"))
-    val dtable = pqSubvectors(q, "query_id", m, dsub)
+  }
+
+  /** The per-probe ADC distance table (query_id, sub, cell, pd). */
+  private[ext] def ivfPqDtable(q: DataFrame, cb1: DataFrame, m: Int,
+                               dsub: Int): DataFrame =
+    pqSubvectors(q, "query_id", m, dsub)
       .join(broadcast(cb1), "sub")
       .select(col("query_id"), col("sub"), col("cell"),
         round(dot(col("sv"), col("c_sv")), 4).as("pd"))
+
+  /** The scoring/selection tail — codes ⋈ broadcast probes (the cell
+    * pruning) ⋈ broadcast distance table, DECIMAL ADC sum, rank on
+    * round(coarse_dot + ADC, 4) with the family's vec_id tiebreak.
+    */
+  private[ext] def ivfPqRank(codes: DataFrame, probes: DataFrame,
+                             dtable: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx_ip").desc, col("vec_id"))
@@ -1167,6 +1235,21 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("approx_ip"), col("rank"))
+  }
+
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, dim: Int = 64,
+                iters: Int = 1, coarseIters: Int = 1): DataFrame = {
+    val dsub = dim / m
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val (centroids, cb1, codes) =
+      ivfPqIndex(e, nlist, m, ksub, dim, iters, coarseIters)
+    val q = queries.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    ivfPqRank(codes, ivfPqProbes(q, centroids, nprobe),
+      ivfPqDtable(q, cb1, m, dsub), k)
   }
 
   /** ANN via L hash tables of `bits` sign-bits: bucket-equality join

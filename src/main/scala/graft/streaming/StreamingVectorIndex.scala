@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.ext.VectorIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Incremental vector-index maintenance as a Structured Streaming job
+  * — [[StreamingRetrieval]]'s shape on the vector plane: a
+  * checkpointed parquet file source over the embeddings directory,
+  * drained with `Trigger.AvailableNow`, each micro-batch encoded ONCE
+  * under the store's frozen model by [[graft.ext.VectorIndex.update]]
+  * (a zero-shuffle narrow map) and appended to the codes store.
+  *
+  * Why this shape at 100 TB: the file-source checkpoint is the delta
+  * tracker (new embedding files only — the existing corpus is never
+  * re-encoded); `maxFilesPerTrigger` bounds per-batch memory; the
+  * codes store is an append-only set of facts that folds at read, so
+  * at-least-once replays are harmless ([[StreamingDedup]]'s
+  * idempotence contract). A query from the store after ANY number of
+  * drains ranks exactly as the in-query s08 over the same corpus and
+  * model (spec-pinned).
+  *
+  * The MODEL is not maintained here — it is frozen at
+  * [[graft.ext.VectorIndex.init]] (production PQ indexes retrain on a
+  * schedule, not per delta); when drift warrants it, re-init and
+  * re-drain from a fresh checkpoint.
+  */
+object StreamingVectorIndex {
+
+  /** One maintenance drain: encode and append every embeddings file
+    * not yet in the checkpoint. The store must already be initialized
+    * (the model is frozen — see above). Returns the distinct indexed
+    * vector count.
+    */
+  def maintainStream(spark: SparkSession, embPath: String,
+                     store: String, checkpointDir: String): Long = {
+    require(VectorIndex.exists(spark, store),
+      s"no vector index store at $store (run init first — the drain " +
+        "encodes under the store's frozen model)")
+    val peek = spark.read.parquet(embPath)
+    val src = spark.readStream
+      .schema(peek.schema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(embPath)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        VectorIndex.update(batch, store)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$store/codes")
+      .select("vec_id").distinct().count()
+  }
+}

@@ -797,5 +797,69 @@ class CliSpec extends SparkTestBase {
       "--query-ids", "0", "--k", "2"), now)
     assert(printed.contains("sim") && printed.linesIterator.size == 3,
       printed)
+    // a typo'd probe id fails loudly naming the missing ids
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--embeddings", base, "--query-ids", "0,999999"), now))
+      .message.contains("999999"))
+  }
+
+  test("ann --index: init/update/query lifecycle end-to-end, loud " +
+    "failure modes") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("cli-vidx-emb")
+    val emb = Tables.embeddings(spark, sf0001)
+    emb.filter(col("vec_id") < 400).write.mode("overwrite").parquet(base)
+    val store = tmpDir("cli-vidx") + "/idx"
+    // query/update before init fail loudly
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--index", store, "--query-ids", "0", "--embeddings", base), now))
+      .message.contains("no vector index store"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--index", store, "--update", "--embeddings", base), now))
+      .message.contains("no vector index store"))
+    // init validates knobs and refuses maintenance+query mixing
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--index", store, "--init", "--embeddings", base,
+      "--dim", "64", "--m", "7"), now))
+      .message.contains("not divisible"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--index", store, "--init", "--update",
+      "--embeddings", base), now)).message.contains("exclusive"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--index", store, "--init", "--embeddings", base,
+      "--query-ids", "0"), now))
+      .message.contains("cannot combine"))
+    val initMsg = Cli.run(spark, Seq("ann", "--index", store,
+      "--init", "--embeddings", base, "--coarse-iters", "2"), now)
+    assert(initMsg.contains("400 vectors indexed"), initMsg)
+    // double init refused
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--index", store, "--init", "--embeddings", base), now))
+      .message.contains("already exists"))
+    // update with the delta, then query from the store == library
+    val deltaDir = tmpDir("cli-vidx-delta")
+    emb.filter(col("vec_id") >= 400).write.mode("overwrite")
+      .parquet(deltaDir)
+    val updMsg = Cli.run(spark, Seq("ann", "--index", store,
+      "--update", "--embeddings", deltaDir), now)
+    assert(updMsg.contains("500 vectors indexed"), updMsg)
+    val out = tmpDir("cli-vidx-out") + "/o"
+    val fullDir = tmpDir("cli-vidx-full")
+    emb.write.mode("overwrite").parquet(fullDir)
+    val qMsg = Cli.run(spark, Seq("ann", "--index", store,
+      "--query-ids", "0,1", "--embeddings", fullDir, "--k", "3",
+      "--out", out), now)
+    assert(qMsg.contains("6 neighbors"), qMsg)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val want = graft.ext.VectorIndex.query(spark, store,
+      emb.filter(col("vec_id") < 2), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == want, "CLI index query diverged from the library")
+    // printed form: header + |Q|·k rows
+    val printed = Cli.run(spark, Seq("ann", "--index", store,
+      "--query-ids", "0", "--embeddings", fullDir, "--k", "2"), now)
+    assert(printed.contains("approx_ip") &&
+      printed.linesIterator.size == 3, printed)
   }
 }

@@ -1,0 +1,173 @@
+package graft.ext
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** The persisted vector-index lifecycle: the store query must rank
+  * EXACTLY as the in-query IVF-PQ (which is oracle-checked), the
+  * in-row delta encode must equal the distributed one, replayed
+  * appends must fold, and a store must fail loudly rather than serve
+  * from nothing.
+  */
+class VectorIndexSpec extends SparkTestBase {
+
+  private def store(prefix: String): String = tmpDir(prefix) + "/vidx"
+
+  test("store query == in-query ivfPqTopK exactly (the s17/s08 pin)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val probes = e.filter(col("vec_id") < 5)
+    val st = store("vidx-pin")
+    VectorIndex.init(e, st, coarseIters = 2)
+    val got = VectorIndex.query(spark, st, probes, k = 3)
+    val exp = Similarity.ivfPqTopK(e, probes, 3, coarseIters = 2)
+    assert(got.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+      == exp.collect().toSeq.map(_.toSeq).sortBy(_.toString),
+      "index-backed ranking diverged from the in-query IVF-PQ")
+    // the whole point of the store: query cost ∝ probed cells'
+    // posting lists — the coarse_id isin must reach the codes scan
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(coarse_id"),
+      s"coarse_id filter not pushed into the codes scan:\n$p")
+  }
+
+  test("update's in-row encode == init's distributed encode, and the " +
+    "replayed append folds at read") {
+    val e = Tables.embeddings(spark, sf0001)
+    val st = store("vidx-parity")
+    VectorIndex.init(e, st, coarseIters = 2)
+    val initCodes = spark.read.parquet(s"$st/codes")
+      .collect().map(_.toSeq).toSet
+    // re-encode the WHOLE corpus through the in-row update path under
+    // the frozen model: every appended row must already exist —
+    // coarse argmax, residual, and PQ argmin agree code for code
+    VectorIndex.update(e, st)
+    val after = spark.read.parquet(s"$st/codes")
+    assert(after.collect().map(_.toSeq).toSet == initCodes,
+      "in-row update codes diverged from the distributed init codes")
+    // ... and the doubled rows fold at read: the query is unchanged
+    assert(after.count() == 2L * initCodes.size,
+      "expected exactly one duplicate per code row")
+    val probes = e.filter(col("vec_id") < 5)
+    val got = VectorIndex.query(spark, st, probes, k = 3)
+    val exp = Similarity.ivfPqTopK(e, probes, 3, coarseIters = 2)
+    assert(got.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+      == exp.collect().toSeq.map(_.toSeq).sortBy(_.toString),
+      "replayed append changed the ranking (distinct fold broken)")
+  }
+
+  test("incremental growth: a delta near-copy is found by the store " +
+    "query without retraining") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf0001)
+    val st = store("vidx-delta")
+    VectorIndex.init(e, st, coarseIters = 2)
+    // the delta: a near-copy of probe vector 2 (its embedding with a
+    // tiny last-component nudge) under a fresh id
+    val twin = e.filter(col("vec_id") === 2L)
+      .select(lit(900000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(i === 63, x + lit(1e-4)).otherwise(x))
+          .as("embedding"))
+    VectorIndex.update(twin, st)
+    val got = VectorIndex.query(spark, st,
+        e.filter(col("vec_id") === 2L), k = 1)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(1) == 900000L,
+      s"delta near-copy not top-1: ${got.mkString(",")}")
+  }
+
+  test("initIfStale: serves a warm store, rebuilds on corpus or knob " +
+    "change") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf0001)
+    val st = store("vidx-stale")
+    assert(VectorIndex.initIfStale(e, st, coarseIters = 2),
+      "first call must build")
+    assert(!VectorIndex.initIfStale(e, st, coarseIters = 2),
+      "unchanged corpus + knobs must serve warm")
+    assert(VectorIndex.initIfStale(e, st, coarseIters = 1),
+      "a knob change must rebuild")
+    val grown = e.unionByName(e.limit(1)
+      .select(lit(910000L).as("vec_id"), col("embedding"), col("label")))
+    assert(VectorIndex.initIfStale(grown, st, coarseIters = 1),
+      "a changed corpus fingerprint must rebuild")
+  }
+
+  test("streaming maintenance: drains == batch updates, delta-only " +
+    "second drain, no-op re-drain appends nothing") {
+    val e = Tables.embeddings(spark, sf0001)
+    val prefix = e.filter(col("vec_id") < 400)
+    val delta = e.filter(col("vec_id") >= 400)
+
+    // batch reference: init on the prefix (frozen model), one batch
+    // update with the delta
+    val stBatch = store("vidx-sbatch")
+    VectorIndex.init(prefix, stBatch, coarseIters = 2)
+    VectorIndex.update(delta, stBatch)
+
+    // streaming: same init, then file-source drains — the checkpoint
+    // is the delta tracker
+    val stStream = store("vidx-sstream")
+    VectorIndex.init(prefix, stStream, coarseIters = 2)
+    val dir = tmpDir("vidx-src")
+    val ckpt = tmpDir("vidx-ckpt")
+    prefix.write.mode("overwrite").parquet(s"$dir/batch1")
+    // flatten: the file source watches one directory
+    def stage(sub: String): Unit = {
+      val d = new java.io.File(s"$dir/$sub")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(dir, s"${sub}_${f.getName}"))
+      }
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    stage("batch1")
+    val n1 = graft.streaming.StreamingVectorIndex.maintainStream(
+      spark, dir, stStream, ckpt)
+    assert(n1 == 400, s"bootstrap drain indexed $n1")
+    val c1 = spark.read.parquet(s"$stStream/codes").count()
+
+    delta.write.mode("overwrite").parquet(s"$dir/batch2")
+    stage("batch2")
+    val n2 = graft.streaming.StreamingVectorIndex.maintainStream(
+      spark, dir, stStream, ckpt)
+    assert(n2 == 500, s"delta drain should reach 500 vectors, got $n2")
+    val c2 = spark.read.parquet(s"$stStream/codes").count()
+    assert(c2 > c1, "delta drain must append")
+
+    // drain == batch: the two stores' distinct code sets are equal
+    val gotCodes = spark.read.parquet(s"$stStream/codes").distinct()
+      .collect().map(_.toSeq).toSet
+    val expCodes = spark.read.parquet(s"$stBatch/codes").distinct()
+      .collect().map(_.toSeq).toSet
+    assert(gotCodes == expCodes, "stream-grown codes != batch-grown")
+
+    // and the ranking agrees with the batch-grown store
+    val probes = e.filter(col("vec_id") < 5)
+    val got = VectorIndex.query(spark, stStream, probes, k = 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val exp = VectorIndex.query(spark, stBatch, probes, k = 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == exp)
+
+    // no-op re-drain: nothing new in the checkpoint -> no appends
+    val n3 = graft.streaming.StreamingVectorIndex.maintainStream(
+      spark, dir, stStream, ckpt)
+    assert(n3 == 500)
+    assert(spark.read.parquet(s"$stStream/codes").count() == c2,
+      "a no-op re-drain must append nothing")
+  }
+
+  test("loud failure modes: query/update on a missing store") {
+    val e = Tables.embeddings(spark, sf0001)
+    val none = tmpDir("vidx-none") + "/missing"
+    val qe = intercept[IllegalArgumentException] {
+      VectorIndex.query(spark, none, e.limit(1), k = 1)
+    }
+    assert(qe.getMessage.contains("no vector index store"))
+    val ue = intercept[IllegalArgumentException] {
+      VectorIndex.update(e.limit(1), none)
+    }
+    assert(ue.getMessage.contains("no vector index store"))
+  }
+}

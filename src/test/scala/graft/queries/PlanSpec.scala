@@ -128,7 +128,13 @@ class PlanSpec extends SparkTestBase {
       // s14's pool stage is s01's DESIGNED corpus × broadcast probe
       // cross-join, checkpointed before the greedy; the greedy itself
       // must stay equi-join-only
-      ("s14_mmr_topk", (p: String) => p.contains("CartesianProduct")))
+      ("s14_mmr_topk", (p: String) => p.contains("CartesianProduct")),
+      // s18 is the index-fed twin: NO all-pairs join anywhere — the
+      // pool comes from the LSH bucket equi-join, the greedy from
+      // equi-joins over the checkpointed pool. The one Window ranks
+      // the bucket-bounded candidate set (query-keyed; the global
+      // unpartitioned-window audit covers the partitionSpec)
+      ("s18_mmr_indexed", hasAllPairsJoin _))
     for ((name, forbidden) <- sweeps) {
       val before = store.executionsList().map(_.executionId)
         .foldLeft(-1L)(math.max)
