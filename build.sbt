@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked JVM's stdout RAW instead of through sbt's logger:
+// the logger prefixes every line with "[info] ", which breaks any
+// consumer that json-parses the Bench/Verify summary lines from the
+// captured output (a `[info] {...}` line is not JSON).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
