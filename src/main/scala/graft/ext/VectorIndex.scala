@@ -174,6 +174,62 @@ object VectorIndex {
       .write.mode("append").parquet(s"$store/codes")
   }
 
+  /** PQ-reconstruct the stored approximation of selected vectors —
+    * coarse centroid + the concatenation of each subspace's codebook
+    * cell (the standard PQ decode): (vec_id, emb) with emb the
+    * ~3%-of-float approximation every PQ serving stack reasons over
+    * when the originals are too big to fetch. The vec_id list is
+    * collected-KB by contract (a candidate pool), so the codes scan
+    * prunes on vec_id (PushedFilters) and the codebook/centroid joins
+    * broadcast — corpus never read, work proportional to |vecIds|·m.
+    */
+  def reconstruct(spark: SparkSession, store: String,
+                  vecIds: Seq[Long]): DataFrame = {
+    require(exists(spark, store),
+      s"no vector index store at $store (run init first)")
+    val cb1 = spark.read.parquet(s"$store/codebooks")
+    val cents = spark.read.parquet(s"$store/centroids")
+    val codes = spark.read.parquet(s"$store/codes")
+      .filter(col("vec_id").isin(vecIds: _*))
+      .distinct()
+    codes.join(broadcast(cb1), Seq("sub", "cell"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("coarse_id")).as("coarse_id"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("sub"), col("c_sv")))),
+          s => s.getField("c_sv"))).as("remb"))
+      .join(broadcast(cents), Seq("coarse_id"))
+      .select(col("vec_id"),
+        zip_with(col("c_emb"), col("remb"), _ + _).as("emb"))
+  }
+
+  /** Diversified retrieval ENTIRELY from the store — the production
+    * MMR shape when the float corpus is not on the serving path: the
+    * candidate pool is [[query]]'s cell-pruned top-`poolSize` (rel =
+    * the rounded-4 IVF-PQ score), candidate embeddings are the PQ
+    * [[reconstruct]]ions, and the greedy is
+    * [[Similarity.mmrRerank]] UNCHANGED (the reranker-accepts-any-pool
+    * contract, third pool family after s14's exact and s18's LSH).
+    * Oracle-checked (s19): pool ranking, reconstruction arithmetic
+    * and every greedy round replay in SQL.
+    */
+  def diversifiedQuery(spark: SparkSession, store: String,
+                       queries: DataFrame, k: Int, poolSize: Int = 12,
+                       lambda: Double = 0.7,
+                       nprobe: Int = 4): DataFrame = {
+    require(poolSize >= k, s"pool ($poolSize) must cover k ($k)")
+    val pool0 = query(spark, store, queries, poolSize, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"),
+        col("approx_ip").as("rel"))
+      .localCheckpoint(true) // consumed twice: id collect + pool join
+    val ids = pool0.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pool = pool0
+      .join(broadcast(reconstruct(spark, store, ids)), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("emb"), col("rel"))
+    Similarity.mmrRerank(pool, k, lambda)
+  }
+
   /** Rank from the store WITHOUT touching the corpus: probes rank the
     * KB centroid table, the probed cell ids (collected — |Q|·nprobe
     * longs, the bm25-terms discipline) push into the codes scan as

