@@ -667,8 +667,16 @@ object Cli {
           throw CliError("--out is a COUNT option; training writes " +
             "only --model (count in a second invocation)")
         val docs = readDocs(spark, required(opts, "docs"))
-        val merges = graft.ext.TextAnalysis.bpeTrain(
-          docs.select("doc_id", "text"), n)
+        // --local: the driver-side merge loop (merge-for-merge equal
+        // to the distributed trainer, spec-pinned) — the right shape
+        // for production merge counts, where 30k distributed merges
+        // are 30k serial driver round-trips over a KB dictionary
+        val merges =
+          if (boolFlag(opts, "local"))
+            graft.ext.TextAnalysis.bpeTrainLocal(
+              docs.select("doc_id", "text"), n)
+          else graft.ext.TextAnalysis.bpeTrain(
+            docs.select("doc_id", "text"), n)
         graft.ext.TextAnalysis.bpeMergesTable(spark, merges)
           .coalesce(1).write.mode("overwrite").parquet(model)
         s"trained bpe model: ${merges.size} merges" +

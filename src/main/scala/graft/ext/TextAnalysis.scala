@@ -1365,6 +1365,80 @@ object TextAnalysis {
     } finally { dict.unpersist(); cached.unpersist() }
   }
 
+  /** Driver-local BPE merge trainer — [[bpeTrain]]'s twin for
+    * PRODUCTION merge counts: the corpus still collapses ONCE to the
+    * word-frequency dictionary (the only corpus-sized work, one Spark
+    * job), but the dictionary — vocab-bounded, MBs for a web-scale
+    * corpus — is collected and the merge loop runs in plain JVM code.
+    * [[bpeTrain]]'s per-merge Spark round-trip is the right shape
+    * while the dictionary must stay distributed; at a realistic 30k
+    * merges it is 30k serial driver→cluster round-trips over a
+    * KB-scale table, where this loop is 30k in-memory passes.
+    *
+    * Merge-for-merge IDENTICAL to [[bpeTrain]] (spec-pinned): same
+    * adjacent-pair counting (all sliding pairs, overlaps included),
+    * same argmax — max frequency, ties to the SMALLEST pair in
+    * UTF-8 BINARY order (what Spark's string ORDER BY compares;
+    * Java's String ordering differs above the BMP, so the tie-break
+    * compares UTF-8 bytes explicitly) — and the same leftmost
+    * non-overlapping literal replace.
+    */
+  def bpeTrainLocal(docs: DataFrame, nMerges: Int): Seq[BpeMerge] = {
+    require(nMerges >= 1, "bpeTrainLocal needs nMerges >= 1")
+    val rows = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(bpeInit(col("word")).as("s"), col("freq"))
+      .collect()
+    val work = rows.map(_.getString(0))
+    val freqs = rows.map(_.getLong(1))
+    def utf8Less(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    val out = Seq.newBuilder[BpeMerge]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var w = 0
+      while (w < work.length) {
+        val syms = work(w).split(" ")
+        if (syms.length >= 2) {
+          var j = 0
+          while (j < syms.length - 1) {
+            val p = syms(j) + " " + syms(j + 1)
+            counts.update(p, counts.getOrElse(p, 0L) + freqs(w))
+            j += 1
+          }
+        }
+        w += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestPair: String = null
+        var bestF = Long.MinValue
+        counts.foreach { case (p, f) =>
+          if (f > bestF || (f == bestF && utf8Less(p, bestPair))) {
+            bestPair = p; bestF = f
+          }
+        }
+        val merged = bestPair.replace(BpeSep + " " + BpeSep, "")
+        out += BpeMerge(i + 1, bestPair, merged, bestF)
+        var w2 = 0
+        while (w2 < work.length) {
+          // Java's literal String.replace is the same leftmost
+          // non-overlapping sweep as Spark's `replace` expression
+          work(w2) = work(w2).replace(bestPair, merged)
+          w2 += 1
+        }
+        i += 1
+      }
+    }
+    out.result()
+  }
+
   /** The merge table as a relational artifact (the exportable model,
     * the [[graft.ext.Similarity]] pqCodebook shape): 1-based rank,
     * the pair's two symbols and the merged symbol in display form

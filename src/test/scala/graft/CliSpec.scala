@@ -642,10 +642,17 @@ class CliSpec extends SparkTestBase {
       "--model", model, "--n-merges", "4",
       "--out", tmpDir("cli-bpe-mixed") + "/o"), now))
       .message.contains("COUNT option"))
+    // --local trains the driver-side loop to the IDENTICAL model
+    val localModel = tmpDir("cli-bpe-local") + "/model"
+    Cli.run(spark, Seq("bpe", "--docs", base, "--n-merges", "4",
+      "--model", localModel, "--local"), now)
     // train: the written table IS bpeMerges
     val tr = Cli.run(spark, Seq("bpe", "--docs", base,
       "--n-merges", "4", "--model", model), now)
     assert(tr.contains("4 merges"), tr)
+    assert(spark.read.parquet(localModel).collect().map(_.toSeq).toSet
+      == spark.read.parquet(model).collect().map(_.toSeq).toSet,
+      "--local wrote a different merge table")
     val direct = graft.ext.TextAnalysis.bpeTrain(docs, 4)
     val stored = spark.read.parquet(model).collect()
       .map(r => graft.ext.TextAnalysis.bpeMergeOf(

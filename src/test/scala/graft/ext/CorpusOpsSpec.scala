@@ -737,6 +737,28 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(TextAnalysis.bpeTrain(docs.repartition(5), 20) == merges)
   }
 
+  test("bpeTrainLocal == bpeTrain merge-for-merge (the production-" +
+    "merge-count trainer), incl. exhaustion and the gate corpus") {
+    import spark.implicits._
+    // the 26-char word crosses the distributed trainer's remat
+    // boundary; tie-heavy frequencies exercise the UTF-8 tie-break
+    val tiny = Seq((1L, "abcdefghijklmnopqrstuvwxyz ba ab ab ba"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrainLocal(tiny, 20)
+      == TextAnalysis.bpeTrain(tiny, 20),
+      "local trainer diverged from the distributed trainer")
+    // exhaustion parity
+    val short = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrainLocal(short, 5)
+      == TextAnalysis.bpeTrain(short, 5))
+    // the real gate corpus, past the remat boundary
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    assert(TextAnalysis.bpeTrainLocal(docs, 18)
+      == TextAnalysis.bpeTrain(docs, 18),
+      "local trainer diverged on the gate corpus")
+  }
+
   test("bpe merge replace cannot cross a symbol boundary, and the " +
     "left-to-right sweep merges non-overlapping occurrences") {
     import spark.implicits._
