@@ -79,20 +79,29 @@ object Multimodal {
       }.toDF()
   }
 
-  /** A real WAV container around raw 8-bit unsigned mono PCM — the
-    * JDK's `AudioSystem.write` emits the canonical 44-byte-header
-    * RIFF/WAVE form for PCM.
+  /** A real WAV container around raw 8-bit unsigned mono PCM: the
+    * canonical 44-byte RIFF/WAVE header written directly —
+    * BYTE-IDENTICAL to what the JDK's `AudioSystem.write` emits for
+    * this fixed format (spec-pinned against it), without its
+    * per-call provider-registry scan, which dominated m05's synth
+    * side at the x10/x30 ladder legs (a synchronized global lookup
+    * on every row). The decode side still exercises the real header
+    * contract: [[wavHeaderFacts]] must parse exactly these bytes,
+    * and javax.sound remains the decoder for every sample consumer.
     */
   private[ext] def wavBytes(pcm: Array[Byte], rate: Int): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(
-      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
-      rate.toFloat, 8, 1, 1, rate.toFloat, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
-    val bos = new java.io.ByteArrayOutputStream(pcm.length + 64)
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    val n = pcm.length
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val b = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes(ascii)).putInt(36 + n)
+      .put("WAVE".getBytes(ascii))
+      .put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1).putShort(1) // integer PCM, mono
+      .putInt(rate).putInt(rate) // byte rate = rate · 1 channel · 1 B
+      .putShort(1).putShort(8) // block align, bits per sample
+      .put("data".getBytes(ascii)).putInt(n).put(pcm)
+    b.array()
   }
 
   /** Wrap documents as REAL BMP images — [[asWavAssets]]'s image

@@ -1232,6 +1232,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.getAs[Long]("n_zero") == 0 && a.getAs[Long]("n_nonfinite") == 0)
   }
 
+  test("wavBytes == AudioSystem.write byte-for-byte (the canonical " +
+    "44-byte PCM RIFF form)") {
+    def jdk(pcm: Array[Byte], rate: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        rate.toFloat, 8, 1, 1, rate.toFloat, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream(pcm.length + 64)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    for ((pcm, rate) <- Seq(
+        ("hello container world".getBytes("UTF-8"), 8000),
+        (Array.tabulate[Byte](8000)(i => (i % 251).toByte), 8000),
+        (Array.emptyByteArray, 44100),
+        (Array[Byte](0, 127, -128, -1), 16000)))
+      assert(java.util.Arrays.equals(
+        Multimodal.wavBytes(pcm, rate), jdk(pcm, rate)),
+        s"direct RIFF writer diverged from AudioSystem.write at " +
+          s"n=${pcm.length}, rate=$rate")
+  }
+
   test("wav header walk == the real javax.sound decode, fact for fact") {
     def enc(rate: Float, bits: Int, channels: Int,
             nFrames: Int): Array[Byte] = {
