@@ -755,7 +755,7 @@ object SimilarityQueries {
          |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
          |    ORDER BY round(list_sum(list_transform(range(1, len(sv)+1),
          |      i -> (sv[i]-c_sv[i])*(sv[i]-c_sv[i]))), 4), cell) = 1),
-         |codesc AS (
+         |codesc AS MATERIALIZED (
          |  SELECT c.vec_id, c.sub, c.cell, r.coarse_id
          |  FROM codes c JOIN er r USING (vec_id)),
          |probes AS (
@@ -931,12 +931,12 @@ object SimilarityQueries {
     */
   private lazy val S19Sql: String = mmrGreedySql(
     s"""$S08Ctes,
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT query_id, vec_id, round(qc + r_ip, 4) AS rel
        |  FROM adc
        |  QUALIFY row_number() OVER (PARTITION BY query_id
        |    ORDER BY round(qc + r_ip, 4) DESC, vec_id) <= $MmrPool),
-       |rflat AS (
+       |rflat AS MATERIALIZED (
        |  SELECT cc.vec_id, flatten(list(cb1.c_sv ORDER BY cc.sub))
        |    AS remb
        |  FROM codesc cc
@@ -951,7 +951,7 @@ object SimilarityQueries {
        |        FROM rflat) r
        |  JOIN rbase b ON b.vec_id = r.vec_id
        |  JOIN cent ct ON ct.coarse_id = b.coarse_id),
-       |rec AS (SELECT vec_id, list(v ORDER BY i) AS emb
+       |rec AS MATERIALIZED (SELECT vec_id, list(v ORDER BY i) AS emb
        |        FROM radd GROUP BY vec_id)""".stripMargin,
     simCte = "rec")
 
