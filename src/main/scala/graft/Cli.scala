@@ -318,11 +318,15 @@ object Cli {
         throw CliError(s"vector index already exists at $store " +
           "(drop it or --update)")
       val emb = readEmbeddings(spark, required(opts, "embeddings"))
-      val (nlist, m, ksub) = (intOpt(opts, "nlist", 16),
+      // --nlist 0 (the default) auto-sizes to the d09 ⌈N/128⌉ rule
+      val (nlist, m, ksub) = (intOpt(opts, "nlist", 0),
         intOpt(opts, "m", 8), intOpt(opts, "ksub", 16))
       val (dim, iters, ci) = (intOpt(opts, "dim", 64),
         intOpt(opts, "iters", 1), intOpt(opts, "coarse_iters", 2))
-      for ((n, v) <- Seq("nlist" -> nlist, "m" -> m, "ksub" -> ksub,
+      if (nlist < 0)
+        throw CliError(s"--nlist must be positive (or 0 = auto-size), " +
+          s"got $nlist")
+      for ((n, v) <- Seq("m" -> m, "ksub" -> ksub,
           "dim" -> dim, "iters" -> iters, "coarse-iters" -> ci))
         if (v < 1) throw CliError(s"--$n must be positive, got $v")
       if (dim % m != 0)

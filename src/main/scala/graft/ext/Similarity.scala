@@ -1237,15 +1237,26 @@ object Similarity {
         col("approx_ip"), col("rank"))
   }
 
+  /** `nlist = 0` (the default) auto-sizes the coarse cell count to
+    * ⌈N/128⌉ with floor 16 — the d09 occupancy-constant rule
+    * ([[autoNlist]]), shared with [[VectorIndex.init]] so the
+    * in-query form and the persisted store resolve IDENTICAL models
+    * at every corpus size (the s08 == s17 oracle contract). A fixed
+    * nlist at 100× the corpus would degrade nprobe/nlist pruning to a
+    * constant 4/16; under the rule the probed fraction shrinks as the
+    * corpus grows. The s08/s17/s19 oracles replay the same integer
+    * sizing in SQL.
+    */
   def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-                nlist: Int = 16, nprobe: Int = 4,
+                nlist: Int = 0, nprobe: Int = 4,
                 m: Int = 8, ksub: Int = 16, dim: Int = 64,
                 iters: Int = 1, coarseIters: Int = 1): DataFrame = {
     val dsub = dim / m
     val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
+    val nl = if (nlist > 0) nlist else autoNlist(e.count())
     val (centroids, cb1, codes) =
-      ivfPqIndex(e, nlist, m, ksub, dim, iters, coarseIters)
+      ivfPqIndex(e, nl, m, ksub, dim, iters, coarseIters)
     val q = queries.select(col("vec_id").cast("long").as("query_id"),
       col("embedding").cast("array<double>").as("emb"))
     ivfPqRank(codes, ivfPqProbes(q, centroids, nprobe),

@@ -15,23 +15,28 @@ import org.apache.spark.sql.functions._
   *  - `codebooks/` — (sub, cell, c_sv): the residual PQ codebooks
   *    ([[Similarity.ivfPqIndex]]), KB-scale;
   *  - `codes/` — (vec_id, sub, cell, coarse_id): the corpus codes —
-  *    the ONLY corpus-sized artifact (~3% of a float corpus), an
-  *    APPEND-ONLY set of pure facts that folds at read (the consumers'
-  *    distinct), so at-least-once replays of an [[update]] batch are
-  *    harmless — the [[graft.streaming.StreamingDedup]] idempotence
-  *    contract, chosen over transactional sinks for the same reason;
+  *    the ONLY corpus-sized artifact (~3% of a float corpus). Appends
+  *    are id-gated ([[update]] anti-joins the batch against the ids
+  *    already coded), so at-least-once replays of a batch append
+  *    NOTHING — stronger than the fold-at-read contract the BM25
+  *    postings use, and it closes the divergent-re-present hole (a
+  *    changed embedding under an existing id can never plant a second
+  *    code set whose ADC terms would double-count);
+  *  - `tombstones/` — (vec_id, deleted_at): deletion facts appended by
+  *    [[delete]]; every read path anti-joins them, [[compact]] drops
+  *    the dead rows physically;
   *  - `meta/` — one row: the training knobs plus a corpus fingerprint
-  *    (row count + vec_id sum), written LAST so a crash mid-init
-  *    leaves a store that [[initIfStale]] rebuilds rather than a
-  *    silently half-written one.
+  *    (row count + vec_id sum + a first-component content sum on the
+  *    1e-6 grid), written LAST so a crash mid-init leaves a store that
+  *    [[initIfStale]] rebuilds rather than a silently half-written
+  *    one; an UNREADABLE meta (crash mid-commit) also reads as stale.
   *
   * The model (centroids + codebooks) is FROZEN at init — [[update]]
   * encodes new vectors under it without retraining (a production PQ
   * index re-trains on a schedule, not per batch), as a PURE NARROW
-  * MAP: in-row coarse argmax over the literal centroid list, in-row
-  * residual, [[Similarity.pqEncode]]'s in-row argmin — no shuffle, no
-  * state, runs unchanged on a `readStream` batch
-  * ([[graft.streaming.StreamingVectorIndex]]).
+  * MAP with two bit-identical execution forms picked by model size
+  * (see [[update]]): no shuffle, no state, runs unchanged on a
+  * `readStream` batch ([[graft.streaming.StreamingVectorIndex]]).
   *
   * [[query]] never touches the corpus: probes rank the KB centroid
   * table, the probed cell ids push into the codes parquet scan as
@@ -45,7 +50,16 @@ object VectorIndex {
 
   final case class IndexMeta(nlist: Int, m: Int, ksub: Int, dim: Int,
                              iters: Int, coarseIters: Int,
-                             nRows: Long, idSum: Long)
+                             nRows: Long, idSum: Long, embSum: Long)
+
+  /** Above this raw-model size, [[update]] switches the in-row encode
+    * from planted plan literals to a closure-based mapPartitions (the
+    * KeywordMatch 4 MiB TorrentBroadcast precedent): a production
+    * nlist (≈√N — thousands of centroids × dim doubles) would
+    * otherwise re-serialize a multi-MiB literal tree into EVERY task
+    * binary of every update stage.
+    */
+  private[graft] val LitEncodeMaxBytes: Long = 4L << 20
 
   private def fs(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -64,29 +78,45 @@ object VectorIndex {
     IndexMeta(r.getAs[Int]("nlist"), r.getAs[Int]("m"),
       r.getAs[Int]("ksub"), r.getAs[Int]("dim"), r.getAs[Int]("iters"),
       r.getAs[Int]("coarse_iters"), r.getAs[Long]("n_rows"),
-      r.getAs[Long]("id_sum"))
+      r.getAs[Long]("id_sum"), r.getAs[Long]("emb_sum"))
   }
 
   /** The corpus fingerprint recorded at init: one cheap aggregate over
-    * the id column. [[initIfStale]] compares it so a REGENERATED
-    * corpus at the same path can never be served from a stale index.
+    * the id column AND the embedding content — count, vec_id sum, and
+    * the sum of first components on the 1e-6 grid. [[initIfStale]]
+    * compares all three, so neither a REGENERATED corpus at the same
+    * path nor a RE-EMBEDDED corpus under the same ids (the stable
+    * 0..n-1 id stream a new encoder run produces) can be served from
+    * a stale index — ids alone would pass the second case silently.
     */
-  private def fingerprint(e: DataFrame): (Long, Long) = {
+  private def fingerprint(e: DataFrame): (Long, Long, Long) = {
     val r = e.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("vec_id")), lit(0L)).as("s")).collect()(0)
-    (r.getAs[Long]("n"), r.getAs[Long]("s"))
+      coalesce(sum(col("vec_id")), lit(0L)).as("s"),
+      coalesce(sum(coalesce(round(element_at(col("emb"), 1) * 1e6, 0),
+        lit(0.0d))).cast("long"), lit(0L)).as("es")).collect()(0)
+    (r.getAs[Long]("n"), r.getAs[Long]("s"), r.getAs[Long]("es"))
   }
 
   private def prep(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
 
+  /** `nlist = 0` auto-sizes to ⌈N/128⌉ (floor 16) — d09/d07's
+    * occupancy-constant rule ([[Similarity.autoNlist]]), so a 100×
+    * corpus gets 100× the cells and nprobe/nlist pruning stays a
+    * constant fraction instead of degrading to 4/16. The s08/s17
+    * oracle replays the same integer rule in SQL.
+    */
+  private def resolveNlist(nlist: Int, n: Long): Int =
+    if (nlist > 0) nlist else Similarity.autoNlist(n)
+
   /** Bootstrap: train the coarse quantizer and residual codebooks on
     * `embeddings` ([[Similarity.ivfPqIndex]] — ONE definition with the
     * in-query s08) and write the full store. Overwrites any previous
-    * store at `store`; meta lands last.
+    * store at `store` (tombstones included — a rebuild starts clean);
+    * meta lands last.
     */
-  def init(embeddings: DataFrame, store: String, nlist: Int = 16,
+  def init(embeddings: DataFrame, store: String, nlist: Int = 0,
            m: Int = 8, ksub: Int = 16, dim: Int = 64, iters: Int = 1,
            coarseIters: Int = 2): Unit = {
     val spark = embeddings.sparkSession
@@ -94,54 +124,52 @@ object VectorIndex {
     val e = prep(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val (n, s, es) = fingerprint(e)
+      val nl = resolveNlist(nlist, n)
       val (centroids, cb1, codes) =
-        Similarity.ivfPqIndex(e, nlist, m, ksub, dim, iters, coarseIters)
+        Similarity.ivfPqIndex(e, nl, m, ksub, dim, iters, coarseIters)
       centroids.write.mode("overwrite").parquet(s"$store/centroids")
       cb1.write.mode("overwrite").parquet(s"$store/codebooks")
       codes.write.mode("overwrite").parquet(s"$store/codes")
-      val (n, s) = fingerprint(e)
-      Seq((nlist, m, ksub, dim, iters, coarseIters, n, s))
+      val (tp, tf) = fs(spark, s"$store/tombstones")
+      tf.delete(tp, true)
+      Seq((nl, m, ksub, dim, iters, coarseIters, n, s, es))
         .toDF("nlist", "m", "ksub", "dim", "iters", "coarse_iters",
-          "n_rows", "id_sum")
+          "n_rows", "id_sum", "emb_sum")
         .coalesce(1).write.mode("overwrite").parquet(s"$store/meta")
     } finally e.unpersist()
   }
 
   /** Init unless a complete store already matches this corpus and
     * these knobs — the idempotent form contract queries and the CLI
-    * use (a re-run serves from the store; a regenerated corpus or a
-    * knob change rebuilds). Returns true when it (re)built.
+    * use (a re-run serves from the store; a regenerated OR re-embedded
+    * corpus, a knob change, or an unreadable/half-committed meta
+    * rebuilds). Returns true when it (re)built.
     */
-  def initIfStale(embeddings: DataFrame, store: String, nlist: Int = 16,
+  def initIfStale(embeddings: DataFrame, store: String, nlist: Int = 0,
                   m: Int = 8, ksub: Int = 16, dim: Int = 64,
                   iters: Int = 1, coarseIters: Int = 2): Boolean = {
     val spark = embeddings.sparkSession
-    val fresh = exists(spark, store) && {
+    // an unreadable meta (crash between the directory create and the
+    // parquet footer commit) must read as STALE, not throw — the
+    // "meta lands last so a crash mid-init rebuilds" contract
+    val fresh = exists(spark, store) && scala.util.Try {
       val meta = readMeta(spark, store)
-      val (n, s) = fingerprint(prep(embeddings))
-      meta == IndexMeta(nlist, m, ksub, dim, iters, coarseIters, n, s)
-    }
+      val (n, s, es) = fingerprint(prep(embeddings))
+      meta == IndexMeta(resolveNlist(nlist, n), m, ksub, dim, iters,
+        coarseIters, n, s, es)
+    }.getOrElse(false)
     if (!fresh)
       init(embeddings, store, nlist, m, ksub, dim, iters, coarseIters)
     !fresh
   }
 
-  /** Append one batch of new vectors under the FROZEN stored model —
-    * the index-maintenance narrow map: coarse assignment is an in-row
-    * argmin over (−round6 cosine, coarse_id) structs of the literal
-    * centroid list (identical argmax + tiebreak to the distributed
-    * assignment — [[Similarity.ivfPqIndex]]'s max_by — spec-pinned
-    * code-for-code), the residual an in-row zip_with against the
-    * chosen centroid, and the PQ cells [[Similarity.pqEncode]]'s
-    * in-row argmin. No explode over the corpus, no join, no shuffle,
-    * no retrain — scan speed on a 100 TB delta, and unchanged on a
-    * `readStream` batch. The batch is row-deduplicated first (the
-    * [[Retrieval.updateIndex]] discipline) and the append folds at
-    * read, so replays are no-ops.
+  /** The frozen model, collected: centroids sorted by id and the
+    * (sub, cell) → subvector codebook map — KB-to-MB scale by the
+    * store contract (the pqCodebook collect discipline).
     */
-  def update(batch: DataFrame, store: String): Unit = {
-    val spark = batch.sparkSession
-    val meta = readMeta(spark, store)
+  private def readModel(spark: SparkSession, store: String)
+      : (Array[(Long, Array[Double])], Map[(Int, Long), Array[Double]]) = {
     val centroids = spark.read.parquet(s"$store/centroids").collect()
       .map(r => (r.getAs[Long]("coarse_id"),
         r.getAs[Seq[Double]]("c_emb").toArray))
@@ -151,7 +179,21 @@ object VectorIndex {
       .map(r => (r.getAs[Int]("sub"), r.getAs[Long]("cell")) ->
         r.getAs[Seq[Double]]("c_sv").toArray)
       .toMap
-    val b = prep(batch).distinct()
+    (centroids, model)
+  }
+
+  /** Literal-plan in-row encode: coarse assignment is an in-row
+    * argmin over (−round6 cosine, coarse_id) structs of the literal
+    * centroid list (identical argmax + tiebreak to the distributed
+    * assignment — [[Similarity.ivfPqIndex]]'s max_by — spec-pinned
+    * code-for-code), the residual an in-row zip_with against the
+    * chosen centroid, and the PQ cells [[Similarity.pqEncode]]'s
+    * in-row argmin. Whole-stage-codegen'd, but the model rides the
+    * expression tree — right below [[LitEncodeMaxBytes]] only.
+    */
+  private def encodeLiteral(b: DataFrame, meta: IndexMeta,
+      centroids: Array[(Long, Array[Double])],
+      model: Map[(Int, Long), Array[Double]]): DataFrame = {
     val best = array_min(array(centroids.map { case (cid, cEmb) =>
       struct(
         (-round(Similarity.cosine(col("emb"), typedLit(cEmb.toSeq)), 6))
@@ -171,7 +213,230 @@ object VectorIndex {
         col("coarse_id"))
       .select(col("vec_id"), col("sub").cast("int").as("sub"),
         col("cell"), col("coarse_id"))
+  }
+
+  /** Closure-based in-row encode — the same math as [[encodeLiteral]]
+    * BIT FOR BIT (spec-pinned: codes identical across both paths),
+    * with the model shipped once per executor in the task closure
+    * (TorrentBroadcast) instead of re-serialized into every task's
+    * expression tree: cosine is the [[graft.functions
+    * .CosineSimilarity]] fused loop verbatim (dot/nx/ny accumulated
+    * left-to-right, denom-zero → 0.0), rounds are the scala
+    * BigDecimal HALF_UP Spark's `round` executes, d² the
+    * [[graft.functions.L2Squared]] loop, and both tiebreaks the same
+    * (min coarse_id / min cell).
+    */
+  private def encodeClosure(b: DataFrame, meta: IndexMeta,
+      centroids: Array[(Long, Array[Double])],
+      model: Map[(Int, Long), Array[Double]]): DataFrame = {
+    val spark = b.sparkSession
+    import spark.implicits._
+    val m = meta.m
+    val dsub = meta.dim / meta.m
+    // per-subspace cell arrays, sorted by cell id (the argmin tiebreak)
+    val cells: Array[Array[(Long, Array[Double])]] =
+      Array.tabulate(m)(s => model.collect {
+        case ((`s`, cell), c_sv) => (cell, c_sv)
+      }.toArray.sortBy(_._1))
+    cells.zipWithIndex.foreach { case (cs, s) =>
+      require(cs.nonEmpty, s"codebook has no cells for subspace $s") }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    b.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, e) =>
+          // coarse argmax: round6 cosine, tie -> smaller coarse_id
+          var bestSim = Double.NegativeInfinity
+          var bestCid = 0L
+          var bestEmb: Array[Double] = null
+          var c = 0
+          while (c < centroids.length) {
+            val (cid, ce) = centroids(c)
+            var dot = 0.0; var nx = 0.0; var ny = 0.0
+            var i = 0
+            val n = math.min(e.length, ce.length)
+            // dims are validated equal upstream; the min is belt only
+            while (i < n) {
+              val xi = e(i); val yi = ce(i)
+              dot += xi * yi; nx += xi * xi; ny += yi * yi
+              i += 1
+            }
+            val denom = math.sqrt(nx) * math.sqrt(ny)
+            val sim = round6(if (denom == 0.0) 0.0 else dot / denom)
+            if (sim > bestSim) { bestSim = sim; bestCid = cid; bestEmb = ce }
+            c += 1
+          }
+          val resid = Array.tabulate(e.length)(i => e(i) - bestEmb(i))
+          (0 until m).iterator.map { s =>
+            val cs = cells(s)
+            var bestD2 = Double.PositiveInfinity
+            var bestCell = 0L
+            var k = 0
+            while (k < cs.length) {
+              val (cell, sv) = cs(k)
+              var acc = 0.0
+              var i = 0
+              while (i < dsub) {
+                val d = resid(s * dsub + i) - sv(i)
+                acc += d * d
+                i += 1
+              }
+              val d2 = round4(acc)
+              if (d2 < bestD2) { bestD2 = d2; bestCell = cell }
+              k += 1
+            }
+            (id, s, bestCell, bestCid)
+          }
+        }
+      }.toDF("vec_id", "sub", "cell", "coarse_id")
+  }
+
+  /** The in-row encode of a prepped (vec_id, emb) frame under the
+    * frozen stored model — the two execution forms above, picked by
+    * raw model size. Exposed for the parity spec.
+    */
+  private[graft] def encodeUnderModel(b: DataFrame, meta: IndexMeta,
+      centroids: Array[(Long, Array[Double])],
+      model: Map[(Int, Long), Array[Double]],
+      litMaxBytes: Long): DataFrame = {
+    val modelBytes =
+      (centroids.length.toLong * meta.dim +
+        model.size.toLong * (meta.dim / meta.m)) * 8L
+    if (modelBytes <= litMaxBytes) encodeLiteral(b, meta, centroids, model)
+    else encodeClosure(b, meta, centroids, model)
+  }
+
+  private[graft] def encodeForStore(spark: SparkSession, store: String,
+      batch: DataFrame, litMaxBytes: Long = LitEncodeMaxBytes): DataFrame = {
+    val meta = readMeta(spark, store)
+    val (centroids, model) = readModel(spark, store)
+    encodeUnderModel(prep(batch), meta, centroids, model, litMaxBytes)
+  }
+
+  /** Append one batch of new vectors under the FROZEN stored model —
+    * the index-maintenance narrow map ([[encodeUnderModel]]): no
+    * explode over the corpus, no retrain — scan speed on a 100 TB
+    * delta, and unchanged on a `readStream` batch. Contract guards:
+    *
+    *  - the batch must carry exactly `meta.dim`-dimensional vectors —
+    *    a mismatched delta would slice wrong and encode garbage codes
+    *    SILENTLY, so it fails loudly instead;
+    *  - ids are immutable: the batch anti-joins the ids already coded
+    *    (and the tombstoned ones — a deleted id stays deleted until a
+    *    re-init), so an at-least-once replay appends NOTHING and a
+    *    re-presented id with a CHANGED embedding cannot plant a second
+    *    divergent code set (whose ADC terms would double-count and
+    *    whose first(qc) would go nondeterministic). Re-embedding an
+    *    existing id is a model-drift event — re-init handles it.
+    *
+    * The anti-join's code-store read is materialized (eager
+    * localCheckpoint of the delta-sized survivor set) BEFORE the
+    * append begins, so the store is never read and written by the
+    * same job.
+    */
+  def update(batch: DataFrame, store: String): Unit =
+    update(batch, store, LitEncodeMaxBytes)
+
+  private[graft] def update(batch: DataFrame, store: String,
+                            litMaxBytes: Long): Unit = {
+    val spark = batch.sparkSession
+    val meta = readMeta(spark, store)
+    val (centroids, model) = readModel(spark, store)
+    val b0 = prep(batch).distinct()
+    val dims = b0.agg(min(size(col("emb"))).as("mn"),
+      max(size(col("emb"))).as("mx")).collect()(0)
+    if (dims.isNullAt(0)) return // empty batch: nothing to encode
+    require(dims.getInt(0) == meta.dim && dims.getInt(1) == meta.dim,
+      s"update batch carries ${dims.getInt(0)}..${dims.getInt(1)}-dim " +
+        s"embeddings where the store at $store is trained on " +
+        s"${meta.dim}-dim vectors (re-init to change the model)")
+    val known = spark.read.parquet(s"$store/codes")
+      .select(col("vec_id")).distinct()
+      .unionByName(tombstones(spark, store).select(col("vec_id")))
+    val fresh = b0.join(known, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    if (fresh.isEmpty) return
+    encodeUnderModel(fresh, meta, centroids, model, litMaxBytes)
       .write.mode("append").parquet(s"$store/codes")
+  }
+
+  /** The tombstone facts (vec_id, deleted_at) — empty frame when none
+    * have ever been written.
+    */
+  private def tombstones(spark: SparkSession, store: String): DataFrame = {
+    val (p, f) = fs(spark, s"$store/tombstones")
+    if (!f.exists(p))
+      spark.range(0).select(col("id").as("vec_id"),
+        lit(0L).as("deleted_at"))
+    else spark.read.parquet(s"$store/tombstones")
+  }
+
+  /** Delete vectors from the store — the takedown path an append-only
+    * store otherwise lacks: appends (vec_id, deleted_at) tombstone
+    * FACTS (at-least-once replays append duplicate facts, harmless —
+    * every consumer anti-joins on vec_id only), every read path
+    * ([[query]], [[reconstruct]], [[diversifiedQuery]]) filters them
+    * out immediately, and [[compact]] later drops the dead code rows
+    * physically. A tombstoned id also never re-enters via [[update]]
+    * (id immutability); only a re-[[init]] resurrects it.
+    */
+  def delete(spark: SparkSession, store: String,
+             vecIds: Seq[Long]): Unit = {
+    require(exists(spark, store),
+      s"no vector index store at $store (run init first)")
+    require(vecIds.nonEmpty, "delete needs at least one vec_id")
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    vecIds.distinct.map((_, now)).toDF("vec_id", "deleted_at")
+      .coalesce(1).write.mode("append").parquet(s"$store/tombstones")
+  }
+
+  /** Live codes: the store's append log with replay duplicates folded
+    * and tombstoned ids removed — ONE definition for every read path.
+    */
+  private def liveCodes(spark: SparkSession, store: String): DataFrame =
+    spark.read.parquet(s"$store/codes")
+      .join(tombstones(spark, store).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .distinct()
+
+  final case class CompactReport(codeRowsBefore: Long, codeRowsAfter: Long,
+                                 filesBefore: Int, filesAfter: Int)
+
+  /** Physically compact the codes store: rewrite it as the folded,
+    * tombstone-free row set ([[liveCodes]]) in few sized files, then
+    * publish via the engine's checked-rename swap
+    * ([[graft.engine.Compactor.swapInto]] — crash-safe, never leaves
+    * the store missing). Query results are unchanged BY CONSTRUCTION
+    * (reads already fold + anti-join; spec-pinned anyway); what
+    * changes is the physics — N streaming drains' small append files
+    * and replay duplicates stop accumulating. Tombstones stay in
+    * place (they are cheap facts and still gate [[update]]); only
+    * re-[[init]] clears them.
+    */
+  def compact(spark: SparkSession, store: String,
+              targetBytes: Long = 512L << 20): CompactReport = {
+    require(exists(spark, store),
+      s"no vector index store at $store (run init first)")
+    val dir = s"$store/codes"
+    val (p, f) = fs(spark, dir)
+    def dataFiles = f.listStatus(p).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val before = dataFiles
+    val rowsBefore = spark.read.parquet(dir).count()
+    val bytes = before.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = dir + "__compact_tmp"
+    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    liveCodes(spark, store).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp)
+    graft.engine.Compactor.swapInto(f, dir, tmp)
+    CompactReport(rowsBefore, spark.read.parquet(dir).count(),
+      before.length, dataFiles.length)
   }
 
   /** PQ-reconstruct the stored approximation of selected vectors —
@@ -191,6 +456,8 @@ object VectorIndex {
     val cents = spark.read.parquet(s"$store/centroids")
     val codes = spark.read.parquet(s"$store/codes")
       .filter(col("vec_id").isin(vecIds: _*))
+      .join(tombstones(spark, store).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
       .distinct()
     codes.join(broadcast(cb1), Seq("sub", "cell"))
       .groupBy(col("vec_id"))
@@ -230,13 +497,57 @@ object VectorIndex {
     Similarity.mmrRerank(pool, k, lambda)
   }
 
+  /** Two-stage retrieval — the standard PQ serving tail: the store's
+    * ADC ranking nominates the top-`rerank` candidates per query
+    * ([[query]] — cell-pruned, corpus never scanned), then ONLY those
+    * candidates' ORIGINAL vectors are fetched from the corpus parquet
+    * by a pushed vec_id filter (spec-pinned PushedFilters — the fetch
+    * reads |Q|·rerank rows' worth of row groups, not the corpus) and
+    * re-ranked by exact rounded-4 cosine with the family's vec_id
+    * tiebreak. The discipline s04 proves in-query (quantized
+    * candidates → exact re-rank of survivors), composed over the
+    * persisted store: ADC compression error affects only WHICH
+    * candidates are nominated, never their final order. With `rerank`
+    * covering the corpus and `nprobe` covering the cells this
+    * degenerates to the exact ranking (spec-pinned, the s04
+    * contract). Oracle-checked (s20): the s08 candidate chain + the
+    * exact re-rank CTE replay end-to-end.
+    */
+  def queryRerank(spark: SparkSession, store: String, corpus: DataFrame,
+                  queries: DataFrame, k: Int, rerank: Int = 8,
+                  nprobe: Int = 4): DataFrame = {
+    require(rerank >= k,
+      s"rerank pool ($rerank) must cover k ($k)")
+    val cands = query(spark, store, queries, rerank, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      .localCheckpoint(true) // consumed twice: id collect + fetch join
+    val ids = cands.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val originals = prep(corpus)
+      .filter(col("vec_id").isin(ids: _*))
+    val q = prep(queries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cands.join(originals, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim",
+        round(Similarity.cosine(col("emb"), col("q_emb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("sim"), col("rank"))
+  }
+
   /** Rank from the store WITHOUT touching the corpus: probes rank the
     * KB centroid table, the probed cell ids (collected — |Q|·nprobe
     * longs, the bm25-terms discipline) push into the codes scan as
-    * PushedFilters, replayed appends fold via distinct, and the
-    * scoring tail is [[Similarity.ivfPqRank]] verbatim. Identical
-    * rankings to [[Similarity.ivfPqTopK]] over the same corpus and
-    * knobs (spec-pinned; s17's oracle replays s08's SQL).
+    * PushedFilters, replayed appends fold via distinct, tombstoned
+    * ids anti-join out, and the scoring tail is [[Similarity
+    * .ivfPqRank]] verbatim. Identical rankings to
+    * [[Similarity.ivfPqTopK]] over the same corpus and knobs
+    * (spec-pinned; s17's oracle replays s08's SQL).
     */
   def query(spark: SparkSession, store: String, queries: DataFrame,
             k: Int, nprobe: Int = 4): DataFrame = {
@@ -251,6 +562,8 @@ object VectorIndex {
       .collect().map(_.getLong(0))
     val codes = spark.read.parquet(s"$store/codes")
       .filter(col("coarse_id").isin(cells.toIndexedSeq: _*))
+      .join(tombstones(spark, store).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
       .distinct()
     Similarity.ivfPqRank(codes, probes,
       Similarity.ivfPqDtable(q, cb1, meta.m, meta.dim / meta.m), k)

@@ -34,6 +34,12 @@ object SimilarityQueries {
   private val MmrPool = 12
   private val MmrLambda = 0.7
 
+  /** s20's candidate-stage depth: the store nominates this many ADC
+    * candidates per query before the exact re-rank cuts to K — shared
+    * by the query and the oracle generator.
+    */
+  private val RerankPool = 8
+
   /** s09's query bag: chosen to span the corpus df spectrum (`dup`
     * appears in ~5% of documents, the others in ~77%).
     */
@@ -59,8 +65,10 @@ object SimilarityQueries {
     * `CoarseIters − 1` Lloyd passes — s05's rounded-4 argmax
     * assignment and DECIMAL-mean update, unrolled — ending in
     * `cent($idAlias, c_emb)`. Assumes a CTE `e(vec_id, emb)`.
+    * `nlist` is any scalar SQL expression — a literal for s03's
+    * pinned width, [[AutoNlistSql]] for the s08/s17/s19 chain.
     */
-  private def coarseCtes(nlist: Int, idAlias: String): String = {
+  private def coarseCtes(nlist: String, idAlias: String): String = {
     val rounds = (2 to CoarseIters).map { t =>
       s"""ca$t AS (
          |  SELECT vec_id, emb, centroid_id
@@ -253,6 +261,23 @@ object SimilarityQueries {
       VectorIndex.diversifiedQuery(s, store,
         e.filter(col("vec_id") < NumQueries),
         k = MmrK, poolSize = MmrPool, lambda = MmrLambda)
+    },
+
+    /** s20 — TWO-STAGE retrieval from the store (the standard PQ
+      * serving tail): the persisted index nominates the top-`RerankPool`
+      * ADC candidates per probe (s17's cell-pruned path), then ONLY
+      * those candidates' original vectors are fetched from the corpus
+      * parquet by a pushed vec_id filter and re-ranked by exact
+      * rounded-4 cosine — compression error can mis-nominate, never
+      * mis-order. The oracle replays the whole s08 candidate chain,
+      * the pool cut, and the exact re-rank.
+      */
+    "s20_ann_rerank" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val store = indexStoreFor(d)
+      VectorIndex.initIfStale(e, store, coarseIters = CoarseIters)
+      VectorIndex.queryRerank(s, store, e,
+        e.filter(col("vec_id") < NumQueries), K, rerank = RerankPool)
     },
 
     /** s09 — Okapi BM25 lexical top-k: the retrieval family's text
@@ -700,12 +725,21 @@ object SimilarityQueries {
        |  ORDER BY round(qc + r_ip, 4) DESC, vec_id)
        |QUALIFY rank <= $K""".stripMargin
 
+  /** The ⌈N/128⌉-floor-16 auto-sizing rule ([[graft.ext.Similarity
+    * .autoNlist]]) as a scalar SQL expression over the corpus CTE `e`
+    * — exact integer arithmetic (floored-div ceil), so the oracle and
+    * the operator resolve the IDENTICAL nlist at every corpus size
+    * (128 a power of two keeps the rule float-free on both sides).
+    */
+  private val AutoNlistSql: String =
+    "(SELECT GREATEST(16, (COUNT(*) + 127) // 128) FROM e)"
+
   private lazy val S08Ctes: String =
     s"""e AS (
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |         CAST(embedding AS DOUBLE[]) AS emb
          |  FROM embeddings),
-         |${coarseCtes(nlist = 16, idAlias = "coarse_id")},
+         |${coarseCtes(nlist = AutoNlistSql, idAlias = "coarse_id")},
          |post0 AS (
          |  SELECT vec_id, emb, coarse_id, c_emb
          |  FROM e CROSS JOIN cent
@@ -784,6 +818,29 @@ object SimilarityQueries {
          |  JOIN dt ON dt.query_id = p.query_id AND dt.sub = cc.sub
          |    AND dt.cell = cc.cell
          |  GROUP BY p.query_id, cc.vec_id, p.qc)""".stripMargin
+
+  /** s20: the s08 chain ends in `adc`; candidates are its
+    * top-`RerankPool` cut, and the final ranking is the EXACT s01
+    * cosine over just those candidates' original vectors — the
+    * two-stage serving tail end-to-end in SQL.
+    */
+  private lazy val S20Sql: String =
+    s"""WITH $S08Ctes,
+       |cand AS (
+       |  SELECT query_id, vec_id
+       |  FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY round(qc + r_ip, 4) DESC, vec_id) <= $RerankPool)
+       |SELECT c.query_id, c.vec_id AS neighbor_id,
+       |  round(list_cosine_similarity(ce.emb, qe.emb), 4) + 0.0 AS sim,
+       |  CAST(row_number() OVER w AS INT) AS rank
+       |FROM cand c
+       |JOIN e ce ON ce.vec_id = c.vec_id
+       |JOIN e qe ON qe.vec_id = c.query_id
+       |WINDOW w AS (PARTITION BY c.query_id
+       |  ORDER BY round(list_cosine_similarity(ce.emb, qe.emb), 4) DESC,
+       |           c.vec_id)
+       |QUALIFY rank <= $K""".stripMargin
 
   private lazy val S13Sql: String =
     s"""WITH $PcaBaseCtes,
@@ -1113,6 +1170,10 @@ object SimilarityQueries {
     // store lifecycle and the in-query form hash-fails here.
     "s17_ann_index" -> S08Sql,
 
+    // s20: the s08 candidate chain cut at RerankPool + the exact
+    // cosine re-rank of just those candidates' originals
+    "s20_ann_rerank" -> S20Sql,
+
     // s07: the full PQ pipeline replayed — seed slice, one Lloyd
     // update through DECIMAL means (bit-identical codebooks), argmin
     // encode with the (d2, cell) tiebreak, ADC DECIMAL sum. Slices
@@ -1315,7 +1376,7 @@ object SimilarityQueries {
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |         CAST(embedding AS DOUBLE[]) AS emb
          |  FROM embeddings),
-         |${coarseCtes(nlist = 16, idAlias = "centroid_id")},
+         |${coarseCtes(nlist = "16", idAlias = "centroid_id")},
          |post AS (
          |  SELECT vec_id, emb, centroid_id
          |  FROM e CROSS JOIN cent

@@ -37,9 +37,15 @@ object StreamingVectorIndex {
     require(VectorIndex.exists(spark, store),
       s"no vector index store at $store (run init first — the drain " +
         "encodes under the store's frozen model)")
-    val peek = spark.read.parquet(embPath)
+    def indexed(): Long = spark.read.parquet(s"$store/codes")
+      .select("vec_id").distinct().count()
+    // a watched directory that exists but holds no parquet yet is the
+    // NORMAL initial state of a file-source stream — the schema peek
+    // fails there, and the right answer is a no-op drain, not an error
+    val peekSchema = scala.util.Try(spark.read.parquet(embPath).schema)
+    if (peekSchema.isFailure) return indexed()
     val src = spark.readStream
-      .schema(peek.schema)
+      .schema(peekSchema.get)
       .option("maxFilesPerTrigger", "8")
       .parquet(embPath)
     val q = src.writeStream
@@ -51,7 +57,6 @@ object StreamingVectorIndex {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$store/codes")
-      .select("vec_id").distinct().count()
+    indexed()
   }
 }

@@ -5,9 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** The persisted vector-index lifecycle: the store query must rank
   * EXACTLY as the in-query IVF-PQ (which is oracle-checked), the
-  * in-row delta encode must equal the distributed one, replayed
-  * appends must fold, and a store must fail loudly rather than serve
-  * from nothing.
+  * in-row delta encode must equal the distributed one ACROSS BOTH
+  * execution forms (plan literals and the size-gated mapPartitions
+  * closure), replays and re-presented ids must append nothing,
+  * staleness must see embedding CONTENT and half-written meta,
+  * tombstones must delete for every read path, compaction must be
+  * invisible to queries, and a store must fail loudly rather than
+  * serve from nothing.
   */
 class VectorIndexSpec extends SparkTestBase {
 
@@ -30,29 +34,60 @@ class VectorIndexSpec extends SparkTestBase {
       s"coarse_id filter not pushed into the codes scan:\n$p")
   }
 
-  test("update's in-row encode == init's distributed encode, and the " +
-    "replayed append folds at read") {
+  test("both in-row encode forms == init's distributed encode bit for " +
+    "bit, and a replayed/re-presented batch appends NOTHING") {
     val e = Tables.embeddings(spark, sf0001)
     val st = store("vidx-parity")
     VectorIndex.init(e, st, coarseIters = 2)
     val initCodes = spark.read.parquet(s"$st/codes")
       .collect().map(_.toSeq).toSet
-    // re-encode the WHOLE corpus through the in-row update path under
-    // the frozen model: every appended row must already exist —
-    // coarse argmax, residual, and PQ argmin agree code for code
+    // re-encode the WHOLE corpus through both in-row paths under the
+    // frozen model: coarse argmax, residual, and PQ argmin must agree
+    // code for code with the distributed init encode
+    val litCodes = VectorIndex.encodeForStore(spark, st, e,
+      litMaxBytes = Long.MaxValue).collect().map(_.toSeq).toSet
+    assert(litCodes == initCodes,
+      "literal-path in-row codes diverged from the distributed init")
+    val clo = VectorIndex.encodeForStore(spark, st, e, litMaxBytes = 0L)
+      .collect().map(_.toSeq).toSet
+    assert(clo == initCodes,
+      "closure-path in-row codes diverged from the distributed init")
+    // id immutability: a replayed batch (same ids) appends nothing —
+    // and neither does a re-presented id with a CHANGED embedding
+    // (the divergent-code-set corruption class)
     VectorIndex.update(e, st)
-    val after = spark.read.parquet(s"$st/codes")
-    assert(after.collect().map(_.toSeq).toSet == initCodes,
-      "in-row update codes diverged from the distributed init codes")
-    // ... and the doubled rows fold at read: the query is unchanged
-    assert(after.count() == 2L * initCodes.size,
-      "expected exactly one duplicate per code row")
+    assert(spark.read.parquet(s"$st/codes").count() == initCodes.size,
+      "replayed batch must append nothing (ids already coded)")
+    val mutated = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x + lit(0.5)).as("embedding"))
+    VectorIndex.update(mutated, st)
+    assert(spark.read.parquet(s"$st/codes").count() == initCodes.size,
+      "a re-presented id with a changed embedding must be skipped")
     val probes = e.filter(col("vec_id") < 5)
     val got = VectorIndex.query(spark, st, probes, k = 3)
     val exp = Similarity.ivfPqTopK(e, probes, 3, coarseIters = 2)
     assert(got.collect().toSeq.map(_.toSeq).sortBy(_.toString)
       == exp.collect().toSeq.map(_.toSeq).sortBy(_.toString),
-      "replayed append changed the ranking (distinct fold broken)")
+      "replays/re-presents changed the ranking")
+  }
+
+  test("update refuses a wrong-dimension batch loudly") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf0001)
+    val st = store("vidx-dim")
+    VectorIndex.init(e, st, coarseIters = 2)
+    val short = Seq((990000L, Seq.fill(32)(0.1)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.update(short, st)
+    }
+    assert(ex.getMessage.contains("64-dim") &&
+      ex.getMessage.contains("32"),
+      s"dim mismatch not reported: ${ex.getMessage}")
+    // an empty batch is a no-op, not an error
+    VectorIndex.update(e.limit(0), st)
   }
 
   test("incremental growth: a delta near-copy is found by the store " +
@@ -76,8 +111,8 @@ class VectorIndexSpec extends SparkTestBase {
       s"delta near-copy not top-1: ${got.mkString(",")}")
   }
 
-  test("initIfStale: serves a warm store, rebuilds on corpus or knob " +
-    "change") {
+  test("initIfStale: serves a warm store; rebuilds on corpus, knob, " +
+    "CONTENT (re-embedded same ids), or half-written-meta change") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf0001)
     val st = store("vidx-stale")
@@ -91,10 +126,142 @@ class VectorIndexSpec extends SparkTestBase {
       .select(lit(910000L).as("vec_id"), col("embedding"), col("label")))
     assert(VectorIndex.initIfStale(grown, st, coarseIters = 1),
       "a changed corpus fingerprint must rebuild")
+    // the ADVICE case: same ids (count and id-sum unchanged), new
+    // embedding VALUES — a re-embedding run must read as stale
+    val reembedded = e.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => x + lit(0.25)).as("embedding"))
+    assert(VectorIndex.initIfStale(reembedded, st, coarseIters = 1),
+      "a re-embedded corpus under the same ids served from a stale store")
+    // a crash between the meta directory create and the parquet commit
+    // leaves an unreadable meta: must read as stale, not throw
+    val metaDir = new java.io.File(s"$st/meta")
+    metaDir.listFiles().foreach(_.delete())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$st/meta/part-00000.parquet"),
+      "not a parquet footer".getBytes)
+    assert(VectorIndex.initIfStale(reembedded, st, coarseIters = 1),
+      "an unreadable meta must rebuild, not propagate the read failure")
+    assert(!VectorIndex.initIfStale(reembedded, st, coarseIters = 1),
+      "the rebuild must have produced a servable store")
+  }
+
+  test("queryRerank: exact re-rank of the store's candidate set — " +
+    "degenerates to cosineTopK at full coverage, fetch is vec_id-pushed") {
+    val e = Tables.embeddings(spark, sf0001)
+    val probes = e.filter(col("vec_id") < 5)
+    val st = store("vidx-rerank")
+    VectorIndex.init(e, st, coarseIters = 2)
+    // composition: the re-ranked set IS the store's top-r candidate
+    // set, re-ordered by exact cosine (never anything outside it)
+    val got = VectorIndex.queryRerank(spark, st, e, probes,
+      k = 3, rerank = 8)
+    val candIds = VectorIndex.query(spark, st, probes, k = 8)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotRows = got.collect()
+    assert(gotRows.forall(r => candIds((r.getLong(0), r.getLong(1)))),
+      "re-rank returned an id outside the store's candidate set")
+    // exactness of the final order: sims are the s01 rounded-4 cosine
+    // (pin one row against the brute-force form)
+    val pinQ = gotRows.head.getLong(0)
+    val pinN = gotRows.head.getLong(1)
+    val pinSim = Similarity.cosineTopK(e,
+        e.filter(col("vec_id") === pinQ), 500)
+      .filter(col("neighbor_id") === pinN).collect().head.getDouble(2)
+    assert(gotRows.head.getDouble(2) == pinSim,
+      "re-rank sim is not the exact rounded-4 cosine")
+    // the s04 contract: full candidate coverage == the exact ranking
+    val n = e.count().toInt
+    val nl = Similarity.autoNlist(n.toLong)
+    val full = VectorIndex.queryRerank(spark, st, e, probes,
+      k = 3, rerank = n, nprobe = nl)
+    val exact = Similarity.cosineTopK(e, probes, 3)
+    assert(full.collect().map(_.toSeq).toSet ==
+      exact.collect().map(_.toSeq).toSet,
+      "full-coverage re-rank diverged from the exact ranking")
+    // the fetch must prune: the corpus scan carries the In(vec_id)
+    // pushed filter — reading the whole corpus would defeat the tier
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(vec_id"),
+      s"vec_id filter not pushed into the corpus fetch:\n$p")
+  }
+
+  test("tombstones: a deleted id vanishes from every read path, " +
+    "update cannot resurrect it, replayed deletes are harmless") {
+    val e = Tables.embeddings(spark, sf0001)
+    val st = store("vidx-del")
+    VectorIndex.init(e, st, coarseIters = 2)
+    val probes = e.filter(col("vec_id") < 5)
+    val before = VectorIndex.query(spark, st, probes, k = 3).collect()
+    val victim = before.head.getLong(1)
+    VectorIndex.delete(spark, st, Seq(victim))
+    val after = VectorIndex.query(spark, st, probes, k = 500).collect()
+    assert(!after.exists(_.getLong(1) == victim),
+      s"tombstoned id $victim still served by query")
+    assert(VectorIndex.reconstruct(spark, st, Seq(victim)).count() == 0,
+      "tombstoned id still reconstructable")
+    val div = VectorIndex.diversifiedQuery(spark, st, probes,
+      k = 4, poolSize = 12, lambda = 0.7).collect()
+    assert(!div.exists(_.getLong(1) == victim),
+      "tombstoned id still served by diversifiedQuery")
+    // resurrect attempt via update: the id is known (tombstoned) and
+    // must be skipped
+    val n0 = spark.read.parquet(s"$st/codes").count()
+    VectorIndex.update(e.filter(col("vec_id") === victim), st)
+    assert(spark.read.parquet(s"$st/codes").count() == n0,
+      "update re-coded a tombstoned id")
+    // at-least-once replay of the delete: facts append, answers stable
+    VectorIndex.delete(spark, st, Seq(victim))
+    val replay = VectorIndex.query(spark, st, probes, k = 500).collect()
+    assert(replay.map(_.toSeq).toSet == after.map(_.toSeq).toSet,
+      "replayed delete changed the answer")
+    // loud failure modes
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.delete(spark, st, Seq.empty)
+    }
+    assert(ex.getMessage.contains("at least one"))
+  }
+
+  test("compact: queries unchanged, dead + duplicate rows physically " +
+    "dropped, file count bounded") {
+    val e = Tables.embeddings(spark, sf0001)
+    val st = store("vidx-compact")
+    VectorIndex.init(e, st, coarseIters = 2)
+    val initCodes = spark.read.parquet(s"$st/codes")
+      .collect().map(_.toSeq).toSet
+    // accrete physics: tombstone one served id, then fake N small
+    // append files by re-appending the same code rows (what replayed
+    // drains used to do before the id gate — compact must still fold
+    // legacy duplicates)
+    val probes = e.filter(col("vec_id") < 5)
+    val victim = VectorIndex.query(spark, st, probes, k = 3)
+      .collect().head.getLong(1)
+    VectorIndex.delete(spark, st, Seq(victim))
+    val codes = spark.read.parquet(s"$st/codes")
+    for (_ <- 1 to 3)
+      codes.write.mode("append").parquet(s"$st/codes")
+    val before = VectorIndex.query(spark, st, probes, k = 10)
+      .collect().map(_.toSeq).toSet
+    val rep = VectorIndex.compact(spark, st)
+    assert(rep.codeRowsAfter < rep.codeRowsBefore,
+      s"compaction dropped nothing: $rep")
+    assert(rep.filesAfter < rep.filesBefore, s"files not merged: $rep")
+    val after = VectorIndex.query(spark, st, probes, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "compaction changed query results")
+    // store == rebuild-without-deleted: the physical rows are exactly
+    // the init codes minus the tombstoned id's
+    val physical = spark.read.parquet(s"$st/codes")
+      .collect().map(_.toSeq).toSet
+    assert(physical ==
+      initCodes.filterNot(_.head.asInstanceOf[Long] == victim),
+      "compacted store != init codes minus the deleted id")
   }
 
   test("streaming maintenance: drains == batch updates, delta-only " +
-    "second drain, no-op re-drain appends nothing") {
+    "second drain, no-op re-drain appends nothing, empty source dir " +
+    "is a no-op") {
     val e = Tables.embeddings(spark, sf0001)
     val prefix = e.filter(col("vec_id") < 400)
     val delta = e.filter(col("vec_id") >= 400)
@@ -111,6 +278,13 @@ class VectorIndexSpec extends SparkTestBase {
     VectorIndex.init(prefix, stStream, coarseIters = 2)
     val dir = tmpDir("vidx-src")
     val ckpt = tmpDir("vidx-ckpt")
+
+    // the NORMAL initial state: the watched dir exists but holds no
+    // parquet yet — a drain must be a no-op, not a schema-read crash
+    val n0 = graft.streaming.StreamingVectorIndex.maintainStream(
+      spark, dir, stStream, ckpt)
+    assert(n0 == 400, s"empty-dir drain must be a no-op, got $n0")
+
     prefix.write.mode("overwrite").parquet(s"$dir/batch1")
     // flatten: the file source watches one directory
     def stage(sub: String): Unit = {
@@ -192,7 +366,8 @@ class VectorIndexSpec extends SparkTestBase {
     assert(rec.head.toSeq == rec2.head.toSeq, "reconstruct nondeterministic")
   }
 
-  test("loud failure modes: query/update on a missing store") {
+  test("loud failure modes: query/update/delete/compact on a missing " +
+    "store") {
     val e = Tables.embeddings(spark, sf0001)
     val none = tmpDir("vidx-none") + "/missing"
     val qe = intercept[IllegalArgumentException] {
@@ -203,5 +378,13 @@ class VectorIndexSpec extends SparkTestBase {
       VectorIndex.update(e.limit(1), none)
     }
     assert(ue.getMessage.contains("no vector index store"))
+    val de = intercept[IllegalArgumentException] {
+      VectorIndex.delete(spark, none, Seq(0L))
+    }
+    assert(de.getMessage.contains("no vector index store"))
+    val ce = intercept[IllegalArgumentException] {
+      VectorIndex.compact(spark, none)
+    }
+    assert(ce.getMessage.contains("no vector index store"))
   }
 }

@@ -111,6 +111,57 @@ class PlanSpec extends SparkTestBase {
       s"unpartitioned global window in: ${offenders.mkString(", ")}")
   }
 
+  test("global audit: eagerly-executed stages carry no unpartitioned " +
+    "window either (s14/s17/s18/s19)") {
+    // mmrRerank/VectorIndex.query run their window-bearing pool and
+    // probe stages EAGERLY (localCheckpoint + per-round collects), so
+    // the returned frame's sparkPlan — all the audit above sees — no
+    // longer contains them. Audit every execution these queries fire
+    // through a QueryExecutionListener instead.
+    val offenders = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val done = new java.util.concurrent.atomic.AtomicLong(0L)
+    var current = ""
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val bad = qe.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) offenders.add(s"$current/$funcName")
+        done.incrementAndGet(); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = { done.incrementAndGet(); () }
+    }
+    spark.listenerManager.register(listener)
+    try {
+      for (name <- Seq("s14_mmr_topk", "s17_ann_index",
+          "s18_mmr_indexed", "s19_mmr_store")) {
+        current = name
+        SparkEntry.queries(name)(spark, sf0001).collect()
+        // the listener bus is async: wait until the execution count is
+        // stable across consecutive observations before moving on (so
+        // the `current` label stays attributable)
+        var seen = -1L
+        var stable = 0
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (stable < 2 && System.nanoTime() < deadline) {
+          val n = done.get()
+          if (n == seen && n > 0) stable += 1
+          else { stable = 0; seen = n }
+          Thread.sleep(100)
+        }
+      }
+      assert(offenders.isEmpty,
+        s"unpartitioned window in an eagerly-executed stage of: " +
+          s"$offenders")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("global audit: checkpointing queries have no all-pairs join in " +
     "ANY executed stage, including pre-checkpoint ones") {
     // d07/d08/d09 eagerly execute+checkpoint candidate/label/assignment
