@@ -633,13 +633,73 @@ object Dedup {
   def readSignatures(spark: org.apache.spark.sql.SparkSession,
                      path: String): DataFrame =
     spark.read.parquet(path).dropDuplicates("doc_id")
+      .join(sigTombstones(spark, path).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+
+  /** The signature store's deletion facts, kept in a SIBLING directory
+    * (`<path>_tombstones` — the store itself is a flat parquet dir, so
+    * facts cannot nest inside it without polluting its schema).
+    */
+  private def sigTombstones(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path + "_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.range(0).select(col("id").as("doc_id"),
+        org.apache.spark.sql.functions.lit(0L).as("deleted_at"))
+    else spark.read.parquet(p.toString)
+  }
+
+  /** Delete documents from the signature store — the takedown path
+    * ([[graft.ext.VectorIndex.delete]]'s discipline on the dedup
+    * plane): appends (doc_id, deleted_at) tombstone facts (replays
+    * harmless — consumers anti-join on doc_id), [[readSignatures]]
+    * and therefore [[updatePairs]]' candidate join exclude the doc
+    * immediately, [[updateSignatures]]/[[updatePairs]] refuse to
+    * re-add it, and [[compactSignatures]] drops the dead rows
+    * physically. Already-emitted pairs naming the doc are downstream
+    * artifacts the caller re-derives (pairs are facts about past
+    * corpus states); the STORE stops producing new ones.
+    */
+  def deleteSignatures(spark: org.apache.spark.sql.SparkSession,
+                       path: String, docIds: Seq[Long]): Unit = {
+    require(docIds.nonEmpty, "deleteSignatures needs at least one doc_id")
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    docIds.distinct.map((_, now)).toDF("doc_id", "deleted_at")
+      .coalesce(1).write.mode("append").parquet(path + "_tombstones")
+  }
+
+  /** Physically compact the signature store: rewrite it as the folded,
+    * tombstone-free row set in few sized files via the engine's
+    * checked-rename swap. Read results unchanged by construction;
+    * the physics of N drains' append files stop accumulating.
+    */
+  def compactSignatures(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        targetBytes: Long = 512L << 20): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no signature store at $path")
+    val bytes = fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = path + "__compact_tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    readSignatures(spark, path).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp)
+    graft.engine.Compactor.swapInto(fs, path, tmp)
+  }
 
   /** O(delta) signature upkeep: compute signatures for `newDocs` ONLY
     * and append them to the store. The old corpus is never re-read,
-    * let alone re-shingled.
+    * let alone re-shingled. Tombstoned ids are skipped — a takedown
+    * stays taken down until a re-bootstrap.
     */
   def updateSignatures(newDocs: DataFrame, path: String, n: Int = 3): Unit =
-    minhashSignatures(newDocs, n).write.mode("append").parquet(path)
+    minhashSignatures(newDocs, n)
+      .join(sigTombstones(newDocs.sparkSession, path)
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(path)
 
   /** Candidate pairs introduced by a corpus delta: appends `newDocs`'
     * signatures to the store ([[updateSignatures]]), then bands the
@@ -652,7 +712,12 @@ object Dedup {
     */
   def updatePairs(newDocs: DataFrame, path: String, n: Int = 3): DataFrame = {
     val spark = newDocs.sparkSession
+    // the tombstone gate sits on BOTH legs: the append (no dead rows
+    // re-enter the store) and the delta band side below (a tombstoned
+    // re-present must not emit pairs either)
     val newSigs = minhashSignatures(newDocs, n)
+      .join(sigTombstones(spark, path).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     newSigs.write.mode("append").parquet(path)
     // the store read includes the rows just appended — banding the

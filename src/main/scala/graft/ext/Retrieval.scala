@@ -196,13 +196,18 @@ object Retrieval {
     * other append log.
     */
   def updateIndex(batch: DataFrame, indexStore: String): Unit = {
+    val spark = batch.sparkSession
     val toks = TextAnalysis.tokens(col("text"))
     // distinct first: an exactly-duplicated document row inside one
     // batch must not double its tf counts (the lengths distinct alone
     // would mask it — one dl row, 2x tf — a silent score corruption);
     // persisted so the two store writes share one source scan +
-    // tokenize instead of re-reading the batch per action
+    // tokenize instead of re-reading the batch per action.
+    // Tombstoned ids are skipped (the VectorIndex.update discipline):
+    // a takedown stays taken down until a full re-bootstrap.
     val b = batch.select(col("doc_id"), col("text")).distinct()
+      .join(tombstones(spark, indexStore).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       b.select(col("doc_id"), size(toks).as("dl"),
@@ -225,6 +230,88 @@ object Retrieval {
     else spark.read.parquet(path).distinct()
   }
 
+  /** The deletion facts (doc_id, deleted_at) — empty when none. */
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+                         indexStore: String): DataFrame =
+    readStore(spark, s"$indexStore/tombstones",
+      "CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS deleted_at")
+
+  /** Delete documents from the persisted index — the takedown path an
+    * append-only store otherwise lacks (the [[graft.ext.VectorIndex
+    * .delete]] discipline on the lexical plane): appends (doc_id,
+    * deleted_at) tombstone FACTS (replays append duplicates, harmless
+    * — consumers anti-join on doc_id only). [[queryIndex]] and
+    * [[modelFromIndex]] exclude tombstoned documents from postings AND
+    * lengths, so the deleted doc stops being retrievable and stops
+    * counting in df/N/avgdl — the model over the store equals the
+    * model over the surviving corpus EXACTLY (spec-pinned).
+    * [[compactIndex]] later drops the dead rows physically.
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexStore: String, docIds: Seq[Long]): Unit = {
+    require(docIds.nonEmpty, "deleteFromIndex needs at least one doc_id")
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    docIds.distinct.map((_, now)).toDF("doc_id", "deleted_at")
+      .coalesce(1).write.mode("append").parquet(s"$indexStore/tombstones")
+  }
+
+  /** Live store rows: fold-at-read distinct + tombstone anti-join —
+    * ONE definition for both store tables and both consumers.
+    */
+  private def liveStore(spark: org.apache.spark.sql.SparkSession,
+                        indexStore: String, sub: String,
+                        schema: String): DataFrame =
+    readStore(spark, s"$indexStore/$sub", schema)
+      .join(tombstones(spark, indexStore).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+
+  private val PostingsSchema: String =
+    "CAST(0 AS BIGINT) AS doc_id, CAST(0 AS INT) AS dl, " +
+      "CAST('' AS STRING) AS token, CAST(0 AS BIGINT) AS tf"
+  private val LengthsSchema: String =
+    "CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS dl"
+
+  final case class IndexCompactReport(postingsBefore: Long,
+    postingsAfter: Long, filesBefore: Int, filesAfter: Int)
+
+  /** Physically compact the postings + lengths stores: rewrite each as
+    * its folded, tombstone-free row set in few sized files, published
+    * via the engine's checked-rename swap ([[graft.engine.Compactor
+    * .swapInto]]). Query results unchanged by construction (reads
+    * already fold + anti-join); N streaming drains' small append files
+    * and replay duplicates stop accumulating. Tombstones stay (cheap
+    * facts; they still gate [[updateIndex]]).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexStore: String,
+                   targetBytes: Long = 512L << 20): IndexCompactReport = {
+    def one(sub: String, schema: String): (Long, Long, Int, Int) = {
+      val dir = s"$indexStore/$sub"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(f.exists(p), s"no $sub store at $indexStore")
+      def dataFiles = f.listStatus(p).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val before = dataFiles
+      val rowsBefore = spark.read.parquet(dir).count()
+      val bytes = before.map(_.getLen).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val tmp = dir + "__compact_tmp"
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      liveStore(spark, indexStore, sub, schema).coalesce(nOut)
+        .write.mode("overwrite").parquet(tmp)
+      graft.engine.Compactor.swapInto(f, dir, tmp)
+      (rowsBefore, spark.read.parquet(dir).count(),
+        before.length, dataFiles.length)
+    }
+    val (pb, pa, fb, fa) = one("postings", PostingsSchema)
+    val (_, _, lb, la) = one("lengths", LengthsSchema)
+    IndexCompactReport(pb, pa, fb + lb, fa + la)
+  }
+
   /** Rebuild a deployable [[Bm25Model]] from the persisted stores —
     * no corpus scan, no re-tokenization: df aggregates the postings
     * rows of the query terms, stats aggregate the lengths store.
@@ -236,17 +323,14 @@ object Retrieval {
                      indexStore: String, terms: Seq[String],
                      k1: Double = 1.2, b: Double = 0.75): Bm25Model = {
     require(terms.nonEmpty, "modelFromIndex needs at least one query term")
-    val lengths = readStore(spark, s"$indexStore/lengths",
-      "CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS dl")
+    val lengths = liveStore(spark, indexStore, "lengths", LengthsSchema)
     val statsRow = lengths
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_tot"))
       .collect()(0)
     val nDocs = statsRow.getAs[Long]("n_docs")
     require(nDocs > 0, s"empty index store at $indexStore")
     val avgdl = statsRow.getAs[Long]("dl_tot").toDouble / nDocs
-    val dfRows = readStore(spark, s"$indexStore/postings",
-      "CAST(0 AS BIGINT) AS doc_id, CAST(0 AS INT) AS dl, " +
-        "CAST('' AS STRING) AS token, CAST(0 AS BIGINT) AS tf")
+    val dfRows = liveStore(spark, indexStore, "postings", PostingsSchema)
       .filter(col("token").isin(terms: _*))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
       .collect()
@@ -270,14 +354,11 @@ object Retrieval {
                  indexStore: String, terms: Seq[String], k: Int = 10,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "queryIndex needs at least one query term")
-    val stats = readStore(spark, s"$indexStore/lengths",
-      "CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS dl")
+    val stats = liveStore(spark, indexStore, "lengths", LengthsSchema)
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_tot"))
       .select(col("n_docs"),
         (col("dl_tot").cast("double") / col("n_docs")).as("avgdl"))
-    val tf = readStore(spark, s"$indexStore/postings",
-      "CAST(0 AS BIGINT) AS doc_id, CAST(0 AS INT) AS dl, " +
-        "CAST('' AS STRING) AS token, CAST(0 AS BIGINT) AS tf")
+    val tf = liveStore(spark, indexStore, "postings", PostingsSchema)
       .filter(col("token").isin(terms: _*))
     // no reuse guard needed here: tf comes straight from the store
     // scan (no shared aggregate subtree to keep bit-identical)

@@ -536,4 +536,50 @@ class DedupSpec extends SparkTestBase {
     val eval_ = Seq((2L, "q r s t u v")).toDF("doc_id", "text")
     assert(Dedup.crossContamination(train, eval_, n = 3).isEmpty)
   }
+
+  test("signature-store tombstones: a deleted doc leaves every read " +
+    "and update path, cannot re-enter, and compaction drops it " +
+    "physically") {
+    val path = tmpDir("sig-tomb") + "/sigs"
+    val base = docs.filter(col("doc_id") < 60).select("doc_id", "text")
+    Dedup.writeSignatures(base, path)
+    val victim = 5L
+    Dedup.deleteSignatures(spark, path, Seq(victim))
+    assert(Dedup.readSignatures(spark, path)
+      .filter(col("doc_id") === victim).count() == 0,
+      "tombstoned doc still read from the signature store")
+    // a delta that re-presents the victim (plus genuinely new docs):
+    // no pair may name the victim, and the store must not re-admit it
+    val delta = docs.filter(col("doc_id") >= 60 && col("doc_id") < 90)
+      .unionByName(docs.filter(col("doc_id") === victim))
+      .select("doc_id", "text")
+    val pairs = Dedup.updatePairs(delta, path).collect()
+    assert(!pairs.exists(r =>
+        r.getLong(0) == victim || r.getLong(1) == victim),
+      "updatePairs emitted a pair naming a tombstoned doc")
+    assert(Dedup.readSignatures(spark, path)
+      .filter(col("doc_id") === victim).count() == 0,
+      "a re-presented tombstoned doc re-entered the store")
+    Dedup.updateSignatures(docs.filter(col("doc_id") === victim), path)
+    assert(Dedup.readSignatures(spark, path)
+      .filter(col("doc_id") === victim).count() == 0,
+      "updateSignatures re-admitted a tombstoned doc")
+    // replayed delete: facts append, reads stable
+    val before = Dedup.readSignatures(spark, path)
+      .collect().map(_.toSeq).toSet
+    Dedup.deleteSignatures(spark, path, Seq(victim))
+    assert(Dedup.readSignatures(spark, path)
+      .collect().map(_.toSeq).toSet == before,
+      "replayed delete changed the readable store")
+    // compaction: physical rows == the readable (folded, live) set,
+    // reads unchanged
+    Dedup.compactSignatures(spark, path)
+    val physical = spark.read.parquet(path)
+      .collect().map(_.toSeq).toSet
+    assert(physical == before,
+      "compacted store != the folded tombstone-free row set")
+    assert(Dedup.readSignatures(spark, path)
+      .collect().map(_.toSeq).toSet == before,
+      "compaction changed read results")
+  }
 }

@@ -229,6 +229,53 @@ class RetrievalSpec extends SparkTestBase {
       s"token filter not pushed into the postings scan:\n$p")
   }
 
+  test("index tombstones: a deleted doc vanishes from queryIndex AND " +
+    "the model (== surviving-corpus model exactly), cannot re-enter, " +
+    "compactIndex drops it physically with results unchanged") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val terms = Seq("dup", "merge", "spark")
+    val store = tmpDir("bm25-tomb") + "/idx"
+    Retrieval.updateIndex(docs, store)
+    val victim = Retrieval.queryIndex(spark, store, terms, k = 1)
+      .collect().head.getLong(0)
+    Retrieval.deleteFromIndex(spark, store, Seq(victim))
+    val survivors = docs.filter(col("doc_id") =!= victim)
+    val got = Retrieval.queryIndex(spark, store, terms, k = 50)
+      .collect().toSeq.map(_.toSeq)
+    assert(!got.exists(_.head == victim),
+      s"tombstoned doc $victim still retrievable")
+    // the strong pin: with the doc's postings AND length row excluded,
+    // the store-backed model and ranking equal the batch forms over
+    // the surviving corpus EXACTLY (N, avgdl, df all drop the victim)
+    assert(Retrieval.modelFromIndex(spark, store, terms)
+      == Retrieval.bm25Model(survivors, terms),
+      "store model != surviving-corpus model after delete")
+    assert(got == Retrieval.bm25TopK(survivors, terms, k = 50)
+      .collect().toSeq.map(_.toSeq),
+      "store ranking != surviving-corpus ranking after delete")
+    // resurrect refused; replayed delete harmless
+    Retrieval.updateIndex(docs.filter(col("doc_id") === victim), store)
+    Retrieval.deleteFromIndex(spark, store, Seq(victim))
+    assert(Retrieval.modelFromIndex(spark, store, terms)
+      == Retrieval.bm25Model(survivors, terms),
+      "updateIndex re-admitted a tombstoned doc")
+    // physical compaction: dead rows dropped, results unchanged
+    val rep = Retrieval.compactIndex(spark, store)
+    assert(rep.postingsAfter < rep.postingsBefore,
+      s"compaction dropped nothing: $rep")
+    assert(spark.read.parquet(s"$store/postings")
+      .filter(col("doc_id") === victim).count() == 0,
+      "tombstoned doc's postings survived compaction")
+    assert(Retrieval.queryIndex(spark, store, terms, k = 50)
+      .collect().toSeq.map(_.toSeq) == got,
+      "compaction changed query results")
+    // loud failure modes
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.deleteFromIndex(spark, store, Seq.empty)
+    }
+    assert(ex.getMessage.contains("at least one"))
+  }
+
   test("hybridTopK fuses the two rankings by RRF: hand-derived fused " +
     "scores, absent-system rank 0, depth truncation, doc_id tiebreak, " +
     "partition invariance") {
