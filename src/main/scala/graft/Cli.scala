@@ -293,13 +293,17 @@ object Cli {
     *   - `--init --embeddings <pq>`: train the coarse quantizer +
     *     residual codebooks and encode the corpus into a fresh store
     *     (refuses an existing one — drop it or `--update`); knobs
-    *     `--nlist/--m/--ksub/--dim/--iters/--coarse-iters`.
+    *     `--nlist/--m/--ksub/--dim/--iters/--coarse-iters` (`--nlist`
+    *     defaults to 0 = the ⌈N/128⌉ auto-sizing rule).
     *   - `--update --embeddings <delta>`: encode NEW vectors under the
     *     store's frozen model (a zero-shuffle narrow map, no retrain)
-    *     and append their codes.
+    *     and append their codes; already-indexed or tombstoned ids
+    *     are skipped.
     *   - query (default): `--query-ids "0,1"` resolved against
     *     `--embeddings`, or an external `--queries` parquet — ranked
     *     FROM THE STORE (`--k`, `--nprobe`); the corpus is never read.
+    *     `--diversify` (`--lambda`, `--pool`) swaps in the store-fed
+    *     MMR selection over PQ reconstructions (s19's shape).
     */
   private def annIndexCmd(spark: SparkSession,
                           opts: Map[String, String]): String = {
@@ -380,18 +384,37 @@ object Cli {
         case (None, Some(path)) => readEmbeddings(spark, path)
         case (None, None) => throw new IllegalStateException("unreachable")
       }
-      val hits = graft.ext.VectorIndex.query(spark, store, queries, k,
-        nprobe)
+      val diversify = boolFlag(opts, "diversify")
+      val hits =
+        if (diversify) {
+          // s19's store-fed MMR (pool from the cell-pruned store
+          // query, candidate vectors PQ-reconstructed, greedy rerank)
+          // — the --diversify corpus-mode flag, served from the store
+          val lambda = doubleOpt(opts, "lambda", 0.7)
+          if (lambda < 0.0 || lambda > 1.0)
+            throw CliError(s"--lambda must be in [0, 1], got $lambda")
+          val pool = intOpt(opts, "pool", 4 * k)
+          if (pool < k)
+            throw CliError(s"--pool ($pool) must cover --k ($k)")
+          graft.ext.VectorIndex.diversifiedQuery(spark, store, queries,
+            k, pool, lambda, nprobe)
+        } else graft.ext.VectorIndex.query(spark, store, queries, k,
+          nprobe)
       opts.get("out") match {
         case Some(out) =>
           hits.write.mode("overwrite").parquet(out)
           s"${spark.read.parquet(out).count()} neighbors -> $out"
         case None =>
+          val header = if (diversify)
+            "    query_id  neighbor_id  pick_rank\n"
+          else "    query_id  neighbor_id  approx_ip  rank\n"
           hits.collect().map { r =>
-            f"${r.getLong(0)}%12d  ${r.getLong(1)}%11d  " +
-              f"${r.getDouble(2)}%9.4f  ${r.getInt(3)}%4d"
-          }.mkString("    query_id  neighbor_id  approx_ip  rank\n",
-            "\n", "")
+            if (diversify)
+              f"${r.getLong(0)}%12d  ${r.getLong(1)}%11d  ${r.getInt(2)}%9d"
+            else
+              f"${r.getLong(0)}%12d  ${r.getLong(1)}%11d  " +
+                f"${r.getDouble(2)}%9.4f  ${r.getInt(3)}%4d"
+          }.mkString(header, "\n", "")
       }
     }
   }

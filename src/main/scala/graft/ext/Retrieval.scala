@@ -462,6 +462,17 @@ object Retrieval {
         (col("pos") + 1).cast("int").as("dense_rank"))
 
     // fusion: ≤ 2·depth rows per query from here on
+    rrfFuse(lexRank, denseRank, k, c)
+  }
+
+  /** The RRF fusion tail — ONE definition shared by [[hybridTopK]]
+    * (in-query legs) and [[hybridQueryStores]] (store-fed legs), so
+    * the spec-pinned agreement between the two surfaces cannot drift:
+    * fused = Σ 1/(c + rank) in the fixed lex+dense IEEE order,
+    * rounded 6; absent-system ranks COALESCE to 0.
+    */
+  private def rrfFuse(lexRank: DataFrame, denseRank: DataFrame,
+                      k: Int, c: Int): DataFrame = {
     val contrib = (r: Column) => when(r.isNotNull,
       lit(1.0) / (lit(c) + r)).otherwise(lit(0.0))
     lexRank.join(denseRank, Seq("query_id", "doc_id"), "full_outer")
@@ -476,5 +487,109 @@ object Retrieval {
           .partitionBy(col("query_id"))
           .orderBy(col("fused").desc, col("doc_id"))))
       .filter(col("rank") <= k)
+  }
+
+  /** Build the persisted index unless a complete store already matches
+    * this corpus — [[graft.ext.VectorIndex.initIfStale]]'s idempotent
+    * contract on the lexical plane: the fingerprint is one narrow
+    * no-tokenize aggregate (count, doc_id sum, total text length — the
+    * content term catches a regenerated corpus under stable ids),
+    * written LAST to `meta/` so a crash mid-build rebuilds; an
+    * unreadable meta also reads as stale. Returns true when it
+    * (re)built.
+    */
+  def initIndexIfStale(docs: DataFrame, indexStore: String): Boolean = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def fingerprint(): (Long, Long, Long) = {
+      val r = docs.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("s"),
+        coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("l"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexStore/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = fingerprint()
+    val fresh = fs.exists(metaPath) && scala.util.Try {
+      val r = spark.read.parquet(metaPath.toString).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2)) == fp
+    }.getOrElse(false)
+    if (!fresh) {
+      for (sub <- Seq("postings", "lengths", "tombstones", "meta"))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexStore/$sub"), true)
+      updateIndex(docs, indexStore)
+      Seq(fp).toDF("n_docs", "id_sum", "len_sum")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath.toString)
+    }
+    !fresh
+  }
+
+  /** Hybrid retrieval ENTIRELY from the persisted stores — the
+    * production form of [[hybridTopK]]: the lexical leg ranks from
+    * the inverted index ([[queryIndex]]'s pushed-postings shape,
+    * fanned out to queries by the broadcast (query, term) table), the
+    * dense leg ranks from the IVF-PQ vector store
+    * ([[graft.ext.VectorIndex.query]] — cell-pruned ADC), and the
+    * fusion is [[rrfFuse]] unchanged. NO corpus scan on either leg
+    * (spec-pinned on the executed plan): documents were tokenized
+    * once at index build, vectors encoded once at index init, and the
+    * query's own vectors arrive WITH the request (`queryVecs` — a
+    * local relation in the contract query). Per-query lexical ranking
+    * is the depth-bounded bottom-k aggregation (the domainCap
+    * discipline — no Window over postings-sized input); the dense
+    * rank is the store query's own (approx_ip, vec_id) rank. The
+    * dense leg excludes self-hits (the store query's contract) where
+    * in-query [[hybridTopK]] retains them — the one documented
+    * semantic difference between the surfaces.
+    */
+  def hybridQueryStores(spark: org.apache.spark.sql.SparkSession,
+                        indexStore: String, vectorStore: String,
+                        queries: Seq[(Long, Seq[String])],
+                        queryVecs: DataFrame, k: Int = 10,
+                        depth: Int = 20, c: Int = 60, nprobe: Int = 4,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "hybridQueryStores needs at least one query")
+    require(queries.forall(_._2.nonEmpty),
+      "every hybrid query needs at least one term")
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qt = broadcast(queries.flatMap { case (qid, ts) =>
+      ts.distinct.map(qid -> _)
+    }.toDF("query_id", "token"))
+    val bottomK = udaf(graft.functions.BottomKAggregator.bottomK(depth))
+
+    // lexical leg: queryIndex's store tables (pushed token filter,
+    // tombstones excluded), s11's scoring fan-out
+    val stats = liveStore(spark, indexStore, "lengths", LengthsSchema)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_tot"))
+      .select(col("n_docs"),
+        (col("dl_tot").cast("double") / col("n_docs")).as("avgdl"))
+    val tf = liveStore(spark, indexStore, "postings", PostingsSchema)
+      .filter(col("token").isin(allTerms: _*))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val lexRank = tf.join(qt, "token")
+      .join(broadcast(dfT), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", termWeight(col("tf"), col("dl"),
+        idf(col("n_docs"), col("df")), col("avgdl"), k1, b))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("w").cast("decimal(38,18)")).cast("double"), 4)
+        .as("s"))
+      .groupBy(col("query_id"))
+      .agg(bottomK((-round(col("s") * 1e4)).cast("long"),
+        col("doc_id")).as("picked"))
+      .select(col("query_id"), posexplode(col("picked")))
+      .select(col("query_id"), col("col._2").as("doc_id"),
+        (col("pos") + 1).cast("int").as("lex_rank"))
+
+    // dense leg: the vector store's own cell-pruned ADC ranking —
+    // its (approx_ip DESC, vec_id) rank IS the dense rank
+    val denseRank = VectorIndex.query(spark, vectorStore, queryVecs,
+        k = depth, nprobe = nprobe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+
+    rrfFuse(lexRank, denseRank, k, c)
   }
 }

@@ -60,6 +60,14 @@ object SimilarityQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_vector_index_" +
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** s21's BM25 store root — the lexical sibling of [[indexStoreFor]];
+    * staleness handled by [[graft.ext.Retrieval.initIndexIfStale]]'s
+    * fingerprint, not the path.
+    */
+  private def bm25StoreFor(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
   /** Coarse-training replay CTEs ([[graft.ext.Similarity
     * .coarseCentroids]]): the mod-prime seed sample refined by
     * `CoarseIters − 1` Lloyd passes — s05's rounded-4 argmax
@@ -304,6 +312,42 @@ object SimilarityQueries {
     "s11_hybrid_rrf" -> { (s, d) =>
       Retrieval.hybridTopK(Tables.documents(s, d), Tables.embeddings(s, d),
         HybridQueries, k = 10, depth = 20)
+    },
+
+    /** s21 — hybrid retrieval ENTIRELY from the persisted stores
+      * (s11's production form): the lexical leg ranks from the BM25
+      * inverted index (built-if-stale), the dense leg from the IVF-PQ
+      * vector store (s17's), and the query's own vectors arrive WITH
+      * the request as a LOCAL relation — the executed plan scans no
+      * corpus table at all (PlanSpec-pinned). The oracle replays the
+      * s09 weight tree for the lex leg, the s08 ADC chain for the
+      * dense leg, and the shared RRF tail.
+      */
+    "s21_hybrid_store" -> { (s, d) =>
+      import s.implicits._
+      // the dense oracle's probe CTE is `vec_id < NumQueries` — pin
+      // the hybrid ids to exactly that set so the two cannot drift
+      require(HybridQueries.map(_._1).sorted ==
+        (0L until NumQueries.toLong),
+        "hybrid query ids must be 0..NumQueries-1 (the s08 probe set)")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val e = Tables.embeddings(s, d)
+      val bmStore = bm25StoreFor(d)
+      Retrieval.initIndexIfStale(docs, bmStore)
+      val vStore = indexStoreFor(d)
+      VectorIndex.initIfStale(e, vStore, coarseIters = CoarseIters)
+      // the request's own vectors: collected to a LOCAL relation (5
+      // rows) — a serving path receives them with the query, it does
+      // not scan the corpus for them
+      val qVecs = e
+        .filter(col("vec_id").isin(HybridQueries.map(_._1): _*))
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])].collect().toSeq
+        .map { case (id, emb) => (id, emb.toSeq) }
+        .toDF("vec_id", "embedding")
+      Retrieval.hybridQueryStores(s, bmStore, vStore, HybridQueries,
+        qVecs, k = 10, depth = 20)
     },
 
     /** d05 — embedding-cosine near-dup pairs (threshold tuned to the
@@ -1012,6 +1056,85 @@ object SimilarityQueries {
        |        FROM radd GROUP BY vec_id)""".stripMargin,
     simCte = "rec")
 
+  /** The lexical-leg replay shared by s11 and s21 (the postings store
+    * holds exactly the facts tokenization produced, so ONE replay
+    * serves both the in-query and the store-fed ranker): the s09
+    * weight tree fanned out to the hybrid query bags, per-system rank
+    * cut at depth 20, ending in `lexr(query_id, doc_id, lex_rank)`.
+    */
+  private lazy val HybridLexCtes: String = {
+    val allTerms = HybridQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val qtRows = HybridQueries.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""qt AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, token
+       |  FROM (VALUES $qtRows) t(query_id, token)),
+       |tok AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |         unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl, token, COUNT(*) AS tf
+       |  FROM tok WHERE token IN ($allTerms)
+       |  GROUP BY doc_id, dl, token),
+       |dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+       |      / COUNT(*) AS avgdl
+       |  FROM documents),
+       |w AS (
+       |  SELECT query_id, doc_id,
+       |    round(ln(CAST(1.0 AS DOUBLE) +
+       |        (n_docs - df + CAST(0.5 AS DOUBLE)) /
+       |        (df + CAST(0.5 AS DOUBLE))) *
+       |      ((tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+       |       (tf + CAST(1.2 AS DOUBLE) *
+       |        ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+       |         (CAST(0.75 AS DOUBLE) * dl) / avgdl))),
+       |      6) AS w
+       |  FROM tf JOIN qt USING (token) JOIN dft USING (token)
+       |  CROSS JOIN stats),
+       |lex AS (
+       |  SELECT query_id, doc_id,
+       |    round(CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE), 4)
+       |      AS s
+       |  FROM w GROUP BY query_id, doc_id),
+       |lexr AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc_id) AS INT) AS lex_rank
+       |  FROM lex
+       |  QUALIFY lex_rank <= 20)""".stripMargin
+  }
+
+  /** The RRF fusion tail shared by s11 and s21 — expects `lexr` and
+    * `denser` CTEs; the fixed lex+dense IEEE addition order, round 6,
+    * ranks COALESCE to 0.
+    */
+  private lazy val RrfTailSql: String =
+    """f AS (
+      |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+      |         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+      |         COALESCE(l.lex_rank, 0) AS lex_rank,
+      |         COALESCE(d.dense_rank, 0) AS dense_rank,
+      |         round(
+      |           (CASE WHEN l.lex_rank IS NULL THEN CAST(0 AS DOUBLE)
+      |             ELSE CAST(1.0 AS DOUBLE) / (60 + l.lex_rank) END)
+      |         + (CASE WHEN d.dense_rank IS NULL
+      |             THEN CAST(0 AS DOUBLE)
+      |             ELSE CAST(1.0 AS DOUBLE) / (60 + d.dense_rank)
+      |           END), 6) AS fused
+      |  FROM lexr l FULL OUTER JOIN denser d
+      |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+      |SELECT query_id, doc_id, lex_rank, dense_rank,
+      |  fused + 0.0 AS fused,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY fused DESC, doc_id) AS INT) AS rank
+      |FROM f QUALIFY rank <= 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // arithmetic mirrors Retrieval.termWeight parenthesis-for-
     // parenthesis (IEEE double ops are order-sensitive); per-term
@@ -1055,52 +1178,8 @@ object SimilarityQueries {
     // and the s01 rounded cosine), fused in the same fixed lex+dense
     // IEEE addition order; ranks COALESCE to 0, never NULL
     "s11_hybrid_rrf" -> {
-      val allTerms = HybridQueries.flatMap(_._2).distinct
-        .map(t => s"'$t'").mkString(", ")
-      val qtRows = HybridQueries.flatMap { case (qid, ts) =>
-        ts.distinct.map(t => s"($qid, '$t')")
-      }.mkString(", ")
       val qIds = HybridQueries.map(_._1).mkString(", ")
-      s"""WITH qt AS (
-         |  SELECT CAST(query_id AS BIGINT) AS query_id, token
-         |  FROM (VALUES $qtRows) t(query_id, token)),
-         |tok AS (
-         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-         |         unnest(string_split(text, ' ')) AS token
-         |  FROM documents),
-         |tf AS (
-         |  SELECT doc_id, dl, token, COUNT(*) AS tf
-         |  FROM tok WHERE token IN ($allTerms)
-         |  GROUP BY doc_id, dl, token),
-         |dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-         |stats AS (
-         |  SELECT COUNT(*) AS n_docs,
-         |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
-         |      / COUNT(*) AS avgdl
-         |  FROM documents),
-         |w AS (
-         |  SELECT query_id, doc_id,
-         |    round(ln(CAST(1.0 AS DOUBLE) +
-         |        (n_docs - df + CAST(0.5 AS DOUBLE)) /
-         |        (df + CAST(0.5 AS DOUBLE))) *
-         |      ((tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
-         |       (tf + CAST(1.2 AS DOUBLE) *
-         |        ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
-         |         (CAST(0.75 AS DOUBLE) * dl) / avgdl))),
-         |      6) AS w
-         |  FROM tf JOIN qt USING (token) JOIN dft USING (token)
-         |  CROSS JOIN stats),
-         |lex AS (
-         |  SELECT query_id, doc_id,
-         |    round(CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE), 4)
-         |      AS s
-         |  FROM w GROUP BY query_id, doc_id),
-         |lexr AS (
-         |  SELECT query_id, doc_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY s DESC, doc_id) AS INT) AS lex_rank
-         |  FROM lex
-         |  QUALIFY lex_rank <= 20),
+      s"""WITH $HybridLexCtes,
          |e AS (
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |         CAST(embedding AS DOUBLE[]) AS emb
@@ -1114,26 +1193,25 @@ object SimilarityQueries {
          |        DESC, vec_id) AS INT) AS dense_rank
          |  FROM e CROSS JOIN qv
          |  QUALIFY dense_rank <= 20),
-         |f AS (
-         |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
-         |         COALESCE(l.doc_id, d.doc_id) AS doc_id,
-         |         COALESCE(l.lex_rank, 0) AS lex_rank,
-         |         COALESCE(d.dense_rank, 0) AS dense_rank,
-         |         round(
-         |           (CASE WHEN l.lex_rank IS NULL THEN CAST(0 AS DOUBLE)
-         |             ELSE CAST(1.0 AS DOUBLE) / (60 + l.lex_rank) END)
-         |         + (CASE WHEN d.dense_rank IS NULL
-         |             THEN CAST(0 AS DOUBLE)
-         |             ELSE CAST(1.0 AS DOUBLE) / (60 + d.dense_rank)
-         |           END), 6) AS fused
-         |  FROM lexr l FULL OUTER JOIN denser d
-         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
-         |SELECT query_id, doc_id, lex_rank, dense_rank,
-         |  fused + 0.0 AS fused,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY fused DESC, doc_id) AS INT) AS rank
-         |FROM f QUALIFY rank <= 10""".stripMargin
+         |$RrfTailSql""".stripMargin
     },
+
+    // s21: the SAME lex replay (the postings store holds the exact
+    // facts tokenization produced) + the s08/s17 ADC chain as the
+    // dense leg (probes are the hybrid query ids — the store ranking,
+    // self-excluded), fused by the shared tail. The whole store-fed
+    // retrieval stack replays end-to-end.
+    "s21_hybrid_store" ->
+      s"""WITH $HybridLexCtes,
+         |$S08Ctes,
+         |denser AS (
+         |  SELECT query_id, vec_id AS doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(qc + r_ip, 4) DESC, vec_id) AS INT)
+         |      AS dense_rank
+         |  FROM adc
+         |  QUALIFY dense_rank <= 20),
+         |$RrfTailSql""".stripMargin,
 
     "d07_embedding_dups_lsh" ->
       s"""WITH e AS (

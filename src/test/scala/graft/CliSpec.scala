@@ -868,5 +868,40 @@ class CliSpec extends SparkTestBase {
       "--query-ids", "0", "--embeddings", fullDir, "--k", "2"), now)
     assert(printed.contains("approx_ip") &&
       printed.linesIterator.size == 3, printed)
+    // --diversify: store-fed MMR == diversifiedQuery over the same
+    // knobs; knob validation fails loudly
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--index", store, "--query-ids", "0", "--embeddings", fullDir,
+      "--diversify", "--lambda", "1.5"), now))
+      .message.contains("--lambda"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--index", store, "--query-ids", "0", "--embeddings", fullDir,
+      "--k", "5", "--diversify", "--pool", "3"), now))
+      .message.contains("--pool"))
+    val out3 = tmpDir("cli-vidx-out3") + "/o"
+    val dMsg = Cli.run(spark, Seq("ann", "--index", store,
+      "--query-ids", "0,1", "--embeddings", fullDir, "--k", "3",
+      "--diversify", "--pool", "9", "--lambda", "0.5",
+      "--out", out3), now)
+    assert(dMsg.contains("6 neighbors"), dMsg)
+    val gotD = spark.read.parquet(out3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wantD = graft.ext.VectorIndex.diversifiedQuery(spark, store,
+        emb.filter(col("vec_id") < 2), k = 3, poolSize = 9,
+        lambda = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotD == wantD,
+      "CLI store-fed diversified ranking diverged from the library")
+    // printed diversified form: pick_rank header + |Q|·k rows
+    val printedD = Cli.run(spark, Seq("ann", "--index", store,
+      "--query-ids", "0", "--embeddings", fullDir, "--k", "2",
+      "--diversify"), now)
+    assert(printedD.contains("pick_rank") &&
+      printedD.linesIterator.size == 3, printedD)
+    // loud no-store failure for a diversified query
+    assert(intercept[CliError](Cli.run(spark, Seq("ann",
+      "--index", tmpDir("cli-vidx-none") + "/missing",
+      "--query-ids", "0", "--embeddings", fullDir,
+      "--diversify"), now)).message.contains("no vector index store"))
   }
 }

@@ -276,6 +276,67 @@ class RetrievalSpec extends SparkTestBase {
     assert(ex.getMessage.contains("at least one"))
   }
 
+  test("hybridQueryStores: lex ranks == bm25TopK over the corpus, " +
+    "dense ranks == the vector store's, fused arithmetic exact, and " +
+    "the executed plan scans NO corpus table") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val e = Tables.embeddings(spark, sf0001)
+    val queries = Seq(0L -> Seq("dup", "merge"),
+      1L -> Seq("spark", "window"))
+    val bmStore = tmpDir("hyb-bm25") + "/idx"
+    val vStore = tmpDir("hyb-vidx") + "/idx"
+    assert(Retrieval.initIndexIfStale(docs, bmStore), "first build")
+    assert(!Retrieval.initIndexIfStale(docs, bmStore), "warm serve")
+    VectorIndex.init(e, vStore, coarseIters = 2)
+    // the request's own vectors, as a local relation
+    val qVecs = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toSeq
+      .map { case (id, emb) => (id, emb.toSeq) }
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.hybridQueryStores(spark, bmStore, vStore,
+      queries, qVecs, k = 10, depth = 20)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // lex leg: every reported lex_rank matches the corpus-scan ranker
+    // over that query's own term bag (df from the union filter is the
+    // same global per-token count)
+    for ((qid, terms) <- queries) {
+      val expect = Retrieval.bm25TopK(docs, terms, k = 20).collect()
+        .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1) }
+        .toMap
+      for (r <- rows if r.getLong(0) == qid && r.getInt(2) > 0)
+        assert(expect.get(r.getLong(1)).contains(r.getInt(2)),
+          s"lex_rank mismatch for query $qid doc ${r.getLong(1)}")
+    }
+    // dense leg: every reported dense_rank is the vector store's own
+    val denseExpect = VectorIndex.query(spark, vStore, qVecs, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3))
+      .toMap
+    for (r <- rows if r.getInt(3) > 0)
+      assert(denseExpect.get((r.getLong(0), r.getLong(1)))
+        .contains(r.getInt(3)),
+        s"dense_rank mismatch for ${(r.getLong(0), r.getLong(1))}")
+    // fused arithmetic: the shared RRF rule, recomputed per row
+    for (r <- rows) {
+      val lex = if (r.getInt(2) > 0) 1.0 / (60 + r.getInt(2)) else 0.0
+      val dense = if (r.getInt(3) > 0) 1.0 / (60 + r.getInt(3)) else 0.0
+      val want = BigDecimal(lex + dense)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == want, s"fused mismatch on $r")
+    }
+    // the production property: ranking never touches a corpus table —
+    // both legs read ONLY the persisted stores
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet") &&
+      !p.contains("embeddings.parquet"),
+      s"store-fed hybrid scanned a corpus table:\n$p")
+    assert(p.contains("PushedFilters: [In(token"),
+      s"token filter not pushed into the postings scan:\n$p")
+  }
+
   test("hybridTopK fuses the two rankings by RRF: hand-derived fused " +
     "scores, absent-system rank 0, depth truncation, doc_id tiebreak, " +
     "partition invariance") {
