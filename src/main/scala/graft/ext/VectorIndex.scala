@@ -116,6 +116,12 @@ object VectorIndex {
     * store at `store` (tombstones included — a rebuild starts clean);
     * meta lands last.
     */
+  /** The power-iteration depth of the drift baseline's PCA axis —
+    * MUST match the s13/s22 oracle generators' unrolled count (a
+    * mismatch hash-fails the s22 oracle loudly).
+    */
+  private[graft] val DriftPcaIters = 4
+
   def init(embeddings: DataFrame, store: String, nlist: Int = 0,
            m: Int = 8, ksub: Int = 16, dim: Int = 64, iters: Int = 1,
            coarseIters: Int = 2): Unit = {
@@ -133,6 +139,20 @@ object VectorIndex {
       codes.write.mode("overwrite").parquet(s"$store/codes")
       val (tp, tf) = fs(spark, s"$store/tombstones")
       tf.delete(tp, true)
+      // drift baseline (the [[driftReport]] reference): the s15 audit
+      // row, and the per-dim 6-grid means + s13 PCA axis as d KB-scale
+      // rows — what a scheduled-retrain advisory compares the serving
+      // corpus against. Written BEFORE meta: a readable meta implies a
+      // complete baseline.
+      val withEmb = e.select(col("vec_id"), col("emb").as("embedding"))
+      Similarity.embeddingAudit(withEmb)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$store/baseline/audit")
+      val pm = Pca.pcaModel(withEmb, iters = DriftPcaIters)
+      pm.mu.indices.map(i => (i, pm.mu(i), pm.v(i)))
+        .toDF("i", "mu", "v")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$store/baseline/axis")
       Seq((nl, m, ksub, dim, iters, coarseIters, n, s, es))
         .toDF("nlist", "m", "ksub", "dim", "iters", "coarse_iters",
           "n_rows", "id_sum", "emb_sum")
@@ -156,8 +176,12 @@ object VectorIndex {
     val fresh = exists(spark, store) && scala.util.Try {
       val meta = readMeta(spark, store)
       val (n, s, es) = fingerprint(prep(embeddings))
-      meta == IndexMeta(resolveNlist(nlist, n), m, ksub, dim, iters,
-        coarseIters, n, s, es)
+      // a pre-baseline store (older layout) must rebuild so the drift
+      // advisory has its reference
+      val (bp, bf) = fs(spark, s"$store/baseline/axis")
+      bf.exists(bp) &&
+        meta == IndexMeta(resolveNlist(nlist, n), m, ksub, dim, iters,
+          coarseIters, n, s, es)
     }.getOrElse(false)
     if (!fresh)
       init(embeddings, store, nlist, m, ksub, dim, iters, coarseIters)
@@ -438,6 +462,81 @@ object VectorIndex {
     CompactReport(rowsBefore, spark.read.parquet(dir).count(),
       before.length, dataFiles.length)
   }
+
+  /** Store-vs-corpus drift report — the SIGNAL behind "the frozen
+    * model retrains on a schedule": one row comparing the serving
+    * corpus against the baseline recorded at [[init]] (s15's audit +
+    * s13's PCA axis, composed):
+    *
+    *  - `n_ratio` — corpus growth (REPORTED, not a staleness trigger:
+    *    same-distribution growth is a capacity question [[initIfStale]]
+    *    already answers; drift is a DISTRIBUTION question);
+    *  - `norm_ratio` — avg L2 norm now / at init (both the round-6
+    *    audit statistic) — catches re-scaled or degenerating encoders;
+    *  - `mean_shift` — round-6 L2 distance between the per-dim 6-grid
+    *    mean vectors — the bulk translation of the embedding cloud;
+    *  - `axis_shift` — the mean delta PROJECTED ON THE BASELINE's
+    *    top principal axis — where the variance concentrates, a small
+    *    translation matters most along it;
+    *  - `stale` — the [[initIfStale]]-style advisory: true when
+    *    mean_shift > tolMean, |axis_shift| > tolAxis, or norm_ratio
+    *    leaves [1−tolNorm, 1+tolNorm].
+    *
+    * All arithmetic is the engine-portable kind (decimal sums, 6-grid
+    * rounds, fixed-order IEEE ops), so the whole report — including
+    * the boolean — replays in SQL (oracle-checked, s22). Cost: one
+    * narrow explode + two aggregations over the corpus; the baseline
+    * is d KB-scale rows broadcast.
+    */
+  def driftReport(spark: SparkSession, store: String, corpus: DataFrame,
+                  tolMean: Double = 0.01, tolAxis: Double = 0.005,
+                  tolNorm: Double = 0.02): DataFrame = {
+    require(exists(spark, store),
+      s"no vector index store at $store (run init first)")
+    val (bp, bf) = fs(spark, s"$store/baseline/axis")
+    require(bf.exists(bp),
+      s"store at $store predates drift baselines — re-init to record one")
+    val baseAudit = spark.read.parquet(s"$store/baseline/audit")
+      .select(col("n_vectors").as("n_base"),
+        col("avg_norm").as("norm_base"))
+    val axis = spark.read.parquet(s"$store/baseline/axis")
+    val e = prep(corpus)
+    val curAudit = Similarity.embeddingAudit(corpus)
+      .select(col("n_vectors").as("n_current"),
+        col("avg_norm").as("norm_current"))
+    val curMu = e.select(posexplode(col("emb")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(round(sum(col("x").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)), 6).as("m"))
+    val shifts = curMu.join(broadcast(axis), "i")
+      .select((col("m") - col("mu")).as("dd"), col("v"))
+      .agg(
+        round(sqrt(sum((col("dd") * col("dd")).cast("decimal(38,18)"))
+          .cast("double")), 6).as("mean_shift"),
+        round(sum((col("dd") * col("v")).cast("decimal(38,18)"))
+          .cast("double"), 6).as("axis_shift"))
+    baseAudit.crossJoin(curAudit).crossJoin(shifts)
+      .withColumn("n_ratio",
+        round(col("n_current").cast("double") / col("n_base"), 6))
+      .withColumn("norm_ratio",
+        round(when(col("norm_base") === 0.0, lit(0.0))
+          .otherwise(col("norm_current") / col("norm_base")), 6))
+      .select(col("n_base"), col("n_current"), col("n_ratio"),
+        col("norm_ratio"), col("mean_shift"), col("axis_shift"),
+        (col("mean_shift") > lit(tolMean) ||
+          abs(col("axis_shift")) > lit(tolAxis) ||
+          abs(col("norm_ratio") - lit(1.0d)) > lit(tolNorm)).as("stale"))
+  }
+
+  /** The advisory as a boolean — compose with a scheduler: re-[[init]]
+    * (and re-drain) when true.
+    */
+  def reindexAdvised(spark: SparkSession, store: String,
+                     corpus: DataFrame, tolMean: Double = 0.01,
+                     tolAxis: Double = 0.005,
+                     tolNorm: Double = 0.02): Boolean =
+    driftReport(spark, store, corpus, tolMean, tolAxis, tolNorm)
+      .collect()(0).getAs[Boolean]("stale")
 
   /** PQ-reconstruct the stored approximation of selected vectors —
     * coarse centroid + the concatenation of each subspace's codebook

@@ -40,6 +40,13 @@ object SimilarityQueries {
     */
   private val RerankPool = 8
 
+  /** s22's planted drift: dim-0 of every even-id vector shifts by this
+    * much, so the mean delta on dim 0 is ~half of it — above the
+    * default 0.01 mean-shift tolerance. Shared by the query and the
+    * oracle generator.
+    */
+  private val DriftShift = 0.05
+
   /** s09's query bag: chosen to span the corpus df spectrum (`dup`
     * appears in ~5% of documents, the others in ~77%).
     */
@@ -312,6 +319,28 @@ object SimilarityQueries {
     "s11_hybrid_rrf" -> { (s, d) =>
       Retrieval.hybridTopK(Tables.documents(s, d), Tables.embeddings(s, d),
         HybridQueries, k = 10, depth = 20)
+    },
+
+    /** s22 — drift-triggered reindex advisory: the store records an
+      * s15-audit + per-dim-means + s13-PCA-axis baseline at init;
+      * driftReport compares a serving corpus against it (norm ratio,
+      * mean-shift L2, the shift PROJECTED on the principal axis) and
+      * emits the initIfStale-style `stale` boolean. The serving corpus
+      * here is a DETERMINISTIC planted drift (dim-0 of even ids
+      * shifted — the m04 plant discipline), so the advisory's trip is
+      * part of the oracle-checked answer; the oracle replays the
+      * baseline PCA training, both audits, both mean grids, and the
+      * boolean.
+      */
+    "s22_drift_advisory" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val store = indexStoreFor(d)
+      VectorIndex.initIfStale(e, store, coarseIters = CoarseIters)
+      val shifted = e.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(i === 0 && col("vec_id") % 2 === 0,
+            x + lit(DriftShift)).otherwise(x)).as("embedding"))
+      VectorIndex.driftReport(s, store, shifted)
     },
 
     /** s21 — hybrid retrieval ENTIRELY from the persisted stores
@@ -932,6 +961,81 @@ object SimilarityQueries {
        |JOIN vf2 f2 ON f2.i = c.dim
        |GROUP BY c.vec_id""".stripMargin
 
+  /** s22: the drift report replayed end-to-end — the baseline's PCA
+    * axis (s13's training CTEs verbatim), both corpora's audit
+    * norm stats (the s15 pv accounting), both 6-grid mean vectors,
+    * the planted dim-0 shift applied in byd space (identical double
+    * adds to the operator's in-array shift), the shift projections,
+    * and the advisory boolean over the rounded values.
+    */
+  private lazy val S22Sql: String =
+    s"""WITH $PcaBaseCtes,
+       |v0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS v FROM cov),
+       |${pcaIterCtes("cov", "w", "v")},
+       |${pcaSignCtes(s"v$PcaIters", "sgn", "vf")},
+       |bnorm AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CAST(CASE WHEN isnan(x) OR isinf(x) THEN 0.0
+       |      ELSE x * x END AS DECIMAL(38,18))) AS DOUBLE) AS nsq
+       |  FROM byd GROUP BY vec_id),
+       |bpv AS (
+       |  SELECT e.vec_id, COALESCE(b.nsq, 0.0) AS nsq
+       |  FROM e LEFT JOIN bnorm b ON b.vec_id = e.vec_id),
+       |bstat AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_base,
+       |    round(CAST(SUM(CAST(round(sqrt(nsq), 6) AS DECIMAL(38,18)))
+       |      AS DOUBLE) / COUNT(*), 6) AS norm_base
+       |  FROM bpv),
+       |curbyd AS MATERIALIZED (
+       |  SELECT vec_id, dim,
+       |    CASE WHEN dim = 0 AND vec_id % 2 = 0
+       |      THEN x + CAST($DriftShift AS DOUBLE) ELSE x END AS x
+       |  FROM byd),
+       |curmu AS (
+       |  SELECT dim,
+       |    round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+       |      / COUNT(*), 6) AS m
+       |  FROM curbyd GROUP BY dim),
+       |cnorm AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CAST(CASE WHEN isnan(x) OR isinf(x) THEN 0.0
+       |      ELSE x * x END AS DECIMAL(38,18))) AS DOUBLE) AS nsq
+       |  FROM curbyd GROUP BY vec_id),
+       |cpv AS (
+       |  SELECT e.vec_id, COALESCE(c.nsq, 0.0) AS nsq
+       |  FROM e LEFT JOIN cnorm c ON c.vec_id = e.vec_id),
+       |cstat AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_current,
+       |    round(CAST(SUM(CAST(round(sqrt(nsq), 6) AS DECIMAL(38,18)))
+       |      AS DOUBLE) / COUNT(*), 6) AS norm_current
+       |  FROM cpv),
+       |dd AS (
+       |  SELECT c.dim, c.m - mu.m AS dd, vf.v
+       |  FROM curmu c JOIN mu ON mu.dim = c.dim JOIN vf ON vf.i = c.dim),
+       |shifts AS (
+       |  SELECT
+       |    round(sqrt(CAST(SUM(CAST(dd * dd AS DECIMAL(38,18)))
+       |      AS DOUBLE)), 6) AS mean_shift,
+       |    round(CAST(SUM(CAST(dd * v AS DECIMAL(38,18))) AS DOUBLE), 6)
+       |      AS axis_shift
+       |  FROM dd),
+       |ratios AS (
+       |  SELECT n_base, n_current,
+       |    round(CAST(n_current AS DOUBLE) / n_base, 6) AS n_ratio,
+       |    round(CASE WHEN norm_base = CAST(0.0 AS DOUBLE) THEN 0.0
+       |      ELSE norm_current / norm_base END, 6) AS norm_ratio,
+       |    mean_shift, axis_shift
+       |  FROM bstat, cstat, shifts)
+       |SELECT n_base, n_current, n_ratio + 0.0 AS n_ratio,
+       |  norm_ratio + 0.0 AS norm_ratio,
+       |  mean_shift + 0.0 AS mean_shift,
+       |  axis_shift + 0.0 AS axis_shift,
+       |  (mean_shift > CAST(0.01 AS DOUBLE)
+       |   OR ABS(axis_shift) > CAST(0.005 AS DOUBLE)
+       |   OR ABS(norm_ratio - CAST(1.0 AS DOUBLE)) > CAST(0.02 AS DOUBLE))
+       |    AS stale
+       |FROM ratios""".stripMargin
+
   /** s14's greedy replay: the exact pool (s01's window shape capped
     * at `MmrPool`), then `MmrK − 1` unrolled pick rounds — each a
     * NOT-EXISTS over the picks so far, a per-candidate MAX of
@@ -1251,6 +1355,10 @@ object SimilarityQueries {
     // s20: the s08 candidate chain cut at RerankPool + the exact
     // cosine re-rank of just those candidates' originals
     "s20_ann_rerank" -> S20Sql,
+
+    // s22: baseline PCA + audits + mean grids + the advisory boolean,
+    // replayed end-to-end over the planted drift
+    "s22_drift_advisory" -> S22Sql,
 
     // s07: the full PQ pipeline replayed — seed slice, one Lloyd
     // update through DECIMAL means (bit-identical codebooks), argmin

@@ -366,6 +366,61 @@ class VectorIndexSpec extends SparkTestBase {
     assert(rec.head.toSeq == rec2.head.toSeq, "reconstruct nondeterministic")
   }
 
+  test("drift advisory: self-drift is exactly zero, a shifted corpus " +
+    "trips, a same-distribution 2x growth does not, pre-baseline " +
+    "stores fail loudly and rebuild") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf0001)
+    val st = store("vidx-drift")
+    VectorIndex.init(e, st, coarseIters = 2)
+    // serving the training corpus itself: every drift component is
+    // EXACTLY its identity value (decimal sums are order-free exact)
+    val self = VectorIndex.driftReport(spark, st, e).collect()(0)
+    assert(self.getAs[Double]("mean_shift") == 0.0 &&
+      self.getAs[Double]("axis_shift") == 0.0 &&
+      self.getAs[Double]("norm_ratio") == 1.0 &&
+      self.getAs[Double]("n_ratio") == 1.0 &&
+      !self.getAs[Boolean]("stale"),
+      s"self-drift not identity: $self")
+    // a planted translation (dim-0 of even ids) must trip the advisory
+    val shifted = e.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => when(i === 0 && col("vec_id") % 2 === 0,
+          x + lit(0.05)).otherwise(x)).as("embedding"))
+    val drift = VectorIndex.driftReport(spark, st, shifted).collect()(0)
+    assert(drift.getAs[Double]("mean_shift") > 0.01 &&
+      drift.getAs[Boolean]("stale"),
+      s"planted drift did not trip the advisory: $drift")
+    assert(VectorIndex.reindexAdvised(spark, st, shifted),
+      "reindexAdvised disagreed with the report")
+    // same-distribution growth: the corpus unioned with itself under
+    // fresh ids doubles every decimal sum AND the count, so means and
+    // avg norm are BIT-identical — growth alone is not drift
+    val doubled = e.unionByName(
+      e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding"), col("label")))
+    val grown = VectorIndex.driftReport(spark, st, doubled).collect()(0)
+    assert(grown.getAs[Double]("n_ratio") == 2.0 &&
+      grown.getAs[Double]("mean_shift") == 0.0 &&
+      grown.getAs[Double]("norm_ratio") == 1.0 &&
+      !grown.getAs[Boolean]("stale"),
+      s"same-distribution growth misread as drift: $grown")
+    // a store built before drift baselines existed: driftReport fails
+    // loudly, and initIfStale treats it as stale (rebuilds the baseline)
+    val (bp, bf) = (new org.apache.hadoop.fs.Path(s"$st/baseline"),
+      new org.apache.hadoop.fs.Path(s"$st/baseline")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration))
+    bf.delete(bp, true)
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.driftReport(spark, st, e)
+    }
+    assert(ex.getMessage.contains("predates drift baselines"))
+    assert(VectorIndex.initIfStale(e, st, coarseIters = 2),
+      "a pre-baseline store must read as stale")
+    assert(!VectorIndex.driftReport(spark, st, e).collect()(0)
+      .getAs[Boolean]("stale"))
+  }
+
   test("loud failure modes: query/update/delete/compact on a missing " +
     "store") {
     val e = Tables.embeddings(spark, sf0001)
