@@ -426,6 +426,232 @@ object Multimodal {
         else Some(AviMeta(width, height, usPerFrame, frames.toIndexedSeq))
       } catch { case scala.util.control.NonFatal(_) => None }
 
+  // ---- ISO-BMFF (MP4) container walk --------------------------------
+
+  /** Parsed ISO-BMFF container facts — everything the box tree itself
+    * records (codec payloads stay opaque: no H.264/AAC decoder ships
+    * with the JDK, exactly like the AVI path's non-MJPEG codecs).
+    */
+  final case class Mp4Meta(timescale: Long, durationUnits: Long,
+                           durationMs: Long, nTracks: Int, nVideo: Int,
+                           nAudio: Int, width: Int, height: Int,
+                           mdatBytes: Long)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  def looksLikeMp4(payload: Array[Byte]): Boolean =
+    payload.length >= 12 && fourcc(payload, 4) == "ftyp"
+
+  /** REAL container-level walk for ISO-BMFF (MP4/MOV — the box format
+    * of ISO/IEC 14496-12, a pure public byte layout): boxes are
+    * big-endian [size][fourcc] with size 1 → a 64-bit largesize and
+    * size 0 → "to end of enclosing box"; `moov/trak/mdia` recurse;
+    * `mvhd` v0/v1 carries the movie timescale and duration, `tkhd`
+    * v0/v1 the 16.16 fixed-point presentation width/height, `hdlr`
+    * the per-track handler (vide/soun), and `mdat` the media payload
+    * size. duration_ms = duration · 1000 / timescale in integer math
+    * — the conversion every MP4 consumer performs. Codec decode is
+    * out of scope by design ([[demuxAvi]]'s division of labor); the
+    * facts here are the ones a 100 TB video-curation pass filters on
+    * BEFORE any decode (duration buckets, resolution gates, track
+    * sanity). None for non-MP4 or corrupt payloads — every size field
+    * is bounds-checked so a hostile length fails soft instead of
+    * looping or mis-slicing (spec-pinned).
+    */
+  private[ext] def parseMp4(payload: Array[Byte]): Option[Mp4Meta] =
+    if (!looksLikeMp4(payload)) None
+    else
+      try {
+        var timescale = 0L; var duration = -1L
+        var nTracks = 0; var nVideo = 0; var nAudio = 0
+        var width = 0; var height = 0; var mdatBytes = 0L
+        var sawMoov = false
+        // per-trak state: the first video track's dims win
+        def walk(start: Long, end: Long, depth: Int): Boolean = {
+          if (depth > 8) return false // box trees are shallow; a deep
+          var off = start             // one is hostile — fail soft
+          var ok = true
+          while (ok && off + 8 <= end) {
+            val size0 = be32(payload, off.toInt)
+            val id = fourcc(payload, off.toInt + 4)
+            // size 1: 64-bit largesize follows; size 0: to end
+            val (dataStart, boxEnd) =
+              if (size0 == 1L && off + 16 <= end)
+                (off + 16, off + be64(payload, off.toInt + 8))
+              else if (size0 == 0L) (off + 8, end)
+              else (off + 8, off + size0)
+            if (boxEnd < dataStart || boxEnd > end) ok = false
+            else {
+              id match {
+                case "moov" =>
+                  sawMoov = true
+                  ok = walk(dataStart, boxEnd, depth + 1)
+                case "trak" =>
+                  nTracks += 1
+                  ok = walk(dataStart, boxEnd, depth + 1)
+                case "mdia" | "minf" =>
+                  ok = walk(dataStart, boxEnd, depth + 1)
+                case "mvhd" if dataStart + 4 <= boxEnd =>
+                  val v = payload(dataStart.toInt) & 0xff
+                  // v0: ts at +12, dur32 at +16; v1: ts at +20, dur64
+                  if (v == 0 && dataStart + 20 <= boxEnd) {
+                    timescale = be32(payload, dataStart.toInt + 12)
+                    duration = be32(payload, dataStart.toInt + 16)
+                  } else if (v == 1 && dataStart + 32 <= boxEnd) {
+                    timescale = be32(payload, dataStart.toInt + 20)
+                    duration = be64(payload, dataStart.toInt + 24)
+                  }
+                case "tkhd" if dataStart + 4 <= boxEnd =>
+                  val v = payload(dataStart.toInt) & 0xff
+                  // 16.16 fixed width/height close the box (v0: +76,
+                  // v1: +88)
+                  val wOff = dataStart + (if (v == 1) 88 else 76)
+                  if (width == 0 && wOff + 8 <= boxEnd) {
+                    val w = (be32(payload, wOff.toInt) >> 16).toInt
+                    val h = (be32(payload, wOff.toInt + 4) >> 16).toInt
+                    if (w > 0 && h > 0) { width = w; height = h }
+                  }
+                case "hdlr" if dataStart + 12 <= boxEnd =>
+                  fourcc(payload, dataStart.toInt + 8) match {
+                    case "vide" => nVideo += 1
+                    case "soun" => nAudio += 1
+                    case _ => ()
+                  }
+                case "mdat" => mdatBytes += boxEnd - dataStart
+                case _ => ()
+              }
+              off = boxEnd
+            }
+          }
+          ok
+        }
+        val ok = walk(0L, payload.length.toLong, 0)
+        if (!ok || !sawMoov || timescale <= 0 || duration < 0) None
+        else Some(Mp4Meta(timescale, duration,
+          duration * 1000L / timescale, nTracks, nVideo, nAudio,
+          width, height, mdatBytes))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Wrap documents as REAL minimal ISO-BMFF containers —
+    * [[asWavAssets]]'s video twin: deterministic per-doc facts over
+    * the text byte count n (duration 500 + 13n mod 9000 units on the
+    * classic 600-unit movie timescale; 1 + n mod 3 tracks alternating
+    * vide/soun; the video track's 16.16 dims 16·(4 + n mod 28) ×
+    * 16·(3 + 5n mod 17); the text bytes as mdat). The m07 query walks
+    * them back ([[parseMp4]]) and its oracle replays the formulas AND
+    * the fixed box-size arithmetic (file = 148 + 173·tracks + n
+    * bytes), so a writer or parser that drifts from the 14496-12
+    * layout mismatches on every row.
+    */
+  def asMp4Assets(spark: SparkSession, docs: DataFrame,
+                  timescale: Long = 600L): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          MediaAsset(id, "video/mp4", mp4Bytes(body, timescale))
+        }
+      }.toDF()
+  }
+
+  /** The minimal valid ISO-BMFF file around `body`: ftyp(24) +
+    * moov(8 + mvhd(108) + nTracks·trak(173)) + mdat(8 + n). Every box
+    * is the canonical v0 layout at its spec offsets — [[parseMp4]]
+    * must read THESE bytes back.
+    */
+  private[ext] def mp4Bytes(body: Array[Byte],
+                            timescale: Long): Array[Byte] = {
+    val n = body.length
+    val nTracks = 1 + n % 3
+    val durUnits = 500L + (n.toLong * 13L) % 9000L
+    val w = 16 * (4 + n % 28)
+    val h = 16 * (3 + (5 * n) % 17)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val trakSize = 8 + 92 + (8 + 32 + 33)
+    val moovSize = 8 + 108 + nTracks * trakSize
+    val total = 24 + moovSize + 8 + n
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def four(s: String): Unit = { b.put(s.getBytes(ascii)); () }
+    // ftyp: major isom, minor 0, compatible [isom, mp41]
+    b.putInt(24); four("ftyp"); four("isom"); b.putInt(0)
+    four("isom"); four("mp41")
+    // moov > mvhd v0 (108 B total)
+    b.putInt(moovSize); four("moov")
+    b.putInt(108); four("mvhd"); b.putInt(0) // version/flags
+    b.putInt(0).putInt(0) // creation, modification
+    b.putInt(timescale.toInt).putInt(durUnits.toInt)
+    b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, vol
+    b.putInt(0).putInt(0) // reserved
+    for (m <- Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000))
+      b.putInt(m) // unity matrix
+    for (_ <- 0 until 6) b.putInt(0) // pre_defined
+    b.putInt(nTracks + 1) // next_track_ID
+    for (t <- 1 to nTracks) {
+      val video = t % 2 == 1 // tracks alternate vide/soun, video first
+      b.putInt(trakSize); four("trak")
+      // tkhd v0 (92 B total): flags 7 (enabled|in-movie|in-preview)
+      b.putInt(92); four("tkhd"); b.putInt(7)
+      b.putInt(0).putInt(0) // creation, modification
+      b.putInt(t) // track_ID
+      b.putInt(0) // reserved
+      b.putInt(durUnits.toInt)
+      b.putInt(0).putInt(0) // reserved
+      b.putShort(0).putShort(0) // layer, alternate_group
+      b.putShort(if (video) 0 else 0x0100.toShort).putShort(0) // volume
+      for (m <- Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000))
+        b.putInt(m)
+      b.putInt(if (video) w << 16 else 0) // 16.16 width
+      b.putInt(if (video) h << 16 else 0) // 16.16 height
+      // mdia (73 B total) > mdhd v0 (32) + hdlr (33)
+      b.putInt(8 + 32 + 33); four("mdia")
+      b.putInt(32); four("mdhd"); b.putInt(0)
+      b.putInt(0).putInt(0) // creation, modification
+      b.putInt(timescale.toInt).putInt(durUnits.toInt)
+      b.putShort(0x55c4.toShort).putShort(0) // language 'und', predefined
+      b.putInt(33); four("hdlr"); b.putInt(0)
+      b.putInt(0) // pre_defined
+      four(if (video) "vide" else "soun")
+      for (_ <- 0 until 3) b.putInt(0) // reserved
+      b.put(0.toByte) // empty null-terminated name
+    }
+    b.putInt(8 + n); four("mdat"); b.put(body)
+    b.array()
+  }
+
+  final case class Mp4Features(doc_id: Long, n_bytes: Long,
+                               timescale: Long, duration_units: Long,
+                               duration_ms: Long, n_tracks: Int,
+                               n_video: Int, n_audio: Int, width: Int,
+                               height: Int, mdat_bytes: Long)
+
+  /** The m07 feature path: walk each asset's box tree and emit the
+    * container facts — the same batched narrow-map boundary as
+    * [[extractFeatures]]. Payloads that are not (or are corrupt) MP4
+    * emit the all-zero fact row rather than failing the task.
+    */
+  def mp4Features(spark: SparkSession,
+                  assets: DataFrame): Dataset[Mp4Features] = {
+    import spark.implicits._
+    assets.as[MediaAsset].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          val m = parseMp4(a.payload).getOrElse(
+            Mp4Meta(0L, 0L, 0L, 0, 0, 0, 0, 0, 0L))
+          Mp4Features(a.doc_id, a.payload.length.toLong, m.timescale,
+            m.durationUnits, m.durationMs, m.nTracks, m.nVideo,
+            m.nAudio, m.width, m.height, m.mdatBytes)
+        }
+      }
+    }
+  }
+
   /** Bytes → (width, height, n_frames, sample_rate, n_channels,
     * duration_ms). Real pixel dimensions for image payloads
     * (`javax.imageio`), real sample rate / channels / PCM frame count
@@ -456,11 +682,17 @@ object Multimodal {
                 .map(i => (i.getWidth, i.getHeight)).getOrElse((0, 0))
             (w, h, avi.frames.length, 0, 0,
               avi.usPerFrame * avi.frames.length / 1000L)
-          case None =>
-            val n = payload.length.toLong
-            val width = (64 + n % 960).toInt
-            val height = (64 + (n * 31) % 960).toInt
-            (width, height, 1, 0, 0, 0L)
+          case None => parseMp4(payload) match {
+            case Some(m) =>
+              // container facts are real ([[parseMp4]]); frame count
+              // needs the sample tables this walk deliberately skips
+              (m.width, m.height, 1, 0, 0, m.durationMs)
+            case None =>
+              val n = payload.length.toLong
+              val width = (64 + n % 960).toInt
+              val height = (64 + (n * 31) % 960).toInt
+              (width, height, 1, 0, 0, 0L)
+          }
         }
       }
     }

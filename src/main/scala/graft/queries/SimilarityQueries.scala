@@ -474,6 +474,22 @@ object SimilarityQueries {
           col("height"), col("n_frames"))
     },
 
+    /** m07 — REAL ISO-BMFF (MP4) container round-trip, the video twin
+      * of m05/m06: documents become genuine minimal MP4 box trees
+      * (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/mdat at their
+      * 14496-12 offsets, deterministic facts over the text byte
+      * count), then the box walk reads timescale, duration (and its
+      * ms conversion), track/handler counts, 16.16 video dims and
+      * mdat size back. The oracle replays the fact formulas AND the
+      * fixed box-size arithmetic (148 + 173·tracks + n bytes) — a
+      * writer or parser drifting from the spec layout mismatches on
+      * every row.
+      */
+    "m07_mp4_features" -> { (s, d) =>
+      Multimodal.mp4Features(s,
+        Multimodal.asMp4Assets(s, Tables.documents(s, d))).toDF()
+    },
+
     /** s03 — IVF ANN: Lloyd-trained coarse centroids (the d09
       * mod-prime seed sample + one DECIMAL-mean refinement — the
       * oracle replays the TRAINING, r10), nprobe-cell probing, exact
@@ -1794,6 +1810,28 @@ object SimilarityQueries {
 
     // the WAV container contract in arithmetic: canonical 44-byte
     // PCM header, one frame per byte at 8-bit mono, integer duration
+    // m07: every fact is integer arithmetic over the text byte count —
+    // the container contract (duration on the 600-unit timescale and
+    // its floor-div ms conversion, alternating vide/soun handlers,
+    // 16.16 dims, and the exact 148 + 173·tracks + n file size)
+    "m07_mp4_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(148 + 173 * (1 + n % 3) + n AS BIGINT) AS n_bytes,
+        |  CAST(600 AS BIGINT) AS timescale,
+        |  CAST(500 + (n * 13) % 9000 AS BIGINT) AS duration_units,
+        |  CAST((500 + (n * 13) % 9000) * 1000 // 600 AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(1 + n % 3 AS INT) AS n_tracks,
+        |  CAST((2 + n % 3) // 2 AS INT) AS n_video,
+        |  CAST((1 + n % 3) // 2 AS INT) AS n_audio,
+        |  CAST(16 * (4 + n % 28) AS INT) AS width,
+        |  CAST(16 * (3 + (5 * n) % 17) AS INT) AS height,
+        |  CAST(n AS BIGINT) AS mdat_bytes
+        |FROM d""".stripMargin,
+
     "m05_audio_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) + 44 AS BIGINT) AS n_bytes,

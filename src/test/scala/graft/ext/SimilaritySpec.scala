@@ -1314,4 +1314,54 @@ class SimilaritySpec extends SparkTestBase {
       assert(Multimodal.decodeHinted(null, p) == Multimodal.decode(p))
     }
   }
+
+  test("MP4 box walk: synthesized fixture round-trips fact for fact " +
+    "(largesize form included); hostile sizes, truncation and non-MP4 " +
+    "fail soft") {
+    val n = 100
+    val body = Array.tabulate(n)(i => (i % 251).toByte)
+    val payload = Multimodal.mp4Bytes(body, 600L)
+    val k = 1 + n % 3
+    // the size contract the m07 oracle replays
+    assert(payload.length == 148 + 173 * k + n)
+    val m = Multimodal.parseMp4(payload).get
+    assert(m.timescale == 600L)
+    assert(m.durationUnits == 500L + (n * 13) % 9000)
+    assert(m.durationMs == m.durationUnits * 1000L / 600L)
+    assert(m.nTracks == k && m.nVideo == (k + 1) / 2 &&
+      m.nAudio == k / 2)
+    assert(m.width == 16 * (4 + n % 28) &&
+      m.height == 16 * (3 + (5 * n) % 17))
+    assert(m.mdatBytes == n)
+    // decode() integration: container facts flow into the feature tuple
+    val (w, h, f, rate, ch, ms) = Multimodal.decode(payload)
+    assert(w == m.width && h == m.height && f == 1 && rate == 0 &&
+      ch == 0 && ms == m.durationMs)
+    // the 64-bit largesize form (size field 1 + 8-byte size) must
+    // parse to the SAME facts
+    val bb0 = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    val moovTotal = bb0.getInt(24)
+    val moovBody = payload.slice(24 + 8, 24 + moovTotal)
+    val rest = payload.drop(24 + moovTotal)
+    val big = java.nio.ByteBuffer
+      .allocate(24 + 16 + moovBody.length + rest.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    big.put(payload, 0, 24).putInt(1)
+      .put("moov".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putLong(16L + moovBody.length).put(moovBody).put(rest)
+    assert(Multimodal.parseMp4(big.array()).contains(m),
+      "largesize moov parsed differently")
+    // fail-soft: non-MP4, truncation mid-tree, hostile size field
+    assert(Multimodal.parseMp4(
+      "plain text far from a box tree".getBytes).isEmpty)
+    assert(Multimodal.parseMp4(payload.take(60)).isEmpty)
+    val hostile = payload.clone()
+    hostile(24) = 0x7f.toByte // moov size ~2 GiB past the buffer
+    assert(Multimodal.parseMp4(hostile).isEmpty,
+      "hostile size field did not fail soft")
+    // a zero/absent-moov stream terminates without throwing
+    assert(Multimodal.parseMp4(payload.take(24) ++
+      Array.fill(16)(0.toByte)).isEmpty)
+  }
 }
