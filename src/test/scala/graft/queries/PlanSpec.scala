@@ -48,6 +48,8 @@ class PlanSpec extends SparkTestBase {
     "ev10_locf",              // hour spine × distinct event types
     "q11_brand_share",        // × total-revenue scalar
     "s09_bm25_topk",          // × corpus (n_docs, avgdl) scalar
+    "s21_hybrid_store",       // lex leg × one-row store (n_docs, avgdl)
+    "s22_drift_advisory",     // one-row audit × audit × shifts folds
     "x10_tfidf",              // × corpus doc-count scalar
     "x15_unigram_loglik",     // × total-token-count scalar
     "x20_heavy_hitters",      // × total-count threshold scalar
