@@ -161,7 +161,17 @@ object Dedup {
     * output, so the DuckDB oracle joins raw shingle strings instead (a
     * collision merging two shingles is ~2^-64 per pair — ignorable).
     */
-  private[ext] def hashedShingles(docs: DataFrame, n: Int): DataFrame = {
+  private[ext] def hashedShingles(docs: DataFrame, n: Int): DataFrame =
+    hashedShingles(docs, n, Nil)
+
+  /** As above with extra functionally-dependent-on-doc_id columns
+    * carried through (the pqAssign `carry` idiom —
+    * [[jaccardClusterEdges]] rides its representative multiplicity
+    * along so the weighted df needs no post-hoc join against the
+    * shingle-partitioned table).
+    */
+  private[ext] def hashedShingles(docs: DataFrame, n: Int,
+                                  carry: Seq[String]): DataFrame = {
     // hash each TOKEN once, then key each n-token window by an
     // xxhash64 over its n token hashes (order-sensitive, same ~2^-64
     // collision class) — cheaper than materializing every window as a
@@ -170,10 +180,11 @@ object Dedup {
     // hash, and no per-window string allocation. Each exploded row
     // carries its doc's distinct-shingle count `n_sh` (an int per row)
     // so downstream jaccard arithmetic needs NO per-doc sizes join.
-    docs.select(col("doc_id"),
-        transform(tokens, t => xxhash64(t)).as("th"))
-      .select(col("doc_id"),
-        windowHashArr(n, distinctWindows = true).as("sh_set"))
+    val extra = carry.map(col)
+    docs.select(col("doc_id") +: extra :+
+        transform(tokens, t => xxhash64(t)).as("th"): _*)
+      .select(col("doc_id") +: extra :+
+        windowHashArr(n, distinctWindows = true).as("sh_set"): _*)
       // explode_OUTER + post-explode null filter, deliberately: with a
       // plain explode, InferFiltersFromGenerate adds size(sh_set) > 0
       // below the Generate and predicate pushdown inlines the whole
@@ -181,8 +192,8 @@ object Dedup {
       // tokenize+hash chain then re-evaluates per element_at reference,
       // O(tokens²) per doc (measured 15× slower). The rule skips outer
       // generators; empty docs surface as one null row dropped here.
-      .select(col("doc_id"), size(col("sh_set")).as("n_sh"),
-        explode_outer(col("sh_set")).as("shingle"))
+      .select(col("doc_id") +: extra :+ size(col("sh_set")).as("n_sh") :+
+        explode_outer(col("sh_set")).as("shingle"): _*)
       .filter(col("shingle").isNotNull)
       .repartition(col("shingle"))
   }
@@ -329,6 +340,130 @@ object Dedup {
       i => transform(slice(col("docs"), i + 2, k - i - 1), b =>
         struct(element_at(col("docs"), i + 1).as("a"),
           b.as("b")))))).as("p"))
+
+  /** Edge set sufficient to CLUSTER the capped-jaccard near-dup graph
+    * — [[jaccardPairs]] ∘ [[clusters]]'s scale form: exact-duplicate
+    * documents (identical text) collapse to their min-id
+    * REPRESENTATIVE before the quadratic in-group pair expansion.
+    * This is the first move of every production dedup cascade — on a
+    * replicated corpus a k-copy family pays C(k,2) expanded pairs per
+    * shared shingle under the naive plan, quadratic in the
+    * replication factor, while the collapsed plan pays k member
+    * edges; the shingling itself also runs over unique texts only.
+    *
+    * Connectivity (hence [[clusters]]' output — components, min-id
+    * cluster ids, survivors) is preserved EXACTLY, including the
+    * maxDf cap's semantics, which make this non-trivial:
+    *  - the cap counts document frequency over the FULL corpus, so
+    *    the collapsed df is the multiplicity-WEIGHTED sum (a shingle
+    *    on 30 copies of one text has df 30, not 1);
+    *  - members of a k ≥ 2 group pair with capped jaccard
+    *    m/(2n − m) — m their text's capped shingle count, n its
+    *    shingle count (the cap undercounts the intersection, so the
+    *    union formula overcounts: identical docs do NOT automatically
+    *    qualify) — the group's members join the edge set iff that
+    *    value clears the threshold;
+    *  - any cross-group member pair has EXACTLY its representatives'
+    *    jaccard (identical shingle sets), so one representative pair
+    *    stands for the complete bipartite member clique — and because
+    *    that clique connects BOTH groups' members in the full graph
+    *    even when a group's internal pairs don't qualify, member →
+    *    representative edges are emitted for every group incident to
+    *    a representative edge as well as for intra-qualifying ones.
+    * DedupSpec pins clusters(these edges) == clusters(jaccardPairs)
+    * row-for-row on replicated and adversarial corpora; the d08/d17
+    * oracles (recursive CTE over the FULL pair SQL) hold unchanged.
+    *
+    * Exact-text grouping keys on xxhash64(text) — the repo's ~2⁻⁶⁴
+    * collision class (shingles, band keys), not a byte shuffle of the
+    * corpus. At 100 TB: one narrow hash + one (key, id) shuffle to
+    * group, a broadcast of the representative list back onto the
+    * scan, then the whole jaccard machinery runs on unique texts.
+    */
+  /** The collapse only pays when duplicates are a material fraction —
+    * below this, the naive pair plan wins back its ~5 extra driver
+    * jobs (group pass, intra/qualifying checkpoints, member joins) and
+    * is taken instead. A performance DISPATCH, not a semantic one:
+    * both branches cluster identically (spec-pinned on both sides of
+    * the valve), exactly like the autoBits/autoNlist sizing rules.
+    */
+  private[ext] val CollapseMinDupFraction = 0.10
+
+  def jaccardClusterEdges(docs: DataFrame, n: Int = 3,
+                          threshold: Double = 0.5,
+                          maxDf: Int = 50): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("text"),
+      xxhash64(col("text")).as("tk"))
+    val groups = keyed.select(col("doc_id"), col("tk"))
+      .groupBy(col("tk"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("c"))
+      .transform(SharedCache.persistShared)
+    val statsRow = groups
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_unique"))
+      .collect()(0)
+    val (nDocs, nUnique) =
+      (statsRow.getAs[Long]("n_docs"), statsRow.getAs[Long]("n_unique"))
+    if (nDocs - nUnique < nDocs * CollapseMinDupFraction)
+      return jaccardPairs(docs, n, threshold, maxDf)
+        .select(col("doc_a"), col("doc_b"))
+    val repDocs = keyed
+      .join(groups.select(col("rep").as("doc_id"), col("c")), "doc_id")
+    val sh = hashedShingles(repDocs, n, carry = Seq("c"))
+      .transform(SharedCache.persistShared)
+    // the FULL-corpus df is the multiplicity-weighted sum
+    val freq = sh.groupBy(col("shingle"))
+      .agg(sum(col("c")).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select("shingle")
+    val capped = sh.join(freq, "shingle")
+    // representative pairs: countedPairs' machinery over unique texts.
+    // Unlike there, a capped shingle can live on ONE representative
+    // (weighted df ≥ 2 from its multiplicity alone — an intra-group
+    // fact, handled below): single-element lists emit no pairs and
+    // must not reach inter_pairs' expansion.
+    val docLists = capped.groupBy(col("shingle"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("docs"))
+      .filter(size(col("docs")) >= 2)
+    val repPairs = inter_pairs(docLists, size(col("docs")))
+      .groupBy(col("p.a.doc_id").as("doc_a"),
+        col("p.b.doc_id").as("doc_b"),
+        col("p.a.n_sh").as("na"), col("p.b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("n_inter"))
+      .filter((col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter"))) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true) // consumed twice: edges + qualifying reps
+    // groups whose INTERNAL member pairs qualify: capped jaccard of
+    // identical texts is m/(2n − m) — the full plan's exact value
+    val intraReps = capped.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("m"), first(col("n_sh")).as("n_sh"),
+        first(col("c")).as("c"))
+      .filter(col("c") >= 2)
+      .filter((col("m").cast("double") /
+        (lit(2) * col("n_sh") - col("m"))) >= threshold)
+      .select(col("doc_id").as("rep"))
+    val interReps = repPairs.select(col("doc_a").as("rep"))
+      .unionByName(repPairs.select(col("doc_b").as("rep")))
+    // eager and tiny (qualifying rep ids): the last consumer of the
+    // shingle cache, so the cache releases HERE and the returned lazy
+    // edge plan carries no cached lineage — its one execution (the
+    // caller's clusters() truncates immediately) only replays the
+    // cheap keyed/group branch
+    val qualifying = intraReps.unionByName(interReps).distinct()
+      .localCheckpoint(true)
+    sh.unpersist()
+    // groups stays shared-cached (the noveltyScores discipline): the
+    // lazy member-edge plan reads it once more when the caller's
+    // clusters() materializes, and persistShared keys by canonical
+    // plan so re-invocations reuse one entry instead of accreting
+    val memberEdges = keyed.select(col("doc_id"), col("tk"))
+      .join(groups.select(col("tk"), col("rep")), "tk")
+      .filter(col("doc_id") =!= col("rep"))
+      .join(qualifying, "rep")
+      .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
+    memberEdges.unionByName(repPairs)
+  }
 
   /** Connected components over an undirected near-dup pair set →
     * `(doc_id, cluster_id, survivor)` — the step that turns pairwise

@@ -116,12 +116,19 @@ object DedupQueries {
       * d02 jaccard pair set: connected components (min-id label
       * propagation with pointer jumping) turn pairwise candidates into
       * "keep one per cluster" — the last step of a production dedup
-      * pass. Oracle: the same components via a recursive CTE.
+      * pass. Since r11 the edges come from [[graft.ext.Dedup
+      * .jaccardClusterEdges]] — exact duplicates collapse to
+      * representatives BEFORE the in-group pair expansion (connectivity
+      * preserved exactly, cap semantics included — spec-pinned against
+      * the naive composition), so a k-copy family costs k member edges
+      * instead of C(k,2) expanded pairs per shared shingle. Oracle
+      * UNCHANGED: the same components via a recursive CTE over the
+      * full d02 pair SQL.
       */
     "d08_dup_clusters" -> { (s, d) =>
       Dedup.clusters(
-        Dedup.jaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.5,
-          maxDf = 50))
+        Dedup.jaccardClusterEdges(Tables.documents(s, d), n = 3,
+          threshold = 0.5, maxDf = 50))
     },
 
     /** d17 — dup-family size distribution over d08's clusters: how
@@ -135,8 +142,8 @@ object DedupQueries {
     "d17_cluster_sizes" -> { (s, d) =>
       import org.apache.spark.sql.functions._
       Dedup.clusters(
-        Dedup.jaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.5,
-          maxDf = 50))
+        Dedup.jaccardClusterEdges(Tables.documents(s, d), n = 3,
+          threshold = 0.5, maxDf = 50))
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size"))

@@ -537,6 +537,56 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.crossContamination(train, eval_, n = 3).isEmpty)
   }
 
+  test("jaccardClusterEdges: clusters == the naive jaccardPairs " +
+    "composition row-for-row — replicated corpus, cap-starved family, " +
+    "bridge-only groups, randomized corpora") {
+    import spark.implicits._
+    def pin(d: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val fast = Dedup.clusters(Dedup.jaccardClusterEdges(d, n = 3,
+        threshold = 0.5, maxDf = 50)).collect().map(_.toSeq).toSet
+      val naive = Dedup.clusters(Dedup.jaccardPairs(d, n = 3,
+        threshold = 0.5, maxDf = 50)
+        .select(col("doc_a"), col("doc_b"))).collect().map(_.toSeq).toSet
+      assert(fast == naive, s"$label: collapsed clustering diverged")
+    }
+    // the real corpus (has planted near-dups and exact dups)
+    pin(docs.select("doc_id", "text"), "corpus")
+    // a 5x-replicated shard corpus — the x30 ladder shape where the
+    // naive plan pays C(5,2) per family per shingle
+    val base = docs.filter(col("doc_id") < 60).select("doc_id", "text")
+    val replicated = (0 until 5).map(i => base.select(
+      (col("doc_id") + lit(i * 1000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    pin(replicated, "replicated")
+    // cap-starved exact family: 60 copies of one text push every one
+    // of its shingles past maxDf=50 — the FULL plan yields NO pairs
+    // for it (capped intersection 0), so the collapsed plan must not
+    // link the copies either (the member-edge qualification rule)
+    val starved = (0 until 60).map(i => (5000L + i, "alpha beta gamma " +
+      "delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    pin(base.unionByName(starved), "cap-starved family")
+    // bridge case: a group whose internal pairs fail the threshold
+    // can still be connected THROUGH another group's members
+    val shared = "one two three four five six seven eight nine ten"
+    val bridge = Seq(
+      (1L, shared), (2L, shared), // an exact pair
+      (3L, shared + " eleven twelve")) // near-dup of both
+      .toDF("doc_id", "text")
+    pin(bridge, "bridge")
+    // randomized: shuffled vocab soup with planted copies
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("red", "blue", "green", "dup", "spark", "scan",
+      "merge", "key", "sort", "row")
+    val soup = (0 until 120).map { i =>
+      val t = (0 until 8 + rnd.nextInt(8))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i.toLong, t)
+    }
+    val withCopies = soup ++ soup.take(30)
+      .map { case (id, t) => (id + 10000L, t) }
+    pin(withCopies.toDF("doc_id", "text"), "randomized+copies")
+  }
+
   test("signature-store tombstones: a deleted doc leaves every read " +
     "and update path, cannot re-enter, and compaction drops it " +
     "physically") {
