@@ -304,6 +304,17 @@ object Cli {
     *     FROM THE STORE (`--k`, `--nprobe`); the corpus is never read.
     *     `--diversify` (`--lambda`, `--pool`) swaps in the store-fed
     *     MMR selection over PQ reconstructions (s19's shape).
+    *   - `--delete --vec-ids "1,2"`: tombstone ids (the takedown
+    *     path — every read path excludes them immediately; replays
+    *     harmless); `--compact`: physically rewrite the codes store
+    *     as the folded tombstone-free row set (result-invisible).
+    *   - `--drift --embeddings <pq>`: the s22 reindex advisory —
+    *     every component (n/norm ratios, mean/axis shift) of the
+    *     serving corpus vs the baseline recorded at init, with the
+    *     `stale` verdict; `--drift-stats` reads the SAME report from
+    *     the store's incrementally-maintained statistics instead
+    *     (s23 — no corpus argument, no corpus scan). Tolerances:
+    *     `--tol-mean/--tol-axis/--tol-norm`.
     */
   private def annIndexCmd(spark: SparkSession,
                           opts: Map[String, String]): String = {
@@ -317,6 +328,84 @@ object Cli {
     if ((init || update) && querying)
       throw CliError("--init/--update cannot combine with " +
         "--query-ids/--queries (maintain the store first, then query)")
+    val drift = boolFlag(opts, "drift")
+    val driftStats = boolFlag(opts, "drift_stats")
+    if (drift && driftStats)
+      throw CliError("--drift and --drift-stats are exclusive " +
+        "(corpus-scan OR stats-fed)")
+    if ((drift || driftStats) && (init || update || querying))
+      throw CliError("--drift/--drift-stats is a standalone report " +
+        "(no --init/--update/--query-ids/--queries)")
+    if (driftStats && opts.contains("embeddings"))
+      throw CliError("--drift-stats reads the store's own statistics " +
+        "— drop --embeddings (or use --drift to scan a corpus)")
+    val deleting = boolFlag(opts, "delete")
+    val compacting = boolFlag(opts, "compact")
+    if (deleting && compacting)
+      throw CliError("--delete and --compact are exclusive")
+    if ((deleting || compacting) &&
+        (init || update || querying || drift || driftStats))
+      throw CliError("--delete/--compact is a standalone maintenance " +
+        "step (no --init/--update/--drift/--query-ids/--queries)")
+    if (opts.contains("vec_ids") && !deleting)
+      throw CliError("--vec-ids is a --delete option " +
+        "(probes are --query-ids)")
+    if (deleting) {
+      if (!graft.ext.VectorIndex.exists(spark, store))
+        throw CliError(s"no vector index store at $store " +
+          "(run --init first)")
+      val parsed = required(opts, "vec_ids").split(",").map(_.trim)
+        .filter(_.nonEmpty)
+      if (parsed.isEmpty)
+        throw CliError("--vec-ids must name at least one vec_id")
+      val vecIds = parsed.map(s => s.toLongOption.getOrElse(
+        throw CliError(s"--vec-ids must be integers, got '$s'"))).toSeq
+      graft.ext.VectorIndex.delete(spark, store, vecIds)
+      return s"tombstoned ${vecIds.distinct.size} ids in $store " +
+        "(queries exclude them now; --compact drops the dead rows)"
+    }
+    if (compacting) {
+      if (!graft.ext.VectorIndex.exists(spark, store))
+        throw CliError(s"no vector index store at $store " +
+          "(run --init first)")
+      val r = graft.ext.VectorIndex.compact(spark, store)
+      return s"compacted $store: codes ${r.codeRowsBefore} -> " +
+        s"${r.codeRowsAfter} rows, ${r.filesBefore} -> " +
+        s"${r.filesAfter} files"
+    }
+    if (drift || driftStats) {
+      if (!graft.ext.VectorIndex.exists(spark, store))
+        throw CliError(s"no vector index store at $store " +
+          "(run --init first)")
+      val tolMean = doubleOpt(opts, "tol_mean", 0.01)
+      val tolAxis = doubleOpt(opts, "tol_axis", 0.005)
+      val tolNorm = doubleOpt(opts, "tol_norm", 0.02)
+      for ((n, v) <- Seq("tol-mean" -> tolMean, "tol-axis" -> tolAxis,
+          "tol-norm" -> tolNorm))
+        if (v <= 0.0) throw CliError(s"--$n must be positive, got $v")
+      val report =
+        if (driftStats)
+          graft.ext.VectorIndex.driftReportFromStats(spark, store,
+            tolMean, tolAxis, tolNorm)
+        else
+          graft.ext.VectorIndex.driftReport(spark, store,
+            readEmbeddings(spark, required(opts, "embeddings")),
+            tolMean, tolAxis, tolNorm)
+      val r = report.collect()(0)
+      val src = if (driftStats) "stats-fed" else "corpus-scan"
+      val verdict =
+        if (r.getAs[Boolean]("stale"))
+          "STALE — reindex advised (re-init, then re-drain deltas)"
+        else "fresh"
+      return s"drift report for $store ($src):\n" +
+        f"  n_base=${r.getAs[Long]("n_base")}%d " +
+        f"n_current=${r.getAs[Long]("n_current")}%d " +
+        f"n_ratio=${r.getAs[Double]("n_ratio")}%.6f\n" +
+        f"  norm_ratio=${r.getAs[Double]("norm_ratio")}%.6f " +
+        f"mean_shift=${r.getAs[Double]("mean_shift")}%.6f " +
+        f"axis_shift=${r.getAs[Double]("axis_shift")}%.6f\n" +
+        s"  $verdict"
+    }
     if (init) {
       if (graft.ext.VectorIndex.exists(spark, store))
         throw CliError(s"vector index already exists at $store " +
@@ -892,6 +981,42 @@ object Cli {
     val store = required(opts, "store")
     val storePath = new org.apache.hadoop.fs.Path(store)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // store lifecycle maintenance: `--delete --doc-ids "1,2"` appends
+    // tombstone facts (queries and the store-rebuilt model exclude
+    // the docs immediately — N, avgdl, df all drop them); `--compact`
+    // physically rewrites postings + lengths as the folded
+    // tombstone-free row sets (result-invisible)
+    val deleting = boolFlag(opts, "delete")
+    val compacting = boolFlag(opts, "compact")
+    if (deleting && compacting)
+      throw CliError("--delete and --compact are exclusive")
+    if ((deleting || compacting) && (opts.contains("query") ||
+        opts.contains("docs") || opts.contains("init")))
+      throw CliError("--delete/--compact is a standalone maintenance " +
+        "step (no --docs/--init/--query)")
+    if (opts.contains("doc_ids") && !deleting)
+      throw CliError("--doc-ids is a --delete option")
+    if (deleting) {
+      if (!fs.exists(storePath))
+        throw CliError(s"no index store at $store (run --init first)")
+      val parsed = required(opts, "doc_ids").split(",").map(_.trim)
+        .filter(_.nonEmpty)
+      if (parsed.isEmpty)
+        throw CliError("--doc-ids must name at least one doc_id")
+      val docIds = parsed.map(s => s.toLongOption.getOrElse(
+        throw CliError(s"--doc-ids must be integers, got '$s'"))).toSeq
+      graft.ext.Retrieval.deleteFromIndex(spark, store, docIds)
+      return s"tombstoned ${docIds.distinct.size} docs in $store " +
+        "(queries exclude them now; --compact drops the dead rows)"
+    }
+    if (compacting) {
+      if (!fs.exists(storePath))
+        throw CliError(s"no index store at $store (run --init first)")
+      val r = graft.ext.Retrieval.compactIndex(spark, store)
+      return s"compacted $store: postings ${r.postingsBefore} -> " +
+        s"${r.postingsAfter} rows, ${r.filesBefore} -> " +
+        s"${r.filesAfter} files"
+    }
     opts.get("query") match {
       case Some(q) =>
         // refuse the mixed form: silently skipping the update half of

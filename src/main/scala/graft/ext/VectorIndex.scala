@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   *  - `tombstones/` — (vec_id, deleted_at): deletion facts appended by
   *    [[delete]]; every read path anti-joins them, [[compact]] drops
   *    the dead rows physically;
+  *  - `driftstats/` — (batch_key, i, sx, cnt): per-batch EXACT decimal
+  *    statistics of the served corpus (per-dim sums, a norm-sum row),
+  *    appended by [[init]] and every [[update]] so the drift advisory
+  *    ([[driftReportFromStats]]) never has to rescan the corpus —
+  *    decimal sums fold associatively, so the stats-fed report equals
+  *    the corpus-scan report BIT FOR BIT;
   *  - `meta/` — one row: the training knobs plus a corpus fingerprint
   *    (row count + vec_id sum + a first-component content sum on the
   *    1e-6 grid), written LAST so a crash mid-init leaves a store that
@@ -139,6 +145,12 @@ object VectorIndex {
       codes.write.mode("overwrite").parquet(s"$store/codes")
       val (tp, tf) = fs(spark, s"$store/tombstones")
       tf.delete(tp, true)
+      // drift stats epoch 0: the init corpus's exact decimal sums —
+      // [[update]] appends one batch per admitted delta, and
+      // [[driftReportFromStats]] folds them instead of rescanning
+      driftStatsOf(e, "init")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$store/driftstats")
       // drift baseline (the [[driftReport]] reference): the s15 audit
       // row, and the per-dim 6-grid means + s13 PCA axis as d KB-scale
       // rows — what a scheduled-retrain advisory compares the serving
@@ -176,10 +188,12 @@ object VectorIndex {
     val fresh = exists(spark, store) && scala.util.Try {
       val meta = readMeta(spark, store)
       val (n, s, es) = fingerprint(prep(embeddings))
-      // a pre-baseline store (older layout) must rebuild so the drift
-      // advisory has its reference
+      // a pre-baseline or pre-driftstats store (older layouts) must
+      // rebuild so the drift advisory has its reference and its
+      // incrementally-maintained serving-corpus statistics
       val (bp, bf) = fs(spark, s"$store/baseline/axis")
-      bf.exists(bp) &&
+      val (dp, df) = fs(spark, s"$store/driftstats")
+      bf.exists(bp) && df.exists(dp) &&
         meta == IndexMeta(resolveNlist(nlist, n), m, ksub, dim, iters,
           coarseIters, n, s, es)
     }.getOrElse(false)
@@ -382,8 +396,64 @@ object VectorIndex {
     val fresh = b0.join(known, Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
     if (fresh.isEmpty) return
+    // drift stats land BEFORE the codes: a crash between the two
+    // leaves the batch's ids un-coded, so the replay re-admits them
+    // and re-appends BYTE-IDENTICAL stats under the same content-
+    // derived key — the read-side distinct folds the duplicate.
+    // (Codes-first would lose the stats forever: the replay's
+    // anti-join sees the ids as known and admits nothing.) The key
+    // is unique across batches by construction: batches are id-
+    // disjoint (the anti-join), so min(vec_id) alone separates them.
+    val kr = fresh.agg(count(lit(1)), sum(col("vec_id")),
+      min(col("vec_id"))).collect()(0)
+    val batchKey = s"b${kr.getLong(0)}_${kr.getLong(1)}_${kr.getLong(2)}"
+    driftStatsOf(fresh, batchKey)
+      .coalesce(1).write.mode("append").parquet(s"$store/driftstats")
     encodeUnderModel(fresh, meta, centroids, model, litMaxBytes)
       .write.mode("append").parquet(s"$store/codes")
+  }
+
+  /** Per-batch EXACT drift statistics of a prepped (vec_id, emb)
+    * frame — the incremental form of the aggregates [[driftReport]]
+    * scans the corpus for, written so folding per-batch rows
+    * reproduces the corpus-scan values BIT FOR BIT (exact
+    * DECIMAL(38,18) sums are associative; the lossy cast-to-double /
+    * divide / round-6 steps all happen at READ time in
+    * [[driftReportFromStats]], never here):
+    *
+    *  - rows `i >= 0`: per-dimension Σ decimal(xᵢ) and the exploded
+    *    row count at that dimension (the curMu accounting — a NULL
+    *    embedding contributes to neither, exactly as posexplode
+    *    drops it);
+    *  - row `i = -1`: Σ decimal(round₆‖x‖) over the batch's vectors
+    *    and the VECTOR count including NULL/empty embeddings — the
+    *    [[Similarity.embeddingAudit]] pv accounting (non-finite
+    *    components contribute 0 to the norm, a missing embedding is
+    *    a zero-norm row), so the folded avg reproduces `avg_norm`.
+    */
+  private def driftStatsOf(e: DataFrame, batchKey: String): DataFrame = {
+    val dims = e
+      .select(posexplode(col("emb")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x").cast("decimal(38,18)")).as("sx"),
+        count(lit(1)).as("cnt"))
+    val bad = isnan(col("x")) ||
+      col("x") === lit(Double.PositiveInfinity) ||
+      col("x") === lit(Double.NegativeInfinity)
+    val nsq = e
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(bad, lit(0.0d)).otherwise(col("x") * col("x"))
+        .cast("decimal(38,18)")).cast("double").as("nsq"))
+    val norms = e.select(col("vec_id"))
+      .join(nsq, Seq("vec_id"), "left_outer")
+      .select(coalesce(col("nsq"), lit(0.0d)).as("nsq"))
+      .agg(sum(round(sqrt(col("nsq")), 6).cast("decimal(38,18)"))
+        .as("sx"), count(lit(1)).as("cnt"))
+      .select(lit(-1).as("i"), col("sx"), col("cnt"))
+    dims.unionByName(norms)
+      .select(lit(batchKey).as("batch_key"), col("i"),
+        col("sx"), col("cnt"))
   }
 
   /** The tombstone facts (vec_id, deleted_at) — empty frame when none
@@ -493,13 +563,6 @@ object VectorIndex {
                   tolNorm: Double = 0.02): DataFrame = {
     require(exists(spark, store),
       s"no vector index store at $store (run init first)")
-    val (bp, bf) = fs(spark, s"$store/baseline/axis")
-    require(bf.exists(bp),
-      s"store at $store predates drift baselines — re-init to record one")
-    val baseAudit = spark.read.parquet(s"$store/baseline/audit")
-      .select(col("n_vectors").as("n_base"),
-        col("avg_norm").as("norm_base"))
-    val axis = spark.read.parquet(s"$store/baseline/axis")
     val e = prep(corpus)
     val curAudit = Similarity.embeddingAudit(corpus)
       .select(col("n_vectors").as("n_current"),
@@ -508,6 +571,74 @@ object VectorIndex {
       .groupBy(col("i"))
       .agg(round(sum(col("x").cast("decimal(38,18)")).cast("double") /
         count(lit(1)), 6).as("m"))
+    driftTail(spark, store, curAudit, curMu, tolMean, tolAxis, tolNorm)
+  }
+
+  /** The drift report fed from the store's OWN incrementally-
+    * maintained statistics ([[driftStatsOf]] rows appended by
+    * [[init]] and every admitted [[update]] batch) — the serving
+    * corpus is never rescanned: the report reads the baseline (d
+    * KB-scale rows) and the driftstats table (d+1 rows per batch),
+    * folds the exact decimal sums, and applies the IDENTICAL
+    * cast/divide/round-6 tail as [[driftReport]], so on the same
+    * served rows the two reports are equal BIT FOR BIT (spec-pinned;
+    * oracle-checked, s23). At-least-once stats replays are
+    * byte-identical under their content-derived batch key and fold
+    * via distinct. Tombstoned vectors remain counted (the stats
+    * track what was APPENDED; a takedown-heavy store warrants a
+    * re-init, which resets both) — same bookkeeping as `n_rows` in
+    * meta. Cost: independent of corpus size — this is the advisory a
+    * scheduler can afford to run every drain at 100 TB.
+    */
+  def driftReportFromStats(spark: SparkSession, store: String,
+                           tolMean: Double = 0.01,
+                           tolAxis: Double = 0.005,
+                           tolNorm: Double = 0.02): DataFrame = {
+    require(exists(spark, store),
+      s"no vector index store at $store (run init first)")
+    val (dp, df) = fs(spark, s"$store/driftstats")
+    require(df.exists(dp),
+      s"store at $store predates drift stats — re-init to record them")
+    val folded = spark.read.parquet(s"$store/driftstats")
+      .distinct() // byte-identical at-least-once replays fold
+      .groupBy(col("i"))
+      .agg(sum(col("sx")).as("sx"), sum(col("cnt")).as("cnt"))
+    val curAudit = folded.filter(col("i") === -1)
+      .select(col("cnt").as("n_current"),
+        (round(col("sx").cast("double") / col("cnt"), 6) + lit(0.0d))
+          .as("norm_current"))
+    val curMu = folded.filter(col("i") >= 0)
+      .select(col("i"),
+        round(col("sx").cast("double") / col("cnt"), 6).as("m"))
+    driftTail(spark, store, curAudit, curMu, tolMean, tolAxis, tolNorm)
+  }
+
+  /** The advisory boolean from the stats-fed report — the form a
+    * per-drain scheduler calls (cost independent of corpus size).
+    */
+  def reindexAdvisedFromStats(spark: SparkSession, store: String,
+                              tolMean: Double = 0.01,
+                              tolAxis: Double = 0.005,
+                              tolNorm: Double = 0.02): Boolean =
+    driftReportFromStats(spark, store, tolMean, tolAxis, tolNorm)
+      .collect()(0).getAs[Boolean]("stale")
+
+  /** The shared report tail: baseline vs a current-corpus audit row
+    * and 6-grid mean vector, however those were obtained (corpus scan
+    * or folded stats) — ONE definition so the two report forms cannot
+    * drift.
+    */
+  private def driftTail(spark: SparkSession, store: String,
+                        curAudit: DataFrame, curMu: DataFrame,
+                        tolMean: Double, tolAxis: Double,
+                        tolNorm: Double): DataFrame = {
+    val (bp, bf) = fs(spark, s"$store/baseline/axis")
+    require(bf.exists(bp),
+      s"store at $store predates drift baselines — re-init to record one")
+    val baseAudit = spark.read.parquet(s"$store/baseline/audit")
+      .select(col("n_vectors").as("n_base"),
+        col("avg_norm").as("norm_base"))
+    val axis = spark.read.parquet(s"$store/baseline/axis")
     val shifts = curMu.join(broadcast(axis), "i")
       .select((col("m") - col("mu")).as("dd"), col("v"))
       .agg(

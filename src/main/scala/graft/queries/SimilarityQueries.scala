@@ -67,6 +67,14 @@ object SimilarityQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_vector_index_" +
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** s23's store root — separate from [[indexStoreFor]]'s: s23 inits
+    * on the BASE slice where s17/s21/s22 init on the full corpus, and
+    * sharing a path would make each query's initIfStale rebuild the
+    * other's store on every run.
+    */
+  private def driftStoreFor(sfDir: String): String =
+    indexStoreFor(sfDir) + "_s23"
+
   /** s21's BM25 store root — the lexical sibling of [[indexStoreFor]];
     * staleness handled by [[graft.ext.Retrieval.initIndexIfStale]]'s
     * fingerprint, not the path.
@@ -341,6 +349,32 @@ object SimilarityQueries {
           (x, i) => when(i === 0 && col("vec_id") % 2 === 0,
             x + lit(DriftShift)).otherwise(x)).as("embedding"))
       VectorIndex.driftReport(s, store, shifted)
+    },
+
+    /** s23 — the drift advisory fed ENTIRELY from the store's own
+      * incrementally-maintained statistics (the form a scheduler can
+      * afford to run after EVERY drain at 100 TB): the store inits on
+      * a base slice (recording the baseline AND the base slice's
+      * exact decimal stats), [[graft.ext.VectorIndex.update]] admits
+      * a dim-0-shifted delta (appending the delta's stats alongside
+      * its codes), and the report folds the stats — NO corpus scan
+      * (PlanSpec-pinned). The oracle recomputes the identical report
+      * from the tables directly: decimal sums fold associatively, so
+      * stats-fed == corpus-scan bit for bit, and any drift between
+      * the two paths hash-fails here.
+      */
+    "s23_drift_from_stats" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(col("vec_id").cast("long") % 4 =!= 3)
+      val delta = e.filter(col("vec_id").cast("long") % 4 === 3)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            (x, i) => when(i === 0, x + lit(DriftShift)).otherwise(x))
+            .as("embedding"))
+      val store = driftStoreFor(d)
+      VectorIndex.initIfStale(base, store, coarseIters = CoarseIters)
+      VectorIndex.update(delta, store)
+      VectorIndex.driftReportFromStats(s, store)
     },
 
     /** s21 — hybrid retrieval ENTIRELY from the persisted stores
@@ -734,11 +768,17 @@ object SimilarityQueries {
     * values, and the moment-identity covariance over 1e-6-quantized
     * BIGINT raw-product sums.
     */
-  private lazy val PcaBaseCtes: String =
-    """e AS (
+  private lazy val PcaBaseCtes: String = pcaBaseCtes("")
+
+  /** [[PcaBaseCtes]] with an optional WHERE tail on the source scan —
+    * s23's drift baseline trains on the BASE slice only, exactly as
+    * its store records it.
+    */
+  private def pcaBaseCtes(where: String): String =
+    s"""e AS (
       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
       |         CAST(embedding AS DOUBLE[]) AS emb
-      |  FROM embeddings),
+      |  FROM embeddings$where),
       |byd AS MATERIALIZED (
       |  SELECT vec_id, i AS dim, emb[i+1] AS x
       |  FROM (SELECT vec_id, emb, unnest(range(0, len(emb))) AS i
@@ -989,7 +1029,52 @@ object SimilarityQueries {
        |v0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS v FROM cov),
        |${pcaIterCtes("cov", "w", "v")},
        |${pcaSignCtes(s"v$PcaIters", "sgn", "vf")},
-       |bnorm AS (
+       |${driftOracleTail(
+           s"""curbyd AS MATERIALIZED (
+              |  SELECT vec_id, dim,
+              |    CASE WHEN dim = 0 AND vec_id % 2 = 0
+              |      THEN x + CAST($DriftShift AS DOUBLE) ELSE x END AS x
+              |  FROM byd)""".stripMargin, "e")}""".stripMargin
+
+  /** s23: the STATS-FED drift report replayed end-to-end — the
+    * baseline chain (PCA axis + audit) over the BASE slice only
+    * (vec_id % 4 <> 3, the slice the store was init'd on), the
+    * current corpus as base ∪ the dim-0-shifted delta (the exact
+    * double adds [[graft.ext.VectorIndex.update]]'s admitted batch
+    * carried), and the shared report tail. The QUERY side reads the
+    * report from the store's incrementally-maintained decimal stats
+    * without rescanning any corpus; this SQL recomputes the same
+    * values from the tables directly — if the fold-at-read stats path
+    * ever drifts from the corpus-scan arithmetic, the hash fails.
+    */
+  private lazy val S23Sql: String =
+    s"""WITH ${pcaBaseCtes(" WHERE vec_id % 4 <> 3")},
+       |v0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS v FROM cov),
+       |${pcaIterCtes("cov", "w", "v")},
+       |${pcaSignCtes(s"v$PcaIters", "sgn", "vf")},
+       |cure AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |${driftOracleTail(
+           s"""curbyd AS MATERIALIZED (
+              |  SELECT vec_id, i AS dim,
+              |    CASE WHEN i = 0 AND vec_id % 4 = 3
+              |      THEN emb[i+1] + CAST($DriftShift AS DOUBLE)
+              |      ELSE emb[i+1] END AS x
+              |  FROM (SELECT vec_id, emb, unnest(range(0, len(emb))) AS i
+              |        FROM cure))""".stripMargin, "cure")}""".stripMargin
+
+  /** The drift report's oracle tail, shared by s22 (corpus-scan form,
+    * base = full corpus) and s23 (stats-fed form, base = the init
+    * slice): baseline audit over `byd`/`e`, the parameterized
+    * current-corpus CTE (must be named `curbyd(vec_id, dim, x)`),
+    * current audit over `curbyd`/`curSrc`, mean grids, projections,
+    * ratios, and the advisory boolean — ONE definition so the two
+    * report surfaces check against identical arithmetic.
+    */
+  private def driftOracleTail(curbydCte: String, curSrc: String): String =
+    s"""bnorm AS (
        |  SELECT vec_id,
        |    CAST(SUM(CAST(CASE WHEN isnan(x) OR isinf(x) THEN 0.0
        |      ELSE x * x END AS DECIMAL(38,18))) AS DOUBLE) AS nsq
@@ -1002,11 +1087,7 @@ object SimilarityQueries {
        |    round(CAST(SUM(CAST(round(sqrt(nsq), 6) AS DECIMAL(38,18)))
        |      AS DOUBLE) / COUNT(*), 6) AS norm_base
        |  FROM bpv),
-       |curbyd AS MATERIALIZED (
-       |  SELECT vec_id, dim,
-       |    CASE WHEN dim = 0 AND vec_id % 2 = 0
-       |      THEN x + CAST($DriftShift AS DOUBLE) ELSE x END AS x
-       |  FROM byd),
+       |$curbydCte,
        |curmu AS (
        |  SELECT dim,
        |    round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
@@ -1018,8 +1099,8 @@ object SimilarityQueries {
        |      ELSE x * x END AS DECIMAL(38,18))) AS DOUBLE) AS nsq
        |  FROM curbyd GROUP BY vec_id),
        |cpv AS (
-       |  SELECT e.vec_id, COALESCE(c.nsq, 0.0) AS nsq
-       |  FROM e LEFT JOIN cnorm c ON c.vec_id = e.vec_id),
+       |  SELECT s.vec_id, COALESCE(c.nsq, 0.0) AS nsq
+       |  FROM $curSrc s LEFT JOIN cnorm c ON c.vec_id = s.vec_id),
        |cstat AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_current,
        |    round(CAST(SUM(CAST(round(sqrt(nsq), 6) AS DECIMAL(38,18)))
@@ -1375,6 +1456,11 @@ object SimilarityQueries {
     // s22: baseline PCA + audits + mean grids + the advisory boolean,
     // replayed end-to-end over the planted drift
     "s22_drift_advisory" -> S22Sql,
+
+    // s23: the same report read from the store's folded decimal stats
+    // on the query side; the oracle recomputes it from the tables —
+    // the stats path and the corpus-scan arithmetic cannot drift
+    "s23_drift_from_stats" -> S23Sql,
 
     // s07: the full PQ pipeline replayed — seed slice, one Lloyd
     // update through DECIMAL means (bit-identical codebooks), argmin

@@ -904,4 +904,170 @@ class CliSpec extends SparkTestBase {
       "--query-ids", "0", "--embeddings", fullDir,
       "--diversify"), now)).message.contains("no vector index store"))
   }
+
+  test("ann --index --drift/--drift-stats: reports == the library's, " +
+    "a planted delta trips the stats-fed advisory, exclusive/ " +
+    "malformed flags refused") {
+    import org.apache.spark.sql.functions.{col, lit, transform, when}
+    val emb = Tables.embeddings(spark, sf0001)
+    val baseDir = tmpDir("cli-drift-emb")
+    emb.filter(col("vec_id").cast("long") % 4 =!= 3)
+      .write.mode("overwrite").parquet(baseDir)
+    val store = tmpDir("cli-drift") + "/idx"
+    // flag validation fails before any store/spark work
+    assert(intercept[CliError](Cli.run(spark, Seq("ann", "--index",
+      store, "--drift", "--drift-stats"), now))
+      .message.contains("exclusive"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann", "--index",
+      store, "--drift", "--init", "--embeddings", baseDir), now))
+      .message.contains("standalone report"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann", "--index",
+      store, "--drift-stats", "--embeddings", baseDir), now))
+      .message.contains("drop --embeddings"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann", "--index",
+      store, "--drift-stats"), now))
+      .message.contains("no vector index store"))
+    Cli.run(spark, Seq("ann", "--index", store, "--init",
+      "--embeddings", baseDir, "--coarse-iters", "2"), now)
+    assert(intercept[CliError](Cli.run(spark, Seq("ann", "--index",
+      store, "--drift-stats", "--tol-mean", "-1"), now))
+      .message.contains("--tol-mean"))
+    // self-report: fresh through both paths, and the printed
+    // components match the library's report
+    val self = Cli.run(spark, Seq("ann", "--index", store,
+      "--drift", "--embeddings", baseDir), now)
+    assert(self.contains("corpus-scan") && self.contains("fresh") &&
+      self.contains("n_ratio=1.000000") &&
+      self.contains("mean_shift=0.000000"), self)
+    val selfStats = Cli.run(spark, Seq("ann", "--index", store,
+      "--drift-stats"), now)
+    assert(selfStats.contains("stats-fed") && selfStats.contains("fresh"),
+      selfStats)
+    // admit a dim-0-shifted delta, then the stats-fed advisory trips
+    val deltaDir = tmpDir("cli-drift-delta")
+    emb.filter(col("vec_id").cast("long") % 4 === 3)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(i === 0, x + lit(0.05)).otherwise(x))
+          .as("embedding"))
+      .write.mode("overwrite").parquet(deltaDir)
+    Cli.run(spark, Seq("ann", "--index", store, "--update",
+      "--embeddings", deltaDir), now)
+    val tripped = Cli.run(spark, Seq("ann", "--index", store,
+      "--drift-stats"), now)
+    assert(tripped.contains("STALE") && tripped.contains("reindex"),
+      tripped)
+    val want = graft.ext.VectorIndex
+      .driftReportFromStats(spark, store).collect()(0)
+    assert(tripped.contains(
+      f"mean_shift=${want.getAs[Double]("mean_shift")}%.6f"),
+      s"printed components diverged from the library: $tripped")
+    // a loosened tolerance flips the same stats back to fresh
+    val loose = Cli.run(spark, Seq("ann", "--index", store,
+      "--drift-stats", "--tol-mean", "0.5", "--tol-axis", "0.5",
+      "--tol-norm", "0.5"), now)
+    assert(loose.contains("fresh"), loose)
+  }
+
+  test("ann --index --delete/--compact: tombstoned ids leave the CLI " +
+    "ranking, compaction is result-invisible, malformed invocations " +
+    "refused") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf0001)
+    val corpus = tmpDir("cli-vdel-emb")
+    emb.write.mode("overwrite").parquet(corpus)
+    val store = tmpDir("cli-vdel") + "/idx"
+    // lifecycle flags fail loudly before a store exists / on misuse
+    assert(intercept[CliError](Cli.run(spark, Seq("ann", "--index",
+      store, "--delete", "--vec-ids", "1"), now))
+      .message.contains("no vector index store"))
+    Cli.run(spark, Seq("ann", "--index", store, "--init",
+      "--embeddings", corpus, "--coarse-iters", "2"), now)
+    assert(intercept[CliError](Cli.run(spark, Seq("ann", "--index",
+      store, "--delete", "--compact"), now))
+      .message.contains("exclusive"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann", "--index",
+      store, "--delete", "--vec-ids", "1", "--update",
+      "--embeddings", corpus), now))
+      .message.contains("standalone maintenance"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann", "--index",
+      store, "--vec-ids", "1"), now))
+      .message.contains("--vec-ids is a --delete option"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann", "--index",
+      store, "--delete"), now)).message.contains("--vec-ids"))
+    assert(intercept[CliError](Cli.run(spark, Seq("ann", "--index",
+      store, "--delete", "--vec-ids", "1,x"), now))
+      .message.contains("integers"))
+    // the takedown: probe 0's CURRENT top hit vanishes from the ranking
+    val before = graft.ext.VectorIndex.query(spark, store,
+      emb.filter(col("vec_id") < 1), k = 3).collect()
+    assert(before.nonEmpty, "need a ranked neighbor to take down")
+    val victim = before.minBy(_.getInt(3)).getLong(1)
+    val dMsg = Cli.run(spark, Seq("ann", "--index", store,
+      "--delete", "--vec-ids", victim.toString), now)
+    assert(dMsg.contains("tombstoned 1 ids"), dMsg)
+    val after = graft.ext.VectorIndex.query(spark, store,
+      emb.filter(col("vec_id") < 1), k = 3).collect()
+      .map(_.getLong(1)).toSet
+    assert(!after.contains(victim),
+      "tombstoned id still ranked via CLI path")
+    // compaction: physical rows drop, the ranking is unchanged
+    val rowsBefore = spark.read.parquet(s"$store/codes").count()
+    val cMsg = Cli.run(spark, Seq("ann", "--index", store,
+      "--compact"), now)
+    assert(cMsg.contains("compacted"), cMsg)
+    assert(spark.read.parquet(s"$store/codes").count() < rowsBefore,
+      "compaction dropped no dead rows")
+    val afterCompact = graft.ext.VectorIndex.query(spark, store,
+      emb.filter(col("vec_id") < 1), k = 3).collect()
+      .map(_.getLong(1)).toSet
+    assert(afterCompact == after, "compaction changed query results")
+  }
+
+  test("index --delete/--compact: tombstoned docs leave the CLI " +
+    "ranking, compaction is result-invisible, malformed invocations " +
+    "refused") {
+    val store = tmpDir("cli-bdel") + "/idx"
+    val corpus = tmpDir("cli-bdel-docs")
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(corpus)
+    assert(intercept[CliError](Cli.run(spark, Seq("index", "--store",
+      store, "--delete", "--doc-ids", "1"), now))
+      .message.contains("no index store"))
+    Cli.run(spark, Seq("index", "--docs", corpus, "--store", store,
+      "--init"), now)
+    assert(intercept[CliError](Cli.run(spark, Seq("index", "--store",
+      store, "--delete", "--compact"), now))
+      .message.contains("exclusive"))
+    assert(intercept[CliError](Cli.run(spark, Seq("index", "--store",
+      store, "--delete", "--doc-ids", "1", "--query", "dup"), now))
+      .message.contains("standalone maintenance"))
+    assert(intercept[CliError](Cli.run(spark, Seq("index", "--store",
+      store, "--doc-ids", "1"), now))
+      .message.contains("--doc-ids is a --delete option"))
+    assert(intercept[CliError](Cli.run(spark, Seq("index", "--store",
+      store, "--delete", "--doc-ids", " , "), now))
+      .message.contains("at least one"))
+    // take down the top hit for a term; it must leave the ranking
+    val hits = graft.ext.Retrieval.queryIndex(spark, store,
+      Seq("dup"), 3).collect()
+    assert(hits.nonEmpty, "need a ranked doc to take down")
+    val top = hits(0).getLong(0)
+    val dMsg = Cli.run(spark, Seq("index", "--store", store,
+      "--delete", "--doc-ids", top.toString), now)
+    assert(dMsg.contains("tombstoned 1 docs"), dMsg)
+    val after = graft.ext.Retrieval.queryIndex(spark, store,
+      Seq("dup"), 3).collect().map(_.getLong(0)).toSet
+    assert(!after.contains(top), "tombstoned doc still ranked")
+    // compaction drops the dead postings; ranking unchanged
+    val rowsBefore = spark.read.parquet(s"$store/postings").count()
+    val cMsg = Cli.run(spark, Seq("index", "--store", store,
+      "--compact"), now)
+    assert(cMsg.contains("compacted"), cMsg)
+    assert(spark.read.parquet(s"$store/postings").count() < rowsBefore,
+      "compaction dropped no dead postings")
+    val afterCompact = graft.ext.Retrieval.queryIndex(spark, store,
+      Seq("dup"), 3).collect().map(_.getLong(0)).toSet
+    assert(afterCompact == after, "compaction changed query results")
+  }
 }

@@ -421,6 +421,76 @@ class VectorIndexSpec extends SparkTestBase {
       .getAs[Boolean]("stale"))
   }
 
+  test("stats-fed drift report == corpus-scan report BIT FOR BIT " +
+    "(init and after updates), replays and duplicate stats rows fold, " +
+    "no corpus scan in the executed plan, pre-stats stores fail " +
+    "loudly and read as stale") {
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter(col("vec_id").cast("long") % 4 =!= 3)
+    val delta = e.filter(col("vec_id").cast("long") % 4 === 3)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(i === 0, x + lit(0.05)).otherwise(x))
+          .as("embedding"))
+    val st = store("vidx-driftstats")
+    VectorIndex.init(base, st, coarseIters = 2)
+    // identity: right after init the folded stats ARE the init corpus
+    val s0 = VectorIndex.driftReportFromStats(spark, st).collect()(0)
+    val c0 = VectorIndex.driftReport(spark, st, base).collect()(0)
+    assert(s0.toSeq == c0.toSeq,
+      s"stats-fed != corpus-scan after init: $s0 vs $c0")
+    assert(!s0.getAs[Boolean]("stale"), "self-serving store read stale")
+    // after an admitted delta: stats fold == scan of base ∪ delta
+    VectorIndex.update(delta, st)
+    val served = base.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(delta)
+    val s1 = VectorIndex.driftReportFromStats(spark, st).collect()(0)
+    val c1 = VectorIndex.driftReport(spark, st, served).collect()(0)
+    assert(s1.toSeq == c1.toSeq,
+      s"stats-fed != corpus-scan after update: $s1 vs $c1")
+    // the planted dim-0 shift on the 25% delta moves the mean by
+    // ~0.0125 > tolMean — the advisory trips THROUGH the stats path
+    assert(s1.getAs[Double]("mean_shift") > 0.01 &&
+      s1.getAs[Boolean]("stale"),
+      s"planted delta drift did not trip the stats-fed advisory: $s1")
+    assert(VectorIndex.reindexAdvisedFromStats(spark, st),
+      "reindexAdvisedFromStats disagreed with the report")
+    // the production property: the report never scans a corpus table
+    val p = VectorIndex.driftReportFromStats(spark, st)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("embeddings.parquet") &&
+      !p.contains("documents.parquet"),
+      s"stats-fed report scanned a corpus table:\n$p")
+    // a replayed update admits nothing — and writes no stats
+    val nRows = spark.read.parquet(s"$st/driftstats").count()
+    VectorIndex.update(delta, st)
+    assert(spark.read.parquet(s"$st/driftstats").count() == nRows,
+      "replayed update appended drift stats")
+    // an at-least-once stats WRITER replay (byte-identical rows under
+    // the same content-derived batch key) folds at read
+    spark.read.parquet(s"$st/driftstats")
+      .filter(col("batch_key") =!= "init")
+      .write.mode("append").parquet(s"$st/driftstats")
+    val s2 = VectorIndex.driftReportFromStats(spark, st).collect()(0)
+    assert(s2.toSeq == s1.toSeq,
+      "duplicate stats rows changed the report (distinct fold broken)")
+    // a store that predates drift stats: loud failure, and
+    // initIfStale reads it as stale (rebuilds the stats)
+    val (dp, df) = (new org.apache.hadoop.fs.Path(s"$st/driftstats"),
+      new org.apache.hadoop.fs.Path(s"$st/driftstats")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration))
+    df.delete(dp, true)
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.driftReportFromStats(spark, st)
+    }
+    assert(ex.getMessage.contains("predates drift stats"))
+    assert(VectorIndex.initIfStale(base, st, coarseIters = 2),
+      "a pre-driftstats store must read as stale")
+    assert(VectorIndex.driftReportFromStats(spark, st).collect()(0)
+      .toSeq == s0.toSeq, "rebuilt stats diverged from the first init")
+  }
+
   test("loud failure modes: query/update/delete/compact on a missing " +
     "store") {
     val e = Tables.embeddings(spark, sf0001)
