@@ -153,73 +153,87 @@ object Pca {
       val c = round6(s.toDouble / 1e6 - n.toDouble * (mu(i) * mu(j)))
       if (i == j) Seq((i, j, c)) else Seq((i, j, c), (j, i, c))
     }
-    (mu, componentsOf(spark, dim, covLocal, nComponents, iters))
+    (mu, componentsOf(dim, covLocal, nComponents, iters))
   }
 
-  private def vLitMap(v: Array[Double]) =
-    map(v.zipWithIndex.toIndexedSeq.flatMap {
-      case (x, i) => Seq(lit(i), lit(x)) }: _*)
 
   /** The top `nComponents` directions of a covariance grid by power
-    * iteration + Hotelling deflation. Every matrix-vector product,
-    * Rayleigh quotient and deflated grid entry is the oracle's own
-    * arithmetic: decimal sums over a KB-scale LOCAL RELATION (tiny
-    * Spark jobs — the proven cast contract, not a driver decimal
-    * re-implementation), exact double ops, 6-grid rounds. Deflation:
-    * C' = round6(C − f·(vᵢvⱼ)) with f = round6(vᵀCv / (vᵀv)²) — the
-    * λ/(vᵀv) projector scale for the ∞-norm (non-unit) v.
+    * iteration + Hotelling deflation — a PURE DRIVER FOLD over the
+    * KB-scale grid (d²·iters multiply-adds: the grid is d² rows by
+    * construction, so at ANY corpus scale the corpus-sized work is
+    * the statistics pass, and iterating here costs arithmetic, not
+    * per-iteration job scheduling). Every operation reproduces the
+    * engine arithmetic the oracles replay, EXACTLY:
+    *
+    *  - double → DECIMAL(38,18) is java.math.BigDecimal.valueOf
+    *    (canonical shortest representation) + setScale(18, HALF_UP) —
+    *    the cast Spark executes (`Decimal.apply(Double)` routes
+    *    through the same valueOf), and the one DuckDB agrees with on
+    *    every value this fold produces — proven by the four green
+    *    training-replay oracles (s13/s16/s22/s23): any drift in this
+    *    arithmetic hash-fails all four;
+    *  - sums are exact BigDecimal adds (order-free, associative);
+    *  - decimal → double is BigDecimal.doubleValue (correctly
+    *    rounded — `Decimal.toDouble` verbatim);
+    *  - round-6 is the HALF_UP grid Spark's `round` executes
+    *    ([[round6]]).
+    *
+    * Deflation: C' = round6(C − f·(vᵢvⱼ)) with f = round6(vᵀCv /
+    * (vᵀv)²) — the λ/(vᵀv) projector scale for the ∞-norm (non-unit)
+    * v. Degenerate zero matvec keeps the previous iterate (the
+    * spec-pinned constant-corpus branch).
     */
-  private[graft] def componentsOf(spark: SparkSession, dim: Int,
+  private[graft] def componentsOf(dim: Int,
                                   covLocal: Seq[(Int, Int, Double)],
                                   nComponents: Int,
                                   iters: Int): Seq[Array[Double]] = {
-    import spark.implicits._
+    def dec18(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(18, java.math.RoundingMode.HALF_UP)
     var grid = covLocal
     val comps = Seq.newBuilder[Array[Double]]
     for (c <- 1 to nComponents) {
-      val covDf = grid.toDF("i", "j", "m").cache()
-      try {
-        var v = Array.fill(dim)(1.0d)
-        var it = 0
-        var degenerate = false
-        while (it < iters && !degenerate) {
-          val vMap = vLitMap(v)
-          val w = new Array[Double](dim)
-          covDf.withColumn("vj", element_at(vMap, col("j")))
-            .groupBy(col("i"))
-            .agg(round(sum((col("m") * col("vj")).cast(Dec))
-              .cast("double"), 6).as("w"))
-            .collect()
-            .foreach(r => w(r.getInt(0)) = r.getDouble(1))
-          val mx = w.map(math.abs).max
-          if (mx == 0.0d) degenerate = true
-          else {
-            var i = 0
-            while (i < dim) { v(i) = round6(w(i) / mx); i += 1 }
-          }
-          it += 1
+      var v = Array.fill(dim)(1.0d)
+      var it = 0
+      var degenerate = false
+      while (it < iters && !degenerate) {
+        // matvec: w_i = round6(Σ_j dec18(m_ij · v_j)) — a grid row
+        // set missing a whole i leaves w_i at 0.0, exactly as the
+        // grouped aggregation left unseen keys at the array default
+        val acc = Array.fill(dim)(java.math.BigDecimal.ZERO)
+        grid.foreach { case (i, j, m) =>
+          acc(i) = acc(i).add(dec18(m * v(j))) }
+        val w = Array.tabulate(dim)(i => round6(acc(i).doubleValue))
+        val mx = w.map(math.abs).max
+        if (mx == 0.0d) degenerate = true
+        else {
+          var i = 0
+          while (i < dim) { v(i) = round6(w(i) / mx); i += 1 }
         }
-        // sign canon: lowest-indexed dominant component positive
-        // (|v_j| = 1.0 EXACTLY — it is w_argmax / w_argmax rounded)
-        val j = v.indices.find(i => math.abs(v(i)) == 1.0d).getOrElse(0)
-        if (v(j) < 0) v = v.map(x => -x)
-        comps += v
-        if (c < nComponents) {
-          val vMap = vLitMap(v)
-          val num = covDf
-            .agg(round(sum((col("m") * element_at(vMap, col("i")) *
-              element_at(vMap, col("j"))).cast(Dec))
-              .cast("double"), 6))
-            .head.getDouble(0)
-          val den = v.indices.map(i => (i, v(i))).toDF("i", "v")
-            .agg(round(sum((col("v") * col("v")).cast(Dec))
-              .cast("double"), 6))
-            .head.getDouble(0)
-          val f = round6(num / (den * den))
-          grid = grid.map { case (i, j, m) =>
-            (i, j, round6(m - f * (v(i) * v(j)))) }
+        it += 1
+      }
+      // sign canon: lowest-indexed dominant component positive
+      // (|v_j| = 1.0 EXACTLY — it is w_argmax / w_argmax rounded)
+      val j = v.indices.find(i => math.abs(v(i)) == 1.0d).getOrElse(0)
+      if (v(j) < 0) v = v.map(x => -x)
+      comps += v
+      if (c < nComponents) {
+        // Rayleigh numerator Σ dec18((m·vᵢ)·vⱼ): the left-assoc
+        // double product order of the replayed m * v[i] * v[j]
+        var numAcc = java.math.BigDecimal.ZERO
+        grid.foreach { case (i2, j2, m) =>
+          numAcc = numAcc.add(dec18((m * v(i2)) * v(j2))) }
+        val num = round6(numAcc.doubleValue)
+        var denAcc = java.math.BigDecimal.ZERO
+        var i2 = 0
+        while (i2 < dim) {
+          denAcc = denAcc.add(dec18(v(i2) * v(i2))); i2 += 1
         }
-      } finally covDf.unpersist()
+        val den = round6(denAcc.doubleValue)
+        val f = round6(num / (den * den))
+        grid = grid.map { case (gi, gj, m) =>
+          (gi, gj, round6(m - f * (v(gi) * v(gj)))) }
+      }
     }
     comps.result()
   }
