@@ -330,6 +330,24 @@ class VectorIndexSpec extends SparkTestBase {
     assert(n3 == 500)
     assert(spark.read.parquet(s"$stStream/codes").count() == c2,
       "a no-op re-drain must append nothing")
+
+    // the drift stats ride update() on both growth paths, so the
+    // stats-fed report agrees between the drained and batch stores;
+    // and the fold is batch-split-INDEPENDENT (decimal sums are
+    // associative): a store grown in two half-deltas reports
+    // identically to the one-batch store
+    val rBatch = VectorIndex.driftReportFromStats(spark, stBatch)
+      .collect()(0).toSeq
+    assert(VectorIndex.driftReportFromStats(spark, stStream)
+      .collect()(0).toSeq == rBatch,
+      "stats-fed drift report diverged across growth paths")
+    val stSplit = store("vidx-ssplit")
+    VectorIndex.init(prefix, stSplit, coarseIters = 2)
+    VectorIndex.update(delta.filter(col("vec_id") < 450), stSplit)
+    VectorIndex.update(delta.filter(col("vec_id") >= 450), stSplit)
+    assert(VectorIndex.driftReportFromStats(spark, stSplit)
+      .collect()(0).toSeq == rBatch,
+      "batch split changed the folded drift report")
   }
 
   test("diversifiedQuery == mmrRerank over the store pool + PQ " +
