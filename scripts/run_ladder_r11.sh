@@ -1,7 +1,7 @@
 #!/bin/bash
 # Dev tool: build the x3/x10/x30 disjoint-shard corpora (reused from
 # r10 if present) and run the full-suite bench ladder (x1/x3/x10/x30)
-# over the r11-close 169-query surface. NOT part of the library.
+# over the r11-close full-query surface. NOT part of the library.
 set -e
 cd /root/repo
 OPENS=""

@@ -652,6 +652,346 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Matroska / WebM (EBML) — RFC 8794 + the public Matroska element
+  // registry: the other major real-world video container next to
+  // ISO-BMFF; the same division of labor as parseMp4/demuxAvi
+  // (container facts are REAL, codec payloads stay opaque).
+  // ---------------------------------------------------------------
+
+  final case class MkvMeta(docType: String, timescaleNs: Long,
+                           durationTicks: Long, durationMs: Long,
+                           nTracks: Int, nVideo: Int, nAudio: Int,
+                           width: Int, height: Int, clusterBytes: Long)
+
+  def looksLikeMkv(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && be32(payload, 0) == 0x1A45DFA3L
+
+  /** EBML variable-length integer class: the number of leading zero
+    * bits of the FIRST byte + 1 is the total width (RFC 8794 §4).
+    * A 0x00 first byte (width > 8) is invalid → -1, caller fails soft.
+    */
+  private def vintWidth(first: Int): Int =
+    if (first == 0) -1
+    else java.lang.Integer.numberOfLeadingZeros(first) - 24 + 1
+
+  /** Read an Element ID at `off`: (value INCLUDING the marker bit —
+    * the Matroska registry convention — and its width). None when the
+    * width is invalid or crosses `end`.
+    */
+  private def readEbmlId(b: Array[Byte], off: Long,
+                         end: Long): Option[(Long, Int)] = {
+    if (off + 1 > end) return None
+    val w = vintWidth(b(off.toInt) & 0xff)
+    if (w < 1 || w > 4 || off + w > end) None
+    else {
+      var v = 0L
+      var i = 0
+      while (i < w) { v = (v << 8) | (b(off.toInt + i) & 0xffL); i += 1 }
+      Some((v, w))
+    }
+  }
+
+  /** Read an Element Size at `off`: (value with the marker bit
+    * STRIPPED, width, all-ones "unknown size" flag). */
+  private def readEbmlSize(b: Array[Byte], off: Long,
+                           end: Long): Option[(Long, Int, Boolean)] = {
+    if (off + 1 > end) return None
+    val first = b(off.toInt) & 0xff
+    val w = vintWidth(first)
+    if (w < 1 || w > 8 || off + w > end) None
+    else {
+      var v = (first & (0xff >>> w)).toLong
+      var i = 1
+      while (i < w) { v = (v << 8) | (b(off.toInt + i) & 0xffL); i += 1 }
+      val unknown = v == (1L << (7 * w)) - 1
+      Some((v, w, unknown))
+    }
+  }
+
+  private def beUint(b: Array[Byte], off: Long, len: Long): Long = {
+    var v = 0L
+    var i = 0
+    while (i < len) { v = (v << 8) | (b(off.toInt + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** REAL container-level walk for Matroska/WebM: EBML elements are
+    * [ID vint][size vint][data] (RFC 8794); the walk recurses through
+    * EBML-header/Segment/Info/Tracks/TrackEntry/Video and reads
+    * DocType, TimestampScale (ns per tick, Matroska default 1e6 when
+    * absent), Duration (a FLOAT in ticks — floored to integer ticks;
+    * ms = ticks·scale/1e6 in integer math), per-track TrackType
+    * (1=video, 2=audio), the first VIDEO track's PixelWidth/Height
+    * (dims planted inside a non-video entry claim nothing), and the
+    * summed Cluster payload size (the mdat analogue). Codec decode is
+    * out of scope by design ([[parseMp4]]'s division of labor). None
+    * for non-EBML or corrupt payloads — every width and size is
+    * bounds-checked, depth is capped, and an unknown-size element
+    * (legal for Segment/Cluster) extends to its parent's end, so
+    * hostile lengths fail soft instead of looping or mis-slicing
+    * (spec-pinned).
+    */
+  private[ext] def parseMkv(payload: Array[Byte]): Option[MkvMeta] =
+    if (!looksLikeMkv(payload)) None
+    else
+      try {
+        var docType = ""
+        var timescale = 0L
+        var durTicks = -1L
+        var nTracks = 0; var nVideo = 0; var nAudio = 0
+        var width = 0; var height = 0; var clusterBytes = 0L
+        var sawSegment = false
+
+        // Video settings: the entry-local dims (first-wins per field)
+        def walkVideo(start: Long, end: Long): Option[(Int, Int)] = {
+          var off = start
+          var ok = true
+          var w0 = 0; var h0 = 0
+          while (ok && off < end) {
+            readEbmlId(payload, off, end) match {
+              case Some((id, iw)) =>
+                readEbmlSize(payload, off + iw, end) match {
+                  case Some((sz, sw, unknown)) =>
+                    val ds = off + iw + sw
+                    val de = if (unknown) end else ds + sz
+                    if (de < ds || de > end) ok = false
+                    else {
+                      id match {
+                        case 0xB0 if w0 == 0 =>
+                          w0 = beUint(payload, ds, de - ds).toInt
+                        case 0xBA if h0 == 0 =>
+                          h0 = beUint(payload, ds, de - ds).toInt
+                        case _ => ()
+                      }
+                      off = de
+                    }
+                  case None => ok = false
+                }
+              case None => ok = false
+            }
+          }
+          if (ok) Some((w0, h0)) else None
+        }
+
+        // TrackEntry content: type + (for video entries) pixel dims,
+        // collected locally so the FIRST video track's dims win and a
+        // Video element planted inside a non-video entry (hostile
+        // nonsense) claims nothing
+        def walkTrackEntry(start: Long, end: Long): Boolean = {
+          var off = start
+          var ok = true
+          var isVideo = false
+          var w0 = 0; var h0 = 0
+          while (ok && off < end) {
+            readEbmlId(payload, off, end) match {
+              case Some((id, iw)) =>
+                readEbmlSize(payload, off + iw, end) match {
+                  case Some((sz, sw, unknown)) =>
+                    val ds = off + iw + sw
+                    val de = if (unknown) end else ds + sz
+                    if (de < ds || de > end) ok = false
+                    else {
+                      id match {
+                        case 0x83 => // TrackType: 1=video, 2=audio
+                          beUint(payload, ds, de - ds) match {
+                            case 1 => nVideo += 1; isVideo = true
+                            case 2 => nAudio += 1
+                            case _ => ()
+                          }
+                        case 0xE0 => // Video settings
+                          walkVideo(ds, de) match {
+                            case Some((w, h)) =>
+                              if (w0 == 0) w0 = w
+                              if (h0 == 0) h0 = h
+                            case None => ok = false
+                          }
+                        case _ => ()
+                      }
+                      off = de
+                    }
+                  case None => ok = false
+                }
+              case None => ok = false
+            }
+          }
+          if (ok && isVideo && width == 0 && w0 > 0 && h0 > 0) {
+            width = w0; height = h0
+          }
+          ok
+        }
+
+        def walk(start: Long, end: Long, depth: Int): Boolean = {
+          if (depth > 8) return false
+          var off = start
+          var ok = true
+          while (ok && off < end) {
+            readEbmlId(payload, off, end) match {
+              case Some((id, iw)) =>
+                readEbmlSize(payload, off + iw, end) match {
+                  case Some((sz, sw, unknown)) =>
+                    val ds = off + iw + sw
+                    val de = if (unknown) end else ds + sz
+                    if (de < ds || de > end) ok = false
+                    else {
+                      id match {
+                        case 0x1A45DFA3L => // EBML header
+                          ok = walk(ds, de, depth + 1)
+                        case 0x4282 => // DocType (NUL-padded per spec)
+                          docType = new String(payload, ds.toInt,
+                            (de - ds).toInt,
+                            java.nio.charset.StandardCharsets.US_ASCII)
+                            .takeWhile(_ != '\u0000')
+                        case 0x18538067L => // Segment
+                          sawSegment = true
+                          ok = walk(ds, de, depth + 1)
+                        case 0x1549A966L => // Info
+                          ok = walk(ds, de, depth + 1)
+                        case 0x2AD7B1 => // TimestampScale (ns/tick)
+                          timescale = beUint(payload, ds, de - ds)
+                        case 0x4489 if de - ds == 4 => // Duration f32
+                          durTicks = java.lang.Float.intBitsToFloat(
+                            be32(payload, ds.toInt).toInt)
+                            .toDouble.toLong
+                        case 0x4489 if de - ds == 8 => // Duration f64
+                          durTicks = java.lang.Double.longBitsToDouble(
+                            be64(payload, ds.toInt)).toLong
+                        case 0x1654AE6BL => // Tracks
+                          ok = walk(ds, de, depth + 1)
+                        case 0xAE => // TrackEntry
+                          nTracks += 1
+                          ok = walkTrackEntry(ds, de)
+                        case 0x1F43B675L => // Cluster (mdat twin)
+                          clusterBytes += de - ds
+                        case _ => ()
+                      }
+                      off = de
+                    }
+                  case None => ok = false
+                }
+              case None => ok = false
+            }
+          }
+          ok
+        }
+
+        val ok = walk(0L, payload.length.toLong, 0)
+        val ts = if (timescale > 0) timescale else 1000000L
+        if (!ok || !sawSegment || durTicks < 0) None
+        else Some(MkvMeta(docType, ts, durTicks,
+          durTicks * ts / 1000000L, nTracks, nVideo, nAudio,
+          width, height, clusterBytes))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Wrap documents as REAL minimal Matroska/WebM containers —
+    * [[asMp4Assets]]'s EBML twin: deterministic per-doc facts over
+    * the text byte count n (duration 700 + 11n mod 8000 ticks on a
+    * 500 µs TimestampScale → ms = ticks/2 in integer math; 1 + n mod
+    * 3 tracks alternating video/audio; the video track's pixel dims
+    * 8·(10 + n mod 100) × 8·(6 + 3n mod 70); the text bytes inside
+    * one Cluster's SimpleBlock). Every size field is written as an
+    * 8-byte vint (legal non-minimal EBML), so the file size is the
+    * fixed arithmetic 130 + 60·n_video + 29·n_audio + n the m08
+    * oracle replays — a writer or parser drifting from RFC 8794
+    * mismatches on every row.
+    */
+  def asMkvAssets(spark: SparkSession, docs: DataFrame,
+                  timescaleNs: Long = 500000L): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          MediaAsset(id, "video/webm", mkvBytes(body, timescaleNs))
+        }
+      }.toDF()
+  }
+
+  /** The minimal valid EBML/Matroska file around `body` — every size
+    * an 8-byte vint, every element at its registry ID: EBML(DocType
+    * "webm") + Segment(Info(TimestampScale + Duration f64) +
+    * Tracks(TrackEntry···) + Cluster(Timestamp + SimpleBlock(body))).
+    * [[parseMkv]] must read THESE bytes back.
+    */
+  private[ext] def mkvBytes(body: Array[Byte],
+                            timescaleNs: Long): Array[Byte] = {
+    val n = body.length
+    val nTracks = 1 + n % 3
+    val nVideo = (nTracks + 1) / 2
+    val nAudio = nTracks / 2
+    val durTicks = 700L + (n.toLong * 11L) % 8000L
+    val w = 8 * (10 + n % 100)
+    val h = 8 * (6 + (3 * n) % 70)
+    val tracksContent = nVideo * 60 + nAudio * 29
+    val segContent = 45 + (12 + tracksContent) + (35 + n)
+    val total = 26 + 12 + segContent
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def size8(v: Long): Unit = { // 8-byte vint: 0x01 marker + 56 bits
+      b.put(0x01.toByte)
+      var i = 6
+      while (i >= 0) { b.put(((v >>> (8 * i)) & 0xff).toByte); i -= 1 }
+    }
+    def id(bytes: Int*): Unit = bytes.foreach(x => b.put(x.toByte))
+    // EBML header: DocType "webm"
+    id(0x1A, 0x45, 0xDF, 0xA3); size8(14)
+    id(0x42, 0x82); size8(4)
+    b.put("webm".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    // Segment
+    id(0x18, 0x53, 0x80, 0x67); size8(segContent)
+    //   Info: TimestampScale (4B uint) + Duration (f64)
+    id(0x15, 0x49, 0xA9, 0x66); size8(33)
+    id(0x2A, 0xD7, 0xB1); size8(4); b.putInt(timescaleNs.toInt)
+    id(0x44, 0x89); size8(8); b.putDouble(durTicks.toDouble)
+    //   Tracks
+    id(0x16, 0x54, 0xAE, 0x6B); size8(tracksContent)
+    for (t <- 1 to nTracks) {
+      val video = t % 2 == 1 // alternate video/audio, video first
+      id(0xAE); size8(if (video) 51 else 20)
+      id(0xD7); size8(1); b.put(t.toByte)           // TrackNumber
+      id(0x83); size8(1); b.put(if (video) 1.toByte else 2.toByte)
+      if (video) {
+        id(0xE0); size8(22)
+        id(0xB0); size8(2); b.putShort(w.toShort)   // PixelWidth
+        id(0xBA); size8(2); b.putShort(h.toShort)   // PixelHeight
+      }
+    }
+    //   Cluster: Timestamp 0 + SimpleBlock(track 1, ts 0, key, body)
+    id(0x1F, 0x43, 0xB6, 0x75); size8(23 + n)
+    id(0xE7); size8(1); b.put(0.toByte)
+    id(0xA3); size8(4 + n)
+    b.put(0x81.toByte).putShort(0.toShort).put(0x80.toByte).put(body)
+    b.array()
+  }
+
+  final case class MkvFeatures(doc_id: Long, n_bytes: Long,
+                               doc_type: String, timescale_ns: Long,
+                               duration_ticks: Long, duration_ms: Long,
+                               n_tracks: Int, n_video: Int,
+                               n_audio: Int, width: Int, height: Int,
+                               cluster_bytes: Long)
+
+  /** The m08 feature path: walk each asset's EBML tree and emit the
+    * container facts — the same batched narrow-map boundary as
+    * [[mp4Features]]. Non-EBML or corrupt payloads emit the all-zero
+    * fact row rather than failing the task.
+    */
+  def mkvFeatures(spark: SparkSession,
+                  assets: DataFrame): Dataset[MkvFeatures] = {
+    import spark.implicits._
+    assets.as[MediaAsset].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          val m = parseMkv(a.payload).getOrElse(
+            MkvMeta("", 0L, 0L, 0L, 0, 0, 0, 0, 0, 0L))
+          MkvFeatures(a.doc_id, a.payload.length.toLong, m.docType,
+            m.timescaleNs, m.durationTicks, m.durationMs, m.nTracks,
+            m.nVideo, m.nAudio, m.width, m.height, m.clusterBytes)
+        }
+      }
+    }
+  }
+
   /** Bytes → (width, height, n_frames, sample_rate, n_channels,
     * duration_ms). Real pixel dimensions for image payloads
     * (`javax.imageio`), real sample rate / channels / PCM frame count
@@ -687,11 +1027,18 @@ object Multimodal {
               // container facts are real ([[parseMp4]]); frame count
               // needs the sample tables this walk deliberately skips
               (m.width, m.height, 1, 0, 0, m.durationMs)
-            case None =>
-              val n = payload.length.toLong
-              val width = (64 + n % 960).toInt
-              val height = (64 + (n * 31) % 960).toInt
-              (width, height, 1, 0, 0, 0L)
+            case None => parseMkv(payload) match {
+              case Some(k) =>
+                // container facts are real ([[parseMkv]]); frame
+                // count would need the block timestamps this walk
+                // deliberately skips
+                (k.width, k.height, 1, 0, 0, k.durationMs)
+              case None =>
+                val n = payload.length.toLong
+                val width = (64 + n % 960).toInt
+                val height = (64 + (n * 31) % 960).toInt
+                (width, height, 1, 0, 0, 0L)
+            }
           }
         }
       }

@@ -42,13 +42,14 @@ import org.apache.spark.sql.functions._
   *    this pins one representative, replayable as a CASE in SQL).
   *
   * EAGER (the pqTrainOn discipline): training collects the
-  * per-dimension sums (d rows), the moment grid (d(d+1)/2 longs) and
-  * one d-vector per iteration — all KB-scale BY CONSTRUCTION for
-  * embedding-sized d. The iteration's matrix-vector products run as
-  * Spark jobs over a LOCAL RELATION of the covariance grid, so every
-  * double→decimal cast in the pipeline is the same already-proven
-  * Spark↔DuckDB contract — the driver's own arithmetic stays within
-  * the proven round6 / IEEE-exact-op set.
+  * per-dimension sums (d rows) and the moment grid (d(d+1)/2 longs) —
+  * KB-scale BY CONSTRUCTION for embedding-sized d. The power
+  * iterations then FOLD DRIVER-SIDE over that grid (r11 — they used
+  * to run as per-step Spark jobs, whose scheduling overhead dominated
+  * s13/s16): the fold reproduces the engine casts exactly
+  * ([[componentsOf]] — BigDecimal.valueOf + HALF_UP scale-18 IS
+  * Spark's double→decimal cast), pinned by the four training-replay
+  * oracles (s13/s16/s22/s23).
   *
   * At 100 TB: the two statistics jobs are the only corpus-sized work —
   * narrow posexplode passes whose hash aggregations are d-/d²-bounded
@@ -187,9 +188,14 @@ object Pca {
                                   covLocal: Seq[(Int, Int, Double)],
                                   nComponents: Int,
                                   iters: Int): Seq[Array[Double]] = {
-    def dec18(x: Double): java.math.BigDecimal =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(18, java.math.RoundingMode.HALF_UP)
+    // the engine cast: double → DECIMAL(38,18); a non-finite value
+    // casts to NULL and a decimal SUM skips NULLs, so a non-finite
+    // product contributes ZERO here too (valueOf would throw)
+    def addDec18(acc: java.math.BigDecimal,
+                 x: Double): java.math.BigDecimal =
+      if (!java.lang.Double.isFinite(x)) acc
+      else acc.add(java.math.BigDecimal.valueOf(x)
+        .setScale(18, java.math.RoundingMode.HALF_UP))
     var grid = covLocal
     val comps = Seq.newBuilder[Array[Double]]
     for (c <- 1 to nComponents) {
@@ -202,7 +208,7 @@ object Pca {
         // grouped aggregation left unseen keys at the array default
         val acc = Array.fill(dim)(java.math.BigDecimal.ZERO)
         grid.foreach { case (i, j, m) =>
-          acc(i) = acc(i).add(dec18(m * v(j))) }
+          acc(i) = addDec18(acc(i), m * v(j)) }
         val w = Array.tabulate(dim)(i => round6(acc(i).doubleValue))
         val mx = w.map(math.abs).max
         if (mx == 0.0d) degenerate = true
@@ -222,12 +228,12 @@ object Pca {
         // double product order of the replayed m * v[i] * v[j]
         var numAcc = java.math.BigDecimal.ZERO
         grid.foreach { case (i2, j2, m) =>
-          numAcc = numAcc.add(dec18((m * v(i2)) * v(j2))) }
+          numAcc = addDec18(numAcc, (m * v(i2)) * v(j2)) }
         val num = round6(numAcc.doubleValue)
         var denAcc = java.math.BigDecimal.ZERO
         var i2 = 0
         while (i2 < dim) {
-          denAcc = denAcc.add(dec18(v(i2) * v(i2))); i2 += 1
+          denAcc = addDec18(denAcc, v(i2) * v(i2)); i2 += 1
         }
         val den = round6(denAcc.doubleValue)
         val f = round6(num / (den * den))

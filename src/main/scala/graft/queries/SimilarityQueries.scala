@@ -524,6 +524,23 @@ object SimilarityQueries {
         Multimodal.asMp4Assets(s, Tables.documents(s, d))).toDF()
     },
 
+    /** m08 — REAL Matroska/WebM (EBML) container round-trip, m07's
+      * twin on the other major video container: documents become
+      * genuine minimal EBML trees (EBML-header/DocType, Segment,
+      * Info with TimestampScale + float Duration, Tracks with
+      * alternating video/audio entries and the video track's pixel
+      * dims, one Cluster wrapping the text bytes in a SimpleBlock —
+      * RFC 8794 vint framing throughout), then the walk reads every
+      * fact back. The oracle replays the fact formulas AND the fixed
+      * size arithmetic (130 + 60·n_video + 29·n_audio + n bytes —
+      * every size written as an 8-byte vint) — a writer or parser
+      * drifting from the EBML framing mismatches on every row.
+      */
+    "m08_mkv_features" -> { (s, d) =>
+      Multimodal.mkvFeatures(s,
+        Multimodal.asMkvAssets(s, Tables.documents(s, d))).toDF()
+    },
+
     /** s03 — IVF ANN: Lloyd-trained coarse centroids (the d09
       * mod-prime seed sample + one DECIMAL-mean refinement — the
       * oracle replays the TRAINING, r10), nprobe-cell probing, exact
@@ -1916,6 +1933,29 @@ object SimilarityQueries {
         |  CAST(16 * (4 + n % 28) AS INT) AS width,
         |  CAST(16 * (3 + (5 * n) % 17) AS INT) AS height,
         |  CAST(n AS BIGINT) AS mdat_bytes
+        |FROM d""".stripMargin,
+
+    // m08: the EBML container contract in arithmetic — duration on a
+    // 500 µs TimestampScale and its integer ms conversion, alternating
+    // video/audio track types, the first video track's pixel dims,
+    // the Cluster content size, and the exact fixed-vint file size
+    "m08_mkv_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(130 + 60 * ((2 + n % 3) // 2) + 29 * ((1 + n % 3) // 2)
+        |    + n AS BIGINT) AS n_bytes,
+        |  'webm' AS doc_type,
+        |  CAST(500000 AS BIGINT) AS timescale_ns,
+        |  CAST(700 + (11 * n) % 8000 AS BIGINT) AS duration_ticks,
+        |  CAST((700 + (11 * n) % 8000) // 2 AS BIGINT) AS duration_ms,
+        |  CAST(1 + n % 3 AS INT) AS n_tracks,
+        |  CAST((2 + n % 3) // 2 AS INT) AS n_video,
+        |  CAST((1 + n % 3) // 2 AS INT) AS n_audio,
+        |  CAST(8 * (10 + n % 100) AS INT) AS width,
+        |  CAST(8 * (6 + (3 * n) % 70) AS INT) AS height,
+        |  CAST(23 + n AS BIGINT) AS cluster_bytes
         |FROM d""".stripMargin,
 
     "m05_audio_features" ->

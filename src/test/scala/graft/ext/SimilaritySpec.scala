@@ -1364,4 +1364,80 @@ class SimilaritySpec extends SparkTestBase {
     assert(Multimodal.parseMp4(payload.take(24) ++
       Array.fill(16)(0.toByte)).isEmpty)
   }
+
+  test("EBML (Matroska/WebM) walk: synthesized fixture round-trips " +
+    "fact for fact; minimal vints, f32 duration and unknown-size " +
+    "segments parse; hostile payloads fail soft") {
+    val n = 100
+    val body = Array.tabulate(n)(i => (i % 251).toByte)
+    val payload = Multimodal.mkvBytes(body, 500000L)
+    val k = 1 + n % 3
+    // the size contract the m08 oracle replays
+    assert(payload.length == 130 + 60 * ((k + 1) / 2) + 29 * (k / 2) + n)
+    val m = Multimodal.parseMkv(payload).get
+    assert(m.docType == "webm")
+    assert(m.timescaleNs == 500000L)
+    assert(m.durationTicks == 700L + (n * 11) % 8000)
+    assert(m.durationMs == m.durationTicks * 500000L / 1000000L)
+    assert(m.nTracks == k && m.nVideo == (k + 1) / 2 &&
+      m.nAudio == k / 2)
+    assert(m.width == 8 * (10 + n % 100) &&
+      m.height == 8 * (6 + (3 * n) % 70))
+    assert(m.clusterBytes == 23 + n)
+    // decode() integration: container facts flow into the tuple
+    val (w, h, f, rate, ch, ms) = Multimodal.decode(payload)
+    assert(w == m.width && h == m.height && f == 1 && rate == 0 &&
+      ch == 0 && ms == m.durationMs)
+    // a hand-built file with MINIMAL vints, an f32 Duration and an
+    // UNKNOWN-SIZE Segment (all legal EBML the fixed-vint writer
+    // never emits) must parse through the same walk
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val f32 = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putFloat(1000.0f).array()
+    val tiny =
+      bytes(0x1A, 0x45, 0xDF, 0xA3, 0x87,       // EBML header, size 7
+        0x42, 0x82, 0x84) ++ "webm".getBytes ++ // DocType
+      bytes(0x18, 0x53, 0x80, 0x67, 0xFF) ++    // Segment, UNKNOWN size
+      bytes(0x15, 0x49, 0xA9, 0x66, 0x8E,       // Info, size 14
+        0x2A, 0xD7, 0xB1, 0x83, 0x07, 0xA1, 0x20, // TimestampScale
+        0x44, 0x89, 0x84) ++ f32 ++             // Duration f32 = 1000
+      bytes(0x16, 0x54, 0xAE, 0x6B, 0x8D,       // Tracks, size 13
+        0xAE, 0x8B,                             // TrackEntry, size 11
+        0x83, 0x81, 0x01,                       // TrackType video
+        0xE0, 0x86,                             // Video, size 6
+        0xB0, 0x81, 0x40,                       // PixelWidth 64
+        0xBA, 0x81, 0x30) ++                    // PixelHeight 48
+      bytes(0x1F, 0x43, 0xB6, 0x75, 0x83,       // Cluster, size 3
+        0xE7, 0x81, 0x00)                       // Timestamp 0
+    val t = Multimodal.parseMkv(tiny).get
+    assert(t.docType == "webm" && t.timescaleNs == 500000L &&
+      t.durationTicks == 1000L && t.durationMs == 500L &&
+      t.nTracks == 1 && t.nVideo == 1 && t.nAudio == 0 &&
+      t.width == 64 && t.height == 48 && t.clusterBytes == 3,
+      s"minimal-vint fixture parsed wrong: $t")
+    // a Video element planted inside an AUDIO entry claims no dims
+    val planted =                               // TrackEntry content
+      tiny.take(43) ++                          // sits at bytes 43..53
+      bytes(0x83, 0x81, 0x02,                   // TrackType AUDIO
+        0xE0, 0x86, 0xB0, 0x81, 0x40, 0xBA, 0x81, 0x30) ++
+      tiny.drop(54)
+    val pm = Multimodal.parseMkv(planted).get
+    assert(pm.nAudio == 1 && pm.nVideo == 0 &&
+      pm.width == 0 && pm.height == 0,
+      s"hostile in-audio Video element claimed dims: $pm")
+    // fail-soft: non-EBML, truncation mid-tree, hostile size field,
+    // invalid 0x00 vint
+    assert(Multimodal.parseMkv(
+      "plain text far from an ebml tree".getBytes).isEmpty)
+    assert(Multimodal.parseMkv(payload.take(40)).isEmpty)
+    val hostile = payload.clone()
+    hostile(31) = 0x7f.toByte // segment size far past the buffer
+    assert(Multimodal.parseMkv(hostile).isEmpty,
+      "hostile size field did not fail soft")
+    val badVint = payload.clone()
+    badVint(26) = 0x00.toByte // invalid >8-byte vint where an ID starts
+    assert(Multimodal.parseMkv(badVint).isEmpty,
+      "invalid vint did not fail soft")
+  }
 }
