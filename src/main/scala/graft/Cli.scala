@@ -306,8 +306,11 @@ object Cli {
     *     MMR selection over PQ reconstructions (s19's shape).
     *   - `--delete --vec-ids "1,2"`: tombstone ids (the takedown
     *     path — every read path excludes them immediately; replays
-    *     harmless); `--compact`: physically rewrite the codes store
-    *     as the folded tombstone-free row set (result-invisible).
+    *     harmless); add `--embeddings <pq>` to also reconcile the
+    *     drift stats with the deleted rows' exact negatives, so
+    *     `--drift-stats` keeps reporting on the surviving corpus;
+    *     `--compact`: physically rewrite the codes store as the
+    *     folded tombstone-free row set (result-invisible).
     *   - `--drift --embeddings <pq>`: the s22 reindex advisory —
     *     every component (n/norm ratios, mean/axis shift) of the
     *     serving corpus vs the baseline recorded at init, with the
@@ -360,9 +363,21 @@ object Cli {
         throw CliError("--vec-ids must name at least one vec_id")
       val vecIds = parsed.map(s => s.toLongOption.getOrElse(
         throw CliError(s"--vec-ids must be integers, got '$s'"))).toSeq
-      graft.ext.VectorIndex.delete(spark, store, vecIds)
-      return s"tombstoned ${vecIds.distinct.size} ids in $store " +
-        "(queries exclude them now; --compact drops the dead rows)"
+      // with --embeddings, the takedown also reconciles the drift
+      // stats (the deleted rows' exact negative statistics), so
+      // --drift-stats keeps reporting on the SURVIVING corpus
+      opts.get("embeddings") match {
+        case Some(path) =>
+          graft.ext.VectorIndex.delete(spark, store, vecIds,
+            readEmbeddings(spark, path))
+          return s"tombstoned ${vecIds.distinct.size} ids in $store " +
+            "with drift-stats reconciliation (queries exclude them " +
+            "now; --compact drops the dead rows)"
+        case None =>
+          graft.ext.VectorIndex.delete(spark, store, vecIds)
+          return s"tombstoned ${vecIds.distinct.size} ids in $store " +
+            "(queries exclude them now; --compact drops the dead rows)"
+      }
     }
     if (compacting) {
       if (!graft.ext.VectorIndex.exists(spark, store))

@@ -492,34 +492,40 @@ object Retrieval {
   /** Build the persisted index unless a complete store already matches
     * this corpus — [[graft.ext.VectorIndex.initIfStale]]'s idempotent
     * contract on the lexical plane: the fingerprint is one narrow
-    * no-tokenize aggregate (count, doc_id sum, total text length — the
-    * content term catches a regenerated corpus under stable ids),
-    * written LAST to `meta/` so a crash mid-build rebuilds; an
-    * unreadable meta also reads as stale. Returns true when it
+    * no-tokenize aggregate (count, doc_id sum, total text length, and
+    * a CRC-32 content sum — length alone would serve stale for a
+    * SAME-LENGTH rewrite under stable ids, the re-embedded-corpus
+    * hole's lexical twin; crc32 sums stay within a long for any
+    * realistic corpus since each term is < 2³²), written LAST to
+    * `meta/` so a crash mid-build rebuilds; an unreadable or
+    * old-layout meta also reads as stale. Returns true when it
     * (re)built.
     */
   def initIndexIfStale(docs: DataFrame, indexStore: String): Boolean = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def fingerprint(): (Long, Long, Long) = {
+    def fingerprint(): (Long, Long, Long, Long) = {
       val r = docs.agg(count(lit(1)).as("n"),
         coalesce(sum(col("doc_id")), lit(0L)).as("s"),
-        coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("l"))
+        coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("l"),
+        coalesce(sum(crc32(encode(col("text"), "UTF-8"))), lit(0L))
+          .as("c"))
         .collect()(0)
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
     val metaPath = new org.apache.hadoop.fs.Path(s"$indexStore/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fp = fingerprint()
     val fresh = fs.exists(metaPath) && scala.util.Try {
       val r = spark.read.parquet(metaPath.toString).collect()(0)
-      (r.getLong(0), r.getLong(1), r.getLong(2)) == fp
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("crc_sum")) == fp
     }.getOrElse(false)
     if (!fresh) {
       for (sub <- Seq("postings", "lengths", "tombstones", "meta"))
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexStore/$sub"), true)
       updateIndex(docs, indexStore)
-      Seq(fp).toDF("n_docs", "id_sum", "len_sum")
+      Seq(fp).toDF("n_docs", "id_sum", "len_sum", "crc_sum")
         .coalesce(1).write.mode("overwrite").parquet(metaPath.toString)
     }
     !fresh

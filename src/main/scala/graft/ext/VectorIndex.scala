@@ -487,6 +487,65 @@ object VectorIndex {
       .coalesce(1).write.mode("append").parquet(s"$store/tombstones")
   }
 
+  /** [[delete]] WITH drift-stats reconciliation — the takedown form
+    * to use when the caller has the deleted vectors in hand (a
+    * takedown request names the document): alongside the tombstones,
+    * it appends the EXACT NEGATIVE of the deleted rows' drift
+    * statistics, so [[driftReportFromStats]] keeps matching the
+    * corpus-scan report over the SURVIVORS bit for bit (exact decimal
+    * sums subtract as exactly as they add — spec-pinned). Contract
+    * guards, mirroring [[update]]'s:
+    *
+    *  - already-tombstoned ids are skipped, so an at-least-once
+    *    replay subtracts NOTHING twice;
+    *  - the supplied frame must cover every newly-deleted id (a
+    *    missing vector would silently leave the stats over-counting
+    *    — it fails loudly instead) at the store's trained dimension;
+    *  - the negative stats land BEFORE the tombstones: a crash
+    *    between the two replays to byte-identical rows under the
+    *    same content-derived key, folded at read — tombstones-first
+    *    would skip the replay's subtraction forever.
+    *
+    * Without the vectors, the base [[delete]] applies and the stats
+    * keep counting the appended corpus (documented there).
+    */
+  def delete(spark: SparkSession, store: String, vecIds: Seq[Long],
+             vectors: DataFrame): Unit = {
+    require(exists(spark, store),
+      s"no vector index store at $store (run init first)")
+    require(vecIds.nonEmpty, "delete needs at least one vec_id")
+    import spark.implicits._
+    val meta = readMeta(spark, store)
+    val fresh = vecIds.distinct.toDF("vec_id")
+      .join(tombstones(spark, store).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .collect().map(_.getLong(0)).sorted // takedown-list-sized
+    if (fresh.isEmpty) return // full replay: already tombstoned
+    val rows = prep(vectors).distinct()
+      .filter(col("vec_id").isin(fresh.toIndexedSeq: _*))
+    val dims = rows.agg(count(lit(1)).as("nd"),
+      min(size(col("emb"))).as("mn"),
+      max(size(col("emb"))).as("mx")).collect()(0)
+    require(dims.getLong(0) == fresh.length,
+      s"${fresh.length - dims.getLong(0)} of the ids to delete are " +
+        s"missing from the supplied vectors frame — stats would " +
+        "over-count the survivors (supply the full rows, or use the " +
+        "vectors-free delete and accept append-only stats)")
+    require(dims.getInt(1) == meta.dim && dims.getInt(2) == meta.dim,
+      s"supplied vectors carry ${dims.getInt(1)}..${dims.getInt(2)}" +
+        s"-dim embeddings where the store at $store is trained on " +
+        s"${meta.dim}-dim vectors")
+    val key = s"d${fresh.length}_${fresh.sum}_${fresh.head}"
+    driftStatsOf(rows, key)
+      .select(col("batch_key"), col("i"),
+        (-col("sx")).cast("decimal(38,18)").as("sx"),
+        (-col("cnt")).as("cnt"))
+      .coalesce(1).write.mode("append").parquet(s"$store/driftstats")
+    val now = System.currentTimeMillis()
+    fresh.toSeq.map((_, now)).toDF("vec_id", "deleted_at")
+      .coalesce(1).write.mode("append").parquet(s"$store/tombstones")
+  }
+
   /** Live codes: the store's append log with replay duplicates folded
     * and tombstoned ids removed — ONE definition for every read path.
     */
@@ -584,11 +643,13 @@ object VectorIndex {
     * served rows the two reports are equal BIT FOR BIT (spec-pinned;
     * oracle-checked, s23). At-least-once stats replays are
     * byte-identical under their content-derived batch key and fold
-    * via distinct. Tombstoned vectors remain counted (the stats
-    * track what was APPENDED; a takedown-heavy store warrants a
-    * re-init, which resets both) — same bookkeeping as `n_rows` in
-    * meta. Cost: independent of corpus size — this is the advisory a
-    * scheduler can afford to run every drain at 100 TB.
+    * via distinct. Takedowns: the vectors-supplied [[delete]]
+    * overload appends the deleted rows' exact NEGATIVE stats, so the
+    * report keeps matching the SURVIVING corpus; the vectors-free
+    * delete leaves the stats counting the appended corpus (same
+    * bookkeeping as `n_rows` in meta — a takedown-heavy store
+    * re-inits). Cost: independent of corpus size — this is the
+    * advisory a scheduler can afford to run every drain at 100 TB.
     */
   def driftReportFromStats(spark: SparkSession, store: String,
                            tolMean: Double = 0.01,
@@ -603,6 +664,12 @@ object VectorIndex {
       .distinct() // byte-identical at-least-once replays fold
       .groupBy(col("i"))
       .agg(sum(col("sx")).as("sx"), sum(col("cnt")).as("cnt"))
+    // a store whose reconciled stats cover no vectors (everything
+    // deleted) has no serving corpus to report on — fail loudly
+    // rather than emit a divide-by-zero row (KB-scale eager check)
+    val nRow = folded.filter(col("i") === -1).collect()
+    require(nRow.nonEmpty && nRow(0).getAs[Long]("cnt") > 0,
+      s"drift stats at $store cover no vectors — re-init the store")
     val curAudit = folded.filter(col("i") === -1)
       .select(col("cnt").as("n_current"),
         (round(col("sx").cast("double") / col("cnt"), 6) + lit(0.0d))

@@ -1022,6 +1022,16 @@ class CliSpec extends SparkTestBase {
       emb.filter(col("vec_id") < 1), k = 3).collect()
       .map(_.getLong(1)).toSet
     assert(afterCompact == after, "compaction changed query results")
+    // --delete --embeddings: the reconciling form — the stats-fed
+    // drift report then matches the SURVIVORS' corpus scan exactly
+    val rMsg = Cli.run(spark, Seq("ann", "--index", store,
+      "--delete", "--vec-ids", "3,5", "--embeddings", corpus), now)
+    assert(rMsg.contains("reconciliation"), rMsg)
+    // only the RECONCILED deletes subtract (the earlier vectors-free
+    // delete of `victim` stays counted, as documented)
+    assert(graft.ext.VectorIndex.driftReportFromStats(spark, store)
+        .collect()(0).getAs[Long]("n_current") == emb.count() - 2,
+      "CLI reconciling delete did not subtract the deleted rows")
   }
 
   test("index --delete/--compact: tombstoned docs leave the CLI " +

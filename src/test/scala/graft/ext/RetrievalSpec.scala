@@ -288,6 +288,15 @@ class RetrievalSpec extends SparkTestBase {
     val vStore = tmpDir("hyb-vidx") + "/idx"
     assert(Retrieval.initIndexIfStale(docs, bmStore), "first build")
     assert(!Retrieval.initIndexIfStale(docs, bmStore), "warm serve")
+    // a SAME-LENGTH rewrite under stable ids must read as stale (the
+    // crc content term — count, id-sum and length-sum all collide)
+    val rewritten = docs.select(col("doc_id"),
+      translate(col("text"), "aeiou", "eioua").as("text"))
+    assert(Retrieval.initIndexIfStale(rewritten, bmStore),
+      "same-length rewritten corpus served from a stale index")
+    assert(Retrieval.initIndexIfStale(docs, bmStore),
+      "rebuild back to the original corpus")
+    assert(!Retrieval.initIndexIfStale(docs, bmStore), "warm again")
     VectorIndex.init(e, vStore, coarseIters = 2)
     // the request's own vectors, as a local relation
     val qVecs = e.filter(col("vec_id") < 2)

@@ -509,6 +509,56 @@ class VectorIndexSpec extends SparkTestBase {
       .toSeq == s0.toSeq, "rebuilt stats diverged from the first init")
   }
 
+  test("reconciling delete: negative stats keep the stats-fed report " +
+    "== the survivors' corpus-scan report BIT FOR BIT; replays " +
+    "subtract nothing; coverage and dim guards fail loudly") {
+    val e = Tables.embeddings(spark, sf0001)
+    val st = store("vidx-recdel")
+    VectorIndex.init(e, st, coarseIters = 2)
+    val victims = Seq(0L, 7L, 42L)
+    VectorIndex.delete(spark, st, victims, e)
+    val survivors = e.filter(!col("vec_id").isin(victims: _*))
+    val s1 = VectorIndex.driftReportFromStats(spark, st).collect()(0)
+    val c1 = VectorIndex.driftReport(spark, st, survivors).collect()(0)
+    assert(s1.toSeq == c1.toSeq,
+      s"reconciled stats != survivors' corpus scan: $s1 vs $c1")
+    // replay: the ids are tombstoned now, so nothing subtracts twice
+    val nRows = spark.read.parquet(s"$st/driftstats").count()
+    VectorIndex.delete(spark, st, victims, e)
+    assert(spark.read.parquet(s"$st/driftstats").count() == nRows,
+      "replayed reconciling delete appended stats")
+    assert(VectorIndex.driftReportFromStats(spark, st).collect()(0)
+      .toSeq == s1.toSeq, "replayed delete changed the report")
+    // partial replay: one already-deleted id + one new id subtracts
+    // ONLY the new id's rows
+    VectorIndex.delete(spark, st, Seq(42L, 99L), e)
+    val s2 = VectorIndex.driftReportFromStats(spark, st).collect()(0)
+    val c2 = VectorIndex.driftReport(spark, st,
+      e.filter(!col("vec_id").isin(0L, 7L, 42L, 99L))).collect()(0)
+    assert(s2.toSeq == c2.toSeq,
+      "partial-replay reconciliation diverged from the survivors")
+    // a frame missing one of the ids to delete must fail loudly, and
+    // leave neither stats nor tombstones behind
+    val before = spark.read.parquet(s"$st/driftstats").count()
+    val exCov = intercept[IllegalArgumentException] {
+      VectorIndex.delete(spark, st, Seq(11L),
+        e.filter(col("vec_id") =!= 11L))
+    }
+    assert(exCov.getMessage.contains("missing from the supplied"))
+    assert(spark.read.parquet(s"$st/driftstats").count() == before,
+      "failed delete left negative stats behind")
+    assert(VectorIndex.query(spark, st,
+      e.filter(col("vec_id") === 11L), k = 1).collect().nonEmpty,
+      "failed delete tombstoned the id anyway")
+    // wrong-dimension vectors refused (they would subtract garbage)
+    import spark.implicits._
+    val exDim = intercept[IllegalArgumentException] {
+      VectorIndex.delete(spark, st, Seq(12L),
+        Seq((12L, Seq(1.0, 2.0))).toDF("vec_id", "embedding"))
+    }
+    assert(exDim.getMessage.contains("-dim"))
+  }
+
   test("loud failure modes: query/update/delete/compact on a missing " +
     "store") {
     val e = Tables.embeddings(spark, sf0001)
