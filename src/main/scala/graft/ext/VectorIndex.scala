@@ -87,19 +87,29 @@ object VectorIndex {
       r.getAs[Long]("id_sum"), r.getAs[Long]("emb_sum"))
   }
 
-  /** The corpus fingerprint recorded at init: one cheap aggregate over
-    * the id column AND the embedding content — count, vec_id sum, and
-    * the sum of first components on the 1e-6 grid. [[initIfStale]]
-    * compares all three, so neither a REGENERATED corpus at the same
-    * path nor a RE-EMBEDDED corpus under the same ids (the stable
-    * 0..n-1 id stream a new encoder run produces) can be served from
-    * a stale index — ids alone would pass the second case silently.
+  /** The corpus fingerprint recorded at init: one cheap narrow
+    * aggregate over the id column AND the embedding content — count,
+    * vec_id sum, and a POSITION-WEIGHTED full-component sum on the
+    * 1e-6 grid (in-row Σ (i+1)·xᵢ, then round·1e6 and sum — every
+    * component of every vector contributes, and the weight makes a
+    * within-vector permutation visible too; the first-component-only
+    * term it replaces (r11) went blind to a re-embedding that
+    * happened to preserve dim 0). [[initIfStale]] compares all
+    * three, so neither a REGENERATED corpus at the same path nor a
+    * RE-EMBEDDED corpus under the same ids (the stable 0..n-1 id
+    * stream a new encoder run produces) can be served from a stale
+    * index — ids alone would pass the second case silently.
     */
   private def fingerprint(e: DataFrame): (Long, Long, Long) = {
+    val weighted = aggregate(
+      zip_with(col("emb"),
+        transform(col("emb"), (_, i) => (i + 1).cast("double")),
+        (x, w) => x * w),
+      lit(0.0d), (acc, t) => acc + t)
     val r = e.agg(count(lit(1)).as("n"),
       coalesce(sum(col("vec_id")), lit(0L)).as("s"),
-      coalesce(sum(coalesce(round(element_at(col("emb"), 1) * 1e6, 0),
-        lit(0.0d))).cast("long"), lit(0L)).as("es")).collect()(0)
+      coalesce(sum(coalesce(round(weighted * 1e6, 0), lit(0.0d)))
+        .cast("long"), lit(0L)).as("es")).collect()(0)
     (r.getAs[Long]("n"), r.getAs[Long]("s"), r.getAs[Long]("es"))
   }
 

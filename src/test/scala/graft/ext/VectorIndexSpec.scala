@@ -133,6 +133,15 @@ class VectorIndexSpec extends SparkTestBase {
         x => x + lit(0.25)).as("embedding"))
     assert(VectorIndex.initIfStale(reembedded, st, coarseIters = 1),
       "a re-embedded corpus under the same ids served from a stale store")
+    // ...including one that PRESERVES dim 0 (the first-component-only
+    // content term's blind spot): the weighted full-component sum
+    // must still see it
+    val dim1Only = reembedded.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => when(i === 1, x + lit(0.5)).otherwise(x))
+        .as("embedding"))
+    assert(VectorIndex.initIfStale(dim1Only, st, coarseIters = 1),
+      "a re-embedding preserving dim 0 served from a stale store")
     // a crash between the meta directory create and the parquet commit
     // leaves an unreadable meta: must read as stale, not throw
     val metaDir = new java.io.File(s"$st/meta")
