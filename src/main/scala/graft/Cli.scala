@@ -303,7 +303,10 @@ object Cli {
     *     `--embeddings`, or an external `--queries` parquet — ranked
     *     FROM THE STORE (`--k`, `--nprobe`); the corpus is never read.
     *     `--diversify` (`--lambda`, `--pool`) swaps in the store-fed
-    *     MMR selection over PQ reconstructions (s19's shape).
+    *     MMR selection over PQ reconstructions (s19's shape);
+    *     `--diversify --exact` runs the two-stage tail instead — the
+    *     greedy over the pool's ORIGINAL vectors from `--embeddings`
+    *     (s24's shape).
     *   - `--delete --vec-ids "1,2"`: tombstone ids (the takedown
     *     path — every read path excludes them immediately; replays
     *     harmless); add `--embeddings <pq>` to also reconcile the
@@ -489,19 +492,31 @@ object Cli {
         case (None, None) => throw new IllegalStateException("unreachable")
       }
       val diversify = boolFlag(opts, "diversify")
+      val exact = boolFlag(opts, "exact")
+      if (exact && !diversify)
+        throw CliError("--exact is a --diversify option (the ranked " +
+          "exact tail is a library concern: queryRerank)")
       val hits =
         if (diversify) {
           // s19's store-fed MMR (pool from the cell-pruned store
           // query, candidate vectors PQ-reconstructed, greedy rerank)
-          // — the --diversify corpus-mode flag, served from the store
+          // — the --diversify corpus-mode flag, served from the store;
+          // --exact swaps in s24's two-stage tail (the greedy over
+          // the pool's ORIGINAL vectors, fetched by pushed ids from
+          // --embeddings)
           val lambda = doubleOpt(opts, "lambda", 0.7)
           if (lambda < 0.0 || lambda > 1.0)
             throw CliError(s"--lambda must be in [0, 1], got $lambda")
           val pool = intOpt(opts, "pool", 4 * k)
           if (pool < k)
             throw CliError(s"--pool ($pool) must cover --k ($k)")
-          graft.ext.VectorIndex.diversifiedQuery(spark, store, queries,
-            k, pool, lambda, nprobe)
+          if (exact)
+            graft.ext.VectorIndex.diversifiedQueryRerank(spark, store,
+              readEmbeddings(spark, required(opts, "embeddings")),
+              queries, k, pool, lambda, nprobe)
+          else
+            graft.ext.VectorIndex.diversifiedQuery(spark, store,
+              queries, k, pool, lambda, nprobe)
         } else graft.ext.VectorIndex.query(spark, store, queries, k,
           nprobe)
       opts.get("out") match {

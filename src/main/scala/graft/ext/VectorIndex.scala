@@ -847,6 +847,45 @@ object VectorIndex {
         col("sim"), col("rank"))
   }
 
+  /** TWO-STAGE diversified retrieval — [[queryRerank]]'s discipline
+    * applied to [[diversifiedQuery]]: the persisted index nominates
+    * the top-`poolSize` ADC candidates per probe (cell-pruned, the
+    * corpus never scanned for nomination), then ONLY those
+    * candidates' ORIGINAL vectors are fetched from the corpus
+    * parquet by a pushed vec_id filter, relevance recomputes as the
+    * exact rounded-4 cosine, and the greedy MMR selection
+    * ([[Similarity.mmrRerank]], unchanged) runs over the originals —
+    * so PQ compression error affects only WHICH candidates enter the
+    * pool, never the relevance/diversity trade that picks among
+    * them. Completes the serving matrix: ranked approx ([[query]]) /
+    * ranked exact-tail ([[queryRerank]]) / diversified approx
+    * ([[diversifiedQuery]]) / diversified exact-tail (this).
+    * Oracle-checked (s24): the s08 candidate chain, the pool cut,
+    * the exact relevance join and every greedy round replay
+    * end-to-end.
+    */
+  def diversifiedQueryRerank(spark: SparkSession, store: String,
+                             corpus: DataFrame, queries: DataFrame,
+                             k: Int, poolSize: Int = 12,
+                             lambda: Double = 0.7,
+                             nprobe: Int = 4): DataFrame = {
+    require(poolSize >= k, s"pool ($poolSize) must cover k ($k)")
+    val cands = query(spark, store, queries, poolSize, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      .localCheckpoint(true) // consumed twice: id collect + pool join
+    val ids = cands.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val originals = prep(corpus)
+      .filter(col("vec_id").isin(ids: _*))
+    val q = prep(queries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val pool = cands.join(originals, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"), col("emb"),
+        round(Similarity.cosine(col("emb"), col("q_emb")), 4).as("rel"))
+    Similarity.mmrRerank(pool, k, lambda)
+  }
+
   /** Rank from the store WITHOUT touching the corpus: probes rank the
     * KB centroid table, the probed cell ids (collected — |Q|·nprobe
     * longs, the bm25-terms discipline) push into the codes scan as

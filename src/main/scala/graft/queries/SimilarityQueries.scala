@@ -286,6 +286,26 @@ object SimilarityQueries {
         k = MmrK, poolSize = MmrPool, lambda = MmrLambda)
     },
 
+    /** s24 — TWO-STAGE diversified retrieval: s20's exact-re-rank
+      * discipline applied to the diversified tail. The store
+      * nominates the top-`MmrPool` ADC candidates (cell-pruned), only
+      * those candidates' ORIGINAL vectors are fetched by a pushed
+      * vec_id filter, relevance recomputes as exact rounded-4 cosine,
+      * and the greedy runs over the originals — compression error
+      * picks the pool, never the selection among it. Completes the
+      * serving matrix (ranked/diversified × approx/exact-tail). The
+      * oracle replays the s08 chain, the pool cut, the exact
+      * relevance join, and the shared greedy rounds (sims over `e`).
+      */
+    "s24_mmr_rerank" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val store = indexStoreFor(d)
+      VectorIndex.initIfStale(e, store, coarseIters = CoarseIters)
+      VectorIndex.diversifiedQueryRerank(s, store, e,
+        e.filter(col("vec_id") < NumQueries),
+        k = MmrK, poolSize = MmrPool, lambda = MmrLambda)
+    },
+
     /** s20 — TWO-STAGE retrieval from the store (the standard PQ
       * serving tail): the persisted index nominates the top-`RerankPool`
       * ADC candidates per probe (s17's cell-pruned path), then ONLY
@@ -1274,6 +1294,26 @@ object SimilarityQueries {
        |        FROM radd GROUP BY vec_id)""".stripMargin,
     simCte = "rec")
 
+  /** s24: the s08 candidate chain cut at `MmrPool` (s19's nomination
+    * CTE, ranking only), then relevance RECOMPUTED as the exact
+    * rounded-4 cosine against the corpus `e`, and the shared greedy
+    * rounds with sims over `e` — the two-stage diversified tail.
+    */
+  private lazy val S24Sql: String = mmrGreedySql(
+    s"""$S08Ctes,
+       |cand0 AS MATERIALIZED (
+       |  SELECT query_id, vec_id
+       |  FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY round(qc + r_ip, 4) DESC, vec_id) <= $MmrPool),
+       |cand AS MATERIALIZED (
+       |  SELECT c.query_id, c.vec_id,
+       |    round(list_cosine_similarity(ce.emb, qe.emb), 4) AS rel
+       |  FROM cand0 c
+       |  JOIN e ce ON ce.vec_id = c.vec_id
+       |  JOIN e qe ON qe.vec_id = c.query_id)""".stripMargin,
+    simCte = "e")
+
   /** The lexical-leg replay shared by s11 and s21 (the postings store
     * holds exactly the facts tokenization produced, so ONE replay
     * serves both the in-query and the store-fed ranker): the s09
@@ -1632,6 +1672,10 @@ object SimilarityQueries {
     // the store-pool twin: s08's chain cut at MmrPool + replayed PQ
     // reconstruction feeding the SAME greedy, sims over `rec`
     "s19_mmr_store" -> S19Sql,
+
+    // s24: the s08 chain + pool cut + exact relevance join + the
+    // shared greedy rounds over the ORIGINAL vectors
+    "s24_mmr_rerank" -> S24Sql,
 
     // s13 plus the replayed deflation and the second iteration run
     "s16_pca2_project" -> S16Sql,

@@ -903,6 +903,26 @@ class CliSpec extends SparkTestBase {
       "--index", tmpDir("cli-vidx-none") + "/missing",
       "--query-ids", "0", "--embeddings", fullDir,
       "--diversify"), now)).message.contains("no vector index store"))
+    // --diversify --exact: the s24 two-stage tail == library, and
+    // --exact without --diversify is refused
+    assert(intercept[CliError](Cli.run(spark, Seq("ann", "--index",
+      store, "--query-ids", "0", "--embeddings", fullDir,
+      "--exact"), now))
+      .message.contains("--exact is a --diversify option"))
+    val outE = tmpDir("cli-vidx-oute") + "/o"
+    val eMsg = Cli.run(spark, Seq("ann", "--index", store,
+      "--query-ids", "0,1", "--embeddings", fullDir, "--k", "3",
+      "--diversify", "--exact", "--pool", "9", "--lambda", "0.5",
+      "--out", outE), now)
+    assert(eMsg.contains("6 neighbors"), eMsg)
+    val gotE = spark.read.parquet(outE).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wantE = graft.ext.VectorIndex.diversifiedQueryRerank(spark,
+        store, emb, emb.filter(col("vec_id") < 2), k = 3,
+        poolSize = 9, lambda = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotE == wantE,
+      "CLI exact diversified ranking diverged from the library")
   }
 
   test("ann --index --drift/--drift-stats: reports == the library's, " +

@@ -393,6 +393,51 @@ class VectorIndexSpec extends SparkTestBase {
     assert(rec.head.toSeq == rec2.head.toSeq, "reconstruct nondeterministic")
   }
 
+  test("diversifiedQueryRerank: the greedy runs over the ORIGINALS of " +
+    "the store-nominated pool with exact relevance; tombstoned ids " +
+    "never enter the pool") {
+    val e = Tables.embeddings(spark, sf0001)
+    val st = store("vidx-divrerank")
+    VectorIndex.init(e, st, coarseIters = 2)
+    val probes = e.filter(col("vec_id") < 5)
+    // composition pin: nominate via the store ranking, join the
+    // original vectors, recompute exact rounded-4 relevance, rerank
+    val cands = VectorIndex.query(spark, st, probes, k = 12)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val originals = e.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val q = originals.select(col("vec_id").as("query_id"),
+      col("emb").as("q_emb")).filter(col("query_id") < 5)
+    val pool = cands.join(originals, "vec_id").join(q, "query_id")
+      .select(col("query_id"), col("vec_id"), col("emb"),
+        round(graft.ext.Similarity.cosine(col("emb"), col("q_emb")), 4)
+          .as("rel"))
+    val want = Similarity.mmrRerank(pool, 4, 0.7)
+      .collect().map(_.toSeq).toSet
+    val got = VectorIndex.diversifiedQueryRerank(spark, st, e, probes,
+      k = 4, poolSize = 12, lambda = 0.7).collect().map(_.toSeq).toSet
+    assert(got == want,
+      "diversifiedQueryRerank diverged from the composition")
+    // the exact-tail contract vs s19: same nomination, but selection
+    // can differ when reconstruction error reorders the trade — both
+    // must pick from the SAME nominated candidate set
+    val nominated = cands.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { row =>
+      assert(nominated.contains(
+        (row.head.asInstanceOf[Long], row(1).asInstanceOf[Long])),
+        s"selection outside the nominated pool: $row")
+    }
+    // a tombstoned id leaves the pool (and thus the selection)
+    val victim = got.head(1).asInstanceOf[Long]
+    VectorIndex.delete(spark, st, Seq(victim))
+    val after = VectorIndex.diversifiedQueryRerank(spark, st, e,
+      probes, k = 4, poolSize = 12, lambda = 0.7)
+      .collect().map(_.getLong(1)).toSet
+    assert(!after.contains(victim),
+      "tombstoned id still selected by the exact-tail retriever")
+  }
+
   test("drift advisory: self-drift is exactly zero, a shifted corpus " +
     "trips, a same-distribution 2x growth does not, pre-baseline " +
     "stores fail loudly and rebuild") {

@@ -115,7 +115,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("global audit: eagerly-executed stages carry no unpartitioned " +
-    "window either (s14/s17/s18/s19)") {
+    "window either (s14/s17/s18/s19/s24)") {
     // mmrRerank/VectorIndex.query run their window-bearing pool and
     // probe stages EAGERLY (localCheckpoint + per-round collects), so
     // the returned frame's sparkPlan — all the audit above sees — no
@@ -143,7 +143,7 @@ class PlanSpec extends SparkTestBase {
     spark.listenerManager.register(listener)
     try {
       for (name <- Seq("s14_mmr_topk", "s17_ann_index",
-          "s18_mmr_indexed", "s19_mmr_store")) {
+          "s18_mmr_indexed", "s19_mmr_store", "s24_mmr_rerank")) {
         current = name
         SparkEntry.queries(name)(spark, sf0001).collect()
         // the listener bus is async: wait until the execution count is
