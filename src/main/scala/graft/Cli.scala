@@ -415,6 +415,21 @@ object Cli {
         if (r.getAs[Boolean]("stale"))
           "STALE — reindex advised (re-init, then re-drain deltas)"
         else "fresh"
+      // a vectors-free --delete tombstones rows WITHOUT subtracting
+      // their statistics, so the stats-fed report keeps describing
+      // the appended corpus while queries serve the survivors — an
+      // operator acting on it must see that divergence
+      val caveat =
+        if (!driftStats) ""
+        else {
+          val un = graft.ext.VectorIndex
+            .unreconciledTombstones(spark, store)
+          if (un == 0L) ""
+          else s"\n  CAVEAT: $un tombstoned ids still counted in the " +
+            "stats (vectors-free deletes) — the report describes the " +
+            "APPENDED corpus, not the served survivors; re-delete " +
+            "with --embeddings, or re-init"
+        }
       return s"drift report for $store ($src):\n" +
         f"  n_base=${r.getAs[Long]("n_base")}%d " +
         f"n_current=${r.getAs[Long]("n_current")}%d " +
@@ -422,7 +437,7 @@ object Cli {
         f"  norm_ratio=${r.getAs[Double]("norm_ratio")}%.6f " +
         f"mean_shift=${r.getAs[Double]("mean_shift")}%.6f " +
         f"axis_shift=${r.getAs[Double]("axis_shift")}%.6f\n" +
-        s"  $verdict"
+        s"  $verdict$caveat"
     }
     if (init) {
       if (graft.ext.VectorIndex.exists(spark, store))

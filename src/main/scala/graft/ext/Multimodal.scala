@@ -728,14 +728,21 @@ object Multimodal {
     * out of scope by design ([[parseMp4]]'s division of labor). None
     * for non-EBML or corrupt payloads — every width and size is
     * bounds-checked, depth is capped, and an unknown-size element
-    * (legal for Segment/Cluster) extends to its parent's end, so
-    * hostile lengths fail soft instead of looping or mis-slicing
-    * (spec-pinned).
+    * extends to its parent's end ONLY on the walked MASTER elements
+    * (RFC 8794 §6.2 allows unknown size on masters alone — an
+    * unknown-size LEAF like TimestampScale would otherwise read the
+    * remainder of its parent as payload and yield garbage facts, so
+    * it reads as corrupt instead), so hostile lengths fail soft
+    * instead of looping or mis-slicing (spec-pinned).
     */
   private[ext] def parseMkv(payload: Array[Byte]): Option[MkvMeta] =
     if (!looksLikeMkv(payload)) None
     else
       try {
+        // the master elements this walk recurses into — the only ids
+        // an all-ones "unknown size" vint is legal on (RFC 8794 §6.2)
+        val unknownSizeMasters = Set(0x1A45DFA3L, 0x18538067L,
+          0x1549A966L, 0x1654AE6BL, 0xAEL, 0xE0L, 0x1F43B675L)
         var docType = ""
         var timescale = 0L
         var durTicks = -1L
@@ -754,8 +761,10 @@ object Multimodal {
                 readEbmlSize(payload, off + iw, end) match {
                   case Some((sz, sw, unknown)) =>
                     val ds = off + iw + sw
-                    val de = if (unknown) end else ds + sz
-                    if (de < ds || de > end) ok = false
+                    val de = ds + sz
+                    // everything inside Video settings is a LEAF —
+                    // unknown size here is corrupt (RFC 8794 §6.2)
+                    if (unknown || de < ds || de > end) ok = false
                     else {
                       id match {
                         case 0xB0 if w0 == 0 =>
@@ -789,8 +798,12 @@ object Multimodal {
                 readEbmlSize(payload, off + iw, end) match {
                   case Some((sz, sw, unknown)) =>
                     val ds = off + iw + sw
+                    // Video settings (0xE0) is the one master inside
+                    // a TrackEntry; unknown size on any leaf here
+                    // (TrackType, TrackNumber, …) is corrupt
                     val de = if (unknown) end else ds + sz
-                    if (de < ds || de > end) ok = false
+                    if ((unknown && id != 0xE0L) ||
+                        de < ds || de > end) ok = false
                     else {
                       id match {
                         case 0x83 => // TrackType: 1=video, 2=audio
@@ -831,8 +844,13 @@ object Multimodal {
                 readEbmlSize(payload, off + iw, end) match {
                   case Some((sz, sw, unknown)) =>
                     val ds = off + iw + sw
+                    // unknown size extends to the parent's end ONLY
+                    // on the walked masters; a leaf (TimestampScale,
+                    // Duration, DocType, …) with an all-ones size
+                    // would swallow the rest of its parent as payload
                     val de = if (unknown) end else ds + sz
-                    if (de < ds || de > end) ok = false
+                    if ((unknown && !unknownSizeMasters(id)) ||
+                        de < ds || de > end) ok = false
                     else {
                       id match {
                         case 0x1A45DFA3L => // EBML header

@@ -190,10 +190,14 @@ object Pca {
                                   iters: Int): Seq[Array[Double]] = {
     // the engine cast: double → DECIMAL(38,18); a non-finite value
     // casts to NULL and a decimal SUM skips NULLs, so a non-finite
-    // product contributes ZERO here too (valueOf would throw)
+    // product contributes ZERO here too (valueOf would throw) — and
+    // so does |x| ≥ 1e20, where DECIMAL(38,18)'s 20 integer digits
+    // OVERFLOW the cast to NULL in the engine while an unlimited-
+    // precision setScale would happily keep the value (divergence on
+    // pathological covariance magnitudes)
     def addDec18(acc: java.math.BigDecimal,
                  x: Double): java.math.BigDecimal =
-      if (!java.lang.Double.isFinite(x)) acc
+      if (!java.lang.Double.isFinite(x) || math.abs(x) >= 1e20) acc
       else acc.add(java.math.BigDecimal.valueOf(x)
         .setScale(18, java.math.RoundingMode.HALF_UP))
     var grid = covLocal

@@ -99,6 +99,14 @@ object VectorIndex {
     * RE-EMBEDDED corpus under the same ids (the stable 0..n-1 id
     * stream a new encoder run produces) can be served from a stale
     * index — ids alone would pass the second case silently.
+    *
+    * Each ROW's rounded term casts to LONG before the sum and the sum
+    * runs over longs (modular, associative, order-free — the
+    * [[Retrieval.initIndexIfStale]] crc_sum discipline): a double sum
+    * across rows would exceed 2⁵³ at tens of millions of vectors
+    * (terms scale ~d²/2·10⁶ per row), going inexact AND
+    * partition-order-dependent — a nondeterministic fingerprint that
+    * spuriously rebuilds (or, rarely, falsely serves) the store.
     */
   private def fingerprint(e: DataFrame): (Long, Long, Long) = {
     val weighted = aggregate(
@@ -108,8 +116,8 @@ object VectorIndex {
       lit(0.0d), (acc, t) => acc + t)
     val r = e.agg(count(lit(1)).as("n"),
       coalesce(sum(col("vec_id")), lit(0L)).as("s"),
-      coalesce(sum(coalesce(round(weighted * 1e6, 0), lit(0.0d)))
-        .cast("long"), lit(0L)).as("es")).collect()(0)
+      coalesce(sum(coalesce(round(weighted * 1e6, 0), lit(0.0d))
+        .cast("long")), lit(0L)).as("es")).collect()(0)
     (r.getAs[Long]("n"), r.getAs[Long]("s"), r.getAs[Long]("es"))
   }
 
@@ -414,6 +422,14 @@ object VectorIndex {
     // anti-join sees the ids as known and admits nothing.) The key
     // is unique across batches by construction: batches are id-
     // disjoint (the anti-join), so min(vec_id) alone separates them.
+    // CONTRACT: a crashed update must be retried with the IDENTICAL
+    // batch — the semantics Structured Streaming's foreachBatch
+    // recovery provides by construction (same epoch replays the same
+    // batch). A DIVERGENT retry whose batch overlaps the crashed one
+    // admits the overlap again under a different key and the folded
+    // stats double-count it; [[reconcileDriftStats]] is the repair
+    // (one corpus scan, checked-rename swap) for non-streaming
+    // callers that cannot replay identically.
     val kr = fresh.agg(count(lit(1)), sum(col("vec_id")),
       min(col("vec_id"))).collect()(0)
     val batchKey = s"b${kr.getLong(0)}_${kr.getLong(1)}_${kr.getLong(2)}"
@@ -464,6 +480,75 @@ object VectorIndex {
     dims.unionByName(norms)
       .select(lit(batchKey).as("batch_key"), col("i"),
         col("sx"), col("cnt"))
+  }
+
+  /** Rebuild the driftstats table from the SUPPLIED serving corpus —
+    * the repair for the one window the content-keyed idempotence
+    * cannot cover: a crash inside [[update]]'s stats→codes window
+    * followed by a retry with a DIFFERENT-but-overlapping batch (or a
+    * vectors-free [[delete]] whose subtraction never happened)
+    * permanently double-counts the overlap in the folded stats. One
+    * corpus scan writes the exact decimal statistics of `corpus` as a
+    * single reconcile batch and swaps it into place via the engine's
+    * checked-rename ([[graft.engine.Compactor.swapInto]] — crash-safe,
+    * never leaves the table missing). After it, [[driftReportFromStats]]
+    * equals the corpus-scan report over `corpus` bit for bit again
+    * (spec-pinned), and subsequent [[update]] batches fold on top as
+    * usual. The `r…` key prefix cannot collide with the `b…`/`d…`
+    * update/delete keys.
+    */
+  def reconcileDriftStats(spark: SparkSession, store: String,
+                          corpus: DataFrame): Unit = {
+    require(exists(spark, store),
+      s"no vector index store at $store (run init first)")
+    val e = prep(corpus)
+    val kr = e.agg(count(lit(1)), coalesce(sum(col("vec_id")), lit(0L)),
+      coalesce(min(col("vec_id")), lit(0L))).collect()(0)
+    val key = s"r${kr.getLong(0)}_${kr.getLong(1)}_${kr.getLong(2)}"
+    val dir = s"$store/driftstats"
+    val (_, f) = fs(spark, dir)
+    val tmp = dir + "__reconcile_tmp"
+    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // the i = -2 bookkeeping row: every tombstone existing at
+    // reconcile time is now fully accounted (the supplied corpus IS
+    // the survivors), so [[unreconciledTombstones]] stops counting
+    // them; the report reads only i >= -1, so the row is invisible
+    // to the drift arithmetic
+    val covered = tombstones(spark, store)
+      .select(col("vec_id")).distinct().count()
+    val mark = spark.range(1).select(lit(key).as("batch_key"),
+      lit(-2).as("i"), lit(null).cast("decimal(38,18)").as("sx"),
+      lit(covered).as("cnt"))
+    driftStatsOf(e, key).unionByName(mark)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    graft.engine.Compactor.swapInto(f, dir, tmp)
+  }
+
+  /** Tombstoned ids whose drift statistics were never subtracted —
+    * the count a stats-fed drift report must CAVEAT: the vectors-free
+    * [[delete]] appends tombstones without reconciling the stats (the
+    * deleted rows' values aren't in hand), so [[driftReportFromStats]]
+    * keeps describing the APPENDED corpus while queries serve the
+    * survivors. Distinct tombstone ids, minus the vectors subtracted
+    * by `d…`-keyed negative batches, minus the tombstones a
+    * [[reconcileDriftStats]] marked covered (its i = -2 row) — all
+    * KB-scale reads; clamped at zero.
+    */
+  def unreconciledTombstones(spark: SparkSession, store: String): Long = {
+    require(exists(spark, store),
+      s"no vector index store at $store (run init first)")
+    val nTomb = tombstones(spark, store)
+      .select(col("vec_id")).distinct().count()
+    val (dp, df) = fs(spark, s"$store/driftstats")
+    val accounted =
+      if (!df.exists(dp)) 0L
+      else spark.read.parquet(s"$store/driftstats").distinct()
+        .filter((col("i") === -1 && col("cnt") < 0 &&
+            col("batch_key").startsWith("d")) ||
+          (col("i") === -2 && col("batch_key").startsWith("r")))
+        .agg(coalesce(sum(abs(col("cnt"))), lit(0L)))
+        .collect()(0).getLong(0)
+    math.max(0L, nTomb - accounted)
   }
 
   /** The tombstone facts (vec_id, deleted_at) — empty frame when none

@@ -1439,5 +1439,13 @@ class SimilaritySpec extends SparkTestBase {
     badVint(26) = 0x00.toByte // invalid >8-byte vint where an ID starts
     assert(Multimodal.parseMkv(badVint).isEmpty,
       "invalid vint did not fail soft")
+    // RFC 8794 §6.2: unknown size is legal on MASTER elements only —
+    // an unknown-size LEAF (TimestampScale here) must read as corrupt
+    // instead of swallowing the rest of Info as its payload and
+    // yielding a garbage timescale
+    val unkLeaf = tiny.clone()
+    unkLeaf(25) = 0xFF.toByte // TimestampScale size -> all-ones
+    assert(Multimodal.parseMkv(unkLeaf).isEmpty,
+      "unknown-size leaf did not fail soft")
   }
 }

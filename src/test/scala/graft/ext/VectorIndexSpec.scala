@@ -613,6 +613,74 @@ class VectorIndexSpec extends SparkTestBase {
     assert(exDim.getMessage.contains("-dim"))
   }
 
+  test("fingerprint is partition-order-independent on huge-magnitude " +
+    "content (the long-sum discipline): no spurious rebuild") {
+    import spark.implicits._
+    // weighted terms ~ 2e14 per row: a double sum across 50 rows
+    // exceeds 2^53 (integer-valued doubles stop summing exactly) and
+    // its value depends on partition visit order — per-row long casts
+    // summed as longs cannot. Magnitudes stay below the PCA moment
+    // grid's own fixed-point range (the baseline write must succeed).
+    val big = (0 until 50).map { k =>
+      (k.toLong, Seq.tabulate(64)(i => 1e5 + k * 0.3 + i * 0.01))
+    }.toDF("vec_id", "embedding")
+    val st = store("vidx-fp")
+    VectorIndex.init(big.repartition(3), st, coarseIters = 2)
+    for (parts <- Seq(1, 7, 13))
+      assert(!VectorIndex.initIfStale(big.repartition(parts), st,
+        coarseIters = 2),
+        s"fingerprint changed under repartition($parts) — " +
+          "the content sum is partition-order-dependent")
+  }
+
+  test("reconcileDriftStats repairs a divergent-retry double count; " +
+    "unreconciledTombstones tracks vectors-free deletes and resets " +
+    "after a reconcile") {
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter(col("vec_id").cast("long") % 4 =!= 3)
+    val delta = e.filter(col("vec_id").cast("long") % 4 === 3)
+    val st = store("vidx-reconcile")
+    VectorIndex.init(base, st, coarseIters = 2)
+    VectorIndex.update(delta, st)
+    assert(VectorIndex.unreconciledTombstones(spark, st) == 0L)
+    val served = base.unionByName(delta)
+    // the documented hole: a crashed update retried with a DIFFERENT
+    // key re-admits overlapping stats — simulate by re-appending the
+    // delta's stats rows under a mutated batch key (fold cannot drop
+    // them: the key differs)
+    val dup = spark.read.parquet(s"$st/driftstats")
+      .filter(col("batch_key").startsWith("b"))
+      .withColumn("batch_key", concat(col("batch_key"), lit("_retry")))
+    dup.write.mode("append").parquet(s"$st/driftstats")
+    val bad = VectorIndex.driftReportFromStats(spark, st).collect()(0)
+    val truth = VectorIndex.driftReport(spark, st, served).collect()(0)
+    assert(bad.toSeq != truth.toSeq,
+      "the planted double count should diverge (else the test is vacuous)")
+    VectorIndex.reconcileDriftStats(spark, st, served)
+    val fixed = VectorIndex.driftReportFromStats(spark, st).collect()(0)
+    assert(fixed.toSeq == truth.toSeq,
+      s"reconciled stats != corpus-scan report: $fixed vs $truth")
+    // vectors-free deletes leave the stats counting the appended
+    // corpus — the caveat counter must say how many
+    VectorIndex.delete(spark, st, Seq(1L, 2L, 5L))
+    assert(VectorIndex.unreconciledTombstones(spark, st) == 3L,
+      "vectors-free deletes not counted as unreconciled")
+    // a reconciling delete subtracts its own rows: no NEW unreconciled
+    VectorIndex.delete(spark, st, Seq(6L, 9L), e)
+    assert(VectorIndex.unreconciledTombstones(spark, st) == 3L,
+      "reconciling delete wrongly counted as unreconciled")
+    // a full reconcile on the survivors accounts for everything
+    val survivors = served.filter(
+      !col("vec_id").isin(1L, 2L, 5L, 6L, 9L))
+    VectorIndex.reconcileDriftStats(spark, st, survivors)
+    assert(VectorIndex.unreconciledTombstones(spark, st) == 0L,
+      "reconcile did not reset the tombstone bookkeeping")
+    assert(VectorIndex.driftReportFromStats(spark, st).collect()(0)
+      .toSeq == VectorIndex.driftReport(spark, st, survivors)
+      .collect()(0).toSeq,
+      "post-reconcile stats-fed report != survivors' corpus scan")
+  }
+
   test("loud failure modes: query/update/delete/compact on a missing " +
     "store") {
     val e = Tables.embeddings(spark, sf0001)
