@@ -666,20 +666,29 @@ object TextAnalysis {
     * g_b = Σ_docs tf·r (decimal, order-free). Returns the gradients
     * collected — nBuckets+1 rows max, KB BY CONSTRUCTION (the
     * pqLocal/dsirRatios contract).
+    *
+    * ONE scan of the feature table per epoch (r12): the doc-keyed
+    * aggregate computes z AND carries the doc's (b, tf) pairs forward
+    * in the same ObjectHashAggregate (exchange-free — the table is
+    * doc_id-partitioned), so the residual fan-out is an in-row
+    * explode instead of the former join-back + second scan. The
+    * arithmetic is unchanged value for value: z is the same decimal
+    * sum, g_b the same order-free decimal sum over the same terms —
+    * the x35 oracle (which replays the training) pins it.
     */
   private def qualityGrads(tfb: DataFrame, w: Array[Double],
                            nBuckets: Int): Map[Long, Double] = {
     val wMap = map((0 to nBuckets).flatMap(b =>
       Seq(lit(b.toLong), lit(w(b)))): _*)
-    val r = tfb.withColumn("wb", element_at(wMap, col("b")))
+    tfb.withColumn("wb", element_at(wMap, col("b")))
       .groupBy(col("doc_id"), col("y"))
       .agg(round(sum((col("tf") * col("wb")).cast("decimal(38,18)"))
-        .cast("double"), 6).as("z"))
-      .select(col("doc_id"),
-        round(col("y") - squash(col("z")), 6).as("r"))
-    tfb.join(r, "doc_id")
-      .groupBy(col("b"))
-      .agg(sum((col("tf") * col("r")).cast("decimal(38,18)"))
+          .cast("double"), 6).as("z"),
+        collect_list(struct(col("b"), col("tf"))).as("fs"))
+      .withColumn("r", round(col("y") - squash(col("z")), 6))
+      .select(explode(col("fs")).as("f"), col("r"))
+      .groupBy(col("f.b").as("b"))
+      .agg(sum((col("f.tf") * col("r")).cast("decimal(38,18)"))
         .cast("double").as("g"))
       .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
   }
@@ -722,20 +731,61 @@ object TextAnalysis {
     require(epochs >= 1, s"training needs at least one epoch, got $epochs")
     val tfb = qualityFeatures(docs, targetCol, nBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val nDocs = docs.count()
-      require(nDocs > 0, "cannot train a quality probe on an empty corpus")
-      val w = Array.fill(nBuckets + 1)(0.0d)
-      for (_ <- 1 to epochs) {
-        val g = qualityGrads(tfb, w, nBuckets)
-        var b = 0
-        while (b <= nBuckets) {
-          w(b) = round6(w(b) + (lr * g.getOrElse(b.toLong, 0.0d)) / nDocs)
-          b += 1
-        }
+    try trainOn(tfb, docs.count(), nBuckets, epochs, lr)
+    finally tfb.unpersist()
+  }
+
+  /** The epoch loop over a materialized feature table — shared by
+    * [[qualityProbeModel]] (own persist, released) and
+    * [[qualityProbeTrainScore]] (shared-cache persist, reused by the
+    * returned scoring plan), so the two train identically.
+    */
+  private def trainOn(tfb: DataFrame, nDocs: Long, nBuckets: Int,
+                      epochs: Int, lr: Double): Map[Long, Double] = {
+    require(nDocs > 0, "cannot train a quality probe on an empty corpus")
+    val w = Array.fill(nBuckets + 1)(0.0d)
+    for (_ <- 1 to epochs) {
+      val g = qualityGrads(tfb, w, nBuckets)
+      var b = 0
+      while (b <= nBuckets) {
+        w(b) = round6(w(b) + (lr * g.getOrElse(b.toLong, 0.0d)) / nDocs)
+        b += 1
       }
-      (0L to nBuckets.toLong).map(b => b -> w(b.toInt)).toMap
-    } finally tfb.unpersist()
+    }
+    (0L to nBuckets.toLong).map(b => b -> w(b.toInt)).toMap
+  }
+
+  /** Train AND score over ONE featurization — the "fit a probe on a
+    * labeled slice, score the same corpus with it" composition (the
+    * x35 shape) without paying the corpus tokenize twice: the feature
+    * table that feeds every epoch is shared-cache persisted
+    * ([[dsirFeatures]]' discipline) and the returned scoring plan
+    * aggregates IT rather than re-featurizing `docs`. Values are
+    * IDENTICAL to `qualityProbeScore(docs, qualityProbeModel(docs,
+    * …))` — the feature rows are the same (one definition), y rides
+    * along unused, margin is the same order-free decimal sum
+    * (spec-pinned; the x35 oracle replays both stages). For scoring a
+    * DIFFERENT corpus than the training slice, compose the two-step
+    * APIs; for scan-speed deployment, [[qualityProbeScoreMap]].
+    */
+  def qualityProbeTrainScore(docs: DataFrame, targetCol: Column,
+                             nBuckets: Int = 256, epochs: Int = 3,
+                             lr: Double = 0.5): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be at least 2, got $nBuckets")
+    require(epochs >= 1, s"training needs at least one epoch, got $epochs")
+    val tfb = SharedCache.persistShared(
+      qualityFeatures(docs, targetCol, nBuckets))
+    val model = trainOn(tfb, docs.count(), nBuckets, epochs, lr)
+    val wMap = map(model.toSeq.sortBy(_._1).flatMap { case (b, v) =>
+      Seq(lit(b), lit(v)) }: _*)
+    tfb
+      .withColumn("wb", element_at(wMap, col("b")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"),
+        (round(sum((col("tf") * col("wb")).cast("decimal(38,18)"))
+          .cast("double"), 6) + lit(0.0d)).as("margin"))
+      .withColumn("quality", round(squash(col("margin")), 6))
+      .withColumn("predicted", col("margin") >= 0)
   }
 
   /** Score a corpus under a trained probe — the exact (decimal-sum)

@@ -124,13 +124,14 @@ object TextQueries {
       * z/(1+|z|)) is pure +,·,/,|·| and bit-portable) — so margins
       * match hash-exactly, not just directionally. EAGER: training
       * collects a KB-scale gradient per epoch at construction (the
-      * pqTrainOn/x23 caveat).
+      * pqTrainOn/x23 caveat). The fused train-and-score form (r12):
+      * one featurization feeds every epoch AND the final scoring —
+      * spec-pinned value-identical to the two-step composition.
       */
     "x35_quality_probe" -> { (s, d) =>
       import org.apache.spark.sql.functions.col
-      val docs = Tables.documents(s, d)
-      TextAnalysis.qualityProbeScore(docs,
-        TextAnalysis.qualityProbeModel(docs, col("source") === "src0"))
+      TextAnalysis.qualityProbeTrainScore(Tables.documents(s, d),
+        col("source") === "src0")
     },
 
     /** x36 — BPE merge training (Sennrich et al. 2016): 8 merges

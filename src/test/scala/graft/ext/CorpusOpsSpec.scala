@@ -590,6 +590,15 @@ class CorpusOpsSpec extends SparkTestBase {
     // model calls above must not have accumulated persistent RDDs
     assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
       "qualityProbeModel left cached intermediates behind")
+    // the fused train-and-score form (one featurization, the x35
+    // shape) is VALUE-IDENTICAL to the two-step composition — every
+    // column of every row, bit for bit
+    val fused = TextAnalysis.qualityProbeTrainScore(corpus, isGood)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val twoStep = TextAnalysis.qualityProbeScore(corpus, m3)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(fused == twoStep,
+      "qualityProbeTrainScore diverged from score(model(...))")
     // malformed models are refused
     intercept[IllegalArgumentException](
       TextAnalysis.qualityProbeScore(corpus, Map(0L -> 1.0, 5L -> 2.0)))
