@@ -139,16 +139,17 @@ object Cli {
       case Some("tag") => tagCmd(spark, parseOpts(args.tail))
       case Some("pca") => pcaCmd(spark, parseOpts(args.tail))
       case Some("ann") => annCmd(spark, parseOpts(args.tail))
+      case Some("hybrid") => hybridCmd(spark, parseOpts(args.tail))
       case Some(other) => throw CliError(
         s"unknown command: $other " +
           "(expected export | import | db | compact | zonemap | dedup " +
           "| despan | index | bm25 | dsir | probe | epoch-budget | bpe " +
-          "| tag | pca | ann)")
+          "| tag | pca | ann | hybrid)")
       case None =>
         throw CliError(
           "usage: graft.Cli <export|import|db|compact|zonemap|dedup" +
-            "|despan|index|bm25|dsir|probe|epoch-budget|bpe|tag|pca|ann> " +
-            "[--options]")
+            "|despan|index|bm25|dsir|probe|epoch-budget|bpe|tag|pca|ann" +
+            "|hybrid> [--options]")
     }
 
   /** Read a corpus parquet and insist on the (doc_id, text) contract
@@ -550,6 +551,86 @@ object Cli {
                 f"${r.getDouble(2)}%9.4f  ${r.getInt(3)}%4d"
           }.mkString(header, "\n", "")
       }
+    }
+  }
+
+  /** `hybrid` — [EXT] the production first-stage retriever: fused
+    * lexical + dense ranking ENTIRELY from the persisted stores
+    * (ext.Retrieval.hybridQueryStores — the s21 shape). The lexical
+    * leg ranks from the BM25 inverted index at `--index` (pushed
+    * token filter, no corpus scan), the dense leg from the IVF-PQ
+    * vector store at `--vector-index` (cell-pruned ADC), fused by
+    * reciprocal-rank fusion over each leg's top-`--depth`.
+    *
+    *   - `--query "terms"` is the lexical bag; `--query-id N` names
+    *     the probe vector, resolved against `--embeddings` and
+    *     collected to a LOCAL relation (a serving path receives the
+    *     query vector WITH the request — the corpus is not scanned
+    *     for it).
+    *   - `--exact`: the two-stage tail (hybridQueryStoresRerank, the
+    *     s25 shape) — the dense nominees' ORIGINAL vectors are
+    *     fetched from `--embeddings` by a pushed vec_id filter and
+    *     re-ranked by exact cosine before the fuse.
+    *   - `--k` fused results (default 10), `--depth` per-leg pool
+    *     (default 20), `--nprobe` probed cells (default 4); `--out`
+    *     parquet or a printed ranking.
+    */
+  private def hybridCmd(spark: SparkSession,
+                        opts: Map[String, String]): String = {
+    import org.apache.spark.sql.functions.col
+    val indexStore = required(opts, "index")
+    val vectorStore = required(opts, "vector_index")
+    val storePath = new org.apache.hadoop.fs.Path(indexStore)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(storePath))
+      throw CliError(s"no index store at $indexStore " +
+        "(build it: index --init)")
+    if (!graft.ext.VectorIndex.exists(spark, vectorStore))
+      throw CliError(s"no vector index store at $vectorStore " +
+        "(build it: ann --index ... --init)")
+    val terms = required(opts, "query").split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    if (terms.isEmpty) throw CliError("--query must name at least one term")
+    val qid = required(opts, "query_id").toLongOption.getOrElse(
+      throw CliError("--query-id must be an integer"))
+    val k = intOpt(opts, "k", 10)
+    if (k < 1) throw CliError(s"--k must be positive, got $k")
+    val depth = intOpt(opts, "depth", 20)
+    if (depth < k)
+      throw CliError(s"--depth ($depth) must cover --k ($k)")
+    val nprobe = intOpt(opts, "nprobe", 4)
+    if (nprobe < 1) throw CliError(s"--nprobe must be positive, got $nprobe")
+    val emb = readEmbeddings(spark, required(opts, "embeddings"))
+    // the request's own vector, collected to a local relation (one
+    // row) — fail loudly on a typo'd id, never rank from nothing
+    import spark.implicits._
+    val qRows = emb.filter(col("vec_id") === qid)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    if (qRows.isEmpty)
+      throw CliError(s"--query-id $qid not present in --embeddings")
+    val qVecs = qRows.toSeq.map { case (id, e) => (id, e.toSeq) }
+      .toDF("vec_id", "embedding")
+    val queries = Seq(qid -> terms)
+    val hits =
+      if (boolFlag(opts, "exact"))
+        graft.ext.Retrieval.hybridQueryStoresRerank(spark, indexStore,
+          vectorStore, emb, queries, qVecs, k, depth, nprobe = nprobe)
+      else
+        graft.ext.Retrieval.hybridQueryStores(spark, indexStore,
+          vectorStore, queries, qVecs, k, depth, nprobe = nprobe)
+    opts.get("out") match {
+      case Some(out) =>
+        hits.write.mode("overwrite").parquet(out)
+        s"${spark.read.parquet(out).count()} fused hits -> $out"
+      case None =>
+        hits.collect().map { r =>
+          f"${r.getLong(0)}%12d  ${r.getLong(1)}%8d  ${r.getInt(2)}%4d  " +
+            f"${r.getInt(3)}%5d  ${r.getDouble(4)}%9.6f  ${r.getInt(5)}%4d"
+        }.mkString(
+          "    query_id    doc_id   lex  dense      fused  rank\n",
+          "\n", "")
     }
   }
 

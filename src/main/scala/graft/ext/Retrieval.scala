@@ -558,15 +558,34 @@ object Retrieval {
     require(queries.nonEmpty, "hybridQueryStores needs at least one query")
     require(queries.forall(_._2.nonEmpty),
       "every hybrid query needs at least one term")
+
+    // dense leg: the vector store's own cell-pruned ADC ranking —
+    // its (approx_ip DESC, vec_id) rank IS the dense rank
+    val denseRank = VectorIndex.query(spark, vectorStore, queryVecs,
+        k = depth, nprobe = nprobe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+
+    rrfFuse(lexRankFromStore(spark, indexStore, queries, depth, k1, b),
+      denseRank, k, c)
+  }
+
+  /** The store-fed lexical leg shared by [[hybridQueryStores]] and
+    * [[hybridQueryStoresRerank]] — ONE definition: queryIndex's store
+    * tables (pushed token filter, tombstones excluded), s11's scoring
+    * fan-out, the depth-bounded bottom-k rank.
+    */
+  private def lexRankFromStore(spark: org.apache.spark.sql.SparkSession,
+                               indexStore: String,
+                               queries: Seq[(Long, Seq[String])],
+                               depth: Int, k1: Double,
+                               b: Double): DataFrame = {
     import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
     val qt = broadcast(queries.flatMap { case (qid, ts) =>
       ts.distinct.map(qid -> _)
     }.toDF("query_id", "token"))
     val bottomK = udaf(graft.functions.BottomKAggregator.bottomK(depth))
-
-    // lexical leg: queryIndex's store tables (pushed token filter,
-    // tombstones excluded), s11's scoring fan-out
     val stats = liveStore(spark, indexStore, "lengths", LengthsSchema)
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_tot"))
       .select(col("n_docs"),
@@ -574,7 +593,7 @@ object Retrieval {
     val tf = liveStore(spark, indexStore, "postings", PostingsSchema)
       .filter(col("token").isin(allTerms: _*))
     val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val lexRank = tf.join(qt, "token")
+    tf.join(qt, "token")
       .join(broadcast(dfT), "token")
       .crossJoin(broadcast(stats))
       .withColumn("w", termWeight(col("tf"), col("dl"),
@@ -588,14 +607,45 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("picked")))
       .select(col("query_id"), col("col._2").as("doc_id"),
         (col("pos") + 1).cast("int").as("lex_rank"))
+  }
 
-    // dense leg: the vector store's own cell-pruned ADC ranking —
-    // its (approx_ip DESC, vec_id) rank IS the dense rank
-    val denseRank = VectorIndex.query(spark, vectorStore, queryVecs,
-        k = depth, nprobe = nprobe)
+  /** EXACT-TAIL hybrid retrieval — [[hybridQueryStores]] with the
+    * [[graft.ext.VectorIndex.queryRerank]] discipline on the dense
+    * leg, completing the serving matrix on the hybrid plane: the
+    * stores NOMINATE (postings-pruned lexical rank; cell-pruned ADC
+    * candidates), then ONLY the dense nominees' ORIGINAL vectors are
+    * fetched from the corpus parquet by a pushed vec_id filter and
+    * re-ranked by exact rounded-4 cosine (vec_id tiebreak) before the
+    * shared RRF fuse — so PQ compression error affects WHICH dense
+    * candidates fuse, never their fused order. The lexical leg is
+    * exact already (the postings store holds the true tf/dl facts)
+    * and is shared with [[hybridQueryStores]] definition-for-
+    * definition. The ONLY corpus read in the executed plan is the
+    * pushed candidate fetch (|Q|·depth row groups — spec-pinned).
+    * Oracle-checked (s25): the s09 weight tree, the s08 ADC chain,
+    * the s20 exact re-rank and the shared RRF tail replay end-to-end.
+    */
+  def hybridQueryStoresRerank(spark: org.apache.spark.sql.SparkSession,
+                              indexStore: String, vectorStore: String,
+                              corpus: DataFrame,
+                              queries: Seq[(Long, Seq[String])],
+                              queryVecs: DataFrame, k: Int = 10,
+                              depth: Int = 20, c: Int = 60,
+                              nprobe: Int = 4, k1: Double = 1.2,
+                              b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty,
+      "hybridQueryStoresRerank needs at least one query")
+    require(queries.forall(_._2.nonEmpty),
+      "every hybrid query needs at least one term")
+
+    // dense leg: store nomination + exact re-rank of the originals —
+    // queryRerank verbatim at full rerank coverage of the nominees
+    val denseRank = VectorIndex.queryRerank(spark, vectorStore, corpus,
+        queryVecs, k = depth, rerank = depth, nprobe = nprobe)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
 
-    rrfFuse(lexRank, denseRank, k, c)
+    rrfFuse(lexRankFromStore(spark, indexStore, queries, depth, k1, b),
+      denseRank, k, c)
   }
 }

@@ -433,6 +433,38 @@ object SimilarityQueries {
         qVecs, k = 10, depth = 20)
     },
 
+    /** s25 — EXACT-TAIL hybrid retrieval (s21 + the s20 discipline on
+      * the dense leg): the stores nominate (postings-pruned lexical
+      * rank, cell-pruned ADC candidates), then ONLY the dense
+      * nominees' ORIGINAL vectors are fetched by a pushed vec_id
+      * filter and re-ranked by exact rounded-4 cosine BEFORE the
+      * shared RRF fuse — compression error picks which candidates
+      * fuse, never their fused order. Completes the serving matrix on
+      * the hybrid plane. The oracle replays the s09 weight tree, the
+      * s08 ADC chain, the s20 exact re-rank, and the shared RRF tail.
+      */
+    "s25_hybrid_rerank" -> { (s, d) =>
+      import s.implicits._
+      require(HybridQueries.map(_._1).sorted ==
+        (0L until NumQueries.toLong),
+        "hybrid query ids must be 0..NumQueries-1 (the s08 probe set)")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val e = Tables.embeddings(s, d)
+      val bmStore = bm25StoreFor(d)
+      Retrieval.initIndexIfStale(docs, bmStore)
+      val vStore = indexStoreFor(d)
+      VectorIndex.initIfStale(e, vStore, coarseIters = CoarseIters)
+      val qVecs = e
+        .filter(col("vec_id").isin(HybridQueries.map(_._1): _*))
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])].collect().toSeq
+        .map { case (id, emb) => (id, emb.toSeq) }
+        .toDF("vec_id", "embedding")
+      Retrieval.hybridQueryStoresRerank(s, bmStore, vStore, e,
+        HybridQueries, qVecs, k = 10, depth = 20)
+    },
+
     /** d05 — embedding-cosine near-dup pairs (threshold tuned to the
       * isotropic corpus: max pairwise cosine ≈ 0.48). Exact all-pairs:
       * the oracle-checkable truth twin of d07, kept at small n only.
@@ -1469,6 +1501,28 @@ object SimilarityQueries {
          |      AS dense_rank
          |  FROM adc
          |  QUALIFY dense_rank <= 20),
+         |$RrfTailSql""".stripMargin,
+
+    // s25: s21's lex replay + the s08 ADC chain cut at depth (s20's
+    // nomination CTE) + the exact rounded-4 cosine re-rank of just
+    // those nominees' ORIGINAL vectors as the dense rank, fused by
+    // the shared tail — the exact-tail hybrid end-to-end.
+    "s25_hybrid_rerank" ->
+      s"""WITH $HybridLexCtes,
+         |$S08Ctes,
+         |hcand AS (
+         |  SELECT query_id, vec_id
+         |  FROM adc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(qc + r_ip, 4) DESC, vec_id) <= 20),
+         |denser AS (
+         |  SELECT c.query_id, c.vec_id AS doc_id,
+         |    CAST(row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY round(list_cosine_similarity(ce.emb, qe.emb), 4)
+         |        DESC, c.vec_id) AS INT) AS dense_rank
+         |  FROM hcand c
+         |  JOIN e ce ON ce.vec_id = c.vec_id
+         |  JOIN e qe ON qe.vec_id = c.query_id),
          |$RrfTailSql""".stripMargin,
 
     "d07_embedding_dups_lsh" ->

@@ -1100,4 +1100,84 @@ class CliSpec extends SparkTestBase {
       Seq("dup"), 3).collect().map(_.getLong(0)).toSet
     assert(afterCompact == after, "compaction changed query results")
   }
+
+  test("hybrid command: store-fed fused ranking == the library (approx " +
+    "and --exact tails), loud failure modes, drift-stats caveat on " +
+    "vectors-free deletes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sf0001)
+    val embPath = tmpDir("cli-hyb-emb")
+    emb.write.mode("overwrite").parquet(embPath)
+    val bmStore = tmpDir("cli-hyb-bm") + "/idx"
+    val vStore = tmpDir("cli-hyb-v") + "/idx"
+    // missing stores fail loudly BEFORE any ranking work
+    assert(intercept[CliError](Cli.run(spark, Seq("hybrid",
+      "--index", bmStore, "--vector-index", vStore, "--query", "dup",
+      "--query-id", "0", "--embeddings", embPath), now))
+      .message.contains("no index store"))
+    graft.ext.Retrieval.initIndexIfStale(docs, bmStore)
+    assert(intercept[CliError](Cli.run(spark, Seq("hybrid",
+      "--index", bmStore, "--vector-index", vStore, "--query", "dup",
+      "--query-id", "0", "--embeddings", embPath), now))
+      .message.contains("no vector index store"))
+    graft.ext.VectorIndex.init(emb, vStore, coarseIters = 2)
+    // knob and probe validation
+    assert(intercept[CliError](Cli.run(spark, Seq("hybrid",
+      "--index", bmStore, "--vector-index", vStore, "--query", "  ",
+      "--query-id", "0", "--embeddings", embPath), now))
+      .message.contains("at least one term"))
+    assert(intercept[CliError](Cli.run(spark, Seq("hybrid",
+      "--index", bmStore, "--vector-index", vStore, "--query", "dup",
+      "--query-id", "999999", "--embeddings", embPath), now))
+      .message.contains("999999"))
+    assert(intercept[CliError](Cli.run(spark, Seq("hybrid",
+      "--index", bmStore, "--vector-index", vStore, "--query", "dup",
+      "--query-id", "0", "--embeddings", embPath, "--k", "10",
+      "--depth", "5"), now)).message.contains("--depth"))
+    // e2e == library, both tails
+    val qVecs = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toSeq
+      .map { case (id, e) => (id, e.toSeq) }.toDF("vec_id", "embedding")
+    val out = tmpDir("cli-hyb-out") + "/o"
+    val msg = Cli.run(spark, Seq("hybrid", "--index", bmStore,
+      "--vector-index", vStore, "--query", "dup merge", "--query-id",
+      "0", "--embeddings", embPath, "--out", out), now)
+    assert(msg.contains("fused hits"), msg)
+    val got = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    val want = graft.ext.Retrieval.hybridQueryStores(spark, bmStore,
+      vStore, Seq(0L -> Seq("dup", "merge")), qVecs, k = 10, depth = 20)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "CLI hybrid ranking diverged from the library")
+    val outX = tmpDir("cli-hyb-outx") + "/o"
+    Cli.run(spark, Seq("hybrid", "--index", bmStore, "--vector-index",
+      vStore, "--query", "dup merge", "--query-id", "0", "--embeddings",
+      embPath, "--exact", "--out", outX), now)
+    val gotX = spark.read.parquet(outX).collect().map(_.toSeq).toSet
+    val wantX = graft.ext.Retrieval.hybridQueryStoresRerank(spark,
+      bmStore, vStore, emb, Seq(0L -> Seq("dup", "merge")), qVecs,
+      k = 10, depth = 20).collect().map(_.toSeq).toSet
+    assert(gotX == wantX, "CLI --exact hybrid diverged from the library")
+    // without --out a ranking prints (header + k rows)
+    val printed = Cli.run(spark, Seq("hybrid", "--index", bmStore,
+      "--vector-index", vStore, "--query", "dup merge", "--query-id",
+      "0", "--embeddings", embPath), now)
+    assert(printed.contains("fused") && printed.linesIterator.size == 11,
+      printed)
+    // the ADVICE caveat: a vectors-free delete leaves the stats
+    // counting the appended corpus — --drift-stats must SAY so; a
+    // reconciling re-init clears it
+    val clean = Cli.run(spark, Seq("ann", "--index", vStore,
+      "--drift-stats"), now)
+    assert(!clean.contains("CAVEAT"), clean)
+    Cli.run(spark, Seq("ann", "--index", vStore, "--delete",
+      "--vec-ids", "3,4"), now)
+    val caveated = Cli.run(spark, Seq("ann", "--index", vStore,
+      "--drift-stats"), now)
+    assert(caveated.contains("CAVEAT") && caveated.contains("2"),
+      s"vectors-free delete not caveated:\n$caveated")
+  }
 }

@@ -346,6 +346,74 @@ class RetrievalSpec extends SparkTestBase {
       s"token filter not pushed into the postings scan:\n$p")
   }
 
+  test("hybridQueryStoresRerank: dense ranks == the exact-tail " +
+    "queryRerank's, lex leg identical to hybridQueryStores, and the " +
+    "ONLY corpus read is the pushed vec_id candidate fetch") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val e = Tables.embeddings(spark, sf0001)
+    val queries = Seq(0L -> Seq("dup", "merge"),
+      1L -> Seq("spark", "window"))
+    val bmStore = tmpDir("hybx-bm25") + "/idx"
+    val vStore = tmpDir("hybx-vidx") + "/idx"
+    Retrieval.initIndexIfStale(docs, bmStore)
+    VectorIndex.init(e, vStore, coarseIters = 2)
+    val qVecs = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toSeq
+      .map { case (id, emb) => (id, emb.toSeq) }
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.hybridQueryStoresRerank(spark, bmStore, vStore,
+      e, queries, qVecs, k = 10, depth = 20)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // dense leg: every reported dense_rank is the two-stage exact
+    // re-rank's own (store nominates, originals re-rank)
+    val denseExpect = VectorIndex.queryRerank(spark, vStore, e, qVecs,
+        k = 20, rerank = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    for (r <- rows if r.getInt(3) > 0)
+      assert(denseExpect.get((r.getLong(0), r.getLong(1)))
+        .contains(r.getInt(3)),
+        s"dense_rank mismatch for ${(r.getLong(0), r.getLong(1))}")
+    // lex leg: identical to the approx-tail surface's (one shared
+    // definition — any drift is a bug)
+    val approx = Retrieval.hybridQueryStores(spark, bmStore, vStore,
+      queries, qVecs, k = 10, depth = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val gotLex = rows.filter(_.getInt(2) > 0)
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    gotLex.foreach { case (key, lr) =>
+      approx.get(key).filter(_ > 0).foreach(alr =>
+        assert(alr == lr, s"lex leg drifted between surfaces at $key"))
+    }
+    // fused arithmetic: the shared RRF rule, recomputed per row
+    for (r <- rows) {
+      val lex = if (r.getInt(2) > 0) 1.0 / (60 + r.getInt(2)) else 0.0
+      val dense = if (r.getInt(3) > 0) 1.0 / (60 + r.getInt(3)) else 0.0
+      val want = BigDecimal(lex + dense)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == want, s"fused mismatch on $r")
+    }
+    // the production property: documents NEVER read; the one
+    // embeddings read is the candidate fetch with the pushed vec_id
+    // filter — |Q|·depth row groups, not a corpus scan
+    val pFull = got.queryExecution.executedPlan.toString
+    // AQE prints Final AND Initial plan sections — count scans in the
+    // executed (final) section only
+    val p = pFull.split("== Initial Plan ==")(0)
+    assert(!p.contains("documents.parquet"),
+      s"exact-tail hybrid scanned the documents corpus:\n$p")
+    val embScans = "embeddings\\.parquet".r.findAllIn(p).size
+    assert(embScans == 1,
+      s"expected exactly one (pushed) embeddings fetch, got $embScans:\n$p")
+    assert(p.contains("PushedFilters: [In(vec_id"),
+      s"vec_id filter not pushed into the candidate fetch:\n$p")
+    assert(p.contains("PushedFilters: [In(token"),
+      s"token filter not pushed into the postings scan:\n$p")
+  }
+
   test("hybridTopK fuses the two rankings by RRF: hand-derived fused " +
     "scores, absent-system rank 0, depth truncation, doc_id tiebreak, " +
     "partition invariance") {
