@@ -1100,7 +1100,10 @@ object Cli {
     * DELTA appended to the stores (the old corpus is never
     * re-tokenized). `--query "terms"` ranks from the stores alone —
     * the corpus is not read — with `--k` results (default 10) to
-    * stdout or `--out`.
+    * stdout or `--out`. `--drift-stats` prints the s26 lexical drift
+    * advisory from the store's own statistics (growth/avgdl ratios,
+    * df-fraction and OOV-mass shifts vs the init-time baseline);
+    * `--drift --docs <pq>` is its corpus-scan twin.
     */
   private def indexCmd(spark: SparkSession,
                        opts: Map[String, String]): String = {
@@ -1122,6 +1125,54 @@ object Cli {
         "step (no --docs/--init/--query)")
     if (opts.contains("doc_ids") && !deleting)
       throw CliError("--doc-ids is a --delete option")
+    // `--drift-stats`: the s26 lexical drift advisory, fed entirely
+    // from the persisted stores (no corpus argument, no corpus scan);
+    // `--drift --docs <pq>`: the corpus-scan twin over an external
+    // corpus. Tolerances: --tol-df/--tol-oov/--tol-dl.
+    val drift = boolFlag(opts, "drift")
+    val driftStats = boolFlag(opts, "drift_stats")
+    if (drift && driftStats)
+      throw CliError("--drift and --drift-stats are exclusive " +
+        "(corpus-scan OR store-fed)")
+    if ((drift || driftStats) && (deleting || compacting ||
+        opts.contains("query") || opts.contains("init")))
+      throw CliError("--drift/--drift-stats is a standalone report " +
+        "(no --init/--query/--delete/--compact)")
+    if (driftStats && opts.contains("docs"))
+      throw CliError("--drift-stats reads the store's own statistics " +
+        "— drop --docs (or use --drift to scan a corpus)")
+    if (drift || driftStats) {
+      if (!fs.exists(storePath))
+        throw CliError(s"no index store at $store (run --init first)")
+      val tolDf = doubleOpt(opts, "tol_df", 0.02)
+      val tolOov = doubleOpt(opts, "tol_oov", 0.01)
+      val tolDl = doubleOpt(opts, "tol_dl", 0.05)
+      for ((n, v) <- Seq("tol-df" -> tolDf, "tol-oov" -> tolOov,
+          "tol-dl" -> tolDl))
+        if (v <= 0.0) throw CliError(s"--$n must be positive, got $v")
+      val report =
+        if (driftStats)
+          graft.ext.Retrieval.lexDriftReportFromIndex(spark, store,
+            tolDf, tolOov, tolDl)
+        else
+          graft.ext.Retrieval.lexDriftReportScan(
+            readDocs(spark, required(opts, "docs")), store,
+            tolDf, tolOov, tolDl)
+      val r = report.collect()(0)
+      val src = if (driftStats) "store-fed" else "corpus-scan"
+      val verdict =
+        if (r.getAs[Boolean]("stale"))
+          "STALE — rebaseline advised (rebuild the index, then re-drain)"
+        else "fresh"
+      return s"lexical drift report for $store ($src):\n" +
+        f"  n_base=${r.getAs[Long]("n_base")}%d " +
+        f"n_current=${r.getAs[Long]("n_current")}%d " +
+        f"n_ratio=${r.getAs[Double]("n_ratio")}%.6f\n" +
+        f"  avgdl_ratio=${r.getAs[Double]("avgdl_ratio")}%.6f " +
+        f"df_shift=${r.getAs[Double]("df_shift")}%.6f " +
+        f"oov_shift=${r.getAs[Double]("oov_shift")}%.6f\n" +
+        s"  $verdict"
+    }
     if (deleting) {
       if (!fs.exists(storePath))
         throw CliError(s"no index store at $store (run --init first)")

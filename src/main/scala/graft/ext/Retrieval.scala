@@ -489,6 +489,12 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** The drift baseline's reference-vocabulary width: the top-`M`
+    * tokens by (df DESC, token ASC) at init — KB by construction, the
+    * tokens whose document-frequency mass the advisory watches.
+    */
+  private[graft] val LexDriftVocabSize = 32
+
   /** Build the persisted index unless a complete store already matches
     * this corpus — [[graft.ext.VectorIndex.initIfStale]]'s idempotent
     * contract on the lexical plane: the fingerprint is one narrow
@@ -497,9 +503,17 @@ object Retrieval {
     * SAME-LENGTH rewrite under stable ids, the re-embedded-corpus
     * hole's lexical twin; crc32 sums stay within a long for any
     * realistic corpus since each term is < 2³²), written LAST to
-    * `meta/` so a crash mid-build rebuilds; an unreadable or
-    * old-layout meta also reads as stale. Returns true when it
-    * (re)built.
+    * `meta/` so a crash mid-build rebuilds; an unreadable, old-layout
+    * (pre-baseline), or half-committed meta also reads as stale.
+    * Returns true when it (re)built.
+    *
+    * A (re)build records the DRIFT BASELINE under `baseline/` — the
+    * [[graft.ext.VectorIndex.init]] discipline on the lexical plane,
+    * derived from the just-written stores at KB cost (the corpus is
+    * never re-tokenized): one stats row (n_docs, dl_sum) and the
+    * top-[[LexDriftVocabSize]] reference vocabulary with its df and
+    * term-mass integers. Written BEFORE meta, so a readable meta
+    * implies a complete baseline.
     */
   def initIndexIfStale(docs: DataFrame, indexStore: String): Boolean = {
     val spark = docs.sparkSession
@@ -516,19 +530,186 @@ object Retrieval {
     val metaPath = new org.apache.hadoop.fs.Path(s"$indexStore/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fp = fingerprint()
-    val fresh = fs.exists(metaPath) && scala.util.Try {
+    val fresh = fs.exists(metaPath) &&
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$indexStore/baseline/vocab")) && scala.util.Try {
       val r = spark.read.parquet(metaPath.toString).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getAs[Long]("crc_sum")) == fp
     }.getOrElse(false)
     if (!fresh) {
-      for (sub <- Seq("postings", "lengths", "tombstones", "meta"))
+      for (sub <- Seq("postings", "lengths", "tombstones", "baseline",
+          "meta"))
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexStore/$sub"), true)
       updateIndex(docs, indexStore)
+      // drift baseline off the fresh stores (KB-scale aggregates)
+      liveStore(spark, indexStore, "lengths", LengthsSchema)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("dl_sum"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexStore/baseline/stats")
+      liveStore(spark, indexStore, "postings", PostingsSchema)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tfm"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(LexDriftVocabSize)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexStore/baseline/vocab")
       Seq(fp).toDF("n_docs", "id_sum", "len_sum", "crc_sum")
         .coalesce(1).write.mode("overwrite").parquet(metaPath.toString)
     }
     !fresh
+  }
+
+  /** Lexical drift advisory, fed ENTIRELY from the persisted stores —
+    * the [[graft.ext.VectorIndex.driftReportFromStats]] discipline on
+    * the BM25 plane: [[initIndexIfStale]] answers "did the corpus
+    * grow"; THIS answers "did its distribution shift" — the signal a
+    * scheduled re-baseline (and downstream reweighting) acts on. One
+    * row comparing the CURRENT store (postings + lengths — the
+    * sufficient statistics, incrementally maintained by every
+    * [[updateIndex]] drain) against the baseline recorded at init:
+    *
+    *  - `n_ratio` — corpus growth (reported, not a trigger);
+    *  - `avgdl_ratio` — average document length now / at init:
+    *    catches a chunking or boilerplate-stripping change upstream;
+    *  - `df_shift` — the MEAN over the reference vocabulary of
+    *    |df_now/N_now − df_base/N_base| (a normalized L1 distance
+    *    between the df-fraction profiles — scale-free in vocabulary
+    *    width, so the tolerance means the same at any
+    *    [[LexDriftVocabSize]]): catches topical/source mix shift;
+    *  - `oov_shift` — the reference vocabulary's share of total token
+    *    mass at init minus now: catches NEW vocabulary arriving
+    *    (language mix, spam floods, encoding regressions);
+    *  - `stale` — df_shift > tolDf ∨ |oov_shift| > tolOov ∨
+    *    |avgdl_ratio − 1| > tolDl.
+    *
+    * Every input is an exact INTEGER off the stores (df counts, tf
+    * mass, dl sums), so the derived doubles are bit-identical to the
+    * corpus-scan twin ([[lexDriftReportScan]], spec-pinned) and the
+    * whole report replays in SQL (oracle-checked, s26). Cost: two
+    * KB-output aggregates over the store tables — affordable after
+    * every drain at 100 TB (the postings scan carries the pushed
+    * vocabulary filter).
+    */
+  def lexDriftReportFromIndex(spark: org.apache.spark.sql.SparkSession,
+                              indexStore: String, tolDf: Double = 0.02,
+                              tolOov: Double = 0.01,
+                              tolDl: Double = 0.05): DataFrame = {
+    val vocab = readVocab(spark, indexStore)
+    val curStats = liveStore(spark, indexStore, "lengths", LengthsSchema)
+      .agg(count(lit(1)).as("n_current"),
+        coalesce(sum(col("dl")), lit(0L)).as("dl_cur"))
+    val curDf = liveStore(spark, indexStore, "postings", PostingsSchema)
+      .filter(col("token").isin(vocabTokens(vocab): _*))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df_c"), sum(col("tf")).as("tfm_c"))
+    lexDriftTail(spark, indexStore, vocab, curStats, curDf,
+      tolDf, tolOov, tolDl)
+  }
+
+  /** The corpus-scan twin of [[lexDriftReportFromIndex]]: the same
+    * report computed by tokenizing `docs` directly — ONE shared tail,
+    * so the two surfaces are equal BIT FOR BIT over the same document
+    * set (spec-pinned). Use it to vet an index-external corpus before
+    * draining it in.
+    */
+  def lexDriftReportScan(docs: DataFrame, indexStore: String,
+                         tolDf: Double = 0.02, tolOov: Double = 0.01,
+                         tolDl: Double = 0.05): DataFrame = {
+    val spark = docs.sparkSession
+    val vocab = readVocab(spark, indexStore)
+    val toks = TextAnalysis.tokens(col("text"))
+    val d = docs.select(col("doc_id"), col("text")).distinct()
+    val curStats = d
+      .agg(count(lit(1)).as("n_current"),
+        coalesce(sum(size(toks).cast("long")), lit(0L)).as("dl_cur"))
+    val curDf = d
+      .select(col("doc_id"), explode(toks).as("token"))
+      .filter(col("token").isin(vocabTokens(vocab): _*))
+      .groupBy(col("token"))
+      .agg(count_distinct(col("doc_id")).as("df_c"),
+        count(lit(1)).as("tfm_c"))
+    lexDriftTail(spark, indexStore, vocab, curStats, curDf,
+      tolDf, tolOov, tolDl)
+  }
+
+  /** The advisory boolean from the store-fed report — the per-drain
+    * scheduler form (cost independent of corpus size).
+    */
+  def rebaselineAdvised(spark: org.apache.spark.sql.SparkSession,
+                        indexStore: String, tolDf: Double = 0.02,
+                        tolOov: Double = 0.01,
+                        tolDl: Double = 0.05): Boolean =
+    lexDriftReportFromIndex(spark, indexStore, tolDf, tolOov, tolDl)
+      .collect()(0).getAs[Boolean]("stale")
+
+  private def readVocab(spark: org.apache.spark.sql.SparkSession,
+                        indexStore: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexStore/baseline/vocab")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.exists(p),
+      s"index store at $indexStore predates drift baselines — " +
+        "rebuild it (initIndexIfStale) to record one")
+    spark.read.parquet(s"$indexStore/baseline/vocab")
+  }
+
+  private def vocabTokens(vocab: DataFrame): Seq[String] =
+    vocab.select(col("token")).collect().map(_.getString(0)).toSeq
+
+  /** The shared drift-report tail: baseline stats/vocab vs a current
+    * (n, dl) stats row and per-vocab-token (df, tf-mass) aggregate,
+    * however obtained (store read or corpus scan) — ONE definition so
+    * the two report forms cannot drift. All divisions are IEEE double
+    * in a fixed order; the vocabulary L1 sum goes through the decimal
+    * cast; every reported value rounds to 6 (with the −0.0 normalize).
+    */
+  private def lexDriftTail(spark: org.apache.spark.sql.SparkSession,
+                           indexStore: String, vocab: DataFrame,
+                           curStats: DataFrame, curDf: DataFrame,
+                           tolDf: Double, tolOov: Double,
+                           tolDl: Double): DataFrame = {
+    val baseStats = spark.read
+      .parquet(s"$indexStore/baseline/stats")
+      .select(col("n_docs").as("n_base"), col("dl_sum").as("dl_base"))
+    // a degenerate baseline (no docs / all-empty texts) or an empty
+    // current corpus has nothing to report on — fail loudly rather
+    // than emit divide-by-zero rows (one-row eager checks)
+    val bs = baseStats.collect()(0)
+    require(bs.getLong(0) > 0 && bs.getLong(1) > 0,
+      s"baseline at $indexStore covers no token mass — rebuild on a " +
+        "non-empty corpus")
+    val cs = curStats.collect()(0)
+    require(cs.getLong(0) > 0 && cs.getLong(1) > 0,
+      s"index store at $indexStore covers no token mass — rebuild it")
+    val cur = spark.createDataFrame(java.util.List.of(cs), curStats.schema)
+    val joined = vocab.join(curDf, Seq("token"), "left_outer")
+      .select(col("df").as("df_b"),
+        coalesce(col("df_c"), lit(0L)).as("df_c"))
+    val vmass = vocab.agg(coalesce(sum(col("tfm")), lit(0L)).as("vtf_b"))
+      .crossJoin(curDf.agg(coalesce(sum(col("tfm_c")), lit(0L))
+        .as("vtf_c")))
+    val shift = joined.crossJoin(broadcast(baseStats))
+      .crossJoin(broadcast(cur))
+      .select(abs(col("df_c").cast("double") / col("n_current") -
+        col("df_b").cast("double") / col("n_base")).as("dd"))
+      .agg(round(coalesce(sum(col("dd").cast("decimal(38,18)"))
+        .cast("double"), lit(0.0d)) / count(lit(1)), 6).as("df_shift"))
+    baseStats.crossJoin(cur).crossJoin(shift).crossJoin(vmass)
+      .select(col("n_base"), col("n_current"),
+        (round(col("n_current").cast("double") / col("n_base"), 6)
+          + lit(0.0d)).as("n_ratio"),
+        (round((col("dl_cur").cast("double") / col("n_current")) /
+          (col("dl_base").cast("double") / col("n_base")), 6)
+          + lit(0.0d)).as("avgdl_ratio"),
+        (col("df_shift") + lit(0.0d)).as("df_shift"),
+        (round(col("vtf_b").cast("double") / col("dl_base") -
+          col("vtf_c").cast("double") / col("dl_cur"), 6)
+          + lit(0.0d)).as("oov_shift"))
+      .withColumn("stale",
+        col("df_shift") > lit(tolDf) ||
+          abs(col("oov_shift")) > lit(tolOov) ||
+          abs(col("avgdl_ratio") - lit(1.0d)) > lit(tolDl))
   }
 
   /** Hybrid retrieval ENTIRELY from the persisted stores — the

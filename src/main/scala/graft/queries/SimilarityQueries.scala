@@ -83,6 +83,23 @@ object SimilarityQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_" +
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** s26's BM25 store root — separate from [[bm25StoreFor]]'s for the
+    * same reason [[driftStoreFor]] is separate from [[indexStoreFor]]:
+    * s26 inits on the BASE document slice where s09/s21 init on the
+    * full corpus, and sharing a path would make each query's
+    * initIndexIfStale rebuild the other's store on every run.
+    */
+  private def bm25DriftStoreFor(sfDir: String): String =
+    bm25StoreFor(sfDir) + "_s26"
+
+  /** s26's planted vocabulary shift: every delta document gains this
+    * suffix — four occurrences of a token OUTSIDE the init-time
+    * reference vocabulary, enough out-of-vocabulary mass to cross the
+    * 0.01 oov tolerance at the corpus's ~55-token average length.
+    * Shared by the query and the oracle generator.
+    */
+  private val LexDriftSuffix = " qqdrift qqdrift qqdrift qqdrift"
+
   /** Coarse-training replay CTEs ([[graft.ext.Similarity
     * .coarseCentroids]]): the mod-prime seed sample refined by
     * `CoarseIters − 1` Lloyd passes — s05's rounded-4 argmax
@@ -463,6 +480,33 @@ object SimilarityQueries {
         .toDF("vec_id", "embedding")
       Retrieval.hybridQueryStoresRerank(s, bmStore, vStore, e,
         HybridQueries, qVecs, k = 10, depth = 20)
+    },
+
+    /** s26 — LEXICAL drift advisory, fed entirely from the persisted
+      * BM25 stores (the s23 discipline on the retrieval-index plane):
+      * the index inits on a base slice — recording the (n, dl_sum)
+      * stats and the top-32 reference vocabulary as the baseline —
+      * then drains a delta whose documents carry planted
+      * OUT-OF-VOCABULARY mass, and the report compares the store's
+      * own sufficient statistics (postings df/term-mass, lengths)
+      * against the baseline: growth ratio, avgdl ratio, the mean
+      * df-fraction L1 shift, the vocabulary-mass (OOV) shift, and the
+      * advisory boolean — NO corpus scan (PlanSpec-pinned). The
+      * oracle recomputes the identical report from the documents
+      * table: every input is an exact integer, so store-fed ==
+      * corpus arithmetic bit for bit, and any drift between the two
+      * hash-fails here.
+      */
+    "s26_lex_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val base = docs.filter(col("doc_id").cast("long") % 4 =!= 3)
+      val delta = docs.filter(col("doc_id").cast("long") % 4 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(LexDriftSuffix)).as("text"))
+      val store = bm25DriftStoreFor(d)
+      Retrieval.initIndexIfStale(base, store)
+      Retrieval.updateIndex(delta, store)
+      Retrieval.lexDriftReportFromIndex(s, store)
     },
 
     /** d05 — embedding-cosine near-dup pairs (threshold tuned to the
@@ -1502,6 +1546,78 @@ object SimilarityQueries {
          |  FROM adc
          |  QUALIFY dense_rank <= 20),
          |$RrfTailSql""".stripMargin,
+
+    // s26: the lexical drift report recomputed from the documents
+    // table — base-slice baseline (stats + top-32 vocabulary with the
+    // df DESC, token ASC cut), the planted-suffix delta, per-vocab df
+    // and term-mass integers, and the report arithmetic (double
+    // divisions in the operator's order, decimal L1 sum, round-6) —
+    // the store-fed path and this replay cannot drift
+    "s26_lex_drift" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
+         |cur AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id, text || '$LexDriftSuffix' AS text
+         |  FROM documents WHERE doc_id % 4 = 3),
+         |btok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM base),
+         |bdf AS (
+         |  SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tfm
+         |  FROM btok GROUP BY token),
+         |vocab AS (
+         |  SELECT token, df, tfm FROM bdf
+         |  QUALIFY row_number() OVER (ORDER BY df DESC, token)
+         |    <= ${Retrieval.LexDriftVocabSize}),
+         |bs AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_base,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS dl_base
+         |  FROM base),
+         |ctok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM cur),
+         |cdf AS (
+         |  SELECT token, COUNT(DISTINCT doc_id) AS df_c,
+         |    COUNT(*) AS tfm_c
+         |  FROM ctok WHERE token IN (SELECT token FROM vocab)
+         |  GROUP BY token),
+         |cs AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_current,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS dl_cur
+         |  FROM cur),
+         |j AS (
+         |  SELECT v.df AS df_b, COALESCE(c.df_c, 0) AS df_c
+         |  FROM vocab v LEFT JOIN cdf c USING (token)),
+         |shift AS (
+         |  SELECT round(CAST(SUM(CAST(
+         |      ABS(CAST(df_c AS DOUBLE) / n_current -
+         |          CAST(df_b AS DOUBLE) / n_base)
+         |      AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS df_shift
+         |  FROM j, bs, cs),
+         |vmass AS (
+         |  SELECT (SELECT CAST(SUM(tfm) AS BIGINT) FROM vocab) AS vtf_b,
+         |    (SELECT CAST(COALESCE(SUM(tfm_c), 0) AS BIGINT) FROM cdf)
+         |      AS vtf_c),
+         |rep AS (
+         |  SELECT n_base, n_current,
+         |    round(CAST(n_current AS DOUBLE) / n_base, 6) + 0.0
+         |      AS n_ratio,
+         |    round((CAST(dl_cur AS DOUBLE) / n_current) /
+         |      (CAST(dl_base AS DOUBLE) / n_base), 6) + 0.0
+         |      AS avgdl_ratio,
+         |    df_shift + 0.0 AS df_shift,
+         |    round(CAST(vtf_b AS DOUBLE) / dl_base -
+         |      CAST(vtf_c AS DOUBLE) / dl_cur, 6) + 0.0 AS oov_shift
+         |  FROM bs, cs, shift, vmass)
+         |SELECT n_base, n_current, n_ratio, avgdl_ratio, df_shift,
+         |  oov_shift,
+         |  (df_shift > CAST(0.02 AS DOUBLE)
+         |   OR ABS(oov_shift) > CAST(0.01 AS DOUBLE)
+         |   OR ABS(avgdl_ratio - CAST(1.0 AS DOUBLE))
+         |      > CAST(0.05 AS DOUBLE)) AS stale
+         |FROM rep""".stripMargin,
 
     // s25: s21's lex replay + the s08 ADC chain cut at depth (s20's
     // nomination CTE) + the exact rounded-4 cosine re-rank of just

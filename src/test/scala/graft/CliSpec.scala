@@ -1180,4 +1180,47 @@ class CliSpec extends SparkTestBase {
     assert(caveated.contains("CAVEAT") && caveated.contains("2"),
       s"vectors-free delete not caveated:\n$caveated")
   }
+
+  test("index --drift/--drift-stats: reports == the library's, " +
+    "exclusivity and missing-store guards") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val docsPath = tmpDir("cli-lexdrift-docs")
+    docs.write.mode("overwrite").parquet(docsPath)
+    val store = tmpDir("cli-lexdrift") + "/idx"
+    assert(intercept[CliError](Cli.run(spark, Seq("index", "--store",
+      store, "--drift-stats"), now))
+      .message.contains("no index store"))
+    graft.ext.Retrieval.initIndexIfStale(docs, store)
+    // exclusivity guards
+    assert(intercept[CliError](Cli.run(spark, Seq("index", "--store",
+      store, "--drift", "--drift-stats"), now))
+      .message.contains("exclusive"))
+    assert(intercept[CliError](Cli.run(spark, Seq("index", "--store",
+      store, "--drift-stats", "--docs", docsPath), now))
+      .message.contains("drop --docs"))
+    assert(intercept[CliError](Cli.run(spark, Seq("index", "--store",
+      store, "--drift-stats", "--query", "dup"), now))
+      .message.contains("standalone report"))
+    assert(intercept[CliError](Cli.run(spark, Seq("index", "--store",
+      store, "--drift-stats", "--tol-df", "-1"), now))
+      .message.contains("--tol-df"))
+    // fresh store: fresh verdict, values mirror the library report
+    val fresh = Cli.run(spark, Seq("index", "--store", store,
+      "--drift-stats"), now)
+    assert(fresh.contains("fresh") && fresh.contains("n_ratio=1.000000"),
+      fresh)
+    // drain an OOV-planted delta: the store-fed report trips
+    graft.ext.Retrieval.updateIndex(docs.select(
+      (col("doc_id") + lit(5000000L)).as("doc_id"),
+      concat(col("text"),
+        lit(" qqcli qqcli qqcli qqcli qqcli qqcli")).as("text")), store)
+    val stale = Cli.run(spark, Seq("index", "--store", store,
+      "--drift-stats"), now)
+    assert(stale.contains("STALE"), stale)
+    // the corpus-scan twin agrees over the original docs (no drift)
+    val scan = Cli.run(spark, Seq("index", "--store", store,
+      "--drift", "--docs", docsPath), now)
+    assert(scan.contains("corpus-scan") && scan.contains("fresh"), scan)
+  }
 }

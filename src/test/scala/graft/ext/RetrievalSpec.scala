@@ -414,6 +414,95 @@ class RetrievalSpec extends SparkTestBase {
       s"token filter not pushed into the postings scan:\n$p")
   }
 
+  test("lexical drift advisory: store-fed == corpus-scan bit for bit, " +
+    "self-report is identity, OOV and df-mass plants trip, " +
+    "same-distribution growth does not, no corpus scan, pre-baseline " +
+    "stores fail loudly and rebuild") {
+    import org.apache.spark.sql.functions.{concat, lit, regexp_replace}
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val store = tmpDir("lexdrift") + "/idx"
+    assert(Retrieval.initIndexIfStale(docs, store), "first build")
+    // identity: right after init every component is its identity value
+    val self = Retrieval.lexDriftReportFromIndex(spark, store)
+      .collect()(0)
+    assert(self.getAs[Double]("n_ratio") == 1.0 &&
+      self.getAs[Double]("avgdl_ratio") == 1.0 &&
+      self.getAs[Double]("df_shift") == 0.0 &&
+      self.getAs[Double]("oov_shift") == 0.0 &&
+      !self.getAs[Boolean]("stale"), s"self-report not identity: $self")
+    // store-fed == corpus-scan over the same document set, bit for bit
+    val scan = Retrieval.lexDriftReportScan(docs, store).collect()(0)
+    assert(self.toSeq == scan.toSeq,
+      s"store-fed != corpus-scan: $self vs $scan")
+    // same-distribution growth (the corpus re-drained under fresh
+    // ids): every profile doubles exactly — growth alone is not drift
+    val grown = docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+      col("text"))
+    Retrieval.updateIndex(grown, store)
+    val g = Retrieval.lexDriftReportFromIndex(spark, store).collect()(0)
+    assert(g.getAs[Double]("n_ratio") == 2.0 &&
+      g.getAs[Double]("df_shift") == 0.0 &&
+      g.getAs[Double]("oov_shift") == 0.0 &&
+      g.getAs[Double]("avgdl_ratio") == 1.0 &&
+      !g.getAs[Boolean]("stale"),
+      s"same-distribution growth misread as drift: $g")
+    // ... and still equals the corpus-scan twin over the grown set
+    val gScan = Retrieval.lexDriftReportScan(
+      docs.unionByName(grown), store).collect()(0)
+    assert(g.toSeq == gScan.toSeq,
+      s"post-drain store-fed != corpus-scan: $g vs $gScan")
+    // an OOV plant (novel vocabulary mass) trips the advisory
+    val oovDelta = docs.select((col("doc_id") + lit(2000000L))
+        .as("doc_id"),
+      concat(col("text"),
+        lit(" qqnovel qqnovel qqnovel qqnovel qqnovel qqnovel"))
+        .as("text"))
+    Retrieval.updateIndex(oovDelta, store)
+    val o = Retrieval.lexDriftReportFromIndex(spark, store).collect()(0)
+    assert(o.getAs[Double]("oov_shift") > 0.01 &&
+      o.getAs[Boolean]("stale"),
+      s"planted OOV mass did not trip the advisory: $o")
+    assert(Retrieval.rebaselineAdvised(spark, store),
+      "rebaselineAdvised disagreed with the report")
+    // a df-mass plant (reference tokens VANISHING from new docs)
+    // trips through df_shift — on a fresh store so the baseline is
+    // clean (initIndexIfStale fingerprints the ARGUMENT corpus;
+    // drained deltas are legitimate store growth, not staleness)
+    val store2 = tmpDir("lexdrift-df") + "/idx"
+    Retrieval.initIndexIfStale(docs, store2)
+    val noCommon = docs.select((col("doc_id") + lit(3000000L))
+        .as("doc_id"),
+      regexp_replace(col("text"), "\\b(dup|merge|spark|window|shuffle)\\b",
+        "qx").as("text"))
+    Retrieval.updateIndex(noCommon, store2)
+    val m = Retrieval.lexDriftReportFromIndex(spark, store2).collect()(0)
+    assert(m.getAs[Double]("df_shift") > 0.02 &&
+      m.getAs[Boolean]("stale"),
+      s"planted df-mass shift did not trip the advisory: $m")
+    // the production property: the store-fed report never scans a
+    // corpus table, and the vocabulary filter pushes into postings
+    val rep = Retrieval.lexDriftReportFromIndex(spark, store)
+    val p = rep.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet") &&
+      !p.contains("embeddings.parquet"),
+      s"store-fed lexical drift report scanned a corpus table:\n$p")
+    assert(p.contains("PushedFilters: [In(token"),
+      s"vocabulary filter not pushed into the postings scan:\n$p")
+    // a pre-baseline store: report fails loudly; initIndexIfStale
+    // reads it as stale and rebuilds the baseline
+    val bp = new org.apache.hadoop.fs.Path(s"$store/baseline")
+    bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(bp, true)
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.lexDriftReportFromIndex(spark, store)
+    }
+    assert(ex.getMessage.contains("predates drift baselines"))
+    assert(Retrieval.initIndexIfStale(docs, store),
+      "a pre-baseline store must read as stale")
+    assert(Retrieval.lexDriftReportFromIndex(spark, store).collect()(0)
+      .toSeq == self.toSeq, "rebuilt baseline diverged from the first")
+  }
+
   test("hybridTopK fuses the two rankings by RRF: hand-derived fused " +
     "scores, absent-system rank 0, depth truncation, doc_id tiebreak, " +
     "partition invariance") {
