@@ -331,6 +331,34 @@ object Cli {
     val update = boolFlag(opts, "update")
     if (init && update)
       throw CliError("--init and --update are exclusive")
+    // `--rebuild`: the atomic re-init (retrain into a staged sibling,
+    // checked-rename swap) — what a tripped --drift advisory runs;
+    // readers serve the OLD model until the instant of the swap
+    val rebuilding = boolFlag(opts, "rebuild")
+    if (rebuilding) {
+      if (init || update || opts.contains("query_ids") ||
+          opts.contains("queries") || boolFlag(opts, "drift") ||
+          boolFlag(opts, "drift_stats") || boolFlag(opts, "delete") ||
+          boolFlag(opts, "compact"))
+        throw CliError("--rebuild is a standalone maintenance step " +
+          "(no --init/--update/--query-ids/--drift/--delete/--compact)")
+      if (!graft.ext.VectorIndex.exists(spark, store))
+        throw CliError(s"no vector index store at $store " +
+          "(bootstrap with --init; --rebuild replaces a live store)")
+      val emb = readEmbeddings(spark, required(opts, "embeddings"))
+      val (nlist, m, ksub) = (intOpt(opts, "nlist", 0),
+        intOpt(opts, "m", 8), intOpt(opts, "ksub", 16))
+      val (dim, iters, ci) = (intOpt(opts, "dim", 64),
+        intOpt(opts, "iters", 1), intOpt(opts, "coarse_iters", 2))
+      if (dim % m != 0)
+        throw CliError(s"--dim $dim not divisible by --m $m")
+      graft.ext.VectorIndex.rebuild(emb, store, nlist, m, ksub, dim,
+        iters, ci)
+      val n = spark.read.parquet(s"$store/codes")
+        .select("vec_id").distinct().count()
+      return s"rebuilt $store atomically: $n vectors indexed " +
+        "(readers served the old model until the swap)"
+    }
     val querying = opts.contains("query_ids") || opts.contains("queries")
     if ((init || update) && querying)
       throw CliError("--init/--update cannot combine with " +
@@ -1125,7 +1153,24 @@ object Cli {
         "step (no --docs/--init/--query)")
     if (opts.contains("doc_ids") && !deleting)
       throw CliError("--doc-ids is a --delete option")
-    // `--drift-stats`: the s26 lexical drift advisory, fed entirely
+    // `--rebuild`: the atomic re-init — what a tripped --drift-stats
+    // advisory runs; readers serve the OLD store until the swap
+    if (boolFlag(opts, "rebuild")) {
+      if (deleting || compacting || opts.contains("query") ||
+          boolFlag(opts, "init") || boolFlag(opts, "drift") ||
+          boolFlag(opts, "drift_stats"))
+        throw CliError("--rebuild is a standalone maintenance step " +
+          "(no --init/--query/--drift/--delete/--compact)")
+      if (!fs.exists(storePath))
+        throw CliError(s"no index store at $store " +
+          "(bootstrap with --init; --rebuild replaces a live store)")
+      val docs = readDocs(spark, required(opts, "docs"))
+      graft.ext.Retrieval.rebuildIndex(
+        docs.select("doc_id", "text"), store)
+      val n = spark.read.parquet(s"$store/lengths").distinct().count()
+      return s"rebuilt $store atomically: $n documents indexed " +
+        "(readers served the old store until the swap)"
+    }
     // from the persisted stores (no corpus argument, no corpus scan);
     // `--drift --docs <pq>`: the corpus-scan twin over an external
     // corpus. Tolerances: --tol-df/--tol-oov/--tol-dl.

@@ -232,9 +232,11 @@ object Retrieval {
 
   /** The deletion facts (doc_id, deleted_at) — empty when none. */
   private def tombstones(spark: org.apache.spark.sql.SparkSession,
-                         indexStore: String): DataFrame =
+                         indexStore: String): DataFrame = {
+    recoverIfSwapped(spark, indexStore)
     readStore(spark, s"$indexStore/tombstones",
       "CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS deleted_at")
+  }
 
   /** Delete documents from the persisted index — the takedown path an
     * append-only store otherwise lacks (the [[graft.ext.VectorIndex
@@ -261,10 +263,12 @@ object Retrieval {
     */
   private def liveStore(spark: org.apache.spark.sql.SparkSession,
                         indexStore: String, sub: String,
-                        schema: String): DataFrame =
+                        schema: String): DataFrame = {
+    recoverIfSwapped(spark, indexStore)
     readStore(spark, s"$indexStore/$sub", schema)
       .join(tombstones(spark, indexStore).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
+  }
 
   private val PostingsSchema: String =
     "CAST(0 AS BIGINT) AS doc_id, CAST(0 AS INT) AS dl, " +
@@ -527,6 +531,7 @@ object Retrieval {
         .collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
+    recoverIfSwapped(spark, indexStore)
     val metaPath = new org.apache.hadoop.fs.Path(s"$indexStore/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fp = fingerprint()
@@ -541,24 +546,86 @@ object Retrieval {
       for (sub <- Seq("postings", "lengths", "tombstones", "baseline",
           "meta"))
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexStore/$sub"), true)
-      updateIndex(docs, indexStore)
-      // drift baseline off the fresh stores (KB-scale aggregates)
-      liveStore(spark, indexStore, "lengths", LengthsSchema)
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("dl_sum"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$indexStore/baseline/stats")
-      liveStore(spark, indexStore, "postings", PostingsSchema)
-        .groupBy(col("token"))
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tfm"))
-        .orderBy(col("df").desc, col("token"))
-        .limit(LexDriftVocabSize)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$indexStore/baseline/vocab")
-      Seq(fp).toDF("n_docs", "id_sum", "len_sum", "crc_sum")
-        .coalesce(1).write.mode("overwrite").parquet(metaPath.toString)
+      buildInto(docs, indexStore, fp)
     }
     !fresh
+  }
+
+  /** The full store build at a (cleared) root: stores, then drift
+    * baseline, then the fingerprint meta LAST — one definition shared
+    * by [[initIndexIfStale]] (in-place bootstrap) and [[rebuildIndex]]
+    * (staged + swapped).
+    */
+  private def buildInto(docs: DataFrame, indexStore: String,
+                        fp: (Long, Long, Long, Long)): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    updateIndex(docs, indexStore)
+    // drift baseline off the fresh stores (KB-scale aggregates)
+    liveStore(spark, indexStore, "lengths", LengthsSchema)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("dl_sum"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexStore/baseline/stats")
+    liveStore(spark, indexStore, "postings", PostingsSchema)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tfm"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(LexDriftVocabSize)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexStore/baseline/vocab")
+    Seq(fp).toDF("n_docs", "id_sum", "len_sum", "crc_sum")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexStore/meta")
+  }
+
+  /** ATOMIC index rebuild — [[graft.ext.VectorIndex.rebuild]]'s
+    * discipline on the lexical plane, the action a tripped s26
+    * advisory takes: re-tokenize into a STAGED sibling
+    * (`<store>__rebuild_tmp`) with a fresh baseline and fingerprint,
+    * then publish via the checked-rename swap. A reader at ANY point
+    * during the rebuild serves the OLD store (spec-pinned via the
+    * beforeSwap hook); the swap is all-or-nothing; a crash between
+    * its renames restores from `__old` on the next read. Tombstones
+    * clear with the rebuild (re-init semantics).
+    */
+  def rebuildIndex(docs: DataFrame, indexStore: String): Unit =
+    rebuildIndex(docs, indexStore, () => ())
+
+  private[graft] def rebuildIndex(docs: DataFrame, indexStore: String,
+                                  beforeSwap: () => Unit): Unit = {
+    val spark = docs.sparkSession
+    recoverIfSwapped(spark, indexStore)
+    val p = new org.apache.hadoop.fs.Path(indexStore)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.exists(p),
+      s"no index store at $indexStore to rebuild (init first)")
+    val fpRow = docs.agg(count(lit(1)), coalesce(sum(col("doc_id")),
+        lit(0L)), coalesce(sum(length(col("text")).cast("long")),
+        lit(0L)),
+      coalesce(sum(crc32(encode(col("text"), "UTF-8"))), lit(0L)))
+      .collect()(0)
+    val tmp = indexStore + "__rebuild_tmp"
+    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    buildInto(docs, tmp, (fpRow.getLong(0), fpRow.getLong(1),
+      fpRow.getLong(2), fpRow.getLong(3)))
+    beforeSwap()
+    graft.engine.Compactor.swapInto(f, indexStore, tmp)
+  }
+
+  /** Crash recovery for an interrupted [[rebuildIndex]] swap — the
+    * [[graft.ext.VectorIndex]] discipline: a missing root with a
+    * surviving `__old` restores the previous copy before any read or
+    * write. Called from [[liveStore]]'s consumers via [[readStore]].
+    */
+  private def recoverIfSwapped(spark: org.apache.spark.sql.SparkSession,
+                               indexStore: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexStore)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pOld = new org.apache.hadoop.fs.Path(indexStore + "__old")
+    if (!f.exists(p) && f.exists(pOld))
+      require(f.rename(pOld, p),
+        s"index store recovery failed: cannot restore $pOld to $p")
   }
 
   /** Lexical drift advisory, fed ENTIRELY from the persisted stores —

@@ -73,8 +73,24 @@ object VectorIndex {
   }
 
   def exists(spark: SparkSession, store: String): Boolean = {
+    recoverIfSwapped(spark, store)
     val (p, f) = fs(spark, s"$store/meta")
     f.exists(p)
+  }
+
+  /** Crash recovery for an interrupted [[rebuild]] swap: if a crash
+    * landed between the two renames, the store root is missing and
+    * `<store>__old` holds the previous copy — the truth. Restore it
+    * before any read or write (the BackupCatalog.recoverIfNeeded
+    * discipline). Called from [[exists]], which gates every entry
+    * point.
+    */
+  private def recoverIfSwapped(spark: SparkSession, store: String): Unit = {
+    val (p, f) = fs(spark, store)
+    val pOld = new org.apache.hadoop.fs.Path(store + "__old")
+    if (!f.exists(p) && f.exists(pOld))
+      require(f.rename(pOld, p),
+        s"store recovery failed: cannot restore $pOld to $p")
   }
 
   private def readMeta(spark: SparkSession, store: String): IndexMeta = {
@@ -188,6 +204,40 @@ object VectorIndex {
           "n_rows", "id_sum", "emb_sum")
         .coalesce(1).write.mode("overwrite").parquet(s"$store/meta")
     } finally e.unpersist()
+  }
+
+  /** ATOMIC rebuild: retrain + re-encode into a STAGED sibling
+    * (`<store>__rebuild_tmp`), then publish via the checked-rename
+    * swap ([[graft.engine.Compactor.swapInto]]) — the action a
+    * tripped drift advisory (s22/s23) takes without ever exposing a
+    * half-built store: a reader at ANY point during the retrain
+    * serves the OLD model (spec-pinned via the beforeSwap hook), the
+    * swap is all-or-nothing (two renames, rollback on failure), and a
+    * crash between them restores from `__old` on the next read
+    * ([[exists]]' recovery). Contrast [[init]], which deletes in
+    * place — correct for bootstrap, unsafe under live readers.
+    * Tombstones clear with the rebuild (the re-init semantics:
+    * takedowns are honored by excluding the rows from `embeddings`).
+    */
+  def rebuild(embeddings: DataFrame, store: String, nlist: Int = 0,
+              m: Int = 8, ksub: Int = 16, dim: Int = 64, iters: Int = 1,
+              coarseIters: Int = 2): Unit =
+    rebuild(embeddings, store, nlist, m, ksub, dim, iters, coarseIters,
+      () => ())
+
+  private[graft] def rebuild(embeddings: DataFrame, store: String,
+                             nlist: Int, m: Int, ksub: Int, dim: Int,
+                             iters: Int, coarseIters: Int,
+                             beforeSwap: () => Unit): Unit = {
+    val spark = embeddings.sparkSession
+    require(exists(spark, store),
+      s"no vector index store at $store to rebuild (run init first)")
+    val tmp = store + "__rebuild_tmp"
+    val (tp, tf) = fs(spark, tmp)
+    tf.delete(tp, true) // a crashed rebuild's stage is garbage
+    init(embeddings, tmp, nlist, m, ksub, dim, iters, coarseIters)
+    beforeSwap()
+    graft.engine.Compactor.swapInto(tf, store, tmp)
   }
 
   /** Init unless a complete store already matches this corpus and

@@ -1223,4 +1223,52 @@ class CliSpec extends SparkTestBase {
       "--drift", "--docs", docsPath), now)
     assert(scan.contains("corpus-scan") && scan.contains("fresh"), scan)
   }
+
+  test("ann/index --rebuild: atomic re-init via the CLI — result == a " +
+    "fresh init, guards refuse mixing and missing stores") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf0001)
+    val embPath = tmpDir("cli-rb-emb")
+    emb.write.mode("overwrite").parquet(embPath)
+    val halfPath = tmpDir("cli-rb-emb-half")
+    emb.filter(col("vec_id") < 300).write.mode("overwrite")
+      .parquet(halfPath)
+    val vStore = tmpDir("cli-rb-v") + "/idx"
+    assert(intercept[CliError](Cli.run(spark, Seq("ann", "--index",
+      vStore, "--rebuild", "--embeddings", embPath), now))
+      .message.contains("bootstrap with --init"))
+    Cli.run(spark, Seq("ann", "--index", vStore, "--init",
+      "--embeddings", halfPath), now)
+    assert(intercept[CliError](Cli.run(spark, Seq("ann", "--index",
+      vStore, "--rebuild", "--init", "--embeddings", embPath), now))
+      .message.contains("standalone maintenance"))
+    val msg = Cli.run(spark, Seq("ann", "--index", vStore, "--rebuild",
+      "--embeddings", embPath), now)
+    assert(msg.contains("rebuilt") && msg.contains("500 vectors"), msg)
+    val ref = tmpDir("cli-rb-vref") + "/idx"
+    graft.ext.VectorIndex.init(emb, ref, coarseIters = 2)
+    val probes = emb.filter(col("vec_id") < 3)
+    assert(graft.ext.VectorIndex.query(spark, vStore, probes, 3)
+      .collect().map(_.toSeq).toSet ==
+      graft.ext.VectorIndex.query(spark, ref, probes, 3)
+        .collect().map(_.toSeq).toSet,
+      "CLI-rebuilt vector store diverged from a fresh init")
+    // the lexical twin
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val docsPath = tmpDir("cli-rb-docs")
+    docs.write.mode("overwrite").parquet(docsPath)
+    val bmStore = tmpDir("cli-rb-bm") + "/idx"
+    assert(intercept[CliError](Cli.run(spark, Seq("index", "--store",
+      bmStore, "--rebuild", "--docs", docsPath), now))
+      .message.contains("bootstrap with --init"))
+    Cli.run(spark, Seq("index", "--store", bmStore, "--init",
+      "--docs", docsPath), now)
+    val msg2 = Cli.run(spark, Seq("index", "--store", bmStore,
+      "--rebuild", "--docs", docsPath), now)
+    assert(msg2.contains("rebuilt") && msg2.contains("500 documents"),
+      msg2)
+    assert(intercept[CliError](Cli.run(spark, Seq("index", "--store",
+      bmStore, "--rebuild", "--docs", docsPath, "--query", "dup"), now))
+      .message.contains("standalone maintenance"))
+  }
 }

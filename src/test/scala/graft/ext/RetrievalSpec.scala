@@ -503,6 +503,60 @@ class RetrievalSpec extends SparkTestBase {
       .toSeq == self.toSeq, "rebuilt baseline diverged from the first")
   }
 
+  test("atomic index rebuild: readers serve the OLD store before the " +
+    "swap, the published store == a fresh build, a crash between the " +
+    "renames recovers, tombstones clear") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val half = docs.filter(col("doc_id") < 250)
+    val store = tmpDir("bm25-rebuild") + "/idx"
+    Retrieval.initIndexIfStale(half, store)
+    val victim = Retrieval.queryIndex(spark, store, Seq("dup"), 1)
+      .collect()(0).getLong(0)
+    Retrieval.deleteFromIndex(spark, store, Seq(victim))
+    val oldAnswer = Retrieval.queryIndex(spark, store, Seq("dup"), 5)
+      .collect().map(_.toSeq).toSeq
+    var served: Seq[Seq[Any]] = null
+    Retrieval.rebuildIndex(docs, store, () => {
+      served = Retrieval.queryIndex(spark, store, Seq("dup"), 5)
+        .collect().map(_.toSeq).toSeq
+    })
+    assert(served == oldAnswer,
+      "a reader mid-rebuild saw something other than the old store")
+    // published == a fresh build over the full corpus (tombstones
+    // cleared: the victim may rank again)
+    val want = {
+      val ref = tmpDir("bm25-rebuild-ref") + "/idx"
+      Retrieval.initIndexIfStale(docs, ref)
+      Retrieval.queryIndex(spark, ref, Seq("dup"), 5)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(Retrieval.queryIndex(spark, store, Seq("dup"), 5)
+      .collect().map(_.toSeq).toSeq == want,
+      "rebuilt index diverged from a fresh build")
+    // the baseline re-records: the drift report over the new corpus
+    // is the identity again
+    val self = Retrieval.lexDriftReportFromIndex(spark, store)
+      .collect()(0)
+    assert(self.getAs[Double]("n_ratio") == 1.0 &&
+      !self.getAs[Boolean]("stale"),
+      s"rebuild did not re-record the baseline: $self")
+    // crash window: root renamed away, __old survives — the next read
+    // restores it
+    val (p, f) = (new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration))
+    require(f.rename(p, new org.apache.hadoop.fs.Path(store + "__old")))
+    assert(Retrieval.queryIndex(spark, store, Seq("dup"), 5)
+      .collect().map(_.toSeq).toSeq == want,
+      "interrupted swap not recovered from __old")
+    // rebuilding a missing store is loud
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.rebuildIndex(docs,
+        tmpDir("bm25-rebuild-none") + "/missing")
+    }
+    assert(ex.getMessage.contains("to rebuild"))
+  }
+
   test("hybridTopK fuses the two rankings by RRF: hand-derived fused " +
     "scores, absent-system rank 0, depth truncation, doc_id tiebreak, " +
     "partition invariance") {

@@ -681,6 +681,56 @@ class VectorIndexSpec extends SparkTestBase {
       "post-reconcile stats-fed report != survivors' corpus scan")
   }
 
+  test("atomic rebuild: readers serve the OLD model at every point " +
+    "before the swap, the swap is all-or-nothing, a crash between its " +
+    "renames recovers, tombstones clear") {
+    val e = Tables.embeddings(spark, sf0001)
+    val probes = e.filter(col("vec_id") < 5)
+    val st = store("vidx-rebuild")
+    VectorIndex.init(e.filter(col("vec_id") < 300), st, coarseIters = 2)
+    VectorIndex.delete(spark, st, Seq(7L))
+    val oldAnswer = VectorIndex.query(spark, st, probes, k = 3)
+      .collect().map(_.toSeq).toSeq
+    // the beforeSwap hook runs after the FULL retrain, before the
+    // publish: the store must still serve the old model there
+    var served: Seq[Seq[Any]] = null
+    VectorIndex.rebuild(e, st, 0, 8, 16, 64, 1, 2, () => {
+      served = VectorIndex.query(spark, st, probes, k = 3)
+        .collect().map(_.toSeq).toSeq
+    })
+    assert(served == oldAnswer,
+      "a reader mid-rebuild saw something other than the old model")
+    // after the swap: the store == a fresh init on the new corpus
+    val want = {
+      val ref = store("vidx-rebuild-ref")
+      VectorIndex.init(e, ref, coarseIters = 2)
+      VectorIndex.query(spark, ref, probes, k = 3)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(VectorIndex.query(spark, st, probes, k = 3)
+      .collect().map(_.toSeq).toSeq == want,
+      "rebuilt store diverged from a fresh init on the new corpus")
+    // tombstones cleared: id 7 serves again (it is in the new corpus)
+    assert(VectorIndex.reconstruct(spark, st, Seq(7L)).count() == 1,
+      "rebuild did not clear tombstones")
+    // crash window: store renamed away, __old survives — the next
+    // read restores it (the recoverIfSwapped contract)
+    val (p, f) = (new org.apache.hadoop.fs.Path(st),
+      new org.apache.hadoop.fs.Path(st)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration))
+    require(f.rename(p, new org.apache.hadoop.fs.Path(st + "__old")))
+    assert(VectorIndex.exists(spark, st),
+      "interrupted swap not recovered from __old")
+    assert(VectorIndex.query(spark, st, probes, k = 3)
+      .collect().map(_.toSeq).toSeq == want,
+      "recovered store serves wrong content")
+    // rebuilding a missing store is loud (bootstrap is init's job)
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.rebuild(e, tmpDir("vidx-rebuild-none") + "/missing")
+    }
+    assert(ex.getMessage.contains("to rebuild"))
+  }
+
   test("loud failure modes: query/update/delete/compact on a missing " +
     "store") {
     val e = Tables.embeddings(spark, sf0001)
