@@ -1010,6 +1010,211 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------
+  // MP3 (MPEG-1/2/2.5 Audio Layer III) — ISO/IEC 11172-3 frame
+  // headers + the ID3v2 tag envelope (id3.org, public): the most
+  // common real-world audio file; the same division of labor as the
+  // other walks (frame-header facts are REAL, the audio payload
+  // stays opaque — no codec decode).
+  // ---------------------------------------------------------------
+
+  final case class Mp3Meta(id3Bytes: Long, nFrames: Int,
+                           bitrateKbps: Int, sampleRate: Int,
+                           nChannels: Int, durationMs: Long,
+                           audioBytes: Long)
+
+  /** MPEG-1 Layer III bitrate table (kbps, index 1..14; 0 = free and
+    * 15 = bad are refused) — ISO 11172-3 Table B.2, shared with the
+    * m09 oracle generator so the two cannot drift.
+    */
+  private[graft] val Mp3BitrateKbpsV1L3: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-2/2.5 Layer III bitrates (ISO 13818-3). */
+  private[ext] val Mp3BitrateKbpsV2L3: Array[Int] =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  /** Sample rates by version: MPEG-1 / MPEG-2 / MPEG-2.5 rows,
+    * sampling-frequency-index columns (index 3 = reserved, refused).
+    * The MPEG-1 row is shared with the m09 oracle generator.
+    */
+  private[graft] val Mp3SampleRatesV1: Array[Int] =
+    Array(44100, 48000, 32000)
+  private[ext] val Mp3SampleRatesV2: Array[Int] =
+    Array(22050, 24000, 16000)
+  private[ext] val Mp3SampleRatesV25: Array[Int] =
+    Array(11025, 12000, 8000)
+
+  def looksLikeMp3(payload: Array[Byte]): Boolean =
+    payload.length >= 4 &&
+      ((payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') ||
+        ((payload(0) & 0xff) == 0xff && (payload(1) & 0xe0) == 0xe0))
+
+  /** REAL frame walk for MP3: an optional ID3v2 envelope ("ID3",
+    * version, flags, 4 SYNCSAFE size bytes — high bit must be clear,
+    * RFC-style 7-bit groups; the 0x10 footer flag adds 10 bytes),
+    * then Layer III frames tiling EXACTLY to the end of the payload:
+    * each 4-byte header carries the 11-bit sync, version (MPEG-1/2/
+    * 2.5; the reserved code is corrupt), layer (III only — the walk's
+    * scope), bitrate and sampling-frequency indices (free/bad/
+    * reserved codes are corrupt), padding and channel mode; frame
+    * length is the standard integer arithmetic
+    * samplesPerFrame/8 · bitrate / sampleRate + padding
+    * (1152 samples MPEG-1, 576 MPEG-2/2.5). The sample rate must be
+    * constant across frames (one duration divisor); bitrate may vary
+    * (VBR) — the reported bitrate is the FIRST frame's, duration is
+    * Σ samples · 1000 / rate in integer math. None for non-MP3 or
+    * corrupt payloads — every size is bounds-checked and the frames
+    * must tile to the payload end, so hostile or truncated bytes fail
+    * soft instead of mis-slicing (spec-pinned).
+    */
+  private[ext] def parseMp3(payload: Array[Byte]): Option[Mp3Meta] =
+    if (!looksLikeMp3(payload)) None
+    else
+      try {
+        val len = payload.length
+        var off = 0L
+        var id3Bytes = 0L
+        if (payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+          if (len < 10) return None
+          val flags = payload(5) & 0xff
+          var tag = 0L
+          var i = 6
+          while (i < 10) {
+            val b = payload(i) & 0xff
+            if ((b & 0x80) != 0) return None // not syncsafe: corrupt
+            tag = (tag << 7) | b
+            i += 1
+          }
+          id3Bytes = 10L + tag + (if ((flags & 0x10) != 0) 10L else 0L)
+          off = id3Bytes
+          if (off > len) return None
+        }
+        var nFrames = 0
+        var totalSamples = 0L
+        var firstKbps = 0; var rate = 0; var channels = 0
+        var ver0 = -1; var srIdx0 = -1
+        while (off < len) {
+          if (off + 4 > len) return None // truncated header
+          val b1 = payload(off.toInt + 1) & 0xff
+          val b2 = payload(off.toInt + 2) & 0xff
+          val b3 = payload(off.toInt + 3) & 0xff
+          if ((payload(off.toInt) & 0xff) != 0xff ||
+            (b1 & 0xe0) != 0xe0) return None
+          val ver = (b1 >> 3) & 3   // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+          val layer = (b1 >> 1) & 3 // 1 = Layer III
+          if (ver == 1 || layer != 1) return None
+          val bIdx = (b2 >> 4) & 15
+          val srIdx = (b2 >> 2) & 3
+          val pad = (b2 >> 1) & 1
+          val mode = (b3 >> 6) & 3
+          if (bIdx == 0 || bIdx == 15 || srIdx == 3) return None
+          if (nFrames == 0) { ver0 = ver; srIdx0 = srIdx }
+          else if (ver != ver0 || srIdx != srIdx0) return None
+          val kbps = (if (ver == 3) Mp3BitrateKbpsV1L3
+                      else Mp3BitrateKbpsV2L3)(bIdx)
+          val r = ver match {
+            case 3 => Mp3SampleRatesV1(srIdx)
+            case 2 => Mp3SampleRatesV2(srIdx)
+            case _ => Mp3SampleRatesV25(srIdx)
+          }
+          val spf = if (ver == 3) 1152 else 576
+          val frameLen = (spf / 8).toLong * kbps * 1000L / r + pad
+          if (frameLen <= 4 || off + frameLen > len) return None
+          if (nFrames == 0) {
+            firstKbps = kbps; rate = r
+            channels = if (mode == 3) 1 else 2
+          }
+          totalSamples += spf
+          nFrames += 1
+          off += frameLen
+        }
+        if (nFrames == 0) None // a bare ID3 tag is not an MP3 stream
+        else Some(Mp3Meta(id3Bytes, nFrames, firstKbps, rate, channels,
+          totalSamples * 1000L / rate, len - id3Bytes))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Wrap documents as REAL minimal MP3 files — the audio twin of
+    * [[asMp4Assets]]/[[asMkvAssets]]: the text bytes ride INSIDE the
+    * ID3v2 tag (tag size = n, the standard metadata envelope), then
+    * deterministic-over-n MPEG-1 Layer III frames: sample rate
+    * index n mod 3, bitrate index 1 + n mod 14, 2 + n mod 24 frames,
+    * mono for even n / stereo for odd, zero padding bits. The m09
+    * query walks them back ([[parseMp3]]) and its oracle replays the
+    * fact formulas AND the frame-length arithmetic
+    * (144000·kbps // rate), so a writer or parser drifting from the
+    * 11172-3 layout mismatches on every row.
+    */
+  def asMp3Assets(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          MediaAsset(id, "audio/mpeg", mp3Bytes(body))
+        }
+      }.toDF()
+  }
+
+  /** The minimal valid MP3 around `body`: ID3v2.4 header with
+    * syncsafe size n + the n body bytes, then the deterministic frame
+    * train — every frame the canonical 4-byte header + zero payload.
+    * [[parseMp3]] must read THESE bytes back.
+    */
+  private[ext] def mp3Bytes(body: Array[Byte]): Array[Byte] = {
+    val n = body.length
+    val srIdx = n % 3
+    val bIdx = 1 + n % 14
+    val nFrames = 2 + n % 24
+    val mono = n % 2 == 0
+    val kbps = Mp3BitrateKbpsV1L3(bIdx)
+    val rate = Mp3SampleRatesV1(srIdx)
+    val frameLen = (144L * kbps * 1000L / rate).toInt // pad = 0
+    val b = java.nio.ByteBuffer.allocate(10 + n + nFrames * frameLen)
+    b.put("ID3".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    b.put(0x04.toByte).put(0x00.toByte) // v2.4.0
+    b.put(0x00.toByte)                  // flags: no footer
+    b.put(((n >>> 21) & 0x7f).toByte).put(((n >>> 14) & 0x7f).toByte)
+    b.put(((n >>> 7) & 0x7f).toByte).put((n & 0x7f).toByte)
+    b.put(body)
+    val hdr2 = ((bIdx << 4) | (srIdx << 2)).toByte // no padding/private
+    val hdr3 = (if (mono) 0xc0 else 0x00).toByte   // mode, rest zero
+    for (_ <- 0 until nFrames) {
+      val at = b.position()
+      b.put(0xff.toByte).put(0xfb.toByte) // sync, MPEG1, L3, no CRC
+      b.put(hdr2).put(hdr3)
+      b.position(at + frameLen) // zero audio payload
+    }
+    b.array()
+  }
+
+  final case class Mp3Features(doc_id: Long, n_bytes: Long,
+                               id3_bytes: Long, n_frames: Int,
+                               bitrate_kbps: Int, sample_rate: Int,
+                               n_channels: Int, duration_ms: Long,
+                               audio_bytes: Long)
+
+  /** The m09 feature path: walk each asset's ID3 envelope + frame
+    * train and emit the container facts — the same batched narrow-map
+    * boundary as [[mp4Features]]/[[mkvFeatures]]. Non-MP3 or corrupt
+    * payloads emit the all-zero fact row rather than failing the task.
+    */
+  def mp3Features(spark: SparkSession,
+                  assets: DataFrame): Dataset[Mp3Features] = {
+    import spark.implicits._
+    assets.as[MediaAsset].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          val m = parseMp3(a.payload).getOrElse(
+            Mp3Meta(0L, 0, 0, 0, 0, 0L, 0L))
+          Mp3Features(a.doc_id, a.payload.length.toLong, m.id3Bytes,
+            m.nFrames, m.bitrateKbps, m.sampleRate, m.nChannels,
+            m.durationMs, m.audioBytes)
+        }
+      }
+    }
+  }
+
   /** Bytes → (width, height, n_frames, sample_rate, n_channels,
     * duration_ms). Real pixel dimensions for image payloads
     * (`javax.imageio`), real sample rate / channels / PCM frame count
@@ -1051,11 +1256,19 @@ object Multimodal {
                 // count would need the block timestamps this walk
                 // deliberately skips
                 (k.width, k.height, 1, 0, 0, k.durationMs)
-              case None =>
-                val n = payload.length.toLong
-                val width = (64 + n % 960).toInt
-                val height = (64 + (n * 31) % 960).toInt
-                (width, height, 1, 0, 0, 0L)
+              case None => parseMp3(payload) match {
+                case Some(a) =>
+                  // frame-header facts are real ([[parseMp3]]): the
+                  // MPEG frame count, rate, channels and the
+                  // sample-arithmetic duration
+                  (0, 0, a.nFrames, a.sampleRate, a.nChannels,
+                    a.durationMs)
+                case None =>
+                  val n = payload.length.toLong
+                  val width = (64 + n % 960).toInt
+                  val height = (64 + (n * 31) % 960).toInt
+                  (width, height, 1, 0, 0, 0L)
+              }
             }
           }
         }

@@ -637,6 +637,24 @@ object SimilarityQueries {
         Multimodal.asMkvAssets(s, Tables.documents(s, d))).toDF()
     },
 
+    /** m09 — REAL MP3 (ISO 11172-3 + ID3v2) round-trip, the audio
+      * sibling of m07/m08 on the most common real-world audio format:
+      * documents become genuine minimal MP3 files (the text bytes as
+      * the ID3v2.4 tag payload with a syncsafe size, then a
+      * deterministic MPEG-1 Layer III frame train — rate/bitrate/
+      * frame-count/channel facts over the text byte count), then the
+      * frame walk reads every fact back, including the standard
+      * frame-length arithmetic (144000·kbps // rate) and the
+      * sample-count duration (frames·1152·1000 // rate). The oracle
+      * replays the formulas AND the size arithmetic — a writer or
+      * parser drifting from the 11172-3 layout mismatches on every
+      * row.
+      */
+    "m09_mp3_features" -> { (s, d) =>
+      Multimodal.mp3Features(s,
+        Multimodal.asMp3Assets(s, Tables.documents(s, d))).toDF()
+    },
+
     /** s03 — IVF ANN: Lloyd-trained coarse centroids (the d09
       * mod-prime seed sample + one DECIMAL-mean refinement — the
       * oracle replays the TRAINING, r10), nprobe-cell probing, exact
@@ -2171,6 +2189,38 @@ object SimilarityQueries {
         |  CAST(8 * (6 + (3 * n) % 70) AS INT) AS height,
         |  CAST(23 + n AS BIGINT) AS cluster_bytes
         |FROM d""".stripMargin,
+
+    // m09: every fact is integer arithmetic over the text byte count —
+    // the ID3v2 envelope (10 + n), the shared MPEG-1 L3 bitrate/rate
+    // tables as CASE ladders, the standard frame-length formula, and
+    // the sample-count duration
+    "m09_mp3_features" -> {
+      val kbpsCase = (1 to 14).map(i =>
+        s"WHEN $i THEN ${graft.ext.Multimodal.Mp3BitrateKbpsV1L3(i)}")
+        .mkString("CASE 1 + n % 14 ", " ", " END")
+      val rateCase = graft.ext.Multimodal.Mp3SampleRatesV1.zipWithIndex
+        .map { case (r, i) => s"WHEN $i THEN $r" }
+        .mkString("CASE n % 3 ", " ", " END")
+      s"""WITH d AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS n
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n, $kbpsCase AS kbps, $rateCase AS rate,
+         |    2 + n % 24 AS frames
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(10 + n + frames * (144000 * kbps // rate) AS BIGINT)
+         |    AS n_bytes,
+         |  CAST(10 + n AS BIGINT) AS id3_bytes,
+         |  CAST(frames AS INT) AS n_frames,
+         |  CAST(kbps AS INT) AS bitrate_kbps,
+         |  CAST(rate AS INT) AS sample_rate,
+         |  CAST(1 + n % 2 AS INT) AS n_channels,
+         |  CAST(frames * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+         |  CAST(frames * (144000 * kbps // rate) AS BIGINT)
+         |    AS audio_bytes
+         |FROM f""".stripMargin
+    },
 
     "m05_audio_features" ->
       """SELECT doc_id,

@@ -1448,4 +1448,77 @@ class SimilaritySpec extends SparkTestBase {
     assert(Multimodal.parseMkv(unkLeaf).isEmpty,
       "unknown-size leaf did not fail soft")
   }
+
+  test("MP3 walk: synthesized fixture round-trips fact for fact; " +
+    "MPEG-2 and VBR frame trains parse; hostile payloads fail soft") {
+    val n = 100
+    val body = Array.tabulate(n)(i => (i % 251).toByte)
+    val payload = Multimodal.mp3Bytes(body)
+    val kbps = Multimodal.Mp3BitrateKbpsV1L3(1 + n % 14)
+    val rate = Multimodal.Mp3SampleRatesV1(n % 3)
+    val frameLen = (144000L * kbps / rate).toInt
+    val frames = 2 + n % 24
+    // the size contract the m09 oracle replays
+    assert(payload.length == 10 + n + frames * frameLen)
+    val m = Multimodal.parseMp3(payload).get
+    assert(m.id3Bytes == 10 + n)
+    assert(m.nFrames == frames && m.bitrateKbps == kbps &&
+      m.sampleRate == rate && m.nChannels == 1 + n % 2)
+    assert(m.durationMs == frames.toLong * 1152 * 1000 / rate)
+    assert(m.audioBytes == frames.toLong * frameLen)
+    // decode() integration: frame facts flow into the tuple
+    val (w, h, f, r, ch, ms) = Multimodal.decode(payload)
+    assert(w == 0 && h == 0 && f == frames && r == rate &&
+      ch == m.nChannels && ms == m.durationMs)
+    // a hand-built tagless MPEG-2 VBR train (both things the writer
+    // never emits): 576-sample frames, bitrate varying per frame —
+    // reported bitrate is the FIRST frame's, duration sums samples
+    def frame(ver: Int, bIdx: Int, srIdx: Int): Array[Byte] = {
+      val kb = (if (ver == 3) Multimodal.Mp3BitrateKbpsV1L3
+                else Multimodal.Mp3BitrateKbpsV2L3)(bIdx)
+      val rt = (if (ver == 3) Multimodal.Mp3SampleRatesV1
+                else Multimodal.Mp3SampleRatesV2)(srIdx)
+      val spf = if (ver == 3) 1152 else 576
+      val fl = (spf / 8) * kb * 1000 / rt
+      val b = new Array[Byte](fl)
+      b(0) = 0xff.toByte
+      b(1) = (0xe0 | (ver << 3) | (1 << 1) | 1).toByte
+      b(2) = ((bIdx << 4) | (srIdx << 2)).toByte
+      b(3) = 0x00 // stereo
+      b
+    }
+    val vbr = frame(2, 4, 1) ++ frame(2, 8, 1) ++ frame(2, 4, 1)
+    val vm = Multimodal.parseMp3(vbr).get
+    assert(vm.id3Bytes == 0 && vm.nFrames == 3 &&
+      vm.bitrateKbps == Multimodal.Mp3BitrateKbpsV2L3(4) &&
+      vm.sampleRate == 24000 && vm.nChannels == 2 &&
+      vm.durationMs == 3L * 576 * 1000 / 24000,
+      s"MPEG-2 VBR train parsed wrong: $vm")
+    // fail-soft: plain text, truncated tag, non-syncsafe size byte,
+    // bad bitrate/reserved version codes, a frame crossing the end,
+    // trailing garbage, a bare ID3 tag with no frames, and a
+    // mid-stream sample-rate change (no single duration divisor)
+    assert(Multimodal.parseMp3("plain text".getBytes).isEmpty)
+    assert(Multimodal.parseMp3(payload.take(8)).isEmpty)
+    val badSync = payload.clone()
+    badSync(6) = 0x80.toByte // syncsafe bytes must have bit 7 clear
+    assert(Multimodal.parseMp3(badSync).isEmpty,
+      "non-syncsafe tag size did not fail soft")
+    val badBr = payload.clone()
+    badBr(10 + n + 2) = 0xF0.toByte // bitrate index 15 = bad
+    assert(Multimodal.parseMp3(badBr).isEmpty,
+      "bad bitrate index did not fail soft")
+    val badVer = payload.clone()
+    badVer(10 + n + 1) = 0xEB.toByte // version code 1 = reserved
+    assert(Multimodal.parseMp3(badVer).isEmpty,
+      "reserved version did not fail soft")
+    assert(Multimodal.parseMp3(payload.dropRight(1)).isEmpty,
+      "truncated final frame did not fail soft")
+    assert(Multimodal.parseMp3(payload ++ Array(0x00.toByte)).isEmpty,
+      "trailing garbage did not fail soft")
+    assert(Multimodal.parseMp3(payload.take(10 + n)).isEmpty,
+      "a bare ID3 tag is not an MP3 stream")
+    assert(Multimodal.parseMp3(frame(2, 4, 1) ++ frame(2, 4, 2)).isEmpty,
+      "mid-stream sample-rate change did not fail soft")
+  }
 }
