@@ -124,7 +124,7 @@ object Cli {
     args.headOption match {
       case Some("export") => exportCmd(spark, parseOpts(args.tail), nowMs)
       case Some("import") => importCmd(spark, parseOpts(args.tail), nowMs)
-      case Some("db") => dbCmd(spark, parseOpts(args.tail))
+      case Some("db") => dbCmd(spark, parseOpts(args.tail), nowMs)
       case Some("compact") => compactCmd(spark, parseOpts(args.tail))
       case Some("zonemap") => zonemapCmd(spark, parseOpts(args.tail))
       case Some("dedup") => dedupCmd(spark, parseOpts(args.tail))
@@ -1482,10 +1482,39 @@ object Cli {
     * loop (the N+1 CatalogOps.displayJoin fixes). `--diff-with S2`
     * ([EXT]) compares --session-name against S2 per table
     * (CatalogOps.sessionDiff) instead of leaving the eyeball diff of
-    * two printed listings to the operator.
+    * two printed listings to the operator. `--purge-session S`
+    * ([EXT]) takes a session DOWN: appends a purge fact (every
+    * catalog read forgets the session immediately), then `--compact`
+    * alongside it also drops the dead rows physically; `--mode`
+    * picks the plane (default export).
     */
-  private def dbCmd(spark: SparkSession, opts: Map[String, String]): String = {
+  private def dbCmd(spark: SparkSession, opts: Map[String, String],
+                    nowMs: Long): String = {
     val cat = new BackupCatalog(spark, required(opts, "catalog_root"))
+    opts.get("purge_session").foreach { name =>
+      if (name.contains("%"))
+        throw CliError("--purge-session needs an exact session name, " +
+          "not a pattern (takedowns are deliberate)")
+      val mode = opts.getOrElse("mode", "export")
+      if (mode != "export" && mode != "import")
+        throw CliError(s"unknown --mode $mode (expected export|import)")
+      if (opts.contains("session_name") || opts.contains("table_name") ||
+          opts.contains("diff_with"))
+        throw CliError("--purge-session is a standalone maintenance " +
+          "step (no --session-name/--table-name/--diff-with)")
+      try cat.purgeSession(mode, name, nowMs)
+      catch {
+        case e: IllegalArgumentException => throw CliError(e.getMessage)
+      }
+      val physical =
+        if (boolFlag(opts, "compact")) { cat.compactAll(); " and rows dropped physically" }
+        else " (rows drop physically at the next compaction)"
+      return s"purged $mode session '$name'$physical"
+    }
+    if (boolFlag(opts, "compact")) {
+      cat.compactAll()
+      return "catalog compacted (sessions/tables/descriptors folded)"
+    }
     opts.get("diff_with").foreach { other =>
       val base = required(opts, "session_name")
       if (base.contains("%") || other.contains("%"))

@@ -33,6 +33,7 @@ final class BackupCatalog(spark: SparkSession, root: String,
   private val sessionsDir = s"$root/sessions"
   private val tablesDir = s"$root/tables"
   private val descsDir = s"$root/descriptors"
+  private val purgesDir = s"$root/purges"
 
   private def fs(dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -88,8 +89,10 @@ final class BackupCatalog(spark: SparkSession, root: String,
     * enough close rows accrue.
     */
   def sessions: Dataset[BackupSession] = synchronized {
+    val purged = purgedKeys()
     spark.createDataset(resolveSessions(
-      readOrEmpty[BackupSession](sessionsDir).collect().toSeq))
+      readOrEmpty[BackupSession](sessionsDir).collect().toSeq
+        .filterNot(s => purged((s.mode, s.session_name)))))
   }
 
   private def resolveSessions(rows: Seq[BackupSession]): Seq[BackupSession] =
@@ -105,11 +108,24 @@ final class BackupCatalog(spark: SparkSession, root: String,
             .lastOption.getOrElse(""))
     }.toSeq
   def tables: Dataset[TableRecord] = synchronized {
-    readOrEmpty[TableRecord](tablesDir)
+    val purged = purgedKeys()
+    spark.createDataset(readOrEmpty[TableRecord](tablesDir)
+      .collect().toSeq
+      .filterNot(t => purged((t.mode, t.session_name))))
   }
   def descriptors: Dataset[ColumnDescriptor] = synchronized {
-    readOrEmpty[ColumnDescriptor](descsDir)
+    // descriptors are export-side rows (only exportedTableInfo writes
+    // them), so an export-mode purge is what forgets them
+    val purged = purgedKeys()
+    spark.createDataset(readOrEmpty[ColumnDescriptor](descsDir)
+      .collect().toSeq
+      .filterNot(d => purged(("export", d.session_name))))
   }
+
+  /** The purge facts folded to keys — KB-scale (a takedown list). */
+  private def purgedKeys(): Set[(String, String)] =
+    readOrEmpty[PurgeRecord](purgesDir).collect()
+      .map(p => (p.mode, p.session_name)).toSet
 
   // ---- writes (mysql.rb:143-267) ----
 
@@ -185,12 +201,43 @@ final class BackupCatalog(spark: SparkSession, root: String,
     f.delete(pOld, true) // old copy only removed after a complete swap
   }
 
-  /** Fold the sessions log back to one row per session. */
+  /** Purge a session — the takedown path the append-only logs
+    * otherwise lack (the tombstone discipline of the EXT stores on
+    * the metadata plane): appends a (mode, session_name) purge FACT;
+    * [[sessions]]/[[tables]]/[[descriptors]] anti-join it immediately
+    * (every derived read — session info, table listings, watermarks,
+    * incremental planning — forgets the session in the same call),
+    * and the threshold compactions drop the dead rows physically.
+    * At-least-once replays append duplicate facts, harmless (reads
+    * fold to keys). Purging a session the catalog has never seen is
+    * a typo, refused loudly — EXCEPT when a purge fact already exists
+    * (the replay-after-compaction case, where the rows are already
+    * physically gone).
+    */
+  def purgeSession(mode: String, sessionName: String,
+                   purgedAt: Long): Unit = synchronized {
+    val known = readOrEmpty[BackupSession](sessionsDir).collect()
+      .exists(s => s.mode == mode && s.session_name == sessionName)
+    require(known || purgedKeys()((mode, sessionName)),
+      s"no $mode session '$sessionName' in the catalog to purge")
+    Seq(PurgeRecord(mode, sessionName, purgedAt)).toDS()
+      .coalesce(1).write.mode(SaveMode.Append).parquet(purgesDir)
+  }
+
+  /** Run every threshold compaction NOW — the ops hook that makes a
+    * purge PHYSICAL without waiting for the file-count thresholds
+    * (the folds already read through the purge filter, so purged
+    * rows are dropped from the rewritten logs).
+    */
+  def compactAll(): Unit = synchronized {
+    compactSessions(); compactTables(); compactDescriptors()
+  }
+
+  /** Fold the sessions log back to one row per session (purged
+    * sessions drop out — the folds read through the purge filter). */
   private def compactSessions(): Unit =
     swapCompacted(sessionsDir) { tmp =>
-      resolveSessions(readOrEmpty[BackupSession](sessionsDir)
-          .collect().toSeq)
-        .toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      sessions.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     }
 
   /** Fold the tables/descriptors logs to one part file each, dropping
@@ -204,13 +251,13 @@ final class BackupCatalog(spark: SparkSession, root: String,
     */
   private def compactTables(): Unit =
     swapCompacted(tablesDir) { tmp =>
-      readOrEmpty[TableRecord](tablesDir).collect().toSeq.distinct
+      tables.collect().toSeq.distinct
         .toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     }
 
   private def compactDescriptors(): Unit =
     swapCompacted(descsDir) { tmp =>
-      readOrEmpty[ColumnDescriptor](descsDir).collect().toSeq.distinct
+      descriptors.collect().toSeq.distinct
         .toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     }
 

@@ -72,6 +72,19 @@ final case class ColumnDescriptor(
                          // null-omitted column from a lost one.
 )
 
+/** [EXT] A session-purge FACT — the takedown path on the metadata
+  * plane (the tombstone discipline every EXT store gained: facts
+  * append, reads anti-join, compaction drops rows physically). The
+  * reference's catalog can only accrete; a real backup catalog must
+  * also be able to FORGET a session (compliance takedown, a
+  * poisoned-run scrub) without rewriting history in place.
+  */
+final case class PurgeRecord(
+    mode: String,         // which plane's session ("export" | "import")
+    session_name: String,
+    purged_at: Long       // ms — audit trail, not a filter key
+)
+
 object ColumnDescriptor {
   /** Attribute whitelist, as the reference's AVAILABLE_OPTS filter
     * (mysql.rb:324-337, stargate.rb:36-44).

@@ -1271,4 +1271,41 @@ class CliSpec extends SparkTestBase {
       bmStore, "--rebuild", "--docs", docsPath, "--query", "dup"), now))
       .message.contains("standalone maintenance"))
   }
+
+  test("db --purge-session: the session vanishes from db listings, " +
+    "--compact makes it physical, guards refuse patterns and typos") {
+    val root = tmpDir("cli-purge-cat")
+    val cat = new graft.catalog.BackupCatalog(spark, root)
+    val s1 = graft.catalog.BackupSession("export", "c", "20240101_000000",
+      "file:///bk/", 0L, 1000L, 5000L, 6000L, error = false, "")
+    cat.startInfo(s1)
+    cat.startInfo(s1.copy(session_name = "20240201_000000"))
+    cat.exportedTableInfo(graft.catalog.TableRecord("export", "lineitem",
+      "20240101_000000", 0L, 1000L, 100000L, empty = false,
+      error = false, "", 42L), Nil)
+    // guards
+    assert(intercept[CliError](Cli.run(spark, Seq("db",
+      "--catalog-root", root, "--purge-session", "2024%"), now))
+      .message.contains("exact session name"))
+    assert(intercept[CliError](Cli.run(spark, Seq("db",
+      "--catalog-root", root, "--purge-session", "20240101_000000",
+      "--mode", "bogus"), now)).message.contains("unknown --mode"))
+    assert(intercept[CliError](Cli.run(spark, Seq("db",
+      "--catalog-root", root, "--purge-session", "20240101_000000",
+      "--session-name", "x"), now))
+      .message.contains("standalone maintenance"))
+    assert(intercept[CliError](Cli.run(spark, Seq("db",
+      "--catalog-root", root, "--purge-session", "nope"), now))
+      .message.contains("no export session"))
+    // purge + physical compaction in one invocation
+    val msg = Cli.run(spark, Seq("db", "--catalog-root", root,
+      "--purge-session", "20240101_000000", "--compact"), now)
+    assert(msg.contains("purged export session") &&
+      msg.contains("dropped physically"), msg)
+    val listing = Cli.run(spark, Seq("db", "--catalog-root", root), now)
+    assert(!listing.contains("20240101_000000") &&
+      listing.contains("20240201_000000"), listing)
+    assert(spark.read.parquet(s"$root/tables").count() == 0,
+      "purged table rows survived --compact")
+  }
 }

@@ -197,4 +197,61 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.lastEndTime("export", "lineitem") == 900L)
     assert(cat.lastEndTime("export", "unknown") == 0L)
   }
+
+  test("purgeSession: every read forgets the session immediately, " +
+    "compaction drops its rows physically, replays are harmless, " +
+    "unknown sessions are refused, other sessions untouched") {
+    val root = tmpDir("graft-cat-purge")
+    val cat = new BackupCatalog(spark, root)
+    val keep = sess.copy(session_name = "20240201_000000")
+    cat.startInfo(sess)
+    cat.startInfo(keep)
+    val desc = ColumnDescriptor(sess.session_name, "lineitem", 0,
+      "l_orderkey", "bigint", nullable = false, 3, "NONE",
+      in_memory = false, block_cache = true, 0L, 65536L, "NONE")
+    cat.exportedTableInfo(rec("lineitem"), Seq(desc))
+    cat.exportedTableInfo(rec("orders"), Nil)
+    cat.exportedTableInfo(rec("lineitem", keep.session_name), Nil)
+    // take the first session down: sessions, tables, descriptors and
+    // every derived read forget it in the same call
+    cat.purgeSession("export", sess.session_name, purgedAt = 9000L)
+    assert(cat.sessions.collect().map(_.session_name).toSeq ==
+      Seq(keep.session_name))
+    assert(cat.tables.collect().forall(_.session_name == keep.session_name))
+    assert(cat.columnDescriptorRows(sess.session_name, "lineitem").isEmpty,
+      "purged session's descriptors still readable")
+    assert(!cat.exists("export", "lineitem", sess.session_name))
+    assert(cat.exists("export", "lineitem", keep.session_name),
+      "purge leaked onto another session")
+    assert(cat.sessionInfo("export", "%").count() == 1)
+    // lastEndTime no longer sees the purged session's watermark
+    assert(cat.lastEndTime("export", "orders") == 0L,
+      "purged session still feeds incremental watermarks")
+    // physical: compactAll folds the logs without the purged rows
+    cat.compactAll()
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$root/tables").as[TableRecord]
+      .collect()
+    assert(raw.forall(_.session_name == keep.session_name),
+      s"purged rows survived compaction: ${raw.mkString(",")}")
+    val rawDesc = new java.io.File(s"$root/descriptors")
+    assert(!rawDesc.exists() ||
+      spark.read.parquet(s"$root/descriptors").count() == 0,
+      "purged descriptors survived compaction")
+    // replayed purge (after compaction, rows already gone): harmless
+    cat.purgeSession("export", sess.session_name, purgedAt = 9001L)
+    assert(cat.sessions.count() == 1)
+    // a typo'd session is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      cat.purgeSession("export", "no_such_session", 1L)
+    }
+    assert(ex.getMessage.contains("no export session"))
+    // import-mode purge does not touch export rows of the same name
+    cat.startInfo(keep.copy(mode = "import"))
+    cat.purgeSession("import", keep.session_name, 9002L)
+    assert(cat.sessions.collect()
+      .map(s => (s.mode, s.session_name)).toSeq ==
+      Seq(("export", keep.session_name)),
+      "import purge removed the export session")
+  }
 }
