@@ -186,39 +186,43 @@ object Retrieval {
     * HERE, once, for the batch only — the point of incremental
     * maintenance is that the existing corpus is never re-tokenized,
     * and with tf and dl IN the posting row, [[queryIndex]] answers
-    * ranked queries without ever touching the corpus again. Both
-    * stores are APPEND-ONLY sets of pure facts: a replayed batch
-    * (at-least-once foreachBatch) appends bit-identical rows that
-    * fold at read (the consumers' distinct) — the same idempotence
-    * contract as [[graft.streaming.StreamingDedup]]'s signature
-    * store, chosen over transactional sinks for the same reason.
-    * Long-lived stores compact with the engine's Compactor like any
-    * other append log.
+    * ranked queries without ever touching the corpus again.
+    *
+    * Doc ids are IMMUTABLE (the [[graft.ext.VectorIndex.update]]
+    * discipline, r12): the batch anti-joins the ids already in the
+    * lengths store (and the tombstoned ones — a takedown stays taken
+    * down until a rebuild), so an at-least-once replay appends
+    * NOTHING — not even the harmless bit-identical rows the
+    * fold-at-read distinct used to absorb — and a re-presented id
+    * with CHANGED text can never plant a second divergent posting set
+    * (which would double-count tf into every score silently).
+    * Re-texting a live id is a rebuild event ([[rebuildIndex]]). The
+    * anti-join's survivor set is materialized (eager localCheckpoint,
+    * delta-sized) BEFORE the appends, so the store is never read and
+    * written by the same job. The stores remain append-only fact
+    * logs; long-lived ones compact with the engine's Compactor.
     */
   def updateIndex(batch: DataFrame, indexStore: String): Unit = {
     val spark = batch.sparkSession
     val toks = TextAnalysis.tokens(col("text"))
     // distinct first: an exactly-duplicated document row inside one
     // batch must not double its tf counts (the lengths distinct alone
-    // would mask it — one dl row, 2x tf — a silent score corruption);
-    // persisted so the two store writes share one source scan +
-    // tokenize instead of re-reading the batch per action.
-    // Tombstoned ids are skipped (the VectorIndex.update discipline):
-    // a takedown stays taken down until a full re-bootstrap.
+    // would mask it — one dl row, 2x tf — a silent score corruption)
+    val known = liveStore(spark, indexStore, "lengths", LengthsSchema)
+      .select(col("doc_id"))
+      .unionByName(tombstones(spark, indexStore).select(col("doc_id")))
     val b = batch.select(col("doc_id"), col("text")).distinct()
-      .join(tombstones(spark, indexStore).select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      b.select(col("doc_id"), size(toks).as("dl"),
-          explode(toks).as("token"))
-        .groupBy(col("doc_id"), col("dl"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-        .write.mode("append").parquet(s"$indexStore/postings")
-      b.select(col("doc_id"), size(toks).cast("long").as("dl"))
-        .distinct()
-        .write.mode("append").parquet(s"$indexStore/lengths")
-    } finally b.unpersist()
+      .join(known, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    if (b.isEmpty) return
+    b.select(col("doc_id"), size(toks).as("dl"),
+        explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("append").parquet(s"$indexStore/postings")
+    b.select(col("doc_id"), size(toks).cast("long").as("dl"))
+      .distinct()
+      .write.mode("append").parquet(s"$indexStore/lengths")
   }
 
   private def readStore(spark: org.apache.spark.sql.SparkSession,

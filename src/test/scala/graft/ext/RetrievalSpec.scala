@@ -197,6 +197,38 @@ class RetrievalSpec extends SparkTestBase {
       "compaction changed index-backed query results")
   }
 
+  test("updateIndex id gate: a replayed batch appends NOTHING, a " +
+    "re-presented id with changed text is skipped (ids are immutable), " +
+    "scores unchanged") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val store = tmpDir("idx-idgate") + "/idx"
+    Retrieval.updateIndex(docs, store)
+    def files(sub: String): Int =
+      new java.io.File(s"$store/$sub").listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    val (pf, lf) = (files("postings"), files("lengths"))
+    val before = Retrieval.queryIndex(spark, store, Seq("dup"), 5)
+      .collect().map(_.toSeq).toSeq
+    // full replay: not even new part files (the old contract absorbed
+    // bit-identical rows at read; the id gate stops the write itself)
+    Retrieval.updateIndex(docs, store)
+    assert(files("postings") == pf && files("lengths") == lf,
+      "replayed batch wrote to the stores")
+    // changed text under a live id: skipped — a divergent posting set
+    // would double-count tf into every score silently
+    val mutated = Seq((before.head.head.asInstanceOf[Long],
+      "dup dup dup dup dup dup")).toDF("doc_id", "text")
+    Retrieval.updateIndex(mutated, store)
+    assert(Retrieval.queryIndex(spark, store, Seq("dup"), 5)
+      .collect().map(_.toSeq).toSeq == before,
+      "a re-presented id with changed text altered the ranking")
+    // an empty surviving batch after the gate is a clean no-op
+    Retrieval.updateIndex(docs.limit(0), store)
+    assert(files("postings") == pf && files("lengths") == lf)
+  }
+
   test("updateIndex: an exactly-duplicated doc row in one batch does " +
     "not inflate tf") {
     import spark.implicits._
