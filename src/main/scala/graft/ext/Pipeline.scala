@@ -43,8 +43,15 @@ object Pipeline {
   def cleanCorpus(docs: DataFrame, jaccardThreshold: Double = 0.5,
                   maxDf: Int = 50): DataFrame = {
     val qdocs = qualityDocs(docs)
+    // the drop-id set is materialized (eager, id-sized — ids of
+    // near-dup losers): its lineage embeds the WHOLE shingle/pair
+    // pipeline, and riding that into the final anti-join stage's
+    // task binary re-serialized a ~1 MiB plan into every task of
+    // the survivor scan (the r12 bench-tail warning). The anti-join
+    // only ever needed the ids.
     val dropIds = Dedup.jaccardPairs(qdocs, n = 3, jaccardThreshold, maxDf)
       .select(col("doc_b").as("doc_id")).distinct()
+      .localCheckpoint(true)
     qdocs.join(dropIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"),
         size(TextAnalysis.tokens(col("text"))).as("n_tokens"),

@@ -47,15 +47,20 @@ object SketchProbes {
     cms.estimateCount(s.toString)
 
   /** Above this many bytes a sketch stops riding `addReferenceObj`
-    * (which serializes it INTO every task binary — fine at the
-    * KB–1 MiB sketches the queries build, where it broadcasts once
-    * per stage with the closure) and ships as an explicit
-    * TorrentBroadcast instead: chunked, fetched once per EXECUTOR,
-    * reused across stages, and the task binary stays small. The gate
-    * is in the factories, so call sites never choose wrong as
-    * sketches grow.
+    * (which serializes it INTO every task binary — fine at KB-scale
+    * sketches, where it broadcasts once per stage with the closure)
+    * and ships as an explicit TorrentBroadcast instead: chunked,
+    * fetched once per EXECUTOR, reused across stages, and the task
+    * binary stays small. The gate is in the factories, so call sites
+    * never choose wrong as sketches grow. 1 MiB (r12, down from
+    * 4 MiB): x21's eps=1e-4 CMS is a 1.12 MB table — riding the
+    * reference array re-serialized it into every task binary of BOTH
+    * its stages (the bench tail's 1.1 MiB task-binary warnings);
+    * Spark itself warns at 1000 KiB, which is the right line — below
+    * it inline wins (no per-executor fetch round-trip), above it the
+    * broadcast does.
     */
-  val InlineSketchMaxBytes: Long = 4L << 20
+  val InlineSketchMaxBytes: Long = 1L << 20
 
   def bloom_might_contain(h: Column, words: Array[Long], k: Int,
                           m: Int): Column = {
