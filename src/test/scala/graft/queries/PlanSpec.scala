@@ -49,8 +49,10 @@ class PlanSpec extends SparkTestBase {
     "q11_brand_share",        // × total-revenue scalar
     "s09_bm25_topk",          // × corpus (n_docs, avgdl) scalar
     "s21_hybrid_store",       // lex leg × one-row store (n_docs, avgdl)
+    "s25_hybrid_rerank",      // the same lex-leg one-row stats scalar
     "s22_drift_advisory",     // one-row audit × audit × shifts folds
     "s23_drift_from_stats",   // the same one-row folds, stats-fed
+    "s26_lex_drift",          // one-row baseline × current × shift folds
     "x10_tfidf",              // × corpus doc-count scalar
     "x15_unigram_loglik",     // × total-token-count scalar
     "x20_heavy_hitters",      // × total-count threshold scalar
