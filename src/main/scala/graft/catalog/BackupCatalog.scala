@@ -69,16 +69,20 @@ final class BackupCatalog(spark: SparkSession, root: String,
     * three append logs compact through the same swap, so all three
     * are checked.
     */
-  private def recoverIfNeeded(): Unit = {
-    val f = fs(root)
-    Seq(sessionsDir, tablesDir, descsDir).foreach { dir =>
-      val (p, pOld) = (new Path(dir), new Path(dir + "__old"))
-      if (!f.exists(p) && f.exists(pOld)) {
-        require(f.rename(pOld, p),
-          s"catalog recovery failed: cannot restore $pOld to $p")
+  private def recoverIfNeeded(): Unit =
+    // the JVM-wide swap lock: two catalog INSTANCES on one root would
+    // otherwise race a recovery against an in-flight compaction swap
+    // (instance-level synchronized cannot see the other instance)
+    graft.engine.Compactor.swapLock.synchronized {
+      val f = fs(root)
+      Seq(sessionsDir, tablesDir, descsDir, purgesDir).foreach { dir =>
+        val (p, pOld) = (new Path(dir), new Path(dir + "__old"))
+        if (!f.exists(p) && f.exists(pOld)) {
+          require(f.rename(pOld, p),
+            s"catalog recovery failed: cannot restore $pOld to $p")
+        }
       }
     }
-  }
 
   /** The sessions store is an append-structured log: [[startInfo]] and
     * [[endInfo]] only ever APPEND rows, and this read resolves the log
@@ -188,17 +192,20 @@ final class BackupCatalog(spark: SparkSession, root: String,
     val tmp = dir + "__tmp"
     writeCompacted(tmp)
     val f = fs(root)
-    val (pDir, pTmp, pOld) =
-      (new Path(dir), new Path(tmp), new Path(dir + "__old"))
-    if (f.exists(pOld)) require(f.delete(pOld, true), s"cannot clear $pOld")
-    if (f.exists(pDir))
-      require(f.rename(pDir, pOld), s"cannot stage $pDir to $pOld")
-    if (!f.rename(pTmp, pDir)) {
-      // roll back so the catalog is never left without a live dir
-      if (f.exists(pOld)) f.rename(pOld, pDir)
-      throw new IllegalStateException(s"cannot swap $pTmp into $pDir")
+    // rename pair under the JVM-wide swap lock — see recoverIfNeeded
+    graft.engine.Compactor.swapLock.synchronized {
+      val (pDir, pTmp, pOld) =
+        (new Path(dir), new Path(tmp), new Path(dir + "__old"))
+      if (f.exists(pOld)) require(f.delete(pOld, true), s"cannot clear $pOld")
+      if (f.exists(pDir))
+        require(f.rename(pDir, pOld), s"cannot stage $pDir to $pOld")
+      if (!f.rename(pTmp, pDir)) {
+        // roll back so the catalog is never left without a live dir
+        if (f.exists(pOld)) f.rename(pOld, pDir)
+        throw new IllegalStateException(s"cannot swap $pTmp into $pDir")
+      }
+      f.delete(pOld, true) // old copy only removed after a complete swap
     }
-    f.delete(pOld, true) // old copy only removed after a complete swap
   }
 
   /** Purge a session — the takedown path the append-only logs
@@ -222,6 +229,7 @@ final class BackupCatalog(spark: SparkSession, root: String,
       s"no $mode session '$sessionName' in the catalog to purge")
     Seq(PurgeRecord(mode, sessionName, purgedAt)).toDS()
       .coalesce(1).write.mode(SaveMode.Append).parquet(purgesDir)
+    if (dataFileCount(purgesDir) > compactAfterFiles) compactPurges()
   }
 
   /** Run every threshold compaction NOW — the ops hook that makes a
@@ -231,6 +239,7 @@ final class BackupCatalog(spark: SparkSession, root: String,
     */
   def compactAll(): Unit = synchronized {
     compactSessions(); compactTables(); compactDescriptors()
+    compactPurges()
   }
 
   /** Fold the sessions log back to one row per session (purged
@@ -260,6 +269,26 @@ final class BackupCatalog(spark: SparkSession, root: String,
       descriptors.collect().toSeq.distinct
         .toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     }
+
+  /** Fold the purge log to one row per (mode, session_name) — unlike
+    * the other three logs it previously grew one small file per
+    * takedown forever, and every catalog read ([[purgedKeys]]) re-reads
+    * them all. The kept `purged_at` is the EARLIEST (the first takedown
+    * is the fact of record; replays only re-assert it). The fold never
+    * drops a key, so a purged session stays purged across any number of
+    * compactions. No-op when no purge fact has ever landed — compaction
+    * must not conjure an empty store dir.
+    */
+  private def compactPurges(): Unit = {
+    if (!hasCommittedFiles(purgesDir)) return
+    swapCompacted(purgesDir) { tmp =>
+      readOrEmpty[PurgeRecord](purgesDir).collect().toSeq
+        .groupBy(p => (p.mode, p.session_name)).values
+        .map(g => g.minBy(_.purged_at)).toSeq
+        .sortBy(p => (p.mode, p.session_name))
+        .toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+  }
 
   /** Per-table record, export side (mysql.rb:154-190). Descriptors
     * land FIRST and the table row — the row `exists()` and every

@@ -254,4 +254,100 @@ class CatalogSpec extends SparkTestBase {
       Seq(("export", keep.session_name)),
       "import purge removed the export session")
   }
+
+  test("purge log compacts like the other three: compactAll folds it " +
+    "to one file and one row per key (earliest purged_at), purges stay " +
+    "purged, crash recovery restores a half-swapped purge dir") {
+    val root = tmpDir("graft-cat-purgecompact")
+    val cat = new BackupCatalog(spark, root)
+    val names = (1 to 5).map(i => f"2024010${i}_000000")
+    names.foreach(n => cat.startInfo(sess.copy(session_name = n)))
+    // several takedowns, one replayed (later purged_at): one small
+    // parquet file each — the accretion the fold exists to stop
+    names.take(3).foreach(n => cat.purgeSession("export", n, 9000L))
+    cat.purgeSession("export", names.head, 9005L) // replay, later stamp
+    val dir = new java.io.File(s"$root/purges")
+    def dataFiles = dir.listFiles((_, n) =>
+      !n.startsWith("_") && !n.startsWith(".")).length
+    assert(dataFiles >= 4, s"expected one file per purge, got $dataFiles")
+    cat.compactAll()
+    assert(dataFiles == 1, s"purge log not folded: $dataFiles files")
+    import spark.implicits._
+    val folded = spark.read.parquet(s"$root/purges").as[PurgeRecord]
+      .collect().sortBy(_.session_name)
+    assert(folded.length == 3, s"fold changed the key set: ${folded.toSeq}")
+    assert(folded.head.purged_at == 9000L,
+      "fold must keep the EARLIEST purged_at (first takedown is the fact)")
+    // purged stay purged; survivors stay alive
+    assert(cat.sessions.collect().map(_.session_name).toSeq.sorted ==
+      names.drop(3).sorted)
+    // replay after compaction still accepted (rows physically gone)
+    cat.purgeSession("export", names.head, 9010L)
+    assert(cat.sessions.count() == 2)
+    // crash between the purge-fold's two renames: recovery restores it
+    cat.compactAll()
+    val f = new java.io.File(root)
+    assert(new java.io.File(f, "purges")
+      .renameTo(new java.io.File(f, "purges__old")))
+    assert(cat.sessions.collect().map(_.session_name).toSeq.sorted ==
+      names.drop(3).sorted, "purge facts lost after interrupted swap")
+    assert(new java.io.File(f, "purges").exists(), "recovery did not run")
+    // a catalog with no takedowns: compaction must not conjure an
+    // empty purges dir
+    val root2 = tmpDir("graft-cat-nopurge")
+    val cat2 = new BackupCatalog(spark, root2)
+    cat2.startInfo(sess)
+    cat2.compactAll()
+    assert(!new java.io.File(s"$root2/purges").exists(),
+      "compactAll conjured an empty purge store")
+  }
+
+  test("purgeSessionData: payload takedown is staged (atomic rename, " +
+    "then delete), crash-mid-delete resumes, replays no-op, other " +
+    "sessions untouched, patterns refused") {
+    val destRoot = tmpDir("graft-purge-data")
+    def mk(session: String, table: String): java.io.File = {
+      val d = new java.io.File(s"$destRoot/$session/$table")
+      assert(d.mkdirs())
+      val f = new java.io.File(d, "part-00000.parquet")
+      java.nio.file.Files.writeString(f.toPath, "x")
+      d
+    }
+    mk("20240101_000000", "lineitem")
+    mk("20240101_000000", "orders")
+    mk("20240202_000000", "lineitem")
+    import graft.engine.TableOps
+    assert(TableOps.purgeSessionData(spark, destRoot, "20240101_000000"),
+      "a live payload tree must report as removed")
+    assert(!new java.io.File(s"$destRoot/20240101_000000").exists(),
+      "purged session's payload survived")
+    assert(new java.io.File(s"$destRoot/20240202_000000/lineitem").exists(),
+      "payload purge leaked onto another session")
+    // replay: everything already gone — clean no-op
+    assert(!TableOps.purgeSessionData(spark, destRoot, "20240101_000000"))
+    // crash mid-delete: the stage dir survives (live already renamed
+    // away); the next invocation resumes the delete
+    mk("20240303_000000", "events")
+    val live = new java.io.File(s"$destRoot/20240303_000000")
+    val staged = new java.io.File(s"$destRoot/20240303_000000__purging")
+    assert(live.renameTo(staged), "test setup: stage the dir")
+    assert(TableOps.purgeSessionData(spark, destRoot, "20240303_000000"),
+      "a crashed stage must be resumed and reported as removed")
+    assert(!staged.exists(), "crashed purge stage not cleaned up")
+    assert(!live.exists())
+    // a NEW session re-exported under the same name AFTER a crashed
+    // purge: both the stage and the new live tree go
+    mk("20240404_000000", "t1")
+    assert(new java.io.File(s"$destRoot/20240404_000000")
+      .renameTo(new java.io.File(s"$destRoot/20240404_000000__purging")))
+    mk("20240404_000000", "t2")
+    assert(TableOps.purgeSessionData(spark, destRoot, "20240404_000000"))
+    assert(!new java.io.File(s"$destRoot/20240404_000000").exists() &&
+      !new java.io.File(s"$destRoot/20240404_000000__purging").exists())
+    // deliberate takedowns only: patterns and namespace escapes refuse
+    for (bad <- Seq("2024%", "*", "a/b", "..", ""))
+      intercept[IllegalArgumentException] {
+        TableOps.purgeSessionData(spark, destRoot, bad)
+      }
+  }
 }
