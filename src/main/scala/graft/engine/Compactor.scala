@@ -120,10 +120,25 @@ object Compactor {
       rowsAfter, compacted = true)
   }
 
+  /** JVM-wide lock serializing every checked-rename swap against every
+    * crash recovery (the `recoverIfSwapped` family): without it, a
+    * reader thread probing between [[swapInto]]'s two renames sees
+    * "root missing, __old present" — the crashed-swap signature — and
+    * renames `__old` BACK, making the live swap's tmp→root rename fail
+    * AND its rollback fail (root re-occupied), aborting a healthy
+    * rebuild. One JVM-wide object is enough in-process because every
+    * swap and every recovery path takes it; ACROSS processes the
+    * stores assume a single writer (the catalog's own single-instance
+    * discipline) — two JVMs rebuilding or recovering the same store
+    * path concurrently are out of contract.
+    */
+  private[graft] val swapLock = new Object
+
   /** Carry sidecars into the rewrite, then publish it over `dir` via
     * the checked-rename swap (dir → __old, tmp → dir, drop __old).
     */
-  private[graft] def swapInto(f: FileSystem, dir: String, tmp: String): Unit = {
+  private[graft] def swapInto(f: FileSystem, dir: String,
+                              tmp: String): Unit = swapLock.synchronized {
     val (p, pTmp, pOld) = (new Path(dir), new Path(tmp), new Path(dir + "__old"))
     // sidecars (_export_info.log etc.) move into the rewrite before the
     // swap so the published dir keeps its provenance; the rewrite's own

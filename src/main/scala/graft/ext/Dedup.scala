@@ -751,11 +751,123 @@ object Dedup {
   // once per delta; the delta side is small, so AQE turns the
   // new-vs-all band join into a broadcast join automatically.
 
-  /** Bootstrap the persisted signature store: full-corpus signatures,
-    * overwriting anything at `path`.
+  /** The store row form of [[minhashSignatures]] (r13): the same k
+    * minima PLUS the doc's token count `dl` — one extra grouping
+    * column in the same single pass, no second scan. The store carries
+    * it so the drift advisory ([[sigDriftReportFromStore]]) can read
+    * average document length from the store alone; the in-query
+    * [[minhashSignatures]] keeps its lean schema.
     */
-  def writeSignatures(docs: DataFrame, path: String, n: Int = 3): Unit =
-    minhashSignatures(docs, n).write.mode("overwrite").parquet(path)
+  private[graft] def signatureRowsWithDl(docs: DataFrame,
+                                         n: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"), tokens.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode_outer(shinglesOf(col("tk"), n)).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .withColumn("h", base60(col("shingle")))
+    val aggs = (0 until K).map(i =>
+      min(minhashTerm(i, col("h"))).as(s"mh$i"))
+    sh.groupBy(col("doc_id"), col("dl")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Bootstrap the persisted signature store: full-corpus signatures
+    * (with the `dl` store column), overwriting anything at `path`,
+    * then record the drift BASELINE (the s23/s26 discipline on the
+    * dedup plane): corpus size, token mass, and the band-bucket pair
+    * mass — the exact integers [[sigDriftReportFromStore]] compares
+    * the grown store against — plus the argument corpus's fingerprint
+    * ([[initSignaturesIfStale]]'s staleness probe).
+    */
+  def writeSignatures(docs: DataFrame, path: String, n: Int = 3): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    signatureRowsWithDl(docs, n).write.mode("overwrite").parquet(path)
+    val rows = spark.read.parquet(path)
+    val s = rows.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("dls")).collect()(0)
+    val pm = bandPairMass(rows)
+    val fp = sigFingerprint(docs)
+    Seq((s.getLong(0), s.getLong(1), pm, n,
+        fp._1, fp._2, fp._3, fp._4))
+      .toDF("n_docs", "dl_sum", "pair_mass", "n_shingle",
+        "fp_n", "fp_id_sum", "fp_len_sum", "fp_crc_sum")
+      .coalesce(1).write.mode("overwrite").parquet(path + "_baseline")
+  }
+
+  /** Band-bucket candidate-pair mass of a signature row set:
+    * Σ c·(c−1)/2 over LSH buckets — the number of candidate pairs the
+    * banding would emit, the load the n/k/bands knobs were sized for.
+    * Long arithmetic throughout (shiftright, not a double divide), so
+    * the statistic is exact at any corpus size.
+    */
+  private def bandPairMass(sigs: DataFrame): Long =
+    bandedKeys(sigs).groupBy(col("key"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(shiftright(col("c") * (col("c") - 1), 1)),
+        lit(0L)).as("pm"))
+      .collect()(0).getLong(0)
+
+  /** Corpus fingerprint (count, id sum, length sum, text crc sum) —
+    * the [[graft.ext.Retrieval.initIndexIfStale]] discipline: long
+    * sums, modular and order-free.
+    */
+  private def sigFingerprint(docs: DataFrame): (Long, Long, Long, Long) = {
+    val r = docs.agg(count(lit(1)),
+      coalesce(sum(col("doc_id")), lit(0L)),
+      coalesce(sum(length(col("text")).cast("long")), lit(0L)),
+      coalesce(sum(crc32(encode(col("text"), "UTF-8"))), lit(0L)))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** Idempotent bootstrap: (re)build the signature store IFF it is
+    * missing, pre-baseline, or its recorded fingerprint differs from
+    * `docs` — the [[graft.ext.VectorIndex.initIfStale]] contract on
+    * the dedup plane, so a scheduled job can call it unconditionally.
+    * Returns true when a rebuild happened.
+    */
+  def initSignaturesIfStale(docs: DataFrame, path: String,
+                            n: Int = 3): Boolean = {
+    val spark = docs.sparkSession
+    recoverIfSwapped(spark, path)
+    val bp = new org.apache.hadoop.fs.Path(path + "_baseline")
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.exists(bp) && {
+      val b = spark.read.parquet(path + "_baseline").collect()(0)
+      val fp = sigFingerprint(docs)
+      b.getAs[Int]("n_shingle") == n &&
+        (b.getAs[Long]("fp_n"), b.getAs[Long]("fp_id_sum"),
+          b.getAs[Long]("fp_len_sum"), b.getAs[Long]("fp_crc_sum")) == fp
+    }
+    if (!fresh) writeSignatures(docs, path, n)
+    !fresh
+  }
+
+  /** Existence probe that first recovers a crash-interrupted
+    * [[compactSignatures]] swap — the [[graft.ext.Retrieval
+    * .indexExists]] discipline on the dedup plane: after a crash
+    * between the swap's renames the root is missing but `<path>__old`
+    * holds the truth, and a raw FileSystem probe would report "no
+    * store" for one a single rename away from live.
+    */
+  def storeExists(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Boolean = {
+    recoverIfSwapped(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
+  private def recoverIfSwapped(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Unit =
+    graft.engine.Compactor.swapLock.synchronized {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pOld = new org.apache.hadoop.fs.Path(path + "__old")
+      if (!fs.exists(p) && fs.exists(pOld))
+        require(fs.rename(pOld, p),
+          s"signature store recovery failed: cannot restore $pOld to $p")
+    }
 
   /** Read the signature store. Appends are made idempotent HERE, not
     * at write time: a retried [[updateSignatures]] may leave duplicate
@@ -766,10 +878,12 @@ object Dedup {
     * trivial fold.
     */
   def readSignatures(spark: org.apache.spark.sql.SparkSession,
-                     path: String): DataFrame =
+                     path: String): DataFrame = {
+    recoverIfSwapped(spark, path)
     spark.read.parquet(path).dropDuplicates("doc_id")
       .join(sigTombstones(spark, path).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
+  }
 
   /** The signature store's deletion facts, kept in a SIBLING directory
     * (`<path>_tombstones` — the store itself is a flat parquet dir, so
@@ -813,6 +927,7 @@ object Dedup {
   def compactSignatures(spark: org.apache.spark.sql.SparkSession,
                         path: String,
                         targetBytes: Long = 512L << 20): Unit = {
+    recoverIfSwapped(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no signature store at $path")
@@ -830,11 +945,138 @@ object Dedup {
     * let alone re-shingled. Tombstoned ids are skipped — a takedown
     * stays taken down until a re-bootstrap.
     */
-  def updateSignatures(newDocs: DataFrame, path: String, n: Int = 3): Unit =
-    minhashSignatures(newDocs, n)
+  def updateSignatures(newDocs: DataFrame, path: String, n: Int = 3): Unit = {
+    recoverIfSwapped(newDocs.sparkSession, path)
+    signatureRowsWithDl(newDocs, n)
       .join(sigTombstones(newDocs.sparkSession, path)
         .select(col("doc_id")), Seq("doc_id"), "left_anti")
       .write.mode("append").parquet(path)
+  }
+
+  /** Signature-store drift advisory [EXT, r13 — the s23/s26
+    * discipline on the THIRD persisted store]: compares the live
+    * store's own statistics against the baseline [[writeSignatures]]
+    * recorded, advising a re-shingle/re-band when the corpus has
+    * outgrown the n/k/bands knobs. One row:
+    *
+    *  - `n_ratio` — corpus growth (reported, not a trigger: unique
+    *    growth is what the O(delta) maintenance exists for);
+    *  - `avgdl_ratio` — average token count now / at init: catches an
+    *    upstream chunking or boilerplate change that shifts shingle
+    *    counts and with them the jaccard the thresholds were tuned on;
+    *  - `ppd_base` / `ppd_cur` / `pair_delta` — band-bucket candidate
+    *    PAIRS PER DOCUMENT at init vs now, and their difference: the
+    *    LSH load factor. Text-distinct growth holds it flat (fresh
+    *    minhash keys collide only at ~2⁻⁶⁴); duplicate mass arriving
+    *    (re-drained corpora, template floods) grows it — exactly when
+    *    bucket work per delta stops being constant and the banding
+    *    needs re-tuning (more bands / tighter rows / higher n);
+    *  - `stale` — pair_delta > tolPairs ∨ |avgdl_ratio − 1| > tolDl.
+    *
+    * Every input is an exact LONG off the store (row counts, dl sums,
+    * bucket masses), so the derived doubles are bit-identical to the
+    * corpus-scan twin ([[sigDriftReportScan]], spec-pinned) and the
+    * whole report replays in SQL (oracle-checked, s27). Cost: two
+    * KB-output aggregates over the signature table (k longs per doc —
+    * corpus-scale but thin), NO shingle or text read.
+    */
+  def sigDriftReportFromStore(spark: org.apache.spark.sql.SparkSession,
+                              path: String, tolPairs: Double = 0.5,
+                              tolDl: Double = 0.05): DataFrame = {
+    // baseline gate FIRST: a pre-r13 store has neither the baseline
+    // nor the dl column, and the stats aggregate below would throw an
+    // analysis error instead of the actionable message
+    recoverIfSwapped(spark, path)
+    val bp = new org.apache.hadoop.fs.Path(path + "_baseline")
+    val bfs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(bfs.exists(bp),
+      s"signature store at $path predates drift baselines — rebuild " +
+        "it (writeSignatures/initSignaturesIfStale) to record one")
+    val live = readSignatures(spark, path)
+    val s = live.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("dls")).collect()(0)
+    sigDriftTail(spark, path, s.getLong(0), s.getLong(1),
+      bandPairMass(live), tolPairs, tolDl)
+  }
+
+  /** The corpus-scan twin of [[sigDriftReportFromStore]]: the same
+    * report computed by re-signaturing `docs` directly — ONE shared
+    * tail, so the two surfaces are equal BIT FOR BIT over the same
+    * document set (spec-pinned). Use it to vet an external corpus
+    * against a store's baseline before draining it in.
+    */
+  def sigDriftReportScan(docs: DataFrame, path: String,
+                         tolPairs: Double = 0.5,
+                         tolDl: Double = 0.05): DataFrame = {
+    val spark = docs.sparkSession
+    // re-shingle with the STORE's own width (recorded at init) — a
+    // twin at a different n would compare incomparable pair masses
+    recoverIfSwapped(spark, path)
+    val bp = new org.apache.hadoop.fs.Path(path + "_baseline")
+    val bfs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(bfs.exists(bp),
+      s"signature store at $path predates drift baselines — rebuild " +
+        "it (writeSignatures/initSignaturesIfStale) to record one")
+    val nShingle = spark.read.parquet(path + "_baseline")
+      .collect()(0).getAs[Int]("n_shingle")
+    val rows = signatureRowsWithDl(
+      docs.select(col("doc_id"), col("text")).distinct(), nShingle)
+    val s = rows.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("dls")).collect()(0)
+    sigDriftTail(spark, path, s.getLong(0), s.getLong(1),
+      bandPairMass(rows), tolPairs, tolDl)
+  }
+
+  /** The advisory boolean from the store-fed report — the per-drain
+    * scheduler form (cost independent of corpus text size).
+    */
+  def resignatureAdvised(spark: org.apache.spark.sql.SparkSession,
+                         path: String, tolPairs: Double = 0.5,
+                         tolDl: Double = 0.05): Boolean =
+    sigDriftReportFromStore(spark, path, tolPairs, tolDl)
+      .collect()(0).getAs[Boolean]("stale")
+
+  /** Shared drift tail: the baseline longs vs current longs, however
+    * obtained (store read or corpus scan) — one definition so the two
+    * report forms cannot drift. All divisions are IEEE double in a
+    * fixed order, rounded to 6 with the −0.0 normalize.
+    */
+  private def sigDriftTail(spark: org.apache.spark.sql.SparkSession,
+                           path: String, nCur: Long, dlCur: Long,
+                           pmCur: Long, tolPairs: Double,
+                           tolDl: Double): DataFrame = {
+    import spark.implicits._
+    val bp = new org.apache.hadoop.fs.Path(path + "_baseline")
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(bp),
+      s"signature store at $path predates drift baselines — rebuild " +
+        "it (writeSignatures/initSignaturesIfStale) to record one")
+    val b = spark.read.parquet(path + "_baseline").collect()(0)
+    val (nb, dlb, pmb) = (b.getAs[Long]("n_docs"),
+      b.getAs[Long]("dl_sum"), b.getAs[Long]("pair_mass"))
+    require(nb > 0 && dlb > 0,
+      s"baseline at $path covers no token mass — rebuild on a " +
+        "non-empty corpus")
+    require(nCur > 0 && dlCur > 0,
+      s"signature store at $path covers no token mass — rebuild it")
+    Seq((nb, nCur, dlb, dlCur, pmb, pmCur))
+      .toDF("n_base", "n_current", "dl_b", "dl_c", "pm_b", "pm_c")
+      .select(col("n_base"), col("n_current"),
+        (round(col("n_current").cast("double") / col("n_base"), 6) +
+          lit(0.0d)).as("n_ratio"),
+        (round((col("dl_c").cast("double") / col("n_current")) /
+          (col("dl_b").cast("double") / col("n_base")), 6) +
+          lit(0.0d)).as("avgdl_ratio"),
+        (round(col("pm_b").cast("double") / col("n_base"), 6) +
+          lit(0.0d)).as("ppd_base"),
+        (round(col("pm_c").cast("double") / col("n_current"), 6) +
+          lit(0.0d)).as("ppd_cur"),
+        (round(col("pm_c").cast("double") / col("n_current") -
+          col("pm_b").cast("double") / col("n_base"), 6) +
+          lit(0.0d)).as("pair_delta"))
+      .withColumn("stale", col("pair_delta") > lit(tolPairs) ||
+        abs(col("avgdl_ratio") - lit(1.0d)) > lit(tolDl))
+  }
 
   /** Candidate pairs introduced by a corpus delta: appends `newDocs`'
     * signatures to the store ([[updateSignatures]]), then bands the
@@ -850,7 +1092,7 @@ object Dedup {
     // the tombstone gate sits on BOTH legs: the append (no dead rows
     // re-enter the store) and the delta band side below (a tombstoned
     // re-present must not emit pairs either)
-    val newSigs = minhashSignatures(newDocs, n)
+    val newSigs = signatureRowsWithDl(newDocs, n)
       .join(sigTombstones(spark, path).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

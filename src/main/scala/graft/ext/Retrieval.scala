@@ -193,14 +193,28 @@ object Retrieval {
     * lengths store (and the tombstoned ones — a takedown stays taken
     * down until a rebuild), so an at-least-once replay appends
     * NOTHING — not even the harmless bit-identical rows the
-    * fold-at-read distinct used to absorb — and a re-presented id
-    * with CHANGED text can never plant a second divergent posting set
-    * (which would double-count tf into every score silently).
+    * fold-at-read distinct used to absorb.
     * Re-texting a live id is a rebuild event ([[rebuildIndex]]). The
     * anti-join's survivor set is materialized (eager localCheckpoint,
     * delta-sized) BEFORE the appends, so the store is never read and
     * written by the same job. The stores remain append-only fact
     * logs; long-lived ones compact with the engine's Compactor.
+    *
+    * CRASH WINDOW (r13): the lengths row lands LAST, so a crash
+    * between the two appends leaves ids whose postings are planted
+    * but whose lengths row is missing. The lengths gate alone would
+    * let a RETRY with changed text through, planting a second
+    * divergent posting set that double-counts tf into every score
+    * silently. Survivors of the lengths gate therefore pass a second
+    * gate on the POSTINGS store's own ids: an id already holding
+    * postings appends no new postings under ANY retry text, and its
+    * missing lengths row is repaired from its OWN planted facts (dl
+    * is a posting column) — the retry COMPLETES the crashed update
+    * exactly, whatever text it carries. Cost: the postings scan is
+    * column-pruned to (doc_id, dl) and semi-joined against the
+    * delta-sized survivor ids (AQE broadcasts them while they fit),
+    * and it is paid only when the lengths gate let something through
+    * — an identical replay never reaches it.
     */
   def updateIndex(batch: DataFrame, indexStore: String): Unit = {
     val spark = batch.sparkSession
@@ -211,9 +225,32 @@ object Retrieval {
     val known = liveStore(spark, indexStore, "lengths", LengthsSchema)
       .select(col("doc_id"))
       .unionByName(tombstones(spark, indexStore).select(col("doc_id")))
-    val b = batch.select(col("doc_id"), col("text")).distinct()
+    val b0 = batch.select(col("doc_id"), col("text")).distinct()
       .join(known, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    if (b0.isEmpty) return
+    // crash-window gate + repair: ids that already hold postings are
+    // orphans of a crashed update — re-plant their lengths row from
+    // the postings' own dl, and append nothing else for them
+    val pPost = new org.apache.hadoop.fs.Path(s"$indexStore/postings")
+    val f = pPost.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphans =
+      if (!f.exists(pPost))
+        spark.emptyDataFrame.selectExpr(
+          "CAST(0 AS BIGINT) AS doc_id", "CAST(0 AS INT) AS dl").limit(0)
+      else spark.read.parquet(s"$indexStore/postings")
+        .select(col("doc_id"), col("dl"))
+        .join(b0.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .distinct()
+        .localCheckpoint(true) // ≤ |survivors| rows
+    val b =
+      if (orphans.isEmpty) b0
+      else {
+        orphans.select(col("doc_id"), col("dl").cast("long").as("dl"))
+          .write.mode("append").parquet(s"$indexStore/lengths")
+        b0.join(orphans.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+      }
     if (b.isEmpty) return
     b.select(col("doc_id"), size(toks).as("dl"),
         explode(toks).as("token"))
@@ -592,6 +629,12 @@ object Retrieval {
     * beforeSwap hook); the swap is all-or-nothing; a crash between
     * its renames restores from `__old` on the next read. Tombstones
     * clear with the rebuild (re-init semantics).
+    *
+    * Writer contract ([[graft.ext.VectorIndex.rebuild]]'s): ONE
+    * rebuilder per store path at a time, in the process that owns the
+    * store. In-process, [[graft.engine.Compactor.swapLock]] serializes
+    * the swap against every read's crash recovery; across processes
+    * nothing can.
     */
   def rebuildIndex(docs: DataFrame, indexStore: String): Unit =
     rebuildIndex(docs, indexStore, () => ())
@@ -617,20 +660,37 @@ object Retrieval {
     graft.engine.Compactor.swapInto(f, indexStore, tmp)
   }
 
+  /** Existence probe that first recovers a crash-interrupted
+    * [[rebuildIndex]] swap — the [[graft.ext.VectorIndex.exists]]
+    * discipline. The CLI (and any caller gating on "is there a store
+    * here?") must use THIS, not a raw FileSystem.exists: after a crash
+    * between the swap's renames the root is missing but `__old` holds
+    * the truth, and a raw probe would report "no index store" for a
+    * store one rename away from being served.
+    */
+  def indexExists(spark: org.apache.spark.sql.SparkSession,
+                  indexStore: String): Boolean = {
+    recoverIfSwapped(spark, indexStore)
+    val p = new org.apache.hadoop.fs.Path(indexStore)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p)
+  }
+
   /** Crash recovery for an interrupted [[rebuildIndex]] swap — the
     * [[graft.ext.VectorIndex]] discipline: a missing root with a
     * surviving `__old` restores the previous copy before any read or
     * write. Called from [[liveStore]]'s consumers via [[readStore]].
     */
   private def recoverIfSwapped(spark: org.apache.spark.sql.SparkSession,
-                               indexStore: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(indexStore)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pOld = new org.apache.hadoop.fs.Path(indexStore + "__old")
-    if (!f.exists(p) && f.exists(pOld))
-      require(f.rename(pOld, p),
-        s"index store recovery failed: cannot restore $pOld to $p")
-  }
+                               indexStore: String): Unit =
+    graft.engine.Compactor.swapLock.synchronized {
+      val p = new org.apache.hadoop.fs.Path(indexStore)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pOld = new org.apache.hadoop.fs.Path(indexStore + "__old")
+      if (!f.exists(p) && f.exists(pOld))
+        require(f.rename(pOld, p),
+          s"index store recovery failed: cannot restore $pOld to $p")
+    }
 
   /** Lexical drift advisory, fed ENTIRELY from the persisted stores —
     * the [[graft.ext.VectorIndex.driftReportFromStats]] discipline on
@@ -717,6 +777,12 @@ object Retrieval {
 
   private def readVocab(spark: org.apache.spark.sql.SparkSession,
                         indexStore: String): DataFrame = {
+    // every store entry point recovers a crash-interrupted rebuild
+    // swap first (the liveStore/tombstones discipline) — without this,
+    // a drift report after an interrupted swap failed with the
+    // misleading "predates drift baselines" error instead of serving
+    // the restored previous copy
+    recoverIfSwapped(spark, indexStore)
     val p = new org.apache.hadoop.fs.Path(s"$indexStore/baseline/vocab")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(f.exists(p),
@@ -899,5 +965,49 @@ object Retrieval {
 
     rrfFuse(lexRankFromStore(spark, indexStore, queries, depth, k1, b),
       denseRank, k, c)
+  }
+
+  /** DIVERSIFIED hybrid retrieval — the MMR tail after the RRF fuse
+    * (r13), completing the hybrid serving matrix the way s24 completed
+    * the dense one: [[hybridQueryStoresRerank]] nominates and fuses a
+    * top-`poolSize` pool per query (stores nominate, exact-tail dense
+    * re-rank, shared RRF fuse), then ONLY the fused pool's ORIGINAL
+    * vectors are fetched from the corpus parquet by a second pushed
+    * vec_id filter and the greedy MMR ([[graft.ext.Similarity
+    * .mmrRerank]], λ·fused − (1−λ)·max-sim-to-picked) re-ranks to the
+    * final k — near-duplicate fused hits stop crowding the cut.
+    * Relevance = the fused RRF score (round-6 grid); pairwise sims =
+    * exact rounded-4 cosine over the fetched originals. The only
+    * corpus reads in the executed plan are the two pushed fetches
+    * (dense-nominee re-rank + pool diversify, |Q|·depth rows each —
+    * spec-pinned). Oracle-checked (s28): the s25 chain, the pool cut,
+    * and the unrolled greedy replay end-to-end.
+    */
+  def hybridQueryStoresDiversify(spark: org.apache.spark.sql.SparkSession,
+                                 indexStore: String, vectorStore: String,
+                                 corpus: DataFrame,
+                                 queries: Seq[(Long, Seq[String])],
+                                 queryVecs: DataFrame, k: Int = 4,
+                                 poolSize: Int = 12, depth: Int = 20,
+                                 c: Int = 60, nprobe: Int = 4,
+                                 lambda: Double = 0.7, k1: Double = 1.2,
+                                 b: Double = 0.75): DataFrame = {
+    require(poolSize >= k,
+      s"pool ($poolSize) must cover k ($k)")
+    val fused = hybridQueryStoresRerank(spark, indexStore, vectorStore,
+      corpus, queries, queryVecs, k = poolSize, depth = depth, c = c,
+      nprobe = nprobe, k1 = k1, b = b)
+    // the fused pool's ids, collected (|Q|·pool longs — KB) to push
+    // the fetch into the corpus scan as an In filter
+    val ids = fused.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val fetched = corpus
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").cast("long").as("doc_id"),
+        col("embedding").cast("array<double>").as("emb"))
+    val pool = fused.join(fetched, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id").as("vec_id"),
+        col("emb"), col("fused").as("rel"))
+    Similarity.mmrRerank(pool, k, lambda)
   }
 }

@@ -84,14 +84,22 @@ object VectorIndex {
     * before any read or write (the BackupCatalog.recoverIfNeeded
     * discipline). Called from [[exists]], which gates every entry
     * point.
+    *
+    * The probe-then-rename pair runs under [[graft.engine.Compactor
+    * .swapLock]]: "root missing, __old present" is ALSO what a healthy
+    * in-flight swap looks like between its two renames, and an
+    * unserialized recovery would rename `__old` back mid-swap,
+    * aborting the live rebuild (r13; in-process only — across
+    * processes the store assumes a SINGLE writer, see [[rebuild]]).
     */
-  private def recoverIfSwapped(spark: SparkSession, store: String): Unit = {
-    val (p, f) = fs(spark, store)
-    val pOld = new org.apache.hadoop.fs.Path(store + "__old")
-    if (!f.exists(p) && f.exists(pOld))
-      require(f.rename(pOld, p),
-        s"store recovery failed: cannot restore $pOld to $p")
-  }
+  private def recoverIfSwapped(spark: SparkSession, store: String): Unit =
+    graft.engine.Compactor.swapLock.synchronized {
+      val (p, f) = fs(spark, store)
+      val pOld = new org.apache.hadoop.fs.Path(store + "__old")
+      if (!f.exists(p) && f.exists(pOld))
+        require(f.rename(pOld, p),
+          s"store recovery failed: cannot restore $pOld to $p")
+    }
 
   private def readMeta(spark: SparkSession, store: String): IndexMeta = {
     require(exists(spark, store),
@@ -218,6 +226,13 @@ object VectorIndex {
     * place — correct for bootstrap, unsafe under live readers.
     * Tombstones clear with the rebuild (the re-init semantics:
     * takedowns are honored by excluding the rows from `embeddings`).
+    *
+    * Writer contract: ONE rebuilder per store path at a time, in the
+    * process that owns the store (readers are free). In-process,
+    * [[graft.engine.Compactor.swapLock]] serializes the swap against
+    * every concurrent read's crash recovery; across processes nothing
+    * can — a second JVM recovering mid-swap would rename `__old` back
+    * and abort the live rebuild.
     */
   def rebuild(embeddings: DataFrame, store: String, nlist: Int = 0,
               m: Int = 8, ksub: Int = 16, dim: Int = 64, iters: Int = 1,

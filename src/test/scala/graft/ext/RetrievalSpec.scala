@@ -483,6 +483,64 @@ class RetrievalSpec extends SparkTestBase {
       s"token filter not pushed into the postings scan:\n$p")
   }
 
+  test("hybridQueryStoresDiversify: the MMR tail over the fused pool's " +
+    "exact originals — picks == the by-hand composition, pick 1 is the " +
+    "fused top-1, every pick is in the pool, k per query") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val e = Tables.embeddings(spark, sf0001)
+    val queries = Seq(0L -> Seq("dup", "merge"),
+      1L -> Seq("spark", "window"))
+    val bmStore = tmpDir("hybd-bm25") + "/idx"
+    val vStore = tmpDir("hybd-vidx") + "/idx"
+    Retrieval.initIndexIfStale(docs, bmStore)
+    VectorIndex.init(e, vStore, coarseIters = 2)
+    val qVecs = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toSeq
+      .map { case (id, emb) => (id, emb.toSeq) }
+      .toDF("vec_id", "embedding")
+    val (k, pool, lambda) = (4, 12, 0.7)
+    val got = Retrieval.hybridQueryStoresDiversify(spark, bmStore,
+      vStore, e, queries, qVecs, k = k, poolSize = pool, depth = 20,
+      lambda = lambda).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the by-hand composition: fused pool -> original fetch -> greedy
+    val fused = Retrieval.hybridQueryStoresRerank(spark, bmStore,
+      vStore, e, queries, qVecs, k = pool, depth = 20)
+    val fusedRows = fused.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+    val poolDf = fusedRows
+      .toDF("query_id", "vec_id", "rel")
+      .join(e.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("emb")), Seq("vec_id"))
+    val want = Similarity.mmrRerank(poolDf, k, lambda).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want,
+      s"diversified picks diverged from the by-hand composition:\n" +
+        s"got $got\nwant $want")
+    // shape: k picks per query, ranks 1..k, every pick from the pool,
+    // pick 1 == the fused top-1 (MMR round 1 is pure relevance)
+    val byQ = got.groupBy(_._1)
+    for ((q, picks) <- byQ) {
+      assert(picks.map(_._3).toSeq.sorted == (1 to k),
+        s"query $q pick ranks not 1..$k: $picks")
+      val poolIds = fusedRows.filter(_._1 == q).map(_._2).toSet
+      assert(picks.map(_._2).forall(poolIds.contains),
+        s"query $q picked outside the fused pool")
+      val top1 = fusedRows.filter(_._1 == q)
+        .maxBy(r => (r._3, -r._2))._2
+      assert(picks.find(_._3 == 1).get._2 == top1,
+        s"query $q pick 1 is not the fused top-1")
+    }
+    // determinism: a second run picks identically
+    assert(Retrieval.hybridQueryStoresDiversify(spark, bmStore, vStore,
+      e, queries, qVecs, k = k, poolSize = pool, depth = 20,
+      lambda = lambda).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == got)
+  }
+
   test("lexical drift advisory: store-fed == corpus-scan bit for bit, " +
     "self-report is identity, OOV and df-mass plants trip, " +
     "same-distribution growth does not, no corpus scan, pre-baseline " +
@@ -624,6 +682,103 @@ class RetrievalSpec extends SparkTestBase {
         tmpDir("bm25-rebuild-none") + "/missing")
     }
     assert(ex.getMessage.contains("to rebuild"))
+  }
+
+  test("every store entry point recovers an interrupted rebuild swap: " +
+    "drift reports and indexExists serve the restored store instead of " +
+    "failing with a misleading error") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val store = tmpDir("bm25-recover-all") + "/idx"
+    Retrieval.initIndexIfStale(docs, store)
+    val want = Retrieval.lexDriftReportFromIndex(spark, store)
+      .collect()(0).toSeq
+    def crashSwap(): Unit = {
+      val p = new org.apache.hadoop.fs.Path(store)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(f.rename(p, new org.apache.hadoop.fs.Path(store + "__old")))
+    }
+    // store-fed report: readVocab used to require() on the missing
+    // root ("predates drift baselines") without attempting recovery
+    crashSwap()
+    assert(Retrieval.lexDriftReportFromIndex(spark, store)
+      .collect()(0).toSeq == want,
+      "lexDriftReportFromIndex did not recover the swapped store")
+    // corpus-scan twin and the advisory boolean go through the same
+    // recovery
+    crashSwap()
+    assert(!Retrieval.rebaselineAdvised(spark, store))
+    crashSwap()
+    assert(Retrieval.lexDriftReportScan(docs, store)
+      .collect()(0).toSeq == want)
+    // the CLI's probe: a raw FileSystem.exists reports "no store" for
+    // a store one rename from live; indexExists restores it first
+    crashSwap()
+    assert(Retrieval.indexExists(spark, store),
+      "indexExists reported a recoverable store as missing")
+    assert(!Retrieval.indexExists(spark,
+      tmpDir("bm25-recover-none") + "/missing"))
+  }
+
+  test("updateIndex crash window: a crash between the postings and " +
+    "lengths appends, then a retry with CHANGED text, completes the " +
+    "ORIGINAL update exactly — no divergent posting set, lengths " +
+    "repaired from the planted postings") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .filter(col("doc_id") < 100)
+    val store = tmpDir("idx-crashwin") + "/idx"
+    Retrieval.updateIndex(docs, store)
+    // simulate the crash: doc 999's postings land (copied from a
+    // scratch store built over the ORIGINAL text), its lengths row
+    // does not
+    val origText = "dup dup merge spark window"
+    val scratch = tmpDir("idx-crashwin-scratch") + "/idx"
+    Retrieval.updateIndex(
+      Seq((999L, origText)).toDF("doc_id", "text"), scratch)
+    spark.read.parquet(s"$scratch/postings")
+      .write.mode("append").parquet(s"$store/postings")
+    val planted = spark.read.parquet(s"$scratch/postings")
+      .collect().map(_.toSeq).toSet
+    // the retry carries CHANGED text for the orphan + one genuinely
+    // new doc — the old lengths-only gate would plant a second
+    // divergent posting set for 999, double-counting tf silently
+    Retrieval.updateIndex(Seq(
+      (999L, "utterly different retry text entirely"),
+      (1000L, "merge merge shuffle")).toDF("doc_id", "text"), store)
+    val after999 = spark.read.parquet(s"$store/postings")
+      .filter(col("doc_id") === 999L).collect().map(_.toSeq).toSet
+    assert(after999 == planted,
+      s"retry altered 999's posting set: $after999 vs $planted")
+    val len999 = spark.read.parquet(s"$store/lengths")
+      .filter(col("doc_id") === 999L).collect()
+    assert(len999.length == 1 && len999(0).getAs[Long]("dl") == 5L,
+      s"orphan lengths not repaired from its own postings: " +
+        s"${len999.toSeq}")
+    // the genuinely new doc indexed normally
+    assert(spark.read.parquet(s"$store/lengths")
+      .filter(col("doc_id") === 1000L).count() == 1)
+    // the repaired store == one built in a single clean pass over the
+    // effective corpus (base + ORIGINAL 999 + 1000)
+    val effective = docs.unionByName(Seq((999L, origText),
+      (1000L, "merge merge shuffle")).toDF("doc_id", "text"))
+    val clean = tmpDir("idx-crashwin-clean") + "/idx"
+    Retrieval.updateIndex(effective, clean)
+    val terms = Seq("dup", "merge", "spark", "shuffle")
+    assert(Retrieval.queryIndex(spark, store, terms, 20)
+      .collect().map(_.toSeq).toSeq ==
+      Retrieval.queryIndex(spark, clean, terms, 20)
+        .collect().map(_.toSeq).toSeq,
+      "repaired store diverged from a clean single-pass build")
+    // an identical replay after the repair appends nothing
+    def files(sub: String): Int =
+      new java.io.File(s"$store/$sub").listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    val (pf, lf) = (files("postings"), files("lengths"))
+    Retrieval.updateIndex(Seq((999L, origText)).toDF("doc_id", "text"),
+      store)
+    assert(files("postings") == pf && files("lengths") == lf,
+      "replay after the crash repair wrote to the stores")
   }
 
   test("hybridTopK fuses the two rankings by RRF: hand-derived fused " +

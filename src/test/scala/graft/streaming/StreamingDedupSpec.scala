@@ -58,7 +58,7 @@ class StreamingDedupSpec extends SparkTestBase {
     // store == full-rebuild signatures (the ZoneMap contract)
     val viaStore = Dedup.readSignatures(spark, store)
       .collect().map(_.toSeq).toSet
-    val rebuild = Dedup.minhashSignatures(grown)
+    val rebuild = Dedup.signatureRowsWithDl(grown, 3)
       .collect().map(_.toSeq).toSet
     assert(viaStore == rebuild)
 
