@@ -93,6 +93,51 @@ object TableOps {
     total
   }
 
+  /** Payload-plane takedown for a purged session ([EXT], r13 — the
+    * disk half of BackupCatalog.purgeSession): delete the session's
+    * export tree `<destRoot>/<session>/` (the reference layout,
+    * export.rb:76) through the checked-rename discipline. The live dir
+    * is first RENAMED to `<session>__purging` — one atomic namespace
+    * operation, so a reader never lists a half-deleted session — and
+    * only the staged dir is deleted recursively. A crash mid-delete
+    * leaves `__purging`, which the NEXT invocation resumes deleting
+    * (the recoverIfSwapped discipline, inverted: here the orphan dir
+    * is garbage, not truth); a replay with everything already gone is
+    * a clean no-op. Returns true if any payload was removed (live or
+    * a crashed stage), false for the nothing-to-do replay.
+    *
+    * Exact names only: a pattern takedown is refused loudly (the
+    * purgeSession contract — takedowns are deliberate), as is a name
+    * that would escape the session namespace.
+    */
+  def purgeSessionData(spark: SparkSession, destRoot: String,
+                       session: String): Boolean = {
+    require(session.nonEmpty && !session.contains("%") &&
+      !session.contains("*") && !session.contains("/") &&
+      session != "." && session != "..",
+      s"--purge-data needs an exact session name, got '$session'")
+    val root = if (destRoot.endsWith("/")) destRoot else destRoot + "/"
+    val live = new Path(root + session)
+    val staged = new Path(root + session + "__purging")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.engine.Compactor.swapLock.synchronized {
+      // a crashed earlier purge left a stage: clear it FIRST (renaming
+      // onto an occupied stage is scheme-dependent; never risk it)
+      val hadStaged = fs.exists(staged)
+      if (hadStaged)
+        require(fs.delete(staged, true),
+          s"cannot delete staged purge dir $staged")
+      val hadLive = fs.exists(live)
+      if (hadLive) {
+        require(fs.rename(live, staged),
+          s"cannot stage $live for deletion")
+        require(fs.delete(staged, true),
+          s"cannot delete staged purge dir $staged")
+      }
+      hadLive || hadStaged
+    }
+  }
+
   /** Read back a saved info payload (round-trip of S8). */
   def readInfo(spark: SparkSession, url: String): String = {
     val path = new Path(url)
