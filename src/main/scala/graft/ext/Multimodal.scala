@@ -1215,6 +1215,169 @@ object Multimodal {
     }
   }
 
+  final case class FlacMeta(metaBytes: Long, nBlocks: Int,
+                            sampleRate: Int, nChannels: Int,
+                            bitsPerSample: Int, totalSamples: Long,
+                            durationMs: Long, audioBytes: Long)
+
+  /** The synth's sample-rate / bit-depth menus (all spec-legal FLAC
+    * values) — shared with the m10 oracle generator so the two cannot
+    * drift. FLAC's STREAMINFO carries the rate as a 20-bit literal
+    * (no index table in the format itself).
+    */
+  private[graft] val FlacSampleRates: Array[Int] =
+    Array(8000, 16000, 22050, 24000, 32000, 44100, 48000, 96000)
+  private[graft] val FlacBitDepths: Array[Int] = Array(8, 12, 16, 20, 24)
+
+  def looksLikeFlac(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && payload(0) == 'f' && payload(1) == 'L' &&
+      payload(2) == 'a' && payload(3) == 'C'
+
+  /** REAL metadata walk for FLAC (the xiph format spec / RFC 9639):
+    * the "fLaC" magic, then metadata blocks — 1-byte header (bit 7 =
+    * last-block flag, bits 0–6 = type; 127 is invalid) + 24-bit
+    * big-endian length — with STREAMINFO (type 0, exactly 34 bytes)
+    * REQUIRED first: min/max block size, min/max frame size, then the
+    * packed 64 bits of sample rate (20b, 0 is invalid), channels−1
+    * (3b), bits-per-sample−1 (5b) and total samples (36b), and the
+    * 16-byte MD5. The walk stops at the last-flagged block — the
+    * audio frames after it are counted as bytes, not parsed (the
+    * pre-decode filter shape: CRC-less header facts without touching
+    * codec data). None for non-FLAC or corrupt payloads — every
+    * length is bounds-checked, a first block that is not a 34-byte
+    * STREAMINFO is refused — so hostile or truncated bytes fail soft
+    * instead of mis-slicing (spec-pinned).
+    */
+  private[ext] def parseFlac(payload: Array[Byte]): Option[FlacMeta] =
+    if (!looksLikeFlac(payload)) None
+    else
+      try {
+        val len = payload.length
+        var off = 4L
+        var nBlocks = 0
+        var last = false
+        var rate = 0; var ch = 0; var bps = 0; var tot = 0L
+        while (!last) {
+          if (off + 4 > len) return None // truncated block header
+          val h = payload(off.toInt) & 0xff
+          last = (h & 0x80) != 0
+          val btype = h & 0x7f
+          if (btype == 127) return None // invalid type per spec
+          val blen = ((payload(off.toInt + 1) & 0xff) << 16) |
+            ((payload(off.toInt + 2) & 0xff) << 8) |
+            (payload(off.toInt + 3) & 0xff)
+          if (nBlocks == 0) {
+            if (btype != 0 || blen != 34) return None // STREAMINFO first
+            val b = off.toInt + 4
+            if (b + 34 > len) return None
+            val b10 = payload(b + 10) & 0xff
+            val b11 = payload(b + 11) & 0xff
+            val b12 = payload(b + 12) & 0xff
+            val b13 = payload(b + 13) & 0xff
+            rate = (b10 << 12) | (b11 << 4) | (b12 >>> 4)
+            ch = ((b12 >>> 1) & 7) + 1
+            bps = (((b12 & 1) << 4) | (b13 >>> 4)) + 1
+            tot = ((b13 & 0x0f).toLong << 32) |
+              ((payload(b + 14) & 0xff).toLong << 24) |
+              ((payload(b + 15) & 0xff).toLong << 16) |
+              ((payload(b + 16) & 0xff).toLong << 8) |
+              (payload(b + 17) & 0xff).toLong
+            if (rate == 0) return None // spec: 0 is invalid
+          }
+          off += 4L + blen
+          if (off > len) return None // length past payload end
+          nBlocks += 1
+        }
+        Some(FlacMeta(off, nBlocks, rate, ch, bps, tot,
+          tot * 1000L / rate, len - off))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Wrap documents as REAL minimal FLAC files — the lossless-audio
+    * sibling of [[asMp3Assets]]: a spec-correct STREAMINFO (rate /
+    * channels / bit depth / total samples deterministic over the text
+    * byte count n, packed into the 64-bit field exactly as RFC 9639
+    * lays it out), then the text bytes as the LAST metadata block (a
+    * VORBIS_COMMENT envelope of length n — the standard tag block),
+    * then 1 + n mod 17 unparsed audio-section bytes. The m10 query
+    * walks them back ([[parseFlac]]) and its oracle replays the fact
+    * formulas and the size arithmetic, so a writer or parser drifting
+    * from the layout mismatches on every row.
+    */
+  def asFlacAssets(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          MediaAsset(id, "audio/flac", flacBytes(body))
+        }
+      }.toDF()
+  }
+
+  /** The minimal valid FLAC around `body`: magic + STREAMINFO +
+    * body-bearing VORBIS_COMMENT (last block) + the zeroed audio
+    * section. [[parseFlac]] must read THESE bytes back.
+    */
+  private[ext] def flacBytes(body: Array[Byte]): Array[Byte] = {
+    val n = body.length
+    val rate = FlacSampleRates(n % 8)
+    val ch = 1 + n % 8
+    val bps = FlacBitDepths(n % 5)
+    val total = 1000L + (n.toLong * 441L) % 1000000L
+    val audio = 1 + n % 17
+    val b = java.nio.ByteBuffer.allocate(4 + 38 + 4 + n + audio)
+    b.put("fLaC".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    // STREAMINFO: not last, type 0, 24-bit length 34
+    b.put(0x00.toByte).put(0x00.toByte).put(0x00.toByte).put(34.toByte)
+    b.putShort(4096.toShort).putShort(4096.toShort) // min/max block size
+    b.put(0.toByte).put(0.toByte).put(0.toByte)     // min frame size: unknown
+    b.put(0.toByte).put(0.toByte).put(0.toByte)     // max frame size: unknown
+    b.put((rate >>> 12).toByte)
+    b.put(((rate >>> 4) & 0xff).toByte)
+    b.put((((rate & 0xf) << 4) | ((ch - 1) << 1) |
+      ((bps - 1) >>> 4)).toByte)
+    b.put(((((bps - 1) & 0xf) << 4) | ((total >>> 32) & 0xf).toInt).toByte)
+    b.put(((total >>> 24) & 0xff).toByte)
+    b.put(((total >>> 16) & 0xff).toByte)
+    b.put(((total >>> 8) & 0xff).toByte)
+    b.put((total & 0xff).toByte)
+    b.put(new Array[Byte](16)) // MD5: unknown (zeros are legal)
+    // VORBIS_COMMENT, LAST block, length n, the body bytes
+    b.put((0x80 | 4).toByte)
+    b.put(((n >>> 16) & 0xff).toByte).put(((n >>> 8) & 0xff).toByte)
+    b.put((n & 0xff).toByte)
+    b.put(body)
+    // the audio section: `audio` zero bytes, counted not parsed
+    b.array()
+  }
+
+  final case class FlacFeatures(doc_id: Long, n_bytes: Long,
+                                meta_bytes: Long, n_blocks: Int,
+                                sample_rate: Int, n_channels: Int,
+                                bits_per_sample: Int, total_samples: Long,
+                                duration_ms: Long, audio_bytes: Long)
+
+  /** The m10 feature path: walk each asset's metadata blocks and emit
+    * the container facts — the same batched narrow-map boundary as
+    * [[mp3Features]]. Non-FLAC or corrupt payloads emit the all-zero
+    * fact row rather than failing the task.
+    */
+  def flacFeatures(spark: SparkSession,
+                   assets: DataFrame): Dataset[FlacFeatures] = {
+    import spark.implicits._
+    assets.as[MediaAsset].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          val m = parseFlac(a.payload).getOrElse(
+            FlacMeta(0L, 0, 0, 0, 0, 0L, 0L, 0L))
+          FlacFeatures(a.doc_id, a.payload.length.toLong, m.metaBytes,
+            m.nBlocks, m.sampleRate, m.nChannels, m.bitsPerSample,
+            m.totalSamples, m.durationMs, m.audioBytes)
+        }
+      }
+    }
+  }
+
   /** Bytes → (width, height, n_frames, sample_rate, n_channels,
     * duration_ms). Real pixel dimensions for image payloads
     * (`javax.imageio`), real sample rate / channels / PCM frame count
@@ -1263,11 +1426,18 @@ object Multimodal {
                   // sample-arithmetic duration
                   (0, 0, a.nFrames, a.sampleRate, a.nChannels,
                     a.durationMs)
-                case None =>
-                  val n = payload.length.toLong
-                  val width = (64 + n % 960).toInt
-                  val height = (64 + (n * 31) % 960).toInt
-                  (width, height, 1, 0, 0, 0L)
+                case None => parseFlac(payload) match {
+                  case Some(fl) =>
+                    // STREAMINFO facts are real ([[parseFlac]]); the
+                    // frame count would need the frame headers this
+                    // walk deliberately skips
+                    (0, 0, 1, fl.sampleRate, fl.nChannels, fl.durationMs)
+                  case None =>
+                    val n = payload.length.toLong
+                    val width = (64 + n % 960).toInt
+                    val height = (64 + (n * 31) % 960).toInt
+                    (width, height, 1, 0, 0, 0L)
+                }
               }
             }
           }

@@ -1521,4 +1521,61 @@ class SimilaritySpec extends SparkTestBase {
     assert(Multimodal.parseMp3(frame(2, 4, 1) ++ frame(2, 4, 2)).isEmpty,
       "mid-stream sample-rate change did not fail soft")
   }
+
+  test("FLAC walk: synthesized fixture round-trips fact for fact; " +
+    "extra metadata blocks count; hostile payloads fail soft") {
+    val n = 100
+    val body = Array.tabulate(n)(i => (i % 251).toByte)
+    val payload = Multimodal.flacBytes(body)
+    val rate = Multimodal.FlacSampleRates(n % 8)
+    val total = 1000L + (n.toLong * 441L) % 1000000L
+    val audio = 1 + n % 17
+    // the size contract the m10 oracle replays
+    assert(payload.length == 46 + n + audio)
+    val m = Multimodal.parseFlac(payload).get
+    assert(m.metaBytes == 46 + n && m.nBlocks == 2)
+    assert(m.sampleRate == rate && m.nChannels == 1 + n % 8 &&
+      m.bitsPerSample == Multimodal.FlacBitDepths(n % 5))
+    assert(m.totalSamples == total &&
+      m.durationMs == total * 1000L / rate)
+    assert(m.audioBytes == audio)
+    // decode() integration: STREAMINFO facts flow into the tuple
+    val (w, h, f, r, ch, ms) = Multimodal.decode(payload)
+    assert(w == 0 && h == 0 && f == 1 && r == rate &&
+      ch == m.nChannels && ms == m.durationMs)
+    // a hand-built three-block file (STREAMINFO + PADDING + last
+    // SEEKTABLE): the walk counts blocks it does not understand
+    val si = payload.slice(0, 42) // magic + STREAMINFO
+    val padding = Array[Byte](0x01, 0, 0, 2, 0, 0)
+    val seektable = Array[Byte]((0x80 | 3).toByte, 0, 0, 0)
+    val multi = si ++ padding ++ seektable ++ Array.fill(5)(0x7a.toByte)
+    val mm = Multimodal.parseFlac(multi).get
+    assert(mm.nBlocks == 3 && mm.sampleRate == rate &&
+      mm.audioBytes == 5, s"multi-block walk wrong: $mm")
+    // fail-soft: plain text, truncated magic, truncated STREAMINFO,
+    // a first block that is not STREAMINFO, a block length past the
+    // end, the invalid type 127, and a zero sample rate
+    assert(Multimodal.parseFlac("plain text".getBytes).isEmpty)
+    assert(Multimodal.parseFlac(payload.take(3)).isEmpty)
+    assert(Multimodal.parseFlac(payload.take(20)).isEmpty,
+      "truncated STREAMINFO did not fail soft")
+    val notFirst = payload.clone()
+    notFirst(4) = 0x01.toByte // PADDING first: refused
+    assert(Multimodal.parseFlac(notFirst).isEmpty,
+      "non-STREAMINFO first block did not fail soft")
+    val hostileLen = payload.clone()
+    hostileLen(43) = 0x7f.toByte // tag length far past the buffer
+    assert(Multimodal.parseFlac(hostileLen).isEmpty,
+      "hostile block length did not fail soft")
+    val bad127 = si ++ Array[Byte]((0x80 | 127).toByte, 0, 0, 0)
+    assert(Multimodal.parseFlac(bad127).isEmpty,
+      "invalid block type 127 did not fail soft")
+    // STREAMINFO body starts at offset 8; rate lives in bytes 18, 19
+    // and the high nibble of 20
+    val zeroRate = payload.clone()
+    zeroRate(18) = 0; zeroRate(19) = 0
+    zeroRate(20) = (zeroRate(20) & 0x0f).toByte
+    assert(Multimodal.parseFlac(zeroRate).isEmpty,
+      "zero sample rate did not fail soft")
+  }
 }
