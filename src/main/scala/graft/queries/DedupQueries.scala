@@ -164,7 +164,41 @@ object DedupQueries {
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)
+    },
+
+    /** s27 — signature-store drift advisory, fed entirely from the
+      * persisted dedup store (the s23/s26 discipline on the THIRD
+      * persisted store): the store inits on a base slice — recording
+      * (n, token mass, band-bucket pair mass) as the baseline — then
+      * drains a delta of MASS DUPLICATES (base texts re-presented
+      * under fresh ids, the re-drained-corpus failure mode), and the
+      * report compares the store's own statistics against the
+      * baseline: growth and avgdl ratios, candidate pairs per doc at
+      * init vs now, and the advisory boolean — NO text re-read. The
+      * oracle replays the whole minhash/banding chain from the
+      * documents table: every input is an exact integer, so store-fed
+      * == corpus arithmetic bit for bit.
+      */
+    "s27_sig_drift" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val base = docs.filter(col("doc_id").cast("long") % 4 =!= 3)
+      val delta = docs.filter(col("doc_id").cast("long") % 4 === 0)
+        .select((col("doc_id").cast("long") + org.apache.spark.sql
+          .functions.lit(3L)).as("doc_id"), col("text"))
+      val store = sigDriftStoreFor(d)
+      Dedup.initSignaturesIfStale(base, store)
+      Dedup.updateSignatures(delta, store)
+      Dedup.sigDriftReportFromStore(s, store)
     })
+
+  /** s27's store root — keyed by corpus dir (the [[graft.queries
+    * .SimilarityQueries]] indexStoreFor discipline); staleness against
+    * a regenerated corpus handled by the recorded fingerprint.
+    */
+  private def sigDriftStoreFor(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sig_store_" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "_s27"
 
   /** Distinct word-3-gram shingles per doc, DuckDB side. */
   private val shinglesCte =
@@ -220,6 +254,73 @@ object DedupQueries {
        |SELECT id AS doc_id, MIN(r) AS cluster_id,
        |  (id = MIN(r)) AS survivor
        |FROM reach GROUP BY id""".stripMargin
+
+  /** The s27 replay: the d03 signature chain applied to a BASE slice
+    * and to the grown (base + duplicate-delta) corpus, each reduced to
+    * (n, dl_sum, band pair mass), then the shared drift-report tail.
+    */
+  private val s27Sql = {
+    val minhashCols = (0 until K).map(i =>
+      s"MIN(${minhashTermSql(i, "h")}) AS mh$i").mkString(",\n    ")
+    def side(p: String, rel: String): String = {
+      val bandSelects = (0 until NumBands).map { b =>
+        val keyParts = (0 until RowsPerBand)
+          .map(r => s"mh${b * RowsPerBand + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, concat_ws('_', $keyParts) AS key " +
+          s"FROM ${p}sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""${p}sh AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(len(string_split(text, ' ')) - 2),
+         |        i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+         |    FROM $rel)),
+         |${p}h AS (SELECT doc_id, ${base60Sql("s")} AS h FROM ${p}sh),
+         |${p}sigs AS (
+         |  SELECT doc_id,
+         |    $minhashCols
+         |  FROM ${p}h GROUP BY doc_id),
+         |${p}dl AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+         |    AS dl FROM $rel),
+         |${p}stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS ${p}n,
+         |    CAST(SUM(dl) AS BIGINT) AS ${p}dls
+         |  FROM ${p}sigs JOIN ${p}dl USING (doc_id)),
+         |${p}band AS (
+         |  $bandSelects),
+         |${p}pm AS (
+         |  SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) AS BIGINT)
+         |    AS ${p}pmv
+         |  FROM (SELECT band, key, COUNT(*) AS c FROM ${p}band
+         |        GROUP BY band, key))""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
+       |delta AS (
+       |  SELECT doc_id + 3 AS doc_id, text FROM documents
+       |  WHERE doc_id % 4 = 0),
+       |cur AS (
+       |  SELECT * FROM base UNION ALL SELECT * FROM delta),
+       |${side("b", "base")},
+       |${side("c", "cur")},
+       |rep AS (
+       |  SELECT bn AS n_base, cn AS n_current,
+       |    round(CAST(cn AS DOUBLE) / bn, 6) + 0.0 AS n_ratio,
+       |    round((CAST(cdls AS DOUBLE) / cn) /
+       |      (CAST(bdls AS DOUBLE) / bn), 6) + 0.0 AS avgdl_ratio,
+       |    round(CAST(bpmv AS DOUBLE) / bn, 6) + 0.0 AS ppd_base,
+       |    round(CAST(cpmv AS DOUBLE) / cn, 6) + 0.0 AS ppd_cur,
+       |    round(CAST(cpmv AS DOUBLE) / cn -
+       |      CAST(bpmv AS DOUBLE) / bn, 6) + 0.0 AS pair_delta
+       |  FROM bstats, cstats, bpm, cpm)
+       |SELECT n_base, n_current, n_ratio, avgdl_ratio, ppd_base,
+       |  ppd_cur, pair_delta,
+       |  (pair_delta > CAST(0.5 AS DOUBLE)
+       |   OR ABS(avgdl_ratio - CAST(1.0 AS DOUBLE))
+       |      > CAST(0.05 AS DOUBLE)) AS stale
+       |FROM rep""".stripMargin
+  }
 
   private val d03Sql = {
     val minhashCols = (0 until K).map(i =>
@@ -528,6 +629,13 @@ object DedupQueries {
     "d03_minhash_lsh" -> d03Sql,
     "d13_minhash_estimate" -> d13Sql,
     "d14_cross_contamination" -> d14Sql,
+    // s27: the signature-store drift report recomputed from the
+    // documents table — base-slice baseline, the duplicate-mass delta,
+    // the full minhash/banding chain per side, exact long pair masses,
+    // and the report arithmetic (double divisions in the operator's
+    // order, round-6, −0.0 normalize) — the store-fed path and this
+    // replay cannot drift
+    "s27_sig_drift" -> s27Sql,
     // positioned 3-gram shingle hashes (duplicates KEPT — winnowing is
     // positional), window-min over 4 consecutive, distinct minima;
     // short docs (<4 shingles) give their global min via the clamped

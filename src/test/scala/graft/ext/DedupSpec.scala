@@ -297,7 +297,7 @@ class DedupSpec extends SparkTestBase {
     Dedup.updateSignatures(planted, store) // duplicate append
     val viaStore = Dedup.readSignatures(spark, store)
       .collect().map(_.toSeq).toSet
-    val rebuild = Dedup.minhashSignatures(grown)
+    val rebuild = Dedup.signatureRowsWithDl(grown, 3)
       .collect().map(_.toSeq).toSet
     assert(viaStore == rebuild,
       "incrementally-maintained store diverged from a full rebuild")
@@ -631,5 +631,95 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.readSignatures(spark, path)
       .collect().map(_.toSeq).toSet == before,
       "compaction changed read results")
+    // crash between the compaction swap's renames: every entry point
+    // recovers from __old instead of reading the store as missing
+    val f = new java.io.File(path).getParentFile
+    assert(new java.io.File(f, "sigs")
+      .renameTo(new java.io.File(f, "sigs__old")))
+    assert(Dedup.storeExists(spark, path),
+      "storeExists reported a recoverable store as missing")
+    assert(Dedup.readSignatures(spark, path)
+      .collect().map(_.toSeq).toSet == before,
+      "interrupted compaction swap not recovered")
+    assert(!Dedup.storeExists(spark, path + "-nonexistent"))
+  }
+
+  test("signature-store drift advisory (s27): store-fed == corpus-scan " +
+    "bit for bit, self-report is identity, duplicate mass trips " +
+    "pair_delta, doc-length shift trips avgdl, text-distinct growth " +
+    "does not trip, pre-baseline stores fail loudly, initIfStale " +
+    "rebuilds on a changed corpus only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit}
+    val base = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    val path = tmpDir("sig-drift") + "/sigs"
+    assert(Dedup.initSignaturesIfStale(base, path), "first build")
+    assert(!Dedup.initSignaturesIfStale(base, path),
+      "unchanged corpus must not rebuild")
+    // identity right after init
+    val self = Dedup.sigDriftReportFromStore(spark, path).collect()(0)
+    assert(self.getAs[Double]("n_ratio") == 1.0 &&
+      self.getAs[Double]("avgdl_ratio") == 1.0 &&
+      self.getAs[Double]("pair_delta") == 0.0 &&
+      !self.getAs[Boolean]("stale"), s"self-report not identity: $self")
+    // store-fed == corpus-scan twin, bit for bit
+    val scan = Dedup.sigDriftReportScan(base, path).collect()(0)
+    assert(self.toSeq == scan.toSeq,
+      s"store-fed != corpus-scan: $self vs $scan")
+    // same-DISTRIBUTION growth: word-reversed twins of the base —
+    // same lengths, same dup-family structure, but (word-3-gram)
+    // shingle sets disjoint from the forward corpus, so pairs-per-doc
+    // stays flat and the advisory must NOT trip. (Appending a token
+    // to a base doc would NOT qualify: a one-token edit IS a
+    // near-duplicate, and the advisory is right to count it.)
+    val uniqueGrowth = base.select((col("doc_id") + 500000L).as("doc_id"),
+      array_join(reverse(split(col("text"), " ")), " ").as("text"))
+    Dedup.updateSignatures(uniqueGrowth, path)
+    val g = Dedup.sigDriftReportFromStore(spark, path).collect()(0)
+    assert(g.getAs[Long]("n_current") > g.getAs[Long]("n_base") &&
+      !g.getAs[Boolean]("stale"),
+      s"text-distinct growth misread as drift: $g")
+    // ... and still equals the scan twin over the grown set
+    val gScan = Dedup.sigDriftReportScan(
+      base.unionByName(uniqueGrowth), path).collect()(0)
+    assert(g.toSeq == gScan.toSeq,
+      s"post-drain store-fed != corpus-scan: $g vs $gScan")
+    // duplicate mass (the re-drained corpus failure mode): every base
+    // text re-presented under a fresh id — pair_delta trips
+    val dupFlood = base.select((col("doc_id") + 900000L).as("doc_id"),
+      col("text"))
+    Dedup.updateSignatures(dupFlood, path)
+    val dup = Dedup.sigDriftReportFromStore(spark, path).collect()(0)
+    assert(dup.getAs[Double]("pair_delta") > 0.5 &&
+      dup.getAs[Boolean]("stale"),
+      s"planted duplicate mass did not trip the advisory: $dup")
+    assert(Dedup.resignatureAdvised(spark, path),
+      "resignatureAdvised disagreed with the report")
+    // doc-length shift on a FRESH store: unique long padding shifts
+    // avgdl without adding duplicate mass
+    val path2 = tmpDir("sig-drift-dl") + "/sigs"
+    Dedup.initSignaturesIfStale(base, path2)
+    val longer = base.select((col("doc_id") + 700000L).as("doc_id"),
+      concat(col("text"), lit(" "),
+        concat_ws(" ", (1 to 60).map(i =>
+          concat(lit(s"qq$i"), col("doc_id"))): _*)).as("text"))
+    Dedup.updateSignatures(longer, path2)
+    val dl = Dedup.sigDriftReportFromStore(spark, path2).collect()(0)
+    assert(math.abs(dl.getAs[Double]("avgdl_ratio") - 1.0) > 0.05 &&
+      dl.getAs[Boolean]("stale"),
+      s"planted doc-length shift did not trip the advisory: $dl")
+    // a changed corpus at the same path: initIfStale rebuilds and the
+    // baseline re-records (identity again)
+    assert(Dedup.initSignaturesIfStale(base.limit(100), path2),
+      "a changed corpus must read as stale")
+    assert(!Dedup.sigDriftReportFromStore(spark, path2).collect()(0)
+      .getAs[Boolean]("stale"), "rebuild did not re-record the baseline")
+    // pre-baseline store (the pre-r13 layout): loud failure
+    val path3 = tmpDir("sig-drift-old") + "/sigs"
+    Dedup.minhashSignatures(base).write.mode("overwrite").parquet(path3)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.sigDriftReportFromStore(spark, path3)
+    }
+    assert(ex.getMessage.contains("predates drift baselines"))
   }
 }
