@@ -509,6 +509,34 @@ object SimilarityQueries {
       Retrieval.lexDriftReportFromIndex(s, store)
     },
 
+    /** s28 — DIVERSIFIED hybrid retrieval (r13): the s25 exact-tail
+      * chain fused into a top-[[MmrPool]] pool, then the s24 greedy
+      * MMR over the pool's exact-fetched originals (λ·fused −
+      * (1−λ)·max-sim-to-picked) — the hybrid serving matrix's last
+      * cell (ranked×{approx,exact} shipped in r12; this is
+      * diversified×exact). The oracle replays the whole s25 chain,
+      * the pool cut, and every greedy round as unrolled CTEs.
+      */
+    "s28_hybrid_mmr" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val e = Tables.embeddings(s, d)
+      val bmStore = bm25StoreFor(d)
+      Retrieval.initIndexIfStale(docs, bmStore)
+      val vStore = indexStoreFor(d)
+      VectorIndex.initIfStale(e, vStore, coarseIters = CoarseIters)
+      val qVecs = e
+        .filter(col("vec_id").isin(HybridQueries.map(_._1): _*))
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])].collect().toSeq
+        .map { case (id, emb) => (id, emb.toSeq) }
+        .toDF("vec_id", "embedding")
+      Retrieval.hybridQueryStoresDiversify(s, bmStore, vStore, e,
+        HybridQueries, qVecs, k = MmrK, poolSize = MmrPool,
+        depth = 20, lambda = MmrLambda)
+    },
+
     /** d05 — embedding-cosine near-dup pairs (threshold tuned to the
       * isotropic corpus: max pairwise cosine ≈ 0.48). Exact all-pairs:
       * the oracle-checkable truth twin of d07, kept at small n only.
@@ -653,6 +681,22 @@ object SimilarityQueries {
     "m09_mp3_features" -> { (s, d) =>
       Multimodal.mp3Features(s,
         Multimodal.asMp3Assets(s, Tables.documents(s, d))).toDF()
+    },
+
+    /** m10 — REAL FLAC (RFC 9639) round-trip, completing the audio
+      * family m09 started on the lossless side: documents become
+      * genuine minimal FLAC files (spec-correct STREAMINFO with the
+      * packed rate/channels/depth/total-samples field, the text bytes
+      * as the last metadata block, an unparsed audio section), then
+      * the metadata walk reads every fact back — CRC-less header
+      * facts without touching codec data, the pre-decode filter a
+      * 100 TB audio pass runs. The oracle replays the fact formulas
+      * and the size arithmetic — a writer or parser drifting from the
+      * layout mismatches on every row.
+      */
+    "m10_flac_features" -> { (s, d) =>
+      Multimodal.flacFeatures(s,
+        Multimodal.asFlacAssets(s, Tables.documents(s, d))).toDF()
     },
 
     /** s03 — IVF ANN: Lloyd-trained coarse centroids (the d09
@@ -1315,6 +1359,39 @@ object SimilarityQueries {
        |FROM s$MmrK""".stripMargin
   }
 
+  /** The s25 nomination + exact-rerank chain (lex replay, ADC chain,
+    * depth-20 nominee cut, exact dense re-rank) ending in `lexr` +
+    * `denser` — shared by the s25 ranked tail and the s28 pool cut.
+    */
+  private lazy val S25Ctes: String =
+    s"""$HybridLexCtes,
+       |$S08Ctes,
+       |hcand AS (
+       |  SELECT query_id, vec_id
+       |  FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY round(qc + r_ip, 4) DESC, vec_id) <= 20),
+       |denser AS (
+       |  SELECT c.query_id, c.vec_id AS doc_id,
+       |    CAST(row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY round(list_cosine_similarity(ce.emb, qe.emb), 4)
+       |        DESC, c.vec_id) AS INT) AS dense_rank
+       |  FROM hcand c
+       |  JOIN e ce ON ce.vec_id = c.vec_id
+       |  JOIN e qe ON qe.vec_id = c.query_id)""".stripMargin
+
+  /** s28: the s25 chain, the RRF fuse, the top-[[MmrPool]] pool cut
+    * (rel = the fused score), and the shared unrolled greedy with
+    * pairwise sims from the exact originals.
+    */
+  private lazy val S28Sql: String = mmrGreedySql(
+    s"""$S25Ctes,
+       |$RrfFuseCte,
+       |cand AS (
+       |  SELECT query_id, doc_id AS vec_id, fused AS rel FROM f
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY fused DESC, doc_id) <= $MmrPool)""".stripMargin)
+
   /** The corpus CTE the s14/s18 pools (and their pairwise sims) read. */
   private val CorpusECte: String =
     """e AS (
@@ -1466,7 +1543,10 @@ object SimilarityQueries {
     * `denser` CTEs; the fixed lex+dense IEEE addition order, round 6,
     * ranks COALESCE to 0.
     */
-  private lazy val RrfTailSql: String =
+  /** The RRF fuse CTE (`lexr` ⋈ `denser` → `f`), shared by the ranked
+    * tails and the s28 pool cut — one definition of the fused score.
+    */
+  private lazy val RrfFuseCte: String =
     """f AS (
       |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
       |         COALESCE(l.doc_id, d.doc_id) AS doc_id,
@@ -1480,7 +1560,10 @@ object SimilarityQueries {
       |             ELSE CAST(1.0 AS DOUBLE) / (60 + d.dense_rank)
       |           END), 6) AS fused
       |  FROM lexr l FULL OUTER JOIN denser d
-      |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+      |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)""".stripMargin
+
+  private lazy val RrfTailSql: String =
+    s"""$RrfFuseCte
       |SELECT query_id, doc_id, lex_rank, dense_rank,
       |  fused + 0.0 AS fused,
       |  CAST(row_number() OVER (PARTITION BY query_id
@@ -1642,22 +1725,13 @@ object SimilarityQueries {
     // those nominees' ORIGINAL vectors as the dense rank, fused by
     // the shared tail — the exact-tail hybrid end-to-end.
     "s25_hybrid_rerank" ->
-      s"""WITH $HybridLexCtes,
-         |$S08Ctes,
-         |hcand AS (
-         |  SELECT query_id, vec_id
-         |  FROM adc
-         |  QUALIFY row_number() OVER (PARTITION BY query_id
-         |    ORDER BY round(qc + r_ip, 4) DESC, vec_id) <= 20),
-         |denser AS (
-         |  SELECT c.query_id, c.vec_id AS doc_id,
-         |    CAST(row_number() OVER (PARTITION BY c.query_id
-         |      ORDER BY round(list_cosine_similarity(ce.emb, qe.emb), 4)
-         |        DESC, c.vec_id) AS INT) AS dense_rank
-         |  FROM hcand c
-         |  JOIN e ce ON ce.vec_id = c.vec_id
-         |  JOIN e qe ON qe.vec_id = c.query_id),
+      s"""WITH $S25Ctes,
          |$RrfTailSql""".stripMargin,
+
+    // s28: the s25 chain fused into a top-MmrPool pool (rel = the
+    // round-6 fused score), then the SAME unrolled greedy the s14/s18/
+    // s19/s24 oracles replay — pairwise sims from the exact originals.
+    "s28_hybrid_mmr" -> S28Sql,
 
     "d07_embedding_dups_lsh" ->
       s"""WITH e AS (
@@ -2230,5 +2304,38 @@ object SimilarityQueries {
         |  CAST(1 AS INT) AS n_channels,
         |  CAST(octet_length(encode(text)) * 1000 // 8000 AS BIGINT)
         |    AS duration_ms
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // m10: every fact is integer arithmetic over the text byte count —
+    // the shared rate/depth menus as CASE ladders, the fixed envelope
+    // sizes (magic 4 + STREAMINFO 38 + tag header 4), and the
+    // total-samples duration
+    "m10_flac_features" -> {
+      val rateCase = graft.ext.Multimodal.FlacSampleRates.zipWithIndex
+        .map { case (r, i) => s"WHEN $i THEN $r" }
+        .mkString("CASE n % 8 ", " ", " END")
+      val bpsCase = graft.ext.Multimodal.FlacBitDepths.zipWithIndex
+        .map { case (v, i) => s"WHEN $i THEN $v" }
+        .mkString("CASE n % 5 ", " ", " END")
+      s"""WITH d AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS n
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n, $rateCase AS rate, 1 + n % 8 AS ch,
+         |    $bpsCase AS bps,
+         |    1000 + (n * 441) % 1000000 AS total,
+         |    1 + n % 17 AS audio
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(46 + n + audio AS BIGINT) AS n_bytes,
+         |  CAST(46 + n AS BIGINT) AS meta_bytes,
+         |  CAST(2 AS INT) AS n_blocks,
+         |  CAST(rate AS INT) AS sample_rate,
+         |  CAST(ch AS INT) AS n_channels,
+         |  CAST(bps AS INT) AS bits_per_sample,
+         |  CAST(total AS BIGINT) AS total_samples,
+         |  CAST(total * 1000 // rate AS BIGINT) AS duration_ms,
+         |  CAST(audio AS BIGINT) AS audio_bytes
+         |FROM f""".stripMargin
+    })
 }
