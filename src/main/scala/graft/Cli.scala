@@ -599,6 +599,11 @@ object Cli {
     *     s25 shape) — the dense nominees' ORIGINAL vectors are
     *     fetched from `--embeddings` by a pushed vec_id filter and
     *     re-ranked by exact cosine before the fuse.
+    *   - `--diversify` (r13): the s28 MMR tail — the fused top-`--pool`
+    *     (default max(3k, 12)) is greedily re-ranked over its
+    *     exact-fetched originals (λ·fused − (1−λ)·max-sim, `--lambda`
+    *     default 0.7) so near-duplicate fused hits stop crowding the
+    *     cut; implies the exact-tail nomination.
     *   - `--k` fused results (default 10), `--depth` per-leg pool
     *     (default 20), `--nprobe` probed cells (default 4); `--out`
     *     parquet or a printed ranking.
@@ -608,9 +613,7 @@ object Cli {
     import org.apache.spark.sql.functions.col
     val indexStore = required(opts, "index")
     val vectorStore = required(opts, "vector_index")
-    val storePath = new org.apache.hadoop.fs.Path(indexStore)
-    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(storePath))
+    if (!graft.ext.Retrieval.indexExists(spark, indexStore))
       throw CliError(s"no index store at $indexStore " +
         "(build it: index --init)")
     if (!graft.ext.VectorIndex.exists(spark, vectorStore))
@@ -641,6 +644,34 @@ object Cli {
     val qVecs = qRows.toSeq.map { case (id, e) => (id, e.toSeq) }
       .toDF("vec_id", "embedding")
     val queries = Seq(qid -> terms)
+    // `--diversify`: the s28 MMR tail after the fuse (implies the
+    // exact-tail nomination — the originals are fetched anyway)
+    if (boolFlag(opts, "diversify")) {
+      if (boolFlag(opts, "exact"))
+        throw CliError("--diversify already re-ranks the exact " +
+          "originals — drop --exact")
+      val lambda = doubleOpt(opts, "lambda", 0.7)
+      if (lambda < 0.0 || lambda > 1.0)
+        throw CliError(s"--lambda must be in [0, 1], got $lambda")
+      val pool = intOpt(opts, "pool", math.max(3 * k, 12))
+      if (pool < k)
+        throw CliError(s"--pool ($pool) must cover --k ($k)")
+      val picks = graft.ext.Retrieval.hybridQueryStoresDiversify(spark,
+        indexStore, vectorStore, emb, queries, qVecs, k = k,
+        poolSize = pool, depth = depth, nprobe = nprobe,
+        lambda = lambda)
+      return opts.get("out") match {
+        case Some(out) =>
+          picks.write.mode("overwrite").parquet(out)
+          s"${spark.read.parquet(out).count()} diversified hits -> $out"
+        case None =>
+          picks.collect().sortBy(_.getInt(2)).map { r =>
+            f"${r.getLong(0)}%12d  ${r.getLong(1)}%11d  ${r.getInt(2)}%9d"
+          }.mkString("    query_id  neighbor_id  pick_rank\n", "\n", "")
+      }
+    }
+    if (opts.contains("lambda") || opts.contains("pool"))
+      throw CliError("--lambda/--pool are --diversify options")
     val hits =
       if (boolFlag(opts, "exact"))
         graft.ext.Retrieval.hybridQueryStoresRerank(spark, indexStore,
@@ -1069,9 +1100,64 @@ object Cli {
     * the store is appended, and the NEW pairs (≥ 1 new member;
     * old-vs-old never recomputes) are written to `--out` (or just
     * counted). `--n` is the shingle width (default 3).
+    * `--drift-stats` (r13) prints the s27 drift advisory from the
+    * minhash store's own statistics (growth/avgdl ratios, band
+    * candidate-pairs-per-doc vs the init-time baseline);
+    * `--drift --docs <pq>` is its corpus-scan twin.
     */
   private def dedupCmd(spark: SparkSession,
                        opts: Map[String, String]): String = {
+    val drift = boolFlag(opts, "drift")
+    val driftStats = boolFlag(opts, "drift_stats")
+    if (drift && driftStats)
+      throw CliError("--drift and --drift-stats are exclusive " +
+        "(corpus-scan OR store-fed)")
+    if ((drift || driftStats) && (boolFlag(opts, "init") ||
+        opts.contains("out") || opts.contains("threshold")))
+      throw CliError("--drift/--drift-stats is a standalone report " +
+        "(no --init/--out/--threshold)")
+    if (driftStats && opts.contains("docs"))
+      throw CliError("--drift-stats reads the store's own statistics " +
+        "— drop --docs (or use --drift to scan a corpus)")
+    if (drift || driftStats) {
+      val store = required(opts, "store")
+      if (opts.getOrElse("mode", "minhash") != "minhash")
+        throw CliError("--drift/--drift-stats reports on the minhash " +
+          "signature store (--mode minhash)")
+      if (!graft.ext.Dedup.storeExists(spark, store))
+        throw CliError(s"no dedup store at $store (run --init first)")
+      val tolPairs = doubleOpt(opts, "tol_pairs", 0.5)
+      val tolDl = doubleOpt(opts, "tol_dl", 0.05)
+      for ((nm, v) <- Seq("tol-pairs" -> tolPairs, "tol-dl" -> tolDl))
+        if (v <= 0.0) throw CliError(s"--$nm must be positive, got $v")
+      val report =
+        if (driftStats)
+          graft.ext.Dedup.sigDriftReportFromStore(spark, store,
+            tolPairs, tolDl)
+        else {
+          val d = spark.read.parquet(required(opts, "docs"))
+          if (!d.columns.contains("doc_id") || !d.columns.contains("text"))
+            throw CliError(s"--docs needs doc_id and text columns, " +
+              s"found ${d.columns.mkString(",")}")
+          graft.ext.Dedup.sigDriftReportScan(
+            d.select("doc_id", "text"), store, tolPairs, tolDl)
+        }
+      val r = report.collect()(0)
+      val src = if (driftStats) "store-fed" else "corpus-scan"
+      val verdict =
+        if (r.getAs[Boolean]("stale"))
+          "STALE — re-signature advised (rebuild the store, then re-drain)"
+        else "fresh"
+      return s"signature drift report for $store ($src):\n" +
+        f"  n_base=${r.getAs[Long]("n_base")}%d " +
+        f"n_current=${r.getAs[Long]("n_current")}%d " +
+        f"n_ratio=${r.getAs[Double]("n_ratio")}%.6f\n" +
+        f"  avgdl_ratio=${r.getAs[Double]("avgdl_ratio")}%.6f " +
+        f"ppd_base=${r.getAs[Double]("ppd_base")}%.6f " +
+        f"ppd_cur=${r.getAs[Double]("ppd_cur")}%.6f " +
+        f"pair_delta=${r.getAs[Double]("pair_delta")}%.6f\n" +
+        s"  $verdict"
+    }
     val docsPath = required(opts, "docs")
     val store = required(opts, "store")
     val n = intOpt(opts, "n", 3)
@@ -1083,8 +1169,6 @@ object Cli {
     if (!docs.columns.contains("doc_id") || !docs.columns.contains("text"))
       throw CliError(s"--docs needs doc_id and text columns, " +
         s"found ${docs.columns.mkString(",")}")
-    val storePath = new org.apache.hadoop.fs.Path(store)
-    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (boolFlag(opts, "init")) {
       if (mode == "minhash") {
         graft.ext.Dedup.writeSignatures(docs, store, n)
@@ -1100,7 +1184,9 @@ object Cli {
       // forgotten --init, never a valid request: appending the delta
       // would silently found a NEW store that thinks the old corpus
       // doesn't exist, and every old-vs-new pair would be lost
-      if (!fs.exists(storePath))
+      // (recover-then-probe: a crash-interrupted --compact swap must
+      // restore the store, not read as missing)
+      if (!graft.ext.Dedup.storeExists(spark, store))
         throw CliError(s"no dedup store at $store (run --init first)")
       val pairs =
         if (mode == "minhash") graft.ext.Dedup.updatePairs(docs, store, n)
@@ -1136,8 +1222,11 @@ object Cli {
   private def indexCmd(spark: SparkSession,
                        opts: Map[String, String]): String = {
     val store = required(opts, "store")
-    val storePath = new org.apache.hadoop.fs.Path(store)
-    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover-then-probe (ext.Retrieval.indexExists): a raw
+    // FileSystem.exists after a crash-interrupted --rebuild swap would
+    // report "no index store" for a store one rename away from live
+    def storeExists: Boolean =
+      graft.ext.Retrieval.indexExists(spark, store)
     // store lifecycle maintenance: `--delete --doc-ids "1,2"` appends
     // tombstone facts (queries and the store-rebuilt model exclude
     // the docs immediately — N, avgdl, df all drop them); `--compact`
@@ -1161,7 +1250,7 @@ object Cli {
           boolFlag(opts, "drift_stats"))
         throw CliError("--rebuild is a standalone maintenance step " +
           "(no --init/--query/--drift/--delete/--compact)")
-      if (!fs.exists(storePath))
+      if (!storeExists)
         throw CliError(s"no index store at $store " +
           "(bootstrap with --init; --rebuild replaces a live store)")
       val docs = readDocs(spark, required(opts, "docs"))
@@ -1187,7 +1276,7 @@ object Cli {
       throw CliError("--drift-stats reads the store's own statistics " +
         "— drop --docs (or use --drift to scan a corpus)")
     if (drift || driftStats) {
-      if (!fs.exists(storePath))
+      if (!storeExists)
         throw CliError(s"no index store at $store (run --init first)")
       val tolDf = doubleOpt(opts, "tol_df", 0.02)
       val tolOov = doubleOpt(opts, "tol_oov", 0.01)
@@ -1219,7 +1308,7 @@ object Cli {
         s"  $verdict"
     }
     if (deleting) {
-      if (!fs.exists(storePath))
+      if (!storeExists)
         throw CliError(s"no index store at $store (run --init first)")
       val parsed = required(opts, "doc_ids").split(",").map(_.trim)
         .filter(_.nonEmpty)
@@ -1232,7 +1321,7 @@ object Cli {
         "(queries exclude them now; --compact drops the dead rows)"
     }
     if (compacting) {
-      if (!fs.exists(storePath))
+      if (!storeExists)
         throw CliError(s"no index store at $store (run --init first)")
       val r = graft.ext.Retrieval.compactIndex(spark, store)
       return s"compacted $store: postings ${r.postingsBefore} -> " +
@@ -1249,7 +1338,7 @@ object Cli {
             "(update the store first, then query)")
         val terms = q.split("\\s+").filter(_.nonEmpty).toSeq
         if (terms.isEmpty) throw CliError("--query must name at least one term")
-        if (!fs.exists(storePath))
+        if (!storeExists)
           throw CliError(s"no index store at $store (run --init first)")
         val k = intOpt(opts, "k", 10)
         if (k < 1) throw CliError(s"--k must be positive, got $k")
@@ -1271,14 +1360,14 @@ object Cli {
           throw CliError(s"--docs needs doc_id and text columns, " +
             s"found ${docs.columns.mkString(",")}")
         if (boolFlag(opts, "init")) {
-          if (fs.exists(storePath))
+          if (storeExists)
             throw CliError(s"index store already exists at $store " +
               "(drop it or update without --init)")
           graft.ext.Retrieval.updateIndex(docs, store)
           val n = spark.read.parquet(s"$store/lengths").distinct().count()
           s"initialized $store: $n documents indexed"
         } else {
-          if (!fs.exists(storePath))
+          if (!storeExists)
             throw CliError(s"no index store at $store (run --init first)")
           graft.ext.Retrieval.updateIndex(docs, store)
           val n = spark.read.parquet(s"$store/lengths").distinct().count()
@@ -1486,7 +1575,11 @@ object Cli {
     * ([EXT]) takes a session DOWN: appends a purge fact (every
     * catalog read forgets the session immediately), then `--compact`
     * alongside it also drops the dead rows physically; `--mode`
-    * picks the plane (default export).
+    * picks the plane (default export). `--purge-data --dest-root R`
+    * (r13) completes the takedown on the PAYLOAD plane: deletes
+    * `R/<session>/` — the reference's export layout (export.rb:76) —
+    * through a checked-rename stage (atomic namespace removal, then
+    * recursive delete; crashed stages resume, replays no-op).
     */
   private def dbCmd(spark: SparkSession, opts: Map[String, String],
                     nowMs: Long): String = {
@@ -1502,14 +1595,33 @@ object Cli {
           opts.contains("diff_with"))
         throw CliError("--purge-session is a standalone maintenance " +
           "step (no --session-name/--table-name/--diff-with)")
+      // `--purge-data --dest-root R`: the payload plane of the
+      // takedown — delete R/<session>/ (the reference export layout)
+      // through the checked-rename stage; replays and crashed stages
+      // resume harmlessly (engine.TableOps.purgeSessionData)
+      val purgeData = boolFlag(opts, "purge_data")
+      if (purgeData && mode != "export")
+        throw CliError("--purge-data applies to export sessions (the " +
+          "payload layout is <dest-root>/<session>/<table>); import " +
+          "targets are restored tables the operator owns")
+      if (purgeData && !opts.contains("dest_root"))
+        throw CliError("--purge-data needs --dest-root (where the " +
+          "session's export dirs live)")
+      if (!purgeData && opts.contains("dest_root"))
+        throw CliError("--dest-root is a --purge-data option")
       try cat.purgeSession(mode, name, nowMs)
       catch {
         case e: IllegalArgumentException => throw CliError(e.getMessage)
       }
+      val dataNote =
+        if (!purgeData) ""
+        else if (graft.engine.TableOps.purgeSessionData(spark,
+          required(opts, "dest_root"), name)) "; export payload deleted"
+        else "; no export payload on disk (already gone)"
       val physical =
         if (boolFlag(opts, "compact")) { cat.compactAll(); " and rows dropped physically" }
         else " (rows drop physically at the next compaction)"
-      return s"purged $mode session '$name'$physical"
+      return s"purged $mode session '$name'$physical$dataNote"
     }
     if (boolFlag(opts, "compact")) {
       cat.compactAll()

@@ -260,6 +260,27 @@ class CliSpec extends SparkTestBase {
     assert(intercept[CliError](Cli.run(spark, Seq("dedup",
       "--mode", "simhash", "--docs", base, "--store", jstore), now))
       .message.contains("minhash|jaccard"))
+
+    // s27 drift advisory: store-fed report after the delta drain;
+    // flag hygiene mirrors the index command's
+    assert(intercept[CliError](Cli.run(spark, Seq("dedup", "--store",
+      store, "--drift", "--drift-stats"), now))
+      .message.contains("exclusive"))
+    assert(intercept[CliError](Cli.run(spark, Seq("dedup", "--store",
+      store, "--drift-stats", "--docs", base), now))
+      .message.contains("drop --docs"))
+    assert(intercept[CliError](Cli.run(spark, Seq("dedup", "--store",
+      store, "--drift-stats", "--init", "--docs", base), now))
+      .message.contains("standalone report"))
+    val rep = Cli.run(spark, Seq("dedup", "--store", store,
+      "--drift-stats"), now)
+    assert(rep.contains("signature drift report") &&
+      rep.contains("n_ratio="), rep)
+    // the corpus-scan twin over the base corpus reads fresh
+    val repScan = Cli.run(spark, Seq("dedup", "--store", store,
+      "--drift", "--docs", base), now)
+    assert(repScan.contains("corpus-scan") && repScan.contains("fresh"),
+      repScan)
   }
 
   test("despan cleans duplicated spans; --eval switches to " +
@@ -358,6 +379,18 @@ class CliSpec extends SparkTestBase {
     val em = intercept[CliError](Cli.run(spark, Seq("index",
       "--store", store, "--docs", delta, "--query", "dup"), now))
     assert(em.message.contains("cannot combine"))
+
+    // a crash-interrupted rebuild swap (root gone, __old holds the
+    // truth): every CLI probe recovers the store instead of reporting
+    // "no index store (run --init first)"
+    val dir = new java.io.File(store).getParentFile
+    assert(new java.io.File(dir, "idx")
+      .renameTo(new java.io.File(dir, "idx__old")))
+    val q2 = Cli.run(spark, Seq("index", "--store", store,
+      "--query", "dup", "--k", "2"), now)
+    assert(q2.contains("doc_id"),
+      "CLI query did not recover a crash-swapped store")
+    assert(new java.io.File(dir, "idx").exists(), "recovery did not run")
   }
 
   test("option hygiene: malformed --init and non-numeric --k fail at " +
@@ -1167,6 +1200,35 @@ class CliSpec extends SparkTestBase {
       "0", "--embeddings", embPath), now)
     assert(printed.contains("fused") && printed.linesIterator.size == 11,
       printed)
+    // --diversify (s28): picks == the library's MMR tail; flag hygiene
+    assert(intercept[CliError](Cli.run(spark, Seq("hybrid", "--index",
+      bmStore, "--vector-index", vStore, "--query", "dup merge",
+      "--query-id", "0", "--embeddings", embPath, "--diversify",
+      "--exact"), now)).message.contains("drop --exact"))
+    assert(intercept[CliError](Cli.run(spark, Seq("hybrid", "--index",
+      bmStore, "--vector-index", vStore, "--query", "dup merge",
+      "--query-id", "0", "--embeddings", embPath, "--lambda", "0.5"),
+      now)).message.contains("--diversify options"))
+    assert(intercept[CliError](Cli.run(spark, Seq("hybrid", "--index",
+      bmStore, "--vector-index", vStore, "--query", "dup merge",
+      "--query-id", "0", "--embeddings", embPath, "--diversify",
+      "--lambda", "1.5"), now)).message.contains("--lambda"))
+    val outD = tmpDir("cli-hyb-outd") + "/o"
+    val msgD = Cli.run(spark, Seq("hybrid", "--index", bmStore,
+      "--vector-index", vStore, "--query", "dup merge", "--query-id",
+      "0", "--embeddings", embPath, "--diversify", "--k", "4",
+      "--pool", "12", "--out", outD), now)
+    assert(msgD.contains("diversified hits"), msgD)
+    val gotD = spark.read.parquet(outD).collect().map(_.toSeq).toSet
+    val wantD = graft.ext.Retrieval.hybridQueryStoresDiversify(spark,
+      bmStore, vStore, emb, Seq(0L -> Seq("dup", "merge")), qVecs,
+      k = 4, poolSize = 12, depth = 20).collect().map(_.toSeq).toSet
+    assert(gotD == wantD, "CLI --diversify diverged from the library")
+    val printedD = Cli.run(spark, Seq("hybrid", "--index", bmStore,
+      "--vector-index", vStore, "--query", "dup merge", "--query-id",
+      "0", "--embeddings", embPath, "--diversify", "--k", "4"), now)
+    assert(printedD.contains("pick_rank") &&
+      printedD.linesIterator.size == 5, printedD)
     // the ADVICE caveat: a vectors-free delete leaves the stats
     // counting the appended corpus — --drift-stats must SAY so; a
     // reconciling re-init clears it
@@ -1210,6 +1272,16 @@ class CliSpec extends SparkTestBase {
       "--drift-stats"), now)
     assert(fresh.contains("fresh") && fresh.contains("n_ratio=1.000000"),
       fresh)
+    // a crash-interrupted rebuild swap: the report recovers the store
+    // instead of erroring ("no index store" / "predates drift
+    // baselines" are both wrong — __old holds a complete baseline)
+    val sd = new java.io.File(store).getParentFile
+    assert(new java.io.File(sd, "idx")
+      .renameTo(new java.io.File(sd, "idx__old")))
+    val recovered = Cli.run(spark, Seq("index", "--store", store,
+      "--drift-stats"), now)
+    assert(recovered.contains("fresh"),
+      s"--drift-stats did not recover a crash-swapped store:\n$recovered")
     // drain an OOV-planted delta: the store-fed report trips
     graft.ext.Retrieval.updateIndex(docs.select(
       (col("doc_id") + lit(5000000L)).as("doc_id"),
@@ -1307,5 +1379,55 @@ class CliSpec extends SparkTestBase {
       listing.contains("20240201_000000"), listing)
     assert(spark.read.parquet(s"$root/tables").count() == 0,
       "purged table rows survived --compact")
+  }
+
+  test("db --purge-session --purge-data: the session is gone from the " +
+    "catalog AND disk, replays harmless, guards wire the flag pair") {
+    val root = tmpDir("cli-purgedata-cat")
+    val destRoot = tmpDir("cli-purgedata-dest")
+    val cat = new graft.catalog.BackupCatalog(spark, root)
+    val s1 = graft.catalog.BackupSession("export", "c", "20240101_000000",
+      s"file://$destRoot/", 0L, 1000L, 5000L, 6000L, error = false, "")
+    cat.startInfo(s1)
+    cat.startInfo(s1.copy(session_name = "20240201_000000"))
+    // the payload trees the takedown must (and must not) remove
+    for ((sess, t) <- Seq(("20240101_000000", "lineitem"),
+        ("20240101_000000", "orders"), ("20240201_000000", "lineitem"))) {
+      val d = new java.io.File(s"$destRoot/$sess/$t")
+      assert(d.mkdirs())
+      java.nio.file.Files.writeString(
+        new java.io.File(d, "part-0.parquet").toPath, "x")
+    }
+    // flag hygiene: --purge-data without --dest-root; --dest-root
+    // without --purge-data; import mode
+    assert(intercept[CliError](Cli.run(spark, Seq("db",
+      "--catalog-root", root, "--purge-session", "20240101_000000",
+      "--purge-data"), now)).message.contains("--dest-root"))
+    assert(intercept[CliError](Cli.run(spark, Seq("db",
+      "--catalog-root", root, "--purge-session", "20240101_000000",
+      "--dest-root", destRoot), now))
+      .message.contains("--purge-data option"))
+    assert(intercept[CliError](Cli.run(spark, Seq("db",
+      "--catalog-root", root, "--purge-session", "20240101_000000",
+      "--mode", "import", "--purge-data", "--dest-root", destRoot), now))
+      .message.contains("export sessions"))
+    // the takedown: catalog forgets AND the export tree is deleted
+    val msg = Cli.run(spark, Seq("db", "--catalog-root", root,
+      "--purge-session", "20240101_000000", "--purge-data",
+      "--dest-root", destRoot, "--compact"), now)
+    assert(msg.contains("purged export session") &&
+      msg.contains("payload deleted"), msg)
+    assert(!new java.io.File(s"$destRoot/20240101_000000").exists(),
+      "purged session's export dirs survived")
+    assert(new java.io.File(s"$destRoot/20240201_000000/lineitem").exists(),
+      "payload purge leaked onto another session")
+    val listing = Cli.run(spark, Seq("db", "--catalog-root", root), now)
+    assert(!listing.contains("20240101_000000") &&
+      listing.contains("20240201_000000"), listing)
+    // replay (rows compacted away, disk already clean): harmless
+    val again = Cli.run(spark, Seq("db", "--catalog-root", root,
+      "--purge-session", "20240101_000000", "--purge-data",
+      "--dest-root", destRoot), now)
+    assert(again.contains("already gone"), again)
   }
 }
