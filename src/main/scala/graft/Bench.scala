@@ -34,6 +34,27 @@ object Bench {
   private def runFully(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Per-query state reset. Clearing the SQL cache alone is NOT
+    * enough (r13 finding): operators that materialize intermediates
+    * via eager `localCheckpoint` (store maintenance, the greedy MMR
+    * rounds, cluster iteration) leave their RDD blocks in the
+    * BlockManager — the SQL CacheManager never sees them, and the
+    * async ContextCleaner only reclaims them at GC's leisure. Under a
+    * 500+-execution bench JVM they accumulate in the unified-memory
+    * STORAGE pool and squeeze EXECUTION memory for every later query
+    * — measured as a broad 8–16% slowdown of unrelated heavy queries
+    * (d08's reps grew monotonically within one run). Dropping all
+    * persistent RDDs between queries restores the clean-slate
+    * contract the cache clear was already claiming; nothing is
+    * referenced across queries (each invocation rebuilds its plan
+    * from scratch).
+    */
+  private def resetState(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -67,6 +88,7 @@ object Bench {
       try runFully(fn(spark, warmDir))
       catch { case e: Throwable =>
         System.err.println(s"warmup $name failed: ${e.getMessage}") }
+      resetState(spark) // warmup residue must not tax the timed reps
     }
     // Timing methodology (stall-proofing — this host shows random
     // multi-10-second CPU-scheduling stalls under JVM load that would
@@ -82,7 +104,12 @@ object Bench {
     //  - the cache is cleared before every run so operators that
     //    materialize intermediates (dedup shingle/signature tables) pay
     //    their full build cost in each measured run.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // default 5 (r13, was 3): the r12 driver run showed single-rep
+    // scheduler stalls up to 75 s that occasionally covered a query in
+    // ALL THREE reps, inflating even the min; five rotated reps make
+    // that coincidence quadratically rarer at ~60% more bench wall
+    // time (~20 min total at sf0.1 on 32 cpus)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     // dev-loop subset (comma-separated names); the driver never sets
     // it, so the recorded bench always covers every query
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -115,7 +142,7 @@ object Bench {
         ordered.drop(shift) ++ ordered.take(shift)
       }
       rotated.foreach { case (name, fn) =>
-        spark.sharedState.cacheManager.clearCache()
+        resetState(spark)
         val t0 = System.nanoTime()
         val ok = try { runFully(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }
