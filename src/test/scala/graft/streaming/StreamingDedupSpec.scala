@@ -62,6 +62,32 @@ class StreamingDedupSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(viaStore == rebuild)
 
+    // the per-drain s27 advisory needs an INIT-TIME baseline: a store
+    // grown only by drains has none and must fail loudly, not report
+    // drift against garbage
+    val exB = intercept[IllegalArgumentException] {
+      Dedup.sigDriftReportFromStore(spark, store)
+    }
+    assert(exB.getMessage.contains("predates drift baselines"))
+    // the production flow — bootstrap with a baseline, THEN drain:
+    // the store-fed advisory after the drain equals the corpus-scan
+    // twin over base ∪ delta bit for bit, at store-read cost (the
+    // "affordable after every drain" claim exercised through the
+    // actual checkpointed drain path)
+    val store2 = tmpDir("sd-store2") + "/sigs"
+    val srcDir2 = tmpDir("sd-src2")
+    val pairsOut2 = tmpDir("sd-pairs2") + "/pairs"
+    val ckpt2 = tmpDir("sd-ckpt2")
+    Dedup.initSignaturesIfStale(base, store2)
+    stage(delta, srcDir2, "delta.parquet")
+    StreamingDedup.maintainStream(spark, srcDir2, store2, pairsOut2, ckpt2)
+    val fed = Dedup.sigDriftReportFromStore(spark, store2).collect()(0)
+    val scanTwin = Dedup.sigDriftReportScan(
+      base.unionByName(delta), store2).collect()(0)
+    assert(fed.toSeq == scanTwin.toSeq,
+      s"post-drain store-fed advisory != corpus-scan twin: " +
+        s"$fed vs $scanTwin")
+
     // re-drain with nothing new: a no-op (checkpoint already covers
     // every file), count unchanged
     val again = StreamingDedup.maintainStream(
