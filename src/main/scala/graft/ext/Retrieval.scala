@@ -982,6 +982,16 @@ object Retrieval {
     * (dense-nominee re-rank + pool diversify, |Q|·depth rows each —
     * spec-pinned). Oracle-checked (s28): the s25 chain, the pool cut,
     * and the unrolled greedy replay end-to-end.
+    *
+    * ID-space semantics (found at the x10 stress, r13): the lexical
+    * and dense corpora need not share an id space — a fused candidate
+    * can be a lexical-only doc with NO embedding, and a candidate
+    * without a vector cannot be diversified (no pairwise sims). Such
+    * ids are excluded BEFORE the pool cut, so the pool keeps its full
+    * width from the embedding-backed fused list (the dense leg alone
+    * guarantees `depth ≥ poolSize` backed candidates per query); a
+    * cut-then-restrict order would silently shrink the pool and, in
+    * the replay, could even strand the greedy on a vectorless pick.
     */
   def hybridQueryStoresDiversify(spark: org.apache.spark.sql.SparkSession,
                                  indexStore: String, vectorStore: String,
@@ -994,18 +1004,27 @@ object Retrieval {
                                  b: Double = 0.75): DataFrame = {
     require(poolSize >= k,
       s"pool ($poolSize) must cover k ($k)")
+    require(depth >= poolSize,
+      s"depth ($depth) must cover the pool ($poolSize)")
     val fused = hybridQueryStoresRerank(spark, indexStore, vectorStore,
-      corpus, queries, queryVecs, k = poolSize, depth = depth, c = c,
+      corpus, queries, queryVecs, k = depth, depth = depth, c = c,
       nprobe = nprobe, k1 = k1, b = b)
-    // the fused pool's ids, collected (|Q|·pool longs — KB) to push
-    // the fetch into the corpus scan as an In filter
+    // the fused candidates' ids, collected (|Q|·depth longs — KB) to
+    // push the fetch into the corpus scan as an In filter
     val ids = fused.select(col("doc_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val fetched = corpus
       .filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").cast("long").as("doc_id"),
         col("embedding").cast("array<double>").as("emb"))
+    // embedding-backed candidates only, THEN the pool cut (the
+    // id-space note above); the Window runs over ≤ |Q|·depth rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("fused").desc, col("doc_id"))
     val pool = fused.join(fetched, Seq("doc_id"))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= poolSize)
       .select(col("query_id"), col("doc_id").as("vec_id"),
         col("emb"), col("fused").as("rel"))
     Similarity.mmrRerank(pool, k, lambda)

@@ -1380,17 +1380,21 @@ object SimilarityQueries {
        |  JOIN e ce ON ce.vec_id = c.vec_id
        |  JOIN e qe ON qe.vec_id = c.query_id)""".stripMargin
 
-  /** s28: the s25 chain, the RRF fuse, the top-[[MmrPool]] pool cut
-    * (rel = the fused score), and the shared unrolled greedy with
-    * pairwise sims from the exact originals.
+  /** s28: the s25 chain, the RRF fuse, the EMBEDDING-BACKED pool cut
+    * (a candidate without a vector cannot be diversified — lexical-only
+    * ids are excluded BEFORE the top-[[MmrPool]] cut, mirroring the
+    * operator's id-space semantics; rel = the fused score), and the
+    * shared unrolled greedy with pairwise sims from the exact
+    * originals.
     */
   private lazy val S28Sql: String = mmrGreedySql(
     s"""$S25Ctes,
        |$RrfFuseCte,
        |cand AS (
-       |  SELECT query_id, doc_id AS vec_id, fused AS rel FROM f
-       |  QUALIFY row_number() OVER (PARTITION BY query_id
-       |    ORDER BY fused DESC, doc_id) <= $MmrPool)""".stripMargin)
+       |  SELECT f.query_id, f.doc_id AS vec_id, f.fused AS rel
+       |  FROM f JOIN e ON e.vec_id = f.doc_id
+       |  QUALIFY row_number() OVER (PARTITION BY f.query_id
+       |    ORDER BY f.fused DESC, f.doc_id) <= $MmrPool)""".stripMargin)
 
   /** The corpus CTE the s14/s18 pools (and their pairwise sims) read. */
   private val CorpusECte: String =

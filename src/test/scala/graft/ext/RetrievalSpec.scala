@@ -506,13 +506,26 @@ class RetrievalSpec extends SparkTestBase {
       vStore, e, queries, qVecs, k = k, poolSize = pool, depth = 20,
       lambda = lambda).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    // the by-hand composition: fused pool -> original fetch -> greedy
-    val fused = Retrieval.hybridQueryStoresRerank(spark, bmStore,
-      vStore, e, queries, qVecs, k = pool, depth = 20)
-    val fusedRows = fused.collect()
+    // the by-hand composition: fused at DEPTH -> embedding-backed
+    // restriction -> pool cut -> greedy (restrict BEFORE cut — the
+    // operator's id-space contract)
+    val fusedDeep = Retrieval.hybridQueryStoresRerank(spark, bmStore,
+      vStore, e, queries, qVecs, k = 20, depth = 20)
+    val backed = fusedDeep.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
-    val poolDf = fusedRows
       .toDF("query_id", "vec_id", "rel")
+      .join(e.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("emb")), Seq("vec_id"))
+    val fusedRows = backed
+      .withColumn("pr", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("pr") <= pool)
+      .select("query_id", "vec_id", "rel")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val poolDf = fusedRows.toDF("query_id", "vec_id", "rel")
       .join(e.select(col("vec_id").cast("long").as("vec_id"),
         col("embedding").cast("array<double>").as("emb")), Seq("vec_id"))
     val want = Similarity.mmrRerank(poolDf, k, lambda).collect()
