@@ -1351,6 +1351,190 @@ object Multimodal {
     b.array()
   }
 
+  final case class OggMeta(nPages: Int, nStreams: Int,
+                           vorbisChannels: Int, vorbisRate: Int,
+                           lastGranule: Long, payloadBytes: Long,
+                           durationMs: Long)
+
+  /** The synth's Vorbis sample-rate menu (all legal 32-bit rates) —
+    * shared with the m11 oracle generator.
+    */
+  private[graft] val OggSampleRates: Array[Int] =
+    Array(8000, 11025, 16000, 22050, 32000, 44100, 48000)
+
+  def looksLikeOgg(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && payload(0) == 'O' && payload(1) == 'g' &&
+      payload(2) == 'g' && payload(3) == 'S'
+
+  /** REAL page walk for OGG (RFC 3533) with a Vorbis identification
+    * probe: pages — "OggS" capture, version 0, header-type flags,
+    * little-endian 64-bit granule position, 32-bit serial/sequence,
+    * CRC (carried, not verified — the CRC-less facts discipline of
+    * the MP3/FLAC walks), a segment count and its lacing table whose
+    * sum is the page payload — must TILE exactly to the payload end.
+    * If the FIRST page's payload opens with the Vorbis identification
+    * header (0x01 "vorbis"), its channel count and 32-bit rate are
+    * read; the granule position of the last granule-bearing page is
+    * the stream's sample count, giving duration in integer math.
+    * Distinct serials count the multiplexed streams. None for
+    * non-OGG or corrupt payloads — short headers, a lacing table or
+    * payload past the end, a non-zero version, a broken mid-stream
+    * capture all fail soft (spec-pinned).
+    */
+  private[ext] def parseOgg(payload: Array[Byte]): Option[OggMeta] =
+    if (!looksLikeOgg(payload)) None
+    else
+      try {
+        val len = payload.length
+        var off = 0L
+        var nPages = 0
+        var payloadBytes = 0L
+        var lastGranule = -1L
+        var vCh = 0; var vRate = 0
+        val serials = scala.collection.mutable.Set.empty[Int]
+        while (off < len) {
+          if (off + 27 > len) return None // truncated page header
+          val o = off.toInt
+          if (payload(o) != 'O' || payload(o + 1) != 'g' ||
+            payload(o + 2) != 'g' || payload(o + 3) != 'S') return None
+          if (payload(o + 4) != 0) return None // version must be 0
+          var granule = 0L
+          var i = 7
+          while (i >= 0) { // little-endian 64-bit
+            granule = (granule << 8) | (payload(o + 6 + i) & 0xffL)
+            i -= 1
+          }
+          var serial = 0
+          i = 3
+          while (i >= 0) {
+            serial = (serial << 8) | (payload(o + 14 + i) & 0xff)
+            i -= 1
+          }
+          val nSegs = payload(o + 26) & 0xff
+          if (off + 27 + nSegs > len) return None // lacing past end
+          var pl = 0
+          i = 0
+          while (i < nSegs) { pl += payload(o + 27 + i) & 0xff; i += 1 }
+          val bodyAt = o + 27 + nSegs
+          if (bodyAt + pl > len) return None // payload past end
+          if (nPages == 0 && pl >= 30 &&
+            payload(bodyAt) == 0x01 && payload(bodyAt + 1) == 'v' &&
+            payload(bodyAt + 2) == 'o' && payload(bodyAt + 3) == 'r' &&
+            payload(bodyAt + 4) == 'b' && payload(bodyAt + 5) == 'i' &&
+            payload(bodyAt + 6) == 's') {
+            vCh = payload(bodyAt + 11) & 0xff
+            var r = 0
+            i = 3
+            while (i >= 0) {
+              r = (r << 8) | (payload(bodyAt + 12 + i) & 0xff)
+              i -= 1
+            }
+            vRate = r
+          }
+          if (granule != -1L && granule > lastGranule)
+            lastGranule = granule
+          serials += serial
+          payloadBytes += pl
+          nPages += 1
+          off = bodyAt + pl
+        }
+        if (nPages == 0) return None
+        val dur =
+          if (vRate > 0 && lastGranule > 0) lastGranule * 1000L / vRate
+          else 0L
+        Some(OggMeta(nPages, serials.size, vCh, vRate,
+          math.max(lastGranule, 0L), payloadBytes, dur))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Wrap documents as REAL minimal OGG/Vorbis files — the streaming-
+    * container sibling of [[asMp3Assets]]/[[asFlacAssets]]: a BOS page
+    * carrying a spec-correct Vorbis identification header (channels /
+    * rate deterministic over the text byte count), a middle page
+    * carrying the text bytes (lacing table per RFC 3533 — ⌊n/255⌋
+    * full segments plus the terminating short one), and an EOS page
+    * whose granule position is the stream's sample count. CRCs ride
+    * as zeros (the walk reads, never verifies — the m09/m10
+    * discipline). [[parseOgg]] must read THESE bytes back.
+    */
+  def asOggAssets(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          MediaAsset(id, "audio/ogg", oggBytes(body))
+        }
+      }.toDF()
+  }
+
+  private[ext] def oggBytes(body: Array[Byte]): Array[Byte] = {
+    val n = body.length
+    val rate = OggSampleRates(n % 7)
+    val ch = 1 + n % 8
+    val total = 1000L + (n.toLong * 331L) % 500000L
+    val p3 = 1 + n % 9
+    val nLace = n / 255 + 1
+    val size = (27 + 1 + 30) + (27 + nLace + n) + (27 + 1 + p3)
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def page(headerType: Int, granule: Long, seq: Int,
+             lacing: Array[Byte], payload: Array[Byte]): Unit = {
+      b.put("OggS".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      b.put(0.toByte).put(headerType.toByte)
+      b.putLong(granule)
+      b.putInt(0x6772616f) // serial: one logical stream
+      b.putInt(seq)
+      b.putInt(0) // CRC: carried, not verified
+      b.put(lacing.length.toByte).put(lacing)
+      b.put(payload)
+    }
+    // BOS: the Vorbis identification header (30 bytes, one segment)
+    val idPkt = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    idPkt.put(0x01.toByte)
+    idPkt.put("vorbis".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    idPkt.putInt(0)            // vorbis_version
+    idPkt.put(ch.toByte)       // audio_channels
+    idPkt.putInt(rate)         // audio_sample_rate
+    idPkt.putInt(0).putInt(0).putInt(0) // bitrate max/nominal/min
+    idPkt.put(0xB8.toByte)     // blocksizes (2^8, 2^11)
+    idPkt.put(0x01.toByte)     // framing bit
+    page(0x02, 0L, 0, Array(30.toByte), idPkt.array())
+    // the body page: ⌊n/255⌋ full lacing values + the short terminator
+    val lace = Array.fill(n / 255)(255.toByte) :+ (n % 255).toByte
+    page(0x00, -1L, 1, lace, body)
+    // EOS: granule = the stream's total samples
+    page(0x04, total, 2, Array(p3.toByte),
+      Array.fill(p3)(0x7a.toByte))
+    b.array()
+  }
+
+  final case class OggFeatures(doc_id: Long, n_bytes: Long,
+                               n_pages: Int, n_streams: Int,
+                               vorbis_channels: Int, vorbis_rate: Int,
+                               total_samples: Long, payload_bytes: Long,
+                               duration_ms: Long)
+
+  /** The m11 feature path — the batched narrow-map boundary of
+    * [[mp3Features]]/[[flacFeatures]] on the OGG container. Non-OGG
+    * or corrupt payloads emit the all-zero fact row.
+    */
+  def oggFeatures(spark: SparkSession,
+                  assets: DataFrame): Dataset[OggFeatures] = {
+    import spark.implicits._
+    assets.as[MediaAsset].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          val m = parseOgg(a.payload).getOrElse(
+            OggMeta(0, 0, 0, 0, 0L, 0L, 0L))
+          OggFeatures(a.doc_id, a.payload.length.toLong, m.nPages,
+            m.nStreams, m.vorbisChannels, m.vorbisRate, m.lastGranule,
+            m.payloadBytes, m.durationMs)
+        }
+      }
+    }
+  }
+
   final case class FlacFeatures(doc_id: Long, n_bytes: Long,
                                 meta_bytes: Long, n_blocks: Int,
                                 sample_rate: Int, n_channels: Int,

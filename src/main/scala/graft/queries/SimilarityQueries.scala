@@ -699,6 +699,22 @@ object SimilarityQueries {
         Multimodal.asFlacAssets(s, Tables.documents(s, d))).toDF()
     },
 
+    /** m11 — REAL OGG (RFC 3533) page walk with a Vorbis
+      * identification probe: documents become genuine minimal
+      * OGG/Vorbis files (BOS page with a spec-correct ID header, the
+      * text bytes as a laced body page, an EOS page whose granule is
+      * the sample count), then the walk reads pages / streams /
+      * channels / rate / granule-duration back — lacing tables and
+      * payloads bounds-checked and tiling to the payload end, CRCs
+      * carried not verified (the m09/m10 discipline). The oracle
+      * replays the fact formulas and the page-size arithmetic
+      * including the ⌊n/255⌋+1 lacing-table length.
+      */
+    "m11_ogg_features" -> { (s, d) =>
+      Multimodal.oggFeatures(s,
+        Multimodal.asOggAssets(s, Tables.documents(s, d))).toDF()
+    },
+
     /** s03 — IVF ANN: Lloyd-trained coarse centroids (the d09
       * mod-prime seed sample + one DECIMAL-mean refinement — the
       * oracle replays the TRAINING, r10), nprobe-cell probing, exact
@@ -2340,6 +2356,34 @@ object SimilarityQueries {
          |  CAST(total AS BIGINT) AS total_samples,
          |  CAST(total * 1000 // rate AS BIGINT) AS duration_ms,
          |  CAST(audio AS BIGINT) AS audio_bytes
+         |FROM f""".stripMargin
+    },
+
+    // m11: every fact is integer arithmetic over the text byte count —
+    // the shared Vorbis rate menu as a CASE ladder, the RFC 3533 page
+    // envelope sizes (58 BOS + 27+L+n body with L = n//255+1 lacing
+    // bytes + 28+p3 EOS), and the granule-position duration
+    "m11_ogg_features" -> {
+      val rateCase = graft.ext.Multimodal.OggSampleRates.zipWithIndex
+        .map { case (r, i) => s"WHEN $i THEN $r" }
+        .mkString("CASE n % 7 ", " ", " END")
+      s"""WITH d AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS n
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n, $rateCase AS rate, 1 + n % 8 AS ch,
+         |    1000 + (n * 331) % 500000 AS total,
+         |    1 + n % 9 AS p3, n // 255 + 1 AS lace
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(113 + lace + n + p3 AS BIGINT) AS n_bytes,
+         |  CAST(3 AS INT) AS n_pages,
+         |  CAST(1 AS INT) AS n_streams,
+         |  CAST(ch AS INT) AS vorbis_channels,
+         |  CAST(rate AS INT) AS vorbis_rate,
+         |  CAST(total AS BIGINT) AS total_samples,
+         |  CAST(30 + n + p3 AS BIGINT) AS payload_bytes,
+         |  CAST(total * 1000 // rate AS BIGINT) AS duration_ms
          |FROM f""".stripMargin
     })
 }

@@ -1578,4 +1578,51 @@ class SimilaritySpec extends SparkTestBase {
     assert(Multimodal.parseFlac(zeroRate).isEmpty,
       "zero sample rate did not fail soft")
   }
+
+  test("OGG walk: synthesized fixture round-trips fact for fact; " +
+    "multi-stream serials count; hostile payloads fail soft") {
+    val n = 300 // > 255: the lacing table needs a full segment
+    val body = Array.tabulate(n)(i => (i % 251).toByte)
+    val payload = Multimodal.oggBytes(body)
+    val rate = Multimodal.OggSampleRates(n % 7)
+    val total = 1000L + (n.toLong * 331L) % 500000L
+    val p3 = 1 + n % 9
+    val lace = n / 255 + 1
+    // the size contract the m11 oracle replays
+    assert(payload.length == 113 + lace + n + p3)
+    val m = Multimodal.parseOgg(payload).get
+    assert(m.nPages == 3 && m.nStreams == 1)
+    assert(m.vorbisChannels == 1 + n % 8 && m.vorbisRate == rate)
+    assert(m.lastGranule == total &&
+      m.durationMs == total * 1000L / rate)
+    assert(m.payloadBytes == 30L + n + p3)
+    // two multiplexed streams: distinct serials both count
+    val second = payload.clone()
+    // page 2's serial field sits at 58 + 14
+    second(58 + 14) = 0x11.toByte
+    val ms = Multimodal.parseOgg(second).get
+    assert(ms.nStreams == 2, s"distinct serials not counted: $ms")
+    // fail-soft: plain text, truncated header, non-zero version,
+    // lacing table past the end, payload past the end, trailing
+    // garbage, a broken mid-stream capture
+    assert(Multimodal.parseOgg("plain text".getBytes).isEmpty)
+    assert(Multimodal.parseOgg(payload.take(20)).isEmpty,
+      "truncated page header did not fail soft")
+    val badVer = payload.clone()
+    badVer(4) = 1
+    assert(Multimodal.parseOgg(badVer).isEmpty,
+      "non-zero version did not fail soft")
+    val badLace = payload.clone()
+    badLace(26) = 0xff.toByte // 255 lacing bytes in a 58-byte page
+    assert(Multimodal.parseOgg(badLace).isEmpty,
+      "lacing table past the end did not fail soft")
+    assert(Multimodal.parseOgg(payload.dropRight(1)).isEmpty,
+      "truncated final page did not fail soft")
+    assert(Multimodal.parseOgg(payload ++ Array(0x00.toByte)).isEmpty,
+      "trailing garbage did not fail soft")
+    val badMid = payload.clone()
+    badMid(58) = 'X'.toByte // page 2's capture pattern broken
+    assert(Multimodal.parseOgg(badMid).isEmpty,
+      "broken mid-stream capture did not fail soft")
+  }
 }
