@@ -788,6 +788,82 @@ object TextAnalysis {
       .withColumn("predicted", col("margin") >= 0)
   }
 
+  /** Probe EVALUATION [EXT, r13 — the metric row a curation pipeline
+    * reports next to the probe it trained]: self-scored AUC and
+    * accuracy of [[qualityProbeTrainScore]]'s margins against the
+    * training labels, plus the class counts. One row:
+    * (n_pos, n_neg, n_correct, auc, accuracy).
+    *
+    * AUC is the Mann–Whitney form with the standard half-credit for
+    * ties, computed EXACTLY in integers: margins (already on the
+    * round-6 grid) collapse to a distinct-value grid with per-value
+    * positive/negative counts, and
+    *
+    *   2·U = Σ_v np_v · (2·cumneg_<v + nn_v)
+    *
+    * accumulates per ascending grid value — every term a long, so the
+    * statistic is order-free and bit-portable; the ONLY doubles are
+    * the final divisions (2·U / (2·n_pos·n_neg), n_correct/n),
+    * rounded to 6 with the −0.0 normalize. 2·U stays within a long
+    * for any corpus below ~3·10⁹ scored documents (n_pos·n_neg ≤
+    * n²/4); past that an AUC is computed on a sample anyway.
+    *
+    * Scale shape: NO global Window (the PlanSpec invariant) — the
+    * running negative count uses the exactQuantiles/perplexityCutoffs
+    * idiom: range-sort the grid once, collect one subtotal row per
+    * partition, broadcast the prefix offsets back, fold the
+    * contributions per partition. The grid is value-bounded (round-6
+    * margins), the collected artifacts are one row per partition.
+    */
+  def qualityProbeAuc(docs: DataFrame, targetCol: Column,
+                      nBuckets: Int = 256, epochs: Int = 3,
+                      lr: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labeled = docs.select(col("doc_id"), targetCol.as("y"))
+      .join(qualityProbeTrainScore(docs, targetCol, nBuckets, epochs, lr)
+        .select(col("doc_id"), col("margin"), col("predicted")),
+        Seq("doc_id"))
+    val grid = labeled.groupBy(col("margin"))
+      .agg(coalesce(sum(when(col("y"), 1L).otherwise(0L)), lit(0L))
+        .as("np"),
+        coalesce(sum(when(col("y"), 0L).otherwise(1L)), lit(0L))
+        .as("nn"))
+      .orderBy(col("margin"))
+    val rdd = grid.rdd // shared lineage: the sort shuffle runs once
+    val negParts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(2)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = negParts.scanLeft(0L)(_ + _)
+    val u2 = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets(i)
+      it.map { r =>
+        val np = r.getLong(1); val nn = r.getLong(2)
+        val c = np * (2L * cum + nn); cum += nn; c
+      }
+    }.fold(0L)(_ + _)
+    val counts = labeled.agg(
+      coalesce(sum(when(col("y"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("y"), 0L).otherwise(1L)), lit(0L)),
+      coalesce(sum(when(col("predicted") === col("y"), 1L)
+        .otherwise(0L)), lit(0L))).collect()(0)
+    val (nPos, nNeg, nCorrect) =
+      (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    require(nPos > 0 && nNeg > 0,
+      "probe AUC needs both classes present in the training labels")
+    // the derived doubles go through Spark expressions so the
+    // arithmetic shape matches the oracle's exactly
+    Seq((nPos, nNeg, nCorrect, u2)).toDF("n_pos", "n_neg",
+        "n_correct", "u2")
+      .select(col("n_pos"), col("n_neg"), col("n_correct"),
+        (round(col("u2").cast("double") /
+          (lit(2.0d) * col("n_pos") * col("n_neg")), 6) + lit(0.0d))
+          .as("auc"),
+        (round(col("n_correct").cast("double") /
+          (col("n_pos") + col("n_neg")), 6) + lit(0.0d))
+          .as("accuracy"))
+  }
+
   /** Score a corpus under a trained probe — the exact (decimal-sum)
     * form the oracle replays: per doc, margin = round(Σ tf·w, 6)
     * (bias included via its bucket row), quality = round(σ̃, 6),

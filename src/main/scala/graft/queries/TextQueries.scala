@@ -134,6 +134,22 @@ object TextQueries {
         col("source") === "src0")
     },
 
+    /** x42 — probe EVALUATION (r13): the self-scored AUC/accuracy row
+      * a curation pipeline reports next to the probe it trained. The
+      * Mann–Whitney statistic accumulates in exact longs over the
+      * round-6 margin grid (half-credit ties), with the running
+      * negative count via the exactQuantiles range-sort idiom — no
+      * global Window; only the two final divisions are doubles. The
+      * oracle replays x35's full training chain and the identical
+      * integer fold (its running count may use a WINDOW — DuckDB is
+      * single-node; the PlanSpec invariant binds the Spark plan).
+      */
+    "x42_probe_auc" -> { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      TextAnalysis.qualityProbeAuc(Tables.documents(s, d),
+        col("source") === "src0")
+    },
+
     /** x36 — BPE merge training (Sennrich et al. 2016): 8 merges
       * learned from the corpus's word-frequency dictionary — one
       * corpus shuffle, then vocab-bounded pair-count aggregates with
@@ -599,6 +615,78 @@ object TextQueries {
        |$rounds""".stripMargin
   }
 
+  /** The x35 training-replay chain (features → three unrolled epochs
+    * → per-doc margins in `scored`) — shared by the x35 oracle and the
+    * x42 AUC tail, one definition so the two cannot drift.
+    */
+  private val X35Ctes: String =
+    s"""tok AS (
+         |  SELECT doc_id, source = 'src0' AS is_t,
+         |    string_split(text, ' ') AS t
+         |  FROM documents),
+         |feat AS (
+         |  SELECT doc_id, is_t, unnest(t) AS f FROM tok
+         |  UNION ALL
+         |  SELECT doc_id, is_t, unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS f FROM tok),
+         |tfb AS (
+         |  SELECT doc_id,
+         |    CASE WHEN is_t THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST(0.0 AS DOUBLE) END AS y,
+         |    ${Hashing.base60Sql("f")} % 256 AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM feat GROUP BY 1, 2, 3
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    CASE WHEN source = 'src0' THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST(0.0 AS DOUBLE) END AS y,
+         |    256 AS b, CAST(1 AS BIGINT) AS tf
+         |  FROM documents),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |r1 AS (
+         |  SELECT doc_id, round(y - CAST(0.5 AS DOUBLE), 6) AS r
+         |  FROM (SELECT DISTINCT doc_id, y FROM tfb)),
+         |w1 AS (
+         |  SELECT b, round((CAST(0.5 AS DOUBLE) * g) / n, 6) AS w
+         |  FROM (SELECT b,
+         |          CAST(SUM(CAST(tf * r AS DECIMAL(38,18))) AS DOUBLE)
+         |            AS g
+         |        FROM tfb JOIN r1 USING (doc_id) GROUP BY b)
+         |  CROSS JOIN nd),
+         |z2 AS (
+         |  SELECT doc_id, y,
+         |    round(CAST(SUM(CAST(tf * w AS DECIMAL(38,18))) AS DOUBLE),
+         |      6) AS z
+         |  FROM tfb JOIN w1 USING (b) GROUP BY doc_id, y),
+         |r2 AS (
+         |  SELECT doc_id, round(y - (CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + z / (CAST(1.0 AS DOUBLE) + abs(z)))), 6) AS r FROM z2),
+         |w2 AS (
+         |  SELECT b, round(w + (CAST(0.5 AS DOUBLE) * g) / n, 6) AS w
+         |  FROM (SELECT b,
+         |          CAST(SUM(CAST(tf * r AS DECIMAL(38,18))) AS DOUBLE)
+         |            AS g
+         |        FROM tfb JOIN r2 USING (doc_id) GROUP BY b)
+         |  JOIN w1 USING (b) CROSS JOIN nd),
+         |z3 AS (
+         |  SELECT doc_id, y,
+         |    round(CAST(SUM(CAST(tf * w AS DECIMAL(38,18))) AS DOUBLE),
+         |      6) AS z
+         |  FROM tfb JOIN w2 USING (b) GROUP BY doc_id, y),
+         |r3 AS (
+         |  SELECT doc_id, round(y - (CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + z / (CAST(1.0 AS DOUBLE) + abs(z)))), 6) AS r FROM z3),
+         |w3 AS (
+         |  SELECT b, round(w + (CAST(0.5 AS DOUBLE) * g) / n, 6) AS w
+         |  FROM (SELECT b,
+         |          CAST(SUM(CAST(tf * r AS DECIMAL(38,18))) AS DOUBLE)
+         |            AS g
+         |        FROM tfb JOIN r3 USING (doc_id) GROUP BY b)
+         |  JOIN w2 USING (b) CROSS JOIN nd),
+         |scored AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+         |    round(CAST(SUM(CAST(tf * w AS DECIMAL(38,18))) AS DOUBLE),
+         |      6) + CAST(0.0 AS DOUBLE) AS margin
+         |  FROM tfb JOIN w3 USING (b) GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x36_bpe_merges" -> {
       val sep = "chr(31)"
@@ -888,76 +976,48 @@ object TextQueries {
     // then scores under w3 — margins hash-match, not just directions.
     // Epoch 1 is closed-form (w₀ = 0 ⇒ z = 0, σ̃ = 0.5 exactly).
     "x35_quality_probe" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, source = 'src0' AS is_t,
-         |    string_split(text, ' ') AS t
-         |  FROM documents),
-         |feat AS (
-         |  SELECT doc_id, is_t, unnest(t) AS f FROM tok
-         |  UNION ALL
-         |  SELECT doc_id, is_t, unnest(list_transform(range(1, len(t)),
-         |    i -> t[i] || ' ' || t[i+1])) AS f FROM tok),
-         |tfb AS (
-         |  SELECT doc_id,
-         |    CASE WHEN is_t THEN CAST(1.0 AS DOUBLE)
-         |         ELSE CAST(0.0 AS DOUBLE) END AS y,
-         |    ${Hashing.base60Sql("f")} % 256 AS b,
-         |    CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM feat GROUP BY 1, 2, 3
-         |  UNION ALL
-         |  SELECT doc_id,
-         |    CASE WHEN source = 'src0' THEN CAST(1.0 AS DOUBLE)
-         |         ELSE CAST(0.0 AS DOUBLE) END AS y,
-         |    256 AS b, CAST(1 AS BIGINT) AS tf
-         |  FROM documents),
-         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-         |r1 AS (
-         |  SELECT doc_id, round(y - CAST(0.5 AS DOUBLE), 6) AS r
-         |  FROM (SELECT DISTINCT doc_id, y FROM tfb)),
-         |w1 AS (
-         |  SELECT b, round((CAST(0.5 AS DOUBLE) * g) / n, 6) AS w
-         |  FROM (SELECT b,
-         |          CAST(SUM(CAST(tf * r AS DECIMAL(38,18))) AS DOUBLE)
-         |            AS g
-         |        FROM tfb JOIN r1 USING (doc_id) GROUP BY b)
-         |  CROSS JOIN nd),
-         |z2 AS (
-         |  SELECT doc_id, y,
-         |    round(CAST(SUM(CAST(tf * w AS DECIMAL(38,18))) AS DOUBLE),
-         |      6) AS z
-         |  FROM tfb JOIN w1 USING (b) GROUP BY doc_id, y),
-         |r2 AS (
-         |  SELECT doc_id, round(y - (CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + z / (CAST(1.0 AS DOUBLE) + abs(z)))), 6) AS r FROM z2),
-         |w2 AS (
-         |  SELECT b, round(w + (CAST(0.5 AS DOUBLE) * g) / n, 6) AS w
-         |  FROM (SELECT b,
-         |          CAST(SUM(CAST(tf * r AS DECIMAL(38,18))) AS DOUBLE)
-         |            AS g
-         |        FROM tfb JOIN r2 USING (doc_id) GROUP BY b)
-         |  JOIN w1 USING (b) CROSS JOIN nd),
-         |z3 AS (
-         |  SELECT doc_id, y,
-         |    round(CAST(SUM(CAST(tf * w AS DECIMAL(38,18))) AS DOUBLE),
-         |      6) AS z
-         |  FROM tfb JOIN w2 USING (b) GROUP BY doc_id, y),
-         |r3 AS (
-         |  SELECT doc_id, round(y - (CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + z / (CAST(1.0 AS DOUBLE) + abs(z)))), 6) AS r FROM z3),
-         |w3 AS (
-         |  SELECT b, round(w + (CAST(0.5 AS DOUBLE) * g) / n, 6) AS w
-         |  FROM (SELECT b,
-         |          CAST(SUM(CAST(tf * r AS DECIMAL(38,18))) AS DOUBLE)
-         |            AS g
-         |        FROM tfb JOIN r3 USING (doc_id) GROUP BY b)
-         |  JOIN w2 USING (b) CROSS JOIN nd),
-         |scored AS (
-         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
-         |    round(CAST(SUM(CAST(tf * w AS DECIMAL(38,18))) AS DOUBLE),
-         |      6) + CAST(0.0 AS DOUBLE) AS margin
-         |  FROM tfb JOIN w3 USING (b) GROUP BY doc_id)
+      s"""WITH $X35Ctes
          |SELECT doc_id, n_features, margin,
          |  round((CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + margin / (CAST(1.0 AS DOUBLE) + abs(margin)))), 6) AS quality,
          |  margin >= 0 AS predicted
          |FROM scored""".stripMargin,
+
+    // x42: x35's training chain, then the exact-integer Mann-Whitney
+    // fold — np·(2·cumneg_<v + nn) per ascending margin-grid value
+    // (half-credit ties), classes and correctness as exact counts,
+    // doubles only in the two final rounded divisions
+    "x42_probe_auc" ->
+      s"""WITH $X35Ctes,
+         |lab AS (
+         |  SELECT s.doc_id, s.margin, s.margin >= 0 AS pred,
+         |    d.source = 'src0' AS y
+         |  FROM scored s JOIN documents d USING (doc_id)),
+         |grid AS (
+         |  SELECT margin,
+         |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM lab GROUP BY margin),
+         |cum AS (
+         |  SELECT margin, np, nn,
+         |    CAST(COALESCE(SUM(nn) OVER (ORDER BY margin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cnlt
+         |  FROM grid),
+         |agg AS (
+         |  SELECT CAST(SUM(np * (2 * cnlt + nn)) AS BIGINT) AS u2,
+         |    CAST(SUM(np) AS BIGINT) AS n_pos,
+         |    CAST(SUM(nn) AS BIGINT) AS n_neg
+         |  FROM cum),
+         |acc AS (
+         |  SELECT CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM lab)
+         |SELECT n_pos, n_neg, n_correct,
+         |  round(CAST(u2 AS DOUBLE) /
+         |    (CAST(2.0 AS DOUBLE) * n_pos * n_neg), 6) + 0.0 AS auc,
+         |  round(CAST(n_correct AS DOUBLE) / n, 6) + 0.0 AS accuracy
+         |FROM agg, acc""".stripMargin,
 
     "x31_dsir_resample" ->
       s"""WITH tok AS (

@@ -604,6 +604,53 @@ class CorpusOpsSpec extends SparkTestBase {
       TextAnalysis.qualityProbeScore(corpus, Map(0L -> 1.0, 5L -> 2.0)))
   }
 
+  test("probe AUC (x42): the integer Mann-Whitney fold == a brute-force " +
+    "pairwise AUC with half-credit ties; separable corpus scores 1.0; " +
+    "single-class labels refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val good = (1 to 60).map(i => (i.toLong, "good",
+      s"alpha bravo charlie delta echo tok${i % 7} foxtrot golf"))
+    val junk = (101 to 160).map(i => (i.toLong, "junk",
+      s"zulu yankee xray whiskey victor spam${i % 7} uniform tango"))
+    val corpus = (good ++ junk).toDF("doc_id", "source", "text")
+    val isGood = col("source") === "good"
+    val row = TextAnalysis.qualityProbeAuc(corpus, isGood).collect()(0)
+    assert(row.getAs[Long]("n_pos") == 60 && row.getAs[Long]("n_neg") == 60)
+    assert(row.getAs[Double]("auc") == 1.0 &&
+      row.getAs[Double]("accuracy") == 1.0,
+      s"separable corpus must score AUC 1.0: $row")
+    // a REAL corpus slice (imperfect separation + genuine margin
+    // ties): the fold must equal the O(n^2) pairwise definition
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").filter(col("doc_id") < 300)
+    val target = col("source") === "src0"
+    val got = TextAnalysis.qualityProbeAuc(docs, target).collect()(0)
+    val scored = TextAnalysis.qualityProbeTrainScore(docs, target)
+      .select(col("doc_id"), col("margin"))
+      .join(docs.select(col("doc_id"), target.as("y")), Seq("doc_id"))
+      .collect().map(r => (r.getDouble(1), r.getBoolean(2)))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty, "test slice lost a class")
+    val u2brute = (for (p <- pos; q <- neg) yield
+      if (p > q) 2L else if (p == q) 1L else 0L).sum
+    // Spark's round(double, 6) goes through BigDecimal.valueOf (the
+    // shortest-decimal form) — mirror it exactly
+    val want = BigDecimal(java.math.BigDecimal.valueOf(
+      u2brute.toDouble / (2.0 * pos.length * neg.length)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    assert(got.getAs[Double]("auc") == want,
+      s"integer fold diverged from pairwise AUC: " +
+        s"${got.getAs[Double]("auc")} vs $want")
+    assert(got.getAs[Long]("n_pos") == pos.length &&
+      got.getAs[Long]("n_neg") == neg.length)
+    // both classes required — an all-positive target is refused
+    intercept[IllegalArgumentException](
+      TextAnalysis.qualityProbeAuc(corpus, org.apache.spark.sql
+        .functions.lit(true)))
+  }
+
   test("epochBudget: caps bind on small domains, budget covers the " +
     "uncapped ones, invariants hold at any partitioning") {
     import spark.implicits._
