@@ -600,7 +600,7 @@ object Cli {
     *     fetched from `--embeddings` by a pushed vec_id filter and
     *     re-ranked by exact cosine before the fuse.
     *   - `--diversify` (r13): the s28 MMR tail — the fused top-`--pool`
-    *     (default max(3k, 12)) is greedily re-ranked over its
+    *     (default min(depth, max(3k, 12))) is greedily re-ranked over its
     *     exact-fetched originals (λ·fused − (1−λ)·max-sim, `--lambda`
     *     default 0.7) so near-duplicate fused hits stop crowding the
     *     cut; implies the exact-tail nomination.
@@ -653,9 +653,16 @@ object Cli {
       val lambda = doubleOpt(opts, "lambda", 0.7)
       if (lambda < 0.0 || lambda > 1.0)
         throw CliError(s"--lambda must be in [0, 1], got $lambda")
-      val pool = intOpt(opts, "pool", math.max(3 * k, 12))
+      // default pool: 3k breathing room capped at the nomination
+      // depth (the pool can never exceed what the legs nominate) —
+      // the r13 default (uncapped max(3k,12)) crashed at k=10/depth=20
+      val pool = intOpt(opts, "pool",
+        math.min(depth, math.max(3 * k, 12)))
       if (pool < k)
         throw CliError(s"--pool ($pool) must cover --k ($k)")
+      if (pool > depth)
+        throw CliError(s"--pool ($pool) cannot exceed --depth ($depth)" +
+          " — the legs nominate only depth candidates per query")
       val picks = graft.ext.Retrieval.hybridQueryStoresDiversify(spark,
         indexStore, vectorStore, emb, queries, qVecs, k = k,
         poolSize = pool, depth = depth, nprobe = nprobe,

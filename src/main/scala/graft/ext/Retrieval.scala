@@ -968,30 +968,39 @@ object Retrieval {
   }
 
   /** DIVERSIFIED hybrid retrieval — the MMR tail after the RRF fuse
-    * (r13), completing the hybrid serving matrix the way s24 completed
-    * the dense one: [[hybridQueryStoresRerank]] nominates and fuses a
-    * top-`poolSize` pool per query (stores nominate, exact-tail dense
-    * re-rank, shared RRF fuse), then ONLY the fused pool's ORIGINAL
-    * vectors are fetched from the corpus parquet by a second pushed
-    * vec_id filter and the greedy MMR ([[graft.ext.Similarity
-    * .mmrRerank]], λ·fused − (1−λ)·max-sim-to-picked) re-ranks to the
-    * final k — near-duplicate fused hits stop crowding the cut.
-    * Relevance = the fused RRF score (round-6 grid); pairwise sims =
-    * exact rounded-4 cosine over the fetched originals. The only
-    * corpus reads in the executed plan are the two pushed fetches
-    * (dense-nominee re-rank + pool diversify, |Q|·depth rows each —
-    * spec-pinned). Oracle-checked (s28): the s25 chain, the pool cut,
-    * and the unrolled greedy replay end-to-end.
+    * (r13; r14 fetch-once + uncut-fuse rework), completing the hybrid
+    * serving matrix the way s24 completed the dense one: the stores
+    * nominate (postings-pruned lexical rank, cell-pruned ADC dense
+    * candidates — both legs shared definition-for-definition with
+    * [[hybridQueryStoresRerank]]), BOTH legs' candidate originals are
+    * fetched from the corpus parquet by ONE pushed vec_id filter
+    * (≤ 2·|Q|·depth rows, materialized once), the dense leg re-ranks
+    * by exact rounded-4 cosine over that fetch (the s25 exact tail,
+    * verbatim), the legs fuse UNCUT (each leg is already
+    * depth-bounded, so the full-outer union is ≤ 2·depth rows per
+    * query — no top-depth cut before the pool), and the greedy MMR
+    * ([[graft.ext.Similarity.mmrRerank]], λ·fused −
+    * (1−λ)·max-sim-to-picked) re-ranks the fused top-`poolSize` over
+    * the SAME fetched originals to the final k — near-duplicate fused
+    * hits stop crowding the cut. Relevance = the fused RRF score
+    * (round-6 grid); pairwise sims = exact rounded-4 cosine. The only
+    * corpus read in the whole call is the one pushed fetch
+    * (spec-pinned: the final plan re-reads the materialized fetch,
+    * never the corpus). Oracle-checked (s28): the s25 chain, the
+    * UNCUT fuse, the embedding-backed pool cut, and the unrolled
+    * greedy replay end-to-end.
     *
-    * ID-space semantics (found at the x10 stress, r13): the lexical
-    * and dense corpora need not share an id space — a fused candidate
-    * can be a lexical-only doc with NO embedding, and a candidate
-    * without a vector cannot be diversified (no pairwise sims). Such
-    * ids are excluded BEFORE the pool cut, so the pool keeps its full
-    * width from the embedding-backed fused list (the dense leg alone
-    * guarantees `depth ≥ poolSize` backed candidates per query); a
-    * cut-then-restrict order would silently shrink the pool and, in
-    * the replay, could even strand the greedy on a vectorless pick.
+    * ID-space semantics (found at the x10 stress, r13; order fixed
+    * r14): the lexical and dense corpora need not share an id space —
+    * a fused candidate can be a lexical-only doc with NO embedding,
+    * and a candidate without a vector cannot be diversified (no
+    * pairwise sims). The fuse is therefore UNCUT and vectorless ids
+    * drop at the fetch join, so the top-`poolSize` cut runs over the
+    * full embedding-backed fused list (the dense leg alone guarantees
+    * `depth ≥ poolSize` backed candidates per query) — exactly the
+    * oracle's `f JOIN e` → pool-cut order. The r13 form cut the fuse
+    * to top-depth FIRST, letting lexical-only docs evict backed
+    * candidates from the pool under partial embedding coverage.
     */
   def hybridQueryStoresDiversify(spark: org.apache.spark.sql.SparkSession,
                                  indexStore: String, vectorStore: String,
@@ -1002,23 +1011,56 @@ object Retrieval {
                                  c: Int = 60, nprobe: Int = 4,
                                  lambda: Double = 0.7, k1: Double = 1.2,
                                  b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty,
+      "hybridQueryStoresDiversify needs at least one query")
+    require(queries.forall(_._2.nonEmpty),
+      "every hybrid query needs at least one term")
     require(poolSize >= k,
       s"pool ($poolSize) must cover k ($k)")
     require(depth >= poolSize,
       s"depth ($depth) must cover the pool ($poolSize)")
-    val fused = hybridQueryStoresRerank(spark, indexStore, vectorStore,
-      corpus, queries, queryVecs, k = depth, depth = depth, c = c,
-      nprobe = nprobe, k1 = k1, b = b)
-    // the fused candidates' ids, collected (|Q|·depth longs — KB) to
-    // push the fetch into the corpus scan as an In filter
-    val ids = fused.select(col("doc_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // both legs, shared definitions; each consumed twice (id collect
+    // for the pushed fetch + the fuse/re-rank), so materialize once
+    val lexRank = lexRankFromStore(spark, indexStore, queries, depth,
+      k1, b).localCheckpoint(true)
+    val cands = VectorIndex.query(spark, vectorStore, queryVecs,
+        k = depth, nprobe = nprobe)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      .localCheckpoint(true)
+    // ONE pushed corpus fetch serves both the exact dense re-rank and
+    // the pool join: the union of both legs' candidate ids, collected
+    // (≤ 2·|Q|·depth longs — KB) into an In filter, materialized once
+    val ids = (cands.select(col("vec_id")).collect().map(_.getLong(0))
+      ++ lexRank.select(col("doc_id")).collect().map(_.getLong(0)))
+      .distinct.toSeq
     val fetched = corpus
       .filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").cast("long").as("doc_id"),
         col("embedding").cast("array<double>").as("emb"))
-    // embedding-backed candidates only, THEN the pool cut (the
-    // id-space note above); the Window runs over ≤ |Q|·depth rows
+      .localCheckpoint(true) // consumed twice: dense re-rank + pool
+    // exact dense re-rank of the store's nominees over the shared
+    // fetch — VectorIndex.queryRerank's tail verbatim at full nominee
+    // coverage (k = rerank = depth); vectorless nominees drop here
+    val q = queryVecs
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val denseRank = cands
+      .join(fetched.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim",
+        round(Similarity.cosine(col("emb"), col("q_emb")), 4))
+      .withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= depth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    // UNCUT fuse: each leg holds ≤ depth rows per query, so the
+    // full-outer union is ≤ 2·depth — rank ≤ 2·depth keeps every row
+    val fused = rrfFuse(lexRank, denseRank, k = 2 * depth, c = c)
+    // embedding-backed candidates only (the fetch join), THEN the
+    // pool cut; the Window runs over ≤ 2·|Q|·depth rows
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("fused").desc, col("doc_id"))

@@ -1229,6 +1229,19 @@ class CliSpec extends SparkTestBase {
       "0", "--embeddings", embPath, "--diversify", "--k", "4"), now)
     assert(printedD.contains("pick_rank") &&
       printedD.linesIterator.size == 5, printedD)
+    // the r13 ADVICE crash: the DEFAULT --diversify invocation (k=10
+    // -> uncapped pool 30 > depth 20 threw an uncaught require) must
+    // work — the default pool caps at depth
+    val printedDef = Cli.run(spark, Seq("hybrid", "--index", bmStore,
+      "--vector-index", vStore, "--query", "dup merge", "--query-id",
+      "0", "--embeddings", embPath, "--diversify"), now)
+    assert(printedDef.contains("pick_rank") &&
+      printedDef.linesIterator.size == 11, printedDef)
+    // a user-supplied pool beyond depth is a CliError, not a crash
+    assert(intercept[CliError](Cli.run(spark, Seq("hybrid", "--index",
+      bmStore, "--vector-index", vStore, "--query", "dup merge",
+      "--query-id", "0", "--embeddings", embPath, "--diversify",
+      "--pool", "25"), now)).message.contains("--depth"))
     // the ADVICE caveat: a vectors-free delete leaves the stats
     // counting the appended corpus — --drift-stats must SAY so; a
     // reconciling re-init clears it

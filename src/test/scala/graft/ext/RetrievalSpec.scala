@@ -506,11 +506,12 @@ class RetrievalSpec extends SparkTestBase {
       vStore, e, queries, qVecs, k = k, poolSize = pool, depth = 20,
       lambda = lambda).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    // the by-hand composition: fused at DEPTH -> embedding-backed
-    // restriction -> pool cut -> greedy (restrict BEFORE cut — the
-    // operator's id-space contract)
+    // the by-hand composition: UNCUT fuse (k = 2·depth keeps every
+    // full-outer row) -> embedding-backed restriction -> pool cut ->
+    // greedy (restrict BEFORE cut — the operator's id-space contract,
+    // matching the s28 oracle's f JOIN e -> pool-cut order)
     val fusedDeep = Retrieval.hybridQueryStoresRerank(spark, bmStore,
-      vStore, e, queries, qVecs, k = 20, depth = 20)
+      vStore, e, queries, qVecs, k = 40, depth = 20)
     val backed = fusedDeep.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
       .toDF("query_id", "vec_id", "rel")
@@ -552,6 +553,73 @@ class RetrievalSpec extends SparkTestBase {
       e, queries, qVecs, k = k, poolSize = pool, depth = 20,
       lambda = lambda).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == got)
+  }
+
+  test("hybridQueryStoresDiversify under PARTIAL embedding coverage: " +
+    "the fuse is UNCUT (lexical-only docs cannot evict backed " +
+    "candidates from the pool — the r14 order fix) and the corpus is " +
+    "fetched exactly once (the final plan never re-reads it)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    // half the lexical corpus has NO embedding — the id-space split
+    // the r13 cut-first order got wrong (ADVICE r13)
+    val e = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id").cast("long") % 2 === 0)
+    val queries = Seq(0L -> Seq("dup", "merge"),
+      2L -> Seq("spark", "window"))
+    val bmStore = tmpDir("hybp-bm25") + "/idx"
+    val vStore = tmpDir("hybp-vidx") + "/idx"
+    Retrieval.initIndexIfStale(docs, bmStore)
+    VectorIndex.init(e, vStore, coarseIters = 2)
+    val qVecs = e.filter(col("vec_id").isin(0L, 2L))
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toSeq
+      .map { case (id, emb) => (id, emb.toSeq) }
+      .toDF("vec_id", "embedding")
+    val (k, pool, lambda) = (4, 12, 0.7)
+    val gotDf = Retrieval.hybridQueryStoresDiversify(spark, bmStore,
+      vStore, e, queries, qVecs, k = k, poolSize = pool, depth = 20,
+      lambda = lambda)
+    val got = gotDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // precondition: the uncut fused set really contains vectorless
+    // (odd-id) candidates — otherwise this fixture pins nothing
+    val fusedDeep = Retrieval.hybridQueryStoresRerank(spark, bmStore,
+      vStore, e, queries, qVecs, k = 40, depth = 20).collect()
+    assert(fusedDeep.exists(_.getLong(1) % 2 == 1),
+      "fixture drift: no lexical-only candidate fused")
+    // by-hand: UNCUT fuse -> backed restriction -> pool cut -> greedy
+    val backedIds = e.select(col("vec_id").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    val fusedRows = fusedDeep.toSeq
+      .filter(r => backedIds.contains(r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(pool)
+      }
+    val poolDf = fusedRows.toDF("query_id", "vec_id", "rel")
+      .join(e.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("emb")), Seq("vec_id"))
+    val want = Similarity.mmrRerank(poolDf, k, lambda).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want,
+      s"partial-coverage picks diverged from the uncut-fuse " +
+        s"composition:\ngot $got\nwant $want")
+    // every pick embedding-backed; full k per query — the pool kept
+    // its width from the backed fused list
+    assert(got.forall(p => backedIds.contains(p._2)),
+      s"a vectorless doc was picked: $got")
+    for ((q, picks) <- got.groupBy(_._1))
+      assert(picks.map(_._3).toSeq.sorted == (1 to k),
+        s"query $q pick ranks not 1..$k: $picks")
+    // fetch-once: the final plan reads the one materialized fetch,
+    // never the corpus parquet (r13 fetched it twice)
+    val p = gotDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("embeddings.parquet") &&
+      !p.contains("documents.parquet"),
+      s"diversify re-read the corpus in its final plan:\n$p")
   }
 
   test("lexical drift advisory: store-fed == corpus-scan bit for bit, " +
