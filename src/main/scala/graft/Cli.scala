@@ -1616,6 +1616,30 @@ object Cli {
           "session's export dirs live)")
       if (!purgeData && opts.contains("dest_root"))
         throw CliError("--dest-root is a --purge-data option")
+      // a typo'd --dest-root must never delete an unrelated tree that
+      // happens to contain a <session> subdir: the session row records
+      // its real destination (mysql.rb:34) — cross-check BEFORE the
+      // purge fact makes the catalog forget the row (r13 ADVICE).
+      // FS-qualified comparison so `file:///r/`, `file:/r` and `/r`
+      // all name the same root; a compacted-away replay (no session
+      // row left) skips the check — the tree is already gone.
+      if (purgeData) {
+        def qualified(p: String): String = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .makeQualified(hp).toString
+        }
+        val supplied = required(opts, "dest_root")
+        cat.sessions
+          .filter(s => s.mode == "export" && s.session_name == name)
+          .collect().headOption.map(_.dest_root)
+          .filter(_.nonEmpty).foreach { recorded =>
+            if (qualified(recorded) != qualified(supplied))
+              throw CliError(s"--dest-root '$supplied' does not match " +
+                s"session '$name''s recorded destination '$recorded' " +
+                "— refusing the payload delete (pass the recorded root)")
+          }
+      }
       try cat.purgeSession(mode, name, nowMs)
       catch {
         case e: IllegalArgumentException => throw CliError(e.getMessage)

@@ -120,22 +120,33 @@ object TableOps {
     val live = new Path(root + session)
     val staged = new Path(root + session + "__purging")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.engine.Compactor.swapLock.synchronized {
-      // a crashed earlier purge left a stage: clear it FIRST (renaming
-      // onto an occupied stage is scheme-dependent; never risk it)
-      val hadStaged = fs.exists(staged)
-      if (hadStaged)
-        require(fs.delete(staged, true),
-          s"cannot delete staged purge dir $staged")
-      val hadLive = fs.exists(live)
-      if (hadLive) {
-        require(fs.rename(live, staged),
-          s"cannot stage $live for deletion")
-        require(fs.delete(staged, true),
-          s"cannot delete staged purge dir $staged")
+    // only the NAMESPACE transition needs the swap lock (stage-clear
+    // when a rename target must be freed + the live->__purging
+    // rename); the recursive delete of the staged tree runs OUTSIDE
+    // it — a large export's takedown must not stall every store swap,
+    // crash recovery, and existence probe in the process (r13 ADVICE)
+    val (hadLive, hadStaged) =
+      graft.engine.Compactor.swapLock.synchronized {
+        val hadStaged = fs.exists(staged)
+        val hadLive = fs.exists(live)
+        if (hadLive) {
+          // a crashed earlier purge left a stage AND a new live tree
+          // exists: clear the stage FIRST (renaming onto an occupied
+          // stage is scheme-dependent; never risk it) — the one delete
+          // that must stay under the lock, and only on this rare
+          // double-crash path
+          if (hadStaged)
+            require(fs.delete(staged, true),
+              s"cannot delete staged purge dir $staged")
+          require(fs.rename(live, staged),
+            s"cannot stage $live for deletion")
+        }
+        (hadLive, hadStaged)
       }
-      hadLive || hadStaged
-    }
+    if (hadLive || hadStaged)
+      require(fs.delete(staged, true),
+        s"cannot delete staged purge dir $staged")
+    hadLive || hadStaged
   }
 
   /** Read back a saved info payload (round-trip of S8). */

@@ -940,6 +940,26 @@ object Dedup {
     graft.engine.Compactor.swapInto(fs, path, tmp)
   }
 
+  /** Appends must keep the store schema-uniform: a pre-r13 store has
+    * no `dl` column, and appending dl-bearing rows would make the
+    * dir's visible schema footer-sample-dependent (read without
+    * mergeSchema, whichever footer Spark samples wins — a future dl
+    * reader would see nulls for old rows). The drift machinery
+    * already demands a rebuild for such stores; the append paths
+    * refuse with the same actionable message instead of quietly
+    * mixing schemas (r13 ADVICE). One footer read, KB cost.
+    */
+  private def requireDlSchema(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) &&
+        !spark.read.parquet(path).schema.fieldNames.contains("dl"))
+      throw new IllegalArgumentException(
+        s"signature store at $path predates the dl column — rebuild " +
+          "it (writeSignatures/initSignaturesIfStale) before appending")
+  }
+
   /** O(delta) signature upkeep: compute signatures for `newDocs` ONLY
     * and append them to the store. The old corpus is never re-read,
     * let alone re-shingled. Tombstoned ids are skipped — a takedown
@@ -947,6 +967,7 @@ object Dedup {
     */
   def updateSignatures(newDocs: DataFrame, path: String, n: Int = 3): Unit = {
     recoverIfSwapped(newDocs.sparkSession, path)
+    requireDlSchema(newDocs.sparkSession, path)
     signatureRowsWithDl(newDocs, n)
       .join(sigTombstones(newDocs.sparkSession, path)
         .select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -1089,6 +1110,8 @@ object Dedup {
     */
   def updatePairs(newDocs: DataFrame, path: String, n: Int = 3): DataFrame = {
     val spark = newDocs.sparkSession
+    recoverIfSwapped(spark, path)
+    requireDlSchema(spark, path)
     // the tombstone gate sits on BOTH legs: the append (no dead rows
     // re-enter the store) and the delta band side below (a tombstoned
     // re-present must not emit pairs either)

@@ -1424,6 +1424,19 @@ class CliSpec extends SparkTestBase {
       "--catalog-root", root, "--purge-session", "20240101_000000",
       "--mode", "import", "--purge-data", "--dest-root", destRoot), now))
       .message.contains("export sessions"))
+    // a typo'd --dest-root refuses BEFORE touching catalog or disk:
+    // the session row records the real destination (r14)
+    val wrongRoot = tmpDir("cli-purgedata-wrong")
+    assert(new java.io.File(s"$wrongRoot/20240101_000000").mkdirs())
+    assert(intercept[CliError](Cli.run(spark, Seq("db",
+      "--catalog-root", root, "--purge-session", "20240101_000000",
+      "--purge-data", "--dest-root", wrongRoot), now))
+      .message.contains("recorded destination"))
+    assert(new java.io.File(s"$wrongRoot/20240101_000000").exists(),
+      "refused purge still deleted the mismatched tree")
+    val stillThere = Cli.run(spark, Seq("db", "--catalog-root", root), now)
+    assert(stillThere.contains("20240101_000000"),
+      "refused purge still forgot the session from the catalog")
     // the takedown: catalog forgets AND the export tree is deleted
     val msg = Cli.run(spark, Seq("db", "--catalog-root", root,
       "--purge-session", "20240101_000000", "--purge-data",

@@ -303,6 +303,34 @@ class DedupSpec extends SparkTestBase {
       "incrementally-maintained store diverged from a full rebuild")
   }
 
+  test("pre-dl signature stores refuse appends (schema-uniform stores: " +
+    "no footer-sample-dependent mixed schemas — r14)") {
+    import spark.implicits._
+    val all = docs.select("doc_id", "text")
+    val base = all.filter($"doc_id" < 100)
+    val delta = all.filter($"doc_id" >= 100 && $"doc_id" < 120)
+    // a pre-r13 store: the same signature rows WITHOUT the dl column
+    val store = tmpDir("sigstore-predl")
+    Dedup.signatureRowsWithDl(base, 3).drop("dl")
+      .write.mode("overwrite").parquet(store)
+    for (append <- Seq(
+        () => Dedup.updateSignatures(delta, store),
+        () => { Dedup.updatePairs(delta, store); () })) {
+      val e = intercept[IllegalArgumentException](append())
+      assert(e.getMessage.contains("rebuild"), e.getMessage)
+    }
+    // nothing leaked into the store: schema still dl-less, row count
+    // unchanged (the refusal fired before any append)
+    val after = spark.read.parquet(store)
+    assert(!after.schema.fieldNames.contains("dl"))
+    assert(after.count() == base.count())
+    // a rebuild clears the refusal and appends work again
+    Dedup.writeSignatures(base, store)
+    Dedup.updateSignatures(delta, store)
+    assert(Dedup.readSignatures(spark, store).count() ==
+      base.count() + delta.count())
+  }
+
   test("incremental jaccard: delta-maintained pairs == full recompute " +
     "when the df cap doesn't bind, with exact jaccard values") {
     import spark.implicits._
