@@ -21,7 +21,8 @@ object SparkEntry {
     (EventQueries.defs, EventQueries.oracles),
     (TextQueries.defs, TextQueries.oracles),
     (DedupQueries.defs, DedupQueries.oracles),
-    (SimilarityQueries.defs, SimilarityQueries.oracles))
+    (SimilarityQueries.defs, SimilarityQueries.oracles),
+    (WarcQueries.defs, WarcQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

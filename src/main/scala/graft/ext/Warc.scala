@@ -1,0 +1,327 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500 / WARC/1.1) record-walk ingestion [EXT] — the
+  * Common Crawl front door of the corpus plane: web-scale training
+  * pipelines START from WARC archives, and everything downstream
+  * (dedup, quality gates, text analysis) assumes someone parsed the
+  * crawl. This module is that parser, in the m07–m11 container-walk
+  * discipline: archives are opaque `binary` columns, the walk reads
+  * record-level FACTS (type, target URI, date, offsets, the HTTP
+  * status/content-type split) without interpreting payloads, hostile
+  * or truncated framing fails soft, and payload text is extracted
+  * only for the records a pushed predicate keeps.
+  *
+  * Layout parsed (the public spec, not any tool's quirks): a WARC
+  * file is a concatenation of records, each
+  *
+  *   `WARC/1.1 CRLF` — version line (1.0 and 1.1 accepted)
+  *   `Name: value CRLF` ... — named fields; `WARC-Type`,
+  *     `WARC-Record-ID`, `WARC-Date`, `Content-Length` mandatory
+  *   `CRLF` — end of header
+  *   content block — exactly `Content-Length` bytes
+  *   `CRLF CRLF` — record separator
+  *
+  * For records whose `Content-Type` is `application/http` the block
+  * is split once more: `HTTP/1.x <code> <reason> CRLF`, HTTP headers,
+  * `CRLF CRLF`, payload — surfacing the status code, the HTTP
+  * content-type, and the true payload byte count (the pre-fetch
+  * facts a 100 TB crawl pass filters on before touching text).
+  *
+  * Fail-soft contract (spec-pinned): a malformed archive — bad magic,
+  * truncated header, missing/non-numeric/over-running Content-Length,
+  * a missing record separator, an HTTP block that does not parse —
+  * yields NO rows rather than an exception or partial garbage; a
+  * crawl shard with one rotten archive keeps flowing.
+  *
+  * Scale notes: the walk is a narrow `mapPartitions` over binary
+  * rows — embarrassingly parallel, no shuffle, no driver data. At
+  * 100 TB, archives arrive as one blob per WARC file (or per range
+  * split); facts are thin columns that aggregate/filter without
+  * re-reading payload bytes, and [[httpTexts]] materializes text only
+  * for the rows its caller's predicate keeps. Synthesized fixtures
+  * ([[asWarcArchives]]) make every fact and every offset a closed
+  * formula over the document text length, so the whole walk —
+  * including the record-offset arithmetic — replays in SQL
+  * (oracle-checked, wa01/wa02).
+  */
+object Warc {
+
+  private val BatchSize = 64
+  private val Crlf = "\r\n"
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** One archive (≙ one .warc file): an opaque binary payload. */
+  final case class WarcArchive(archive_id: Long, payload: Array[Byte])
+
+  /** Record-level facts, one row per record (the wa01 schema). */
+  final case class WarcRecordFacts(
+      archive_id: Long, rec_index: Int, rec_offset: Long,
+      rec_bytes: Long, warc_type: String, record_id: String,
+      target_uri: Option[String], warc_date: String,
+      content_length: Long, http_status: Option[Int],
+      http_content_type: Option[String], payload_bytes: Long)
+
+  /** A parsed record plus the payload slice coordinates (internal —
+    * [[httpTexts]] re-slices the archive without copying per-fact).
+    */
+  private[ext] final case class Parsed(facts: WarcRecordFacts,
+                                       payOff: Int, payLen: Int)
+
+  // ---- synthesized fixtures (shared constants: writer + oracle) ----
+
+  /** Documents per synthesized archive — multi-record walks by
+    * construction (the last archive may be partial).
+    */
+  private[graft] val DocsPerArchive = 4L
+  private[graft] val UriPrefix = "http://corpus.example/doc/"
+  private[graft] val InfoBlock =
+    "software: graft-synth\r\nformat: WARC/1.1\r\n"
+  private[graft] val HttpTextCt = "text/plain"
+  private[graft] val WarcHttpCt = "application/http;msgtype=response"
+  private[graft] val WarcInfoCt = "application/warc-fields"
+  private[graft] val Status200 = "HTTP/1.1 200 OK"
+  private[graft] val Status404 = "HTTP/1.1 404 Not Found"
+
+  /** Fixed-width record id — every record-id is the same length, so
+    * record sizes depend only on digits(doc_id) and digits(clen).
+    */
+  private[graft] def recordIdOf(id: Long): String =
+    f"<urn:uuid:00000000-0000-0000-0000-$id%012d>"
+
+  /** Fixed-width (20-char) UTC date derived from the id. */
+  private[graft] def dateOf(id: Long): String =
+    f"2024-01-01T${id % 24}%02d:${id * 3 % 60}%02d:${id * 7 % 60}%02dZ"
+
+  /** The HTTP response block: 404 every 7th text byte count (so both
+    * status-line lengths exercise), text/plain, the text bytes.
+    */
+  private[graft] def httpBlock(body: Array[Byte]): Array[Byte] = {
+    val status = if (body.length % 7 == 0) Status404 else Status200
+    (s"$status${Crlf}Content-Type: $HttpTextCt${Crlf}" +
+      s"Content-Length: ${body.length}$Crlf$Crlf").getBytes(Ascii) ++ body
+  }
+
+  private def record(warcType: String, id: Long,
+                     targetUri: Option[String], contentType: String,
+                     block: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.1").append(Crlf)
+    sb.append("WARC-Type: ").append(warcType).append(Crlf)
+    sb.append("WARC-Record-ID: ").append(recordIdOf(id)).append(Crlf)
+    sb.append("WARC-Date: ").append(dateOf(id)).append(Crlf)
+    targetUri.foreach(u =>
+      sb.append("WARC-Target-URI: ").append(u).append(Crlf))
+    sb.append("Content-Type: ").append(contentType).append(Crlf)
+    sb.append("Content-Length: ").append(block.length).append(Crlf)
+    sb.append(Crlf)
+    sb.toString.getBytes(Ascii) ++ block ++ (Crlf + Crlf).getBytes(Ascii)
+  }
+
+  /** One archive's bytes: a warcinfo record (facts from the archive
+    * id), then one `response` record per member doc ascending.
+    */
+  private[graft] def warcArchiveBytes(
+      aid: Long, members: Seq[(Long, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(record("warcinfo", aid, None, WarcInfoCt,
+      InfoBlock.getBytes(Ascii)))
+    members.sortBy(_._1).foreach { case (id, body) =>
+      out.write(record("response", id, Some(UriPrefix + id), WarcHttpCt,
+        httpBlock(body)))
+    }
+    out.toByteArray
+  }
+
+  /** Size-contract constants the wa01 oracle replays — derived by
+    * CALLING the writer on probe inputs, so writer and oracle cannot
+    * drift (the m07 fixed-arithmetic discipline, by construction):
+    *
+    *  - [[InfoRecBytes]]: a warcinfo record's total bytes (constant —
+    *    record-id and date are fixed-width);
+    *  - [[RespHdrFixed]]: a response record's bytes net of
+    *    digits(doc_id) + digits(content_length) + content_length + 4;
+    *  - [[HttpBlockFixed]]: the HTTP block's bytes net of the status
+    *    line, digits(n) and the n payload bytes.
+    */
+  private[graft] lazy val InfoRecBytes: Int =
+    record("warcinfo", 0L, None, WarcInfoCt,
+      InfoBlock.getBytes(Ascii)).length
+
+  private[graft] lazy val HttpBlockFixed: Int = {
+    val blk = httpBlock(Array.emptyByteArray) // n=0 → 404, digits(0)=1
+    blk.length - Status404.length - 1
+  }
+
+  private[graft] lazy val RespHdrFixed: Int = {
+    val blk = httpBlock(Array.emptyByteArray)
+    val total = record("response", 0L, Some(UriPrefix + "0"),
+      WarcHttpCt, blk).length
+    total - 1 - blk.length.toString.length - blk.length - 4
+  }
+
+  /** Documents → synthesized WARC archives, [[DocsPerArchive]] docs
+    * each (`archive_id = doc_id / 4`). The one groupBy in the module —
+    * fixture synthesis only; the WALK itself never shuffles.
+    */
+  def asWarcArchives(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / DocsPerArchive)
+      .mapGroups { (aid, it) =>
+        WarcArchive(aid, warcArchiveBytes(aid,
+          it.map { case (id, t) => (id, t.getBytes(Utf8)) }.toSeq))
+      }.toDF()
+  }
+
+  // ---- the walk --------------------------------------------------
+
+  /** Index of the next CRLF at/after `from`, or -1. */
+  private def crlfAt(p: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < p.length) {
+      if (p(i) == '\r' && p(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Strict record walk — `None` on ANY framing violation (see the
+    * fail-soft contract above). Field names are case-insensitive per
+    * the spec; values are single-line (our strictness: no folding).
+    */
+  private[ext] def parseWarc(p: Array[Byte]): Option[Vector[Parsed]] = {
+    val len = p.length
+    if (len == 0) return None
+    val out = Vector.newBuilder[Parsed]
+    var off = 0
+    var idx = 0
+    while (off < len) {
+      val start = off
+      // version line
+      val vEnd = crlfAt(p, off)
+      if (vEnd < 0) return None
+      val version = new String(p, off, vEnd - off, Ascii)
+      if (version != "WARC/1.1" && version != "WARC/1.0") return None
+      off = vEnd + 2
+      // named fields until the blank line
+      val fields = scala.collection.mutable.Map.empty[String, String]
+      var blank = false
+      while (!blank) {
+        val e = crlfAt(p, off)
+        if (e < 0) return None
+        if (e == off) { blank = true; off += 2 }
+        else {
+          val line = new String(p, off, e - off, Ascii)
+          val c = line.indexOf(':')
+          if (c <= 0 || c + 1 >= line.length) return None
+          fields.update(line.substring(0, c).toLowerCase,
+            line.substring(c + 1).trim)
+          off = e + 2
+        }
+      }
+      val warcType = fields.getOrElse("warc-type", return None)
+      val recordId = fields.getOrElse("warc-record-id", return None)
+      val warcDate = fields.getOrElse("warc-date", return None)
+      val clen = fields.get("content-length")
+        .flatMap(_.toLongOption).getOrElse(return None)
+      // bounds in Long BEFORE any Int math — a hostile length must
+      // not overflow its way past the check (clen ≤ len first, so the
+      // addition below cannot wrap)
+      if (clen < 0 || clen > len.toLong ||
+        off.toLong + clen + 4 > len.toLong) return None
+      val blockStart = off
+      val blockEnd = (off + clen).toInt
+      if (p(blockEnd) != '\r' || p(blockEnd + 1) != '\n' ||
+        p(blockEnd + 2) != '\r' || p(blockEnd + 3) != '\n') return None
+      off = blockEnd + 4
+      // the HTTP split for application/http blocks
+      val ct = fields.get("content-type")
+      val isHttp = ct.exists(_.toLowerCase.startsWith("application/http"))
+      val (status, httpCt, payOff, payLen) =
+        if (!isHttp) (None, None, blockStart, clen.toInt)
+        else {
+          val sEnd = crlfAt(p, blockStart)
+          if (sEnd < 0 || sEnd + 2 > blockEnd) return None
+          val sLine = new String(p, blockStart, sEnd - blockStart, Ascii)
+          val parts = sLine.split(" ")
+          if (parts.length < 2 || !parts(0).startsWith("HTTP/1."))
+            return None
+          val code = parts(1).toIntOption.getOrElse(return None)
+          if (code < 100 || code > 999) return None
+          var ho = sEnd + 2
+          var hCt: Option[String] = None
+          var hBlank = -1
+          while (hBlank < 0) {
+            val e = crlfAt(p, ho)
+            // every header CRLF (incl. the blank line's) must sit
+            // fully inside the block — a CRLF straddling the block
+            // boundary must not yield a negative payload length
+            if (e < 0 || e + 2 > blockEnd) return None
+            if (e == ho) hBlank = ho + 2
+            else {
+              val line = new String(p, ho, e - ho, Ascii)
+              val c = line.indexOf(':')
+              if (c <= 0) return None
+              if (line.substring(0, c).equalsIgnoreCase("Content-Type"))
+                hCt = Some(line.substring(c + 1).trim)
+              ho = e + 2
+            }
+          }
+          (Some(code), hCt, hBlank, blockEnd - hBlank)
+        }
+      out += Parsed(WarcRecordFacts(0L, idx, start.toLong,
+        (blockEnd + 4 - start).toLong, warcType, recordId,
+        fields.get("warc-target-uri"), warcDate, clen, status, httpCt,
+        payLen.toLong), payOff, payLen)
+      idx += 1
+    }
+    Some(out.result())
+  }
+
+  /** One facts row per record of every parseable archive — the wa01
+    * surface. Unparseable archives yield no rows (fail-soft; count
+    * them upstream with a `parseWarc(...).isEmpty` health probe if a
+    * crawl shard needs accounting).
+    */
+  def recordFacts(spark: SparkSession,
+                  archives: DataFrame): Dataset[WarcRecordFacts] = {
+    import spark.implicits._
+    archives.as[WarcArchive].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { a =>
+          parseWarc(a.payload).getOrElse(Vector.empty)
+            .map(r => r.facts.copy(archive_id = a.archive_id))
+        }
+      }
+    }
+  }
+
+  /** Payload TEXT of `application/http` records — the hand-off into
+    * the text plane (wa02): one row per HTTP record with its URI,
+    * status, HTTP content-type, and the payload decoded as UTF-8.
+    * Filter on status/content-type BEFORE a downstream gate touches
+    * `text`; facts-only passes should read [[recordFacts]] instead
+    * (this one materializes payload strings).
+    */
+  def httpTexts(spark: SparkSession, archives: DataFrame): DataFrame = {
+    import spark.implicits._
+    archives.as[WarcArchive].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { a =>
+          parseWarc(a.payload).getOrElse(Vector.empty).collect {
+            case Parsed(f, po, pl) if f.http_status.nonEmpty =>
+              (a.archive_id, f.target_uri.orNull, f.http_status.get,
+                f.http_content_type.orNull,
+                new String(a.payload, po, pl, Utf8))
+          }
+        }
+      }
+    }.toDF("archive_id", "target_uri", "http_status",
+      "http_content_type", "text")
+  }
+}

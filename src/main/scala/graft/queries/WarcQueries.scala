@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{TextAnalysis, Warc}
+
+/** WARC ingestion queries [EXT] — the Common Crawl front door
+  * (`graft.ext.Warc`): documents synthesize into real multi-record
+  * WARC/1.1 archives, the record walk reads every fact (types, URIs,
+  * dates, the HTTP split) AND the full offset arithmetic back, and
+  * the extracted payload text flows into the text plane's token
+  * gate. The oracles replay the fact formulas and the size contract
+  * from the document text length; the size constants are derived by
+  * CALLING the writer ([[graft.ext.Warc.RespHdrFixed]] family), so
+  * SQL and Scala cannot drift.
+  */
+object WarcQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+
+    /** wa01 — the record walk end-to-end: one row per record of every
+      * synthesized archive (warcinfo + responses), with byte-exact
+      * offsets/sizes, mandatory-field facts, and the HTTP split
+      * (status, content-type, payload bytes). The oracle replays the
+      * whole layout — a writer or parser drifting from the ISO 28500
+      * framing mismatches on every row.
+      */
+    "wa01_warc_records" -> { (s, d) =>
+      Warc.recordFacts(s,
+        Warc.asWarcArchives(s, Tables.documents(s, d))).toDF()
+    },
+
+    /** wa02 — the text-plane hand-off: HTTP 200 text/plain payloads
+      * extracted from the archives, doc ids recovered from the target
+      * URIs, and x01's token gate run over the EXTRACTED text. The
+      * oracle is x01's body over the documents the synth gave status
+      * 200 — so a walk that mangles one payload byte, or extracts the
+      * wrong records, mismatches.
+      */
+    "wa02_warc_text_gate" -> { (s, d) =>
+      val arch = Warc.asWarcArchives(s, Tables.documents(s, d))
+      val texts = Warc.httpTexts(s, arch)
+        .filter(col("http_status") === 200 &&
+          col("http_content_type") === Warc.HttpTextCt)
+        .select(
+          regexp_extract(col("target_uri"), "(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          length(col("text")).as("n_chars"), col("text"))
+      TextAnalysis.tokenStats(texts)
+    })
+
+  private def dateSql(idExpr: String): String =
+    s"'2024-01-01T' || lpad(CAST($idExpr % 24 AS VARCHAR), 2, '0') " +
+      s"|| ':' || lpad(CAST($idExpr * 3 % 60 AS VARCHAR), 2, '0') " +
+      s"|| ':' || lpad(CAST($idExpr * 7 % 60 AS VARCHAR), 2, '0') || 'Z'"
+
+  private def recordIdSql(idExpr: String): String =
+    s"'<urn:uuid:00000000-0000-0000-0000-' || " +
+      s"lpad(CAST($idExpr AS VARCHAR), 12, '0') || '>'"
+
+  val oracles: Map[String, String] = Map(
+
+    // wa01: every record fact and every byte offset as closed formulas
+    // over the text byte count — clen = HttpBlockFixed + status_len +
+    // digits(n) + n; rec_bytes = RespHdrFixed + digits(id) +
+    // digits(clen) + clen + 4; offsets = warcinfo record + running sum
+    // of preceding response records within the archive
+    "wa01_warc_records" -> {
+      val d = Warc.DocsPerArchive
+      s"""WITH d AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents),
+         |r0 AS (
+         |  SELECT doc_id, doc_id // $d AS archive_id, n,
+         |    CASE WHEN n % 7 = 0 THEN ${Warc.Status404.length}
+         |      ELSE ${Warc.Status200.length} END AS status_len,
+         |    CASE WHEN n % 7 = 0 THEN 404 ELSE 200 END AS status
+         |  FROM d),
+         |r1 AS (
+         |  SELECT *, ${Warc.HttpBlockFixed} + status_len
+         |    + length(CAST(n AS VARCHAR)) + n AS clen
+         |  FROM r0),
+         |r2 AS (
+         |  SELECT *, ${Warc.RespHdrFixed}
+         |    + length(CAST(doc_id AS VARCHAR))
+         |    + length(CAST(clen AS VARCHAR)) + clen + 4 AS rb
+         |  FROM r1),
+         |resp AS (
+         |  SELECT archive_id,
+         |    CAST(row_number() OVER (PARTITION BY archive_id
+         |      ORDER BY doc_id) AS INT) AS rec_index,
+         |    CAST(${Warc.InfoRecBytes} + COALESCE(SUM(rb) OVER (
+         |      PARTITION BY archive_id ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS rec_offset,
+         |    CAST(rb AS BIGINT) AS rec_bytes,
+         |    'response' AS warc_type,
+         |    ${recordIdSql("doc_id")} AS record_id,
+         |    '${Warc.UriPrefix}' || CAST(doc_id AS VARCHAR)
+         |      AS target_uri,
+         |    ${dateSql("doc_id")} AS warc_date,
+         |    CAST(clen AS BIGINT) AS content_length,
+         |    CAST(status AS INT) AS http_status,
+         |    '${Warc.HttpTextCt}' AS http_content_type,
+         |    CAST(n AS BIGINT) AS payload_bytes
+         |  FROM r2),
+         |info AS (SELECT DISTINCT doc_id // $d AS archive_id FROM d)
+         |SELECT archive_id, CAST(0 AS INT) AS rec_index,
+         |  CAST(0 AS BIGINT) AS rec_offset,
+         |  CAST(${Warc.InfoRecBytes} AS BIGINT) AS rec_bytes,
+         |  'warcinfo' AS warc_type,
+         |  ${recordIdSql("archive_id")} AS record_id,
+         |  CAST(NULL AS VARCHAR) AS target_uri,
+         |  ${dateSql("archive_id")} AS warc_date,
+         |  CAST(${Warc.InfoBlock.length} AS BIGINT) AS content_length,
+         |  CAST(NULL AS INT) AS http_status,
+         |  CAST(NULL AS VARCHAR) AS http_content_type,
+         |  CAST(${Warc.InfoBlock.length} AS BIGINT) AS payload_bytes
+         |FROM info
+         |UNION ALL SELECT * FROM resp""".stripMargin
+    },
+
+    // wa02: x01's token gate over exactly the documents the synth gave
+    // HTTP 200 (n % 7 <> 0) — extraction must round-trip each payload
+    // byte for the hashes to meet
+    "wa02_warc_text_gate" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents
+        |WHERE octet_length(encode(text)) % 7 <> 0""".stripMargin)
+}

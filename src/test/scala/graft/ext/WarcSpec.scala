@@ -1,0 +1,140 @@
+package graft.ext
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class WarcSpec extends SparkTestBase {
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  private def archiveOf(texts: (Long, String)*): Array[Byte] =
+    Warc.warcArchiveBytes(7L,
+      texts.map { case (id, t) => (id, t.getBytes(Ascii)) })
+
+  test("WARC walk: synthesized multi-record archive round-trips fact " +
+    "for fact, offsets tile the archive exactly, HTTP split reads " +
+    "status/content-type/payload, WARC/1.0 accepted") {
+    val texts = Seq(3L -> "alpha beta gamma", 5L -> "1234567",
+      9L -> "words words") // 7 bytes → n%7==0 → 404
+    val payload = archiveOf(texts: _*)
+    val rs = Warc.parseWarc(payload).get
+    assert(rs.length == 4)
+    // record 0: the warcinfo envelope — constants by construction
+    val info = rs(0).facts
+    assert(info.rec_index == 0 && info.rec_offset == 0L)
+    assert(info.warc_type == "warcinfo" &&
+      info.target_uri.isEmpty && info.http_status.isEmpty)
+    assert(info.rec_bytes == Warc.InfoRecBytes.toLong)
+    assert(info.content_length == Warc.InfoBlock.length.toLong &&
+      info.payload_bytes == Warc.InfoBlock.length.toLong)
+    assert(info.record_id == Warc.recordIdOf(7L) &&
+      info.warc_date == Warc.dateOf(7L))
+    // responses: facts + the size contract the wa01 oracle replays
+    for (((id, t), i) <- texts.sortBy(_._1).zipWithIndex) {
+      val r = rs(i + 1).facts
+      val n = t.length
+      val statusLen = if (n % 7 == 0) Warc.Status404.length
+        else Warc.Status200.length
+      val clen = Warc.HttpBlockFixed + statusLen +
+        n.toString.length + n
+      assert(r.warc_type == "response" && r.rec_index == i + 1)
+      assert(r.target_uri.contains(Warc.UriPrefix + id))
+      assert(r.record_id == Warc.recordIdOf(id) &&
+        r.warc_date == Warc.dateOf(id))
+      assert(r.content_length == clen.toLong)
+      assert(r.rec_bytes == (Warc.RespHdrFixed + id.toString.length +
+        clen.toString.length + clen + 4).toLong)
+      assert(r.http_status.contains(if (n % 7 == 0) 404 else 200))
+      assert(r.http_content_type.contains(Warc.HttpTextCt))
+      assert(r.payload_bytes == n.toLong)
+      // the payload slice is the original text, byte for byte
+      val p = rs(i + 1)
+      assert(new String(payload, p.payOff, p.payLen, Ascii) == t)
+    }
+    // offsets tile: each record starts where the previous ended, and
+    // the last ends at the archive end
+    rs.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.facts.rec_offset + a.facts.rec_bytes == b.facts.rec_offset)
+    }
+    val last = rs.last.facts
+    assert(last.rec_offset + last.rec_bytes == payload.length.toLong)
+    // WARC/1.0 is accepted too
+    val v10 = new String(payload, Ascii).replaceFirst("WARC/1\\.1",
+      "WARC/1.0").getBytes(Ascii)
+    assert(Warc.parseWarc(v10).get.length == 4)
+  }
+
+  test("WARC walk fails soft on hostile framing: bad magic, truncated " +
+    "header, missing/bad/overflowing Content-Length, missing record " +
+    "separator, malformed field, broken HTTP block, boundary CRLF") {
+    val good = archiveOf(1L -> "hello world warc")
+    def mutate(find: String, repl: String): Array[Byte] =
+      new String(good, Ascii).replaceFirst(
+        java.util.regex.Pattern.quote(find),
+        java.util.regex.Matcher.quoteReplacement(repl)).getBytes(Ascii)
+    assert(Warc.parseWarc(Array.emptyByteArray).isEmpty)
+    assert(Warc.parseWarc("plain text no warc".getBytes(Ascii)).isEmpty)
+    assert(Warc.parseWarc(mutate("WARC/1.1", "WARC/2.0")).isEmpty,
+      "unknown version accepted")
+    assert(Warc.parseWarc(good.take(40)).isEmpty,
+      "truncated header did not fail soft")
+    assert(Warc.parseWarc(mutate("Content-Length: ", "Content-Size: "))
+      .isEmpty, "missing Content-Length accepted")
+    assert(Warc.parseWarc(mutate("Content-Length: 41",
+      "Content-Length: 4x")).isEmpty, "non-numeric length accepted")
+    assert(Warc.parseWarc(mutate("Content-Length: 41",
+      "Content-Length: 9999999")).isEmpty,
+      "over-running length did not fail soft")
+    assert(Warc.parseWarc(mutate("Content-Length: 41",
+      s"Content-Length: ${Long.MaxValue - 10}")).isEmpty,
+      "near-Long.MaxValue length overflowed past the bound check")
+    assert(Warc.parseWarc(mutate("WARC-Type: warcinfo",
+      "WARC-Type warcinfo")).isEmpty, "colon-less field accepted")
+    assert(Warc.parseWarc(good.dropRight(2)).isEmpty,
+      "missing record separator accepted")
+    // a record claiming application/http whose block is not HTTP
+    val badHttp = mutate("HTTP/1.1 200 OK", "NTTP/1.1 200 OK")
+    assert(Warc.parseWarc(badHttp).isEmpty, "non-HTTP block accepted")
+    val badCode = mutate("HTTP/1.1 200 OK", "HTTP/1.1 2x0 OK")
+    assert(Warc.parseWarc(badCode).isEmpty, "bad status code accepted")
+    // hostile: an http block with NO blank line before the (shrunken)
+    // block end — the split must not read past the block
+    val noBlank = mutate("\r\nContent-Type: text/plain", "")
+    assert(Warc.parseWarc(noBlank).isEmpty ||
+      Warc.parseWarc(noBlank).get.isEmpty)
+  }
+
+  test("recordFacts drops unparseable archives, keeps good ones; " +
+    "httpTexts round-trips document text exactly (the wa02 gate)") {
+    import spark.implicits._
+    val good = Warc.warcArchiveBytes(0L,
+      Seq(1L -> "good doc text here", 2L -> "1234567")
+        .map { case (id, t) => (id, t.getBytes(Ascii)) })
+    val bad = "WARC/9.9\r\ngarbage".getBytes(Ascii)
+    val archives = Seq(Warc.WarcArchive(0L, good),
+      Warc.WarcArchive(1L, bad)).toDF()
+    val facts = Warc.recordFacts(spark, archives).collect()
+    assert(facts.map(_.archive_id).distinct.toSeq == Seq(0L),
+      "rotten archive leaked rows or killed the walk")
+    assert(facts.length == 3)
+    // httpTexts: both responses surface with status; text exact
+    val texts = Warc.httpTexts(spark, archives).collect()
+      .map(r => (r.getInt(2), r.getString(4))).toSet
+    assert(texts == Set((200, "good doc text here"), (404, "1234567")))
+    // end-to-end over the corpus: extraction == the original text for
+    // every 200-status doc
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val arch = Warc.asWarcArchives(spark, docs)
+    val ext = Warc.httpTexts(spark, arch)
+      .filter(col("http_status") === 200)
+      .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+        .cast("long").as("doc_id"), col("text"))
+    val mismatch = ext.as("e")
+      .join(docs.as("d"), Seq("doc_id"))
+      .filter(col("e.text") =!= col("d.text")).count()
+    assert(mismatch == 0, "extracted payload text drifted")
+    val n200 = docs.filter(
+      octet_length(col("text").cast("binary")) % 7 =!= 0).count()
+    assert(ext.count() == n200, "200-status extraction count wrong")
+  }
+}
