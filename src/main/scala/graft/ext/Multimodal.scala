@@ -147,6 +147,212 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---- JPEG marker-segment walk (m12) ----------------------------
+
+  def looksLikeJpeg(payload: Array[Byte]): Boolean =
+    payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0xd8
+
+  /** SOF/EXIF facts of a JPEG, read WITHOUT pixel decode. Orientation
+    * is 0 when no EXIF orientation tag is present; `headerBytes` is
+    * the offset where entropy-coded data begins (the SOS segment
+    * end) — what a range reader needs to fetch for metadata only.
+    */
+  final case class JpegMeta(width: Int, height: Int, precision: Int,
+                            nComponents: Int, orientation: Int,
+                            progressive: Boolean, headerBytes: Long,
+                            nSegments: Int)
+
+  private def u16be(p: Array[Byte], o: Int): Int =
+    ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+
+  /** The EXIF orientation tag (0x0112, SHORT) out of an APP1 `Exif`
+    * TIFF block — both byte orders, every offset bounds-checked.
+    * None for a structurally broken TIFF (the caller treats that as
+    * a framing violation — the strictness of the other walks).
+    */
+  private def exifOrientation(t: Array[Byte]): Option[Int] = {
+    if (t.length < 8) return None
+    val le = t(0) == 'I' && t(1) == 'I'
+    if (!le && !(t(0) == 'M' && t(1) == 'M')) return None
+    def u16(o: Int): Int =
+      if (le) (t(o) & 0xff) | ((t(o + 1) & 0xff) << 8)
+      else ((t(o) & 0xff) << 8) | (t(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (le) (t(o) & 0xffL) | ((t(o + 1) & 0xffL) << 8) |
+        ((t(o + 2) & 0xffL) << 16) | ((t(o + 3) & 0xffL) << 24)
+      else ((t(o) & 0xffL) << 24) | ((t(o + 1) & 0xffL) << 16) |
+        ((t(o + 2) & 0xffL) << 8) | (t(o + 3) & 0xffL)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > t.length) return None
+    val o0 = ifd.toInt
+    val n = u16(o0)
+    if (o0 + 2 + 12L * n > t.length) return None
+    var i = 0
+    var orient = 0
+    while (i < n) {
+      val e = o0 + 2 + 12 * i
+      if (u16(e) == 0x0112 && u16(e + 2) == 3 && u32(e + 4) == 1L)
+        orient = u16(e + 8)
+      i += 1
+    }
+    Some(orient)
+  }
+
+  /** REAL marker-segment walk for JPEG (ISO 10918-1): SOI, then
+    * segments — two-byte big-endian lengths that include themselves,
+    * standalone markers (TEM, RSTn) length-free — until SOS, whose
+    * end is where entropy-coded data starts. Reads the SOF frame
+    * header (precision, height, width, component count; C2 marks
+    * progressive) and, from an APP1 `Exif` block, the TIFF
+    * orientation tag — the pre-decode facts (dims, orientation) an
+    * image-curation pass filters on before any pixel work, for the
+    * most common image format. None for non-JPEG or corrupt payloads:
+    * truncated segments, a length under 2, a segment past the end, a
+    * second SOI, EOI or end-of-bytes before SOF+SOS, zero dims, a
+    * broken EXIF TIFF all fail soft (spec-pinned).
+    */
+  private[ext] def parseJpegMeta(p: Array[Byte]): Option[JpegMeta] = {
+    if (!looksLikeJpeg(p)) return None
+    val len = p.length
+    var off = 2
+    var nSeg = 0
+    var sof: Option[(Int, Int, Int, Int, Boolean)] = None
+    var orient = 0
+    while (off + 2 <= len) {
+      if ((p(off) & 0xff) != 0xff) return None
+      // fill bytes: any run of FFs precedes the marker code
+      while (off + 1 < len && (p(off + 1) & 0xff) == 0xff) off += 1
+      if (off + 2 > len) return None
+      val marker = p(off + 1) & 0xff
+      nSeg += 1
+      if (marker == 0xd8) return None // a second SOI is hostile
+      if (marker == 0xd9) return None // EOI before SOS: no image data
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        off += 2 // standalone: TEM / RSTn carry no length
+      } else {
+        if (off + 4 > len) return None
+        val segLen = u16be(p, off + 2)
+        if (segLen < 2 || off + 2 + segLen > len) return None
+        val body = off + 4
+        val bodyLen = segLen - 2
+        if ((marker >= 0xc0 && marker <= 0xcf) && marker != 0xc4 &&
+          marker != 0xc8 && marker != 0xcc) {
+          // SOF frame header: precision, height, width, components
+          if (bodyLen < 6) return None
+          val h = u16be(p, body + 1)
+          val w = u16be(p, body + 3)
+          if (w <= 0 || h <= 0) return None
+          sof = Some((w, h, p(body) & 0xff, p(body + 5) & 0xff,
+            marker == 0xc2))
+        } else if (marker == 0xe1 && bodyLen >= 6 &&
+          p(body) == 'E' && p(body + 1) == 'x' && p(body + 2) == 'i' &&
+          p(body + 3) == 'f' && p(body + 4) == 0 && p(body + 5) == 0) {
+          orient = exifOrientation(
+            java.util.Arrays.copyOfRange(p, body + 6, body + bodyLen))
+            .getOrElse(return None)
+        } else if (marker == 0xda) {
+          // SOS: entropy-coded data follows; facts are complete
+          return sof.map { case (w, h, prec, comp, prog) =>
+            JpegMeta(w, h, prec, comp, orient, prog,
+              (off + 2 + segLen).toLong, nSeg)
+          }
+        }
+        off += 2 + segLen
+      }
+    }
+    None // ran out of bytes before SOS
+  }
+
+  /** The synth's EXIF APP1 segment: a minimal little-endian TIFF with
+    * ONE IFD0 entry — the orientation SHORT. 34 segment bytes.
+    */
+  private[ext] def app1Exif(orientation: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(36)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(0xff.toByte).put(0xe1.toByte)
+    b.put(0x00.toByte).put(34.toByte) // segment length (big-endian 34)
+    b.put("Exif".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    b.put(0.toByte).put(0.toByte)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8) // TIFF hdr
+    b.putShort(1) // one IFD0 entry
+    b.putShort(0x0112).putShort(3).putInt(1) // orientation, SHORT, ×1
+    b.putShort(orientation.toShort).putShort(0) // value + pad
+    b.putInt(0) // no next IFD
+    b.array()
+  }
+
+  /** A REAL JPEG via the JDK's own writer (baseline, 8-bit, 3
+    * components for RGB input), with the synth's EXIF APP1 spliced
+    * directly after SOI — valid JPEG, and the orientation the m12
+    * walk must read back.
+    */
+  private[ext] def jpegBytes(w: Int, h: Int, seed: Int,
+                             orientation: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 37 + y * 101 + seed) & 0xff) << 16 |
+          ((x * 13 + y * 7 + seed) & 0xff) << 8 |
+          ((x + y + seed) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(1024 + w * h)
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val raw = bos.toByteArray
+    raw.take(2) ++ app1Exif(orientation) ++ raw.drop(2)
+  }
+
+  /** Wrap documents as REAL JPEGs — [[asBmpAssets]]'s dims formulas
+    * (w = 4 + n mod 29, h = 3 + 7n mod 23) plus a deterministic EXIF
+    * orientation (1 + n mod 8) over the text byte count n. The m12
+    * walk must read dims from the SOF segment and orientation from
+    * the spliced EXIF; the oracle replays the three formulas.
+    */
+  def asJpegAssets(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val n = text.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8).length
+          MediaAsset(id, "image/jpeg",
+            jpegBytes(4 + n % 29, 3 + (7 * n) % 23, n, 1 + n % 8))
+        }
+      }.toDF()
+  }
+
+  final case class JpegFeatures(doc_id: Long, n_bytes: Long,
+                                width: Int, height: Int, precision: Int,
+                                n_components: Int, orientation: Int,
+                                progressive: Boolean, header_bytes: Long)
+
+  /** m12: one facts row per JPEG asset via [[parseJpegMeta]] — zeroed
+    * facts for non-JPEG/corrupt payloads (the m05/m10 fail-soft row
+    * shape). No pixel decode anywhere on this path.
+    */
+  def jpegFeatures(spark: SparkSession,
+                   assets: DataFrame): Dataset[JpegFeatures] = {
+    import spark.implicits._
+    assets.as[MediaAsset].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          val m = parseJpegMeta(a.payload).getOrElse(
+            JpegMeta(0, 0, 0, 0, 0, progressive = false, 0L, 0))
+          JpegFeatures(a.doc_id, a.payload.length.toLong, m.width,
+            m.height, m.precision, m.nComponents, m.orientation,
+            m.progressive, m.headerBytes)
+        }
+      }
+    }
+  }
+
   /** Magic-byte sniff: is this payload an image format the JDK's
     * ImageIO can decode? (PNG, BMP, JPEG, GIF ship with every JDK.)
     * Dispatching on magic — not mime — means a mislabeled asset still
@@ -1574,7 +1780,12 @@ object Multimodal {
     * container it CAN demux, and that path is real).
     */
   def decode(payload: Array[Byte]): (Int, Int, Int, Int, Int, Long) =
-    decodeImage(payload) match {
+    // JPEG dims come from the m12 marker walk — no pixel decode on
+    // the metadata path (ImageIO remains the PIXEL decoder for
+    // resize/digest); corrupt markers fall through to the full chain
+    (if (looksLikeJpeg(payload)) parseJpegMeta(payload) else None) match {
+      case Some(j) => (j.width, j.height, 1, 0, 0, 0L)
+      case None => decodeImage(payload) match {
       case Some(img) =>
         // animated GIF: n_frames is the REAL frame count (block-walk
         // only, no pixel decode); every other image format is 1 frame
@@ -1626,6 +1837,7 @@ object Multimodal {
             }
           }
         }
+      }
       }
     }
 

@@ -715,6 +715,26 @@ object SimilarityQueries {
         Multimodal.asOggAssets(s, Tables.documents(s, d))).toDF()
     },
 
+    /** m12 — REAL JPEG marker-segment walk (r14), completing the
+      * image side the way m10/m11 completed audio: documents become
+      * genuine JPEGs (the JDK's own writer — baseline, 8-bit, 3
+      * components — with a spliced minimal EXIF APP1 carrying a
+      * deterministic orientation), then the SOF/EXIF walk reads
+      * dims, precision, component count and orientation back WITHOUT
+      * pixel decode — the pre-decode filter an image-curation pass
+      * runs on the most common format. Only the formula-expressible
+      * facts project here (compressed byte counts are the codec's
+      * business, spec-checked not oracle-checked); the oracle replays
+      * the dims/orientation formulas.
+      */
+    "m12_jpeg_features" -> { (s, d) =>
+      Multimodal.jpegFeatures(s,
+          Multimodal.asJpegAssets(s, Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("precision").as("sample_precision"), col("n_components"),
+          col("orientation"))
+    },
+
     /** s03 — IVF ANN: Lloyd-trained coarse centroids (the d09
       * mod-prime seed sample + one DECIMAL-mean refinement — the
       * oracle replays the TRAINING, r10), nprobe-cell probing, exact
@@ -2358,6 +2378,20 @@ object SimilarityQueries {
          |  CAST(audio AS BIGINT) AS audio_bytes
          |FROM f""".stripMargin
     },
+
+    // m12: the m06 dims formulas + the EXIF orientation formula; the
+    // walk must read them from real SOF/APP1 segments to match
+    "m12_jpeg_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(4 + n % 29 AS INT) AS width,
+        |  CAST(3 + 7 * n % 23 AS INT) AS height,
+        |  CAST(8 AS INT) AS sample_precision,
+        |  CAST(3 AS INT) AS n_components,
+        |  CAST(1 + n % 8 AS INT) AS orientation
+        |FROM d""".stripMargin,
 
     // m11: every fact is integer arithmetic over the text byte count —
     // the shared Vorbis rate menu as a CASE ladder, the RFC 3533 page

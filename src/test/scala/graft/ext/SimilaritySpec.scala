@@ -1625,4 +1625,112 @@ class SimilaritySpec extends SparkTestBase {
     assert(Multimodal.parseOgg(badMid).isEmpty,
       "broken mid-stream capture did not fail soft")
   }
+
+  test("JPEG marker walk (m12): synthesized fixture round-trips fact " +
+    "for fact without pixel decode, dims == the real ImageIO decode, " +
+    "EXIF both byte orders, progressive SOF2, decode() integration") {
+    val n = 137
+    val (w, h, orient) = (4 + n % 29, 3 + (7 * n) % 23, 1 + n % 8)
+    val payload = Multimodal.jpegBytes(w, h, n, orient)
+    val m = Multimodal.parseJpegMeta(payload).get
+    assert(m.width == w && m.height == h, s"dims wrong: $m")
+    assert(m.precision == 8 && m.nComponents == 3 && !m.progressive)
+    assert(m.orientation == orient)
+    assert(m.headerBytes > 0 && m.headerBytes < payload.length.toLong)
+    assert(m.nSegments >= 4) // SOI counted? no: APP1+DQTs+SOF+DHTs+SOS
+    // the walk's dims == the REAL pixel decode's (ImageIO stays the
+    // pixel decoder; the walk is the metadata path)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(img.getWidth == w && img.getHeight == h)
+    // decode() routes JPEG dims through the walk now
+    val (dw, dh, df, _, _, _) = Multimodal.decode(payload)
+    assert(dw == w && dh == h && df == 1)
+    // EXIF big-endian (MM) variant reads the same orientation
+    val le = Multimodal.app1Exif(orient)
+    val tiffLe = le.drop(10) // FF E1 len(2) "Exif\0\0"
+    def u16le(a: Array[Byte], o: Int) =
+      (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8)
+    assert(u16le(tiffLe, 2) == 42)
+    val be = java.nio.ByteBuffer.allocate(36)
+    be.put(0xff.toByte).put(0xe1.toByte).put(0x00.toByte).put(34.toByte)
+    be.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    be.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    be.putShort(1)
+    be.putShort(0x0112).putShort(3).putInt(1)
+    be.putShort(orient.toShort).putShort(0).putInt(0)
+    val raw = Multimodal.jpegBytes(w, h, n, orient)
+    // replace the LE APP1 (36 bytes after SOI) with the MM build
+    val beJpeg = raw.take(2) ++ be.array() ++ raw.drop(2 + 36)
+    assert(Multimodal.parseJpegMeta(beJpeg).get.orientation == orient,
+      "big-endian EXIF orientation not read")
+    // a hand-built PROGRESSIVE frame: SOI + SOF2 + SOS(empty)
+    val sof2 = Array[Byte](0xff.toByte, 0xc2.toByte, 0, 8,
+      8, 0, 5, 0, 7, 1) // precision 8, h=5, w=7, 1 component
+    val sos = Array[Byte](0xff.toByte, 0xda.toByte, 0, 2)
+    val prog = Array[Byte](0xff.toByte, 0xd8.toByte) ++ sof2 ++ sos
+    val pm = Multimodal.parseJpegMeta(prog).get
+    assert(pm.progressive && pm.width == 7 && pm.height == 5 &&
+      pm.nComponents == 1 && pm.orientation == 0)
+    assert(pm.headerBytes == prog.length.toLong)
+    // RSTn standalone markers and FF fill bytes walk through
+    val filled = prog.take(2) ++
+      Array[Byte](0xff.toByte, 0xd0.toByte) ++ // RST0, length-free
+      Array[Byte](0xff.toByte, 0xff.toByte, 0xc2.toByte, 0, 8,
+        8, 0, 5, 0, 7, 1) ++ sos // a fill FF before the SOF marker
+    assert(Multimodal.parseJpegMeta(filled).get.width == 7,
+      "fill bytes / standalone RST broke the walk")
+  }
+
+  test("JPEG marker walk fails soft on hostile payloads: truncations, " +
+    "bad lengths, double SOI, early EOI, zero dims, broken EXIF") {
+    val good = Multimodal.jpegBytes(10, 8, 42, 3)
+    assert(Multimodal.parseJpegMeta("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.parseJpegMeta(Array[Byte]()).isEmpty)
+    assert(Multimodal.parseJpegMeta(good.take(2)).isEmpty,
+      "bare SOI did not fail soft")
+    assert(Multimodal.parseJpegMeta(good.take(30)).isEmpty,
+      "truncated segment did not fail soft")
+    // hostile segment length: APP1's length bytes (offsets 2,3 after
+    // SOI) pushed far past the buffer
+    val badLen = good.clone()
+    badLen(2 + 2) = 0x7f.toByte
+    assert(Multimodal.parseJpegMeta(badLen).isEmpty,
+      "segment length past the end did not fail soft")
+    // a length UNDER 2 is structurally impossible
+    val tinyLen = good.clone()
+    tinyLen(2 + 2) = 0; tinyLen(2 + 3) = 1
+    assert(Multimodal.parseJpegMeta(tinyLen).isEmpty,
+      "segment length < 2 accepted")
+    // a second SOI mid-stream is hostile
+    val doubleSoi = good.take(2) ++ good
+    assert(Multimodal.parseJpegMeta(doubleSoi).isEmpty,
+      "second SOI accepted")
+    // EOI with no SOF/SOS: no image
+    val eoiOnly = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xd9.toByte)
+    assert(Multimodal.parseJpegMeta(eoiOnly).isEmpty)
+    // zero dims in SOF are refused
+    val zeroDim = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xc0.toByte, 0, 8, 8, 0, 0, 0, 7, 1,
+      0xff.toByte, 0xda.toByte, 0, 2)
+    assert(Multimodal.parseJpegMeta(zeroDim).isEmpty,
+      "zero height accepted")
+    // a structurally broken EXIF TIFF (bad magic) is a framing
+    // violation, not a silent orientation-0
+    val badTiff = good.clone()
+    badTiff(2 + 12) = 0x13 // TIFF magic 42 -> 0x13xx
+    assert(Multimodal.parseJpegMeta(badTiff).isEmpty,
+      "broken EXIF TIFF accepted")
+    // the fail-soft row shape flows through jpegFeatures
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "image/jpeg", good),
+      Multimodal.MediaAsset(2L, "image/jpeg", good.take(30))).toDF()
+    val rows = Multimodal.jpegFeatures(spark, assets).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(rows(1L).width == 10 && rows(1L).orientation == 3)
+    assert(rows(2L).width == 0 && rows(2L).n_bytes == 30L,
+      "corrupt payload did not zero its facts row")
+  }
 }
