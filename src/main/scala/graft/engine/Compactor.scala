@@ -138,7 +138,12 @@ object Compactor {
     * the checked-rename swap (dir → __old, tmp → dir, drop __old).
     */
   private[graft] def swapInto(f: FileSystem, dir: String,
-                              tmp: String): Unit = swapLock.synchronized {
+                              tmp: String): Unit =
+    // the cross-process writer lease wraps the in-process swap lock
+    // (lease outer, swapLock inner — everywhere, so no lock-order
+    // inversion); reentrant, so a rebuild that already leased the
+    // store publishes through here without re-acquiring
+    StoreLease.withLease(f, dir) { swapLock.synchronized {
     val (p, pTmp, pOld) = (new Path(dir), new Path(tmp), new Path(dir + "__old"))
     // sidecars (_export_info.log etc.) move into the rewrite before the
     // swap so the published dir keeps its provenance; the rewrite's own
@@ -157,7 +162,7 @@ object Compactor {
       throw new IllegalStateException(s"cannot swap $pTmp into $p")
     }
     f.delete(pOld, true)
-  }
+    () } }
 
   final case class MajorReport(dir: String, rowsBefore: Long,
                                rowsAfter: Long, files: Int)

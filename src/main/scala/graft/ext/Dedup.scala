@@ -933,11 +933,14 @@ object Dedup {
     require(fs.exists(p), s"no signature store at $path")
     val bytes = fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = path + "__compact_tmp"
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    readSignatures(spark, path).coalesce(nOut)
-      .write.mode("overwrite").parquet(tmp)
-    graft.engine.Compactor.swapInto(fs, path, tmp)
+    // cross-process writer lease across the whole rewrite (r14)
+    graft.engine.StoreLease.withLease(fs, path) {
+      val tmp = path + "__compact_tmp"
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      readSignatures(spark, path).coalesce(nOut)
+        .write.mode("overwrite").parquet(tmp)
+      graft.engine.Compactor.swapInto(fs, path, tmp)
+    }
   }
 
   /** Appends must keep the store schema-uniform: a pre-r13 store has

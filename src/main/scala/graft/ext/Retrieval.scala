@@ -352,9 +352,16 @@ object Retrieval {
       (rowsBefore, spark.read.parquet(dir).count(),
         before.length, dataFiles.length)
     }
-    val (pb, pa, fb, fa) = one("postings", PostingsSchema)
-    val (_, _, lb, la) = one("lengths", LengthsSchema)
-    IndexCompactReport(pb, pa, fb + lb, fa + la)
+    // leased on the STORE root across BOTH sub-store rewrites, so a
+    // compaction and a rebuild of the same index exclude each other
+    // cross-process (r14)
+    val rootFs = new org.apache.hadoop.fs.Path(indexStore)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.engine.StoreLease.withLease(rootFs, indexStore) {
+      val (pb, pa, fb, fa) = one("postings", PostingsSchema)
+      val (_, _, lb, la) = one("lengths", LengthsSchema)
+      IndexCompactReport(pb, pa, fb + lb, fa + la)
+    }
   }
 
   /** Rebuild a deployable [[Bm25Model]] from the persisted stores —
@@ -652,12 +659,16 @@ object Retrieval {
         lit(0L)),
       coalesce(sum(crc32(encode(col("text"), "UTF-8"))), lit(0L)))
       .collect()(0)
-    val tmp = indexStore + "__rebuild_tmp"
-    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    buildInto(docs, tmp, (fpRow.getLong(0), fpRow.getLong(1),
-      fpRow.getLong(2), fpRow.getLong(3)))
-    beforeSwap()
-    graft.engine.Compactor.swapInto(f, indexStore, tmp)
+    // the writer lease spans the whole re-tokenize (r14): a
+    // double-launched rebuild refuses at entry, never races the swap
+    graft.engine.StoreLease.withLease(f, indexStore) {
+      val tmp = indexStore + "__rebuild_tmp"
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      buildInto(docs, tmp, (fpRow.getLong(0), fpRow.getLong(1),
+        fpRow.getLong(2), fpRow.getLong(3)))
+      beforeSwap()
+      graft.engine.Compactor.swapInto(f, indexStore, tmp)
+    }
   }
 
   /** Existence probe that first recovers a crash-interrupted

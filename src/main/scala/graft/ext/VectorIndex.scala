@@ -249,10 +249,15 @@ object VectorIndex {
       s"no vector index store at $store to rebuild (run init first)")
     val tmp = store + "__rebuild_tmp"
     val (tp, tf) = fs(spark, tmp)
-    tf.delete(tp, true) // a crashed rebuild's stage is garbage
-    init(embeddings, tmp, nlist, m, ksub, dim, iters, coarseIters)
-    beforeSwap()
-    graft.engine.Compactor.swapInto(tf, store, tmp)
+    // the writer lease spans the WHOLE retrain (r14): a second
+    // process double-launching this rebuild refuses at entry instead
+    // of racing the stage/swap — StoreLease's takeover rules apply
+    graft.engine.StoreLease.withLease(tf, store) {
+      tf.delete(tp, true) // a crashed rebuild's stage is garbage
+      init(embeddings, tmp, nlist, m, ksub, dim, iters, coarseIters)
+      beforeSwap()
+      graft.engine.Compactor.swapInto(tf, store, tmp)
+    }
   }
 
   /** Init unless a complete store already matches this corpus and
@@ -740,16 +745,21 @@ object VectorIndex {
       s.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
     val before = dataFiles
-    val rowsBefore = spark.read.parquet(dir).count()
-    val bytes = before.map(_.getLen).sum
-    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = dir + "__compact_tmp"
-    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    liveCodes(spark, store).coalesce(nOut)
-      .write.mode("overwrite").parquet(tmp)
-    graft.engine.Compactor.swapInto(f, dir, tmp)
-    CompactReport(rowsBefore, spark.read.parquet(dir).count(),
-      before.length, dataFiles.length)
+    // leased on the STORE root (not the codes subdir), so a compact
+    // and a rebuild of the same store exclude each other cross-process
+    graft.engine.StoreLease.withLease(f, store) {
+      val rowsBefore = spark.read.parquet(dir).count()
+      val bytes = before.map(_.getLen).sum
+      val nOut =
+        math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val tmp = dir + "__compact_tmp"
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      liveCodes(spark, store).coalesce(nOut)
+        .write.mode("overwrite").parquet(tmp)
+      graft.engine.Compactor.swapInto(f, dir, tmp)
+      CompactReport(rowsBefore, spark.read.parquet(dir).count(),
+        before.length, dataFiles.length)
+    }
   }
 
   /** Store-vs-corpus drift report — the SIGNAL behind "the frozen

@@ -125,4 +125,96 @@ class CompactorSpec extends SparkTestBase {
     Compactor.recover(spark, dir)
     assert(spark.read.parquet(dir).count() == 5)
   }
+
+  private def plantLease(root: String, holder: String): Path = {
+    val p = StoreLease.leasePath(root)
+    val out = fsOf(root).create(p, false)
+    out.write(holder.getBytes("UTF-8")); out.close()
+    p
+  }
+
+  test("store writer lease (r14): a foreign FRESH lease refuses " +
+    "loudly, TTL-stale and dead-same-host-pid leases take over, " +
+    "success and failure both release, reentrant in the owning " +
+    "thread, a second thread refuses like a second process") {
+    val root = tmpDir("lease") + "/store"
+    val f = fsOf(root)
+    f.mkdirs(new Path(root))
+    val lease = StoreLease.leasePath(root)
+    // a foreign fresh lease (simulated second process): refuse, and
+    // name the holder in the message
+    plantLease(root, "424242@other-host")
+    val e = intercept[IllegalStateException](
+      StoreLease.withLease(f, root) { fail("body ran under a lease") })
+    assert(e.getMessage.contains("another writer") &&
+      e.getMessage.contains("424242@other-host"), e.getMessage)
+    assert(f.exists(lease), "refusal must not delete the live lease")
+    // TTL-stale: the same lease aged past the horizon is taken over
+    f.setTimes(lease, System.currentTimeMillis() - 3600L * 1000, -1)
+    assert(StoreLease.withLease(f, root, ttlMs = 60000L) { 7 } == 7)
+    assert(!f.exists(lease), "success must release the lease")
+    // dead-same-host-pid: fresh mtime but the pid is gone — immediate
+    // takeover (the crashed-writer restart path)
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val deadPid = Iterator.iterate(999999999L)(_ - 7)
+      .find(id => java.lang.ProcessHandle.of(id).isEmpty).get
+    plantLease(root, s"$deadPid@$host")
+    assert(StoreLease.withLease(f, root) { 8 } == 8,
+      "dead same-host holder not taken over")
+    assert(!f.exists(lease))
+    // reentrancy: nested acquisition in the owning thread; released
+    // only when the OUTER scope closes; a throwing body releases too
+    StoreLease.withLease(f, root) {
+      assert(f.exists(lease), "lease file absent while held")
+      assert(StoreLease.withLease(f, root) { 9 } == 9)
+      assert(f.exists(lease), "inner release dropped the outer lease")
+      // a second THREAD refuses exactly like a second process
+      var thrown: Option[Throwable] = None
+      val t = new Thread(() =>
+        try StoreLease.withLease(f, root) { fail("second writer ran") }
+        catch { case x: Throwable => thrown = Some(x) })
+      t.start(); t.join()
+      assert(thrown.exists(_.getMessage.contains("this process")),
+        s"second thread not refused: $thrown")
+    }
+    assert(!f.exists(lease), "outer scope did not release")
+    intercept[RuntimeException](
+      StoreLease.withLease(f, root) { sys.error("boom") })
+    assert(!f.exists(lease), "failure did not release")
+  }
+
+  test("store writer lease (r14): a double-launched vector-index " +
+    "rebuild refuses, the store keeps serving its OLD model, and the " +
+    "swap-publishing compaction refuses under the same lease") {
+    import spark.implicits._
+    import graft.ext.VectorIndex
+    val e = Tables.embeddings(spark, sf0001)
+    val store = tmpDir("lease-vidx") + "/idx"
+    VectorIndex.init(e, store, coarseIters = 2)
+    val q = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+    val before = VectorIndex.query(spark, store, q, k = 5).collect()
+      .map(_.toSeq).toSet
+    // the simulated second driver holds the store
+    plantLease(store, "424242@other-host")
+    val ex = intercept[IllegalStateException](
+      VectorIndex.rebuild(e, store, coarseIters = 2))
+    assert(ex.getMessage.contains("another writer"), ex.getMessage)
+    val exC = intercept[IllegalStateException](
+      VectorIndex.compact(spark, store))
+    assert(exC.getMessage.contains("another writer"), exC.getMessage)
+    // the refused rebuild corrupted nothing: same model, same answers
+    assert(VectorIndex.query(spark, store, q, k = 5).collect()
+      .map(_.toSeq).toSet == before,
+      "a refused rebuild changed the store's answers")
+    // the holder releases -> the rebuild (with its nested swapInto)
+    // goes through and cleans up its lease
+    fsOf(store).delete(StoreLease.leasePath(store), false)
+    VectorIndex.rebuild(e, store, coarseIters = 2)
+    assert(!fsOf(store).exists(StoreLease.leasePath(store)))
+    assert(VectorIndex.query(spark, store, q, k = 5).collect()
+      .map(_.toSeq).toSet == before,
+      "rebuild from the same corpus should republish the same model")
+  }
 }
