@@ -864,6 +864,146 @@ object TextAnalysis {
           .as("accuracy"))
   }
 
+  /** The trained language-ID probe's closed class menu (x43): every
+    * label [[langId]] can emit — the marker languages, the CJK class,
+    * and 'und'. STATIC, so the oracle replays the exact same
+    * one-vs-rest training regardless of which classes the corpus
+    * realizes: a class with no bootstrap docs trains an all-negative
+    * probe whose margins never win the argmax. Shared with the x43
+    * oracle generator ([[graft.queries.TextQueries]]).
+    */
+  val LangIdClasses: Seq[String] =
+    (LangMarkers.map(_._1) :+ "zh" :+ "und").sorted
+
+  /** TRAINED language ID [EXT, x43] — the x35 probe machinery run
+    * multi-class, replacing [[langId]]'s marker-word heuristic as the
+    * SCORING path while keeping it as the bootstrap LABELER (the
+    * fastText-langid production shape: a cheap rule labels a slice,
+    * a trained classifier generalizes it to tokens the rules never
+    * listed):
+    *
+    *  - labels: [[langId]]'s `pred_lang` over the corpus itself;
+    *  - one probe per [[LangIdClasses]] class, one-vs-rest, each
+    *    value-identical to the x35 trainer ([[trainOn]]: `epochs`
+    *    rounds of deterministic full-batch GD on the 6-decimal grid
+    *    under the algebraic sigmoid) over the SHARED hashed
+    *    unigram+bigram feature space ([[dsirBuckets]] +
+    *    bias-as-bucket) — featurized ONCE, cache-shared, and trained
+    *    FUSED: per epoch one aggregate computes every class's margins
+    *    and one gradient pass emits every class's gradients, so
+    *    C×epochs scans collapse to `epochs` (the arithmetic is
+    *    per-class trainOn's term for term — decimal sums are
+    *    order-free and each class's columns never mix);
+    *  - scoring: ONE aggregation computes every class margin
+    *    (C literal weight maps in one pass, each the decimal-summed
+    *    round-6 z), the winner by (margin DESC, class ASC) — a
+    *    doc_id-partitioned Window over C rows per doc.
+    *
+    * The whole chain — bootstrap labeling, C×epochs training, the
+    * C-margin scoring, the argmax — replays in SQL (oracle-checked,
+    * x43). Scale: per epoch per class, one aggregate over the cached
+    * feature table and a KB gradient collect; the corpus tokenizes
+    * exactly once; weights ride literal maps (KB); nothing but the
+    * feature table ever shuffles, always on doc_id.
+    *
+    * Returns (doc_id, lang, boot_lang, probe_lang, margin) — corpus
+    * truth, the heuristic's label, the probe's argmax, and the
+    * winning rounded-6 margin.
+    */
+  def langIdProbe(docs: DataFrame, nBuckets: Int = 256, epochs: Int = 3,
+                  lr: Double = 0.5): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be at least 2, got $nBuckets")
+    val boot = langId(docs)
+      .select(col("doc_id"), col("pred_lang").as("boot_lang"))
+    val docsB = docs.select(col("doc_id"), col("lang"), col("text"))
+      .join(boot, "doc_id")
+    // ONE featurization, label and truth riding along (constant per
+    // doc — the grouping is still (doc_id, y, b) value-for-value)
+    val feats = docsB.repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("boot_lang"),
+        explode(concat(
+          coalesce(dsirBuckets(nBuckets), array().cast("array<bigint>")),
+          array(lit(nBuckets.toLong)))).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("boot_lang"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = docsB.count()
+      require(n > 0, "cannot train a language-ID probe on an empty corpus")
+      // ALL classes train together: per epoch, ONE pass computes every
+      // class's margins (C literal weight maps in one aggregate),
+      // residuals fan out in-row, and ONE gradient aggregation emits C
+      // gradient columns per bucket — C×epochs scans collapse to
+      // `epochs`. Arithmetic is trainOn's value for value: the same
+      // decimal-summed round-6 z per (doc, class), the same round-6
+      // residual, the same order-free decimal gradient sum, the same
+      // driver-side HALF_UP weight update (the x43 oracle replays the
+      // per-class chains and pins the equivalence).
+      val C = LangIdClasses.size
+      val ws = Array.fill(C)(Array.fill(nBuckets + 1)(0.0d))
+      for (_ <- 1 to epochs) {
+        val zAggs = LangIdClasses.indices.map { i =>
+          val wMap = map((0 to nBuckets).flatMap(b =>
+            Seq(lit(b.toLong), lit(ws(i)(b)))): _*)
+          round(sum((col("tf") * element_at(wMap, col("b")))
+            .cast("decimal(38,18)")).cast("double"), 6).as(s"z$i")
+        }
+        val perDoc = feats.groupBy(col("doc_id"), col("boot_lang"))
+          .agg(zAggs.head, (zAggs.tail :+
+            collect_list(struct(col("b"), col("tf"))).as("fs")): _*)
+        val rCols = LangIdClasses.zipWithIndex.map { case (c, i) =>
+          val y = when(col("boot_lang") === c, lit(1.0d))
+            .otherwise(lit(0.0d))
+          round(y - squash(col(s"z$i")), 6).as(s"r$i")
+        }
+        val gAggs = LangIdClasses.indices.map(i =>
+          sum((col("f.tf") * col(s"r$i")).cast("decimal(38,18)"))
+            .cast("double").as(s"g$i"))
+        val grads = perDoc.select((rCols :+ col("fs")): _*)
+          .select((LangIdClasses.indices.map(i => col(s"r$i")) :+
+            explode(col("fs")).as("f")): _*)
+          .groupBy(col("f.b").as("b"))
+          .agg(gAggs.head, gAggs.tail: _*)
+          .collect()
+        for (row <- grads; i <- LangIdClasses.indices) {
+          val b = row.getLong(0).toInt
+          ws(i)(b) = round6(ws(i)(b) +
+            (lr * (if (row.isNullAt(i + 1)) 0.0d else row.getDouble(i + 1)))
+              / n)
+        }
+      }
+      val models = LangIdClasses.zipWithIndex.map { case (c, i) =>
+        c -> (0L to nBuckets.toLong).map(b => b -> ws(i)(b.toInt)).toMap
+      }
+      // every class margin in ONE pass over the cached features
+      val zAggs = models.map { case (c, w) =>
+        val wMap = map((0 to nBuckets).flatMap(b =>
+          Seq(lit(b.toLong), lit(w(b.toLong)))): _*)
+        round(sum((col("tf") * element_at(wMap, col("b")))
+          .cast("decimal(38,18)")).cast("double"), 6).as(s"z_$c")
+      }
+      val z = feats
+        .groupBy(col("doc_id"), col("lang"), col("boot_lang"))
+        .agg(zAggs.head, zAggs.tail: _*)
+      val zCols: Seq[Column] = models.flatMap { case (c, _) =>
+        Seq(lit(c), col(s"z_$c"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("margin").desc, col("cls"))
+      z.select(col("doc_id"), col("lang"), col("boot_lang"),
+          explode(map(zCols: _*)).as(Seq("cls", "margin")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("boot_lang"),
+          col("cls").as("probe_lang"),
+          (col("margin") + lit(0.0d)).as("margin"))
+        // the Window feeds from the cache; the result must not (the
+        // caller outlives the unpersist below)
+        .localCheckpoint(true)
+    } finally feats.unpersist()
+  }
+
   /** Score a corpus under a trained probe — the exact (decimal-sum)
     * form the oracle replays: per doc, margin = round(Σ tf·w, 6)
     * (bias included via its bucket row), quality = round(σ̃, 6),

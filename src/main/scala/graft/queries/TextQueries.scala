@@ -150,6 +150,21 @@ object TextQueries {
         col("source") === "src0")
     },
 
+    /** x43 — TRAINED language ID (r14): x03's marker heuristic stays
+      * the bootstrap LABELER, and one x35-style probe per class in
+      * the closed [[graft.ext.TextAnalysis.LangIdClasses]] menu
+      * trains one-vs-rest over the shared hashed unigram+bigram
+      * space (ONE featurization for every class's epochs AND the
+      * scoring); the prediction is the argmax margin (class-asc
+      * tiebreak). The ORACLE REPLAYS EVERYTHING: the x03 label
+      * QUALIFY, six per-class unrolled 3-epoch training chains (the
+      * probeCtes generator — one definition with x35/x42), the six
+      * decimal-grid margins and the argmax.
+      */
+    "x43_langid_probe" -> { (s, d) =>
+      TextAnalysis.langIdProbe(Tables.documents(s, d))
+    },
+
     /** x36 — BPE merge training (Sennrich et al. 2016): 8 merges
       * learned from the corpus's word-frequency dictionary — one
       * corpus shuffle, then vocab-bounded pair-count aggregates with
@@ -615,77 +630,85 @@ object TextQueries {
        |$rounds""".stripMargin
   }
 
-  /** The x35 training-replay chain (features → three unrolled epochs
-    * → per-doc margins in `scored`) — shared by the x35 oracle and the
-    * x42 AUC tail, one definition so the two cannot drift.
+  /** The probe training-replay chain generator (features → three
+    * unrolled epochs → per-doc margins in `scored$sfx`) over relation
+    * `rel` against the boolean target `targetSql` — ONE definition
+    * shared by the x35 oracle, the x42 AUC tail, and x43's per-class
+    * one-vs-rest chains, so none can drift.
     */
-  private val X35Ctes: String =
-    s"""tok AS (
-         |  SELECT doc_id, source = 'src0' AS is_t,
+  private def probeCtes(rel: String, targetSql: String,
+                        sfx: String): String =
+    s"""tok$sfx AS (
+         |  SELECT doc_id, ($targetSql) AS is_t,
          |    string_split(text, ' ') AS t
-         |  FROM documents),
-         |feat AS (
-         |  SELECT doc_id, is_t, unnest(t) AS f FROM tok
+         |  FROM $rel),
+         |feat$sfx AS (
+         |  SELECT doc_id, is_t, unnest(t) AS f FROM tok$sfx
          |  UNION ALL
          |  SELECT doc_id, is_t, unnest(list_transform(range(1, len(t)),
-         |    i -> t[i] || ' ' || t[i+1])) AS f FROM tok),
-         |tfb AS (
+         |    i -> t[i] || ' ' || t[i+1])) AS f FROM tok$sfx),
+         |tfb$sfx AS (
          |  SELECT doc_id,
          |    CASE WHEN is_t THEN CAST(1.0 AS DOUBLE)
          |         ELSE CAST(0.0 AS DOUBLE) END AS y,
          |    ${Hashing.base60Sql("f")} % 256 AS b,
          |    CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM feat GROUP BY 1, 2, 3
+         |  FROM feat$sfx GROUP BY 1, 2, 3
          |  UNION ALL
          |  SELECT doc_id,
-         |    CASE WHEN source = 'src0' THEN CAST(1.0 AS DOUBLE)
+         |    CASE WHEN ($targetSql) THEN CAST(1.0 AS DOUBLE)
          |         ELSE CAST(0.0 AS DOUBLE) END AS y,
          |    256 AS b, CAST(1 AS BIGINT) AS tf
-         |  FROM documents),
-         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-         |r1 AS (
+         |  FROM $rel),
+         |nd$sfx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $rel),
+         |r1$sfx AS (
          |  SELECT doc_id, round(y - CAST(0.5 AS DOUBLE), 6) AS r
-         |  FROM (SELECT DISTINCT doc_id, y FROM tfb)),
-         |w1 AS (
+         |  FROM (SELECT DISTINCT doc_id, y FROM tfb$sfx)),
+         |w1$sfx AS (
          |  SELECT b, round((CAST(0.5 AS DOUBLE) * g) / n, 6) AS w
          |  FROM (SELECT b,
          |          CAST(SUM(CAST(tf * r AS DECIMAL(38,18))) AS DOUBLE)
          |            AS g
-         |        FROM tfb JOIN r1 USING (doc_id) GROUP BY b)
-         |  CROSS JOIN nd),
-         |z2 AS (
+         |        FROM tfb$sfx JOIN r1$sfx USING (doc_id) GROUP BY b)
+         |  CROSS JOIN nd$sfx),
+         |z2$sfx AS (
          |  SELECT doc_id, y,
          |    round(CAST(SUM(CAST(tf * w AS DECIMAL(38,18))) AS DOUBLE),
          |      6) AS z
-         |  FROM tfb JOIN w1 USING (b) GROUP BY doc_id, y),
-         |r2 AS (
-         |  SELECT doc_id, round(y - (CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + z / (CAST(1.0 AS DOUBLE) + abs(z)))), 6) AS r FROM z2),
-         |w2 AS (
+         |  FROM tfb$sfx JOIN w1$sfx USING (b) GROUP BY doc_id, y),
+         |r2$sfx AS (
+         |  SELECT doc_id, round(y - (CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + z / (CAST(1.0 AS DOUBLE) + abs(z)))), 6) AS r FROM z2$sfx),
+         |w2$sfx AS (
          |  SELECT b, round(w + (CAST(0.5 AS DOUBLE) * g) / n, 6) AS w
          |  FROM (SELECT b,
          |          CAST(SUM(CAST(tf * r AS DECIMAL(38,18))) AS DOUBLE)
          |            AS g
-         |        FROM tfb JOIN r2 USING (doc_id) GROUP BY b)
-         |  JOIN w1 USING (b) CROSS JOIN nd),
-         |z3 AS (
+         |        FROM tfb$sfx JOIN r2$sfx USING (doc_id) GROUP BY b)
+         |  JOIN w1$sfx USING (b) CROSS JOIN nd$sfx),
+         |z3$sfx AS (
          |  SELECT doc_id, y,
          |    round(CAST(SUM(CAST(tf * w AS DECIMAL(38,18))) AS DOUBLE),
          |      6) AS z
-         |  FROM tfb JOIN w2 USING (b) GROUP BY doc_id, y),
-         |r3 AS (
-         |  SELECT doc_id, round(y - (CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + z / (CAST(1.0 AS DOUBLE) + abs(z)))), 6) AS r FROM z3),
-         |w3 AS (
+         |  FROM tfb$sfx JOIN w2$sfx USING (b) GROUP BY doc_id, y),
+         |r3$sfx AS (
+         |  SELECT doc_id, round(y - (CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + z / (CAST(1.0 AS DOUBLE) + abs(z)))), 6) AS r FROM z3$sfx),
+         |w3$sfx AS (
          |  SELECT b, round(w + (CAST(0.5 AS DOUBLE) * g) / n, 6) AS w
          |  FROM (SELECT b,
          |          CAST(SUM(CAST(tf * r AS DECIMAL(38,18))) AS DOUBLE)
          |            AS g
-         |        FROM tfb JOIN r3 USING (doc_id) GROUP BY b)
-         |  JOIN w2 USING (b) CROSS JOIN nd),
-         |scored AS (
+         |        FROM tfb$sfx JOIN r3$sfx USING (doc_id) GROUP BY b)
+         |  JOIN w2$sfx USING (b) CROSS JOIN nd$sfx),
+         |scored$sfx AS (
          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
          |    round(CAST(SUM(CAST(tf * w AS DECIMAL(38,18))) AS DOUBLE),
          |      6) + CAST(0.0 AS DOUBLE) AS margin
-         |  FROM tfb JOIN w3 USING (b) GROUP BY doc_id)""".stripMargin
+         |  FROM tfb$sfx JOIN w3$sfx USING (b) GROUP BY doc_id)""".stripMargin
+
+  /** The x35 training-replay chain — [[probeCtes]] at its original
+    * instantiation (documents, the src0 target, no suffix).
+    */
+  private val X35Ctes: String = probeCtes("documents", "source = 'src0'", "")
 
   val oracles: Map[String, String] = Map(
     "x36_bpe_merges" -> {
@@ -1018,6 +1041,42 @@ object TextQueries {
          |    (CAST(2.0 AS DOUBLE) * n_pos * n_neg), 6) + 0.0 AS auc,
          |  round(CAST(n_correct AS DOUBLE) / n, 6) + 0.0 AS accuracy
          |FROM agg, acc""".stripMargin,
+
+    // x43: the x03 bootstrap labels (QUALIFY argmax), then ONE
+    // probeCtes training chain per closed-menu class over the
+    // label-joined relation, the six margins, and the
+    // (margin DESC, class ASC) argmax — training replayed end to end
+    "x43_langid_probe" -> {
+      val chains = TextAnalysis.LangIdClasses.map(c =>
+        probeCtes("docsb", s"boot_lang = '$c'", s"_$c"))
+        .mkString(",\n")
+      val unions = TextAnalysis.LangIdClasses.map(c =>
+        s"SELECT doc_id, '$c' AS cls, margin FROM scored_$c")
+        .mkString("\nUNION ALL\n")
+      s"""WITH bscores AS (
+         |$langScoresSql
+         |),
+         |boot AS (
+         |  SELECT doc_id,
+         |    CASE WHEN score > 0 THEN pred_lang ELSE 'und' END
+         |      AS boot_lang
+         |  FROM bscores
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, pred_lang) = 1),
+         |docsb AS (
+         |  SELECT d.doc_id, d.lang, d.text, b.boot_lang
+         |  FROM documents d JOIN boot b USING (doc_id)),
+         |$chains,
+         |allz AS (
+         |$unions
+         |)
+         |SELECT z.doc_id, d.lang, d.boot_lang, z.cls AS probe_lang,
+         |  z.margin + CAST(0.0 AS DOUBLE) AS margin
+         |FROM allz z JOIN docsb d ON d.doc_id = z.doc_id
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY z.doc_id ORDER BY z.margin DESC, z.cls) = 1"""
+        .stripMargin
+    },
 
     "x31_dsir_resample" ->
       s"""WITH tok AS (

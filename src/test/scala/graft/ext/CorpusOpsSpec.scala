@@ -904,4 +904,41 @@ class CorpusOpsSpec extends SparkTestBase {
       .toMap
     assert(again == js)
   }
+  test("x43 trained language-ID probe: separable languages reproduce " +
+    "the bootstrap (and the truth) exactly, absent menu classes are " +
+    "never predicted, margins sit on the round-6 grid, " +
+    "partition-invariant") {
+    import spark.implicits._
+    // three cleanly separable languages built from the marker lists
+    // plus per-doc non-marker vocabulary (the probe must carry weight
+    // beyond the markers to win every argmax)
+    val de = (0L until 12L).map(i =>
+      (i, "de", s"der die das und ist nicht haus$i baum wasser"))
+    val en = (12L until 24L).map(i =>
+      (i, "en", s"the a of and to is tree$i house river"))
+    val fr = (24L until 36L).map(i =>
+      (i, "fr", s"le les des et est une arbre$i maison fleuve"))
+    val docs = (de ++ en ++ fr).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langIdProbe(docs).collect()
+    assert(out.length == 36, s"one row per doc expected, got ${out.length}")
+    for (r <- out) {
+      assert(r.getAs[String]("boot_lang") == r.getAs[String]("lang"),
+        s"bootstrap mislabeled a marker-built doc: $r")
+      assert(r.getAs[String]("probe_lang") == r.getAs[String]("lang"),
+        s"probe diverged from truth on a separable corpus: $r")
+    }
+    // the closed menu: zero-positive classes (es, zh, und here) train
+    // all-negative probes that never win — implicitly pinned by the
+    // exactness above; margins live on the 6-decimal grid
+    for (r <- out) {
+      val m = r.getAs[Double]("margin")
+      assert(m == BigDecimal(m)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"margin off the round-6 grid: $m")
+    }
+    // partition invariance: decimal sums are order-free by design
+    val out7 = TextAnalysis.langIdProbe(docs.repartition(7)).collect()
+    assert(out7.map(_.toSeq).toSet == out.map(_.toSeq).toSet,
+      "probe output depends on partitioning")
+  }
 }
