@@ -1421,6 +1421,173 @@ object Multimodal {
     }
   }
 
+  // ---- ID3v2 text-frame extraction (m13) ---------------------------
+
+  /** Shared formula constants: synth writer + m13 oracle generator. */
+  private[graft] val Id3TitlePrefix = "doc-"
+  private[graft] val Id3ArtistPrefix = "artist-"
+  private[graft] val Id3AlbumPrefix = "album-"
+  private[graft] val Id3PrivOwner = "graft"
+  private[graft] val Id3ArtistMod = 7L
+  private[graft] val Id3AlbumMod = 5L
+  private[graft] val Id3PadMod = 11
+
+  /** Walk the ID3v2 tag's FRAMES — the text metadata (TIT2 title,
+    * TPE1 artist, TALB album, any `T***`) a curation pass filters on,
+    * read with the same syncsafe arithmetic [[parseMp3]] already uses
+    * for the envelope. v2.4 frame sizes are syncsafe, v2.3 plain
+    * big-endian (the version byte dispatches); an extended header is
+    * skipped by its own declared size; padding (a zero byte where a
+    * frame ID should start) ends the walk. Text payloads decode from
+    * ISO-8859-1 (0x00) or UTF-8 (0x03) with trailing NULs stripped;
+    * non-text frames are counted, never decoded. None for hostile
+    * framing: a non-tag payload, a truncated tag, a frame ID outside
+    * [A-Z0-9]{4}, a non-syncsafe v2.4 size byte, a frame overrunning
+    * the tag, an unsupported text encoding (UTF-16 — out of scope,
+    * refused rather than mangled).
+    *
+    * Returns (all-frame count, ordered `T***` (id, text) pairs).
+    */
+  private[ext] def id3TextFrames(p: Array[Byte])
+      : Option[(Int, Seq[(String, String)])] = {
+    if (p.length < 10 || p(0) != 'I' || p(1) != 'D' || p(2) != '3')
+      return None
+    val ver = p(3) & 0xff
+    if (ver != 3 && ver != 4) return None
+    val flags = p(5) & 0xff
+    def syncsafe(o: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 4) {
+        val b = p(o + i) & 0xff
+        if ((b & 0x80) != 0) return -1L
+        v = (v << 7) | b
+        i += 1
+      }
+      v
+    }
+    val tag = syncsafe(6)
+    if (tag < 0 || 10L + tag > p.length) return None
+    val end = (10L + tag).toInt
+    var off = 10
+    if ((flags & 0x40) != 0) { // extended header: skip by its size
+      if (off + 4 > end) return None
+      val ext = if (ver == 4) syncsafe(off)
+        else ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+          ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+      // v2.4 ext size INCLUDES its own 4+2 bytes; v2.3 excludes them
+      val skip = if (ver == 4) ext else ext + 4L
+      if (ext < 0 || off + skip > end) return None
+      off += skip.toInt
+    }
+    var nFrames = 0
+    val texts = Seq.newBuilder[(String, String)]
+    while (off < end && p(off) != 0) {
+      if (off + 10 > end) return None
+      val id = new String(p, off, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (!id.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+        return None
+      val size = if (ver == 4) syncsafe(off + 4)
+        else ((p(off + 4) & 0xffL) << 24) | ((p(off + 5) & 0xffL) << 16) |
+          ((p(off + 6) & 0xffL) << 8) | (p(off + 7) & 0xffL)
+      if (size < 0 || off + 10L + size > end) return None
+      if (id.startsWith("T") && size >= 1) {
+        val enc = p(off + 10) & 0xff
+        val cs = enc match {
+          case 0x00 => java.nio.charset.StandardCharsets.ISO_8859_1
+          case 0x03 => java.nio.charset.StandardCharsets.UTF_8
+          case _ => return None // UTF-16 forms: refused, not mangled
+        }
+        texts += id -> new String(p, off + 11, size.toInt - 1, cs)
+          .replaceAll("\u0000+$", "")
+      }
+      nFrames += 1
+      off += 10 + size.toInt
+    }
+    Some((nFrames, texts.result()))
+  }
+
+  /** A REAL ID3v2.4-tagged MP3: TIT2/TPE1/TALB text frames with
+    * deterministic values over (id, n), the document bytes in a PRIV
+    * frame (binary — counted, never decoded), n mod [[Id3PadMod]]
+    * padding, then [[mp3Bytes]]'s exact frame train — so
+    * [[parseMp3]]'s m09 facts hold on tagged files too (spec-pinned).
+    */
+  private[ext] def mp3TaggedBytes(id: Long,
+                                  body: Array[Byte]): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def textFrame(fid: String, v: String): Array[Byte] = {
+      val vb = v.getBytes(ascii)
+      val size = 1 + vb.length
+      fid.getBytes(ascii) ++ Array(
+        ((size >>> 21) & 0x7f).toByte, ((size >>> 14) & 0x7f).toByte,
+        ((size >>> 7) & 0x7f).toByte, (size & 0x7f).toByte,
+        0.toByte, 0.toByte, 0x03.toByte) ++ vb
+    }
+    val priv = {
+      val size = Id3PrivOwner.length + 1 + body.length
+      "PRIV".getBytes(ascii) ++ Array(
+        ((size >>> 21) & 0x7f).toByte, ((size >>> 14) & 0x7f).toByte,
+        ((size >>> 7) & 0x7f).toByte, (size & 0x7f).toByte,
+        0.toByte, 0.toByte) ++ Id3PrivOwner.getBytes(ascii) ++
+        Array(0.toByte) ++ body
+    }
+    val n = body.length
+    val frames = textFrame("TIT2", Id3TitlePrefix + id) ++
+      textFrame("TPE1", Id3ArtistPrefix + (id % Id3ArtistMod)) ++
+      textFrame("TALB", Id3AlbumPrefix + (id % Id3AlbumMod)) ++ priv
+    val pad = n % Id3PadMod
+    val tag = frames.length + pad
+    val hdr = "ID3".getBytes(ascii) ++ Array(0x04.toByte, 0x00.toByte,
+      0x00.toByte,
+      ((tag >>> 21) & 0x7f).toByte, ((tag >>> 14) & 0x7f).toByte,
+      ((tag >>> 7) & 0x7f).toByte, (tag & 0x7f).toByte)
+    // the m09 frame train, byte for byte (mp3Bytes minus ITS tag)
+    val train = mp3Bytes(body).drop(10 + n)
+    hdr ++ frames ++ new Array[Byte](pad) ++ train
+  }
+
+  def asMp3TaggedAssets(spark: SparkSession,
+                        docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          MediaAsset(id, "audio/mpeg", mp3TaggedBytes(id, text.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }.toDF()
+  }
+
+  final case class Id3Tags(doc_id: Long, n_id3_frames: Int,
+                           n_text_frames: Int, title: Option[String],
+                           artist: Option[String], album: Option[String],
+                           tag_bytes: Long)
+
+  /** m13: text-frame facts per tagged asset — zeroed/None row for
+    * payloads whose tag fails the walk (the m09 fail-soft shape).
+    * tag_bytes is [[parseMp3]]'s envelope figure (header + declared
+    * size) — the two walks share the syncsafe arithmetic.
+    */
+  def id3Tags(spark: SparkSession, assets: DataFrame): Dataset[Id3Tags] = {
+    import spark.implicits._
+    assets.as[MediaAsset].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          id3TextFrames(a.payload) match {
+            case Some((nf, ts)) =>
+              val m = ts.toMap
+              Id3Tags(a.doc_id, nf, ts.size, m.get("TIT2"),
+                m.get("TPE1"), m.get("TALB"),
+                parseMp3(a.payload).map(_.id3Bytes).getOrElse(0L))
+            case None => Id3Tags(a.doc_id, 0, 0, None, None, None, 0L)
+          }
+        }
+      }
+    }
+  }
+
   final case class FlacMeta(metaBytes: Long, nBlocks: Int,
                             sampleRate: Int, nChannels: Int,
                             bitsPerSample: Int, totalSamples: Long,

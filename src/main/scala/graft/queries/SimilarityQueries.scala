@@ -735,6 +735,21 @@ object SimilarityQueries {
           col("orientation"))
     },
 
+    /** m13 — ID3v2 text-frame extraction (r14, the m09 extension):
+      * documents become ID3v2.4-TAGGED MP3s (real TIT2/TPE1/TALB text
+      * frames with deterministic values, the document bytes in a
+      * binary PRIV frame, deterministic padding, then m09's exact
+      * frame train), and the frame walk reads titles/artists/albums
+      * back with the same syncsafe arithmetic the envelope walk uses
+      * — the metadata a curation pass filters on without decoding a
+      * single audio frame. The oracle replays the value formulas AND
+      * the whole tag-size arithmetic.
+      */
+    "m13_id3_tags" -> { (s, d) =>
+      Multimodal.id3Tags(s,
+        Multimodal.asMp3TaggedAssets(s, Tables.documents(s, d))).toDF()
+    },
+
     /** s03 — IVF ANN: Lloyd-trained coarse centroids (the d09
       * mod-prime seed sample + one DECIMAL-mean refinement — the
       * oracle replays the TRAINING, r10), nprobe-cell probing, exact
@@ -2392,6 +2407,33 @@ object SimilarityQueries {
         |  CAST(3 AS INT) AS n_components,
         |  CAST(1 + n % 8 AS INT) AS orientation
         |FROM d""".stripMargin,
+
+    // m13: frame values are closed formulas over doc_id; the tag size
+    // is the exact frame-by-frame byte sum (constants computed from
+    // the SAME prefix/owner strings the writer uses) + n + padding
+    "m13_id3_tags" -> {
+      import graft.ext.Multimodal._
+      val fixed = 10 + // tag header
+        (10 + 1 + Id3TitlePrefix.length) + // TIT2 net of digits(id)
+        (10 + 1 + Id3ArtistPrefix.length + 1) + // TPE1 (1-digit mod)
+        (10 + 1 + Id3AlbumPrefix.length + 1) + // TALB (1-digit mod)
+        (10 + Id3PrivOwner.length + 1) // PRIV net of n
+      s"""WITH d AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(4 AS INT) AS n_id3_frames,
+         |  CAST(3 AS INT) AS n_text_frames,
+         |  '$Id3TitlePrefix' || CAST(doc_id AS VARCHAR) AS title,
+         |  '$Id3ArtistPrefix' || CAST(doc_id % $Id3ArtistMod AS VARCHAR)
+         |    AS artist,
+         |  '$Id3AlbumPrefix' || CAST(doc_id % $Id3AlbumMod AS VARCHAR)
+         |    AS album,
+         |  CAST($fixed + length(CAST(doc_id AS VARCHAR)) + n
+         |    + n % $Id3PadMod AS BIGINT) AS tag_bytes
+         |FROM d""".stripMargin
+    },
 
     // m11: every fact is integer arithmetic over the text byte count —
     // the shared Vorbis rate menu as a CASE ladder, the RFC 3533 page

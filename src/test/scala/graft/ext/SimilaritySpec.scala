@@ -1522,6 +1522,75 @@ class SimilaritySpec extends SparkTestBase {
       "mid-stream sample-rate change did not fail soft")
   }
 
+  test("ID3v2 frame walk (m13): tagged fixture round-trips title/" +
+    "artist/album, PRIV counted not decoded, padding stops the walk, " +
+    "v2.3 plain sizes parse, m09 facts hold on tagged files, " +
+    "hostile tags fail soft") {
+    val n = 83
+    val body = Array.tabulate(n)(i => (65 + i % 26).toByte)
+    val id = 1234L
+    val tagged = Multimodal.mp3TaggedBytes(id, body)
+    val (nf, ts) = Multimodal.id3TextFrames(tagged).get
+    assert(nf == 4 && ts.size == 3, s"frame counts wrong: $nf, $ts")
+    val m = ts.toMap
+    assert(m("TIT2") == s"doc-$id" && m("TPE1") == s"artist-${id % 7}" &&
+      m("TALB") == s"album-${id % 5}")
+    // the envelope figure == the m13 oracle's closed formula
+    val meta = Multimodal.parseMp3(tagged).get
+    assert(meta.id3Bytes ==
+      (78 + id.toString.length + n + n % 11).toLong)
+    // m09's frame-train facts are IDENTICAL on tagged and plain files
+    val plain = Multimodal.parseMp3(Multimodal.mp3Bytes(body)).get
+    assert(meta.nFrames == plain.nFrames &&
+      meta.bitrateKbps == plain.bitrateKbps &&
+      meta.sampleRate == plain.sampleRate &&
+      meta.nChannels == plain.nChannels &&
+      meta.durationMs == plain.durationMs,
+      "tagging changed the m09 stream facts")
+    // a hand-built v2.3 tag (plain big-endian frame sizes) parses
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val v3val = "hello".getBytes(ascii)
+    val v3frame = "TIT2".getBytes(ascii) ++ Array[Byte](0, 0, 0,
+      (1 + v3val.length).toByte, 0, 0, 0x00.toByte) ++ v3val
+    val v3tag = "ID3".getBytes(ascii) ++ Array[Byte](3, 0, 0,
+      0, 0, 0, v3frame.length.toByte) ++ v3frame
+    val (nf3, ts3) = Multimodal.id3TextFrames(v3tag).get
+    assert(nf3 == 1 && ts3 == Seq("TIT2" -> "hello"),
+      s"v2.3 walk wrong: $nf3 $ts3")
+    // hostile cases fail soft (None), never throw
+    assert(Multimodal.id3TextFrames("no tag here".getBytes(ascii)).isEmpty)
+    assert(Multimodal.id3TextFrames(tagged.take(8)).isEmpty,
+      "truncated header accepted")
+    val badVer = tagged.clone(); badVer(3) = 9
+    assert(Multimodal.id3TextFrames(badVer).isEmpty,
+      "unknown major version accepted")
+    val badSync = tagged.clone(); badSync(6) = 0x80.toByte
+    assert(Multimodal.id3TextFrames(badSync).isEmpty,
+      "non-syncsafe tag size accepted")
+    val badId = tagged.clone(); badId(10) = '~'.toByte
+    assert(Multimodal.id3TextFrames(badId).isEmpty,
+      "frame ID outside [A-Z0-9] accepted")
+    val overrun = tagged.clone()
+    overrun(17) = 0x7f.toByte // TIT2's size low byte blown up
+    assert(Multimodal.id3TextFrames(overrun).isEmpty,
+      "frame overrunning the tag accepted")
+    val utf16 = tagged.clone()
+    utf16(20) = 0x01.toByte // TIT2 encoding byte -> UTF-16
+    assert(Multimodal.id3TextFrames(utf16).isEmpty,
+      "UTF-16 text encoding must refuse, not mangle")
+    // the fail-soft row shape flows through id3Tags
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "audio/mpeg", tagged),
+      Multimodal.MediaAsset(2L, "audio/mpeg", badSync)).toDF()
+    val rows = Multimodal.id3Tags(spark, assets).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(rows(1L).title.contains(s"doc-$id") &&
+      rows(1L).n_id3_frames == 4)
+    assert(rows(2L).n_id3_frames == 0 && rows(2L).title.isEmpty,
+      "hostile payload did not zero its facts row")
+  }
+
   test("FLAC walk: synthesized fixture round-trips fact for fact; " +
     "extra metadata blocks count; hostile payloads fail soft") {
     val n = 100
