@@ -301,6 +301,72 @@ object Warc {
     }
   }
 
+  /** Compress an archive the Common Crawl way: one gzip MEMBER per
+    * record, members concatenated (ISO 28500 annex; the layout that
+    * lets a range reader inflate a single record from an offset
+    * index). Synth-side twin of [[gunzipMembers]].
+    */
+  private[graft] def gzipPerRecord(archive: Array[Byte]): Array[Byte] = {
+    val recs = parseWarc(archive).getOrElse(
+      throw new IllegalArgumentException("not a parseable WARC archive"))
+    val out = new java.io.ByteArrayOutputStream()
+    for (r <- recs) {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(archive, r.facts.rec_offset.toInt,
+        r.facts.rec_bytes.toInt)
+      gz.finish()
+    }
+    out.toByteArray
+  }
+
+  /** Inflate a concatenated-member gzip stream to its full plaintext —
+    * `GZIPInputStream` handles member concatenation natively, so this
+    * reads both per-record-member archives (the CC convention) and
+    * single-member ones. None for non-gzip or corrupt bytes (CRC
+    * mismatches, truncated members — fail-soft like every walk).
+    */
+  private[ext] def gunzipMembers(p: Array[Byte]): Option[Array[Byte]] =
+    if (p.length < 2 || (p(0) & 0xff) != 0x1f || (p(1) & 0xff) != 0x8b)
+      None
+    else
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(p))
+        try Some(in.readAllBytes()) finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Documents → `.warc.gz` archives (the wire format Common Crawl
+    * actually ships): [[asWarcArchives]]' bytes re-compressed one
+    * gzip member per record.
+    */
+  def asWarcGzArchives(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    asWarcArchives(spark, docs).as[WarcArchive].mapPartitions { it =>
+      it.map(a => WarcArchive(a.archive_id, gzipPerRecord(a.payload)))
+    }.toDF()
+  }
+
+  /** Record facts of GZIPPED archives — the wa03 surface: inflate
+    * (real `GZIPInputStream`, multi-member), then the SAME walk, so
+    * the facts — including every offset, which lives in the
+    * DECOMPRESSED stream per the WARC spec — equal [[recordFacts]]
+    * over the plain archive byte for byte (the wa03 oracle IS wa01's).
+    * Non-gzip or corrupt members yield no rows (fail-soft).
+    */
+  def recordFactsGz(spark: SparkSession,
+                    archives: DataFrame): Dataset[WarcRecordFacts] = {
+    import spark.implicits._
+    archives.as[WarcArchive].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { a =>
+          gunzipMembers(a.payload).flatMap(parseWarc)
+            .getOrElse(Vector.empty)
+            .map(r => r.facts.copy(archive_id = a.archive_id))
+        }
+      }
+    }
+  }
+
   /** Payload TEXT of `application/http` records — the hand-off into
     * the text plane (wa02): one row per HTTP record with its URI,
     * status, HTTP content-type, and the payload decoded as UTF-8.

@@ -30,6 +30,18 @@ object WarcQueries {
         Warc.asWarcArchives(s, Tables.documents(s, d))).toDF()
     },
 
+    /** wa03 — the WIRE format: the same archives compressed one gzip
+      * member per record (the Common Crawl `.warc.gz` convention),
+      * inflated with the real `GZIPInputStream` (multi-member) and
+      * walked identically. Offsets live in the DECOMPRESSED stream
+      * per the spec, so the oracle is wa01's verbatim — one flipped
+      * bit in compression, inflation, or the walk mismatches.
+      */
+    "wa03_warc_gz_records" -> { (s, d) =>
+      Warc.recordFactsGz(s,
+        Warc.asWarcGzArchives(s, Tables.documents(s, d))).toDF()
+    },
+
     /** wa02 — the text-plane hand-off: HTTP 200 text/plain payloads
       * extracted from the archives, doc ids recovered from the target
       * URIs, and x01's token gate run over the EXTRACTED text. The
@@ -65,7 +77,26 @@ object WarcQueries {
     // digits(n) + n; rec_bytes = RespHdrFixed + digits(id) +
     // digits(clen) + clen + 4; offsets = warcinfo record + running sum
     // of preceding response records within the archive
-    "wa01_warc_records" -> {
+    "wa01_warc_records" -> Wa01Sql,
+
+    // wa03: offsets are positions in the DECOMPRESSED stream (the
+    // spec's definition), so the gzip round-trip must reproduce wa01's
+    // facts EXACTLY — one shared oracle
+    "wa03_warc_gz_records" -> Wa01Sql,
+
+    // wa02: x01's token gate over exactly the documents the synth gave
+    // HTTP 200 (n % 7 <> 0) — extraction must round-trip each payload
+    // byte for the hashes to meet
+    "wa02_warc_text_gate" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents
+        |WHERE octet_length(encode(text)) % 7 <> 0""".stripMargin)
+
+  private lazy val Wa01Sql: String = {
       val d = Warc.DocsPerArchive
       s"""WITH d AS (
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -119,17 +150,5 @@ object WarcQueries {
          |  CAST(${Warc.InfoBlock.length} AS BIGINT) AS payload_bytes
          |FROM info
          |UNION ALL SELECT * FROM resp""".stripMargin
-    },
-
-    // wa02: x01's token gate over exactly the documents the synth gave
-    // HTTP 200 (n % 7 <> 0) — extraction must round-trip each payload
-    // byte for the hashes to meet
-    "wa02_warc_text_gate" ->
-      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
-        |  len(string_split(text, ' ')) AS n_tokens,
-        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
-        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-        |    / len(string_split(text, ' ')) AS avg_token_len
-        |FROM documents
-        |WHERE octet_length(encode(text)) % 7 <> 0""".stripMargin)
+  }
 }

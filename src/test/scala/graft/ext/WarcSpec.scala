@@ -104,6 +104,50 @@ class WarcSpec extends SparkTestBase {
       Warc.parseWarc(noBlank).get.isEmpty)
   }
 
+  test("warc.gz wire format: per-record gzip members inflate to the " +
+    "plain archive byte for byte; facts equal the plain walk's; " +
+    "corrupt CRC / truncated member / non-gzip bytes fail soft") {
+    import spark.implicits._
+    val plain = archiveOf(11L -> "gzip me gently", 13L -> "1234567",
+      17L -> "third record text")
+    val gz = Warc.gzipPerRecord(plain)
+    // multi-member: one member per record, magic at offset 0
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+    assert(Warc.gunzipMembers(gz).map(_.toSeq).contains(plain.toSeq),
+      "concatenated members did not inflate to the plain archive")
+    // a SINGLE-member gzip of the whole archive inflates too
+    val single = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(plain); g.finish(); bos.toByteArray
+    }
+    assert(Warc.gunzipMembers(single).map(_.toSeq)
+      .contains(plain.toSeq))
+    // fail-soft triad
+    assert(Warc.gunzipMembers(plain).isEmpty, "non-gzip bytes accepted")
+    assert(Warc.gunzipMembers(gz.dropRight(9)).isEmpty,
+      "truncated member (no trailer) accepted")
+    val corrupt = gz.clone()
+    corrupt(gz.length / 2) = (corrupt(gz.length / 2) ^ 0x5a).toByte
+    assert(Warc.gunzipMembers(corrupt).isEmpty ||
+      Warc.gunzipMembers(corrupt).map(_.toSeq).contains(plain.toSeq),
+      "CRC corruption neither failed soft nor was inert")
+    // distributed: facts through the gz plane == facts over plain,
+    // and a rotten gz archive contributes zero rows without failing
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val plainFacts = Warc.recordFacts(spark,
+      Warc.asWarcArchives(spark, docs)).collect().toSet
+    val gzFacts = Warc.recordFactsGz(spark,
+      Warc.asWarcGzArchives(spark, docs)).collect().toSet
+    assert(gzFacts == plainFacts, "gz walk facts drifted from plain")
+    val mixed = Seq(Warc.WarcArchive(0L, gz),
+      Warc.WarcArchive(1L, gz.dropRight(9)),
+      Warc.WarcArchive(2L, "not gzip at all".getBytes(Ascii))).toDF()
+    val mixedFacts = Warc.recordFactsGz(spark, mixed).collect()
+    assert(mixedFacts.map(_.archive_id).distinct.toSeq == Seq(0L))
+    assert(mixedFacts.length == 4)
+  }
+
   test("recordFacts drops unparseable archives, keeps good ones; " +
     "httpTexts round-trips document text exactly (the wa02 gate)") {
     import spark.implicits._
