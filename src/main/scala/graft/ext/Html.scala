@@ -1,0 +1,295 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction [EXT] — the step between the WARC payload
+  * plane (wa01–wa03) and the text plane (x-family): crawl payloads
+  * are HTML, and every downstream gate (tokens, quality, dedup)
+  * wants the rendered TEXT. This is the C4/CCNet-shaped structural
+  * extractor: drop what never renders (comments, `script`/`style`
+  * element content, markup declarations), fold block-level element
+  * boundaries to newlines, strip remaining tags, decode character
+  * entities, and normalize whitespace — deterministic and structural
+  * by design (content-quality heuristics live in the x-family, where
+  * they are scored, not hidden inside extraction).
+  *
+  * Exact semantics (the contract the wa04 oracle replays):
+  *   1. `<!--…-->` comments are removed (unterminated → rest of the
+  *      document is dropped — fail-soft, never garbage).
+  *   2. `<script>`/`<style>` elements are removed WITH their content
+  *      (case-insensitive, attribute-tolerant, self-closed forms keep
+  *      nothing to skip; unterminated → rest dropped).
+  *   3. Every other tag is stripped; tags in [[BlockTags]] (and the
+  *      void `br`/`hr`) emit a newline in their place. Attribute
+  *      values may contain `>` inside quotes — the tag-end scan is
+  *      quote-aware.
+  *   4. Entities decode: the named core set ([[Entities]]) plus
+  *      numeric `&#NNN;` / `&#xHH;` for valid non-zero, non-surrogate
+  *      code points; anything unknown or malformed stays literal.
+  *   5. Whitespace: CRLF/CR → LF; per line, runs of space/tab
+  *      collapse to one space and the line is trimmed (NBSP is NOT
+  *      collapsible — HTML semantics); empty lines drop; lines join
+  *      with a single `\n`.
+  *
+  * Scale notes: extraction is a single-pass character walk inside a
+  * narrow map over the page column — no shuffle, no driver data, no
+  * regex backtracking. At 100 TB the pass is embarrassingly parallel
+  * and reads each payload byte exactly once (the `script`/`style`
+  * skip scans forward without re-visiting).
+  *
+  * Synthesized fixtures ([[htmlPage]]) wrap each document's text in a
+  * fixed template — title, nav with an entity, heading, the text
+  * split into two paragraphs at the token midpoint, an entity-bearing
+  * footer, plus style/script/comment junk that must NOT leak — so the
+  * extracted string is a closed formula over the document row and the
+  * wa04 oracle compares the FULL extracted text hash-exactly.
+  */
+object Html {
+
+  /** Elements whose boundaries fold to line breaks (HTML's standard
+    * block-level set plus table rows/cells and the void separators).
+    */
+  private[ext] val BlockTags: Set[String] = Set(
+    "address", "article", "aside", "blockquote", "body", "caption",
+    "dd", "details", "dialog", "div", "dl", "dt", "fieldset",
+    "figcaption", "figure", "footer", "form", "h1", "h2", "h3", "h4",
+    "h5", "h6", "head", "header", "hgroup", "html", "li", "main",
+    "nav", "ol", "p", "pre", "section", "summary", "table", "tbody",
+    "td", "tfoot", "th", "thead", "title", "tr", "ul", "br", "hr",
+    "script", "style", "noscript", "template")
+
+  /** Elements removed with their content. */
+  private[ext] val SkipContent: Set[String] =
+    Set("script", "style", "noscript", "template")
+
+  /** Named entities decoded; unknown names stay literal. */
+  private[ext] val Entities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "copy" -> "©",
+    "reg" -> "®", "mdash" -> "—", "ndash" -> "–",
+    "hellip" -> "…", "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”", "middot" -> "·",
+    "deg" -> "°", "plusmn" -> "±", "times" -> "×",
+    "divide" -> "÷", "laquo" -> "«", "raquo" -> "»")
+
+  /** Index AFTER the `>` closing the tag that starts at `from`
+    * (`html(from) == '<'`), skipping quoted attribute values; -1 when
+    * the tag never closes.
+    */
+  private def tagEnd(s: String, from: Int): Int = {
+    var i = from + 1
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\'') {
+        i += 1
+        while (i < n && s.charAt(i) != c) i += 1
+        if (i >= n) return -1
+        i += 1
+      } else if (c == '>') return i + 1
+      else i += 1
+    }
+    -1
+  }
+
+  /** First case-insensitive occurrence of `</name` at/after `from`
+    * that is a real close-tag boundary (followed by `>`, whitespace,
+    * or `/`); -1 when absent.
+    */
+  private def closeTagAt(s: String, name: String, from: Int): Int = {
+    val needle = "</" + name
+    val k = needle.length
+    var i = from
+    val limit = s.length - k
+    while (i <= limit) {
+      if (s.regionMatches(true, i, needle, 0, k)) {
+        val after = i + k
+        if (after >= s.length) return -1
+        val c = s.charAt(after)
+        if (c == '>' || c == '/' || c == ' ' || c == '\t' ||
+          c == '\n' || c == '\r') return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Decode the entity starting at `s(i) == '&'`: (decoded, chars
+    * consumed). Unknown/malformed → the literal `&` and 1.
+    */
+  private def entityAt(s: String, i: Int): (String, Int) = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi == i + 1 || semi - i > 12) return ("&", 1)
+    val body = s.substring(i + 1, semi)
+    if (body.charAt(0) == '#') {
+      val num = body.substring(1)
+      val cp =
+        try {
+          if (num.isEmpty) -1
+          else if (num.charAt(0) == 'x' || num.charAt(0) == 'X')
+            Integer.parseInt(num.substring(1), 16)
+          else Integer.parseInt(num)
+        } catch { case _: NumberFormatException => -1 }
+      if (cp > 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff))
+        (new String(Character.toChars(cp)), semi - i + 1)
+      else ("&", 1)
+    } else Entities.get(body.toLowerCase) match {
+      case Some(d) => (d, semi - i + 1)
+      case None    => ("&", 1)
+    }
+  }
+
+  /** The raw structural pass: tags/comments/skip-content removed,
+    * block boundaries → `\n`, entities decoded. Whitespace untouched
+    * (that is [[normalizeWs]]'s job).
+    */
+  private[ext] def rawExtract(html: String): String = {
+    val n = html.length
+    val out = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val e = tagEnd(html, i)
+          if (e < 0) i = n // unterminated tag: drop the rest
+          else {
+            var j = i + 1
+            val closing = j < n && html.charAt(j) == '/'
+            if (closing) j += 1
+            val ns = j
+            while (j < e - 1 && html.charAt(j).isLetterOrDigit) j += 1
+            val name = html.substring(ns, j).toLowerCase
+            if (BlockTags.contains(name)) out.append('\n')
+            val selfClosed = e - 2 >= i && html.charAt(e - 2) == '/'
+            if (!closing && !selfClosed && SkipContent.contains(name)) {
+              val close = closeTagAt(html, name, e)
+              if (close < 0) i = n
+              else {
+                val ce = tagEnd(html, close)
+                i = if (ce < 0) n else ce
+              }
+            } else i = e
+          }
+        }
+      } else if (c == '&') {
+        val (dec, adv) = entityAt(html, i)
+        out.append(dec)
+        i += adv
+      } else {
+        out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** Line-fold: CR forms → LF; per line collapse space/tab runs to
+    * one space and trim; drop empties; join with `\n`.
+    */
+  private[ext] def normalizeWs(raw: String): String = {
+    val out = new java.lang.StringBuilder(raw.length)
+    var lineStart = out.length
+    var pendingSpace = false
+    var i = 0
+    val n = raw.length
+    def endLine(): Unit = {
+      if (out.length > lineStart) { // non-empty line: commit + break
+        out.append('\n')
+        lineStart = out.length
+      }
+      pendingSpace = false
+    }
+    while (i < n) {
+      raw.charAt(i) match {
+        case '\r' =>
+          if (i + 1 < n && raw.charAt(i + 1) == '\n') i += 1
+          endLine()
+        case '\n' => endLine()
+        case ' ' | '\t' =>
+          if (out.length > lineStart) pendingSpace = true
+        case c =>
+          if (pendingSpace) { out.append(' '); pendingSpace = false }
+          out.append(c)
+      }
+      i += 1
+    }
+    if (out.length > 0 && out.charAt(out.length - 1) == '\n')
+      out.setLength(out.length - 1)
+    out.toString
+  }
+
+  /** The extractor: structural pass, then whitespace fold. */
+  def extractText(html: String): String = normalizeWs(rawExtract(html))
+
+  // ---- synthesized fixtures (shared template: synth + oracle) ----
+
+  private def esc(t: String): String =
+    t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Token-midpoint paragraph split — `(take ⌈n/2⌉, drop ⌈n/2⌉)`;
+    * single-space joins reproduce the text exactly (the oracle slices
+    * `string_split` the same way).
+    */
+  private[ext] def paragraphsOf(text: String): (String, String) = {
+    val toks = text.split(" ", -1)
+    val k = (toks.length + 1) / 2
+    (toks.take(k).mkString(" "), toks.drop(k).mkString(" "))
+  }
+
+  /** The synthesized page: fixed boilerplate that must NOT leak
+    * (style/script/comment), entity-bearing chrome that MUST decode,
+    * and the document text escaped into two paragraphs.
+    */
+  private[graft] def htmlPage(id: Long, text: String): String = {
+    val (p1, p2) = paragraphsOf(text)
+    s"""<!DOCTYPE html>
+       |<html lang="en">
+       |<head>
+       |<meta charset="utf-8"/>
+       |<title>Doc $id</title>
+       |<style type="text/css">body { margin: 0; } /* <junk> & more */</style>
+       |<script>if (1 < 2 && 3 > 2) { console.log("<b>skip &amp; me</b>"); }</script>
+       |</head>
+       |<body>
+       |<!-- synthetic page for doc $id: <div> & entities inside a comment -->
+       |<nav><a href="/">home</a> | <a href="/doc/$id">doc&nbsp;$id</a></nav>
+       |<h1>Doc $id</h1>
+       |<p>${esc(p1)}</p>
+       |<p>${esc(p2)}</p>
+       |<footer>&copy; corpus ${id % 100} &mdash; &quot;graft&quot;</footer>
+       |</body>
+       |</html>
+       |""".stripMargin
+  }
+
+  /** Documents → synthesized pages `(doc_id, html)` — narrow map. */
+  def asHtmlPages(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, htmlPage(id, t)) }
+      .toDF("doc_id", "html")
+  }
+
+  /** Pages → extracted text facts `(doc_id, text, n_lines)` — the
+    * wa04 surface. Narrow map; n_lines counts the folded lines (0
+    * for a page that extracts to nothing).
+    */
+  def extractFacts(spark: SparkSession, pages: DataFrame): DataFrame = {
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, String)]
+      .map { case (id, h) =>
+        val t = extractText(h)
+        val lines = if (t.isEmpty) 0
+        else 1 + t.count(_ == '\n')
+        (id, t, lines)
+      }
+      .toDF("doc_id", "text", "n_lines")
+  }
+}

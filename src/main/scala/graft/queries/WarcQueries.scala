@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{TextAnalysis, Warc}
+import graft.ext.{Html, TextAnalysis, Warc}
 
 /** WARC ingestion queries [EXT] — the Common Crawl front door
   * (`graft.ext.Warc`): documents synthesize into real multi-record
@@ -59,6 +59,20 @@ object WarcQueries {
             .cast("long").as("doc_id"),
           length(col("text")).as("n_chars"), col("text"))
       TextAnalysis.tokenStats(texts)
+    },
+
+    /** wa04 — HTML → text extraction: each document wrapped in the
+      * synthesized page (title/nav/heading chrome with entities, the
+      * text split into two paragraphs at the token midpoint, plus
+      * style/script/comment junk that must NOT leak) and extracted
+      * back. The oracle rebuilds the FULL extracted string — chrome
+      * lines, decoded entities (NBSP, ©, —), paragraph slices — and
+      * hash-compares it, so a leaked tag, an undecoded entity, a
+      * swallowed paragraph, or a whitespace-fold drift all mismatch.
+      */
+    "wa04_html_extract" -> { (s, d) =>
+      Html.extractFacts(s,
+        Html.asHtmlPages(s, Tables.documents(s, d)))
     })
 
   private def dateSql(idExpr: String): String =
@@ -94,7 +108,37 @@ object WarcQueries {
         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS avg_token_len
         |FROM documents
-        |WHERE octet_length(encode(text)) % 7 <> 0""".stripMargin)
+        |WHERE octet_length(encode(text)) % 7 <> 0""".stripMargin,
+
+    // wa04: the extracted string rebuilt line by line — the chrome
+    // constants mirror Html.htmlPage's template (title, nav with the
+    // decoded NBSP=chr(160), heading, the ⌈n/2⌉ token-midpoint
+    // paragraph slices, the footer with ©=chr(169) and em-dash
+    // =chr(8212)); empty lines drop, survivors join on chr(10)
+    "wa04_html_extract" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         string_split(text, ' ') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    array_to_string(toks[1:((len(toks)+1)//2)], ' ') AS p1,
+        |    array_to_string(toks[((len(toks)+1)//2+1):len(toks)], ' ')
+        |      AS p2
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id, list_filter([
+        |    'Doc ' || CAST(doc_id AS VARCHAR),
+        |    'home | doc' || chr(160) || CAST(doc_id AS VARCHAR),
+        |    'Doc ' || CAST(doc_id AS VARCHAR),
+        |    p1, p2,
+        |    chr(169) || ' corpus ' || CAST(doc_id % 100 AS VARCHAR)
+        |      || ' ' || chr(8212) || ' "graft"'
+        |  ], x -> x <> '') AS ls
+        |  FROM p)
+        |SELECT doc_id, array_to_string(ls, chr(10)) AS text,
+        |  CAST(len(ls) AS INT) AS n_lines
+        |FROM l""".stripMargin)
 
   private lazy val Wa01Sql: String = {
       val d = Warc.DocsPerArchive
