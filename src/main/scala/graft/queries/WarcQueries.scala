@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Html, TextAnalysis, Warc}
+import graft.ext.{Html, TextAnalysis, Urls, Warc}
 
 /** WARC ingestion queries [EXT] — the Common Crawl front door
   * (`graft.ext.Warc`): documents synthesize into real multi-record
@@ -73,6 +73,21 @@ object WarcQueries {
     "wa04_html_extract" -> { (s, d) =>
       Html.extractFacts(s,
         Html.asHtmlPages(s, Tables.documents(s, d)))
+    },
+
+    /** wa05 — URL canonicalization + SURT keys: each doc id makes a
+      * deterministic MESSY url (scheme case, trailing-dot host, a
+      * co.uk subtree, explicit default vs real vs absent port,
+      * unsorted query, fragment) and the PARSER canonicalizes it.
+      * The oracle re-derives every canonical field — lowercased
+      * host, elided default ports, sorted query, the reversed-label
+      * SURT, the registered domain with the multi-TLD exception —
+      * from the id schedule, so a parse or canonicalization drift on
+      * any rule mismatches.
+      */
+    "wa05_url_canonical" -> { (s, d) =>
+      Urls.canonicalFacts(s,
+        Urls.asUrlRows(s, Tables.documents(s, d)))
     })
 
   private def dateSql(idExpr: String): String =
@@ -138,7 +153,58 @@ object WarcQueries {
         |  FROM p)
         |SELECT doc_id, array_to_string(ls, chr(10)) AS text,
         |  CAST(len(ls) AS INT) AS n_lines
-        |FROM l""".stripMargin)
+        |FROM l""".stripMargin,
+
+    // wa05: the messy url rebuilt verbatim AND every canonical field
+    // re-derived from the id schedule (the query sort is a closed
+    // form: 'a=…' < 'b=…'/'m=x' < 'z=2' bytewise for every id)
+    "wa05_url_canonical" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id % 50 AS VARCHAR) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT id,
+        |    CASE WHEN id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+        |      AS scheme_raw,
+        |    CASE WHEN id % 2 = 0 THEN 'http' ELSE 'https' END
+        |      AS scheme,
+        |    CASE WHEN id % 7 = 0 THEN 'Sub.Example' || n || '.Co.UK'
+        |         WHEN id % 3 = 0 THEN 'WWW.Example' || n || '.COM.'
+        |         ELSE 'Example' || n || '.COM' END AS host_raw,
+        |    CASE WHEN id % 7 = 0 THEN 'sub.example' || n || '.co.uk'
+        |         WHEN id % 3 = 0 THEN 'www.example' || n || '.com'
+        |         ELSE 'example' || n || '.com' END AS host,
+        |    CASE WHEN id % 4 = 0 THEN ':80'
+        |         WHEN id % 4 = 1 THEN ':8080'
+        |         WHEN id % 4 = 3 THEN ':443' ELSE '' END AS port_raw,
+        |    CASE WHEN id % 4 = 1 THEN 8080 ELSE NULL END AS port,
+        |    CASE WHEN id % 6 = 0 THEN ''
+        |         ELSE '/Path/' || id END AS path_raw,
+        |    CASE WHEN id % 6 = 0 THEN '/'
+        |         ELSE '/Path/' || id END AS path,
+        |    CASE WHEN id % 3 = 1 THEN '?b=' || id || '&a=1'
+        |         WHEN id % 3 = 2 THEN '?z=2&a=' || id || '&m=x'
+        |         ELSE '' END AS query_raw,
+        |    CASE WHEN id % 3 = 1 THEN 'a=1&b=' || id
+        |         WHEN id % 3 = 2 THEN 'a=' || id || '&m=x&z=2'
+        |         ELSE NULL END AS query,
+        |    CASE WHEN id % 2 = 1 THEN '#sec' || id ELSE '' END
+        |      AS frag,
+        |    CASE WHEN id % 7 = 0 THEN 'uk,co,example' || n || ',sub'
+        |         WHEN id % 3 = 0 THEN 'com,example' || n || ',www'
+        |         ELSE 'com,example' || n END AS rev_host,
+        |    CASE WHEN id % 7 = 0 THEN 'example' || n || '.co.uk'
+        |         ELSE 'example' || n || '.com' END AS reg_domain
+        |  FROM t)
+        |SELECT id AS doc_id,
+        |  scheme_raw || '://' || host_raw || port_raw || path_raw
+        |    || query_raw || frag AS url,
+        |  scheme, host, CAST(port AS INT) AS port, path, query,
+        |  rev_host || ')' || path
+        |    || COALESCE('?' || query, '') AS surt,
+        |  reg_domain
+        |FROM f""".stripMargin)
 
   private lazy val Wa01Sql: String = {
       val d = Warc.DocsPerArchive
