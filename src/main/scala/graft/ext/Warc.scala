@@ -367,6 +367,140 @@ object Warc {
     }
   }
 
+  // ---- CDX index + random access (wa06) --------------------------
+
+  /** One gzip member's coordinates in the COMPRESSED stream. */
+  private[ext] final case class GzMember(offset: Long, length: Long)
+
+  /** Walk the member boundaries of a concatenated-member gzip stream
+    * (RFC 1952, reader-side — the writer is NOT trusted): per member,
+    * parse the header (magic, CM=8, the FEXTRA/FNAME/FCOMMENT/FHCRC
+    * optional fields), inflate the deflate body with a raw
+    * `Inflater(nowrap)` to learn the exact compressed span, and
+    * verify the CRC32 + ISIZE trailer against the inflated bytes.
+    * None on any violation — a corrupt member invalidates the whole
+    * stream's coordinates (fail-soft).
+    */
+  private[ext] def memberBounds(gz: Array[Byte]): Option[Vector[GzMember]] = {
+    val out = Vector.newBuilder[GzMember]
+    var off = 0
+    val n = gz.length
+    if (n == 0) return None
+    def u8(i: Int): Int = gz(i) & 0xff
+    while (off < n) {
+      val start = off
+      // fixed header: magic, CM, FLG, MTIME(4), XFL, OS
+      if (off + 10 > n || u8(off) != 0x1f || u8(off + 1) != 0x8b ||
+        u8(off + 2) != 8) return None
+      val flg = u8(off + 3)
+      off += 10
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+        if (off + 2 > n) return None
+        val xlen = u8(off) | (u8(off + 1) << 8)
+        off += 2 + xlen
+        if (off > n) return None
+      }
+      var skipZ = (if ((flg & 8) != 0) 1 else 0) + // FNAME
+        (if ((flg & 16) != 0) 1 else 0) // FCOMMENT
+      while (skipZ > 0) {
+        while (off < n && gz(off) != 0) off += 1
+        if (off >= n) return None
+        off += 1
+        skipZ -= 1
+      }
+      if ((flg & 2) != 0) { // FHCRC
+        off += 2
+        if (off > n) return None
+      }
+      // deflate body: raw inflate to find the exact compressed span
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(gz, off, n - off)
+        val buf = new Array[Byte](8192)
+        var isize = 0L
+        val crc32 = new java.util.zip.CRC32()
+        while (!inf.finished()) {
+          val k =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException =>
+              return None }
+          if (k == 0 && !inf.finished()) return None // truncated body
+          crc32.update(buf, 0, k)
+          isize += k
+        }
+        val consumed = inf.getBytesRead.toInt
+        val tOff = off + consumed
+        if (tOff + 8 > n) return None // truncated trailer
+        def u32(i: Int): Long =
+          (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+            ((u8(i + 3) & 0xffL) << 24)
+        if (u32(tOff) != crc32.getValue) return None // CRC mismatch
+        if (u32(tOff + 4) != (isize & 0xffffffffL)) return None
+        off = tOff + 8
+        out += GzMember(start.toLong, (off - start).toLong)
+      } finally inf.end()
+    }
+    Some(out.result())
+  }
+
+  /** Random access: inflate ONE member sliced at `(offset, length)`
+    * of a `.warc.gz` and parse it as a single WARC record — the
+    * fetch a CDX row points a range reader at. None when the slice
+    * is not one clean member holding exactly one record.
+    */
+  def fetchRecord(gz: Array[Byte], offset: Long,
+                  length: Long): Option[WarcRecordFacts] = {
+    if (offset < 0 || length <= 0 ||
+      offset + length > gz.length) return None
+    val slice = java.util.Arrays.copyOfRange(
+      gz, offset.toInt, (offset + length).toInt)
+    for {
+      bounds <- memberBounds(slice)
+      if bounds.length == 1
+      plain <- gunzipMembers(slice)
+      recs <- parseWarc(plain)
+      if recs.length == 1
+    } yield recs.head.facts
+  }
+
+  /** The CDX index (wa06): one row per record of every gzipped
+    * archive with its SURT lookup key, the record coordinates, and
+    * `fetch_ok` — TRUE iff the member-sliced random-access fetch
+    * ([[fetchRecord]]) reproduces the record the full walk saw, so
+    * the whole range-read contract sits behind the oracle gate (any
+    * fetch failure flips the bit and mismatches). Archives whose
+    * member count differs from their record count (not the
+    * one-member-per-record layout) drop whole — the index would lie.
+    */
+  def cdxIndex(spark: SparkSession, gzArchives: DataFrame): DataFrame = {
+    import spark.implicits._
+    gzArchives.as[WarcArchive].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { a =>
+          val rows = for {
+            bounds <- memberBounds(a.payload)
+            plain <- gunzipMembers(a.payload)
+            recs <- parseWarc(plain)
+            if recs.length == bounds.length
+          } yield recs.zip(bounds).map { case (r, m) =>
+            // a single-record parse sees index 0 at offset 0 — the
+            // fetch must match everything else bit for bit
+            val fetched = fetchRecord(a.payload, m.offset, m.length)
+            val ok = fetched.contains(
+              r.facts.copy(rec_index = 0, rec_offset = 0L))
+            val surt = r.facts.target_uri
+              .flatMap(Urls.canonicalize(_).map(_.surt))
+            (a.archive_id, r.facts.rec_index, surt,
+              r.facts.target_uri, r.facts.rec_offset,
+              r.facts.rec_bytes, ok)
+          }
+          rows.getOrElse(Vector.empty)
+        }
+      }
+    }.toDF("archive_id", "rec_index", "surt_key", "target_uri",
+      "rec_offset", "rec_bytes", "fetch_ok")
+  }
+
   /** Payload TEXT of `application/http` records — the hand-off into
     * the text plane (wa02): one row per HTTP record with its URI,
     * status, HTTP content-type, and the payload decoded as UTF-8.

@@ -88,6 +88,21 @@ object WarcQueries {
     "wa05_url_canonical" -> { (s, d) =>
       Urls.canonicalFacts(s,
         Urls.asUrlRows(s, Tables.documents(s, d)))
+    },
+
+    /** wa06 — the CDX index + the random-access contract: member
+      * boundaries of each `.warc.gz` recovered READER-side (RFC 1952
+      * header walk + raw inflate + CRC/ISIZE verification — the
+      * writer is not trusted), one index row per record with its
+      * SURT lookup key and coordinates, and `fetch_ok` = the
+      * member-sliced single-record fetch reproduces the record the
+      * full walk saw. The oracle replays the wa01 facts + the SURT
+      * rewrite and pins `fetch_ok` TRUE — any member-walk or fetch
+      * defect flips a bit somewhere and mismatches.
+      */
+    "wa06_cdx_index" -> { (s, d) =>
+      Warc.cdxIndex(s,
+        Warc.asWarcGzArchives(s, Tables.documents(s, d)))
     })
 
   private def dateSql(idExpr: String): String =
@@ -204,7 +219,20 @@ object WarcQueries {
         |  rev_host || ')' || path
         |    || COALESCE('?' || query, '') AS surt,
         |  reg_domain
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+
+    // wa06: the wa01 facts reduced to the index columns, the SURT key
+    // rewritten from the synth's fixed URI prefix, fetch_ok pinned
+    // TRUE (the engine computes it by ACTUALLY fetching)
+    "wa06_cdx_index" ->
+      s"""WITH w AS ($Wa01Sql)
+         |SELECT archive_id, rec_index,
+         |  CASE WHEN target_uri IS NULL THEN NULL
+         |    ELSE replace(target_uri, 'http://corpus.example/doc/',
+         |      'example,corpus)/doc/') END AS surt_key,
+         |  target_uri, rec_offset, rec_bytes,
+         |  TRUE AS fetch_ok
+         |FROM w""".stripMargin)
 
   private lazy val Wa01Sql: String = {
       val d = Warc.DocsPerArchive

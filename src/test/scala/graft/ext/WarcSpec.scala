@@ -148,6 +148,77 @@ class WarcSpec extends SparkTestBase {
     assert(mixedFacts.length == 4)
   }
 
+  test("CDX member walk + random access: bounds tile the compressed " +
+    "stream, optional gzip header fields parse, each member fetch " +
+    "reproduces its record, hostile members refuse") {
+    import spark.implicits._
+    val plain = archiveOf(21L -> "alpha beta", 22L -> "1234567",
+      23L -> "third text")
+    val gz = Warc.gzipPerRecord(plain)
+    val bounds = Warc.memberBounds(gz).get
+    val recs = Warc.parseWarc(plain).get
+    assert(bounds.length == recs.length) // 1 member per record
+    // bounds tile: contiguous and end-exact
+    assert(bounds.head.offset == 0L)
+    bounds.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.offset + a.length == b.offset)
+    }
+    assert(bounds.last.offset + bounds.last.length == gz.length.toLong)
+    // each member's random-access fetch == the full walk's record
+    for ((r, m) <- recs.zip(bounds)) {
+      val got = Warc.fetchRecord(gz, m.offset, m.length)
+      assert(got.contains(r.facts.copy(rec_index = 0, rec_offset = 0L)))
+    }
+    // a member with FNAME + FEXTRA optional fields still walks
+    val body = "WARC-ish payload".getBytes(Ascii)
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    deflater.setInput(body); deflater.finish()
+    val cbuf = new Array[Byte](1024)
+    var clen = 0
+    while (!deflater.finished())
+      clen += deflater.deflate(cbuf, clen, cbuf.length - clen)
+    deflater.end()
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fancy = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, (4 | 8).toByte,
+      0, 0, 0, 0, 0, 0xff.toByte) ++
+      Array[Byte](3, 0) ++ Array[Byte](1, 2, 3) ++ // FEXTRA len=3
+      "name".getBytes(Ascii) ++ Array[Byte](0) ++ // FNAME, NUL-ended
+      cbuf.take(clen) ++ le32(crc.getValue) ++ le32(body.length.toLong)
+    assert(Warc.memberBounds(fancy).exists(_.length == 1))
+    // hostile: corrupt CRC trailer, truncated trailer, mid-member
+    // offset, oversize/negative slices
+    val badCrc = gz.clone()
+    badCrc(bounds.head.length.toInt - 5) =
+      (badCrc(bounds.head.length.toInt - 5) ^ 0x7f).toByte
+    assert(Warc.memberBounds(badCrc).isEmpty)
+    assert(Warc.memberBounds(gz.dropRight(3)).isEmpty)
+    assert(Warc.fetchRecord(gz, 1L, bounds.head.length).isEmpty)
+    assert(Warc.fetchRecord(gz, 0L, gz.length + 10L).isEmpty)
+    assert(Warc.fetchRecord(gz, -1L, 10L).isEmpty)
+    // a whole-archive single member is NOT the 1:1 layout → cdxIndex
+    // drops it; per-record archives index fully with fetch_ok true
+    val single = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(plain); g.finish(); bos.toByteArray
+    }
+    val df = Seq(Warc.WarcArchive(0L, gz),
+      Warc.WarcArchive(1L, single),
+      Warc.WarcArchive(2L, Array[Byte](1, 2, 3))).toDF()
+    val idx = Warc.cdxIndex(spark, df).collect()
+    assert(idx.map(_.getLong(0)).distinct.toSeq == Seq(0L))
+    assert(idx.length == recs.length)
+    assert(idx.forall(_.getBoolean(6)), "a fetch_ok bit flipped")
+    // SURT keys: responses keyed, warcinfo NULL
+    val surts = idx.map(r => Option(r.getString(2))).toSeq
+    assert(surts.count(_.isEmpty) == 1)
+    assert(surts.flatten.forall(_.startsWith("example,corpus)/doc/")))
+  }
+
   test("recordFacts drops unparseable archives, keeps good ones; " +
     "httpTexts round-trips document text exactly (the wa02 gate)") {
     import spark.implicits._
