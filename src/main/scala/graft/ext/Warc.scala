@@ -96,14 +96,19 @@ object Warc {
   private[graft] def dateOf(id: Long): String =
     f"2024-01-01T${id % 24}%02d:${id * 3 % 60}%02d:${id * 7 % 60}%02dZ"
 
-  /** The HTTP response block: 404 every 7th text byte count (so both
-    * status-line lengths exercise), text/plain, the text bytes.
-    */
-  private[graft] def httpBlock(body: Array[Byte]): Array[Byte] = {
-    val status = if (body.length % 7 == 0) Status404 else Status200
-    (s"$status${Crlf}Content-Type: $HttpTextCt${Crlf}" +
+  /** An HTTP response block with explicit status + content-type. */
+  private[graft] def httpBlockOf(body: Array[Byte], ok: Boolean,
+                                 ct: String): Array[Byte] = {
+    val status = if (ok) Status200 else Status404
+    (s"$status${Crlf}Content-Type: $ct${Crlf}" +
       s"Content-Length: ${body.length}$Crlf$Crlf").getBytes(Ascii) ++ body
   }
+
+  /** The wa01 block: 404 every 7th text byte count (so both
+    * status-line lengths exercise), text/plain, the text bytes.
+    */
+  private[graft] def httpBlock(body: Array[Byte]): Array[Byte] =
+    httpBlockOf(body, body.length % 7 != 0, HttpTextCt)
 
   private def record(warcType: String, id: Long,
                      targetUri: Option[String], contentType: String,
@@ -122,19 +127,26 @@ object Warc {
   }
 
   /** One archive's bytes: a warcinfo record (facts from the archive
-    * id), then one `response` record per member doc ascending.
+    * id), then one `response` record per member doc ascending, each
+    * with a READY http block.
     */
-  private[graft] def warcArchiveBytes(
+  private[graft] def warcArchiveBytesBlocks(
       aid: Long, members: Seq[(Long, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(record("warcinfo", aid, None, WarcInfoCt,
       InfoBlock.getBytes(Ascii)))
-    members.sortBy(_._1).foreach { case (id, body) =>
+    members.sortBy(_._1).foreach { case (id, block) =>
       out.write(record("response", id, Some(UriPrefix + id), WarcHttpCt,
-        httpBlock(body)))
+        block))
     }
     out.toByteArray
   }
+
+  /** The wa01 archive: text/plain blocks with the byte-count 404. */
+  private[graft] def warcArchiveBytes(
+      aid: Long, members: Seq[(Long, Array[Byte])]): Array[Byte] =
+    warcArchiveBytesBlocks(aid,
+      members.map { case (id, body) => (id, httpBlock(body)) })
 
   /** Size-contract constants the wa01 oracle replays — derived by
     * CALLING the writer on probe inputs, so writer and oracle cannot
@@ -175,6 +187,30 @@ object Warc {
       .mapGroups { (aid, it) =>
         WarcArchive(aid, warcArchiveBytes(aid,
           it.map { case (id, t) => (id, t.getBytes(Utf8)) }.toSeq))
+      }.toDF()
+  }
+
+  private[graft] val HttpHtmlCt = "text/html"
+
+  /** Documents → gzipped WARC archives whose payloads are the
+    * SYNTHESIZED HTML PAGES ([[Html.htmlPage]]) — the wa07 crawl
+    * shape: content-type `text/html`, 404 on the id schedule
+    * (`doc_id % 7 == 0` — id-closed so the oracle needs no
+    * page-length arithmetic).
+    */
+  def asHtmlWarcGzArchives(spark: SparkSession,
+                           docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / DocsPerArchive)
+      .mapGroups { (aid, it) =>
+        val blocks = it.map { case (id, t) =>
+          (id, httpBlockOf(Html.htmlPage(id, t).getBytes(Utf8),
+            id % 7 != 0, HttpHtmlCt))
+        }.toSeq
+        WarcArchive(aid,
+          gzipPerRecord(warcArchiveBytesBlocks(aid, blocks)))
       }.toDF()
   }
 
@@ -508,16 +544,29 @@ object Warc {
     * `text`; facts-only passes should read [[recordFacts]] instead
     * (this one materializes payload strings).
     */
-  def httpTexts(spark: SparkSession, archives: DataFrame): DataFrame = {
+  def httpTexts(spark: SparkSession, archives: DataFrame): DataFrame =
+    httpTextsImpl(spark, archives, (b: Array[Byte]) => Some(b))
+
+  /** [[httpTexts]] over GZIPPED archives — inflate (multi-member),
+    * then the same extraction; corrupt archives yield no rows.
+    */
+  def httpTextsGz(spark: SparkSession, archives: DataFrame): DataFrame =
+    httpTextsImpl(spark, archives, gunzipMembers)
+
+  private def httpTextsImpl(
+      spark: SparkSession, archives: DataFrame,
+      unwrap: Array[Byte] => Option[Array[Byte]]): DataFrame = {
     import spark.implicits._
     archives.as[WarcArchive].mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.flatMap { a =>
-          parseWarc(a.payload).getOrElse(Vector.empty).collect {
-            case Parsed(f, po, pl) if f.http_status.nonEmpty =>
-              (a.archive_id, f.target_uri.orNull, f.http_status.get,
-                f.http_content_type.orNull,
-                new String(a.payload, po, pl, Utf8))
+          unwrap(a.payload).toSeq.flatMap { plain =>
+            parseWarc(plain).getOrElse(Vector.empty).collect {
+              case Parsed(f, po, pl) if f.http_status.nonEmpty =>
+                (a.archive_id, f.target_uri.orNull, f.http_status.get,
+                  f.http_content_type.orNull,
+                  new String(plain, po, pl, Utf8))
+            }
           }
         }
       }

@@ -103,6 +103,32 @@ object WarcQueries {
     "wa06_cdx_index" -> { (s, d) =>
       Warc.cdxIndex(s,
         Warc.asWarcGzArchives(s, Tables.documents(s, d)))
+    },
+
+    /** wa07 — the crawl pipeline end-to-end: HTML pages inside
+      * GZIPPED WARC archives (`text/html`, 404 on the id schedule),
+      * inflated, walked, status/content-type gated, extracted
+      * (wa04's extractor), and reduced to the text-plane gate facts.
+      * One oracle chains FOUR modules — gzip, the WARC walk, the
+      * HTTP split, HTML extraction — so a drift anywhere in the
+      * pipeline mismatches here even if each unit query still
+      * passes.
+      */
+    "wa07_crawl_pipeline" -> { (s, d) =>
+      import s.implicits._
+      val arch = Warc.asHtmlWarcGzArchives(s, Tables.documents(s, d))
+      Warc.httpTextsGz(s, arch)
+        .filter(col("http_status") === 200 &&
+          col("http_content_type") === Warc.HttpHtmlCt)
+        .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("text").as("page"))
+        .as[(Long, String)]
+        .map { case (id, page) =>
+          val t = graft.ext.Html.extractText(page)
+          (id, if (t.isEmpty) 0 else 1 + t.count(_ == '\n'),
+            t.length, t.split("[ \n]", -1).length)
+        }
+        .toDF("doc_id", "n_lines", "n_chars", "n_tokens")
     })
 
   private def dateSql(idExpr: String): String =
@@ -146,29 +172,23 @@ object WarcQueries {
     // paragraph slices, the footer with ©=chr(169) and em-dash
     // =chr(8212)); empty lines drop, survivors join on chr(10)
     "wa04_html_extract" ->
-      """WITH t AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |         string_split(text, ' ') AS toks
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id,
-        |    array_to_string(toks[1:((len(toks)+1)//2)], ' ') AS p1,
-        |    array_to_string(toks[((len(toks)+1)//2+1):len(toks)], ' ')
-        |      AS p2
-        |  FROM t),
-        |l AS (
-        |  SELECT doc_id, list_filter([
-        |    'Doc ' || CAST(doc_id AS VARCHAR),
-        |    'home | doc' || chr(160) || CAST(doc_id AS VARCHAR),
-        |    'Doc ' || CAST(doc_id AS VARCHAR),
-        |    p1, p2,
-        |    chr(169) || ' corpus ' || CAST(doc_id % 100 AS VARCHAR)
-        |      || ' ' || chr(8212) || ' "graft"'
-        |  ], x -> x <> '') AS ls
-        |  FROM p)
-        |SELECT doc_id, array_to_string(ls, chr(10)) AS text,
-        |  CAST(len(ls) AS INT) AS n_lines
-        |FROM l""".stripMargin,
+      s"""${extractedCtes("")}
+         |SELECT doc_id, array_to_string(ls, chr(10)) AS text,
+         |  CAST(len(ls) AS INT) AS n_lines
+         |FROM l""".stripMargin,
+
+    // wa07: the shared extraction CTEs restricted to the id-scheduled
+    // 200s, reduced to the gate facts — n_tokens splits the joined
+    // string on [space|newline] exactly as the engine does
+    "wa07_crawl_pipeline" ->
+      s"""${extractedCtes("WHERE doc_id % 7 <> 0")},
+         |s AS (SELECT doc_id, array_to_string(ls, chr(10)) AS t,
+         |        len(ls) AS nl FROM l)
+         |SELECT doc_id, CAST(nl AS INT) AS n_lines,
+         |  CAST(length(t) AS INT) AS n_chars,
+         |  CAST(len(string_split_regex(t,
+         |    '[ ' || chr(10) || ']')) AS INT) AS n_tokens
+         |FROM s""".stripMargin,
 
     // wa05: the messy url rebuilt verbatim AND every canonical field
     // re-derived from the id schedule (the query sort is a closed
@@ -233,6 +253,33 @@ object WarcQueries {
          |  target_uri, rec_offset, rec_bytes,
          |  TRUE AS fetch_ok
          |FROM w""".stripMargin)
+
+  /** The wa04 extraction replay — CTEs ending in `l(doc_id, ls)`
+    * where `ls` is the extracted line list (chrome + token-midpoint
+    * paragraph slices, empties dropped). `where` filters documents
+    * (wa07 keeps the id-scheduled 200s).
+    */
+  private def extractedCtes(where: String): String =
+    s"""WITH t AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |         string_split(text, ' ') AS toks
+       |  FROM documents $where),
+       |p AS (
+       |  SELECT doc_id,
+       |    array_to_string(toks[1:((len(toks)+1)//2)], ' ') AS p1,
+       |    array_to_string(toks[((len(toks)+1)//2+1):len(toks)], ' ')
+       |      AS p2
+       |  FROM t),
+       |l AS (
+       |  SELECT doc_id, list_filter([
+       |    'Doc ' || CAST(doc_id AS VARCHAR),
+       |    'home | doc' || chr(160) || CAST(doc_id AS VARCHAR),
+       |    'Doc ' || CAST(doc_id AS VARCHAR),
+       |    p1, p2,
+       |    chr(169) || ' corpus ' || CAST(doc_id % 100 AS VARCHAR) ||
+       |      ' ' || chr(8212) || ' "graft"'
+       |  ], x -> x <> '') AS ls
+       |  FROM p)""".stripMargin
 
   private lazy val Wa01Sql: String = {
       val d = Warc.DocsPerArchive

@@ -219,6 +219,30 @@ class WarcSpec extends SparkTestBase {
     assert(surts.flatten.forall(_.startsWith("example,corpus)/doc/")))
   }
 
+  test("crawl pipeline: HTML pages ride gzipped WARC with the id-" +
+    "scheduled 404 and text/html content-type; extraction of the " +
+    "delivered payload equals extracting the page directly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val arch = Warc.asHtmlWarcGzArchives(spark, docs)
+    val rows = Warc.httpTextsGz(spark, arch)
+      .select("target_uri", "http_status", "http_content_type", "text")
+      .as[(String, Int, String, String)].collect()
+      .map(r => (r._1.split("/").last.toLong, r._2, r._3, r._4))
+    val byId = rows.map(r => r._1 -> r).toMap
+    val docRows = docs.as[(Long, String)].collect()
+    assert(rows.length == docRows.length)
+    for ((id, text) <- docRows) {
+      val (_, status, ct, payload) = byId(id)
+      assert(status == (if (id % 7 == 0) 404 else 200))
+      assert(ct == Warc.HttpHtmlCt)
+      assert(payload == Html.htmlPage(id, text),
+        s"doc $id payload drifted through the gz WARC plane")
+      assert(Html.extractText(payload) ==
+        Html.extractText(Html.htmlPage(id, text)))
+    }
+  }
+
   test("recordFacts drops unparseable archives, keeps good ones; " +
     "httpTexts round-trips document text exactly (the wa02 gate)") {
     import spark.implicits._
