@@ -140,16 +140,17 @@ object Cli {
       case Some("pca") => pcaCmd(spark, parseOpts(args.tail))
       case Some("ann") => annCmd(spark, parseOpts(args.tail))
       case Some("hybrid") => hybridCmd(spark, parseOpts(args.tail))
+      case Some("warc") => warcCmd(spark, parseOpts(args.tail))
       case Some(other) => throw CliError(
         s"unknown command: $other " +
           "(expected export | import | db | compact | zonemap | dedup " +
           "| despan | index | bm25 | dsir | probe | epoch-budget | bpe " +
-          "| tag | pca | ann | hybrid)")
+          "| tag | pca | ann | hybrid | warc)")
       case None =>
         throw CliError(
           "usage: graft.Cli <export|import|db|compact|zonemap|dedup" +
             "|despan|index|bm25|dsir|probe|epoch-budget|bpe|tag|pca|ann" +
-            "|hybrid> [--options]")
+            "|hybrid|warc> [--options]")
     }
 
   /** Read a corpus parquet and insist on the (doc_id, text) contract
@@ -799,6 +800,89 @@ object Cli {
           .map(p => f"${counts.getOrElse(p, 0L)}%8d  $p")
           .mkString(s"$total docs, $hits hit\n    docs  pattern\n",
             "\n", "")
+    }
+  }
+
+  /** `warc` — [EXT] the crawl front door (ext.Warc/Html) on archives
+    * stored as `(archive_id, payload)` parquet:
+    *
+    *   - `--mode walk`: record facts (types, URIs, offsets, the HTTP
+    *     split); `--gz` inflates `.warc.gz` member streams first.
+    *   - `--mode extract`: HTTP payload texts, optionally gated by
+    *     `--status` / `--content-type`; `--html-extract` runs the
+    *     structural HTML→text extractor on each payload.
+    *   - `--mode index`: the CDX index over gzipped archives (SURT
+    *     keys, record coordinates, the verified random-access bit);
+    *     refuses plain archives — member offsets only exist on the
+    *     wire format.
+    *
+    * `--out` writes parquet and reports counts; without it the
+    * summary prints alone. Rotten archives drop silently in the facts
+    * (the walks' fail-soft contract); the summary's archive count
+    * makes the drop visible against the input count.
+    */
+  private def warcCmd(spark: SparkSession,
+                      opts: Map[String, String]): String = {
+    import org.apache.spark.sql.functions.col
+    val path = required(opts, "archives")
+    val archives = spark.read.parquet(path)
+    val missing = Seq("archive_id", "payload")
+      .filterNot(archives.columns.contains)
+    if (missing.nonEmpty)
+      throw CliError(s"--archives needs archive_id, payload columns, " +
+        s"missing: ${missing.mkString(", ")}")
+    val gz = opts.contains("gz")
+    val nArchives = archives.count()
+    def finish(df: org.apache.spark.sql.DataFrame,
+               what: String): String = {
+      opts.get("out") match {
+        case Some(out) =>
+          df.write.mode("overwrite").parquet(out)
+          val n = spark.read.parquet(out).count()
+          s"$n $what from $nArchives archives -> $out"
+        case None =>
+          s"${df.count()} $what from $nArchives archives"
+      }
+    }
+    opts.getOrElse("mode", "walk") match {
+      case "walk" =>
+        val facts =
+          if (gz) graft.ext.Warc.recordFactsGz(spark, archives).toDF()
+          else graft.ext.Warc.recordFacts(spark, archives).toDF()
+        finish(facts, "records")
+      case "extract" =>
+        var texts =
+          if (gz) graft.ext.Warc.httpTextsGz(spark, archives)
+          else graft.ext.Warc.httpTexts(spark, archives)
+        opts.get("status").foreach { s =>
+          val code = s.toIntOption.getOrElse(throw CliError(
+            s"--status must be an integer, got '$s'"))
+          texts = texts.filter(col("http_status") === code)
+        }
+        opts.get("content_type").foreach(ct =>
+          texts = texts.filter(col("http_content_type") === ct))
+        if (opts.contains("html_extract")) {
+          import spark.implicits._
+          texts = texts.select(col("archive_id"), col("target_uri"),
+              col("http_status"), col("text"))
+            .as[(Long, String, Int, String)]
+            .map { case (aid, uri, st, html) =>
+              (aid, uri, st, graft.ext.Html.extractText(html))
+            }.toDF("archive_id", "target_uri", "http_status", "text")
+        }
+        finish(texts, "pages")
+      case "index" =>
+        if (!gz) throw CliError(
+          "index needs --gz: member offsets only exist on .warc.gz " +
+            "archives (the wire format)")
+        val idx = graft.ext.Warc.cdxIndex(spark, archives)
+        val bad = idx.filter(!col("fetch_ok")).count()
+        if (bad > 0)
+          throw CliError(s"$bad index rows failed the random-access " +
+            "verification — the index would lie; not writing")
+        finish(idx, "index rows")
+      case other => throw CliError(
+        s"unknown --mode: $other (expected walk | extract | index)")
     }
   }
 

@@ -1456,4 +1456,76 @@ class CliSpec extends SparkTestBase {
       "--dest-root", destRoot), now)
     assert(again.contains("already gone"), again)
   }
+
+  test("warc command: walk/extract/index agree with the library " +
+    "operators; index refuses plain archives; loud failures") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val plainDir = tmpDir("cli-warc-plain")
+    val gzDir = tmpDir("cli-warc-gz")
+    graft.ext.Warc.asWarcArchives(spark, docs)
+      .write.mode("overwrite").parquet(plainDir)
+    graft.ext.Warc.asWarcGzArchives(spark, docs)
+      .write.mode("overwrite").parquet(gzDir)
+    // walk: plain and gz agree with the library walk (and each other)
+    val wOut = tmpDir("cli-warc-out") + "/facts"
+    val msg = Cli.run(spark, Seq("warc", "--archives", plainDir,
+      "--mode", "walk", "--out", wOut), now)
+    assert(msg.contains("records"), msg)
+    val got = spark.read.parquet(wOut).collect().map(_.toSeq).toSet
+    val exp = graft.ext.Warc.recordFacts(spark,
+      spark.read.parquet(plainDir)).toDF().collect().map(_.toSeq).toSet
+    assert(got == exp, "CLI walk diverged from Warc.recordFacts")
+    val wgzOut = tmpDir("cli-warc-out") + "/facts_gz"
+    Cli.run(spark, Seq("warc", "--archives", gzDir, "--mode", "walk",
+      "--gz", "--out", wgzOut), now)
+    assert(spark.read.parquet(wgzOut).collect().map(_.toSeq).toSet
+      == got, "gz walk diverged from the plain walk")
+    // extract with the status gate + html extraction chain
+    val eOut = tmpDir("cli-warc-out") + "/pages"
+    val emsg = Cli.run(spark, Seq("warc", "--archives", gzDir,
+      "--mode", "extract", "--gz", "--status", "200",
+      "--out", eOut), now)
+    assert(emsg.contains("pages"), emsg)
+    val pages = spark.read.parquet(eOut)
+    assert(pages.count() > 0 &&
+      pages.filter(org.apache.spark.sql.functions
+        .col("http_status") =!= 200).count() == 0)
+    val hDir = tmpDir("cli-warc-html")
+    graft.ext.Warc.asHtmlWarcGzArchives(spark, docs)
+      .write.mode("overwrite").parquet(hDir)
+    val hOut = tmpDir("cli-warc-out") + "/extracted"
+    Cli.run(spark, Seq("warc", "--archives", hDir, "--mode", "extract",
+      "--gz", "--status", "200", "--html-extract",
+      "--out", hOut), now)
+    val one = spark.read.parquet(hOut)
+      .filter(org.apache.spark.sql.functions.col("target_uri")
+        .endsWith("/1")).collect()
+    assert(one.length == 1 &&
+      one(0).getAs[String]("text").startsWith("Doc 1\n"),
+      "html extraction did not run through the CLI chain")
+    // index over gz; plain refused; fetch-check wired
+    val iOut = tmpDir("cli-warc-out") + "/cdx"
+    val imsg = Cli.run(spark, Seq("warc", "--archives", gzDir,
+      "--mode", "index", "--gz", "--out", iOut), now)
+    assert(imsg.contains("index rows"), imsg)
+    assert(spark.read.parquet(iOut).count() ==
+      graft.ext.Warc.cdxIndex(spark,
+        spark.read.parquet(gzDir)).count())
+    val refuse = intercept[Cli.CliError](Cli.run(spark,
+      Seq("warc", "--archives", gzDir, "--mode", "index"), now))
+    assert(refuse.getMessage.contains("--gz"), refuse.getMessage)
+    // loud failures: wrong columns, bad mode, bad status
+    val junkDir = tmpDir("cli-warc-junk")
+    docs.write.mode("overwrite").parquet(junkDir)
+    val eCols = intercept[Cli.CliError](Cli.run(spark,
+      Seq("warc", "--archives", junkDir), now))
+    assert(eCols.getMessage.contains("payload"), eCols.getMessage)
+    val eMode = intercept[Cli.CliError](Cli.run(spark,
+      Seq("warc", "--archives", plainDir, "--mode", "fly"), now))
+    assert(eMode.getMessage.contains("unknown --mode"), eMode.getMessage)
+    val eStat = intercept[Cli.CliError](Cli.run(spark,
+      Seq("warc", "--archives", plainDir, "--mode", "extract",
+        "--status", "ok"), now))
+    assert(eStat.getMessage.contains("--status"), eStat.getMessage)
+  }
 }
