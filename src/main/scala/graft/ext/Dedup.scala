@@ -153,6 +153,47 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Corpus-wide PARAGRAPH dedup (d18) — the CCNet/Dolma boilerplate
+    * pass: split each document's text on newlines, keep only the
+    * GLOBALLY FIRST occurrence of each paragraph (winner = the
+    * lexicographically smallest `(doc_id, idx)` — total order, so
+    * replays are bit-stable), and reassemble each document from its
+    * surviving paragraphs in original order. Repeated chrome (nav
+    * bars, footers, legal blurbs) appears once corpus-wide and
+    * vanishes everywhere else — the page-boilerplate removal an
+    * HTML-extracted crawl needs before quality scoring.
+    *
+    * Scale notes: winner selection is `min(struct(doc_id, idx))`
+    * under `groupBy(para)` — partial aggregation combines map-side,
+    * so a boilerplate paragraph shared by a billion pages costs one
+    * row per task, not a billion-row window partition (the skew that
+    * kills a `row_number() OVER (PARTITION BY para)` plan at 100 TB).
+    * Three shuffles total (para-agg, para-join, doc-reassembly); the
+    * reassembly collects only SURVIVING paragraphs per doc.
+    * `collect_list` skips nulls, so the keep-marked join feeds one
+    * doc-side aggregate for counts and rebuild alike.
+    */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("idx", "para")))
+    val pos = struct(col("doc_id"), col("idx"))
+    val winners = lines.groupBy("para").agg(min(pos).as("w"))
+    lines.join(winners, "para")
+      .withColumn("keep", pos === col("w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_paras"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("int")
+          .as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("idx"), col("para"))))),
+            x => x.getField("para")),
+          "\n").as("clean_text"))
+  }
+
   /** The exploded, hash-keyed shingle table shared by [[jaccardPairs]]'
     * consumers. Joins/aggregates key on a 64-bit xxhash64 of the
     * shingle, not the string: 8-byte shuffle keys instead of ~25-byte

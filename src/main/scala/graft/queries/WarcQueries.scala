@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Html, TextAnalysis, Urls, Warc}
+import graft.ext.{Dedup, Html, TextAnalysis, Urls, Warc}
 
 /** WARC ingestion queries [EXT] — the Common Crawl front door
   * (`graft.ext.Warc`): documents synthesize into real multi-record
@@ -129,6 +129,23 @@ object WarcQueries {
             t.length, t.split("[ \n]", -1).length)
         }
         .toDF("doc_id", "n_lines", "n_chars", "n_tokens")
+    },
+
+    /** d18 — corpus-wide paragraph dedup over the EXTRACTED pages:
+      * the CCNet/Dolma boilerplate pass. The synthesized chrome makes
+      * a real fixture — "Doc N" repeats INSIDE each page (title + h1)
+      * and the footer repeats across every 100th doc — so the global
+      * first-occurrence rule must fire both intra- and inter-doc for
+      * the clean_text hashes to meet. Winner = min (doc_id, idx),
+      * replayed as a row_number in SQL (single-node there; the Spark
+      * side uses the skew-safe min-struct aggregation — see the
+      * operator's scaladoc).
+      */
+    "d18_para_dedup" -> { (s, d) =>
+      Dedup.paragraphDedup(
+        Html.extractFacts(s,
+          Html.asHtmlPages(s, Tables.documents(s, d)))
+          .select(col("doc_id"), col("text")))
     })
 
   private def dateSql(idExpr: String): String =
@@ -189,6 +206,31 @@ object WarcQueries {
          |  CAST(len(string_split_regex(t,
          |    '[ ' || chr(10) || ']')) AS INT) AS n_tokens
          |FROM s""".stripMargin,
+
+    // d18: unnest the extracted lines with ordinality, rank each
+    // paragraph's occurrences by (doc_id, idx), keep rank 1, rebuild
+    // per doc in original order — the single-node replay of the
+    // min-struct winner rule
+    "d18_para_dedup" ->
+      s"""${extractedCtes("")},
+         |s AS (SELECT doc_id, array_to_string(ls, chr(10)) AS t
+         |      FROM l),
+         |e AS (SELECT doc_id,
+         |        unnest(string_split(t, chr(10))) AS para,
+         |        CAST(generate_subscripts(
+         |          string_split(t, chr(10)), 1) - 1 AS INT) AS idx
+         |      FROM s),
+         |w AS (SELECT doc_id, para, idx,
+         |        row_number() OVER (PARTITION BY para
+         |          ORDER BY doc_id, idx) AS rn
+         |      FROM e)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT)
+         |    AS n_kept,
+         |  COALESCE(array_to_string(
+         |    list(para ORDER BY idx) FILTER (WHERE rn = 1),
+         |    chr(10)), '') AS clean_text
+         |FROM w GROUP BY doc_id""".stripMargin,
 
     // wa05: the messy url rebuilt verbatim AND every canonical field
     // re-derived from the id schedule (the query sort is a closed

@@ -750,4 +750,49 @@ class DedupSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("predates drift baselines"))
   }
+
+  test("d18 paragraph dedup: global first occurrence wins by " +
+    "(doc_id, idx), intra-doc repeats drop, order preserved, " +
+    "all-dup docs come back empty, idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "NAV\nunique five\nNAV\nFOOTER"), // intra-doc NAV repeat
+      (2L, "NAV\nunique two\nFOOTER"), // smallest doc: wins NAV+FOOTER
+      (9L, "NAV\nFOOTER"), // nothing unique → empty clean_text
+      (7L, "unique seven\nunique seven")) // self-dup only
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(2L) == ((3, 3, "NAV\nunique two\nFOOTER")),
+      "the smallest doc_id must keep every paragraph it leads")
+    assert(out(5L) == ((4, 1, "unique five")),
+      "later doc kept boilerplate or its own repeat")
+    assert(out(9L) == ((2, 0, "")),
+      "an all-boilerplate doc must survive as an empty row")
+    assert(out(7L) == ((2, 1, "unique seven")),
+      "intra-doc repeat survived")
+    // idempotent: running again on the cleaned corpus changes nothing
+    val cleaned = Dedup.paragraphDedup(docs)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = Dedup.paragraphDedup(cleaned).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // empty docs re-split to one empty para; unique content is stable
+    assert(twice(2L) == "NAV\nunique two\nFOOTER")
+    assert(twice(5L) == "unique five")
+    assert(twice(7L) == "unique seven")
+    // corpus scale-shape: every doc row survives, kept <= paras
+    val corpus = Html.extractFacts(spark,
+      Html.asHtmlPages(spark, Tables.documents(spark, sf0001)))
+      .select(col("doc_id"), col("text"))
+    val full = Dedup.paragraphDedup(corpus).collect()
+    assert(full.length == corpus.count())
+    assert(full.forall(r => r.getInt(2) <= r.getInt(1)))
+    // the footer repeats every 100 ids → only its first bearer keeps it
+    val withFooter = full.count(_.getString(3).contains("© corpus"))
+    val distinctFooters = corpus.as[(Long, String)].collect()
+      .flatMap(_._2.split("\n").filter(_.startsWith("©"))).distinct
+    assert(withFooter == distinctFooters.length,
+      "footer boilerplate survived beyond its first bearer")
+  }
 }
