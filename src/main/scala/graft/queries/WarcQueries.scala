@@ -146,6 +146,20 @@ object WarcQueries {
         Html.extractFacts(s,
           Html.asHtmlPages(s, Tables.documents(s, d)))
           .select(col("doc_id"), col("text")))
+    },
+
+    /** wa08 — the robots.txt fetch-policy gate (RFC 9309): each messy
+      * URL's host resolves to its synthesized per-host policy, the
+      * REAL parser selects the agent's group (falling back to `*` —
+      * and taking that group's crawl-delay ONLY then), and the
+      * longest-match precedence decides the path. The schedule
+      * exercises group fallback, the empty-Disallow no-op, and a
+      * wildcard+anchor re-allow beating a shorter Disallow — each
+      * verdict, winning rule, delay, and sitemap re-derived in SQL.
+      */
+    "wa08_robots_gate" -> { (s, d) =>
+      graft.ext.Robots.robotsFacts(s,
+        Urls.asUrlRows(s, Tables.documents(s, d)))
     })
 
   private def dateSql(idExpr: String): String =
@@ -231,6 +245,32 @@ object WarcQueries {
          |    list(para ORDER BY idx) FILTER (WHERE rn = 1),
          |    chr(10)), '') AS clean_text
          |FROM w GROUP BY doc_id""".stripMargin,
+
+    // wa08: every verdict re-derived from the id schedule — n=id%50
+    // names the host's policy; n%3=0 hosts block /Path/ but re-allow
+    // *0$ (longest match), n%3=1 hosts no-op, n%3=2 hosts fall back
+    // to * and ONLY then surface the crawl-delay
+    "wa08_robots_gate" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id % 50 AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT id AS doc_id,
+        |  CASE WHEN id % 7 = 0
+        |      THEN 'sub.example' || n || '.co.uk'
+        |    WHEN id % 3 = 0 THEN 'www.example' || n || '.com'
+        |    ELSE 'example' || n || '.com' END AS host,
+        |  CASE WHEN id % 6 = 0 THEN '/'
+        |    ELSE '/Path/' || id END AS path,
+        |  (id % 6 = 0 OR n % 3 <> 0 OR id % 10 = 0) AS allowed,
+        |  CASE WHEN id % 6 <> 0 AND n % 3 = 0 THEN
+        |      CASE WHEN id % 10 = 0 THEN '/Path/*0$'
+        |        ELSE '/Path/' END
+        |    ELSE NULL END AS matched_rule,
+        |  CASE WHEN n % 3 = 2 THEN CAST(n % 7 + 1 AS INT)
+        |    ELSE CAST(NULL AS INT) END AS crawl_delay,
+        |  'https://example' || n || '.com/sitemap.xml' AS sitemap
+        |FROM t""".stripMargin,
 
     // wa05: the messy url rebuilt verbatim AND every canonical field
     // re-derived from the id schedule (the query sort is a closed
