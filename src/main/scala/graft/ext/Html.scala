@@ -226,6 +226,182 @@ object Html {
   /** The extractor: structural pass, then whitespace fold. */
   def extractText(html: String): String = normalizeWs(rawExtract(html))
 
+  // ---- head metadata (wa09) --------------------------------------
+
+  /** Decode entities in a plain string (attribute values, title
+    * text) — the same table/numeric rules as the extractor.
+    */
+  private[ext] def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val (dec, adv) = entityAt(s, i)
+        out.append(dec)
+        i += adv
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Attribute map of a tag's source (between `<` and `>`): lowercase
+    * names, quoted or bare values, entity-decoded; a valueless
+    * attribute maps to "". First occurrence wins.
+    */
+  private[ext] def attrsOf(tag: String): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val n = tag.length
+    var i = 0
+    while (i < n && !tag.charAt(i).isWhitespace) i += 1 // skip name
+    while (i < n) {
+      while (i < n && (tag.charAt(i).isWhitespace ||
+        tag.charAt(i) == '/')) i += 1
+      if (i < n) {
+        val ns = i
+        while (i < n && tag.charAt(i) != '=' &&
+          !tag.charAt(i).isWhitespace && tag.charAt(i) != '/') i += 1
+        val name = tag.substring(ns, i).toLowerCase
+        var j = i
+        while (j < n && tag.charAt(j).isWhitespace) j += 1
+        if (j < n && tag.charAt(j) == '=') {
+          j += 1
+          while (j < n && tag.charAt(j).isWhitespace) j += 1
+          val value =
+            if (j < n && (tag.charAt(j) == '"' || tag.charAt(j) == '\'')) {
+              val q = tag.charAt(j)
+              val vs = j + 1
+              var k = vs
+              while (k < n && tag.charAt(k) != q) k += 1
+              j = if (k < n) k + 1 else n
+              tag.substring(vs, math.min(k, n))
+            } else {
+              val vs = j
+              while (j < n && !tag.charAt(j).isWhitespace &&
+                tag.charAt(j) != '/') j += 1
+              tag.substring(vs, j)
+            }
+          if (name.nonEmpty && !m.contains(name))
+            m.update(name, decodeEntities(value))
+          i = j
+        } else {
+          if (name.nonEmpty && !m.contains(name)) m.update(name, "")
+          i = if (j > i) j else i
+        }
+      }
+    }
+    m.toMap
+  }
+
+  /** Head metadata (the wa09 facts): everything first-wins, scan
+    * stops at `<body` — these are the pre-index fields.
+    */
+  final case class HtmlMeta(
+      title: Option[String], lang: Option[String],
+      charset: Option[String], robots_meta: Option[String],
+      noindex: Boolean, canonical: Option[String],
+      description: Option[String])
+
+  /** Scan the document head for metadata: `<title>` text (entity-
+    * decoded, whitespace-folded to one line), `<html lang>`,
+    * `<meta charset>` / `http-equiv=content-type`'s charset param,
+    * `<meta name=robots>` (with the derived noindex bit),
+    * `<link rel=canonical>`, `<meta name=description>`. Malformed
+    * markup degrades to absent fields, never an exception.
+    */
+  def htmlMeta(html: String): HtmlMeta = {
+    var title: Option[String] = None
+    var lang: Option[String] = None
+    var charset: Option[String] = None
+    var robots: Option[String] = None
+    var canonical: Option[String] = None
+    var description: Option[String] = None
+    val n = html.length
+    var i = 0
+    var stop = false
+    while (i < n && !stop) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val e = tagEnd(html, i)
+          if (e < 0) i = n
+          else {
+            var j = i + 1
+            val closing = j < n && html.charAt(j) == '/'
+            if (closing) j += 1
+            val ns = j
+            while (j < e - 1 && html.charAt(j).isLetterOrDigit) j += 1
+            val name = html.substring(ns, j).toLowerCase
+            val src = html.substring(i + 1, e - 1)
+            name match {
+              case "body" if !closing => stop = true
+              case "html" if !closing && lang.isEmpty =>
+                lang = attrsOf(src).get("lang").filter(_.nonEmpty)
+              case "title" if !closing && title.isEmpty =>
+                val close = closeTagAt(html, "title", e)
+                if (close >= 0) {
+                  title = Some(normalizeWs(decodeEntities(
+                    html.substring(e, close))).replace('\n', ' '))
+                  val ce = tagEnd(html, close)
+                  i = if (ce < 0) n else ce
+                }
+              case "meta" if !closing =>
+                val a = attrsOf(src)
+                a.get("charset").filter(_.nonEmpty).foreach { cs =>
+                  if (charset.isEmpty) charset = Some(cs.toLowerCase)
+                }
+                (a.get("http-equiv").map(_.toLowerCase),
+                  a.get("content")) match {
+                  case (Some("content-type"), Some(ct))
+                    if charset.isEmpty =>
+                    charset = charsetParamOf(ct)
+                  case _ =>
+                }
+                (a.get("name").map(_.toLowerCase), a.get("content")) match {
+                  case (Some("robots"), Some(v)) if robots.isEmpty =>
+                    robots = Some(v)
+                  case (Some("description"), Some(v))
+                    if description.isEmpty => description = Some(v)
+                  case _ =>
+                }
+              case "link" if !closing && canonical.isEmpty =>
+                val a = attrsOf(src)
+                if (a.get("rel").exists(_.equalsIgnoreCase("canonical")))
+                  canonical = a.get("href").filter(_.nonEmpty)
+              case "script" | "style" if !closing &&
+                !(e - 2 >= i && html.charAt(e - 2) == '/') =>
+                val close = closeTagAt(html, name, e)
+                if (close < 0) i = n
+                else {
+                  val ce = tagEnd(html, close)
+                  i = if (ce < 0) n else ce
+                }
+              case _ =>
+            }
+            if (i < e) i = e // tags that did not jump themselves
+          }
+        }
+      } else i += 1
+    }
+    val noindex = robots.exists(_.toLowerCase.split(",")
+      .map(_.trim).contains("noindex"))
+    HtmlMeta(title, lang, charset, robots, noindex, canonical,
+      description)
+  }
+
+  /** The `charset=` parameter of a Content-Type value, lowercased. */
+  private[ext] def charsetParamOf(ct: String): Option[String] = {
+    ct.split(";").iterator.map(_.trim).collectFirst {
+      case p if p.toLowerCase.startsWith("charset=") =>
+        p.substring("charset=".length).trim
+          .stripPrefix("\"").stripSuffix("\"").toLowerCase
+    }.filter(_.nonEmpty)
+  }
+
   // ---- synthesized fixtures (shared template: synth + oracle) ----
 
   private def esc(t: String): String =
@@ -247,11 +423,17 @@ object Html {
     */
   private[graft] def htmlPage(id: Long, text: String): String = {
     val (p1, p2) = paragraphsOf(text)
+    val lang = if (id % 11 == 0) "de" else "en"
+    val robotsMeta =
+      if (id % 9 == 0) "<meta name=\"robots\" content=\"noindex, follow\"/>\n"
+      else ""
     s"""<!DOCTYPE html>
-       |<html lang="en">
+       |<html lang="$lang">
        |<head>
        |<meta charset="utf-8"/>
        |<title>Doc $id</title>
+       |${robotsMeta}<link rel="canonical" href="http://corpus.example/doc/$id"/>
+       |<meta name="description" content="synthetic doc $id &amp; friends"/>
        |<style type="text/css">body { margin: 0; } /* <junk> & more */</style>
        |<script>if (1 < 2 && 3 > 2) { console.log("<b>skip &amp; me</b>"); }</script>
        |</head>
@@ -274,6 +456,21 @@ object Html {
       .as[(Long, String)]
       .map { case (id, t) => (id, htmlPage(id, t)) }
       .toDF("doc_id", "html")
+  }
+
+  /** Pages → head-metadata facts (the wa09 surface) — narrow map. */
+  def metaFacts(spark: SparkSession, pages: DataFrame): DataFrame = {
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, String)]
+      .map { case (id, h) =>
+        val m = htmlMeta(h)
+        (id, m.title.orNull, m.lang.orNull, m.charset.orNull,
+          m.robots_meta.orNull, m.noindex, m.canonical.orNull,
+          m.description.orNull)
+      }
+      .toDF("doc_id", "title", "lang", "charset", "robots_meta",
+        "noindex", "canonical", "description")
   }
 
   /** Pages → extracted text facts `(doc_id, text, n_lines)` — the

@@ -553,6 +553,18 @@ object Warc {
   def httpTextsGz(spark: SparkSession, archives: DataFrame): DataFrame =
     httpTextsImpl(spark, archives, gunzipMembers)
 
+  /** The decode charset for an HTTP Content-Type: its `charset=`
+    * parameter when present and resolvable, else UTF-8 (the modern
+    * default; a misdeclared charset falls back rather than throwing —
+    * one hostile header must not kill the shard).
+    */
+  private[ext] def charsetFor(ct: Option[String])
+      : java.nio.charset.Charset =
+    ct.flatMap(Html.charsetParamOf).flatMap { name =>
+      try Some(java.nio.charset.Charset.forName(name))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse(Utf8)
+
   private def httpTextsImpl(
       spark: SparkSession, archives: DataFrame,
       unwrap: Array[Byte] => Option[Array[Byte]]): DataFrame = {
@@ -565,7 +577,8 @@ object Warc {
               case Parsed(f, po, pl) if f.http_status.nonEmpty =>
                 (a.archive_id, f.target_uri.orNull, f.http_status.get,
                   f.http_content_type.orNull,
-                  new String(plain, po, pl, Utf8))
+                  new String(plain, po, pl,
+                    charsetFor(f.http_content_type)))
             }
           }
         }

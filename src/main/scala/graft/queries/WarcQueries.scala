@@ -160,6 +160,20 @@ object WarcQueries {
     "wa08_robots_gate" -> { (s, d) =>
       graft.ext.Robots.robotsFacts(s,
         Urls.asUrlRows(s, Tables.documents(s, d)))
+    },
+
+    /** wa09 — HTML head metadata: the pre-index fields a curation
+      * pass gates on without extracting the body — title, `html
+      * lang`, declared charset, `meta robots` (with the derived
+      * noindex bit a polite pipeline EXCLUDES on), canonical link,
+      * description. The page schedules lang and the noindex tag, the
+      * description carries an entity that must decode inside an
+      * ATTRIBUTE, and every field is first-wins — all re-derived in
+      * SQL.
+      */
+    "wa09_html_meta" -> { (s, d) =>
+      Html.metaFacts(s,
+        Html.asHtmlPages(s, Tables.documents(s, d)))
     })
 
   private def dateSql(idExpr: String): String =
@@ -271,6 +285,22 @@ object WarcQueries {
         |    ELSE CAST(NULL AS INT) END AS crawl_delay,
         |  'https://example' || n || '.com/sitemap.xml' AS sitemap
         |FROM t""".stripMargin,
+
+    // wa09: head metadata from the page template's id schedule — the
+    // description's &amp; must come back DECODED from the attribute
+    "wa09_html_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'de' ELSE 'en' END AS lang,
+        |  'utf-8' AS charset,
+        |  CASE WHEN doc_id % 9 = 0 THEN 'noindex, follow'
+        |    ELSE NULL END AS robots_meta,
+        |  (doc_id % 9 = 0) AS noindex,
+        |  'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS canonical,
+        |  'synthetic doc ' || CAST(doc_id AS VARCHAR) || ' & friends'
+        |    AS description
+        |FROM documents""".stripMargin,
 
     // wa05: the messy url rebuilt verbatim AND every canonical field
     // re-derived from the id schedule (the query sort is a closed

@@ -71,6 +71,81 @@ class HtmlSpec extends SparkTestBase {
     assert(ext("a<p title=\"open>kept?") == "a")
   }
 
+  test("attribute parsing: quoted/bare/valueless values, entity " +
+    "decode inside attributes, first occurrence wins, junk tolerated") {
+    val a = Html.attrsOf(
+      "meta name=\"robots\" content='noindex, follow' data-x=bare flag")
+    assert(a("name") == "robots")
+    assert(a("content") == "noindex, follow")
+    assert(a("data-x") == "bare")
+    assert(a("flag") == "")
+    assert(Html.attrsOf("a href=\"?x=1&amp;y=2\"")("href") == "?x=1&y=2")
+    assert(Html.attrsOf("p a=1 a=2")("a") == "1") // first wins
+    assert(Html.attrsOf("img src = \"spaced.png\"")("src")
+      == "spaced.png")
+    assert(Html.attrsOf("br/").isEmpty)
+    assert(Html.attrsOf("p title=\"unclosed")("title") == "unclosed")
+  }
+
+  test("head metadata: title/lang/charset/robots/canonical/" +
+    "description read first-wins, scan stops at body, noindex " +
+    "derived, http-equiv charset param, malformed degrades") {
+    val m = Html.htmlMeta(Html.htmlPage(18L, "alpha beta"))
+    assert(m.title.contains("Doc 18"))
+    assert(m.lang.contains("en"))
+    assert(m.charset.contains("utf-8"))
+    assert(m.robots_meta.contains("noindex, follow") && m.noindex)
+    assert(m.canonical.contains("http://corpus.example/doc/18"))
+    assert(m.description.contains("synthetic doc 18 & friends"))
+    val m2 = Html.htmlMeta(Html.htmlPage(22L, "x")) // 22%11=0, 22%9!=0
+    assert(m2.lang.contains("de") && !m2.noindex &&
+      m2.robots_meta.isEmpty)
+    // http-equiv charset form; body content never scanned as meta
+    val he = Html.htmlMeta(
+      "<html><head><meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=ISO-8859-1\"/></head>" +
+        "<body><meta name=\"robots\" content=\"noindex\"/>" +
+        "<title>late</title></body></html>")
+    assert(he.charset.contains("iso-8859-1"))
+    assert(he.robots_meta.isEmpty && he.title.isEmpty && !he.noindex)
+    // title entities + whitespace fold to one line; nofollow alone
+    // is not noindex
+    val t = Html.htmlMeta("<title>A &amp;\n  B</title>" +
+      "<meta name=robots content=nofollow>")
+    assert(t.title.contains("A & B"))
+    assert(t.robots_meta.contains("nofollow") && !t.noindex)
+    // malformed: unclosed title, empty doc
+    assert(Html.htmlMeta("<title>never closed").title.isEmpty)
+    assert(Html.htmlMeta("") == Html.HtmlMeta(None, None, None, None,
+      noindex = false, None, None))
+  }
+
+  test("charset parameter + charset-aware HTTP decode: declared " +
+    "latin-1 payloads decode correctly, bad charsets fall back") {
+    assert(Html.charsetParamOf("text/html; charset=ISO-8859-1")
+      .contains("iso-8859-1"))
+    assert(Html.charsetParamOf("text/html; charset=\"UTF-8\"")
+      .contains("utf-8"))
+    assert(Html.charsetParamOf("text/plain").isEmpty)
+    assert(Html.charsetParamOf("text/html; charset=").isEmpty)
+    import spark.implicits._
+    // a latin-1 payload: é is 0xE9, invalid as UTF-8
+    val body = "café".getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val block = Warc.httpBlockOf(body, ok = true,
+      "text/plain; charset=iso-8859-1")
+    val badBlock = Warc.httpBlockOf(body, ok = true,
+      "text/plain; charset=no-such-charset")
+    val arch = Warc.WarcArchive(0L,
+      Warc.warcArchiveBytesBlocks(0L, Seq(1L -> block, 2L -> badBlock)))
+    val texts = Warc.httpTexts(spark, Seq(arch).toDF())
+      .collect().map(r => (r.getString(1), r.getString(4))).toMap
+    assert(texts("http://corpus.example/doc/1") == "café",
+      "declared latin-1 payload did not decode via its charset param")
+    // unknown charset falls back to UTF-8 (replacement char, no throw)
+    assert(texts("http://corpus.example/doc/2").startsWith("caf"))
+  }
+
   test("synthesized page: extraction is the closed formula (chrome + " +
     "paragraph slices), escape round-trips hostile text, corpus-wide " +
     "facts match per doc") {
