@@ -174,7 +174,56 @@ object WarcQueries {
     "wa09_html_meta" -> { (s, d) =>
       Html.metaFacts(s,
         Html.asHtmlPages(s, Tables.documents(s, d)))
+    },
+
+    /** wa10 — the crawl FUNNEL: the per-stage survival counts a
+      * pipeline run reports (frontier → robots-allowed → fetched 200
+      * → indexable (no meta-noindex) → extraction token gate). Every
+      * stage is computed by the REAL operator — robots evaluation,
+      * the gz WARC fetch plane, the head-metadata walk, the
+      * structural extractor — then joined on doc_id and folded to
+      * ONE row; the oracle re-derives each gate from the schedules
+      * and the shared extraction CTEs. The doc_id joins co-partition
+      * at scale; every per-stage input is a narrow map over the
+      * corpus.
+      */
+    "wa10_crawl_funnel" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val rob = graft.ext.Robots
+        .robotsFacts(s, Urls.asUrlRows(s, docs))
+        .select(col("doc_id"), col("allowed"))
+      val fetched = Warc
+        .httpTextsGz(s, Warc.asHtmlWarcGzArchives(s, docs))
+        .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+          (col("http_status") === 200).as("fetched"),
+          col("text").as("page"))
+      val toks = fetched.filter(col("fetched"))
+        .select(col("doc_id"), col("page")).as[(Long, String)]
+        .map { case (id, p) =>
+          (id, Html.extractText(p).split("[ \n]", -1).length)
+        }.toDF("doc_id", "n_toks")
+      val meta = Html.metaFacts(s, Html.asHtmlPages(s, docs))
+        .select(col("doc_id"), col("noindex"))
+      val pass = col("allowed") && col("fetched") && !col("noindex")
+      rob.join(fetched.select("doc_id", "fetched"), Seq("doc_id"))
+        .join(meta, Seq("doc_id"))
+        .join(toks, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_frontier"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("allowed") && col("fetched"), 1L)
+            .otherwise(0L)).as("n_fetched"),
+          sum(when(pass, 1L).otherwise(0L)).as("n_indexable"),
+          sum(when(pass && col("n_toks") >= FunnelMinTokens, 1L)
+            .otherwise(0L)).as("n_token_ok"))
     })
+
+  /** The wa10 extraction token gate — ONE definition for the query
+    * and its oracle.
+    */
+  private val FunnelMinTokens = 25
 
   private def dateSql(idExpr: String): String =
     s"'2024-01-01T' || lpad(CAST($idExpr % 24 AS VARCHAR), 2, '0') " +
@@ -301,6 +350,33 @@ object WarcQueries {
         |  'synthetic doc ' || CAST(doc_id AS VARCHAR) || ' & friends'
         |    AS description
         |FROM documents""".stripMargin,
+
+    // wa10: every gate re-derived — robots (the wa08 closed form),
+    // fetch (id%7), noindex (id%9), and the extraction token count
+    // from the shared CTEs — folded to the one funnel row
+    "wa10_crawl_funnel" ->
+      s"""${extractedCtes("")},
+         |s AS (SELECT doc_id,
+         |        len(string_split_regex(array_to_string(ls, chr(10)),
+         |          '[ ' || chr(10) || ']')) AS ntok
+         |      FROM l),
+         |g AS (SELECT doc_id, ntok,
+         |    (doc_id % 6 = 0 OR (doc_id % 50) % 3 <> 0
+         |      OR doc_id % 10 = 0) AS allowed,
+         |    (doc_id % 7 <> 0) AS fetched,
+         |    (doc_id % 9 = 0) AS noindex
+         |  FROM s)
+         |SELECT CAST(count(*) AS BIGINT) AS n_frontier,
+         |  CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_allowed,
+         |  CAST(sum(CASE WHEN allowed AND fetched THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fetched,
+         |  CAST(sum(CASE WHEN allowed AND fetched AND NOT noindex
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_indexable,
+         |  CAST(sum(CASE WHEN allowed AND fetched AND NOT noindex
+         |    AND ntok >= $FunnelMinTokens THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_token_ok
+         |FROM g""".stripMargin,
 
     // wa05: the messy url rebuilt verbatim AND every canonical field
     // re-derived from the id schedule (the query sort is a closed

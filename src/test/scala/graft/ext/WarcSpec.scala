@@ -243,6 +243,29 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  test("crawl funnel: stages shrink monotonically, every gate " +
+    "matches its independent schedule on the corpus") {
+    import spark.implicits._
+    val row = graft.queries.WarcQueries
+      .defs("wa10_crawl_funnel")(spark, sf0001).collect().head
+    val Seq(front, allowed, fetched, indexable, tokOk) =
+      (0 until 5).map(row.getLong)
+    val ids = Tables.documents(spark, sf0001)
+      .select("doc_id").as[Long].collect()
+    assert(front == ids.length)
+    def robotsOk(id: Long) =
+      id % 6 == 0 || (id % 50) % 3 != 0 || id % 10 == 0
+    assert(allowed == ids.count(robotsOk))
+    assert(fetched == ids.count(id => robotsOk(id) && id % 7 != 0))
+    assert(indexable == ids.count(id =>
+      robotsOk(id) && id % 7 != 0 && id % 9 != 0))
+    assert(front >= allowed && allowed >= fetched &&
+      fetched >= indexable && indexable >= tokOk)
+    // every gate actually bites on this corpus
+    assert(allowed < front && fetched < allowed &&
+      indexable < fetched && tokOk > 0)
+  }
+
   test("recordFacts drops unparseable archives, keeps good ones; " +
     "httpTexts round-trips document text exactly (the wa02 gate)") {
     import spark.implicits._
