@@ -169,6 +169,31 @@ object Robots {
     sb.toString
   }
 
+  /** Politeness fetch schedule (wa11): the dispatch order a crawl
+    * frontier derives from the policy verdicts — allowed URLs only,
+    * sequenced PER HOST in deterministic (doc_id) order, each slot's
+    * earliest start = `slot × crawl-delay` (default 1 s when the
+    * selected group declares none). The window partitions by host —
+    * politeness is inherently per-host sequential, so the partition
+    * IS the unit of order; a mega-host's partition is long because
+    * its fetch queue is long, not because the plan is wrong (and its
+    * wall-clock is bounded by the delay×queue product, not by Spark).
+    */
+  def fetchSchedule(spark: SparkSession, urls: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val facts = robotsFacts(spark, urls)
+    val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+    facts.filter(col("allowed"))
+      .withColumn("fetch_seq",
+        row_number().over(w).cast("int"))
+      .withColumn("eta_sec",
+        ((col("fetch_seq") - 1).cast("long") *
+          coalesce(col("crawl_delay").cast("long"), lit(1L)))
+          .as("eta_sec"))
+      .select(col("doc_id"), col("host"), col("path"),
+        col("fetch_seq"), col("eta_sec"))
+  }
+
   /** URLs → the fetch-policy verdicts (the wa08 surface): canonical
     * host/path via [[Urls.canonicalize]], the host's robots parsed
     * once per partition (memo), each path decided under the RFC

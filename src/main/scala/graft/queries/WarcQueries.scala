@@ -187,6 +187,28 @@ object WarcQueries {
       * at scale; every per-stage input is a narrow map over the
       * corpus.
       */
+    /** wa11 — the politeness fetch schedule: allowed URLs sequenced
+      * per host in doc_id order, each slot's earliest start =
+      * slot × crawl-delay (default 1 s). The oracle replays the
+      * verdicts, the per-host ranking, and the delay arithmetic.
+      */
+    "wa11_fetch_schedule" -> { (s, d) =>
+      graft.ext.Robots.fetchSchedule(s,
+        Urls.asUrlRows(s, Tables.documents(s, d)))
+    },
+
+    /** wa12 — sitemap ingestion: each distinct host's synthesized
+      * sitemap walked by the real parser — every 5th host a
+      * SITEMAPINDEX, the rest urlsets with an `&amp;`-escaped loc
+      * that must come back DECODED, scheduled lastmod days, and a
+      * string-built priority both sides PARSE to double (bit-equal
+      * by construction). The oracle re-derives all rows from the
+      * distinct-host schedule.
+      */
+    "wa12_sitemap_walk" -> { (s, d) =>
+      graft.ext.Sitemaps.sitemapFacts(s, Tables.documents(s, d))
+    },
+
     "wa10_crawl_funnel" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -377,6 +399,73 @@ object WarcQueries {
          |    AND ntok >= $FunnelMinTokens THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_token_ok
          |FROM g""".stripMargin,
+
+    // wa12: all rows re-derived from the distinct-host schedule; the
+    // u1 loc must come back entity-DECODED and its priority is parsed
+    // from the same string both sides
+    "wa12_sitemap_walk" ->
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(doc_id % 50 AS BIGINT) AS n
+        |  FROM documents),
+        |d AS (SELECT n,
+        |    lpad(CAST(n % 28 + 1 AS VARCHAR), 2, '0') AS day
+        |  FROM h),
+        |idx AS (
+        |  SELECT n AS host_n, 'sitemap' AS kind,
+        |    CAST(k - 1 AS INT) AS ord,
+        |    'https://example' || n || '.com/sitemap' || k || '.xml'
+        |      AS loc,
+        |    '2024-03-' || day AS lastmod,
+        |    CAST(NULL AS DOUBLE) AS priority
+        |  FROM d, (SELECT unnest([1, 2]) AS k) ks
+        |  WHERE n % 5 = 0),
+        |u0 AS (
+        |  SELECT n AS host_n, 'url' AS kind, CAST(0 AS INT) AS ord,
+        |    'https://example' || n || '.com/' AS loc,
+        |    '2024-01-' || day AS lastmod,
+        |    CAST(1.0 AS DOUBLE) AS priority
+        |  FROM d WHERE n % 5 <> 0),
+        |u1 AS (
+        |  SELECT n AS host_n, 'url' AS kind, CAST(1 AS INT) AS ord,
+        |    'https://example' || n || '.com/Path/' || n || '?a=1&b=2'
+        |      AS loc,
+        |    CAST(NULL AS VARCHAR) AS lastmod,
+        |    CAST('0.' || (n % 10) AS DOUBLE) AS priority
+        |  FROM d WHERE n % 5 <> 0),
+        |u2 AS (
+        |  SELECT n AS host_n, 'url' AS kind, CAST(2 AS INT) AS ord,
+        |    'https://example' || n || '.com/extra/' || n AS loc,
+        |    '2024-02-' || day AS lastmod,
+        |    CAST(NULL AS DOUBLE) AS priority
+        |  FROM d WHERE n % 5 <> 0 AND n % 2 = 0)
+        |SELECT * FROM idx UNION ALL SELECT * FROM u0
+        |UNION ALL SELECT * FROM u1 UNION ALL SELECT * FROM u2"""
+        .stripMargin,
+
+    // wa11: wa08's verdict schedule filtered to allowed, ranked per
+    // host by doc_id, eta = (seq-1) × coalesce(delay, 1)
+    "wa11_fetch_schedule" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id % 50 AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, n,
+        |    CASE WHEN id % 7 = 0
+        |        THEN 'sub.example' || n || '.co.uk'
+        |      WHEN id % 3 = 0 THEN 'www.example' || n || '.com'
+        |      ELSE 'example' || n || '.com' END AS host,
+        |    CASE WHEN id % 6 = 0 THEN '/'
+        |      ELSE '/Path/' || id END AS path,
+        |    CASE WHEN n % 3 = 2 THEN n % 7 + 1 ELSE NULL END AS delay
+        |  FROM t
+        |  WHERE id % 6 = 0 OR n % 3 <> 0 OR id % 10 = 0)
+        |SELECT id AS doc_id, host, path,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY id)
+        |    AS INT) AS fetch_seq,
+        |  CAST((row_number() OVER (PARTITION BY host ORDER BY id) - 1)
+        |    * COALESCE(delay, 1) AS BIGINT) AS eta_sec
+        |FROM g""".stripMargin,
 
     // wa05: the messy url rebuilt verbatim AND every canonical field
     // re-derived from the id schedule (the query sort is a closed

@@ -81,6 +81,31 @@ class RobotsSpec extends SparkTestBase {
     assert(e.rules.isEmpty)
   }
 
+  test("politeness schedule: per-host sequencing in doc_id order, " +
+    "eta = slot x delay with the 1s default, disallowed urls " +
+    "never scheduled") {
+    import spark.implicits._
+    val urls = (0L until 120L).map(id => (id, Urls.messyUrl(id)))
+      .toDF("doc_id", "url")
+    val sched = Robots.fetchSchedule(spark, urls).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3),
+        r.getLong(4)))
+    // disallowed ids are absent
+    val blocked = (0L until 120L).filter(id =>
+      !(id % 6 == 0 || (id % 50) % 3 != 0 || id % 10 == 0)).toSet
+    assert(sched.map(_._1).toSet.intersect(blocked).isEmpty)
+    // per host: seq counts 1..k in doc_id order; eta arithmetic holds
+    for ((host, rows) <- sched.groupBy(_._2)) {
+      val byId = rows.sortBy(_._1)
+      assert(byId.map(_._3).toSeq == (1 to byId.length),
+        s"$host sequence broken")
+      val n = byId.head._1 % 50
+      val delay = if (n % 3 == 2) n % 7 + 1 else 1L
+      for ((id, _, seq, eta) <- byId)
+        assert(eta == (seq - 1) * delay, s"$host/$id eta")
+    }
+  }
+
   test("synth schedule end-to-end: verdicts match the closed form " +
     "across 300 ids, wildcard re-allow beats the shorter block") {
     import spark.implicits._
