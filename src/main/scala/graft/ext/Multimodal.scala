@@ -353,6 +353,144 @@ object Multimodal {
     }
   }
 
+  // ---- PNG chunk walk (m14) --------------------------------------
+
+  def looksLikePng(p: Array[Byte]): Boolean =
+    p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+      p(2) == 'N' && p(3) == 'G' && p(4) == 0x0d && p(5) == 0x0a &&
+      (p(6) & 0xff) == 0x1a && p(7) == 0x0a
+
+  /** IHDR + chunk-inventory facts (ISO 15948). */
+  private[ext] final case class PngMeta(
+      width: Int, height: Int, bitDepth: Int, colorType: Int,
+      interlace: Int, nChunks: Int, paletteEntries: Int,
+      hasAlpha: Boolean, idatBytes: Long, headerBytes: Long)
+
+  /** PNG facts WITHOUT pixel decode (the m12 discipline for the
+    * second-most-common web image format): signature, then the chunk
+    * train — 4-byte BE length, 4-byte type, data, CRC (carried,
+    * never verified — the m09/m10/m11 rule) — with the spec's
+    * structural musts enforced: IHDR first and exactly 13 bytes,
+    * nonzero dims, compression/filter methods 0, interlace 0/1, PLTE
+    * length divisible by 3, at least one IDAT, a zero-length IEND
+    * terminating the stream. `headerBytes` = the first IDAT's offset
+    * (the metadata prefix a range reader fetches); alpha = color
+    * type 4/6 or a tRNS chunk. Any violation → None (fail-soft).
+    */
+  private[ext] def parsePngMeta(p: Array[Byte]): Option[PngMeta] = {
+    if (!looksLikePng(p)) return None
+    def be32(i: Int): Int =
+      ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+        ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+    var off = 8
+    var first = true
+    var w = 0; var h = 0; var depth = 0; var ct = 0; var il = 0
+    var nChunks = 0; var plte = 0; var alpha = false
+    var idat = 0L; var headerBytes = -1L
+    var sawEnd = false
+    while (!sawEnd) {
+      if (off + 8 > p.length) return None // truncated chunk header
+      val len = be32(off)
+      if (len < 0) return None // >2^31: hostile
+      if (off + 8L + len + 4L > p.length) return None // over-running
+      val typ = new String(p, off + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (first) {
+        if (typ != "IHDR" || len != 13) return None
+        w = be32(off + 8); h = be32(off + 12)
+        if (w <= 0 || h <= 0) return None
+        depth = p(off + 16) & 0xff
+        ct = p(off + 17) & 0xff
+        if ((p(off + 18) & 0xff) != 0 ||
+          (p(off + 19) & 0xff) != 0) return None // methods
+        il = p(off + 20) & 0xff
+        if (il > 1) return None
+        first = false
+      } else typ match {
+        case "PLTE" =>
+          if (len % 3 != 0) return None
+          plte = len / 3
+        case "tRNS" => alpha = true
+        case "IDAT" =>
+          if (headerBytes < 0) headerBytes = off.toLong
+          idat += len.toLong
+        case "IEND" =>
+          if (len != 0) return None
+          sawEnd = true
+        case _ => ()
+      }
+      nChunks += 1
+      off += 8 + len + 4
+    }
+    if (headerBytes < 0) return None // a PNG with no IDAT is not one
+    Some(PngMeta(w, h, depth, ct, il, nChunks, plte,
+      alpha || ct == 4 || ct == 6, idat, headerBytes))
+  }
+
+  /** A real PNG of the shared deterministic gradient, via ImageIO
+    * (the JDK writer encodes TYPE_INT_RGB as 8-bit truecolor,
+    * non-interlaced, no palette — facts the m14 oracle pins).
+    */
+  private[ext] def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 37 + y * 101 + seed) & 0xff) << 16 |
+          ((x * 13 + y * 7 + seed) & 0xff) << 8 |
+          ((x + y + seed) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(1024 + w * h)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Documents as REAL PNGs — the m06/m12 dims formulas. */
+  def asPngAssets(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val n = text.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8).length
+          MediaAsset(id, "image/png",
+            pngBytes(4 + n % 29, 3 + (7 * n) % 23, n))
+        }
+      }.toDF()
+  }
+
+  final case class PngFeatures(doc_id: Long, n_bytes: Long,
+                               width: Int, height: Int, bit_depth: Int,
+                               color_type: Int, interlace: Int,
+                               palette_entries: Int, has_alpha: Boolean,
+                               n_chunks: Int, idat_bytes: Long,
+                               header_bytes: Long)
+
+  /** m14: one facts row per PNG asset — zeroed facts for non-PNG or
+    * corrupt payloads (the m05/m10/m12 fail-soft row shape).
+    */
+  def pngFeatures(spark: SparkSession,
+                  assets: DataFrame): Dataset[PngFeatures] = {
+    import spark.implicits._
+    assets.as[MediaAsset].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { a =>
+          val m = parsePngMeta(a.payload).getOrElse(
+            PngMeta(0, 0, 0, 0, 0, 0, 0, hasAlpha = false, 0L, 0L))
+          PngFeatures(a.doc_id, a.payload.length.toLong, m.width,
+            m.height, m.bitDepth, m.colorType, m.interlace,
+            m.paletteEntries, m.hasAlpha, m.nChunks, m.idatBytes,
+            m.headerBytes)
+        }
+      }
+    }
+  }
+
   /** Magic-byte sniff: is this payload an image format the JDK's
     * ImageIO can decode? (PNG, BMP, JPEG, GIF ship with every JDK.)
     * Dispatching on magic — not mime — means a mislabeled asset still

@@ -735,6 +735,22 @@ object SimilarityQueries {
           col("orientation"))
     },
 
+    /** m14 — PNG chunk walk (r14, the m12 discipline for the
+      * second-most-common web image format): documents become REAL
+      * PNGs (the JDK writer — 8-bit truecolor, non-interlaced, no
+      * palette), and the chunk walk reads IHDR facts back WITHOUT
+      * pixel decode. Only formula-expressible facts project (chunk
+      * counts and IDAT byte totals are the encoder's business —
+      * spec-checked against the real walk, not oracle-projected).
+      */
+    "m14_png_features" -> { (s, d) =>
+      Multimodal.pngFeatures(s,
+          Multimodal.asPngAssets(s, Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("bit_depth"), col("color_type"), col("interlace"),
+          col("palette_entries"), col("has_alpha"))
+    },
+
     /** m13 — ID3v2 text-frame extraction (r14, the m09 extension):
       * documents become ID3v2.4-TAGGED MP3s (real TIT2/TPE1/TALB text
       * frames with deterministic values, the document bytes in a
@@ -2406,6 +2422,24 @@ object SimilarityQueries {
         |  CAST(8 AS INT) AS sample_precision,
         |  CAST(3 AS INT) AS n_components,
         |  CAST(1 + n % 8 AS INT) AS orientation
+        |FROM d""".stripMargin,
+
+    // m14: the shared dims formulas + the JDK PNG writer's fixed IHDR
+    // facts for TYPE_INT_RGB input (8-bit truecolor, no interlace,
+    // no palette, no alpha) — the walk must read them from real
+    // chunks to match
+    "m14_png_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(4 + n % 29 AS INT) AS width,
+        |  CAST(3 + 7 * n % 23 AS INT) AS height,
+        |  CAST(8 AS INT) AS bit_depth,
+        |  CAST(2 AS INT) AS color_type,
+        |  CAST(0 AS INT) AS interlace,
+        |  CAST(0 AS INT) AS palette_entries,
+        |  FALSE AS has_alpha
         |FROM d""".stripMargin,
 
     // m13: frame values are closed formulas over doc_id; the tag size

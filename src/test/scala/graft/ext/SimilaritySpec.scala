@@ -1802,4 +1802,58 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows(2L).width == 0 && rows(2L).n_bytes == 30L,
       "corrupt payload did not zero its facts row")
   }
+
+  test("m14 png walk: chunk train tiles to IEND, IHDR facts equal " +
+    "the real decode, headerBytes points at the first IDAT, " +
+    "hostile chunks refuse, fail-soft rows zero") {
+    import spark.implicits._
+    val good = Multimodal.pngBytes(10, 6, 42)
+    val m = Multimodal.parsePngMeta(good).get
+    assert(m.width == 10 && m.height == 6)
+    assert(m.bitDepth == 8 && m.colorType == 2 && m.interlace == 0)
+    assert(m.paletteEntries == 0 && !m.hasAlpha)
+    assert(m.idatBytes > 0 && m.nChunks >= 3) // IHDR + IDAT+ + IEND
+    // headerBytes points at a chunk whose type reads IDAT
+    val t = new String(good, m.headerBytes.toInt + 4, 4, "US-ASCII")
+    assert(t == "IDAT", s"headerBytes points at $t")
+    // the walk agrees with the real pixel decode
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(good))
+    assert(img.getWidth == m.width && img.getHeight == m.height)
+    // an ARGB png gains alpha (color type 6)
+    val argb = {
+      val i2 = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      i2.setRGB(1, 1, 0x80102030)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i2, "png", bos)
+      bos.toByteArray
+    }
+    val am = Multimodal.parsePngMeta(argb).get
+    assert(am.colorType == 6 && am.hasAlpha)
+    // hostile: bad signature, truncated header/data, over-running
+    // length, IHDR not first, zero dims, lost IEND
+    assert(Multimodal.parsePngMeta("not a png".getBytes).isEmpty)
+    assert(Multimodal.parsePngMeta(Array[Byte]()).isEmpty)
+    assert(Multimodal.parsePngMeta(good.take(12)).isEmpty)
+    assert(Multimodal.parsePngMeta(good.dropRight(5)).isEmpty,
+      "truncated tail (lost IEND) accepted")
+    val overrun = good.clone()
+    overrun(8) = 0x7f.toByte // IHDR length -> enormous
+    assert(Multimodal.parsePngMeta(overrun).isEmpty)
+    val zeroDim = good.clone()
+    java.util.Arrays.fill(zeroDim, 16, 20, 0.toByte) // width = 0
+    assert(Multimodal.parsePngMeta(zeroDim).isEmpty)
+    val notFirst = good.clone()
+    notFirst(12) = 'J'.toByte // IHDR -> JHDR
+    assert(Multimodal.parsePngMeta(notFirst).isEmpty)
+    // distributed fail-soft: corrupt payloads zero their rows
+    val assets2 = Seq(Multimodal.MediaAsset(1L, "image/png", good),
+      Multimodal.MediaAsset(2L, "image/png", good.take(20))).toDF()
+    val rows2 = Multimodal.pngFeatures(spark, assets2).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(rows2(1L).width == 10 && rows2(1L).color_type == 2)
+    assert(rows2(2L).width == 0 && rows2(2L).n_bytes == 20L,
+      "corrupt payload did not zero its facts row")
+  }
 }
