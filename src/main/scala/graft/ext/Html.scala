@@ -226,6 +226,159 @@ object Html {
   /** The extractor: structural pass, then whitespace fold. */
   def extractText(html: String): String = normalizeWs(rawExtract(html))
 
+  // ---- main-content block scoring (wa13) -------------------------
+
+  /** Link-density block classification thresholds (jusText/Arc90
+    * shape, shared with the wa13 oracle): a block survives when it
+    * has at least [[MinBlockChars]] characters and at most
+    * [[MaxLinkDensity]] of them inside `<a>` spans. Chrome is short
+    * or link-dense; content is long and link-sparse.
+    */
+  private[graft] val MinBlockChars = 10
+  private[graft] val MaxLinkDensity = 0.4
+
+  /** One scored block: the collapsed line, its char counts, and the
+    * keep verdict.
+    */
+  final case class BlockFact(block_idx: Int, text: String,
+                             n_chars: Int, link_chars: Int,
+                             link_density: Double, kept: Boolean)
+
+  /** Block facts with LINK ATTRIBUTION: the same walk and the same
+    * block segmentation as [[extractText]] (a block IS an extracted
+    * line — comments/script/style dropped, block tags break, entities
+    * decode, whitespace folds), but every emitted character carries
+    * whether it sits inside an `<a>` element, and each surviving
+    * block reports chars / link-chars / link density and the
+    * keep verdict. `extractText == blocks.map(_.text).mkString("\n")`
+    * by construction (spec-pinned). A collapsed whitespace run
+    * counts as link only when EVERY character it replaces sat inside
+    * the anchor (so a pure-link block scores density exactly 1.0,
+    * and a boundary space between spans stays non-link).
+    */
+  def blockFacts(html: String): Vector[BlockFact] = {
+    // the rawExtract walk, emitting (char, inLink) pairs
+    val n = html.length
+    val chars = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    val link = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    var linkDepth = 0
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val e = tagEnd(html, i)
+          if (e < 0) i = n
+          else {
+            var j = i + 1
+            val closing = j < n && html.charAt(j) == '/'
+            if (closing) j += 1
+            val ns = j
+            while (j < e - 1 && html.charAt(j).isLetterOrDigit) j += 1
+            val name = html.substring(ns, j).toLowerCase
+            val selfClosed = e - 2 >= i && html.charAt(e - 2) == '/'
+            if (name == "a" && !selfClosed) {
+              if (closing) linkDepth = math.max(0, linkDepth - 1)
+              else linkDepth += 1
+            }
+            if (BlockTags.contains(name)) { chars.append('\n'); link.append('0') }
+            if (!closing && !selfClosed && SkipContent.contains(name)) {
+              val close = closeTagAt(html, name, e)
+              if (close < 0) i = n
+              else {
+                val ce = tagEnd(html, close)
+                i = if (ce < 0) n else ce
+              }
+            } else i = e
+          }
+        }
+      } else if (c == '&') {
+        val (dec, adv) = entityAt(html, i)
+        chars.append(dec)
+        var k = 0
+        while (k < dec.length) {
+          link.append(if (linkDepth > 0) '1' else '0'); k += 1
+        }
+        i += adv
+      } else {
+        chars.append(c)
+        link.append(if (linkDepth > 0) '1' else '0')
+        i += 1
+      }
+    }
+    // lockstep whitespace fold: same rules as normalizeWs, the mask
+    // following the text (collapsed whitespace is non-link)
+    val raw = chars.toString
+    val mask = link.toString
+    val out = Vector.newBuilder[BlockFact]
+    val line = new java.lang.StringBuilder
+    var lineLinks = 0
+    var pendingSpace = false
+    var pendingLink = false
+    var idx = 0
+    def flush(): Unit = {
+      if (line.length > 0) {
+        val t = line.toString
+        val nc = t.length
+        val lc = lineLinks
+        // the engine-portable grid: HALF_UP at 6 decimals, -0.0
+        // normalized (the oracle rounds the same double the same way)
+        val d = BigDecimal(lc.toDouble / nc)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        out += BlockFact(idx, t, nc, lc, d + 0.0,
+          nc >= MinBlockChars && d <= MaxLinkDensity)
+        idx += 1
+      }
+      line.setLength(0); lineLinks = 0; pendingSpace = false
+    }
+    var p = 0
+    val rn = raw.length
+    while (p < rn) {
+      raw.charAt(p) match {
+        case '\r' =>
+          if (p + 1 < rn && raw.charAt(p + 1) == '\n') p += 1
+          flush()
+        case '\n' => flush()
+        case ' ' | '\t' =>
+          if (line.length > 0) {
+            val isLink = mask.charAt(p) == '1'
+            // the folded space is link only when EVERY whitespace
+            // char it replaces sat inside the anchor
+            pendingLink = if (pendingSpace) pendingLink && isLink
+            else isLink
+            pendingSpace = true
+          }
+        case c =>
+          if (pendingSpace) {
+            line.append(' ')
+            if (pendingLink) lineLinks += 1
+            pendingSpace = false
+          }
+          line.append(c)
+          if (mask.charAt(p) == '1') lineLinks += 1
+      }
+      p += 1
+    }
+    flush()
+    out.result()
+  }
+
+  /** Pages → scored blocks (the wa13 surface) — narrow map. */
+  def blockFactsDf(spark: SparkSession, pages: DataFrame): DataFrame = {
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, String)]
+      .flatMap { case (id, h) =>
+        blockFacts(h).map(b => (id, b.block_idx, b.text, b.n_chars,
+          b.link_chars, b.link_density, b.kept))
+      }
+      .toDF("doc_id", "block_idx", "text", "n_chars", "link_chars",
+        "link_density", "kept")
+  }
+
   // ---- head metadata (wa09) --------------------------------------
 
   /** Decode entities in a plain string (attribute values, title

@@ -197,6 +197,21 @@ object WarcQueries {
         Urls.asUrlRows(s, Tables.documents(s, d)))
     },
 
+    /** wa13 — main-content block scoring (jusText/Arc90 shape): the
+      * SAME walk and block segmentation as wa04, but every character
+      * carries link attribution, and each block reports chars /
+      * link-chars / 6-decimal link density / the keep verdict
+      * (≥ MinBlockChars and ≤ MaxLinkDensity). On the synth page the
+      * verdicts are the real ones: the link-dense nav and the short
+      * title/h1 drop; the paragraphs and footer survive. The oracle
+      * rebuilds every block string, the nav's closed-form link
+      * count, and the rounded density grid.
+      */
+    "wa13_main_content" -> { (s, d) =>
+      Html.blockFactsDf(s,
+        Html.asHtmlPages(s, Tables.documents(s, d)))
+    },
+
     /** wa12 — sitemap ingestion: each distinct host's synthesized
       * sitemap walked by the real parser — every 5th host a
       * SITEMAPINDEX, the rest urlsets with an `&amp;`-escaped loc
@@ -399,6 +414,34 @@ object WarcQueries {
          |    AND ntok >= $FunnelMinTokens THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_token_ok
          |FROM g""".stripMargin,
+
+    // wa13: block strings from the shared CTEs; link chars are the
+    // nav's closed form (8 + digits(id)) and zero elsewhere; density
+    // and verdict replay the rounded grid and both thresholds
+    "wa13_main_content" -> {
+      import graft.ext.Html
+      s"""${extractedCtes("")},
+         |e AS (
+         |  SELECT doc_id, unnest(ls) AS text,
+         |    CAST(generate_subscripts(ls, 1) - 1 AS INT) AS block_idx
+         |  FROM l),
+         |f AS (
+         |  SELECT doc_id, block_idx, text,
+         |    CAST(length(text) AS INT) AS n_chars,
+         |    CAST(CASE WHEN block_idx = 1
+         |      THEN 8 + length(CAST(doc_id AS VARCHAR))
+         |      ELSE 0 END AS INT) AS link_chars
+         |  FROM e),
+         |g AS (
+         |  SELECT *, round(CAST(link_chars AS DOUBLE) / n_chars, 6)
+         |    + 0.0 AS link_density
+         |  FROM f)
+         |SELECT doc_id, block_idx, text, n_chars, link_chars,
+         |  link_density,
+         |  (n_chars >= ${Html.MinBlockChars} AND
+         |    link_density <= ${Html.MaxLinkDensity}) AS kept
+         |FROM g""".stripMargin
+    },
 
     // wa12: all rows re-derived from the distinct-host schedule; the
     // u1 loc must come back entity-DECODED and its priority is parsed

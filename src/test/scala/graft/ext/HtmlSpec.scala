@@ -146,6 +146,47 @@ class HtmlSpec extends SparkTestBase {
     assert(texts("http://corpus.example/doc/2").startsWith("caf"))
   }
 
+  test("block scoring: link attribution, density thresholds, block " +
+    "segmentation == extractText lines, malformed anchors tolerated") {
+    val html = "<p>short</p>" + // < 10 chars → dropped
+      "<p>a perfectly normal content paragraph</p>" + // kept
+      "<div><a href='/'>all of this text is a link span</a></div>" +
+      "<div><a href='/x'>half link</a> and half plain text</div>" +
+      "<p>entity &amp; inside <a href='/y'>link &lt;x&gt;</a></p>"
+    val bs = Html.blockFacts(html)
+    assert(bs.map(_.text) == Html.extractText(html).split("\n").toSeq,
+      "block segmentation drifted from extractText lines")
+    assert(bs(0).text == "short" && !bs(0).kept) // too short
+    assert(bs(1).kept && bs(1).link_chars == 0)
+    assert(bs(2).link_chars == bs(2).n_chars && !bs(2).kept) // pure link
+    assert(bs(2).link_density == 1.0)
+    // half link: "half link" = 9 of "half link and half plain text"
+    assert(bs(3).link_chars == 9)
+    assert(bs(3).kept == (9.0 / bs(3).n_chars <= 0.4))
+    // entities: "&" outside is plain, "link <x>" decoded inside <a>
+    assert(bs(4).link_chars == "link <x>".length)
+    // the collapsed space between link and non-link spans is non-link
+    val spaced = Html.blockFacts(
+      "<p>plain   <a href='/'>linky</a>   tail</p>")
+    assert(spaced.head.text == "plain linky tail")
+    assert(spaced.head.link_chars == 5)
+    // stray </a> never drives the depth negative
+    val stray = Html.blockFacts("<p></a>no link here</p>")
+    assert(stray.head.link_chars == 0)
+    // nested anchors count once per char
+    val nested = Html.blockFacts(
+      "<p><a href='/'><a href='/2'>in</a>out</a></p>")
+    assert(nested.head.link_chars >= 2)
+    // the synth page: nav + title + h1 drop, paragraphs survive —
+    // main-content extraction does its actual job on the fixture
+    val page = Html.blockFacts(Html.htmlPage(33L, "w1 w2 w3 w4 " +
+      "w5 w6 w7 w8 w9 w10 w11 w12"))
+    assert(!page(0).kept && !page(1).kept && !page(2).kept,
+      "chrome survived the density gate")
+    assert(page(3).kept && page(4).kept, "content dropped")
+    assert(page(1).link_chars == 8 + 2) // nav: 8 + digits(33)
+  }
+
   test("synthesized page: extraction is the closed formula (chrome + " +
     "paragraph slices), escape round-trips hostile text, corpus-wide " +
     "facts match per doc") {
