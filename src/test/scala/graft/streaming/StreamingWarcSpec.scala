@@ -56,6 +56,34 @@ class StreamingWarcSpec extends SparkTestBase {
       "streamed gz walk diverged from the batch walk")
   }
 
+  test("page analysis plane: metaFacts and blockFactsDf stream " +
+    "statelessly; drain == batch bit for bit") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val pages = Html.asHtmlPages(spark, docs)
+    val srcDir = tmpDir("pages-stream-src")
+    stage(pages.filter(col("doc_id") % 2 === 0), srcDir, "a.parquet")
+    stage(pages.filter(col("doc_id") % 2 === 1), srcDir, "b.parquet")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("html",
+        org.apache.spark.sql.types.StringType)))
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    for ((name, fn) <- Seq[(String,
+      org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "meta" -> (df => Html.metaFacts(spark, df)),
+      "blocks" -> (df => Html.blockFactsDf(spark, df)))) {
+      val out = fn(stream())
+      assert(out.isStreaming, s"$name must stream statelessly")
+      StreamingOps.runToCompletion(spark, out, s"pages_${name}_stream",
+        OutputMode.Append())
+      val streamed = spark.table(s"pages_${name}_stream").collect()
+        .map(_.toSeq).toSet
+      val batch = fn(pages).collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"$name drain diverged from batch")
+    }
+  }
+
   test("crawl extraction chain: httpTextsGz + extractText stream " +
     "statelessly; drain == the batch wa07 facts") {
     import spark.implicits._
