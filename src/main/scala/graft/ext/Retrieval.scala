@@ -1032,11 +1032,15 @@ object Retrieval {
       s"depth ($depth) must cover the pool ($poolSize)")
     // both legs, shared definitions; each consumed twice (id collect
     // for the pushed fetch + the fuse/re-rank), so materialize once
+    // coalesce(1) on all three eager KB frames (≤ |Q|·depth rows by
+    // construction): every downstream job over them becomes 1-task
+    // stages instead of shuffle.partitions near-empty tasks (guide §2.2)
     val lexRank = lexRankFromStore(spark, indexStore, queries, depth,
-      k1, b).localCheckpoint(true)
+      k1, b).coalesce(1).localCheckpoint(true)
     val cands = VectorIndex.query(spark, vectorStore, queryVecs,
         k = depth, nprobe = nprobe)
       .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      .coalesce(1)
       .localCheckpoint(true)
     // ONE pushed corpus fetch serves both the exact dense re-rank and
     // the pool join: the union of both legs' candidate ids, collected
@@ -1048,6 +1052,7 @@ object Retrieval {
       .filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").cast("long").as("doc_id"),
         col("embedding").cast("array<double>").as("emb"))
+      .coalesce(1) // ≤ 2·|Q|·depth rows by construction
       .localCheckpoint(true) // consumed twice: dense re-rank + pool
     // exact dense re-rank of the store's nominees over the shared
     // fetch — VectorIndex.queryRerank's tail verbatim at full nominee

@@ -146,10 +146,18 @@ object Similarity {
         .collect().toSeq
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
         .toDF("query_id", "vec_id", "pick_rank")
+    // coalesce(1): the pool is |Q|·poolSize rows BY CONSTRUCTION (KB at
+    // any corpus scale — the reranker contract), but it usually arrives
+    // partitioned by the upstream exchange (shuffle.partitions-wide).
+    // Checkpointing it single-partition makes every greedy round's jobs
+    // 1-task stages instead of shuffle.partitions near-empty tasks —
+    // pure scheduling overhead at ANY scale, since the data is KB
+    // (guide §2.2: fewer, larger partitions; §1.2: per-task work).
     val p = pool.select(col("query_id").cast("long").as("query_id"),
         col("vec_id").cast("long").as("vec_id"),
         col("emb").cast("array<double>").as("emb"),
         col("rel").cast("double").as("rel"))
+      .coalesce(1)
       .localCheckpoint(true)
     var all = localize(p.groupBy(col("query_id"))
       .agg(max_by(col("vec_id"),

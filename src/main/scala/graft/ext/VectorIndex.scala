@@ -955,6 +955,7 @@ object VectorIndex {
     val pool0 = query(spark, store, queries, poolSize, nprobe)
       .select(col("query_id"), col("neighbor_id").as("vec_id"),
         col("approx_ip").as("rel"))
+      .coalesce(1) // |Q|·poolSize rows by construction (guide §2.2)
       .localCheckpoint(true) // consumed twice: id collect + pool join
     val ids = pool0.select(col("vec_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -987,6 +988,7 @@ object VectorIndex {
       s"rerank pool ($rerank) must cover k ($k)")
     val cands = query(spark, store, queries, rerank, nprobe)
       .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      .coalesce(1) // |Q|·rerank rows by construction (guide §2.2)
       .localCheckpoint(true) // consumed twice: id collect + fetch join
     val ids = cands.select(col("vec_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -1032,6 +1034,7 @@ object VectorIndex {
     require(poolSize >= k, s"pool ($poolSize) must cover k ($k)")
     val cands = query(spark, store, queries, poolSize, nprobe)
       .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      .coalesce(1) // |Q|·poolSize rows by construction (guide §2.2)
       .localCheckpoint(true) // consumed twice: id collect + pool join
     val ids = cands.select(col("vec_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -1062,7 +1065,11 @@ object VectorIndex {
     val cb1 = spark.read.parquet(s"$store/codebooks")
     val q = prep(queries)
       .select(col("vec_id").as("query_id"), col("emb"))
+    // coalesce(1): |Q|·nprobe rows by construction (KB at any scale) —
+    // single-partition checkpoint keeps the collect and the rank join's
+    // probe side 1-task (guide §2.2)
     val probes = Similarity.ivfPqProbes(q, centroids, nprobe)
+      .coalesce(1)
       .localCheckpoint(true) // consumed twice: cell collect + rank join
     val cells = probes.select(col("coarse_id")).distinct()
       .collect().map(_.getLong(0))
