@@ -455,30 +455,46 @@ object TextAnalysis {
     * [[dsirRelease]]; the SAME def builds the persisted and the
     * released plan so they cannot diverge (the Dedup.release lesson).
     */
-  /** The dsir feature-bucket array of a document's `text` column —
+  /** The dsir feature-bucket array over a BOUND token-array column —
     * ONE definition shared by the exploded training path
     * ([[dsirFeatures]]) and the in-row deployment scorer
     * ([[dsirScore]]), so the two cannot drift (the same
     * single-definition discipline as Dedup's winnowFp).
+    *
+    * `tk` MUST be a materialized attribute (project `tokens(text)`
+    * into a column first), NOT the raw split() expression: the
+    * [[adjacentPairs]] caveat — an expression referenced inside the
+    * transform lambda's element_at re-evaluates per element on the
+    * HOF path (no CSE), turning the tokenize O(len²) per doc. Every
+    * caller binds via [[withDsirTokens]].
     */
-  private def dsirBuckets(nBuckets: Int): Column = {
-    val toks = tokens(col("text"))
+  private def dsirBucketsOf(tk: Column, nBuckets: Int): Column = {
     // bigrams via indexed transform over the first L-1 tokens — NOT
     // sequence(0, L-2): Spark's sequence DESCENDS when stop < start,
     // so a one-token doc would fabricate phantom indices
-    val bigrams = when(size(toks) >= 2,
-      transform(slice(toks, lit(1), size(toks) - 1),
-        (t, i) => concat(t, lit(" "), element_at(toks, i + lit(2)))))
+    val bigrams = when(size(tk) >= 2,
+      transform(slice(tk, lit(1), size(tk) - 1),
+        (t, i) => concat(t, lit(" "), element_at(tk, i + lit(2)))))
       .otherwise(array().cast("array<string>"))
-    transform(concat(toks, bigrams),
+    transform(concat(tk, bigrams),
       f => pmod(Hashing.base60(f), lit(nBuckets.toLong)))
   }
+
+  /** Bind the token array of `text` as the attribute [[dsirBucketsOf]]
+    * requires (dropped by callers after use; the name is namespaced to
+    * dodge collisions with corpus columns).
+    */
+  private val DsirTokCol = "__dsir_tk"
+  private def withDsirTokens(docs: DataFrame): DataFrame =
+    docs.withColumn(DsirTokCol, tokens(col("text")))
 
   private def dsirFeatures(docs: DataFrame, targetCol: Column,
                            nBuckets: Int,
                            materialize: Boolean = true): DataFrame = {
-    val feats = docs.select(col("doc_id"), targetCol.as("is_t"),
-      explode(dsirBuckets(nBuckets)).as("b"))
+    val feats = withDsirTokens(
+        docs.select(col("doc_id"), targetCol.as("is_t"), col("text")))
+      .select(col("doc_id"), col("is_t"),
+        explode(dsirBucketsOf(col(DsirTokCol), nBuckets)).as("b"))
     // materialize=false is the SQL-surface path: a table function has
     // no release hook, so persisting there would leak a cache entry
     // per invocation for the session lifetime — the two consumers
@@ -578,13 +594,19 @@ object TextAnalysis {
     */
   def dsirScore(docs: DataFrame, ratios: Map[Long, Double],
                 nBuckets: Int = 256): DataFrame = {
-    val lrMap = map(
-      ratios.toSeq.sortBy(_._1).flatMap { case (b, v) =>
-        Seq(lit(b), lit(v)) }: _*)
-    val buckets = dsirBuckets(nBuckets)
-    docs.withColumn("n_features", size(buckets).cast("long"))
+    // weights ride a literal ARRAY indexed by bucket, NOT a literal
+    // map: Catalyst map lookup is a linear key scan per row —
+    // O(nBuckets) per feature — while get() is one ordinal access.
+    // A bucket the map lacks scores the old coalesce default (0.0);
+    // keys outside [0, nBuckets) are unreachable (pmod) either way.
+    val lrArr = array((0L until nBuckets.toLong).map(b =>
+      lit(ratios.getOrElse(b, 0.0d))): _*)
+    val buckets = dsirBucketsOf(col(DsirTokCol), nBuckets)
+    withDsirTokens(docs)
+      .withColumn("n_features", size(buckets).cast("long"))
       .withColumn("logw", aggregate(buckets, lit(0.0d),
-        (acc, b) => acc + coalesce(element_at(lrMap, b), lit(0.0d))))
+        (acc, b) => acc + coalesce(get(lrArr, b.cast("int")), lit(0.0d))))
+      .drop(DsirTokCol)
   }
 
   /** DSIR resampling — Gumbel-top-k over the importance weights, the
@@ -645,12 +667,14 @@ object TextAnalysis {
   private def qualityFeatures(docs: DataFrame, targetCol: Column,
                               nBuckets: Int): DataFrame = {
     val y = when(targetCol, lit(1.0d)).otherwise(lit(0.0d))
-    docs.repartition(col("doc_id"))
-      .select(col("doc_id"), y.as("y"),
+    withDsirTokens(docs.repartition(col("doc_id"))
+        .select(col("doc_id"), y.as("y"), col("text")))
+      .select(col("doc_id"), col("y"),
         // coalesce: a NULL text still carries its bias pseudo-token
         // (concat(NULL, …) is NULL and explode would drop the doc)
         explode(concat(
-          coalesce(dsirBuckets(nBuckets), array().cast("array<bigint>")),
+          coalesce(dsirBucketsOf(col(DsirTokCol), nBuckets),
+            array().cast("array<bigint>")),
           array(lit(nBuckets.toLong)))).as("b"))
       .groupBy(col("doc_id"), col("y"), col("b"))
       .agg(count(lit(1)).as("tf"))
@@ -658,6 +682,19 @@ object TextAnalysis {
 
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** A trained weight vector as a literal ARRAY column indexed by
+    * bucket (bias at index nBuckets) — the probe family's lookup is
+    * `get(arr, b)`, one ordinal access per feature row, where the
+    * former literal-map element_at linear-scanned all nBuckets+1 keys
+    * per row (measured: the dominant per-row cost of x35/x42/x43).
+    * Same literal doubles, same products — values are unchanged.
+    */
+  private def weightArray(w: Array[Double]): Column =
+    array(w.map(lit(_)).toIndexedSeq: _*)
+
+  private def weightArray(model: Map[Long, Double]): Column =
+    weightArray(Array.tabulate(model.size)(b => model(b.toLong)))
 
   /** One full-batch gradient pass under the CURRENT weights (shipped
     * as a literal map — KB scale, the dsirScore idiom): margin z per
@@ -678,9 +715,8 @@ object TextAnalysis {
     */
   private def qualityGrads(tfb: DataFrame, w: Array[Double],
                            nBuckets: Int): Map[Long, Double] = {
-    val wMap = map((0 to nBuckets).flatMap(b =>
-      Seq(lit(b.toLong), lit(w(b)))): _*)
-    tfb.withColumn("wb", element_at(wMap, col("b")))
+    val wArr = weightArray(w)
+    tfb.withColumn("wb", get(wArr, col("b").cast("int")))
       .groupBy(col("doc_id"), col("y"))
       .agg(round(sum((col("tf") * col("wb")).cast("decimal(38,18)"))
           .cast("double"), 6).as("z"),
@@ -776,10 +812,8 @@ object TextAnalysis {
     val tfb = SharedCache.persistShared(
       qualityFeatures(docs, targetCol, nBuckets))
     val model = trainOn(tfb, docs.count(), nBuckets, epochs, lr)
-    val wMap = map(model.toSeq.sortBy(_._1).flatMap { case (b, v) =>
-      Seq(lit(b), lit(v)) }: _*)
     tfb
-      .withColumn("wb", element_at(wMap, col("b")))
+      .withColumn("wb", get(weightArray(model), col("b").cast("int")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_features"),
         (round(sum((col("tf") * col("wb")).cast("decimal(38,18)"))
@@ -919,10 +953,11 @@ object TextAnalysis {
       .join(boot, "doc_id")
     // ONE featurization, label and truth riding along (constant per
     // doc — the grouping is still (doc_id, y, b) value-for-value)
-    val feats = docsB.repartition(col("doc_id"))
+    val feats = withDsirTokens(docsB.repartition(col("doc_id")))
       .select(col("doc_id"), col("lang"), col("boot_lang"),
         explode(concat(
-          coalesce(dsirBuckets(nBuckets), array().cast("array<bigint>")),
+          coalesce(dsirBucketsOf(col(DsirTokCol), nBuckets),
+            array().cast("array<bigint>")),
           array(lit(nBuckets.toLong)))).as("b"))
       .groupBy(col("doc_id"), col("lang"), col("boot_lang"), col("b"))
       .agg(count(lit(1)).as("tf"))
@@ -943,9 +978,8 @@ object TextAnalysis {
       val ws = Array.fill(C)(Array.fill(nBuckets + 1)(0.0d))
       for (_ <- 1 to epochs) {
         val zAggs = LangIdClasses.indices.map { i =>
-          val wMap = map((0 to nBuckets).flatMap(b =>
-            Seq(lit(b.toLong), lit(ws(i)(b)))): _*)
-          round(sum((col("tf") * element_at(wMap, col("b")))
+          round(sum((col("tf") * get(weightArray(ws(i)),
+              col("b").cast("int")))
             .cast("decimal(38,18)")).cast("double"), 6).as(s"z$i")
         }
         val perDoc = feats.groupBy(col("doc_id"), col("boot_lang"))
@@ -977,9 +1011,7 @@ object TextAnalysis {
       }
       // every class margin in ONE pass over the cached features
       val zAggs = models.map { case (c, w) =>
-        val wMap = map((0 to nBuckets).flatMap(b =>
-          Seq(lit(b.toLong), lit(w(b.toLong)))): _*)
-        round(sum((col("tf") * element_at(wMap, col("b")))
+        round(sum((col("tf") * get(weightArray(w), col("b").cast("int")))
           .cast("decimal(38,18)")).cast("double"), 6).as(s"z_$c")
       }
       val z = feats
@@ -1017,19 +1049,18 @@ object TextAnalysis {
     require(nBuckets >= 2 &&
       model.keySet == (0L to nBuckets.toLong).toSet,
       s"model must map buckets 0..n contiguously, got ${model.size} keys")
-    val wMap = map(model.toSeq.sortBy(_._1).flatMap { case (b, v) =>
-      Seq(lit(b), lit(v)) }: _*)
     // bias as an in-row pseudo-token + partition-by-doc before the
     // explode (the qualityFeatures idiom): both per-doc aggregations
     // below share the ONE docs-sized exchange instead of re-shuffling
     // the exploded token stream twice
-    docs.repartition(col("doc_id"))
+    withDsirTokens(docs.repartition(col("doc_id")))
       .select(col("doc_id"), explode(concat(
-        coalesce(dsirBuckets(nBuckets), array().cast("array<bigint>")),
+        coalesce(dsirBucketsOf(col(DsirTokCol), nBuckets),
+          array().cast("array<bigint>")),
         array(lit(nBuckets.toLong)))).as("b"))
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("wb", element_at(wMap, col("b")))
+      .withColumn("wb", get(weightArray(model), col("b").cast("int")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_features"),
         (round(sum((col("tf") * col("wb")).cast("decimal(38,18)"))
@@ -1052,14 +1083,15 @@ object TextAnalysis {
     require(nBuckets >= 2 &&
       model.keySet == (0L to nBuckets.toLong).toSet,
       s"model must map buckets 0..n contiguously, got ${model.size} keys")
-    val wMap = map(model.toSeq.sortBy(_._1).flatMap { case (b, v) =>
-      Seq(lit(b), lit(v)) }: _*)
-    docs
+    val wArr = weightArray(model)
+    withDsirTokens(docs)
       .withColumn("margin",
-        round(aggregate(dsirBuckets(nBuckets), lit(model(nBuckets.toLong)),
-          (acc, b) => acc + element_at(wMap, b)), 6) + lit(0.0d))
+        round(aggregate(dsirBucketsOf(col(DsirTokCol), nBuckets),
+          lit(model(nBuckets.toLong)),
+          (acc, b) => acc + get(wArr, b.cast("int"))), 6) + lit(0.0d))
       .withColumn("quality", round(squash(col("margin")), 6))
       .withColumn("predicted", col("margin") >= 0)
+      .drop(DsirTokCol)
   }
 
   /** Data-constrained epoch budgeting [EXT] — the "how many epochs of
