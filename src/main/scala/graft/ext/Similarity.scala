@@ -126,13 +126,23 @@ object Similarity {
     * every greedy round as unrolled CTEs. A pool smaller than k picks
     * its whole pool and stops (no padding rows).
     *
-    * The selection-so-far is collected to a LOCAL RELATION after every
-    * round (the pqLocal idiom — |Q|·t integer rows, KB by
-    * construction): round t's plan references the selection twice and
-    * unions it back, so a lazy `all` grows ~3^k analyzer nodes and a
-    * CLI-sized k (15+) would hang the planner; with the per-round
-    * collect the plan depth stays O(1) in k and each round is one tiny
-    * pool-bounded job. Long/int values round-trip collect exactly.
+    * The greedy FOLDS DRIVER-SIDE over the ONE collected pool (r14 —
+    * the Pca.componentsOf discipline): the pool is |Q|·poolSize rows
+    * BY CONSTRUCTION (KB at any corpus scale — the reranker contract),
+    * and the former unrolled Spark rounds cost ~4·(k−1) pool-bounded
+    * jobs of pure scheduling/planning overhead per call (measured: the
+    * dominant cost of every serving-path query). The fold replicates
+    * the engine's arithmetic OP FOR OP — [[localCosine]] is
+    * CosineSimilarity.nullSafeEval verbatim (strict left-to-right
+    * accumulation, zero-denominator → 0.0, null element/length
+    * mismatch → None), [[localRound]] is Spark Round's double path
+    * (NaN/±Inf pass through, else BigDecimal HALF_UP), and
+    * [[cmpDouble]] is SQLOrderingUtil.compareDoubles (−0.0 == 0.0,
+    * NaN greatest, NaN == NaN) with max_by's struct ordering (null
+    * field smallest) — so picks are value-identical to the expression
+    * form; SimilaritySpec pins the fold against an expression-form
+    * reference on adversarial pools (ties, ±0.0, null rel/emb, short
+    * pools) and the s14/s18/s19/s24/s28 oracles replay the rounds.
     */
   def mmrRerank(pool: DataFrame, k: Int, lambda: Double): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
@@ -140,52 +150,109 @@ object Similarity {
       s"lambda must be in [0, 1], got $lambda")
     val spark = pool.sparkSession
     import spark.implicits._
-    def localize(df: DataFrame): DataFrame =
-      df.select(col("query_id").cast("long"), col("vec_id").cast("long"),
-          col("pick_rank").cast("int"))
-        .collect().toSeq
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-        .toDF("query_id", "vec_id", "pick_rank")
-    // coalesce(1): the pool is |Q|·poolSize rows BY CONSTRUCTION (KB at
-    // any corpus scale — the reranker contract), but it usually arrives
-    // partitioned by the upstream exchange (shuffle.partitions-wide).
-    // Checkpointing it single-partition makes every greedy round's jobs
-    // 1-task stages instead of shuffle.partitions near-empty tasks —
-    // pure scheduling overhead at ANY scale, since the data is KB
-    // (guide §2.2: fewer, larger partitions; §1.2: per-task work).
-    val p = pool.select(col("query_id").cast("long").as("query_id"),
+    // ONE job: collect the KB-by-contract pool
+    val rows = pool.select(col("query_id").cast("long").as("query_id"),
         col("vec_id").cast("long").as("vec_id"),
         col("emb").cast("array<double>").as("emb"),
         col("rel").cast("double").as("rel"))
-      .coalesce(1)
-      .localCheckpoint(true)
-    var all = localize(p.groupBy(col("query_id"))
-      .agg(max_by(col("vec_id"),
-        struct(col("rel"), (-col("vec_id")).as("neg"))).as("vec_id"))
-      .withColumn("pick_rank", lit(1)))
-    var t = 2
-    while (t <= k) {
-      val selEmb = all.select(col("query_id"), col("vec_id"))
-        .join(p.select(col("query_id"), col("vec_id"), col("emb")),
-          Seq("query_id", "vec_id"))
-        .select(col("query_id"), col("emb").as("s_emb"))
-      val pick = p
-        .join(all.select(col("query_id"), col("vec_id")),
-          Seq("query_id", "vec_id"), "left_anti")
-        .join(selEmb, Seq("query_id"))
-        .groupBy(col("query_id"), col("vec_id"), col("rel"))
-        .agg(max(round(cosine(col("emb"), col("s_emb")), 4)).as("maxsim"))
-        .withColumn("score", round(lit(lambda) * col("rel") -
-          lit(1.0d - lambda) * col("maxsim"), 6))
-        .groupBy(col("query_id"))
-        .agg(max_by(col("vec_id"),
-          struct(col("score"), (-col("vec_id")).as("neg"))).as("vec_id"))
-        .withColumn("pick_rank", lit(t))
-      all = localize(all.unionByName(pick))
-      t += 1
+      .collect()
+    final case class Cand(vec: Long, emb: Seq[Any], rel: Option[Double])
+    val byQuery = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    val picks = Vector.newBuilder[(Long, Long, Int)]
+    for ((qid, rs) <- byQuery) {
+      val cands = rs.toSeq.map { r =>
+        Cand(r.getLong(1),
+          if (r.isNullAt(2)) null else r.getSeq[Any](2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      }
+      // argmax by (key, −vec_id) under max_by's struct ordering:
+      // a null first field is SMALLEST; doubles compare SQL-style
+      def argmax(cs: Seq[Cand], key: Cand => Option[Double]): Cand =
+        cs.reduceLeft { (a, b) =>
+          val c = cmpOpt(key(a), key(b))
+          val d = if (c != 0) c
+            else java.lang.Long.compare(-a.vec, -b.vec)
+          if (d >= 0) a else b
+        }
+      val nDistinct = cands.map(_.vec).distinct.size
+      val picked = scala.collection.mutable.ArrayBuffer(
+        argmax(cands, _.rel))
+      val pickedIds = scala.collection.mutable.Set(picked.head.vec)
+      while (picked.size < k && pickedIds.size < nDistinct) {
+        val remaining = cands.filter(c => !pickedIds(c.vec))
+        // maxsim = max over picked rows of round-4 cosine, nulls
+        // skipped (Max aggregate semantics); none defined → None
+        def score(c: Cand): Option[Double] = {
+          var maxsim: Option[Double] = None
+          for (s <- picked; sim <- localCosine(c.emb, s.emb)) {
+            val r = localRound(sim, 4)
+            if (maxsim.forall(m => cmpDouble(r, m) > 0)) maxsim = Some(r)
+          }
+          for (rel <- c.rel; m <- maxsim)
+            yield localRound(lambda * rel - (1.0d - lambda) * m, 6)
+        }
+        val best = argmax(remaining, score)
+        picked += best
+        pickedIds += best.vec
+      }
+      picked.zipWithIndex.foreach { case (c, i) =>
+        picks += ((qid, c.vec, i + 1))
+      }
     }
-    all.select(col("query_id"), col("vec_id").as("neighbor_id"),
-      col("pick_rank"))
+    picks.result()
+      .toDF("query_id", "neighbor_id", "pick_rank")
+  }
+
+  /** SQLOrderingUtil.compareDoubles replicated: primitive == first
+    * (so −0.0 equals 0.0), then java compare (NaN greatest, and
+    * NaN == NaN → 0) — the ordering every Spark double Max/struct
+    * comparison runs.
+    */
+  private def cmpDouble(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** Struct-field ordering over nullable doubles: null smallest
+    * (TypeUtils.getInterpretedOrdering's null rule), else
+    * [[cmpDouble]].
+    */
+  private def cmpOpt(a: Option[Double], b: Option[Double]): Int =
+    (a, b) match {
+      case (None, None) => 0
+      case (None, _) => -1
+      case (_, None) => 1
+      case (Some(x), Some(y)) => cmpDouble(x, y)
+    }
+
+  /** Spark `round(col, scale)`'s DoubleType path replicated: NaN and
+    * ±Inf pass through unrounded; everything else goes through scala
+    * BigDecimal (valueOf semantics) HALF_UP — the same idiom the
+    * PCA/probe driver folds already pin against the engine.
+    */
+  private def localRound(d: Double, scale: Int): Double =
+    if (d.isNaN || d.isInfinite) d
+    else BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** [[graft.functions.CosineSimilarity]].nullSafeEval replicated over
+    * a collected array<double> value (elements are boxed, possibly
+    * null): None where the expression yields NULL — null array, length
+    * mismatch, or any null element; 0.0 on a zero denominator; else
+    * the strict left-to-right dot / (√nx·√ny).
+    */
+  private def localCosine(x: Seq[Any], y: Seq[Any]): Option[Double] = {
+    if (x == null || y == null) return None
+    if (x.length != y.length) return None
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i); val yi = y(i)
+      if (xi == null || yi == null) return None
+      val xd = xi.asInstanceOf[Double]; val yd = yi.asInstanceOf[Double]
+      dot += xd * yd; nx += xd * xd; ny += yd * yd
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    Some(if (denom == 0.0) 0.0 else dot / denom)
   }
 
   /** MMR over the exact candidate pool — [[cosineTopK]]'s plan with

@@ -1156,6 +1156,89 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == want, "engine mmr diverged from the reference greedy")
   }
 
+  test("mmr driver fold == unrolled expression-form greedy on " +
+    "adversarial pools (nulls, NaN, ties, near-zero scores)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // the pre-r14 expression-form rounds, verbatim — the semantics
+    // contract the driver fold replicates op for op
+    def reference(pool: DataFrame, k: Int, lambda: Double): DataFrame = {
+      def localize(df: DataFrame): DataFrame =
+        df.select(col("query_id").cast("long"), col("vec_id").cast("long"),
+            col("pick_rank").cast("int"))
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toDF("query_id", "vec_id", "pick_rank")
+      val p = pool.select(col("query_id").cast("long").as("query_id"),
+          col("vec_id").cast("long").as("vec_id"),
+          col("emb").cast("array<double>").as("emb"),
+          col("rel").cast("double").as("rel"))
+        .coalesce(1).localCheckpoint(true)
+      var all = localize(p.groupBy(col("query_id"))
+        .agg(max_by(col("vec_id"),
+          struct(col("rel"), (-col("vec_id")).as("neg"))).as("vec_id"))
+        .withColumn("pick_rank", lit(1)))
+      var t = 2
+      while (t <= k) {
+        val selEmb = all.select(col("query_id"), col("vec_id"))
+          .join(p.select(col("query_id"), col("vec_id"), col("emb")),
+            Seq("query_id", "vec_id"))
+          .select(col("query_id"), col("emb").as("s_emb"))
+        val pick = p
+          .join(all.select(col("query_id"), col("vec_id")),
+            Seq("query_id", "vec_id"), "left_anti")
+          .join(selEmb, Seq("query_id"))
+          .groupBy(col("query_id"), col("vec_id"), col("rel"))
+          .agg(max(round(Similarity.cosine(col("emb"), col("s_emb")), 4))
+            .as("maxsim"))
+          .withColumn("score", round(lit(lambda) * col("rel") -
+            lit(1.0d - lambda) * col("maxsim"), 6))
+          .groupBy(col("query_id"))
+          .agg(max_by(col("vec_id"),
+            struct(col("score"), (-col("vec_id")).as("neg"))).as("vec_id"))
+          .withColumn("pick_rank", lit(t))
+        all = localize(all.unionByName(pick))
+        t += 1
+      }
+      all.select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("pick_rank"))
+    }
+    val dup = Seq(0.6, 0.8, 0.0)           // exact-duplicate embedding pair
+    val pool: Seq[(Long, Long, Seq[java.lang.Double], java.lang.Double)] =
+      Seq(
+        // q0: duplicate embeddings (maxsim ties), equal rel (first-pick
+        // tie broken by id), and a score engineered near zero
+        (0L, 11L, dup.map(Double.box), Double.box(0.9)),
+        (0L, 12L, dup.map(Double.box), Double.box(0.9)),
+        (0L, 13L, Seq(0.0, 0.0, 1.0).map(Double.box), Double.box(0.3)),
+        (0L, 14L, Seq(-0.6, -0.8, 0.0).map(Double.box), Double.box(0.0)),
+        // q1: null rel, null emb, null element, length mismatch, NaN
+        (1L, 21L, Seq(1.0, 0.0, 0.0).map(Double.box), Double.box(0.5)),
+        (1L, 22L, Seq(1.0, 0.0, 0.0).map(Double.box), null),
+        (1L, 23L, null, Double.box(0.8)),
+        (1L, 24L, Seq[java.lang.Double](Double.box(1.0), null,
+          Double.box(0.0)), Double.box(0.7)),
+        (1L, 25L, Seq(1.0, 0.0).map(Double.box), Double.box(0.6)),
+        (1L, 26L, Seq(Double.NaN, 1.0, 0.0).map(Double.box),
+          Double.box(0.4)),
+        // q2: zero vectors (denominator 0 -> sim 0.0) and negatives
+        (2L, 31L, Seq(0.0, 0.0, 0.0).map(Double.box), Double.box(-0.2)),
+        (2L, 32L, Seq(0.0, 1.0, 0.0).map(Double.box), Double.box(-0.2)),
+        (2L, 33L, Seq(0.0, -1.0, 0.0).map(Double.box), Double.box(-0.4)),
+        // q3: pool smaller than k
+        (3L, 41L, Seq(1.0, 1.0, 0.0).map(Double.box), Double.box(0.1)))
+    val df = pool.toDF("query_id", "vec_id", "emb", "rel")
+    for (k <- Seq(1, 3, 6); lambda <- Seq(0.0, 0.5, 0.7, 1.0)) {
+      val got = Similarity.mmrRerank(df, k, lambda).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = reference(df, k, lambda).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want,
+        s"driver fold diverged from the expression greedy at k=$k, " +
+          s"lambda=$lambda:\n got $got\nwant $want")
+    }
+  }
+
   test("mmr with lambda = 1 degenerates to the relevance ranking") {
     val e = Tables.embeddings(spark, sf0001)
     val probes = e.filter(col("vec_id") < 5)
