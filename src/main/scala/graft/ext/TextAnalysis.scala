@@ -697,34 +697,41 @@ object TextAnalysis {
     weightArray(Array.tabulate(model.size)(b => model(b.toLong)))
 
   /** One full-batch gradient pass under the CURRENT weights (shipped
-    * as a literal map — KB scale, the dsirScore idiom): margin z per
+    * as a literal array — KB scale, the dsirScore idiom): margin z per
     * doc (decimal-summed, rounded to the 6-grid), residual
     * r = round(y − σ̃(z), 6), then per-bucket gradients
     * g_b = Σ_docs tf·r (decimal, order-free). Returns the gradients
     * collected — nBuckets+1 rows max, KB BY CONSTRUCTION (the
     * pqLocal/dsirRatios contract).
     *
-    * ONE scan of the feature table per epoch (r12): the doc-keyed
-    * aggregate computes z AND carries the doc's (b, tf) pairs forward
-    * in the same ObjectHashAggregate (exchange-free — the table is
-    * doc_id-partitioned), so the residual fan-out is an in-row
-    * explode instead of the former join-back + second scan. The
-    * arithmetic is unchanged value for value: z is the same decimal
-    * sum, g_b the same order-free decimal sum over the same terms —
-    * the x35 oracle (which replays the training) pins it.
+    * The residual lands back on the feature rows by a doc_id-co-keyed
+    * JOIN of the per-doc residual frame (one double per doc) — NOT by
+    * carrying (b, tf) lists through the aggregate: collect_list is a
+    * TypedImperativeAggregate, and ObjectHashAggregate falls back to
+    * SORT-based past 128 keys per partition, so the r12 fused form
+    * paid a per-epoch sort + struct materialization of the whole
+    * feature table (measured: the dominant per-epoch cost of
+    * x35/x42/x43). Both join sides are clustered on doc_id (the
+    * feature table is persisted hash-partitioned by doc_id and the
+    * residual aggregate inherits that), so the join is exchange-free
+    * at any scale — AQE broadcasts the residual side while it fits,
+    * co-partitioned-joins beyond. The arithmetic is unchanged value
+    * for value: z is the same decimal sum, g_b the same order-free
+    * decimal sum over the same tf·r terms — the x35 oracle (which
+    * replays the training) pins it.
     */
   private def qualityGrads(tfb: DataFrame, w: Array[Double],
                            nBuckets: Int): Map[Long, Double] = {
     val wArr = weightArray(w)
-    tfb.withColumn("wb", get(wArr, col("b").cast("int")))
+    val resid = tfb.withColumn("wb", get(wArr, col("b").cast("int")))
       .groupBy(col("doc_id"), col("y"))
       .agg(round(sum((col("tf") * col("wb")).cast("decimal(38,18)"))
-          .cast("double"), 6).as("z"),
-        collect_list(struct(col("b"), col("tf"))).as("fs"))
-      .withColumn("r", round(col("y") - squash(col("z")), 6))
-      .select(explode(col("fs")).as("f"), col("r"))
-      .groupBy(col("f.b").as("b"))
-      .agg(sum((col("f.tf") * col("r")).cast("decimal(38,18)"))
+          .cast("double"), 6).as("z"))
+      .select(col("doc_id"),
+        round(col("y") - squash(col("z")), 6).as("r"))
+    tfb.join(resid, "doc_id")
+      .groupBy(col("b"))
+      .agg(sum((col("tf") * col("r")).cast("decimal(38,18)"))
         .cast("double").as("g"))
       .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
   }
@@ -966,14 +973,17 @@ object TextAnalysis {
       val n = docsB.count()
       require(n > 0, "cannot train a language-ID probe on an empty corpus")
       // ALL classes train together: per epoch, ONE pass computes every
-      // class's margins (C literal weight maps in one aggregate),
-      // residuals fan out in-row, and ONE gradient aggregation emits C
-      // gradient columns per bucket — C×epochs scans collapse to
-      // `epochs`. Arithmetic is trainOn's value for value: the same
-      // decimal-summed round-6 z per (doc, class), the same round-6
-      // residual, the same order-free decimal gradient sum, the same
-      // driver-side HALF_UP weight update (the x43 oracle replays the
-      // per-class chains and pins the equivalence).
+      // class's margins (C literal weight arrays in one aggregate),
+      // residuals land back on the feature rows by the doc_id-co-keyed
+      // join (the qualityGrads form — see there for why this beats
+      // carrying (b, tf) lists through an ObjectHashAggregate), and
+      // ONE gradient aggregation emits C gradient columns per bucket —
+      // C×epochs scans collapse to `epochs`. Arithmetic is trainOn's
+      // value for value: the same decimal-summed round-6 z per (doc,
+      // class), the same round-6 residual, the same order-free decimal
+      // gradient sum, the same driver-side HALF_UP weight update (the
+      // x43 oracle replays the per-class chains and pins the
+      // equivalence).
       val C = LangIdClasses.size
       val ws = Array.fill(C)(Array.fill(nBuckets + 1)(0.0d))
       for (_ <- 1 to epochs) {
@@ -982,21 +992,19 @@ object TextAnalysis {
               col("b").cast("int")))
             .cast("decimal(38,18)")).cast("double"), 6).as(s"z$i")
         }
-        val perDoc = feats.groupBy(col("doc_id"), col("boot_lang"))
-          .agg(zAggs.head, (zAggs.tail :+
-            collect_list(struct(col("b"), col("tf"))).as("fs")): _*)
         val rCols = LangIdClasses.zipWithIndex.map { case (c, i) =>
           val y = when(col("boot_lang") === c, lit(1.0d))
             .otherwise(lit(0.0d))
           round(y - squash(col(s"z$i")), 6).as(s"r$i")
         }
+        val resid = feats.groupBy(col("doc_id"), col("boot_lang"))
+          .agg(zAggs.head, zAggs.tail: _*)
+          .select(col("doc_id") +: rCols: _*)
         val gAggs = LangIdClasses.indices.map(i =>
-          sum((col("f.tf") * col(s"r$i")).cast("decimal(38,18)"))
+          sum((col("tf") * col(s"r$i")).cast("decimal(38,18)"))
             .cast("double").as(s"g$i"))
-        val grads = perDoc.select((rCols :+ col("fs")): _*)
-          .select((LangIdClasses.indices.map(i => col(s"r$i")) :+
-            explode(col("fs")).as("f")): _*)
-          .groupBy(col("f.b").as("b"))
+        val grads = feats.join(resid, "doc_id")
+          .groupBy(col("b"))
           .agg(gAggs.head, gAggs.tail: _*)
           .collect()
         for (row <- grads; i <- LangIdClasses.indices) {
