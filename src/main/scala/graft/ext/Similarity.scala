@@ -555,26 +555,97 @@ object Similarity {
     * `iters = 1` is the bare seed sample (the untrained baseline the
     * recall-improvement spec compares against).
     */
+  /** Centroid-table bytes below which nearest-centroid assignment
+    * rides the expression tree as literals (the
+    * [[VectorIndex]].encodeLiteral valve, same 4 MiB bound): below it
+    * the assignment is a PURE NARROW MAP (no n·k row blowup, no
+    * argmax aggregate with array-typed buffers — which HashAggregate
+    * cannot hold, so the old form paid an ObjectHashAggregate of the
+    * whole corpus); above it the broadcast-join + max_by form is kept
+    * (a 100 TB autoNlist centroid table cannot ride an expression).
+    * A performance DISPATCH, not a semantic one — the in-row
+    * comparator is the aggregate's EXACTLY (array_max over
+    * (c_sim, −id, …) == max_by over (c_sim, −id): null fields
+    * smallest, NaN greatest, −0.0 == 0.0 in both).
+    */
+  private[graft] val LitAssignMaxBytes: Long = 4L << 20
+
+  /** Collect a KB-scale (centroid_id, c_emb) frame to rows (doubles
+    * round-trip exactly; on an already-local frame this runs no job).
+    */
+  private def centroidRows(c: DataFrame): IndexedSeq[(Long, Seq[Double])] =
+    c.select(col("centroid_id").cast("long"),
+        col("c_emb").cast("array<double>"))
+      .collect().toIndexedSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  private def centroidBytes(cents: IndexedSeq[(Long, Seq[Double])]): Long =
+    cents.iterator.map(c => 8L + 8L * c._2.length).sum
+
+  /** The in-row argmax struct over literal centroids: max of
+    * (c_sim, −centroid_id, centroid_id, c_emb) — fields 1–2 ARE the
+    * crossJoin+max_by ordering, fields 3–4 the payload (never
+    * compared: −id is unique). `scale` is the site's cosine round.
+    *
+    * The centroid table rides ONE typedLit array and the candidate
+    * structs come from a `transform` lambda, NOT an unrolled
+    * array(...) of per-centroid expressions: the unrolled form
+    * inlines k cosine loops into the generated method, which blows
+    * janino's 64 KB limit near k ≈ 50 and silently drops the whole
+    * stage to interpreted execution (measured: s07/s08 1.7× slower).
+    * The HOF body is interpreted per element either way, but the
+    * surrounding stage keeps codegen and the literal is built once.
+    */
+  private def bestCentroidStruct(emb: Column,
+      cents: IndexedSeq[(Long, Seq[Double])], scale: Int): Column = {
+    val centsLit = typedLit(cents)
+    array_max(transform(centsLit, c =>
+      struct(round(cosine(emb, c.getField("_2")), scale).as("c_sim"),
+        (-c.getField("_1")).as("neg"),
+        c.getField("_1").as("centroid_id"),
+        c.getField("_2").as("c_emb"))))
+  }
+
   private[graft] def coarseCentroids(e: DataFrame, nlist: Int,
                                      iters: Int): DataFrame = {
     require(iters >= 1,
       s"coarse training needs at least one pass, got $iters")
     val spark = e.sparkSession
     import spark.implicits._
-    var c = e
+    def localize(df: DataFrame): DataFrame =
+      df.select(col("centroid_id").cast("long"), col("c_emb"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toDF("centroid_id", "c_emb")
+    // the seed is collected up front (nlist rows — KB at trainer
+    // scale): every refinement pass and every caller-side assignment
+    // then starts from literals (the pqLocal discipline); doubles
+    // round-trip exactly, so values are unchanged
+    var c = localize(e
       .orderBy(((col("vec_id") % CentroidPrime) * CentroidMult)
           % CentroidPrime,
         col("vec_id"))
       .limit(nlist)
-      .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
+      .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb")))
     for (_ <- 2 to iters) {
-      c = e.crossJoin(broadcast(c))
-        .withColumn("c_sim", round(cosine(col("emb"), col("c_emb")), 4))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("centroid_id"),
-            struct(col("c_sim"), (-col("centroid_id")).as("neg")))
-            .as("centroid_id"),
-          first(col("emb")).as("emb"))
+      val cents = centroidRows(c)
+      // assignment: narrow in-row argmax below the literal valve (no
+      // n·k blowup, no object aggregate), the join+max_by form beyond
+      // — same comparator, same means, same result
+      val assigned =
+        if (cents.nonEmpty && centroidBytes(cents) <= LitAssignMaxBytes)
+          e.withColumn("cc", bestCentroidStruct(col("emb"), cents, 4))
+            .select(col("cc.centroid_id").as("centroid_id"), col("emb"))
+        else
+          e.crossJoin(broadcast(c))
+            .withColumn("c_sim",
+              round(cosine(col("emb"), col("c_emb")), 4))
+            .groupBy(col("vec_id"))
+            .agg(max_by(col("centroid_id"),
+                struct(col("c_sim"), (-col("centroid_id")).as("neg")))
+                .as("centroid_id"),
+              first(col("emb")).as("emb"))
+      c = localize(assigned
         .select(col("centroid_id"),
           posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy(col("centroid_id"), col("dim"))
@@ -583,10 +654,7 @@ object Similarity {
         .groupBy(col("centroid_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("c_emb"))
-        .collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .toDF("centroid_id", "c_emb")
+          s => s.getField("m")).as("c_emb")))
     }
     c
   }
@@ -612,6 +680,7 @@ object Similarity {
     val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
     val centroids = coarseCentroids(e, nlist, coarseIters)
+    val cents = centroidRows(centroids)
 
     def nearestCentroids(df: DataFrame, idCol: String, embCol: String,
                          keep: Int): DataFrame = {
@@ -625,7 +694,17 @@ object Similarity {
         .drop("c_emb", "c_sim", "c_rank")
     }
 
-    val postings = nearestCentroids(e, "vec_id", "emb", 1)
+    // corpus-side posting assignment (keep = 1): a narrow in-row
+    // argmax below the literal valve — no n·nlist blowup and no
+    // corpus-keyed Window sort; same (c_sim desc, id asc) pick,
+    // NaN-greatest/nulls-last included. Probes stay on the window
+    // form: |Q|·nlist rows, and keep > 1 needs the rank anyway.
+    val postings =
+      if (cents.nonEmpty && centroidBytes(cents) <= LitAssignMaxBytes)
+        e.withColumn("cc", bestCentroidStruct(col("emb"), cents, 6))
+          .select(col("vec_id"), col("emb"),
+            col("cc.centroid_id").as("centroid_id"))
+      else nearestCentroids(e, "vec_id", "emb", 1)
     val probes = nearestCentroids(
       queries.select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("q_emb")),
@@ -854,52 +933,66 @@ object Similarity {
     val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def assign(c: DataFrame): DataFrame =
-      e.crossJoin(broadcast(c))
-        .withColumn("c_sim", round(cosine(col("emb"), col("c_emb")), 4))
-        .groupBy(col("vec_id"))
-        .agg(
-          max_by(col("cluster_id"),
-            struct(col("c_sim"), (-col("cluster_id")).as("neg")))
-            .as("cluster_id"),
-          max(col("c_sim")).as("sim"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // assignment is a narrow in-row argmax over the literal centroid
+    // table below the valve (the coarseCentroids form — no n·k blowup,
+    // no argmax aggregate), the crossJoin+max_by form beyond; the
+    // picked struct's c_sim IS max(c_sim), so `sim` is unchanged
+    def assign(cents: IndexedSeq[(Long, Seq[Double])],
+               c: DataFrame): DataFrame =
+      if (cents.nonEmpty && centroidBytes(cents) <= LitAssignMaxBytes)
+        e.withColumn("cc", bestCentroidStruct(col("emb"), cents, 4))
+          .select(col("vec_id"), col("cc.centroid_id").as("cluster_id"),
+            col("cc.c_sim").as("sim"), col("emb"))
+      else
+        e.crossJoin(broadcast(c))
+          .withColumn("c_sim", round(cosine(col("emb"), col("c_emb")), 4))
+          .groupBy(col("vec_id"))
+          .agg(
+            max_by(col("cluster_id"),
+              struct(col("c_sim"), (-col("cluster_id")).as("neg")))
+              .as("cluster_id"),
+            max(col("c_sim")).as("sim"),
+            first(col("emb")).as("emb"))
+    def localize(df: DataFrame): DataFrame = df.collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toDF("cluster_id", "c_emb")
     // refinement passes are EAGER (the pqTrainOn discipline): each
     // collects the k·dim-double centroid table — KB by construction —
     // into a literal local relation, so the cache serves every pass
     // and is dropped before the lazy plan returns (no CacheManager
     // entry outlives the call); the final assignment recomputes the
-    // narrow cast map once.
+    // narrow cast map once. The seed is collected up front so every
+    // pass (and the final assignment) starts from literals.
     val cent =
       try {
-        var c = e
+        var c = localize(e
           .orderBy(((col("vec_id") % CentroidPrime) * CentroidMult)
               % CentroidPrime,
             col("vec_id"))
           .limit(k)
-          .select(col("vec_id").as("cluster_id"), col("emb").as("c_emb"))
+          .select(col("vec_id").as("cluster_id"), col("emb").as("c_emb")))
         var it = 1
         while (it < iters) {
-          val byDim = assign(c).select(col("vec_id"), col("cluster_id"))
-            .join(e, "vec_id")
+          val byDim = assign(centroidRows(
+              c.withColumnRenamed("cluster_id", "centroid_id")), c)
             .select(col("cluster_id"),
               posexplode(col("emb")).as(Seq("dim", "v")))
-          val spark = embeddings.sparkSession
-          import spark.implicits._
-          c = byDim.groupBy(col("cluster_id"), col("dim"))
+          c = localize(byDim.groupBy(col("cluster_id"), col("dim"))
             .agg((sum(col("v").cast("decimal(38,18)")).cast("double") /
               count(lit(1))).as("c"))
             .groupBy(col("cluster_id"))
             .agg(transform(
               array_sort(collect_list(struct(col("dim"), col("c")))),
-              s => s.getField("c")).as("c_emb"))
-            .collect().toSeq
-            .map(r => (r.getLong(0), r.getSeq[Double](1)))
-            .toDF("cluster_id", "c_emb")
+              s => s.getField("c")).as("c_emb")))
           it += 1
         }
         c
       } finally e.unpersist()
-    assign(cent).select(col("vec_id"), col("cluster_id"), col("sim"))
+    assign(centroidRows(
+        cent.withColumnRenamed("cluster_id", "centroid_id")), cent)
+      .select(col("vec_id"), col("cluster_id"), col("sim"))
   }
 
   /** Cluster-balanced corpus sample [EXT] — semantic diversity
@@ -1007,13 +1100,57 @@ object Similarity {
           .as("cell"),
         carry.map(c => first(col(c)).as(c)): _*)
 
-  /** One Lloyd refinement of codebook `cb` over `svs`: rounded-4
-    * argmin assignment, then per-(sub, cell, dim) DECIMAL means.
-    * Cells that attract no vector drop out (standard empty-cell
-    * handling — the codebook can only shrink).
+  /** In-row PQ cell assignment over a COLLECTED codebook — the
+    * [[pqEncode]] argmin (array_min of rounded-4 (d2, cell) structs,
+    * comparator-identical to [[pqAssign]]'s min_by, spec-pinned
+    * in-row == distributed) dispatched per `sub` by a when-chain, so
+    * the corpus-sized side is a PURE NARROW MAP instead of a
+    * broadcast-join + argmin aggregate whose array-typed buffers
+    * forced ObjectHashAggregate. The same [[LitAssignMaxBytes]] valve
+    * applies: callers fall back to [[pqAssign]] beyond it.
     */
-  private def pqRefine(svs: DataFrame, cb: DataFrame): DataFrame =
-    pqAssign(svs, cb)
+  private def pqAssignInRow(svs: DataFrame,
+      model: Map[(Int, Long), Array[Double]],
+      carry: Seq[String] = Seq("sv")): DataFrame = {
+    val subs = model.keys.map(_._1).toSeq.distinct.sorted
+    // the codebook rides ONE nested typedLit indexed by sub — data,
+    // not unrolled code (the bestCentroidStruct codegen-size lesson)
+    val cbLit = typedLit((0 to subs.max).map(s =>
+      model.collect { case ((`s`, cell), c_sv) => (cell, c_sv.toSeq) }
+        .toSeq.sortBy(_._1)))
+    val cellExpr = array_min(
+      transform(element_at(cbLit, col("sub") + 1), c =>
+        struct(round(l2sq(col("sv"), c.getField("_2")), 4).as("d2"),
+          c.getField("_1").as("cell")))).getField("cell")
+    // the join form DROPS svs rows whose sub has no codebook cells —
+    // replicate with the filter (subs are 0..m−1 in practice)
+    svs.filter(col("sub").isin(subs: _*))
+      .select(Seq(col("vec_id"), col("sub"), cellExpr.as("cell")) ++
+        carry.map(col): _*)
+  }
+
+  private def pqModelBytes(model: Map[(Int, Long), Array[Double]]): Long =
+    model.valuesIterator.map(v => 12L + 8L * v.length).sum
+
+  private def pqModelOf(cb: DataFrame): Map[(Int, Long), Array[Double]] =
+    cb.select(col("sub").cast("int"), col("cell").cast("long"),
+        col("c_sv").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        r.getSeq[Double](2).toArray).toMap
+
+  /** One Lloyd refinement over `svs` under a COLLECTED codebook:
+    * rounded-4 argmin assignment (in-row below the valve, the join
+    * form beyond), then per-(sub, cell, dim) DECIMAL means. Cells
+    * that attract no vector drop out (standard empty-cell handling —
+    * the codebook can only shrink).
+    */
+  private def pqRefine(svs: DataFrame, cb: DataFrame): DataFrame = {
+    val model = pqModelOf(cb)
+    val assigned =
+      if (model.nonEmpty && pqModelBytes(model) <= LitAssignMaxBytes)
+        pqAssignInRow(svs, model)
+      else pqAssign(svs, cb)
+    assigned
       .select(col("sub"), col("cell"), posexplode(col("sv"))
         .as(Seq("dim", "v")))
       .groupBy(col("sub"), col("cell"), col("dim"))
@@ -1023,6 +1160,7 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("c")))),
         s => s.getField("c")).as("c_sv"))
+  }
 
   /** Collect a codebook frame (m·ksub rows — KB scale BY
     * CONSTRUCTION, the [[pqCodebook]] contract) into a LITERAL local
@@ -1087,7 +1225,13 @@ object Similarity {
     val cb1 =
       try pqTrainOn(e, svs, ksub, m, dsub, iters)
       finally svs.unpersist()
-    val codes = pqAssign(svs, cb1, carry = Nil)
+    // encode: in-row argmin below the valve (the pqEncode form), the
+    // join+min_by aggregate beyond — identical codes either way
+    val model1 = pqModelOf(cb1)
+    val codes =
+      if (model1.nonEmpty && pqModelBytes(model1) <= LitAssignMaxBytes)
+        pqAssignInRow(svs, model1, carry = Nil)
+      else pqAssign(svs, cb1, carry = Nil)
     // per-probe ADC table: m·ksub rounded partial inner products
     val dtable = pqSubvectors(
       queries.select(col("vec_id").cast("long").as("query_id"),
@@ -1225,16 +1369,25 @@ object Similarity {
     val dsub = dim / m
     val centroids = coarseCentroids(e, nlist, coarseIters)
       .select(col("centroid_id").as("coarse_id"), col("c_emb"))
-    // coarse argmax (the d09 max_by shape — partial-aggregable, one
-    // shuffle, no window), residual computed in the same pass
-    val er = e.crossJoin(broadcast(centroids))
-      .withColumn("c_sim", round(cosine(col("emb"), col("c_emb")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("coarse_id"), col("c_emb")),
-          struct(col("c_sim"), (-col("coarse_id")).as("neg"))).as("cc"),
-        first(col("emb")).as("x"))
-      .select(col("vec_id"), col("cc.coarse_id").as("coarse_id"),
-        zip_with(col("x"), col("cc.c_emb"), _ - _).as("emb"))
+    val cents = centroidRows(
+      centroids.withColumnRenamed("coarse_id", "centroid_id"))
+    // coarse argmax + residual in the same pass: a narrow in-row
+    // argmax over the literal centroids below the valve (the
+    // encodeLiteral form — no n·nlist blowup, no object aggregate),
+    // the crossJoin + max_by form beyond — same pick, same residual
+    val er = (if (cents.nonEmpty && centroidBytes(cents) <= LitAssignMaxBytes)
+        e.withColumn("cc", bestCentroidStruct(col("emb"), cents, 6))
+          .select(col("vec_id"), col("cc.centroid_id").as("coarse_id"),
+            zip_with(col("emb"), col("cc.c_emb"), _ - _).as("emb"))
+      else
+        e.crossJoin(broadcast(centroids))
+          .withColumn("c_sim", round(cosine(col("emb"), col("c_emb")), 6))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("coarse_id"), col("c_emb")),
+              struct(col("c_sim"), (-col("coarse_id")).as("neg"))).as("cc"),
+            first(col("emb")).as("x"))
+          .select(col("vec_id"), col("cc.coarse_id").as("coarse_id"),
+            zip_with(col("x"), col("cc.c_emb"), _ - _).as("emb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val svs = pqSubvectors(er, "vec_id", m, dsub,
         extra = Seq("coarse_id"))
@@ -1258,9 +1411,13 @@ object Similarity {
       try pqTrainOn(er.filter(col("vec_id") =!= col("coarse_id")),
         svs, ksub, m, dsub, iters)
       finally { svs.unpersist(); er.unpersist() }
-    // coarse_id rides the encode aggregation (functionally dependent
-    // on vec_id) instead of a post-hoc n·m ⋈ n join
-    val codes = pqAssign(svs, cb1, carry = Seq("coarse_id"))
+    // coarse_id rides the encode (functionally dependent on vec_id)
+    // instead of a post-hoc n·m ⋈ n join; in-row below the valve
+    val model1 = pqModelOf(cb1)
+    val codes =
+      if (model1.nonEmpty && pqModelBytes(model1) <= LitAssignMaxBytes)
+        pqAssignInRow(svs, model1, carry = Seq("coarse_id"))
+      else pqAssign(svs, cb1, carry = Seq("coarse_id"))
     (centroids, cb1, codes)
   }
 

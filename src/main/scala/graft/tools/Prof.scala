@@ -27,7 +27,18 @@ object Prof {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+        // a future-submitted stage's own name is the generic
+        // CompletableFuture frame — fall back to the deepest stage
+        // RDD scope / first graft frame in the stage details
+        def graftFrame(s: org.apache.spark.scheduler.StageInfo): String =
+          s.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("tools.Prof"))
+            .map(_.trim.take(90)).getOrElse(s.name)
+        val named = j.stageInfos.map(s =>
+          if (s.name.contains("CompletableFuture")) graftFrame(s)
+          else s.name)
+        val site = named.find(!_.contains("CompletableFuture"))
+          .orElse(named.lastOption).getOrElse("?")
         jobs.put(j.jobId, (j.time, site))
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {

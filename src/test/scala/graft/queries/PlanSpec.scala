@@ -24,11 +24,13 @@ class PlanSpec extends SparkTestBase {
     "s01_cosine_topk",      // corpus × broadcast probe set (O(Q·N), Q small)
     "s03_ann_ivf",          // corpus × broadcast centroid list
     "s04_ann_int8",         // corpus × broadcast quantized probes
-    "s05_kmeans",           // corpus × broadcast centroid list, per Lloyd pass
     "s06_ann_recall",       // runs s01's exact side to grade s02 (eval op)
     "s08_ann_ivfpq",        // corpus × broadcast centroid list (coarse assign)
-    "s10_cluster_sample",   // s05's final assignment pass (same crossJoin)
     "s11_hybrid_rrf",       // dense branch: corpus × broadcast query vectors
+    // (r14: s05/s10's per-pass centroid assignment moved to the
+    // in-row literal argmax below Similarity.LitAssignMaxBytes — no
+    // crossJoin plans at bench scale; past the valve the crossJoin
+    // form returns and they would need re-whitelisting)
     "s12_hard_negatives",   // s01's corpus × broadcast probe set
     "d05_embedding_dups")   // brute-force truth twin of d07
   // (d09's corpus × broadcast-centroid crossJoin sits BEHIND its
