@@ -872,9 +872,24 @@ object TextAnalysis {
         .as("nn"))
       .orderBy(col("margin"))
     val rdd = grid.rdd // shared lineage: the sort shuffle runs once
-    val negParts = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(2)); Iterator((i, s))
-    }.collect().sortBy(_._1).map(_._2)
+    // ONE pass collects the per-partition negative subtotals (the
+    // prefix offsets) AND the class/accuracy counts: every count is
+    // derivable from the KB grid — n_pos = Σnp, n_neg = Σnn, and
+    // since `predicted` is exactly margin ≥ 0 (a function of the
+    // grid key), n_correct = Σ(np where margin ≥ 0 else nn) — so the
+    // former third corpus-scale aggregate (labeled.agg over the join)
+    // is a driver-side fold over one row per distinct margin. Exact
+    // long arithmetic, value-identical (r14; the oracle is unchanged).
+    val parts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; var np = 0L; var nc = 0L
+      it.foreach { r =>
+        val p = r.getLong(1); val n = r.getLong(2)
+        s += n; np += p
+        nc += (if (r.getDouble(0) >= 0) p else n)
+      }
+      Iterator((i, s, np, nc))
+    }.collect().sortBy(_._1)
+    val negParts = parts.map(_._2)
     val offsets = negParts.scanLeft(0L)(_ + _)
     val u2 = rdd.mapPartitionsWithIndex { (i, it) =>
       var cum = offsets(i)
@@ -883,13 +898,8 @@ object TextAnalysis {
         val c = np * (2L * cum + nn); cum += nn; c
       }
     }.fold(0L)(_ + _)
-    val counts = labeled.agg(
-      coalesce(sum(when(col("y"), 1L).otherwise(0L)), lit(0L)),
-      coalesce(sum(when(col("y"), 0L).otherwise(1L)), lit(0L)),
-      coalesce(sum(when(col("predicted") === col("y"), 1L)
-        .otherwise(0L)), lit(0L))).collect()(0)
     val (nPos, nNeg, nCorrect) =
-      (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+      (parts.map(_._3).sum, negParts.sum, parts.map(_._4).sum)
     require(nPos > 0 && nNeg > 0,
       "probe AUC needs both classes present in the training labels")
     // the derived doubles go through Spark expressions so the
