@@ -175,19 +175,16 @@ object Bench {
     val succeeded = names.filter(k => times(k).nonEmpty)
     val total = succeeded.map(k => times(k).min).sum
     val totalMedian = succeeded.map(k => median(times(k))).sum
-    // stdout carries a COMPACT line: the capture's tail buffer keeps
-    // only the LAST 2000 chars of output, and the trailing sbt
-    // "[success] Total time" line eats ~75 of those. The full-name
-    // per-query map alone is ~3.5 KB, so it was truncated mid-JSON
-    // (→ parsed:null) every round it was printed. The stdout map
-    // therefore uses SHORT query ids (the unique prefix before the
-    // first underscore: q01_pricing_summary → q01) and 2-decimal
-    // values, which fits the whole 128-query map in ~1.6 KB; the
-    // full-name map, medians, and per-rep times go to a side file so
-    // they are never what gets cut.
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"medians":$medians,"total_median":${fmt(totalMedian)},"reps":$repTimes,"n_reps":$reps,"failed":$failedJson,"sf":"$sfDir"}"""
+    // the per-leg default (r15, VERDICT r14 item 1): the r14 driver ran
+    // a 32-core leg and an 8-core leg in one session, both with
+    // SPARK_GRAFT_BENCH_DETAIL unset, and the second leg OVERWROTE the
+    // first's detail file — the only per-query record of the headline
+    // run. Folding the core count into the default name makes two legs
+    // of one session land in two files without any caller cooperation
+    // (explicit SPARK_GRAFT_BENCH_DETAIL still wins, as in the ladder).
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_DETAIL.json")
+      s"BENCH_DETAIL_c$cpus.json")
     // advertise the path ONLY if the write succeeded — a stdout pointer
     // to a stale file from a previous run would silently serve wrong
     // per-rep numbers (ladder runs MUST set SPARK_GRAFT_BENCH_DETAIL
@@ -201,33 +198,91 @@ object Bench {
         System.err.println(s"bench detail write failed: ${e.getMessage}")
         "null"
       }
-    // tiered fallback: 2-decimal map → 1-decimal map → no map. The
-    // query list has grown to where the 2-decimal form sits ~40 chars
-    // under the limit; the 1-decimal tier keeps per-query visibility
-    // in the capture for ~90 more queries before the map must drop
-    // entirely (the detail file always keeps full precision).
-    def scaled(s: Int): String = {
-      def f(d: Double): String = BigDecimal(d)
-        .setScale(s, BigDecimal.RoundingMode.HALF_UP).toString
-      names.map(k => "\"" + k.takeWhile(_ != '_') + "\":" + f(minOr(times(k))))
-        .mkString("{", ",", "}")
-    }
-    def line(qs: Option[String]): String = {
-      val qPart = qs.map(m => s""""queries":$m,""").getOrElse("")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$qPart"n_reps":$reps,"failed":$failedJson,"detail":$detailJson,"sf":"$sfDir"}"""
-    }
-    // the capture's tail buffer keeps 2000 chars and sbt's trailing
-    // "[success]" line eats ~75 — a printed line must stay ≤ ~1850.
-    // getOrElse, NOT .get: a systemic failure can inflate failedJson
-    // past the limit in every tier, and the one thing a bench must
-    // never do is crash without printing its summary line
     // stop Spark BEFORE printing: the summary line must be the very
     // last bytes on stdout — shutdown logging (or a misrouted
     // appender) trailing it is exactly what pushes the JSON out of a
     // tail-buffered capture
     spark.stop()
-    println(Seq(line(Some(scaled(2))), line(Some(scaled(1))), line(None))
-      .find(_.length <= 1850).getOrElse(line(None)))
+    println(summaryLine(names, k => minOr(times(k)), total, reps,
+      failedJson, detailJson, sfDir))
     System.out.flush()
+  }
+
+  /** The one-line stdout summary, sized for a tail-buffered capture.
+    *
+    * The capture keeps only the LAST 2000 chars of output and sbt's
+    * trailing "[success] Total time ..." line eats ~75 of those, so a
+    * printed line must stay ≤ ~1880 chars or its head is cut and the
+    * JSON becomes unparseable. A full-name per-query seconds map is
+    * ~3.5 KB; even the short-id 2-decimal map stopped fitting when the
+    * suite grew past ~160 queries (r14 finding: the map silently
+    * dropped to the map-less tier and the driver's per-query
+    * comparison came back empty). The irreducible cost of 197 map
+    * entries (quotes, short ids, colons, commas) is ~1.5 KB, so a
+    * seconds map with useful precision CANNOT fit — per-query data
+    * therefore rides as INTEGER maps with the unit in the key name:
+    *
+    *  - tier 1: `"queries"` short-id seconds at 2 decimals (kept for
+    *    small dev subsets via SPARK_GRAFT_BENCH_ONLY);
+    *  - tier 2: `"queries_cs"` short-id integer CENTIseconds;
+    *  - tier 3: `"queries_ds"` short-id integer DECIseconds — at 197
+    *    queries with the realistic sub-10 s mix this is ~1.8 KB and is
+    *    the tier that fits;
+    *  - tier 4 (guaranteed fit): `"families"` (per-family subtotal
+    *    seconds, full coverage) + `"top"` (the 20 slowest queries,
+    *    short-id seconds) — bounded at ~0.5 KB no matter how slow the
+    *    run;
+    *  - tier 5: no map (the detail file always has full-name,
+    *    3-decimal seconds, medians and per-rep times).
+    *
+    * The `queries` key is all-or-nothing: a PARTIAL seconds map (say
+    * top-20) could read as 177 dropped queries to a consumer that
+    * diffs the key set, which is worse than no map — hence the
+    * distinct `top` key in tier 4. Short ids are the unique prefix
+    * before the first underscore (q01_pricing_summary → q01), same
+    * scheme as every prior round.
+    */
+  private[graft] def summaryLine(
+      names: Seq[String], minOf: String => Double, total: Double,
+      reps: Int, failedJson: String, detailJson: String,
+      sfDir: String): String = {
+    def fmt(d: Double): String = BigDecimal(d)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def shortId(k: String): String = k.takeWhile(_ != '_')
+    def mapOf(f: Double => String): String =
+      names.map(k => "\"" + shortId(k) + "\":" + f(minOf(k)))
+        .mkString("{", ",", "}")
+    def secs2(d: Double): String = BigDecimal(d)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    // a failed query's -1 sentinel stays -1 in every unit so it can
+    // never be mistaken for a measured time
+    def scaledInt(mult: Int)(d: Double): String =
+      if (d < 0) "-1" else Math.round(d * mult).toString
+    def line(key: String, m: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","$key":$m,"n_reps":$reps,"failed":$failedJson,"detail":$detailJson,"sf":"$sfDir"}"""
+    def bare: String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_reps":$reps,"failed":$failedJson,"detail":$detailJson,"sf":"$sfDir"}"""
+    // tier 4: per-family subtotals (full coverage of the suite) plus
+    // the 20 slowest queries in seconds — bounded size regardless of
+    // how slow the run was (the integer tiers grow a digit per 10x)
+    def famTop: String = {
+      val fam = names.groupBy(_.takeWhile(_.isLetter)).toSeq.sortBy(_._1)
+        .map { case (f, ks) =>
+          "\"" + f + "\":" + secs2(ks.map(k => math.max(minOf(k), 0)).sum) }
+        .mkString("{", ",", "}")
+      val top = names.sortBy(k => -minOf(k)).take(20)
+        .map(k => "\"" + shortId(k) + "\":" + secs2(minOf(k)))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","families":$fam,"top":$top,"n_reps":$reps,"failed":$failedJson,"detail":$detailJson,"sf":"$sfDir"}"""
+    }
+    // getOrElse, NOT .get: a systemic failure can inflate failedJson
+    // past the limit in every tier, and the one thing a bench must
+    // never do is crash without printing its summary line
+    Seq(line("queries", mapOf(secs2)),
+        line("queries_cs", mapOf(scaledInt(100))),
+        line("queries_ds", mapOf(scaledInt(10))),
+        famTop,
+        bare)
+      .find(_.length <= 1900).getOrElse(bare)
   }
 }
