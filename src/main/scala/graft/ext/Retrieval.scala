@@ -1048,12 +1048,20 @@ object Retrieval {
     val ids = (cands.select(col("vec_id")).collect().map(_.getLong(0))
       ++ lexRank.select(col("doc_id")).collect().map(_.getLong(0)))
       .distinct.toSeq
+    // checkpoint FIRST, coalesce the checkpointed frame AFTER (r15,
+    // ADVICE r14): this frame sits on a NARROW plan (parquet scan →
+    // pushed isin → select), so a coalesce(1) before materialization
+    // would collapse the corpus-scale SCAN itself into one task — the
+    // other coalesce(1) sites sit behind a shuffle, where coalesce
+    // only narrows the post-exchange side. Checkpointing at scan
+    // parallelism keeps the fetch parallel at any corpus size; the
+    // KB result then serves every downstream consumer as one task.
     val fetched = corpus
       .filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").cast("long").as("doc_id"),
         col("embedding").cast("array<double>").as("emb"))
-      .coalesce(1) // ≤ 2·|Q|·depth rows by construction
       .localCheckpoint(true) // consumed twice: dense re-rank + pool
+      .coalesce(1) // ≤ 2·|Q|·depth rows by construction
     // exact dense re-rank of the store's nominees over the shared
     // fetch — VectorIndex.queryRerank's tail verbatim at full nominee
     // coverage (k = rerank = depth); vectorless nominees drop here

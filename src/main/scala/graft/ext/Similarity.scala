@@ -144,18 +144,43 @@ object Similarity {
     * reference on adversarial pools (ties, ±0.0, null rel/emb, short
     * pools) and the s14/s18/s19/s24/s28 oracles replay the rounds.
     */
+  /** The mechanical ceiling on [[mmrRerank]]'s one-job pool collect
+    * (r15, VERDICT r14 item 7): pools are |Q|·poolSize rows BY
+    * CONTRACT (KB at any corpus scale), so the bound exists only to
+    * turn "a caller handed us a corpus" from a silent driver OOM into
+    * an immediate, named failure. 65 536 rows is orders of magnitude
+    * above any serving request and, at the family's 64-dim
+    * embeddings, ~35 MB collected — far below driver heap.
+    */
+  private[graft] val MmrMaxPoolRows: Int = 1 << 16
+
   def mmrRerank(pool: DataFrame, k: Int, lambda: Double): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(lambda >= 0.0 && lambda <= 1.0,
       s"lambda must be in [0, 1], got $lambda")
     val spark = pool.sparkSession
     import spark.implicits._
-    // ONE job: collect the KB-by-contract pool
+    // ONE job: collect the KB-by-contract pool. The limit makes the
+    // KB contract MECHANICAL: an uncapped (corpus-sized) pool stops
+    // at MmrMaxPoolRows + 1 collected rows and fails the require
+    // below instead of OOMing the driver.
     val rows = pool.select(col("query_id").cast("long").as("query_id"),
         col("vec_id").cast("long").as("vec_id"),
         col("emb").cast("array<double>").as("emb"),
         col("rel").cast("double").as("rel"))
+      .limit(MmrMaxPoolRows + 1)
       .collect()
+    require(rows.length <= MmrMaxPoolRows,
+      s"mmrRerank pool exceeds $MmrMaxPoolRows rows — pools are " +
+        "|Q|*poolSize by contract (an ANN index's bounded nomination, " +
+        "never a corpus); cap the pool before reranking")
+    // null ids fail fast with a name, not an NPE mid-fold: the
+    // expression-form greedy produced rows for null keys, but every
+    // pool generator derives ids from non-null corpus/query ids —
+    // a null here is a malformed pool, not a rankable candidate
+    require(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "mmrRerank pool has null query_id/vec_id rows — pool ids must " +
+        "be non-null (they come from corpus vec_ids by contract)")
     final case class Cand(vec: Long, emb: Seq[Any], rel: Option[Double])
     val byQuery = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
     val picks = Vector.newBuilder[(Long, Long, Int)]

@@ -693,8 +693,18 @@ object TextAnalysis {
   private def weightArray(w: Array[Double]): Column =
     array(w.map(lit(_)).toIndexedSeq: _*)
 
-  private def weightArray(model: Map[Long, Double]): Column =
+  private def weightArray(model: Map[Long, Double]): Column = {
+    // bucket ids are contiguous 0..n-1 by construction (they come
+    // from this file's own trainers); a sparse map would silently
+    // have meant "missing bucket scores 0.0" under the replaced
+    // literal-map lookup, where the tabulate below throws a bare
+    // NoSuchElementException — fail with a name instead so a future
+    // sparse-model caller learns the contract, not a stack trace
+    require(model.keySet == (0L until model.size.toLong).toSet,
+      s"weightArray needs contiguous bucket keys 0..${model.size - 1}; " +
+        s"got ${model.keySet.toSeq.sorted.take(8).mkString(", ")}...")
     weightArray(Array.tabulate(model.size)(b => model(b.toLong)))
+  }
 
   /** One full-batch gradient pass under the CURRENT weights (shipped
     * as a literal array — KB scale, the dsirScore idiom): margin z per
@@ -885,7 +895,14 @@ object TextAnalysis {
       it.foreach { r =>
         val p = r.getLong(1); val n = r.getLong(2)
         s += n; np += p
-        nc += (if (r.getDouble(0) >= 0) p else n)
+        // `predicted` is the Spark column `margin >= 0`: SQL treats
+        // NaN as the greatest double (NaN >= 0 is TRUE where the JVM
+        // says false), and a NULL margin makes `predicted` null —
+        // which the replaced corpus aggregate counted as incorrect
+        // (neither class's count accrues). Mirror both here.
+        nc += (if (r.isNullAt(0)) 0L
+               else { val m = r.getDouble(0)
+                 if (m >= 0 || m.isNaN) p else n })
       }
       Iterator((i, s, np, nc))
     }.collect().sortBy(_._1)

@@ -1261,6 +1261,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.map(_.getInt(2)).sorted.toSeq == Seq(1, 2))
   }
 
+  test("mmr rejects an uncapped (corpus-sized) pool instead of " +
+    "collecting it") {
+    import spark.implicits._
+    // one query, MmrMaxPoolRows + 1 candidates: the KB-by-contract
+    // bound must refuse before the driver holds the whole thing
+    val big = spark.range(Similarity.MmrMaxPoolRows + 1)
+      .select(lit(1L).as("query_id"), col("id").as("vec_id"),
+        array(lit(1.0), lit(0.0)).as("emb"),
+        lit(0.5).as("rel"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(big, k = 2, lambda = 0.7)
+    }
+    assert(e.getMessage.contains("pool exceeds"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("mmr fails fast, by name, on null pool ids") {
+    import spark.implicits._
+    val pool = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(10L),
+        Array(1.0, 0.0), 0.9),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(11L),
+        Array(0.0, 1.0), 0.8)
+    ).toDF("query_id", "vec_id", "emb", "rel")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(pool, k = 1, lambda = 0.7)
+    }
+    assert(e.getMessage.contains("null query_id/vec_id"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("embedding audit: planted corruption is counted exactly") {
     import spark.implicits._
     val rows = Seq(
