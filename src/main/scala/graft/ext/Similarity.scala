@@ -280,6 +280,101 @@ object Similarity {
     Some(if (denom == 0.0) 0.0 else dot / denom)
   }
 
+  /** [[dot]] (aggregate over zip_with) replicated over collected
+    * array<double> values: None where the expression yields NULL —
+    * null array, length mismatch (zip_with null-pads the shorter
+    * side, so one null product poisons the whole sum), or any null
+    * element; else the strict left-to-right sum of products.
+    */
+  private def localDot(x: Seq[Any], y: Seq[Any]): Option[Double] = {
+    if (x == null || y == null) return None
+    if (x.length != y.length) return None
+    var s = 0.0
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i); val yi = y(i)
+      if (xi == null || yi == null) return None
+      s += xi.asInstanceOf[Double] * yi.asInstanceOf[Double]
+      i += 1
+    }
+    Some(s)
+  }
+
+  /** The ceiling on the serving-path driver folds' one-job query
+    * collect ([[ivfPqProbesLocal]] callers): serving requests are
+    * small by contract; past this, [[graft.ext.VectorIndex.query]]
+    * keeps the distributed probe/dtable plan (same values).
+    */
+  private[ext] val LocalFoldMaxQueryRows: Int = 1 << 16
+
+  /** [[ivfPqProbes]] folded driver-side over the COLLECTED query and
+    * centroid tables (r15 — the mmrRerank fold discipline applied to
+    * the serving path's other KB stages): the cross product, the
+    * round-6 cosine, the (c_sim DESC NULLS LAST, coarse_id ASC NULLS
+    * FIRST) row_number cut at nprobe, and the round-4 qc dot are
+    * replicated op for op ([[localCosine]]/[[localDot]]/[[localRound]]
+    * /[[cmpDouble]] — the same primitives the MMR fold pins).
+    * Duplicate query ids rank TOGETHER (the window partitions by
+    * query_id, not by input row), exactly like the expression form.
+    * Returns (query_id, coarse_id, qc) rows.
+    */
+  private[ext] def ivfPqProbesLocal(
+      q: Seq[(Option[Long], Seq[Any])],
+      cents: Seq[(Option[Long], Seq[Any])],
+      nprobe: Int): Seq[(Option[Long], Option[Long], Option[Double])] = {
+    def r6(o: Option[Double]) = o.map(localRound(_, 6))
+    def r4(o: Option[Double]) = o.map(localRound(_, 4))
+    q.groupBy(_._1).toSeq.sortBy(_._1)(
+        Ordering.Option(Ordering.Long))
+      .flatMap { case (qid, qRows) =>
+        val scored = for {
+          (_, emb) <- qRows
+          (cid, cemb) <- cents
+        } yield (cid, r6(localCosine(emb, cemb)),
+          r4(localDot(emb, cemb)))
+        scored.sortWith { (a, b) =>
+          // c_sim DESC NULLS LAST, then coarse_id ASC NULLS FIRST
+          val c = (a._2, b._2) match {
+            case (None, None) => 0
+            case (None, _) => 1
+            case (_, None) => -1
+            case (Some(x), Some(y)) => -cmpDouble(x, y)
+          }
+          if (c != 0) c < 0
+          else (a._1, b._1) match {
+            case (None, None) => false
+            case (None, _) => true
+            case (_, None) => false
+            case (Some(x), Some(y)) => x < y
+          }
+        }.take(nprobe).map(t => (qid, t._1, t._3))
+      }
+  }
+
+  /** [[ivfPqDtable]] folded driver-side over the COLLECTED query and
+    * codebook tables: [[pqSubvectors]]' posexplode-of-slices — the
+    * exploded array is `transform(sequence(0, m-1), …)`, which does
+    * NOT depend on emb, so a NULL emb still explodes to m rows whose
+    * sv (and hence pd) is null, and a short slice null-pads through
+    * zip_with so a ragged query yields null pd — then the inner join
+    * on sub and the round-4 subvector dot. Returns
+    * (query_id, sub, cell, pd) rows.
+    */
+  private[ext] def ivfPqDtableLocal(
+      q: Seq[(Option[Long], Seq[Any])],
+      cb: Seq[(Int, Long, Seq[Any])], m: Int, dsub: Int)
+      : Seq[(Option[Long], Int, Long, Option[Double])] = {
+    val bySub = cb.groupBy(_._1)
+    for {
+      (qid, emb) <- q
+      sub <- 0 until m
+      sv = if (emb == null) null
+           else emb.slice(sub * dsub, sub * dsub + dsub)
+      (_, cell, cSv) <- bySub.getOrElse(sub, Nil)
+    } yield (qid, sub, cell,
+      localDot(sv, cSv).map(localRound(_, 4)))
+  }
+
   /** MMR over the exact candidate pool — [[cosineTopK]]'s plan with
     * the embedding carried, feeding [[mmrRerank]]. The pool window is
     * the documented-quadratic truth-twin shape (s01): at scale, swap

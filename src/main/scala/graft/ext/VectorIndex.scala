@@ -1061,24 +1061,86 @@ object VectorIndex {
   def query(spark: SparkSession, store: String, queries: DataFrame,
             k: Int, nprobe: Int = 4): DataFrame = {
     val meta = readMeta(spark, store)
-    val centroids = spark.read.parquet(s"$store/centroids")
-    val cb1 = spark.read.parquet(s"$store/codebooks")
     val q = prep(queries)
       .select(col("vec_id").as("query_id"), col("emb"))
-    // coalesce(1): |Q|·nprobe rows by construction (KB at any scale) —
-    // single-partition checkpoint keeps the collect and the rank join's
-    // probe side 1-task (guide §2.2)
-    val probes = Similarity.ivfPqProbes(q, centroids, nprobe)
-      .coalesce(1)
-      .localCheckpoint(true) // consumed twice: cell collect + rank join
-    val cells = probes.select(col("coarse_id")).distinct()
-      .collect().map(_.getLong(0))
+    // r15 (VERDICT r14 item 3, the mmrRerank-fold discipline): the
+    // probe table (|Q|·nprobe rows) and the ADC distance table
+    // (|Q|·m·ksub rows) are KB BY CONTRACT — the former eager
+    // probe plan (crossJoin + window + checkpoint), the cell collect,
+    // and the dtable's posexplode/join subtree cost ~10 pool-bounded
+    // jobs + their Catalyst planning per call, the measured majority
+    // of every serving query's wall time. Fold them driver-side over
+    // the collected query/centroid/codebook tables when the model
+    // fits the literal valve (sized from META — no collect needed to
+    // decide; a 100 TB autoNlist model keeps the distributed form)
+    // and the request is serving-sized. Arithmetic is replicated op
+    // for op in [[Similarity.ivfPqProbesLocal]]/[[ivfPqDtableLocal]]
+    // (spec-pinned against the expression forms); the corpus-sized
+    // codes scan + rank tail is UNCHANGED either way.
+    val dsub = meta.dim / meta.m
+    val centroidBytesEst = meta.nlist.toLong * (8L + 8L * meta.dim)
+    val cbBytesEst = meta.m.toLong * meta.ksub * (12L + 8L * dsub)
+    val qRows: Option[IndexedSeq[(Option[Long], Seq[Any])]] =
+      if (centroidBytesEst + cbBytesEst <= Similarity.LitAssignMaxBytes) {
+        val collected = q.limit(Similarity.LocalFoldMaxQueryRows + 1)
+          .collect()
+        if (collected.length <= Similarity.LocalFoldMaxQueryRows)
+          Some(collected.toIndexedSeq.map(r =>
+            (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+              if (r.isNullAt(1)) null else r.getSeq[Any](1))))
+        else None // not a serving-sized request: distributed form
+      } else None
+    val (probes, dtable, cells) = qRows match {
+      case Some(rows) =>
+        val cents = spark.read.parquet(s"$store/centroids")
+          .select(col("coarse_id").cast("long"),
+            col("c_emb").cast("array<double>"))
+          .collect().toIndexedSeq.map(r =>
+            (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+              if (r.isNullAt(1)) null else r.getSeq[Any](1)))
+        val cb = spark.read.parquet(s"$store/codebooks")
+          .select(col("sub").cast("int"), col("cell").cast("long"),
+            col("c_sv").cast("array<double>"))
+          .collect().toIndexedSeq
+          .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+          .map(r => (r.getInt(0), r.getLong(1),
+            if (r.isNullAt(2)) null else r.getSeq[Any](2)))
+        val pl = Similarity.ivfPqProbesLocal(rows, cents, nprobe)
+        val dl = Similarity.ivfPqDtableLocal(rows, cb, meta.m, dsub)
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val pDf = spark.createDataFrame(
+          pl.map(t => Row(t._1.orNull, t._2.orNull, t._3.orNull))
+            .asJava,
+          StructType(Seq(StructField("query_id", LongType),
+            StructField("coarse_id", LongType),
+            StructField("qc", DoubleType))))
+        val dDf = spark.createDataFrame(
+          dl.map(t => Row(t._1.orNull, t._2, t._3, t._4.orNull)).asJava,
+          StructType(Seq(StructField("query_id", LongType),
+            StructField("sub", IntegerType, nullable = false),
+            StructField("cell", LongType, nullable = false),
+            StructField("pd", DoubleType))))
+        (pDf, dDf, pl.flatMap(_._2).distinct.toIndexedSeq)
+      case None =>
+        val centroids = spark.read.parquet(s"$store/centroids")
+        val cb1 = spark.read.parquet(s"$store/codebooks")
+        // coalesce(1): |Q|·nprobe rows by construction (KB at any
+        // scale) — single-partition checkpoint keeps the collect and
+        // the rank join's probe side 1-task (guide §2.2)
+        val probes = Similarity.ivfPqProbes(q, centroids, nprobe)
+          .coalesce(1)
+          .localCheckpoint(true) // consumed twice: collect + rank join
+        val cells = probes.select(col("coarse_id")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        (probes, Similarity.ivfPqDtable(q, cb1, meta.m, dsub), cells)
+    }
     val codes = spark.read.parquet(s"$store/codes")
-      .filter(col("coarse_id").isin(cells.toIndexedSeq: _*))
+      .filter(col("coarse_id").isin(cells: _*))
       .join(tombstones(spark, store).select(col("vec_id")),
         Seq("vec_id"), "left_anti")
       .distinct()
-    Similarity.ivfPqRank(codes, probes,
-      Similarity.ivfPqDtable(q, cb1, meta.m, meta.dim / meta.m), k)
+    Similarity.ivfPqRank(codes, probes, dtable, k)
   }
 }

@@ -1292,6 +1292,67 @@ class SimilaritySpec extends SparkTestBase {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("serving-path driver folds == expression forms on adversarial " +
+    "queries (nulls, NaN, ragged, duplicate/zero/null ids)") {
+    import spark.implicits._
+    // doubles must compare SQL-style (NaN == NaN) — normalize to bits
+    def bits(o: Option[Double]): Option[Long] =
+      o.map(java.lang.Double.doubleToLongBits)
+    val qDf = Seq[(java.lang.Long, Array[java.lang.Double])](
+      (1L, Array[java.lang.Double](1.0, 0.0, 0.0, 0.0)),
+      (1L, Array[java.lang.Double](0.0, 1.0, 0.0, 0.0)),   // dup qid
+      (2L, Array[java.lang.Double](0.0, 0.0, 0.0, 0.0)),   // zero vec
+      (3L, null),                                          // null emb
+      (4L, Array[java.lang.Double](1.0, 1.0)),             // ragged
+      (5L, Array[java.lang.Double](Double.NaN, 1.0, 0.0, 0.0)), // NaN
+      (6L, Array[java.lang.Double](1.0, null, 0.0, 0.0)),  // null elem
+      (null.asInstanceOf[java.lang.Long],
+        Array[java.lang.Double](0.5, 0.5, 0.0, 0.0))       // null qid
+    ).toDF("vec_id", "embedding")
+    val q = qDf.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val cents = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 1.0, 0.0, 0.0)),
+      (2L, Array(1.0, 0.0, 0.0, 0.0)),  // duplicate of 0: id tiebreak
+      (3L, Array(0.5, 0.5, 0.5, 0.5))
+    ).toDF("coarse_id", "c_emb")
+    val centsLocal = cents.collect().toIndexedSeq.map(r =>
+      (Some(r.getLong(0)), r.getSeq[Any](1)))
+    val qLocal = q.collect().toIndexedSeq.map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) null else r.getSeq[Any](1)))
+    for (nprobe <- Seq(1, 2, 3)) {
+      val expr = Similarity.ivfPqProbes(q, cents, nprobe).collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          bits(if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toSeq.sortBy(_.toString)
+      val local = Similarity.ivfPqProbesLocal(qLocal, centsLocal, nprobe)
+        .map(t => (t._1, t._2, bits(t._3))).sortBy(_.toString)
+      assert(local == expr, s"probes diverge at nprobe=$nprobe:\n" +
+        s"  local: $local\n  expr:  $expr")
+    }
+    // dtable: m=2, dsub=2 over the same adversarial queries
+    val cb = Seq(
+      (0, 0L, Array(1.0, 0.0)), (0, 1L, Array(0.0, 1.0)),
+      (1, 0L, Array(1.0, 1.0)), (1, 1L, Array(0.5, -0.5)),
+      (1, 2L, Array(0.0, 0.0))
+    ).toDF("sub", "cell", "c_sv")
+    val cbLocal = cb.collect().toIndexedSeq.map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Any](2)))
+    val exprD = Similarity.ivfPqDtable(q, cb, m = 2, dsub = 2).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getInt(1), r.getLong(2),
+        bits(if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toSeq.sortBy(_.toString)
+    val localD = Similarity.ivfPqDtableLocal(qLocal, cbLocal,
+        m = 2, dsub = 2)
+      .map(t => (t._1, t._2, t._3, bits(t._4))).sortBy(_.toString)
+    assert(localD == exprD, s"dtable diverges:\n  local: $localD\n" +
+      s"  expr:  $exprD")
+  }
+
   test("embedding audit: planted corruption is counted exactly") {
     import spark.implicits._
     val rows = Seq(
