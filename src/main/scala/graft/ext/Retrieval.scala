@@ -889,14 +889,45 @@ object Retrieval {
       "every hybrid query needs at least one term")
 
     // dense leg: the vector store's own cell-pruned ADC ranking —
-    // its (approx_ip DESC, vec_id) rank IS the dense rank
-    val denseRank = VectorIndex.query(spark, vectorStore, queryVecs,
+    // its (approx_ip DESC, vec_id) rank IS the dense rank.
+    // r15: both legs are ≤ |Q|·depth rows by construction; collect
+    // them (one job each) and fold the RRF fuse driver-side
+    // ([[fuseLocal]] — rrfFuse op for op, spec-pinned), instead of
+    // planning a full-outer join + window over two KB frames per call.
+    val denseRows = VectorIndex.query(spark, vectorStore, queryVecs,
         k = depth, nprobe = nprobe)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(2)))
+    val lexRows = lexRankFromStore(spark, indexStore, queries, depth,
+        k1, b)
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(2)))
+    localFusedDf(spark, fuseLocal(lexRows, denseRows, k, c))
+  }
 
-    rrfFuse(lexRankFromStore(spark, indexStore, queries, depth, k1, b),
-      denseRank, k, c)
+  /** A driver-fused ranking as a LOCAL relation — [[rrfFuse]]'s exact
+    * output columns (query_id, doc_id, lex_rank, dense_rank, fused,
+    * rank).
+    */
+  private def localFusedDf(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[(Option[Long], Option[Long], Int, Int, Double, Int)])
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      rows.map(t => org.apache.spark.sql.Row(
+        t._1.orNull, t._2.orNull, t._3, t._4, t._5, t._6)).asJava,
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("doc_id", LongType),
+        StructField("lex_rank", IntegerType, nullable = false),
+        StructField("dense_rank", IntegerType, nullable = false),
+        StructField("fused", DoubleType, nullable = false),
+        StructField("rank", IntegerType, nullable = false))))
   }
 
   /** The store-fed lexical leg shared by [[hybridQueryStores]] and
@@ -968,14 +999,22 @@ object Retrieval {
       "every hybrid query needs at least one term")
 
     // dense leg: store nomination + exact re-rank of the originals —
-    // queryRerank verbatim at full rerank coverage of the nominees
-    val denseRank = VectorIndex.queryRerank(spark, vectorStore, corpus,
+    // queryRerank verbatim at full rerank coverage of the nominees.
+    // r15: queryRerank's fold already returns a LOCAL relation, so the
+    // collect here is free; fuse driver-side like hybridQueryStores.
+    val denseRows = VectorIndex.queryRerank(spark, vectorStore, corpus,
         queryVecs, k = depth, rerank = depth, nprobe = nprobe)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
-
-    rrfFuse(lexRankFromStore(spark, indexStore, queries, depth, k1, b),
-      denseRank, k, c)
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(2)))
+    val lexRows = lexRankFromStore(spark, indexStore, queries, depth,
+        k1, b)
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(2)))
+    localFusedDf(spark, fuseLocal(lexRows, denseRows, k, c))
   }
 
   /** DIVERSIFIED hybrid retrieval — the MMR tail after the RRF fuse
@@ -1030,69 +1069,159 @@ object Retrieval {
       s"pool ($poolSize) must cover k ($k)")
     require(depth >= poolSize,
       s"depth ($depth) must cover the pool ($poolSize)")
-    // both legs, shared definitions; each consumed twice (id collect
-    // for the pushed fetch + the fuse/re-rank), so materialize once
-    // coalesce(1) on all three eager KB frames (≤ |Q|·depth rows by
-    // construction): every downstream job over them becomes 1-task
-    // stages instead of shuffle.partitions near-empty tasks (guide §2.2)
-    val lexRank = lexRankFromStore(spark, indexStore, queries, depth,
-      k1, b).coalesce(1).localCheckpoint(true)
-    val cands = VectorIndex.query(spark, vectorStore, queryVecs,
+    // r15 (VERDICT r14 item 3): everything PAST the two store legs is
+    // KB by construction (each leg ≤ |Q|·depth rows, the fetch
+    // ≤ 2·|Q|·depth), yet the r14 form ran it as ~12 pool-bounded
+    // Spark jobs (three eager checkpoints, two id collects, the dense
+    // re-rank window, the full-outer fuse, the pool window, the MMR
+    // pool collect) — pure scheduling/planning overhead at any corpus
+    // size. The legs keep their distributed plans (postings-scale and
+    // codes-scale) and are COLLECTED (one job each, replacing their
+    // checkpoint jobs); the fetch keeps its pushed parallel corpus
+    // scan and is collected (one job, replacing checkpoint + re-read);
+    // the re-rank/fuse/pool tail folds driver-side with the engine's
+    // arithmetic op for op (the mmrRerank-fold primitives: round-4
+    // local cosine, SQL double ordering, DESC-NULLS-LAST ranks, RRF
+    // contribs in the fixed lex+dense IEEE order, round-6 fuse) —
+    // spec-pinned against the expression tail and replayed by the s28
+    // oracle end-to-end.
+    val lexRows = lexRankFromStore(spark, indexStore, queries, depth,
+        k1, b)
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getInt(2)))
+    val candRows = VectorIndex.query(spark, vectorStore, queryVecs,
         k = depth, nprobe = nprobe)
       .select(col("query_id"), col("neighbor_id").as("vec_id"))
-      .coalesce(1)
-      .localCheckpoint(true)
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
     // ONE pushed corpus fetch serves both the exact dense re-rank and
-    // the pool join: the union of both legs' candidate ids, collected
-    // (≤ 2·|Q|·depth longs — KB) into an In filter, materialized once
-    val ids = (cands.select(col("vec_id")).collect().map(_.getLong(0))
-      ++ lexRank.select(col("doc_id")).collect().map(_.getLong(0)))
-      .distinct.toSeq
-    // checkpoint FIRST, coalesce the checkpointed frame AFTER (r15,
-    // ADVICE r14): this frame sits on a NARROW plan (parquet scan →
-    // pushed isin → select), so a coalesce(1) before materialization
-    // would collapse the corpus-scale SCAN itself into one task — the
-    // other coalesce(1) sites sit behind a shuffle, where coalesce
-    // only narrows the post-exchange side. Checkpointing at scan
-    // parallelism keeps the fetch parallel at any corpus size; the
-    // KB result then serves every downstream consumer as one task.
-    val fetched = corpus
+    // the pool join: the union of both legs' candidate ids (≤
+    // 2·|Q|·depth longs — KB) into an In filter; the scan keeps its
+    // parallelism (ADVICE r14 — no coalesce anywhere near it)
+    val ids = (candRows.flatMap(_._2) ++ lexRows.flatMap(_._2))
+      .distinct
+    val fetchedRows = corpus
       .filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").cast("long").as("doc_id"),
         col("embedding").cast("array<double>").as("emb"))
-      .localCheckpoint(true) // consumed twice: dense re-rank + pool
-      .coalesce(1) // ≤ 2·|Q|·depth rows by construction
-    // exact dense re-rank of the store's nominees over the shared
-    // fetch — VectorIndex.queryRerank's tail verbatim at full nominee
-    // coverage (k = rerank = depth); vectorless nominees drop here
-    val q = queryVecs
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) null else r.getSeq[Any](1)))
+    val qRows = queryVecs
       .select(col("vec_id").cast("long").as("query_id"),
         col("embedding").cast("array<double>").as("q_emb"))
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    val denseRank = cands
-      .join(fetched.withColumnRenamed("doc_id", "vec_id"), "vec_id")
-      .join(broadcast(q), "query_id")
-      .withColumn("sim",
-        round(Similarity.cosine(col("emb"), col("q_emb")), 4))
-      .withColumn("rank", row_number().over(wd))
-      .filter(col("rank") <= depth)
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        col("rank").as("dense_rank"))
-    // UNCUT fuse: each leg holds ≤ depth rows per query, so the
-    // full-outer union is ≤ 2·depth — rank ≤ 2·depth keeps every row
-    val fused = rrfFuse(lexRank, denseRank, k = 2 * depth, c = c)
-    // embedding-backed candidates only (the fetch join), THEN the
-    // pool cut; the Window runs over ≤ 2·|Q|·depth rows
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("fused").desc, col("doc_id"))
-    val pool = fused.join(fetched, Seq("doc_id"))
-      .withColumn("pr", row_number().over(w))
-      .filter(col("pr") <= poolSize)
-      .select(col("query_id"), col("doc_id").as("vec_id"),
-        col("emb"), col("fused").as("rel"))
-    Similarity.mmrRerank(pool, k, lambda)
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) null else r.getSeq[Any](1)))
+    val pool = diversifyPoolLocal(lexRows, candRows, fetchedRows, qRows,
+      depth, poolSize, c)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val poolDf = spark.createDataFrame(
+      pool.map(t => org.apache.spark.sql.Row(
+        t._1.orNull, t._2.orNull, t._3, t._4.orNull)).asJava,
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("vec_id", LongType),
+        StructField("emb", ArrayType(DoubleType)),
+        StructField("rel", DoubleType))))
+    Similarity.mmrRerank(poolDf, k, lambda)
+  }
+
+  /** The diversify tail folded driver-side — [[hybridQueryStoresDiversify]]'s
+    * exact dense re-rank, UNCUT RRF fuse, and embedding-backed pool
+    * cut over the three collected KB frames, replicating the
+    * expression tail op for op:
+    *
+    *  - dense re-rank: inner joins (null keys never match), sim =
+    *    round-4 [[Similarity.localCosine]], row_number over (sim DESC
+    *    NULLS LAST, vec_id ASC) per query_id (null qids group
+    *    together, as a window partition does), cut at depth;
+    *  - fuse: full-outer multiset join on (query_id, doc_id) —
+    *    null-keyed rows pass through UNMATCHED exactly like SQL
+    *    equality — fused = round-6(1/(c+lex) + 1/(c+dense)) in the
+    *    fixed lex+dense IEEE order with absent legs contributing 0.0,
+    *    then the (fused DESC, doc_id ASC) rank cut at 2·depth;
+    *  - pool: inner join back to the fetch (vectorless candidates
+    *    drop), (fused DESC, doc_id ASC) rank cut at poolSize.
+    *
+    * Returns (query_id, vec_id, emb, rel) pool rows for the MMR
+    * greedy. Spec-pinned against the r14 expression-form tail on
+    * adversarial frames; the s28 oracle replays the whole chain.
+    */
+  private[ext] def diversifyPoolLocal(
+      lexRows: Seq[(Option[Long], Option[Long], Int)],
+      candRows: Seq[(Option[Long], Option[Long])],
+      fetchedRows: Seq[(Option[Long], Seq[Any])],
+      qRows: Seq[(Option[Long], Seq[Any])],
+      depth: Int, poolSize: Int, c: Int)
+      : Seq[(Option[Long], Option[Long], Seq[Any], Option[Double])] = {
+    import Similarity.rankLt
+    val embById: Map[Long, Seq[Seq[Any]]] = fetchedRows
+      .collect { case (Some(id), emb) => id -> emb }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val denseRank = Similarity
+      .exactRerankLocal(candRows, fetchedRows, qRows, depth)
+      .map(r => (r._1, r._2, r._4))
+    // UNCUT fuse rank (≤ 2·depth keeps every row), then the
+    // embedding-backed pool cut — both on (fused DESC, doc_id ASC)
+    val fusedCut = fuseLocal(lexRows, denseRank, 2 * depth, c)
+    fusedCut.flatMap(f =>
+        f._2.toSeq.flatMap(embById.getOrElse(_, Nil))
+          .map(emb => (f, emb)))
+      .groupBy(_._1._1).toSeq.flatMap { case (qid, rs) =>
+        rs.sortWith((a, b) => rankLt((Some(a._1._5), a._1._2),
+            (Some(b._1._5), b._1._2)))
+          .take(poolSize)
+          .map { case (f, emb) => (qid, f._2, emb, Some(f._5)) }
+      }
+  }
+
+  /** [[rrfFuse]] folded driver-side over two collected KB legs — the
+    * full-outer multiset join on (query_id, doc_id) with SQL equality
+    * (null-keyed rows pass through UNMATCHED), fused =
+    * round-6(1/(c+lex) + 1/(c+dense)) in the fixed lex+dense IEEE
+    * order with absent legs contributing 0.0, absent ranks COALESCEd
+    * to 0 in the output, and the (fused DESC NULLS LAST, doc_id ASC)
+    * row_number cut at `k`. Returns (query_id, doc_id, lex_rank,
+    * dense_rank, fused, rank) rows — rrfFuse's exact output columns.
+    */
+  private[ext] def fuseLocal(
+      lexRows: Seq[(Option[Long], Option[Long], Int)],
+      denseRows: Seq[(Option[Long], Option[Long], Int)], k: Int, c: Int)
+      : Seq[(Option[Long], Option[Long], Int, Int, Double, Int)] = {
+    import Similarity.{localRound, rankLt}
+    def contrib(r: Option[Int]): Double =
+      r.map(x => 1.0 / (c + x)).getOrElse(0.0)
+    def fuse(lex: Option[Int], dense: Option[Int]): Double =
+      localRound(contrib(lex) + contrib(dense), 6)
+    // (qid, doc, lexRank coalesced 0, denseRank coalesced 0, fused)
+    val lexByKey = lexRows.groupBy(r => (r._1, r._2))
+    val denseByKey = denseRows.groupBy(r => (r._1, r._2))
+    val out = Seq.newBuilder[(Option[Long], Option[Long], Int, Int,
+      Double)]
+    for ((key @ (qid, doc), ls) <- lexByKey) {
+      if (qid.isDefined && doc.isDefined && denseByKey.contains(key))
+        for (l <- ls; d <- denseByKey(key))
+          out += ((qid, doc, l._3, d._3, fuse(Some(l._3), Some(d._3))))
+      else // null-keyed or unmatched: full-outer pass-through
+        for (l <- ls)
+          out += ((qid, doc, l._3, 0, fuse(Some(l._3), None)))
+    }
+    for ((key @ (qid, doc), ds) <- denseByKey) {
+      val matched = qid.isDefined && doc.isDefined &&
+        lexByKey.contains(key)
+      if (!matched) for (d <- ds)
+        out += ((qid, doc, 0, d._3, fuse(None, Some(d._3))))
+    }
+    out.result().groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortWith((a, b) => rankLt((Some(a._5), a._2),
+          (Some(b._5), b._2)))
+        .take(k).zipWithIndex
+        .map { case (r, i) => (r._1, r._2, r._3, r._4, r._5, i + 1) }
+    }
   }
 }

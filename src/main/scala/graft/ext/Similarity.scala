@@ -233,14 +233,14 @@ object Similarity {
     * NaN == NaN → 0) — the ordering every Spark double Max/struct
     * comparison runs.
     */
-  private def cmpDouble(a: Double, b: Double): Int =
+  private[ext] def cmpDouble(a: Double, b: Double): Int =
     if (a == b) 0 else java.lang.Double.compare(a, b)
 
   /** Struct-field ordering over nullable doubles: null smallest
     * (TypeUtils.getInterpretedOrdering's null rule), else
     * [[cmpDouble]].
     */
-  private def cmpOpt(a: Option[Double], b: Option[Double]): Int =
+  private[ext] def cmpOpt(a: Option[Double], b: Option[Double]): Int =
     (a, b) match {
       case (None, None) => 0
       case (None, _) => -1
@@ -253,7 +253,7 @@ object Similarity {
     * BigDecimal (valueOf semantics) HALF_UP — the same idiom the
     * PCA/probe driver folds already pin against the engine.
     */
-  private def localRound(d: Double, scale: Int): Double =
+  private[ext] def localRound(d: Double, scale: Int): Double =
     if (d.isNaN || d.isInfinite) d
     else BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
       .toDouble
@@ -264,7 +264,7 @@ object Similarity {
     * mismatch, or any null element; 0.0 on a zero denominator; else
     * the strict left-to-right dot / (√nx·√ny).
     */
-  private def localCosine(x: Seq[Any], y: Seq[Any]): Option[Double] = {
+  private[ext] def localCosine(x: Seq[Any], y: Seq[Any]): Option[Double] = {
     if (x == null || y == null) return None
     if (x.length != y.length) return None
     var dot = 0.0; var nx = 0.0; var ny = 0.0
@@ -286,7 +286,7 @@ object Similarity {
     * side, so one null product poisons the whole sum), or any null
     * element; else the strict left-to-right sum of products.
     */
-  private def localDot(x: Seq[Any], y: Seq[Any]): Option[Double] = {
+  private[ext] def localDot(x: Seq[Any], y: Seq[Any]): Option[Double] = {
     if (x == null || y == null) return None
     if (x.length != y.length) return None
     var s = 0.0
@@ -349,6 +349,58 @@ object Similarity {
           }
         }.take(nprobe).map(t => (qid, t._1, t._3))
       }
+  }
+
+  /** The serving windows' sort, replicated: (score DESC NULLS LAST,
+    * id ASC NULLS FIRST) — row_number's orderBy in every exact-rerank
+    * / fused-rank tail. Returns true when `a` sorts strictly before
+    * `b`; doubles compare SQL-style ([[cmpDouble]]).
+    */
+  private[ext] def rankLt(a: (Option[Double], Option[Long]),
+                          b: (Option[Double], Option[Long])): Boolean = {
+    val c = (a._1, b._1) match {
+      case (None, None) => 0
+      case (None, _) => 1
+      case (_, None) => -1
+      case (Some(x), Some(y)) => -cmpDouble(x, y)
+    }
+    if (c != 0) c < 0
+    else (a._2, b._2) match {
+      case (None, None) => false
+      case (None, _) => true
+      case (_, None) => false
+      case (Some(x), Some(y)) => x < y
+    }
+  }
+
+  /** The exact re-rank tail folded driver-side over collected KB
+    * frames — `cands ⋈ fetched ⋈ q` (multiset inner joins; null keys
+    * never match), sim = round-4 [[localCosine]], row_number over
+    * (sim DESC NULLS LAST, vec_id ASC) per query_id (null qids group
+    * together like a window partition), cut at `k`. The
+    * [[graft.ext.VectorIndex.queryRerank]] tail and the hybrid dense
+    * legs share this one definition. Returns (query_id, vec_id, sim,
+    * rank) rows.
+    */
+  private[ext] def exactRerankLocal(
+      cands: Seq[(Option[Long], Option[Long])],
+      fetched: Seq[(Option[Long], Seq[Any])],
+      q: Seq[(Option[Long], Seq[Any])], k: Int)
+      : Seq[(Option[Long], Option[Long], Option[Double], Int)] = {
+    val embById = fetched.collect { case (Some(id), emb) => id -> emb }
+      .groupBy(_._1).map { case (key, v) => key -> v.map(_._2) }
+    val qById = q.collect { case (Some(id), emb) => id -> emb }
+      .groupBy(_._1).map { case (key, v) => key -> v.map(_._2) }
+    val scored = for {
+      (qid, vid) <- cands
+      emb <- vid.toSeq.flatMap(embById.getOrElse(_, Nil))
+      qEmb <- qid.toSeq.flatMap(qById.getOrElse(_, Nil))
+    } yield (qid, vid, localCosine(emb, qEmb).map(localRound(_, 4)))
+    scored.groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+      rs.sortWith((a, b) => rankLt((a._3, a._2), (b._3, b._2)))
+        .take(k).zipWithIndex
+        .map { case (r, i) => (qid, r._2, r._3, i + 1) }
+    }
   }
 
   /** [[ivfPqDtable]] folded driver-side over the COLLECTED query and

@@ -952,17 +952,50 @@ object VectorIndex {
                        lambda: Double = 0.7,
                        nprobe: Int = 4): DataFrame = {
     require(poolSize >= k, s"pool ($poolSize) must cover k ($k)")
+    // r15: the pool build is KB by construction (|Q|·poolSize rows) —
+    // collect the store ranking once (one job, replacing the eager
+    // checkpoint + id-collect pair) and join the PQ reconstructions
+    // back driver-side (multiset inner join, null keys never match —
+    // SQL equality). The reconstruct itself keeps its distributed
+    // pushed-codes plan; the MMR greedy was already a driver fold.
     val pool0 = query(spark, store, queries, poolSize, nprobe)
       .select(col("query_id"), col("neighbor_id").as("vec_id"),
         col("approx_ip").as("rel"))
-      .coalesce(1) // |Q|·poolSize rows by construction (guide §2.2)
-      .localCheckpoint(true) // consumed twice: id collect + pool join
-    val ids = pool0.select(col("vec_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val pool = pool0
-      .join(broadcast(reconstruct(spark, store, ids)), Seq("vec_id"))
-      .select(col("query_id"), col("vec_id"), col("emb"), col("rel"))
-    Similarity.mmrRerank(pool, k, lambda)
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val ids = pool0.flatMap(_._2).distinct
+    val embById = reconstruct(spark, store, ids)
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) null else r.getSeq[Any](1)))
+      .collect { case (Some(id), emb) => id -> emb }
+      .groupBy(_._1).map { case (key, v) => key -> v.map(_._2) }
+    val pool = for {
+      (qid, vid, rel) <- pool0
+      emb <- vid.toSeq.flatMap(embById.getOrElse(_, Nil))
+    } yield (qid, vid, emb, rel)
+    Similarity.mmrRerank(localPoolDf(spark, pool), k, lambda)
+  }
+
+  /** A collected (query_id, vec_id, emb, rel) pool as a LOCAL
+    * relation — the zero-job input [[Similarity.mmrRerank]]'s
+    * one-collect fold consumes.
+    */
+  private def localPoolDf(spark: SparkSession,
+      pool: Seq[(Option[Long], Option[Long], Seq[Any], Option[Double])])
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      pool.map(t => org.apache.spark.sql.Row(
+        t._1.orNull, t._2.orNull, t._3, t._4.orNull)).asJava,
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("vec_id", LongType),
+        StructField("emb", ArrayType(DoubleType)),
+        StructField("rel", DoubleType))))
   }
 
   /** Two-stage retrieval — the standard PQ serving tail: the store's
@@ -986,27 +1019,42 @@ object VectorIndex {
                   nprobe: Int = 4): DataFrame = {
     require(rerank >= k,
       s"rerank pool ($rerank) must cover k ($k)")
-    val cands = query(spark, store, queries, rerank, nprobe)
+    // r15: the re-rank tail runs over KB-by-construction frames
+    // (|Q|·rerank candidates, their pushed-fetched originals, the
+    // query vectors), yet cost an eager checkpoint, an id collect and
+    // a join+window plan per call. Collect the three frames (the
+    // corpus fetch keeps its pushed PARALLEL scan) and fold the exact
+    // re-rank driver-side — [[Similarity.exactRerankLocal]], the one
+    // definition the hybrid dense legs share, spec-pinned against the
+    // expression form.
+    val candRows = query(spark, store, queries, rerank, nprobe)
       .select(col("query_id"), col("neighbor_id").as("vec_id"))
-      .coalesce(1) // |Q|·rerank rows by construction (guide §2.2)
-      .localCheckpoint(true) // consumed twice: id collect + fetch join
-    val ids = cands.select(col("vec_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val originals = prep(corpus)
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val ids = candRows.flatMap(_._2).distinct
+    val fetchedRows = prep(corpus)
       .filter(col("vec_id").isin(ids: _*))
-    val q = prep(queries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    cands.join(originals, "vec_id")
-      .join(broadcast(q), "query_id")
-      .withColumn("sim",
-        round(Similarity.cosine(col("emb"), col("q_emb")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("sim"), col("rank"))
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) null else r.getSeq[Any](1)))
+    val qRows = prep(queries)
+      .select(col("vec_id").as("query_id"), col("emb"))
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) null else r.getSeq[Any](1)))
+    val ranked = Similarity.exactRerankLocal(candRows, fetchedRows,
+      qRows, k)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      ranked.map(t => org.apache.spark.sql.Row(
+        t._1.orNull, t._2.orNull, t._3.orNull, t._4)).asJava,
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("neighbor_id", LongType),
+        StructField("sim", DoubleType),
+        StructField("rank", IntegerType, nullable = false))))
   }
 
   /** TWO-STAGE diversified retrieval — [[queryRerank]]'s discipline
@@ -1032,21 +1080,39 @@ object VectorIndex {
                              lambda: Double = 0.7,
                              nprobe: Int = 4): DataFrame = {
     require(poolSize >= k, s"pool ($poolSize) must cover k ($k)")
-    val cands = query(spark, store, queries, poolSize, nprobe)
+    // r15: the pool build (cands ⋈ originals ⋈ q, rel = round-4 exact
+    // cosine, NO cut — the greedy sees the whole nomination) folds
+    // driver-side over the three collected KB frames, the
+    // queryRerank/diversify discipline; the pushed corpus fetch keeps
+    // its parallel scan.
+    val candRows = query(spark, store, queries, poolSize, nprobe)
       .select(col("query_id"), col("neighbor_id").as("vec_id"))
-      .coalesce(1) // |Q|·poolSize rows by construction (guide §2.2)
-      .localCheckpoint(true) // consumed twice: id collect + pool join
-    val ids = cands.select(col("vec_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val originals = prep(corpus)
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val ids = candRows.flatMap(_._2).distinct
+    val embById = prep(corpus)
       .filter(col("vec_id").isin(ids: _*))
-    val q = prep(queries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val pool = cands.join(originals, "vec_id")
-      .join(broadcast(q), "query_id")
-      .select(col("query_id"), col("vec_id"), col("emb"),
-        round(Similarity.cosine(col("emb"), col("q_emb")), 4).as("rel"))
-    Similarity.mmrRerank(pool, k, lambda)
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) null else r.getSeq[Any](1)))
+      .collect { case (Some(id), emb) => id -> emb }
+      .groupBy(_._1).map { case (key, v) => key -> v.map(_._2) }
+    val qById = prep(queries)
+      .select(col("vec_id").as("query_id"), col("emb"))
+      .collect().toIndexedSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) null else r.getSeq[Any](1)))
+      .collect { case (Some(id), emb) => id -> emb }
+      .groupBy(_._1).map { case (key, v) => key -> v.map(_._2) }
+    val pool = for {
+      (qid, vid) <- candRows
+      emb <- vid.toSeq.flatMap(embById.getOrElse(_, Nil))
+      qEmb <- qid.toSeq.flatMap(qById.getOrElse(_, Nil))
+    } yield (qid, vid, emb,
+      Similarity.localCosine(emb, qEmb)
+        .map(Similarity.localRound(_, 4)))
+    Similarity.mmrRerank(localPoolDf(spark, pool), k, lambda)
   }
 
   /** Rank from the store WITHOUT touching the corpus: probes rank the

@@ -25,4 +25,42 @@ abstract class SparkTestBase extends AnyFunSuite {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Every physical plan `body` executes, captured via a
+    * QueryExecutionListener — the audit surface for operators whose
+    * production-property stages (pushed scans, store-only reads) run
+    * EAGERLY during construction and are therefore invisible on the
+    * returned frame's executedPlan (the r15 driver folds). The
+    * listener bus is async: waits until the captured count is stable
+    * across consecutive observations.
+    */
+  def capturedPlans(body: => Unit): Seq[String] = {
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        plans.add(qe.executedPlan.toString); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      var seen = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stable < 2 && System.nanoTime() < deadline) {
+        val n = plans.size()
+        if (n == seen && n > 0) stable += 1
+        else { stable = 0; seen = n }
+        Thread.sleep(100)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+  }
 }

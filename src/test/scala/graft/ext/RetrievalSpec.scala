@@ -406,13 +406,21 @@ class RetrievalSpec extends SparkTestBase {
       assert(r.getDouble(4) == want, s"fused mismatch on $r")
     }
     // the production property: ranking never touches a corpus table —
-    // both legs read ONLY the persisted stores
-    val p = got.queryExecution.executedPlan.toString
-    assert(!p.contains("documents.parquet") &&
-      !p.contains("embeddings.parquet"),
-      s"store-fed hybrid scanned a corpus table:\n$p")
-    assert(p.contains("PushedFilters: [In(token"),
-      s"token filter not pushed into the postings scan:\n$p")
+    // both legs read ONLY the persisted stores. The legs execute
+    // EAGERLY since the r15 fuse fold, so audit every captured
+    // execution, not the returned (local) frame's plan.
+    val plans = capturedPlans {
+      Retrieval.hybridQueryStores(spark, bmStore, vStore, queries,
+        qVecs, k = 10, depth = 20).collect()
+    }
+    assert(plans.nonEmpty)
+    val corpusScans = plans.filter(p =>
+      p.contains("documents.parquet") || p.contains("embeddings.parquet"))
+    assert(corpusScans.isEmpty,
+      s"store-fed hybrid scanned a corpus table:\n" +
+        corpusScans.headOption.getOrElse(""))
+    assert(plans.exists(_.contains("PushedFilters: [In(token")),
+      s"token filter not pushed into the postings scan")
   }
 
   test("hybridQueryStoresRerank: dense ranks == the exact-tail " +
@@ -467,20 +475,24 @@ class RetrievalSpec extends SparkTestBase {
     }
     // the production property: documents NEVER read; the one
     // embeddings read is the candidate fetch with the pushed vec_id
-    // filter — |Q|·depth row groups, not a corpus scan
-    val pFull = got.queryExecution.executedPlan.toString
-    // AQE prints Final AND Initial plan sections — count scans in the
-    // executed (final) section only
-    val p = pFull.split("== Initial Plan ==")(0)
-    assert(!p.contains("documents.parquet"),
-      s"exact-tail hybrid scanned the documents corpus:\n$p")
-    val embScans = "embeddings\\.parquet".r.findAllIn(p).size
+    // filter — |Q|·depth row groups, not a corpus scan. The legs
+    // execute EAGERLY since the r15 folds, so audit every captured
+    // execution (final AQE sections only).
+    val plans = capturedPlans {
+      Retrieval.hybridQueryStoresRerank(spark, bmStore, vStore, e,
+        queries, qVecs, k = 10, depth = 20).collect()
+    }.map(_.split("== Initial Plan ==")(0))
+    assert(plans.nonEmpty)
+    assert(!plans.exists(_.contains("documents.parquet")),
+      "exact-tail hybrid scanned the documents corpus")
+    val embScans = plans.map(p =>
+      "embeddings\\.parquet".r.findAllIn(p).size).sum
     assert(embScans == 1,
-      s"expected exactly one (pushed) embeddings fetch, got $embScans:\n$p")
-    assert(p.contains("PushedFilters: [In(vec_id"),
-      s"vec_id filter not pushed into the candidate fetch:\n$p")
-    assert(p.contains("PushedFilters: [In(token"),
-      s"token filter not pushed into the postings scan:\n$p")
+      s"expected exactly one (pushed) embeddings fetch, got $embScans")
+    assert(plans.exists(_.contains("PushedFilters: [In(vec_id")),
+      "vec_id filter not pushed into the candidate fetch")
+    assert(plans.exists(_.contains("PushedFilters: [In(token")),
+      "token filter not pushed into the postings scan")
   }
 
   test("hybridQueryStoresDiversify: the MMR tail over the fused pool's " +
@@ -620,6 +632,77 @@ class RetrievalSpec extends SparkTestBase {
     assert(!p.contains("embeddings.parquet") &&
       !p.contains("documents.parquet"),
       s"diversify re-read the corpus in its final plan:\n$p")
+  }
+
+  test("diversify tail driver fold == r14 expression-form tail on " +
+    "adversarial frames (dup embeddings, vectorless candidates, NaN " +
+    "query vectors, lexical-only docs)") {
+    import spark.implicits._
+    val lexDf = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 99L, 3), // 99: no emb
+      (2L, 12L, 1), (2L, 10L, 2)).toDF("query_id", "doc_id", "lex_rank")
+    val candDf = Seq((1L, 10L), (1L, 12L), (1L, 13L),
+      (2L, 10L), (2L, 11L), (2L, 12L)).toDF("query_id", "vec_id")
+    // doc 12 appears TWICE in the fetch (duplicate corpus id)
+    val fetchedDf = Seq(
+      (10L, Array(1.0, 0.0)), (11L, Array(0.8, 0.2)),
+      (12L, Array(0.0, 1.0)), (12L, Array(0.0, 1.0)),
+      (13L, Array(0.5, 0.5))).toDF("doc_id", "emb")
+    // query 2's vector carries NaN — rank ties break SQL-style
+    val qDf = Seq((1L, Array(1.0, 0.0)), (2L, Array(Double.NaN, 1.0)))
+      .toDF("query_id", "q_emb")
+    val (depth, poolSize, c) = (3, 4, 60)
+    // the r14 expression-form tail, verbatim
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    val denseRank = candDf
+      .join(fetchedDf.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+      .join(broadcast(qDf), "query_id")
+      .withColumn("sim", round(Similarity.cosine(col("emb"),
+        col("q_emb")), 4))
+      .withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= depth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val contrib = (r: org.apache.spark.sql.Column) => when(r.isNotNull,
+      lit(1.0) / (lit(c) + r)).otherwise(lit(0.0))
+    val fused = lexDf.join(denseRank, Seq("query_id", "doc_id"),
+        "full_outer")
+      .withColumn("fused",
+        round(contrib(col("lex_rank")) + contrib(col("dense_rank")), 6))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("fused").desc, col("doc_id"))))
+      .filter(col("rank") <= 2 * depth)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("fused").desc, col("doc_id"))
+    val wantPool = fused.join(fetchedDf, Seq("doc_id"))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= poolSize)
+      .select(col("query_id"), col("doc_id").as("vec_id"), col("emb"),
+        col("fused").as("rel"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2),
+        r.getDouble(3)))
+      .toSeq.sortBy(_.toString)
+    // the driver fold over the same collected frames
+    def opt(l: Long) = Some(l)
+    val gotPool = Retrieval.diversifyPoolLocal(
+        lexDf.collect().toSeq.map(r =>
+          (opt(r.getLong(0)), opt(r.getLong(1)), r.getInt(2))),
+        candDf.collect().toSeq.map(r =>
+          (opt(r.getLong(0)), opt(r.getLong(1)))),
+        fetchedDf.collect().toSeq.map(r =>
+          (opt(r.getLong(0)), r.getSeq[Any](1))),
+        qDf.collect().toSeq.map(r =>
+          (opt(r.getLong(0)), r.getSeq[Any](1))),
+        depth, poolSize, c)
+      .map(t => (t._1.get, t._2.get,
+        t._3.map(_.asInstanceOf[Double]), t._4.get))
+      .sortBy(_.toString)
+    assert(gotPool == wantPool,
+      s"diversify pool fold diverged:\n  got:  $gotPool\n" +
+        s"  want: $wantPool")
   }
 
   test("lexical drift advisory: store-fed == corpus-scan bit for bit, " +

@@ -190,10 +190,14 @@ class VectorIndexSpec extends SparkTestBase {
       exact.collect().map(_.toSeq).toSet,
       "full-coverage re-rank diverged from the exact ranking")
     // the fetch must prune: the corpus scan carries the In(vec_id)
-    // pushed filter — reading the whole corpus would defeat the tier
-    val p = got.queryExecution.executedPlan.toString
-    assert(p.contains("PushedFilters: [In(vec_id"),
-      s"vec_id filter not pushed into the corpus fetch:\n$p")
+    // pushed filter — reading the whole corpus would defeat the tier.
+    // The fetch executes EAGERLY since the r15 re-rank fold, so audit
+    // the captured executions, not the returned (local) frame's plan.
+    val plans = capturedPlans {
+      VectorIndex.queryRerank(spark, st, e, probes, k = 3).collect()
+    }
+    assert(plans.exists(_.contains("PushedFilters: [In(vec_id")),
+      "vec_id filter not pushed into the corpus fetch")
   }
 
   test("tombstones: a deleted id vanishes from every read path, " +

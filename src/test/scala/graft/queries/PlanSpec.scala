@@ -50,8 +50,10 @@ class PlanSpec extends SparkTestBase {
     "ev10_locf",              // hour spine × distinct event types
     "q11_brand_share",        // × total-revenue scalar
     "s09_bm25_topk",          // × corpus (n_docs, avgdl) scalar
-    "s21_hybrid_store",       // lex leg × one-row store (n_docs, avgdl)
-    "s25_hybrid_rerank",      // the same lex-leg one-row stats scalar
+    // (r15: s21/s25's lex-leg one-row stats scalar join still PLANS —
+    // but executes eagerly behind the driver-side fuse fold, so the
+    // visible plan is a LocalTableScan; removed per the whitelist-
+    // honesty audit, the r14 s05/s10 precedent)
     "s22_drift_advisory",     // one-row audit × audit × shifts folds
     "s23_drift_from_stats",   // the same one-row folds, stats-fed
     "s26_lex_drift",          // one-row baseline × current × shift folds
