@@ -93,20 +93,80 @@ object Pca {
     * order-free exact and exactly mergeable). Quantizing the RAW
     * product (not the centered one) is what makes the statistic
     * incremental: it never depends on the final mean.
+    *
+    * Accumulated PER PARTITION into d(d+1)/2 longs (r15, guide §2.3
+    * "aggregate before you shuffle"): the former double-posexplode
+    * emitted n·d²/2 rows (2080 per vector at d=64) through a corpus-
+    * scale hash aggregate + exchange, where the partition fold emits
+    * ONE partial triangle per task and the final (i, j) re-sum runs
+    * over partitions·d²/2 rows. The per-element arithmetic is the
+    * engine's exactly: Round's double path (BigDecimal HALF_UP —
+    * [[Similarity.localRound]], the pinned replica), then the ANSI
+    * double→long cast (NaN / out-of-range fails loudly, as the cast
+    * did); a null element contributes nothing but its (i, j) group
+    * still exists (SQL sum-over-nulls semantics), so a pair whose
+    * every product is null stays a null-sum row. The output contract
+    * is unchanged — ONE total row per (i, j) per call — which the
+    * streaming store's keyed-distinct replay fold relies on
+    * ([[updateStats]]). Long-sum overflow throws (ANSI), as the
+    * aggregate's partial sums did.
     */
-  private[graft] def rawMoments(e: DataFrame): DataFrame =
-    e.select(col("emb"), posexplode(col("emb")).as(Seq("i", "a")))
-      // slice to 1..i+1 IN-ROW before the second explode: the generate
-      // stage emits the lower triangle directly (n·d²/2 rows) instead
-      // of the full n·d² grid filtered afterwards, and the second
-      // generate's input carries the (i+1)-prefix — avg d/2 doubles —
-      // not the whole d-array
-      .select(col("i"), col("a"),
-        posexplode(slice(col("emb"), lit(1), col("i") + lit(1)))
-          .as(Seq("j", "b")))
+  private[graft] def rawMoments(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("emb"))
+      .mapPartitions { rows =>
+        var sums = new Array[Long](0)
+        var defined = new Array[Boolean](0) // any non-null product
+        var exists = new Array[Boolean](0)  // pair exploded at all
+        var maxLen = 0
+        def grow(len: Int): Unit = if (len > maxLen) {
+          val k = len * (len + 1) / 2
+          sums = java.util.Arrays.copyOf(sums, k)
+          defined = java.util.Arrays.copyOf(defined, k)
+          exists = java.util.Arrays.copyOf(exists, k)
+          maxLen = len
+        }
+        rows.foreach { r =>
+          if (!r.isNullAt(0)) {
+            val emb = r.getSeq[Any](0)
+            grow(emb.length)
+            var i = 0
+            while (i < emb.length) {
+              val base = i * (i + 1) / 2
+              val a = emb(i)
+              var j = 0
+              while (j <= i) {
+                val b = emb(j)
+                exists(base + j) = true
+                if (a != null && b != null) {
+                  val p = Similarity.localRound(
+                    a.asInstanceOf[Double] * b.asInstanceOf[Double] * 1e6,
+                    0)
+                  if (p.isNaN || p < Long.MinValue.toDouble ||
+                      p > Long.MaxValue.toDouble)
+                    throw new ArithmeticException(
+                      s"casting $p to bigint causes overflow (ANSI)")
+                  sums(base + j) = Math.addExact(sums(base + j), p.toLong)
+                  defined(base + j) = true
+                }
+                j += 1
+              }
+              i += 1
+            }
+          }
+        }
+        (for {
+          i <- (0 until maxLen).iterator
+          j <- 0 to i
+          k = i * (i + 1) / 2 + j
+          if exists(k)
+        } yield (i, j, if (defined(k)) Some(sums(k)) else None))
+      }
+      .toDF("i", "j", "s")
       .groupBy(col("i"), col("j"))
-      .agg(sum(round((col("a") * col("b")) * lit(1e6), 0)
-        .cast("long")).as("s"))
+      .agg(sum(col("s")).as("s"))
+  }
 
   /** Derive the component from FOLDED statistics — the one
     * definition shared by the batch trainer and the streaming

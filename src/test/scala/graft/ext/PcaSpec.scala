@@ -79,6 +79,45 @@ class PcaSpec extends SparkTestBase {
     assert(m1.v.toSeq == m2.v.toSeq)
   }
 
+  test("rawMoments partition fold: null/ragged semantics match the " +
+    "exploded aggregate, and the plan is one fold + one tiny re-sum") {
+    import org.apache.spark.sql.functions.{col, posexplode, slice, lit,
+      round => sqlRound, sum => sqlSum}
+    // adversarial: null emb (no groups), null elements (group exists,
+    // null-skipping sum), ragged lengths (triangle grows per row)
+    val df = Seq[(Long, Array[java.lang.Double])](
+      (1L, Array[java.lang.Double](1.5, -2.25, 0.5)),
+      (2L, Array[java.lang.Double](0.1, null, 3.0)),
+      (3L, null),
+      (4L, Array[java.lang.Double](2.0))
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+    val got = Pca.rawMoments(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // the r14 exploded-aggregate reference, inline
+    val want = df
+      .select(col("emb"), posexplode(col("emb")).as(Seq("i", "a")))
+      .select(col("i"), col("a"),
+        posexplode(slice(col("emb"), lit(1), col("i") + lit(1)))
+          .as(Seq("j", "b")))
+      .groupBy(col("i"), col("j"))
+      .agg(sqlSum(sqlRound((col("a") * col("b")) * lit(1e6), 0)
+        .cast("long")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == want, s"moments diverged:\n  got:  $got\n  want: $want")
+    // shape: the corpus pass is a partition fold (no Generate), and
+    // the only aggregate input is the partitions*d^2/2 partial rows
+    val plans = capturedPlans { Pca.rawMoments(df).collect() }
+    assert(plans.exists(_.contains("MapPartitions")),
+      "rawMoments lost its partition fold")
+    assert(!plans.exists(_.contains("Generate")),
+      "rawMoments still explodes the n*d^2/2 product grid")
+  }
+
   test("degenerate constant corpus keeps the all-ones start and projects to 0") {
     val df = (0L until 20L).map(i => (i, Array.fill(6)(3.25)))
       .toDF("vec_id", "embedding")
