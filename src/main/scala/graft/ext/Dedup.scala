@@ -549,6 +549,14 @@ object Dedup {
     * any point in the loop, and the frames are three longs per
     * doc-that-has-a-dup, far below corpus size by construction.
     */
+  /** The ceiling on [[clusters]]' driver union-find: a symmetric edge
+    * list at or under this many rows (≈ 4 MiB of (src, dst) longs —
+    * the LitAssignMaxBytes discipline) folds on the driver; a larger
+    * dup graph keeps the distributed min-label loop, which is the
+    * 100 TB path (the pair set grows with the corpus).
+    */
+  private[graft] val CcEdgeFoldMaxRows: Int = 1 << 18
+
   def clusters(pairs: DataFrame, aCol: String = "doc_a",
                bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
     // eager lineage cut, reliable iff the session has a checkpoint dir
@@ -564,6 +572,66 @@ object Dedup {
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .repartition(col("src")))
+    // r15 (VERDICT r14 item 5): the iterated frames are bounded by the
+    // DUP GRAPH, not the corpus — at bench scale a few hundred rows
+    // paying ~5 rounds × (3 joins + checkpoint + probe) of pure fixed
+    // cost. Under the edge valve, fold the components on the driver
+    // with union-by-min-root + path compression: cluster_id is the
+    // minimum id reachable through the pair graph — the SAME value the
+    // min-label loop converges to, by definition, not by replication
+    // (spec-pinned equal on randomized graphs). A null-keyed edge
+    // falls back to the loop (its null algebra stays authoritative),
+    // as does any graph past the valve — the 100 TB path.
+    val edgeRows = edges.limit(CcEdgeFoldMaxRows + 1).collect()
+    if (edgeRows.length <= CcEdgeFoldMaxRows &&
+        edgeRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+      val parent = new scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root)
+          root = parent.getOrElse(root, root)
+        var cur = x // path compression
+        while (parent.getOrElse(cur, cur) != root) {
+          val nxt = parent.getOrElse(cur, cur)
+          parent.update(cur, root); cur = nxt
+        }
+        root
+      }
+      val nodes = scala.collection.mutable.TreeSet.empty[Long]
+      edgeRows.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        nodes += a; nodes += b
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { // attach the larger root under the smaller:
+          if (ra < rb) parent.update(rb, ra) // the root stays the
+          else parent.update(ra, rb)         // component's MIN id
+        }
+      }
+      val spark = pairs.sparkSession
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        nodes.toSeq.map { id =>
+          val root = find(id)
+          org.apache.spark.sql.Row(id, root, id == root)
+        }.asJava,
+        StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("cluster_id", LongType, nullable = false),
+          StructField("survivor", BooleanType, nullable = false))))
+    }
+    clustersLoop(edges, maxIters)
+  }
+
+  /** The distributed min-label loop over an already-materialized
+    * SYMMETRIC edge list — [[clusters]]' past-the-valve path, split
+    * out so the spec can pin fold == loop on the same graphs.
+    */
+  private[ext] def clustersLoop(edges: DataFrame,
+                                maxIters: Int): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint() else df.localCheckpoint(true)
     // round 1 folded into the init: with identity labels, the min over
     // neighbors' labels IS the min neighbor id, which the symmetric
     // edge list yields in one agg — no join, and one fewer loop round

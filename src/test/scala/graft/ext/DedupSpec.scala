@@ -245,6 +245,36 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.clusters(empty).isEmpty)
   }
 
+  test("cc driver union-find == distributed min-label loop on " +
+    "randomized graphs (the r15 valve's two paths)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(421)
+    val graphs = (1 to 4).map { _ =>
+      val n = 20 + rnd.nextInt(60)
+      (1 to 70).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+    } :+ (0L until 40L).map(i => (i, i + 1)) // pathological chain
+    for (pairs <- graphs) {
+      val df = pairs.toDF("doc_a", "doc_b")
+      // public entry: under the edge valve, the driver union-find
+      val fold = Dedup.clusters(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      // the past-the-valve path, forced on the same symmetric edges
+      val edges = df.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(df.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src"))
+        .localCheckpoint(true)
+      val loop = Dedup.clustersLoop(edges, maxIters = 25).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(fold == loop,
+        s"cc fold diverged from the loop on ${pairs.take(8)}…:\n" +
+          s"  fold: ${fold.toSeq.sortBy(_._1).take(10)}\n" +
+          s"  loop: ${loop.toSeq.sortBy(_._1).take(10)}")
+    }
+  }
+
   test("exact dedup groups identical texts deterministically") {
     import spark.implicits._
     val withDups = docs.select("doc_id", "text").unionAll(
