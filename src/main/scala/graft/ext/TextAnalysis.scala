@@ -1649,7 +1649,27 @@ object TextAnalysis {
     */
   private[graft] val BpeRematerializeEvery = 16
 
-  def bpeTrain(docs: DataFrame, nMerges: Int): Seq[BpeMerge] = {
+  /** The ceiling on [[bpeTrain]]'s driver fold: a word-frequency
+    * dictionary at or under this many rows is collected from the
+    * (already materialized) cache and merged by the driver loop —
+    * [[bpeTrainLocal]]'s spec-pinned merge-identical arithmetic — so
+    * every merge round stops costing a distributed aggregate + a
+    * one-row collect + a replan of a longer replace chain. A
+    * web-scale vocabulary past the cap keeps the distributed loop
+    * (whose replace chain stays bounded via
+    * [[BpeRematerializeEvery]]).
+    */
+  private[graft] val BpeDictFoldMaxRows: Int = 1 << 17
+
+  def bpeTrain(docs: DataFrame, nMerges: Int): Seq[BpeMerge] =
+    bpeTrain(docs, nMerges, BpeDictFoldMaxRows)
+
+  /** The valve-parameterized form — the spec forces each path
+    * (`foldMaxRows = 0` → distributed loop, `Int.MaxValue` → driver
+    * fold) to pin them merge-for-merge equal.
+    */
+  private[graft] def bpeTrain(docs: DataFrame, nMerges: Int,
+                              foldMaxRows: Int): Seq[BpeMerge] = {
     require(nMerges >= 1, "bpeTrain needs nMerges >= 1")
     val dict = docs
       .select(explode(tokens(col("text"))).as("word"))
@@ -1657,6 +1677,20 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(bpeInit(col("word")).as("s"), col("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r15: the dictionary is vocab-bounded — when it fits the valve,
+    // collect it off the cache (one job) and run the driver merge
+    // loop, which is merge-for-merge identical by the bpeTrainLocal
+    // spec pin. Null-delimited rows cannot occur (bpeInit of a
+    // non-empty word), so no null guard is needed beyond the cap.
+    if (foldMaxRows > 0) {
+      val capped = math.min(foldMaxRows.toLong, Int.MaxValue - 1L).toInt
+      val head = dict.limit(capped + 1).collect()
+      if (head.length <= capped) {
+        dict.unpersist()
+        return bpeMergeLoop(head.map(_.getString(0)),
+          head.map(_.getLong(1)), nMerges)
+      }
+    }
     var cached = dict
     try {
       val out = Seq.newBuilder[BpeMerge]
@@ -1724,8 +1758,16 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(bpeInit(col("word")).as("s"), col("freq"))
       .collect()
-    val work = rows.map(_.getString(0))
-    val freqs = rows.map(_.getLong(1))
+    bpeMergeLoop(rows.map(_.getString(0)), rows.map(_.getLong(1)),
+      nMerges)
+  }
+
+  /** The driver merge loop over a collected (delimited-word, freq)
+    * dictionary — shared by [[bpeTrainLocal]] and [[bpeTrain]]'s
+    * under-valve path. Mutates `work` in place.
+    */
+  private def bpeMergeLoop(work: Array[String], freqs: Array[Long],
+                           nMerges: Int): Seq[BpeMerge] = {
     def utf8Less(a: String, b: String): Boolean =
       java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),

@@ -780,39 +780,49 @@ class CorpusOpsSpec extends SparkTestBase {
   test("bpeTrain re-materializes past BpeRematerializeEvery merges " +
     "without leaking cache or changing results") {
     import spark.implicits._
-    // one 26-char word: 20 merges cross the remat boundary at 16
+    // one 26-char word: 20 merges cross the remat boundary at 16.
+    // foldMaxRows = 0 forces the DISTRIBUTED loop (the r15 dictionary
+    // valve would otherwise fold this KB dict on the driver)
     val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz"))
       .toDF("doc_id", "text")
     val before = spark.sparkContext.getPersistentRDDs.size
-    val merges = TextAnalysis.bpeTrain(docs, 20)
+    val merges = TextAnalysis.bpeTrain(docs, 20, foldMaxRows = 0)
     assert(merges.size == 20 && merges.map(_.rank) == (1 to 20),
       s"got ${merges.size} merges")
     assert(spark.sparkContext.getPersistentRDDs.size == before,
       "re-materialization leaked cached partitions")
     // determinism across the boundary: partitioning must not matter
-    assert(TextAnalysis.bpeTrain(docs.repartition(5), 20) == merges)
+    assert(TextAnalysis.bpeTrain(docs.repartition(5), 20,
+      foldMaxRows = 0) == merges)
+    // and the public (valved) entry folds to the same merges
+    assert(TextAnalysis.bpeTrain(docs, 20) == merges)
   }
 
   test("bpeTrainLocal == bpeTrain merge-for-merge (the production-" +
     "merge-count trainer), incl. exhaustion and the gate corpus") {
     import spark.implicits._
     // the 26-char word crosses the distributed trainer's remat
-    // boundary; tie-heavy frequencies exercise the UTF-8 tie-break
+    // boundary; tie-heavy frequencies exercise the UTF-8 tie-break.
+    // foldMaxRows = 0 forces the distributed loop so this pin keeps
+    // covering BOTH paths of the r15 dictionary valve.
     val tiny = Seq((1L, "abcdefghijklmnopqrstuvwxyz ba ab ab ba"))
       .toDF("doc_id", "text")
     assert(TextAnalysis.bpeTrainLocal(tiny, 20)
-      == TextAnalysis.bpeTrain(tiny, 20),
+      == TextAnalysis.bpeTrain(tiny, 20, foldMaxRows = 0),
       "local trainer diverged from the distributed trainer")
     // exhaustion parity
     val short = Seq((1L, "ab ab")).toDF("doc_id", "text")
     assert(TextAnalysis.bpeTrainLocal(short, 5)
-      == TextAnalysis.bpeTrain(short, 5))
-    // the real gate corpus, past the remat boundary
+      == TextAnalysis.bpeTrain(short, 5, foldMaxRows = 0))
+    // the real gate corpus, past the remat boundary — distributed
+    // loop vs the driver fold the public entry now takes
     val docs = graft.Tables.documents(spark, sf0001)
       .select("doc_id", "text")
-    assert(TextAnalysis.bpeTrainLocal(docs, 18)
-      == TextAnalysis.bpeTrain(docs, 18),
+    val dist = TextAnalysis.bpeTrain(docs, 18, foldMaxRows = 0)
+    assert(TextAnalysis.bpeTrainLocal(docs, 18) == dist,
       "local trainer diverged on the gate corpus")
+    assert(TextAnalysis.bpeTrain(docs, 18) == dist,
+      "the valved public entry diverged from the distributed loop")
   }
 
   test("bpe merge replace cannot cross a symbol boundary, and the " +
